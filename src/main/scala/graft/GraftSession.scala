@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table helpers shared by Verify/Bench/tests.
+  *
+  * Tuned for the local[32] harness but with cluster-scale defaults in
+  * mind: AQE on (runtime re-plan, skew-join splitting, coalesced
+  * shuffle partitions), shuffle partitions sized to cores rather than
+  * the 200 default, and UTC session time so results hash-match the
+  * DuckDB oracle.
+  */
+object GraftSession {
+
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS): read as epoch-nanos
+      // long (full precision for ordering; convert explicitly where a
+      // timestamp is needed — see GraftSession.nanosToTs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the driver-provided testdata tables under `dir`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch-nanos long (see nanosAsLong above) → timestamp, truncated
+    * to Spark's microsecond precision.
+    */
+  def nanosToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+}

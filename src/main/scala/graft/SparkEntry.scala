@@ -1,13 +1,552 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.GraftSession.table
+import graft.functions.DetHash
+import graft.ops.{Dedup, KpiPost, Relevance, Similarity, TextAnalysis}
+import graft.scorer.{MockQaScorer, MockRelevanceScorer}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), each with an
+  * equivalent DuckDB SQL oracle over the same parquet tables.
+  *
+  * Conventions for oracle hash-parity:
+  *   - every float output is `round(_, 2|4)` in BOTH engines;
+  *   - every query has a total ORDER BY (deterministic row order);
+  *   - timestamps are stringified (`yyyy-MM-dd HH:mm:ss`);
+  *   - "random" sampling/scoring is a Knuth multiplicative hash of the
+  *     row key ([[graft.functions.DetHash]]) — pure integer
+  *     arithmetic, identical in Spark and ANSI SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  private def li(s: SparkSession, dir: String)   = table(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String)  = table(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = table(s, dir, "customer")
+  private def supp(s: SparkSession, dir: String) = table(s, dir, "supplier")
+  private def nat(s: SparkSession, dir: String)  = table(s, dir, "nation")
+  private def reg(s: SparkSession, dir: String)  = table(s, dir, "region")
+  private def prt(s: SparkSession, dir: String)  = table(s, dir, "part")
+  private def ev(s: SparkSession, dir: String)   = table(s, dir, "events")
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String)  = table(s, dir, "embeddings")
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** KPI-question dim for the mock inference pipeline (stands in for
+    * data/kpi_mapping/kpi_mapping.csv).
+    */
+  private val QuestionRows = Seq(
+    (1, "what is the total volume of production?", 1.0),
+    (2, "what is the annual emission reduction?", 2.1),
+    (3, "how many employees does the company have?", 3.3)
+  )
+  private def questionsDf(s: SparkSession): DataFrame =
+    s.createDataFrame(QuestionRows).toDF("q_idx", "question", "kpi_id")
+  private val QuestionValuesSql =
+    QuestionRows.map { case (i, q, k) => s"($i, '$q', CAST($k AS DOUBLE))" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** Mock-pipeline pair build: documents × questions, keyed. */
+  private def mockPairs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("source").as("pdf_name"),
+        pmod(col("doc_id"), lit(20)).cast("long").as("page"),
+        col("doc_id"),
+        col("text").as("text_b")
+      )
+      .crossJoin(broadcast(questionsDf(s).select(col("q_idx"), col("question").as("text"))))
+      .withColumn("source", lit("Text"))
+      .withColumn("key", col("doc_id") * 4 + col("q_idx"))
+
+  // ------------------------------------------------------------- the queries
+
+  /** Flagship: full mock inference pipeline (J3 cross join → M1
+    * relevance filter → M2 QA spans → W4/R4/R5 melt → A4 no-answer agg
+    * → A5 top-k → J2 reverse kpi map) on sf0.001. Driver smoke-checks
+    * rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("m2_kpi_pipeline")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 aggregations -------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      // money sums go through DECIMAL: exact, order-independent, so the
+      // 32-partition partial-agg sum hashes identically to the oracle's
+      // sequential sum. Quantities are integral doubles (already exact).
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc  = col("l_discount").cast("decimal(18,2)")
+      li(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(price).cast("double"), 2).as("sum_base_price"),
+          round(sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double"), 2).as("sum_disc_price"),
+          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          round(sum(disc).cast("double") / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "a1_count_groupby" -> ((s, dir) =>
+      ord(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+    "a3_avg_groupby" -> ((s, dir) =>
+      cust(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4).as("avg_bal"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))),
+    "a5_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      li(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"), col("rn"))
+        .orderBy(col("l_orderkey"), col("rn"))
+    }),
+    "a6_group_having" -> ((s, dir) =>
+      ord(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderstatus")).as("n_status"), count(lit(1)).as("n_orders"))
+        .filter(col("n_status") >= 2)
+        .select(col("o_custkey"), col("n_orders"))
+        .orderBy(col("o_custkey"))),
+    "a7_det_sample_per_group" -> ((s, dir) => {
+      // deterministic "one random order per customer": min key-hash wins
+      val u = DetHash.detUnit(col("o_orderkey"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(u.asc, col("o_orderkey").asc)
+      ord(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey"))
+    }),
+    "a8_summary_stats" -> ((s, dir) =>
+      li(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("l_quantity")), 4).as("mean_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          max(col("l_quantity")).as("max_qty")
+        )
+        .orderBy(col("l_returnflag"))),
+    "a9_distinct" -> ((s, dir) =>
+      li(s, dir).select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "a10_row_counts" -> ((s, dir) => {
+      val counts = Seq("lineitem", "orders", "customer").map { t =>
+        table(s, dir, t).agg(count(lit(1)).as("n_rows")).withColumn("table_name", lit(t))
+      }
+      counts.reduce(_ unionByName _).select(col("table_name"), col("n_rows")).orderBy(col("table_name"))
+    }),
+    "a11_group_ml_metrics" -> ((s, dir) => {
+      // confusion metrics per group: pred = value > 50, label = even user_id
+      val e = ev(s, dir)
+        .withColumn("pred", (col("value") > 50).cast("int"))
+        .withColumn("label", (pmod(col("user_id"), lit(2)) === 0).cast("int"))
+      e.groupBy(col("event_type"))
+        .agg(
+          sum(col("pred") * col("label")).as("tp"),
+          sum(col("pred") * (lit(1) - col("label"))).as("fp"),
+          sum((lit(1) - col("pred")) * col("label")).as("fn"),
+          round(avg((col("pred") === col("label")).cast("double")), 4).as("accuracy")
+        )
+        .withColumn("precision", round(col("tp") / greatest(col("tp") + col("fp"), lit(1)), 4))
+        .withColumn("recall", round(col("tp") / greatest(col("tp") + col("fn"), lit(1)), 4))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- §2.2 projection / filter / dedup ---------------------------------
+    "p2_filter_project" -> ((s, dir) =>
+      li(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          // per-row money product rounds in decimal space (double round
+          // semantics differ between engines on .xx5 ties)
+          round(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")), 2)
+            .cast("double").as("net_price")
+        )
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "p3_null_drop" -> ((s, dir) =>
+      ord(s, dir)
+        .withColumn("maybe_price", when(col("o_orderstatus") === "O", col("o_totalprice")))
+        .na.drop(Seq("maybe_price"))
+        .select(col("o_orderkey"), round(col("maybe_price"), 2).as("maybe_price"))
+        .orderBy(col("o_orderkey"))),
+    "p4_dedup_keyed" -> ((s, dir) =>
+      Dedup.dedupKeepFirst(
+        ev(s, dir).select(col("user_id"), col("event_type"), col("event_id"), col("ts")),
+        Seq("user_id", "event_type"),
+        Seq(col("ts").asc, col("event_id").asc)
+      ).select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))),
+    "p6_anti_membership" -> ((s, dir) => {
+      val c = cust(s, dir).filter(!col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      c.join(ord(s, dir), c("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "p8_limit_topn" -> ((s, dir) =>
+      ord(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+          fmtTs(col("o_orderdate")).as("o_orderdate"))),
+
+    // ---- §2.3 joins --------------------------------------------------------
+    "j1_left_join" -> ((s, dir) =>
+      ord(s, dir)
+        .join(cust(s, dir), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))),
+    "j2_broadcast_dim_join" -> ((s, dir) =>
+      li(s, dir)
+        .join(broadcast(supp(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("double"), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))),
+    "j3_cross_join" -> ((s, dir) =>
+      reg(s, dir).crossJoin(nat(s, dir))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))),
+    "j6_semi_join" -> ((s, dir) => {
+      val o = ord(s, dir).filter(col("o_totalprice") > 100000)
+      cust(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- §2.6 set / reshape ------------------------------------------------
+    "r1_union_all" -> ((s, dir) => {
+      val a = prt(s, dir).filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"), lit("small").as("bucket"))
+      val b = prt(s, dir).filter(col("p_size") > 40)
+        .select(col("p_partkey"), col("p_brand"), lit("large").as("bucket"))
+      a.unionByName(b).orderBy(col("p_partkey"), col("bucket"))
+    }),
+    "r2_zip_explode" -> ((s, dir) => {
+      // rebuild per-order aligned arrays, zip-explode back to rows
+      val grouped = li(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_extendedprice")))).as("pairs"))
+        .select(
+          col("l_orderkey"),
+          transform(col("pairs"), p => p.getField("l_linenumber")).as("linenumbers"),
+          transform(col("pairs"), p => p.getField("l_extendedprice")).as("prices")
+        )
+      grouped
+        .select(col("l_orderkey"), explode(arrays_zip(col("linenumbers"), col("prices"))).as("z"))
+        .select(col("l_orderkey"), col("z.linenumbers").as("l_linenumber"),
+          round(col("z.prices"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "r4_unpivot" -> ((s, dir) =>
+      prt(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")), "measure", "value")
+        .select(col("p_partkey"), col("measure"), round(col("value"), 2).as("value"))
+        .orderBy(col("p_partkey"), col("measure"))),
+
+    // ---- §2.8 mock inference pipeline (M1/M2 + A4/A5/W4/R4/R5/J2) ----------
+    "m1_relevance" -> ((s, dir) =>
+      Relevance
+        .relevantPairs(mockPairs(s, dir), new MockRelevanceScorer, "key", 0.7)
+        .select(col("doc_id"), col("q_idx"), round(col("prob"), 4).as("prob"))
+        .orderBy(col("doc_id"), col("q_idx"))),
+    "m2_kpi_pipeline" -> ((s, dir) => {
+      val rel = Relevance.relevantPairs(mockPairs(s, dir), new MockRelevanceScorer, "key", 0.7)
+      KpiPost
+        .kpiChain(rel, new MockQaScorer(nBest = 2), questionsDf(s), "key", topK = 4)
+        .select(
+          col("pdf_name"), col("kpi"), col("kpi_id"), col("answer"), col("page"),
+          col("paragraph"), col("source"),
+          round(col("score"), 4).as("score"),
+          round(col("no_ans_score"), 4).as("no_ans_score"),
+          round(col("no_answer_score_plus_boost"), 4).as("no_answer_score_plus_boost")
+        )
+        .orderBy(col("pdf_name"), col("kpi"), col("score").desc, col("answer"),
+          col("page").asc_nulls_first, col("paragraph").asc_nulls_first)
+    }),
+
+    // ---- extensions: dedup / similarity / text analysis --------------------
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByContent(docs(s, dir), "doc_id", "text")
+        .orderBy(col("content_hash"))),
+    "x_ann_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity
+        .cosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "x_profile" -> ((s, dir) =>
+      TextAnalysis.profile(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")))
+  )
+
+  // ------------------------------------------------------------ the oracles
+
+  /** detUnit(key) as DuckDB SQL. */
+  private def u(key: String): String = DetHash.detUnitSql(key)
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        | round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a1_count_groupby" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    "a3_avg_groupby" ->
+      "SELECT c_mktsegment, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_bal, count(*) AS n FROM customer GROUP BY 1 ORDER BY 1",
+    "a5_topk_per_group" ->
+      """SELECT * FROM (
+        | SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        | FROM lineitem) WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+    "a6_group_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY 1 HAVING count(DISTINCT o_orderstatus) >= 2 ORDER BY 1""".stripMargin,
+    "a7_det_sample_per_group" ->
+      s"""SELECT o_custkey, o_orderkey FROM (
+         | SELECT o_custkey, o_orderkey,
+         |  row_number() OVER (PARTITION BY o_custkey ORDER BY ${u("o_orderkey")} ASC, o_orderkey ASC) AS rn
+         | FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "a8_summary_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(avg(l_quantity), 4) AS mean_qty,
+        | round(stddev_samp(l_quantity), 4) AS std_qty,
+        | min(l_quantity) AS min_qty,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a9_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "a10_row_counts" ->
+      """SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |ORDER BY table_name""".stripMargin,
+    "a11_group_ml_metrics" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CASE WHEN value > 50 THEN 1 ELSE 0 END AS pred,
+        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS label
+        | FROM events)
+        |SELECT event_type,
+        | sum(pred * label) AS tp,
+        | sum(pred * (1 - label)) AS fp,
+        | sum((1 - pred) * label) AS fn,
+        | round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
+        | round(sum(pred * label) * 1.0 / greatest(sum(pred * label) + sum(pred * (1 - label)), 1), 4) AS precision,
+        | round(sum(pred * label) * 1.0 / greatest(sum(pred * label) + sum((1 - pred) * label), 1), 4) AS recall
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p3_null_drop" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS maybe_price FROM orders
+        |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
+    "p4_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id FROM (
+        | SELECT user_id, event_type, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "p6_anti_membership" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "p8_limit_topn" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "j1_left_join" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "j2_broadcast_dim_join" ->
+      """SELECT r_name, n_name,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j3_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2",
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "r1_union_all" ->
+      """SELECT p_partkey, p_brand, 'small' AS bucket FROM part WHERE p_size <= 10
+        |UNION ALL
+        |SELECT p_partkey, p_brand, 'large' AS bucket FROM part WHERE p_size > 40
+        |ORDER BY p_partkey, bucket""".stripMargin,
+    "r2_zip_explode" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "r4_unpivot" ->
+      """SELECT p_partkey, 'size' AS measure, round(CAST(p_size AS DOUBLE), 2) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice', round(p_retailprice, 2) FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
+    "m1_relevance" ->
+      s"""SELECT d.doc_id, q.q_idx, round(${u("d.doc_id * 4 + q.q_idx")}, 4) AS prob
+         |FROM documents d CROSS JOIN (VALUES (1), (2), (3)) q(q_idx)
+         |WHERE ${u("d.doc_id * 4 + q.q_idx")} >= 0.7
+         |ORDER BY d.doc_id, q.q_idx""".stripMargin,
+    "m2_kpi_pipeline" -> m2OracleSql,
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |   list_sum(list_transform(list_zip(e.embedding, q.qv), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+        | FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        | FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "x_profile" -> profileOracleSql
+  )
+
+  /** Oracle for the full mock KPI pipeline — SQL replication of
+    * MockRelevanceScorer + MockQaScorer + the kpiChain post-processing
+    * (melt → no-answer agg → top-4 → reverse kpi map). The mock scorers
+    * are pure integer-hash arithmetic, so every double here is
+    * bit-identical to the Spark side.
+    */
+  private def m2OracleSql: String = {
+    val toks = "list_filter(string_split(r.text_b, ' '), x -> x <> '')"
+    val spanStart =
+      s"CAST(floor(${u("r.key * 17 + ranks.i")} * greatest(len($toks) - 2, 1)) AS BIGINT)"
+    val answer =
+      s"""CASE WHEN ${u("r.key * 31 + ranks.i")} < 0.25 THEN 'no_answer'
+         |  ELSE array_to_string(list_slice($toks, $spanStart + 1, $spanStart + 3), ' ') END""".stripMargin
+    val score = s"CAST(2 - ranks.i + 1 AS DOUBLE) + ${u("r.key * 13 + ranks.i")}"
+    val noAns = s"(-1.0 + 2.0 * ${u("r.key * 19")})"
+    s"""WITH q(q_idx, question, kpi_id) AS ($QuestionValuesSql),
+       |d AS (SELECT source AS pdf_name, doc_id % 20 AS page, doc_id, text AS text_b FROM documents),
+       |pairs AS (
+       | SELECT d.pdf_name, d.page, d.doc_id, d.text_b, q.question AS text, q.q_idx,
+       |  'Text' AS source, d.doc_id * 4 + q.q_idx AS key
+       | FROM d CROSS JOIN q),
+       |rel AS (SELECT * FROM pairs r WHERE ${u("r.key")} >= 0.7),
+       |melted AS (
+       | SELECT r.pdf_name, r.page, r.text_b, r.text, r.source, r.key,
+       |  'rank_' || ranks.i AS rank,
+       |  $answer AS answer,
+       |  $score AS score,
+       |  $noAns AS no_ans_score,
+       |  $noAns + (-15.0) AS no_answer_score_plus_boost
+       | FROM rel r CROSS JOIN (VALUES (1), (2)) ranks(i)),
+       |no_ans AS (
+       | SELECT pdf_name, text, max(score) AS score
+       | FROM melted WHERE rank = 'rank_1'
+       | GROUP BY 1, 2 HAVING bool_and(answer = 'no_answer')),
+       |unioned AS (
+       | SELECT pdf_name, text, text_b, page, key, rank, answer, score,
+       |  no_ans_score, no_answer_score_plus_boost, source
+       | FROM melted WHERE answer <> 'no_answer'
+       | UNION ALL
+       | SELECT pdf_name, text, NULL, NULL, NULL, NULL, 'no_answer', score, NULL, NULL, 'Text'
+       | FROM no_ans),
+       |topk AS (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY pdf_name, text
+       |   ORDER BY score DESC, rank ASC NULLS FIRST, key ASC NULLS FIRST) AS rn
+       | FROM unioned)
+       |SELECT t.pdf_name, t.text AS kpi, q.kpi_id, t.answer, t.page,
+       | t.text_b AS paragraph, t.source,
+       | round(t.score, 4) AS score,
+       | round(t.no_ans_score, 4) AS no_ans_score,
+       | round(t.no_answer_score_plus_boost, 4) AS no_answer_score_plus_boost
+       |FROM topk t LEFT JOIN q ON t.text = q.question
+       |WHERE t.rn <= 4
+       |ORDER BY t.pdf_name, kpi, score DESC, t.answer,
+       | t.page ASC NULLS FIRST, paragraph ASC NULLS FIRST""".stripMargin
+  }
+
+  /** Oracle for TextAnalysis.profile. */
+  private def profileOracleSql: String = {
+    val toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    def hits(words: Seq[String]) =
+      s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val langCases = TextAnalysis.LangStopwords.map { case (lang, words) => lang -> hits(words) }
+    val caseExpr = {
+      val conds = langCases.zipWithIndex.map { case ((lang, h), i) =>
+        val geAll = langCases.zipWithIndex
+          .collect { case ((_, h2), j) if j != i => if (j < i) s"$h > $h2" else s"$h >= $h2" }
+          .mkString(" AND ")
+        s"WHEN $h > 0 AND $geAll THEN '$lang'"
+      }
+      s"CASE ${conds.mkString(" ")} ELSE 'und' END"
+    }
+    val nChars   = "CAST(length(text) AS DOUBLE)"
+    val nToks    = s"CAST(len($toks) AS DOUBLE)"
+    val alpha    = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    val punct    = "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)"
+    val stopHits = s"CAST(${hits(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)"
+    s"""SELECT doc_id,
+       | $caseExpr AS lang_pred,
+       | len($toks) AS n_tokens_ws,
+       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       | md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint,
+       | CAST($nChars AS BIGINT) AS n_chars,
+       | CAST($nToks AS BIGINT) AS n_tokens,
+       | round(CASE WHEN $nToks > 0 THEN ($nChars - ($nToks - 1)) / $nToks ELSE 0.0 END, 4) AS mean_word_len,
+       | round(CASE WHEN $nChars > 0 THEN $alpha / $nChars ELSE 0.0 END, 4) AS alpha_ratio,
+       | round(CASE WHEN $nChars > 0 THEN $punct / $nChars ELSE 0.0 END, 4) AS punct_ratio,
+       | round(CASE WHEN $nToks > 0 THEN $stopHits / $nToks ELSE 0.0 END, 4) AS stopword_ratio,
+       | round(least(1.0, greatest(0.0,
+       |   0.4 * (CASE WHEN $nChars > 0 THEN $alpha / $nChars ELSE 0.0 END)
+       | + 0.3 * least(1.0, $nToks / 20.0)
+       | + 0.2 * (1.0 - (CASE WHEN $nChars > 0 THEN $punct / $nChars ELSE 0.0 END))
+       | + 0.1 * least(1.0, (CASE WHEN $nToks > 0 THEN $stopHits / $nToks ELSE 0.0 END) * 5))), 4) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two tiers:
+  *
+  *   - `cosineTopK`: exact brute force — broadcast the (small) query
+  *     set against the corpus, per-partition partial top-k, then a
+  *     single skinny shuffle of k rows per query. This is the correct
+  *     baseline even at 100 TB when |queries| is small: the corpus is
+  *     scanned once, nothing is ever collected to the driver.
+  *   - `ivfTopK`: IVF-style scale path — deterministic coarse
+  *     centroids (hash-seeded corpus sample), assign every vector to
+  *     its nearest centroid once (narrow scan), probe only the
+  *     `nProbe` closest cells per query. Scan cost drops by
+  *     ~nCells/nProbe at the price of approximate recall.
+  *
+  * Dot products are in-order `aggregate(zip_with(...))` folds over
+  * doubles — deterministic, codegen-friendly, and bit-identical to the
+  * oracle's sequential sum.
+  */
+object Similarity {
+
+  /** In-order dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def l2normalize(a: Column): Column = {
+    transform(a, x => x.cast("double") / sqrt(
+      aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))))
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors per query vector. `queries` must be small
+    * enough to broadcast (typical: a probe set). Tie-break on
+    * (rounded cosine desc, corpus id asc) so ranking is total and
+    * engine-independent.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-bucketed approximate top-k: centroids are the corpus rows
+    * whose id hashes into the first `nCells` slots (deterministic
+    * sample), every corpus vector is assigned to its nearest centroid,
+    * and each query probes the `nProbe` nearest cells.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Deterministic centroid sample: smallest nCells ids (stable, cheap).
+    val centroids = broadcast(
+      c.orderBy(col("neighbor_id")).limit(nCells)
+        .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid"))
+    )
+    // Assign each corpus vector to its nearest centroid (one scan).
+    val wAssign = Window.partitionBy(col("neighbor_id")).orderBy(col("cdist").desc, col("cell_id").asc)
+    val assigned = c.join(centroids)
+      .withColumn("cdist", cosine(col("cv"), col("centroid")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cell_id"))
+    // Each query probes its nProbe nearest cells.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
+    val probes = q.join(centroids)
+      .withColumn("qdist", cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+    val scored = broadcast(probes).join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

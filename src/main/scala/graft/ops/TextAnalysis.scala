@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column algebra (whole-stage codegen, no UDFs), so they run at scan
+  * speed and compose with pushed-down filters.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "und", "die", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2", "you3")
+  )
+
+  private def toks(c: Column): Column = filter(split(lower(c), " "), t => t =!= "")
+
+  /** Stopword hits for one language. */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(toks(c), t => t.isInCollection(words)))
+
+  /** Heuristic language ID: argmax of stopword hits, ties broken by
+    * list order, "und" (undetermined) when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val scored = LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(stopwordHits(c, words).as("hits"), lit(LangStopwords.size - i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(toks(c))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric non-space chars.
+    */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality-scoring feature struct: char length, token count, mean
+    * word length, alpha ratio, punctuation ratio, stopword ratio (en),
+    * and a composite [0,1] quality score. All rounded to 4dp for
+    * cross-engine stability.
+    */
+  def qualityFeatures(c: Column): Column = {
+    val nChars   = length(c).cast("double")
+    val nToks    = tokenCountWs(c).cast("double")
+    val alpha    = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    val punct    = length(regexp_replace(c, "[^.,;:!?]", "")).cast("double")
+    val stopHits = stopwordHits(c, LangStopwords.head._2).cast("double")
+    val meanWordLen = when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0))
+    val alphaRatio  = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val punctRatio  = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val stopRatio   = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
+    val score = least(
+      lit(1.0),
+      greatest(
+        lit(0.0),
+        lit(0.4) * alphaRatio + lit(0.3) * least(lit(1.0), nToks / lit(20.0)) +
+          lit(0.2) * (lit(1.0) - punctRatio) + lit(0.1) * least(lit(1.0), stopRatio * 5)
+      )
+    )
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(score, 4).as("quality_score")
+    )
+  }
+
+  /** Content fingerprint à la key-collision clustering: md5 of the
+    * sorted distinct lowercase token set. Two docs with the same
+    * fingerprint are bag-of-words-identical — a cheap canonical key
+    * for fuzzy dedup blocking.
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks(c))), " "))
+
+  /** Full document-profile projection over a corpus. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      langId(t).as("lang_pred"),
+      tokenCountWs(t).as("n_tokens_ws"),
+      tokenCountBpe(t).as("n_tokens_bpe"),
+      fingerprint(t).as("fingerprint"),
+      qualityFeatures(t).as("q")
+    ).select(col(idCol), col("lang_pred"), col("n_tokens_ws"), col("n_tokens_bpe"), col("fingerprint"), col("q.*"))
+  }
+}
