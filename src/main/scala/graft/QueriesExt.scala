@@ -1,0 +1,414 @@
+package graft
+
+import graft.GraftSession.table
+import graft.functions.{DetHash, ListParse, TextFns}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Wave-2 operator queries (SURVEY.md §2 coverage beyond the core
+  * wave): remaining aggregations/windows/reshapes, the §2.7 scalar
+  * function surface, deterministic split/sampling, and the
+  * levenshtein best-match join. Same oracle conventions as
+  * [[SparkEntry]] (decimal-space money math, total ORDER BY, 4dp
+  * rounding, DetHash for anything "random").
+  */
+object QueriesExt {
+
+  private def li(s: SparkSession, dir: String)   = table(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String)  = table(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = table(s, dir, "customer")
+  private def supp(s: SparkSession, dir: String) = table(s, dir, "supplier")
+  private def nat(s: SparkSession, dir: String)  = table(s, dir, "nation")
+  private def prt(s: SparkSession, dir: String)  = table(s, dir, "part")
+  private def ev(s: SparkSession, dir: String)   = table(s, dir, "events")
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 remaining aggregations --------------------------------------
+    "a2_sum_groupby" -> ((s, dir) =>
+      ord(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+    "a4_boolall_condmax" -> ((s, dir) =>
+      // A4 shape: groups where EVERY row satisfies the predicate emit a
+      // conditional max (text_kpi_infer.py:17-29 no-answer aggregation)
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(every(col("value") < 250).as("all_low"), max(col("value")).as("max_value"),
+          count(lit(1)).as("n_events"))
+        .filter(col("all_low"))
+        .select(col("user_id"), col("max_value"), col("n_events"))
+        .orderBy(col("user_id"))),
+
+    // ---- §2.2 remaining filters / dedups ----------------------------------
+    "p5_group_first" -> ((s, dir) =>
+      // keep-first/last per group by event time (text_curator.py:101);
+      // ts is globally unique in the testdata so min_by/max_by are total
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_id"), col("ts")).as("first_event_id"),
+          max_by(col("event_id"), col("ts")).as("last_event_id"))
+        .orderBy(col("user_id"))),
+    "p7_size_filter" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      docs(s, dir)
+        .select(col("doc_id"), size(toks).as("n_tokens"))
+        .filter(col("n_tokens") > 60)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- §2.5 windows / sorts ---------------------------------------------
+    "w2_argmax" -> ((s, dir) => {
+      // argmax via exact integer composite order (value is 2dp: cents
+      // are exact in 64-bit) — max_by needs a total order for parity
+      val ordKey = (round(col("value") * 100).cast("long") * 10000000L + col("event_id"))
+      ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"), ordKey).as("top_event_id"),
+          max_by(col("value"), ordKey).as("top_value"))
+        .orderBy(col("event_type"))
+    }),
+    "w3_global_topn_rank" -> ((s, dir) =>
+      // global sort + rank; single-partition window is fine for a
+      // top-n (the sort is a shuffle-free TakeOrdered at any scale)
+      supp(s, dir)
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        .limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)))
+        .select(col("rank"), col("s_suppkey"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("rank"))),
+
+    // ---- §2.6 remaining reshapes ------------------------------------------
+    "r3_flatten_tokens" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      docs(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("token"))
+    }),
+    "r5_struct_expand" -> ((s, dir) =>
+      li(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          struct(
+            round(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))), 2)
+              .cast("double").as("net"),
+            col("l_returnflag").as("flag")).as("s"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("s.*"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "r6_nest_json" -> ((s, dir) =>
+      // R6 nest: per-order sorted array of structs serialized to JSON —
+      // collect_list order made total via array_sort (SURVEY §7.5 risk 4)
+      li(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(to_json(array_sort(collect_list(
+          struct(col("l_linenumber").as("ln"), col("l_quantity").cast("long").as("qty"))))).as("lines_json"))
+        .orderBy(col("l_orderkey"))),
+
+    // ---- §2.3 remaining joins ---------------------------------------------
+    "j5_affinity_join" -> ((s, dir) => {
+      // filename-affinity: annotation row ↔ dir listing via substring
+      // containment (text_curator.py:366-392) — broadcast theta-join
+      val files = docs(s, dir).select(concat(col("source"), lit(".json")).as("file")).distinct()
+      val ann   = docs(s, dir).filter(col("doc_id") < 20).select(col("doc_id"), col("source"))
+      ann.join(broadcast(files), col("file").contains(col("source")))
+        .select(col("doc_id"), col("file"))
+        .orderBy(col("doc_id"), col("file"))
+    }),
+    "j7_best_match_join" -> ((s, dir) => {
+      // fuzzy best-match join (table_curator.py:169-191): block, score
+      // with levenshtein (built-in in both engines), argmin by window
+      val sup = supp(s, dir).filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey"), col("s_name"), pmod(col("s_suppkey"), lit(10)).as("blk"))
+      val parts = prt(s, dir)
+        .select(col("p_partkey"), col("p_name"), pmod(col("p_partkey"), lit(10)).as("blk"))
+      val w = Window.partitionBy(col("s_suppkey"))
+        .orderBy(col("dist").asc, col("p_partkey").asc)
+      sup.join(parts, Seq("blk"))
+        .withColumn("dist", levenshtein(col("s_name"), col("p_name")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_suppkey"), col("p_partkey").as("best_partkey"), col("dist"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- §2.7 scalar function surface -------------------------------------
+    "f1_clean_text" -> ((s, dir) => {
+      val messy = concat(lit("[“"), substring(col("text"), 1, 40),
+        lit("”]\n  quoted “x”\ttail  end"))
+      docs(s, dir)
+        .select(col("doc_id"), TextFns.cleanText(messy).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+    "f2_clean_text_kpi" -> ((s, dir) => {
+      val messy = concat(lit("(Why?) ["), substring(col("text"), 1, 40),
+        lit("]\nEnd... x+y|z{q}$5 “ok”"))
+      docs(s, dir)
+        .select(col("doc_id"), TextFns.cleanTextKpi(messy).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+    "f5_numeric_parse" -> ((s, dir) => {
+      val spaced = concat(col("o_orderkey").cast("string"), lit(" "),
+        col("o_custkey").cast("string"), lit(",75"))
+      ord(s, dir)
+        .select(col("o_orderkey"), TextFns.strWithSpacesToNumeric(spaced).as("parsed"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "f6_list_parse" -> ((s, dir) => {
+      // stringified-list cells incl. the reference's bracket-typo repair
+      // (qa_utils.py:93-112, kpi_inference_curator.py:194-271)
+      val pages = concat(lit("["), pmod(col("l_orderkey"), lit(5)).cast("string"),
+        lit(", "), col("l_linenumber").cast("string"), lit("]"))
+      val paraRaw = concat(lit("[\"para "), pmod(col("l_orderkey"), lit(7)).cast("string"),
+        lit("\", \"p"), col("l_linenumber").cast("string"), lit("\"]"))
+      val para = when(pmod(col("l_orderkey"), lit(4)) === 0,
+          concat(lit("{"), paraRaw.substr(lit(2), length(paraRaw))))
+        .when(pmod(col("l_orderkey"), lit(4)) === 1, lit("nope"))
+        .otherwise(paraRaw)
+      li(s, dir)
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ListParse.parseSourcePages(pages).as("pages"),
+          ListParse.parseParagraphList(para).as("paras"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "f6_props_json" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))),
+    "f7_pdfname_fix" -> ((s, dir) => {
+      val raw = when(pmod(col("p_partkey"), lit(3)) === 0, concat(col("p_name"), lit(",pdf")))
+        .when(pmod(col("p_partkey"), lit(3)) === 1, col("p_name"))
+        .otherwise(concat(col("p_name"), lit(".pdf")))
+      prt(s, dir)
+        .select(col("p_partkey"), TextFns.fixPdfName(raw).as("fixed"))
+        .orderBy(col("p_partkey"))
+    }),
+    "f10_question_template" -> ((s, dir) => {
+      val q = concat(lit("what is the emission of "), col("n_name"), lit("?"))
+      nat(s, dir)
+        .select(col("n_nationkey"),
+          TextFns.templateQuestion(q, lit(2015) + pmod(col("n_nationkey"), lit(5)),
+            pmod(col("n_nationkey"), lit(2)) === 0).as("question"))
+        .orderBy(col("n_nationkey"))
+    }),
+    "f11_numeric_cells" -> ((s, dir) => {
+      val cells = array(col("p_name"), col("p_size").cast("string"), col("p_brand"),
+        lit("12.5"), lit("  42 "), lit("7,5"))
+      prt(s, dir)
+        .select(col("p_partkey"), TextFns.joinNonNumericCells(cells).as("joined"))
+        .orderBy(col("p_partkey"))
+    }),
+    "f12_html_strip" -> ((s, dir) => {
+      val html = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("<p>"), substring(col("text"), 1, 60), lit("</p><Table>t1</Table>")))
+        .otherwise(concat(lit("<div>"), substring(col("text"), 1, 8), lit("</div>")))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextFns.removeHtmlTags(html).as("stripped"),
+          TextFns.containsTable(html).as("has_table"),
+          TextFns.isNotShort(TextFns.removeHtmlTags(html), 5).as("not_short"))
+        .orderBy(col("doc_id"))
+    }),
+    "f14_token_slice" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextFns.tokenSlice(col("text"), 5, 10).as("section"))
+        .orderBy(col("doc_id"))),
+
+    // ---- §2.8 deterministic split -----------------------------------------
+    "m5_det_split" -> ((s, dir) =>
+      // M5 train/val split, partition-stable (replaces train_test_split;
+      // farm_trainer.py:74-77): val iff detUnit(key) < ratio
+      ord(s, dir)
+        .withColumn("split", when(DetHash.detUnit(col("o_orderkey")) < 0.2, lit("val")).otherwise(lit("train")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("sum_price"))
+        .orderBy(col("split")))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private def u(key: String): String = DetHash.detUnitSql(key)
+
+  val oracleSql: Map[String, String] = Map(
+    "a2_sum_groupby" ->
+      """SELECT o_orderpriority, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a4_boolall_condmax" ->
+      """SELECT user_id, max(value) AS max_value, count(*) AS n_events FROM events
+        |GROUP BY 1 HAVING bool_and(value < 250) ORDER BY 1""".stripMargin,
+    "p5_group_first" ->
+      """SELECT user_id, arg_min(event_id, ts) AS first_event_id, arg_max(event_id, ts) AS last_event_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p7_size_filter" ->
+      """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 60
+        |ORDER BY doc_id""".stripMargin,
+    "w2_argmax" ->
+      """SELECT event_type,
+        | arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_event_id,
+        | arg_max(value, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w3_global_topn_rank" ->
+      """SELECT row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank,
+        | s_suppkey, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 50""".stripMargin,
+    "r3_flatten_tokens" ->
+      """SELECT tok AS token, count(*) AS n, min(doc_id) AS first_doc FROM (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        | FROM documents WHERE doc_id < 100)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r5_struct_expand" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
+        | l_returnflag AS flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "r6_nest_json" ->
+      """SELECT l_orderkey,
+        | to_json(list({'ln': l_linenumber, 'qty': CAST(l_quantity AS BIGINT)}
+        |   ORDER BY l_linenumber, CAST(l_quantity AS BIGINT))) AS lines_json
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j5_affinity_join" ->
+      """SELECT a.doc_id, f.file FROM
+        | (SELECT doc_id, source FROM documents WHERE doc_id < 20) a
+        |JOIN (SELECT DISTINCT source || '.json' AS file FROM documents) f
+        | ON contains(f.file, a.source)
+        |ORDER BY a.doc_id, f.file""".stripMargin,
+    "j7_best_match_join" ->
+      """SELECT s_suppkey, best_partkey, dist FROM (
+        | SELECT s.s_suppkey, p.p_partkey AS best_partkey, levenshtein(s.s_name, p.p_name) AS dist,
+        |  row_number() OVER (PARTITION BY s.s_suppkey
+        |   ORDER BY levenshtein(s.s_name, p.p_name) ASC, p.p_partkey ASC) AS rn
+        | FROM (SELECT * FROM supplier WHERE s_suppkey < 50) s
+        | JOIN part p ON p.p_partkey % 10 = s.s_suppkey % 10)
+        |WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
+    "f1_clean_text" -> {
+      // lookbehind/lookahead rules (Java) are zero-width bracket-context
+      // replaces == plain 3-char replaces (RE2-safe)
+      val messy = "'[' || chr(8220) || substr(text, 1, 40) || chr(8221) || ']' || chr(10) || '  quoted ' || chr(8220) || 'x' || chr(8221) || chr(9) || 'tail  end'"
+      s"""SELECT doc_id, regexp_replace(
+         |  regexp_replace(
+         |   regexp_replace(
+         |    regexp_replace(
+         |     replace(replace($messy, '[' || chr(8220), '["'), chr(8221) || ']', '"]'),
+         |     chr(8220) || '|' || chr(8221), '', 'g'),
+         |    '\\n|\\t', ' ', 'g'),
+         |   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xff]', '', 'g'),
+         |  '\\s{2,}', ' ', 'g') AS cleaned
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "f2_clean_text_kpi" -> {
+      val messy = "'(Why?) [' || substr(text, 1, 40) || ']' || chr(10) || 'End... x+y|z{q}$5 ' || chr(8220) || 'ok' || chr(8221)"
+      // nesting mirrors TextFns.cleanTextKpi exactly: brackets → strip
+      // curly → \n → ctrl-chars → ws collapse → strip specials → lower
+      // → drop multi-dots
+      s"""SELECT doc_id,
+         | regexp_replace(lower(
+         |  regexp_replace(
+         |   regexp_replace(
+         |    regexp_replace(
+         |     regexp_replace(
+         |      regexp_replace(
+         |       replace(replace($messy, '[' || chr(8220), '["'), chr(8221) || ']', '"]'),
+         |       chr(8220) || '|' || chr(8221), '', 'g'),
+         |      '\\n', ' ', 'g'),
+         |     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xff]', '', 'g'),
+         |    '\\s{2,}', ' ', 'g'),
+         |   '[()^+*$$|\\\\?\\[\\]{}]', '', 'g')),
+         |  '\\.{2,}', '', 'g') AS cleaned
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "f5_numeric_parse" ->
+      """SELECT o_orderkey,
+        | CAST(regexp_replace(CAST(o_orderkey AS VARCHAR) || ' ' || CAST(o_custkey AS VARCHAR) || ',75', '[ ,]', '', 'g') AS DOUBLE) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f6_list_parse" ->
+      """WITH src AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  '[' || CAST(l_orderkey % 5 AS VARCHAR) || ', ' || CAST(l_linenumber AS VARCHAR) || ']' AS pages_raw,
+        |  '["para ' || CAST(l_orderkey % 7 AS VARCHAR) || '", "p' || CAST(l_linenumber AS VARCHAR) || '"]' AS para_ok
+        | FROM lineitem WHERE l_orderkey < 2000),
+        |shaped AS (
+        | SELECT l_orderkey, l_linenumber, pages_raw,
+        |  CASE WHEN l_orderkey % 4 = 0 THEN '{' || substr(para_ok, 2)
+        |       WHEN l_orderkey % 4 = 1 THEN 'nope'
+        |       ELSE para_ok END AS para_raw
+        | FROM src),
+        |repaired AS (
+        | SELECT *, CASE
+        |   WHEN regexp_matches(para_raw, '^[{\]]')
+        |    THEN '[' || substr(para_raw, 2)
+        |   WHEN regexp_matches(para_raw, '[}\[]$')
+        |    THEN substr(para_raw, 1, length(para_raw) - 1) || ']'
+        |   ELSE para_raw END AS para_fix
+        | FROM shaped)
+        |SELECT l_orderkey, l_linenumber,
+        | CASE WHEN regexp_matches(trim(pages_raw), '^\[.*\]$')
+        |  THEN list_transform(string_split(regexp_replace(trim(pages_raw), '^\[|\]$', '', 'g'), ','), x -> CAST(trim(x) AS INT))
+        |  ELSE NULL END AS pages,
+        | CASE WHEN regexp_matches(para_fix, '^\[.*\]$')
+        |  THEN string_split_regex(substr(para_fix, 3, length(para_fix) - 4), '", "|","')
+        |  ELSE NULL END AS paras
+        |FROM repaired ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f6_props_json" ->
+      """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f7_pdfname_fix" ->
+      """WITH src AS (
+        | SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 THEN p_name || ',pdf'
+        |   WHEN p_partkey % 3 = 1 THEN p_name ELSE p_name || '.pdf' END AS raw
+        | FROM part),
+        |fixed AS (SELECT p_partkey, regexp_replace(raw, ',pdf$', '.pdf') AS fc FROM src)
+        |SELECT p_partkey,
+        | CASE WHEN regexp_matches(fc, '\.pdf$') THEN fc ELSE fc || '.pdf' END AS fixed
+        |FROM fixed ORDER BY p_partkey""".stripMargin,
+    "f10_question_template" ->
+      """SELECT n_nationkey,
+        | CASE WHEN n_nationkey % 2 = 0
+        |  THEN split_part('what is the emission of ' || n_name || '?', '?', 1)
+        |    || ' in year ' || CAST(2015 + n_nationkey % 5 AS VARCHAR) || '?'
+        |  ELSE 'what is the emission of ' || n_name || '?' END AS question
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "f11_numeric_cells" ->
+      """SELECT p_partkey,
+        | array_to_string(list_filter(
+        |   [p_name, CAST(p_size AS VARCHAR), p_brand, '12.5', '  42 ', '7,5'],
+        |   c -> NOT regexp_matches(c, '^\W*[0-9]*\W?[0-9]*?\W*$')), ', ') AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f12_html_strip" ->
+      """WITH src AS (
+        | SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |   THEN '<p>' || substr(text, 1, 60) || '</p><Table>t1</Table>'
+        |   ELSE '<div>' || substr(text, 1, 8) || '</div>' END AS html
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(html, '<[^>]*>', '', 'g') AS stripped,
+        | regexp_matches(html, '<Table>.*</Table>') AS has_table,
+        | len(string_split(regexp_replace(html, '<[^>]*>', '', 'g'), ' ')) > 5 AS not_short
+        |FROM src ORDER BY doc_id""".stripMargin,
+    "f14_token_slice" ->
+      """SELECT doc_id,
+        | array_to_string(list_slice(string_split(text, ' '), 6, 15), ' ') AS section
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m5_det_split" ->
+      s"""SELECT CASE WHEN ${u("o_orderkey")} < 0.2 THEN 'val' ELSE 'train' END AS split,
+         | count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -75,7 +75,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("m2_kpi_pipeline")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ QueriesExt.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregations -------------------------------------------------
     "q1_agg" -> ((s, dir) => {
       // money sums go through DECIMAL: exact, order-independent, so the
@@ -316,7 +318,9 @@ object SparkEntry {
   /** detUnit(key) as DuckDB SQL. */
   private def u(key: String): String = DetHash.detUnitSql(key)
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ QueriesExt.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
