@@ -1,0 +1,308 @@
+package graft
+
+import graft.GraftSession.table
+import graft.functions.AnswerStart
+import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventsStream
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-extension queries: the training-data-pipeline operator family
+  * (near-dup detection via n-gram Jaccard / MinHash-LSH / SimHash,
+  * embedding near-dup + IVF ANN), Structured Streaming parity queries,
+  * multimodal plumbing, and the answer-start/mining machinery.
+  *
+  * The testdata has no near-duplicates (500 docs, max pairwise Jaccard
+  * ≈ 0.03), so the near-dup queries plant mutated copies inline —
+  * deterministically, with the identical UNION in the oracle — and
+  * must then find exactly the planted pairs.
+  */
+object QueriesScale {
+
+  private def nat(s: SparkSession, dir: String)  = table(s, dir, "nation")
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String)  = table(s, dir, "embeddings")
+
+  /** Documents corpus + planted near-dups: doc_id<25 re-appended with
+    * two extra tokens under id+10000.
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+    d.unionByName(
+      d.filter(col("id") < 25)
+        .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text")))
+  }
+
+  /** Embeddings corpus + planted colinear copies (×2 scaling keeps
+    * direction, so cosine is exactly 1) for vec_id<20 under id+100000.
+    */
+  private def plantedEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding")))
+  }
+
+  private val streamN = new AtomicInteger(0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- near-dup family (oracle-checked md5 flavors) ---------------------
+    "x_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(plantedDocs(s, dir), "id", "text", w = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairsMd5(plantedDocs(s, dir), "id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_simhash" -> ((s, dir) =>
+      // maxHamming 2 (not the pigeonhole bound 7): the synthetic docs
+      // share a 31-word vocabulary, so fingerprints are correlated and
+      // the loose radius would pass ~24k noise pairs
+      Dedup.simhash32Pairs(plantedDocs(s, dir), "id", "text", maxHamming = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_neardup_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(plantedEmb(s, dir), "vec_id", "embedding", 0.99, planes = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
+    "x_dedup_minhash_fast" -> ((s, dir) =>
+      Dedup.minhashLshPairs(plantedDocs(s, dir), "id", "text",
+          w = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_simhash_fast" -> ((s, dir) =>
+      Dedup.simhashPairs(plantedDocs(s, dir), "id", "text", maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- F3 answer-start + M7 mining --------------------------------------
+    "f3_answer_start" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val ans  = element_at(toks, 4)
+      val par  = concat(col("text"), lit(" 2016 in 2016, total 16"))
+      docs(s, dir)
+        .select(col("doc_id"), ans.as("answer"),
+          AnswerStart.find_answer_start(ans, col("text")).as("starts"),
+          AnswerStart.find_answer_start(lit("16"), par).as("starts_num"))
+        .orderBy(col("doc_id"))
+    }),
+    "m7_answer_mining" -> ((s, dir) => {
+      // M7: scan other docs of the same source for answer substring
+      // matches → synthesized positives (kpi_inference_curator.py:468-529)
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val ann = docs(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id").as("ann_id"), element_at(toks, 4).as("answer"), col("source"))
+      val cand = docs(s, dir).select(col("doc_id").as("cand_id"), col("source"), col("text"))
+      ann.join(cand, Seq("source"))
+        .filter(col("ann_id") =!= col("cand_id"))
+        .withColumn("starts", AnswerStart.find_answer_start(col("answer"), col("text")))
+        .filter(size(col("starts")) > 0)
+        .select(col("ann_id"), col("cand_id"), col("answer"), size(col("starts")).as("n_hits"))
+        .orderBy(col("ann_id"), col("cand_id"))
+    }),
+
+    // ---- §2.9 Structured Streaming (batch query IS the oracle) ------------
+    "s9_stream_window" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_win_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamWindowedCounts(s, dir, schema, name,
+        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name).orderBy(col("window_start"), col("event_type"))
+    }),
+    "s9_stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_dedup_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamDedup(s, dir, schema, name,
+        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // ---- multimodal plumbing (stub codec, real schema/batching) -----------
+    "x_media_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey")
+      val feats = Multimodal.extractFeatures(media, dims = 8)
+      val fCols = (0 until 8).map(d =>
+        round(element_at(col("features"), d + 1).cast("double"), 4).as(s"f$d"))
+      feats.select(col("media_id") +: col("kind") +: fCols: _*)
+        .orderBy(col("media_id"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Word tokens (empties dropped). */
+  private def toksSql(c: String) = s"list_filter(string_split($c, ' '), x -> x <> '')"
+
+  /** Planted documents corpus (mirror of [[plantedDocs]]). */
+  private val CorpusSql =
+    """corpus AS (SELECT doc_id AS id, text FROM documents
+      | UNION ALL SELECT doc_id + 10000, text || ' zz yy' FROM documents WHERE doc_id < 25)""".stripMargin
+
+  /** toks + distinct 3-shingles CTEs over corpus. */
+  private val ShinglesSql =
+    s"""t AS (SELECT id, ${toksSql("text")} AS toks FROM corpus),
+       |sh AS (SELECT id, list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 2, 0) + 1),
+       |  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs FROM t)""".stripMargin
+
+  /** In-order cosine of two list columns, all-double. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))" +
+      s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+      s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+
+  /** 32-bit md5 simhash of a token-list column named `hs` (list of md5
+    * hex strings): sum of 32 sign-vote CASE terms.
+    */
+  private val Simhash32Sql: String =
+    (0 until 32).map { b =>
+      val nibPos = b / 4 + 1
+      val bitDiv = 1 << (b % 4)
+      s"""(CASE WHEN list_sum(list_transform(hs, h ->
+         |  2 * ((CAST(strpos('0123456789abcdef', substr(h, $nibPos, 1)) - 1 AS INT) // $bitDiv) % 2) - 1)) > 0
+         | THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "x_dedup_jaccard" ->
+      s"""WITH $CorpusSql,
+         |$ShinglesSql,
+         |scored AS (
+         | SELECT a.id AS id_a, b.id AS id_b,
+         |  len(list_intersect(a.shs, b.shs)) AS ni, len(a.shs) AS na, len(b.shs) AS nb
+         | FROM sh a JOIN sh b ON a.id < b.id)
+         |SELECT id_a, id_b, round(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE), 4) AS jaccard
+         |FROM scored
+         |WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x_dedup_minhash" ->
+      s"""WITH $CorpusSql,
+         |$ShinglesSql,
+         |sig AS (SELECT id, list_transform(range(0, 12),
+         |  k -> list_min(list_transform(shs, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+         | FROM sh WHERE len(shs) > 0),
+         |banded AS (SELECT id, sig, tb.b AS band,
+         |  array_to_string(list_slice(sig, tb.b * 3 + 1, tb.b * 3 + 3), '|') AS bucket
+         | FROM sig, range(0, 4) tb(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b,
+         | round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) AS est_jaccard
+         |FROM cand
+         |WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x_dedup_simhash" ->
+      s"""WITH $CorpusSql,
+         |t AS (SELECT id, ${toksSql("text")} AS toks FROM corpus),
+         |hh AS (SELECT id, list_transform(toks, t -> md5(t)) AS hs FROM t),
+         |sim AS (SELECT id, $Simhash32Sql AS sim FROM hh),
+         |banded AS (SELECT id, sim, tb.b AS band,
+         |  (sim // CAST(round(power(16, tb.b)) AS BIGINT)) % 16 AS chunk
+         | FROM sim, range(0, 8) tb(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
+         |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x_neardup_cosine" ->
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings
+         | UNION ALL SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 2 AS REAL))
+         |  FROM embeddings WHERE vec_id < 20),
+         |n AS (SELECT id, list_transform(embedding, x -> CAST(x AS DOUBLE)
+         |  / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+         | FROM corpus),
+         |k AS (SELECT id, v,
+         |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+         | + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         | FROM n)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         | round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), 4) AS cosine
+         |FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), 4) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x_ann_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT query_id, qv, cell_id FROM (
+         |  SELECT q.query_id, q.qv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM q CROSS JOIN cent) WHERE rn <= 4),
+         |scored AS (SELECT p.query_id, a.neighbor_id,
+         |  round(${cosSql("a.cv", "p.qv")}, 4) AS cosine
+         | FROM probes p JOIN assigned a USING (cell_id)
+         | WHERE p.query_id <> a.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         | FROM scored) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "f3_answer_start" -> {
+      val par = "(text || ' 2016 in 2016, total 16')"
+      s"""SELECT doc_id, ${toksSql("text")}[4] AS answer,
+         | list_filter(range(0, length(text) - length(${toksSql("text")}[4]) + 1),
+         |  i -> substr(text, CAST(i + 1 AS INT), CAST(length(${toksSql("text")}[4]) AS INT)) = ${toksSql("text")}[4]) AS starts,
+         | list_sort(list_distinct(
+         |  list_transform(list_filter(range(0, length($par) - 2),
+         |   j -> NOT regexp_matches(substr($par, CAST(j + 1 AS INT), 1), '[0-9]')
+         |    AND substr($par, CAST(j + 2 AS INT), 2) = '16'), j -> j + 1)
+         |  || list_filter(range(0, length($par) - 2),
+         |   j -> substr($par, CAST(j + 1 AS INT), 2) = '16'
+         |    AND NOT regexp_matches(substr($par, CAST(j + 3 AS INT), 1), '[0-9]')))) AS starts_num
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "m7_answer_mining" ->
+      s"""WITH ann AS (SELECT doc_id AS ann_id, ${toksSql("text")}[4] AS answer, source
+         | FROM documents WHERE doc_id < 10),
+         |hits AS (SELECT a.ann_id, c.doc_id AS cand_id, a.answer,
+         |  len(list_filter(range(0, length(c.text) - length(a.answer) + 1),
+         |   i -> substr(c.text, CAST(i + 1 AS INT), CAST(length(a.answer) AS INT)) = a.answer)) AS n_hits
+         | FROM ann a JOIN documents c ON a.source = c.source AND a.ann_id <> c.doc_id)
+         |SELECT ann_id, cand_id, answer, n_hits FROM hits WHERE n_hits > 0
+         |ORDER BY ann_id, cand_id""".stripMargin,
+    "s9_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s9_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, value FROM events
+        |ORDER BY user_id, event_type, value""".stripMargin,
+    "x_media_features" -> {
+      val fCols = (0 until 8).map { d =>
+        s"""round(CAST(CAST(list_sum(list_transform(range(0, 8),
+           | j -> ascii(substr(hex, CAST(j * 8 + $d + 1 AS INT), 1)) / 255.0)) AS REAL) AS DOUBLE), 4) AS f$d"""
+          .stripMargin
+      }.mkString(",\n ")
+      s"""WITH m AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+         | CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         | sha256(CAST(n_nationkey AS VARCHAR)) AS hex
+         | FROM nation)
+         |SELECT media_id, kind,
+         | $fCols
+         |FROM m ORDER BY media_id""".stripMargin
+    }
+  )
+}

@@ -75,7 +75,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("m2_kpi_pipeline")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ QueriesExt.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ QueriesExt.queries ++ QueriesScale.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregations -------------------------------------------------
@@ -318,7 +319,8 @@ object SparkEntry {
   /** detUnit(key) as DuckDB SQL. */
   private def u(key: String): String = DetHash.detUnitSql(key)
 
-  def oracleSql: Map[String, String] = baseOracleSql ++ QueriesExt.oracleSql
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ QueriesExt.oracleSql ++ QueriesScale.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -136,6 +136,109 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash signature, md5 flavor: the per-seed min is the
+    * lexicographic minimum of `md5(seed:shingle)` hex strings. Slower
+    * than the xxhash64 flavor (use that at scale) but byte-identical
+    * in ANSI SQL, which makes the whole LSH pipeline oracle-checkable.
+    */
+  def minhashSignatureMd5(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+    }: _*)
+
+  /** MinHash-LSH near-dup pairs, md5/oracle flavor. Identical plan
+    * shape to [[minhashLshPairs]]: signature → bands → bucket
+    * equi-join → estimated-Jaccard verify. Returns
+    * (id_a, id_b, est_jaccard).
+    */
+  def minhashLshPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignatureMd5(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb")
+    )
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v
+    ).cast("double") / lit(numHashes.toDouble)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bb.band") === col("b.bb.band") &&
+          col("a.bb.bucket") === col("b.bb.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash, md5 flavor (oracle-checkable): bit b of a token's
+    * hash is bit (b%4) of hex nibble b/4 of md5(token); the fingerprint
+    * sets bit b when the token votes sum positive.
+    */
+  def simhash32Md5(tokensArr: Column): Column = {
+    val hs = transform(tokensArr, t => md5(t))
+    (0 until 32).map { b =>
+      val votes = aggregate(hs, lit(0), (acc, h) => {
+        val n  = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
+        val bt = shiftright(n, b % 4).bitwiseAND(lit(1))
+        acc + (bt * 2 - 1)
+      })
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a + b)
+  }
+
+  /** SimHash near-dup pairs, 32-bit md5 flavor with 8 bands of 4 bits:
+    * pigeonhole guarantees recall for Hamming distance ≤ 7. Returns
+    * (id_a, id_b, hamming).
+    */
+  def simhash32Pairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
+    val bands     = 8
+    val bandWidth = 4
+    val withSim = df.select(col(idCol).as("id"), simhash32Md5(tokens(col(textCol))).as("sim"))
+    val banded = withSim.select(
+      col("id"),
+      col("sim"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("sim"), b * bandWidth)
+            .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
+      }: _*)).as("bb")
+    )
+    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bb.band") === col("b.bb.band") &&
+          col("a.bb.chunk") === col("b.bb.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** 64-bit SimHash over word tokens: sign-sum of the bits of
     * xxhash64(token). Docs with small Hamming distance are near-dups.
     * Computed via bit algebra on longs — no UDF.

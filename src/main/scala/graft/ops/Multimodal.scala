@@ -37,17 +37,20 @@ object Multimodal {
     * bodies for opencv/ffmpeg calls; signatures and batch shape stay.
     */
   object FakeCodec {
-    /** "Decode" → fixed-length feature vector from byte statistics. */
+    /** "Decode" → fixed-length feature vector from byte statistics.
+      * Accumulates in double, converts to float once at the end —
+      * matches an in-order SQL double sum + final float cast exactly.
+      */
     def features(bytes: Array[Byte], dims: Int): Array[Float] = {
-      val out = new Array[Float](dims)
+      val acc = new Array[Double](dims)
       if (bytes != null) {
         var i = 0
         while (i < bytes.length) {
-          out(i % dims) += (bytes(i) & 0xff) / 255.0f
+          acc(i % dims) += (bytes(i) & 0xff) / 255.0
           i += 1
         }
       }
-      out
+      acc.map(_.toFloat)
     }
 
     /** "Resize": crop/pad the payload to w*h bytes. */

@@ -13,13 +13,16 @@ import org.apache.spark.sql.types.StructType
   */
 object EventsStream {
 
-  /** Tumbling-window event rollup (batch form, oracle-checkable). */
+  /** Tumbling-window event rollup (batch form, oracle-checkable).
+    * value sums go through decimal so the partial-agg sum is exact
+    * and order-independent (same convention as the money queries).
+    */
   def windowedCounts(events: DataFrame, windowExpr: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowExpr).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value")
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value")
       )
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -27,7 +30,9 @@ object EventsStream {
       )
 
   /** Same rollup as a file-source stream with a watermark for late
-    * data; memory sink for synchronous local verification.
+    * data; memory sink for synchronous local verification. `prep`
+    * adapts raw columns (e.g. epoch-nanos long → timestamp) before
+    * the event-time watermark is applied.
     */
   def streamWindowedCounts(
       spark: SparkSession,
@@ -35,13 +40,19 @@ object EventsStream {
       schema: StructType,
       queryName: String,
       windowExpr: String = "1 hour",
-      watermark: String = "2 hours"
+      watermark: String = "2 hours",
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
   ): StreamingQuery = {
-    val src = spark.readStream.schema(schema).parquet(dir)
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val src     = prep(reader.parquet(dir))
     val agg = src
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowExpr).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value")
@@ -63,9 +74,13 @@ object EventsStream {
       dir: String,
       schema: StructType,
       queryName: String,
-      watermark: String = "2 hours"
-  ): StreamingQuery =
-    spark.readStream.schema(schema).parquet(dir)
+      watermark: String = "2 hours",
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    prep(reader.parquet(dir))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
       .writeStream
@@ -74,4 +89,5 @@ object EventsStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+}
 }
