@@ -17,13 +17,17 @@ object ListParse {
     */
   def parseSourcePages(c: Column): Column = {
     val trimmed = trim(c)
-    when(
-      trimmed.rlike("^\\[.*\\]$"),
-      transform(
-        split(regexp_replace(trimmed, "^\\[|\\]$", ""), ","),
-        x => trim(x).cast("int")
+    when(trimmed === "[]", array().cast("array<int>"))
+      .when(
+        // strict digit-list validation: any non-integer entry means the
+        // reference's literal_eval would raise → None → row dropped
+        trimmed.rlike("^\\[\\s*\\d+(\\s*,\\s*\\d+)*\\s*\\]$"),
+        transform(
+          split(regexp_replace(trimmed, "^\\[|\\]$", ""), ","),
+          x => trim(x).cast("int")
+        )
       )
-    ).otherwise(lit(null).cast("array<int>"))
+      .otherwise(lit(null).cast("array<int>"))
   }
 
   /** `'["para one", "para two"]'` with `{`/`]` bracket-typo repair and

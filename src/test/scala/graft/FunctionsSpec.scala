@@ -1,0 +1,132 @@
+package graft
+
+import graft.functions.{AnswerStart, DetHash, Fuzzy, ListParse, TextFns}
+import graft.scorer.MockScores
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FuzzySpec extends AnyFunSuite {
+  test("indel distance: substitution costs 2") {
+    assert(Fuzzy.indelDistance("abc", "abc") === 0)
+    assert(Fuzzy.indelDistance("abc", "abd") === 2) // sub = del+ins
+    assert(Fuzzy.indelDistance("abc", "ab") === 1)
+    assert(Fuzzy.indelDistance("", "xyz") === 3)
+  }
+  test("ratio matches fuzzywuzzy flavor") {
+    assert(Fuzzy.ratio("abc", "abc") === 100)
+    assert(Fuzzy.ratio("", "") === 100)
+    // ratio = 100 * (la+lb-dist)/(la+lb) = 100*(6-2)/6 = 66.67 → 67
+    assert(Fuzzy.ratio("abc", "abd") === 67)
+  }
+  test("partial_ratio: best window of the longer string") {
+    assert(Fuzzy.partialRatio("abc", "xxabcxx") === 100)
+    assert(Fuzzy.partialRatio("abc", "") === 0)
+    assert(Fuzzy.partialRatio("", "") === 100)
+  }
+  test("token_set_ratio ignores order and duplication") {
+    assert(Fuzzy.tokenSetRatio("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear") === 100)
+    assert(Fuzzy.tokenSetRatio("a b common", "common a b extra tokens") === 100) // subset → t0 vs t1 prefix
+    assert(Fuzzy.tokenSetRatio("alpha beta", "gamma delta") < 40)
+  }
+}
+
+class AnswerStartSpec extends AnyFunSuite {
+  test("plain substring: all occurrences, sorted") {
+    assert(AnswerStart.findAnswerStart("ab", "ab cab ab") === Seq(0, 4, 7))
+    assert(AnswerStart.findAnswerStart("zz", "ab") === Seq.empty)
+    assert(AnswerStart.findAnswerStart("", "ab") === Seq.empty)
+  }
+  test("dot is escaped as a literal") {
+    assert(AnswerStart.findAnswerStart("1.5", "a 1.5 and 1x5") === Seq(2))
+  }
+  test("numeric answers need non-digit boundaries") {
+    // "16" inside "2016": the prefix pattern rejects it, but the
+    // reference's suffix pattern ("16[^0-9]") still admits index 5 —
+    // faithful union semantics (base_kpi_inference_curator.py:129-156)
+    assert(AnswerStart.findAnswerStart("16", "in 2016 total 16 x") === Seq(5, 14))
+    // string-start numeric is not matched (reference semantics: the
+    // [^0-9]-prefixed pattern needs a preceding char)
+    assert(AnswerStart.findAnswerStart("16", "16 items") === Seq(0)) // suffix pattern "16[^0-9]" matches at 0
+    assert(AnswerStart.findAnswerStart("16", "x16") === Seq(1))
+  }
+}
+
+class TextFnsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(in: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
+    Seq(in).toDF("s").select(f(col("s")).as("r")).collect().head.getString(0)
+
+  test("cleanText: quotes, whitespace, control chars") {
+    assert(one("a“q”b", TextFns.cleanText) === "aqb")
+    assert(one("a\nb\tc", TextFns.cleanText) === "a b c")
+    assert(one("a  b   c", TextFns.cleanText) === "a b c")
+    assert(one("xyÿz", TextFns.cleanText) === "xyz")
+    // bracket-context quotes become double-quotes
+    assert(one("[“q”]", TextFns.cleanText) === "[\"q\"]")
+  }
+  test("cleanTextKpi: specials stripped, lowercased, multi-dots dropped") {
+    assert(one("A (B) [C] D..E...", TextFns.cleanTextKpi) === "a b c de")
+    assert(one("X+Y|Z{Q}$5?", TextFns.cleanTextKpi) === "xyzq5")
+  }
+  test("snakify") {
+    assert(TextFns.snakify("Average Emission (tCO2e)") === "avg_emission_tco2e")
+    assert(TextFns.snakify("A-B  C.D") === "a_b_cd")
+  }
+  test("fixPdfName") {
+    val rows = Seq("a,pdf", "b", "c.pdf").toDF("s")
+      .select(TextFns.fixPdfName(col("s"))).collect().map(_.getString(0))
+    assert(rows === Array("a.pdf", "b.pdf", "c.pdf"))
+  }
+  test("templateQuestion splices year before the question mark") {
+    val r = Seq(("what is x?", 2019, true), ("what is x?", 2019, false)).toDF("q", "y", "a")
+      .select(TextFns.templateQuestion(col("q"), col("y"), col("a"))).collect().map(_.getString(0))
+    assert(r === Array("what is x in year 2019?", "what is x?"))
+  }
+}
+
+class ListParseSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("parseSourcePages handles int lists and rejects junk") {
+    val out = Seq("[1, 2]", "[03]", "nope", "[]").toDF("s")
+      .select(ListParse.parseSourcePages(col("s")).as("p")).collect()
+    assert(out(0).getSeq[Int](0) === Seq(1, 2))
+    assert(out(1).getSeq[Int](0) === Seq(3))
+    assert(out(2).isNullAt(0))
+  }
+  test("parseParagraphList repairs bracket typos and splits both delimiters") {
+    val out = Seq(
+      """["a", "b"]""",
+      """{"a", "b"]""", // head typo
+      """["a","b"[""",  // tail typo
+      "garbage"
+    ).toDF("s").select(ListParse.parseParagraphList(col("s")).as("p")).collect()
+    assert(out(0).getSeq[String](0) === Seq("a", "b"))
+    assert(out(1).getSeq[String](0) === Seq("a", "b"))
+    assert(out(2).getSeq[String](0) === Seq("a", "b"))
+    assert(out(3).isNullAt(0))
+  }
+}
+
+class DetHashSpec extends SparkSpecBase {
+  import spark.implicits._
+  test("detUnit is deterministic, in [0,1), and stable under repartition") {
+    val df  = (0L until 1000L).toDF("k")
+    val u1  = df.select(DetHash.detUnit(col("k")).as("u")).collect().map(_.getDouble(0))
+    val u2  = df.repartition(7).select(DetHash.detUnit(col("k")).as("u"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(u1.forall(u => u >= 0.0 && u < 1.0))
+    assert(u1.sorted === u2)
+    // roughly uniform: mean within 5% of 0.5
+    assert(math.abs(u1.sum / u1.length - 0.5) < 0.05)
+  }
+  test("scala-side MockScores.unit matches the column expression") {
+    val df = (0L until 100L).toDF("k")
+    val colVals = df.select(DetHash.detUnit(col("k"))).collect().map(_.getDouble(0))
+    val scalaVals = (0L until 100L).map(MockScores.unit)
+    assert(colVals.toSeq === scalaVals)
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import graft.ops.{Dedup, KpiPost, Multimodal, Relevance, Similarity, TextAnalysis}
+import graft.scorer.{MockQaScorer, MockRelevanceScorer}
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight indeed"), // near-dup of 1
+    (3L, "completely different words about spark query planning engines"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight")         // exact dup of 1
+  ).toDF("id", "text")
+
+  test("dedupKeepFirst is deterministic") {
+    val df = Seq((1, "a", 10), (1, "a", 5), (1, "b", 7)).toDF("k", "g", "v")
+    val out = Dedup.dedupKeepFirst(df, Seq("k", "g"), Seq(col("v").asc))
+      .orderBy("g").collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out === Array(("a", 5), ("b", 7)))
+  }
+
+  test("exactByContent groups identical texts") {
+    val out = Dedup.exactByContent(docs, "id", "text").collect()
+    assert(out.length === 3)
+    val dup = out.find(_.getLong(2) === 2L).get
+    assert(dup.getLong(1) === 1L) // keep_id = min id
+  }
+
+  test("jaccardPairs finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.jaccardPairs(docs.filter(col("id") < 4), "id", "text", w = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === Array((1L, 2L)))
+  }
+
+  test("minhash est_jaccard approximates true jaccard for planted dup") {
+    val out = Dedup.minhashLshPairsMd5(docs, "id", "text", w = 3, numHashes = 12, bands = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = out.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 === 1.0)) // identical docs → identical signature
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.4))
+  }
+
+  test("xxhash64 minhash flavor agrees on the exact-dup pair") {
+    val out = Dedup.minhashLshPairs(docs, "id", "text", w = 3, numHashes = 16, bands = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+  }
+
+  test("simhash32: exact dup at hamming 0, near-dup close, unrelated far") {
+    val sims = docs.select(col("id"), Dedup.simhash32Md5(Dedup.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) <= 6)
+    assert(ham(sims(1L), sims(3L)) > ham(sims(1L), sims(2L)))
+  }
+
+  test("simhash 64-bit xxhash flavor: exact dup detected via bands") {
+    val out = Dedup.simhashPairs(docs, "id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f)) // colinear with 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of colinear vectors is 1, orthogonal is 0") {
+    val r = vecs.filter(col("vec_id") === 0)
+      .crossJoin(vecs.filter(col("vec_id") === 3).select(col("embedding").as("e2")))
+      .select(round(Similarity.cosine(col("embedding"), col("e2")), 6)).head().getDouble(0)
+    assert(r === 1.0)
+  }
+
+  test("cosineTopK ranks the colinear vector first") {
+    val out = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy(col("rank")).collect()
+    assert(out.head.getAs[Long]("neighbor_id") === 3L)
+    assert(out.head.getAs[Double]("cosine") === 1.0)
+    assert(out.length === 3)
+  }
+
+  test("ivfTopK with full probing matches brute force top-1") {
+    val brute = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 1)
+      .select("neighbor_id").head().getLong(0)
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 1, nCells = 4, nProbe = 4)
+      .select("neighbor_id").head().getLong(0)
+    assert(ivf === brute)
+  }
+}
+
+class ScorerPipelineSpec extends SparkSpecBase {
+
+  private def pairs = {
+    val d = GraftSession.table(spark, sf, "documents")
+      .select(col("source").as("pdf_name"),
+        pmod(col("doc_id"), lit(20)).cast("long").as("page"),
+        col("doc_id"), col("text").as("text_b"))
+    d.crossJoin(broadcast(
+        spark.createDataFrame(Seq((1, "q one"), (2, "q two"))).toDF("q_idx", "text")))
+      .withColumn("source", lit("Text"))
+      .withColumn("key", col("doc_id") * 4 + col("q_idx"))
+  }
+
+  test("relevance filter keeps only rows above threshold, deterministically") {
+    val out  = Relevance.relevantPairs(pairs, new MockRelevanceScorer, "key", 0.7)
+    val n1   = out.count()
+    val n2   = Relevance.relevantPairs(pairs.repartition(13), new MockRelevanceScorer, "key", 0.7).count()
+    assert(n1 === n2)
+    assert(out.agg(min(col("prob"))).head().getDouble(0) >= 0.7)
+  }
+
+  test("kpi chain: top-k bound per (pdf, question), no-answer groups collapse") {
+    val rel = Relevance.relevantPairs(pairs, new MockRelevanceScorer, "key", 0.7)
+    val out = KpiPost.kpiChain(rel, new MockQaScorer(nBest = 2),
+      spark.createDataFrame(Seq(("q one", 1.0), ("q two", 2.1))).toDF("question", "kpi_id"),
+      "key", topK = 4)
+    val counts = out.groupBy("pdf_name", "kpi").count().agg(max("count")).head().getLong(0)
+    assert(counts <= 4)
+    // every no_answer row has null paragraph/page
+    assert(out.filter(col("answer") === "no_answer" && col("paragraph").isNotNull).count() === 0)
+    // kpi_id reverse map applied
+    assert(out.filter(col("kpi") === "q one" && col("kpi_id") =!= 1.0).count() === 0)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits") {
+    val out = Seq(
+      "the cat and the dog is in to the house",
+      "der hund und die katze ist nicht hier",
+      "xyzzy plugh").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(out === Array("en", "de", "und"))
+  }
+
+  test("quality features: ranges and token counts") {
+    val r = Seq("The quick brown fox, and the lazy dog.").toDF("text")
+      .select(TextAnalysis.qualityFeatures(col("text")).as("q")).select("q.*").head()
+    assert(r.getAs[Long]("n_tokens") === 8L)
+    val score = r.getAs[Double]("quality_score")
+    assert(score > 0.0 && score <= 1.0)
+  }
+
+  test("fingerprint is bag-of-words invariant") {
+    val fp = Seq("b a c", "c b a", "a b c d").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("fake codec helpers are deterministic and shape-correct") {
+    val f = Multimodal.FakeCodec.features(Array[Byte](1, 2, 3, 4, 5), 2)
+    assert(f.length === 2)
+    assert(math.abs(f(0) - (1 + 3 + 5) / 255.0) < 1e-6)
+    assert(Multimodal.FakeCodec.resize(Array[Byte](1, 2, 3), 2, 2).length === 4)
+    assert(Multimodal.FakeCodec.sampleFrames(new Array[Byte](100), 10, 3).length === 4)
+  }
+
+  test("extractFeatures preserves schema and adds float features") {
+    val media = Multimodal.syntheticMedia(GraftSession.table(spark, sf, "nation"), "n_nationkey")
+    val out   = Multimodal.extractFeatures(media, dims = 8)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("media_id", "kind", "bytes", "meta", "features"))
+    val feats = out.select("features").head().getSeq[Float](0)
+    assert(feats.length === 8)
+    assert(out.count() === 25)
+  }
+}

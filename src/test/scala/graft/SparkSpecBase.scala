@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide SparkSession —
+  * startup dominates otherwise). Tests use sf0.001 when they need
+  * driver testdata.
+  */
+object SparkSpecBase {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "graft-test")
+  val Sf = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpecBase extends AnyFunSuite {
+  final lazy val spark: SparkSession = SparkSpecBase.spark
+  def sf: String = SparkSpecBase.Sf
+}
