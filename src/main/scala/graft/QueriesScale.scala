@@ -220,22 +220,21 @@ object QueriesScale {
          |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
-    "x_neardup_cosine" ->
+    "x_neardup_cosine" -> {
+      val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"
       s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings
          | UNION ALL SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 2 AS REAL))
          |  FROM embeddings WHERE vec_id < 20),
-         |n AS (SELECT id, list_transform(embedding, x -> CAST(x AS DOUBLE)
-         |  / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
-         | FROM corpus),
-         |k AS (SELECT id, v,
-         |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
-         | + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-         | FROM n)
-         |SELECT a.id AS id_a, b.id AS id_b,
-         | round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), 4) AS cosine
+         |k AS (SELECT id, embedding AS v,
+         |  sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         | FROM corpus)
+         |SELECT a.id AS id_a, b.id AS id_b, round($cos, 4) AS cosine
          |FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
-         |WHERE round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), 4) >= 0.99
-         |ORDER BY id_a, id_b""".stripMargin,
+         |WHERE round($cos, 4) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "x_ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),

@@ -43,15 +43,18 @@ object Dedup {
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
-  /** Distinct word w-shingles of a text column. */
-  def shingles(c: Column, w: Int): Column = {
-    val ts = tokens(c)
+  /** Distinct word w-shingles over an already-materialized token
+    * array column. `ts` MUST be a column attribute: inline
+    * subexpressions inside a lambda re-evaluate per element (the
+    * token split would run once per shingle).
+    */
+  def shinglesOf(ts: Column, w: Int): Column = {
+    // zip_with form: no outer-column capture inside lambdas (see
+    // shingleHashesOf for why that matters)
+    val n       = greatest(size(ts) - (w - 1), lit(0))
+    val shifted = (0 until w).map(j => slice(ts, lit(j + 1), n))
     array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(ts) - (w - 1), lit(0))),
-        i => array_join(slice(ts, i, lit(w)), " ")
-      )
-    )
+      shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle
@@ -64,7 +67,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int, threshold: Double): DataFrame = {
     val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), explode(shinglesOf(col("ts"), w)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -88,6 +92,44 @@ object Dedup {
       array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
     }: _*)
 
+  /** Rotate-left on a long column (ANSI-safe bit algebra). */
+  private def rotl(h: Column, k: Int): Column =
+    shiftleft(h, k).bitwiseOR(shiftrightunsigned(h, 64 - k))
+
+  /** Distinct numeric w-shingle hashes over an already-materialized
+    * token-hash array column: each shingle combined from its w token
+    * hashes with rotate+xor and one final long-hash for dispersal.
+    *
+    * `hs` MUST be a materialized column attribute, not an inline
+    * expression: a subexpression inside a lambda body is re-evaluated
+    * per array element, so an inline token-hash array would be
+    * recomputed once per shingle per reference (measured 20-100×
+    * slower). Callers project `transform(tokens(c), xxhash64)` first.
+    */
+  def shingleHashesOf(hs: Column, w: Int): Column = {
+    // Structural zip_with form: lambdas reference ONLY their bound
+    // variables. Any outer-column capture inside a lambda body gets
+    // inlined by CollapseProject and re-evaluated per array element —
+    // measured 20-100× slower on the token-hash array.
+    val n       = greatest(size(hs) - (w - 1), lit(0))
+    val shifted = (0 until w).map(j => slice(hs, lit(j + 1), n))
+    val rotated = shifted.zipWithIndex.map { case (a, j) =>
+      transform(a, h => rotl(h, (j * 19) % 63 + 1))
+    }
+    val combined = rotated.reduce((a, b) => zip_with(a, b, (x, y) => x.bitwiseXOR(y)))
+    array_distinct(transform(combined, h => xxhash64(lit(w), h)))
+  }
+
+  /** Derived minhash family over numeric shingle hashes:
+    * h_i = xxhash64(seed, h) — hashing a single long per (shingle,
+    * seed), not a string. (Plain arithmetic mixing would be cheaper
+    * still but overflows under ANSI mode.)
+    */
+  def minhashSignatureFast(shingleHashArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashArr, h => xxhash64(lit(i), h)))
+    }: _*)
+
   /** MinHash-LSH near-dup candidate pairs: signature → `bands` bands of
     * `rows` hashes → hash each band → docs sharing any (band, value)
     * bucket become candidates → verified by estimated Jaccard (fraction
@@ -107,22 +149,26 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), shingleHashesOf(col("hs"), w).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), minhashSignatureFast(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
       col("sig"),
       explode(
         array((0 until bands).map { b =>
-          struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string")).as("bucket"))
+          struct(lit(b).as("band"),
+            (b * rows until (b + 1) * rows)
+              .map(j => rotl(element_at(col("sig"), j + 1), (j * 13) % 63 + 1))
+              .reduce((a: Column, c: Column) => a.bitwiseXOR(c)).as("bucket"))
         }: _*)
       ).as("bb")
-    )
+    ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded.as("a")
       .join(banded.as("b"),
-        col("a.bb.band") === col("b.bb.band") &&
-          col("a.bb.bucket") === col("b.bb.bucket") &&
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -163,7 +209,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), shinglesOf(col("ts"), w).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignatureMd5(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
@@ -173,7 +220,7 @@ object Dedup {
         struct(lit(b).as("band"),
           concat_ws("|", slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb")
-    )
+    ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -181,8 +228,8 @@ object Dedup {
     ).cast("double") / lit(numHashes.toDouble)
     banded.as("a")
       .join(banded.as("b"),
-        col("a.bb.band") === col("b.bb.band") &&
-          col("a.bb.bucket") === col("b.bb.bucket") &&
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -195,8 +242,14 @@ object Dedup {
     * hash is bit (b%4) of hex nibble b/4 of md5(token); the fingerprint
     * sets bit b when the token votes sum positive.
     */
-  def simhash32Md5(tokensArr: Column): Column = {
-    val hs = transform(tokensArr, t => md5(t))
+  def simhash32Md5(tokensArr: Column): Column =
+    simhash32OfMd5(transform(tokensArr, t => md5(t)))
+
+  /** Same, over an already-materialized md5-hex array column — the
+    * pairs op projects the hashes first so each token is hashed once,
+    * not once per bit.
+    */
+  def simhash32OfMd5(hs: Column): Column = {
     (0 until 32).map { b =>
       val votes = aggregate(hs, lit(0), (acc, h) => {
         val n  = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
@@ -214,7 +267,9 @@ object Dedup {
   def simhash32Pairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 7): DataFrame = {
     val bands     = 8
     val bandWidth = 4
-    val withSim = df.select(col(idCol).as("id"), simhash32Md5(tokens(col(textCol))).as("sim"))
+    val withSim = df
+      .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => md5(t)).as("hs"))
+      .select(col("id"), simhash32OfMd5(col("hs")).as("sim"))
     val banded = withSim.select(
       col("id"),
       col("sim"),
@@ -224,12 +279,12 @@ object Dedup {
           shiftright(col("sim"), b * bandWidth)
             .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
       }: _*)).as("bb")
-    )
+    ).select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
     val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     banded.as("a")
       .join(banded.as("b"),
-        col("a.bb.band") === col("b.bb.band") &&
-          col("a.bb.chunk") === col("b.bb.chunk") &&
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
@@ -243,8 +298,11 @@ object Dedup {
     * xxhash64(token). Docs with small Hamming distance are near-dups.
     * Computed via bit algebra on longs — no UDF.
     */
-  def simhash(tokensArr: Column): Column = {
-    val hashes = transform(tokensArr, t => xxhash64(t))
+  def simhash(tokensArr: Column): Column =
+    simhashOfHashes(transform(tokensArr, t => xxhash64(t)))
+
+  /** Same, over an already-materialized xxhash64 array column. */
+  def simhashOfHashes(hashes: Column): Column = {
     (0 until 64)
       .map { bit =>
         val votes = aggregate(
@@ -265,7 +323,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val bands     = maxHamming + 1
     val bandWidth = 64 / bands
-    val withSim = df.select(col(idCol).as("id"), simhash(tokens(col(textCol))).as("sim"))
+    val withSim = df
+      .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), simhashOfHashes(col("hs")).as("sim"))
     val banded = withSim.select(
       col("id"),
       col("sim"),
@@ -275,12 +335,12 @@ object Dedup {
           shiftright(col("sim"), b * bandWidth)
             .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
       }: _*)).as("bb")
-    )
+    ).select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
     val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     banded.as("a")
       .join(banded.as("b"),
-        col("a.bb.band") === col("b.bb.band") &&
-          col("a.bb.chunk") === col("b.bb.chunk") &&
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
@@ -296,12 +356,21 @@ object Dedup {
     * recall use Similarity.cosineTopK against the full set.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double, planes: Int = 4): DataFrame = {
-    val normed = df.select(col(idCol).as("id"), Similarity.l2normalize(col(vecCol)).as("v"))
-    val key = (0 until planes)
-      .map(i => when(element_at(col("v"), i + 1) >= 0, 1 << i).otherwise(0))
-      .reduce((a: Column, b: Column) => a + b)
-    val keyed = normed.withColumn("bucket", key)
-    val cos = Similarity.dot(col("a.v"), col("b.v"))
+    // No per-element normalization (a normalize lambda would capture
+    // the norm and recompute it per element): cosine is computed as
+    // dot(a,b)/(‖a‖·‖b‖) with norms carried as plain columns. The
+    // sign-plane bucket uses raw components — positive scaling
+    // preserves signs, so bucketing matches normalized semantics.
+    val keyed = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      sqrt(aggregate(col(vecCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
+      (0 until planes)
+        .map(i => when(element_at(col(vecCol), i + 1) >= 0, 1 << i).otherwise(0))
+        .reduce((a: Column, b: Column) => a + b).as("bucket")
+    )
+    val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     keyed.as("a")
       .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
