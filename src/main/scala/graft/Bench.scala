@@ -19,8 +19,11 @@ object Bench {
     "m1_relevance",
     "m2_kpi_pipeline",
     "x_dedup_exact",
+    "x_dedup_minhash_fast",
     "x_ann_cosine_topk",
-    "x_profile"
+    "x_ann_ivf_topk",
+    "x_profile",
+    "s9_stream_window"
   )
 
   def main(args: Array[String]): Unit = {
