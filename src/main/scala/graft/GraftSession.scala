@@ -22,6 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS): read as epoch-nanos
       // long (full precision for ordering; convert explicitly where a
       // timestamp is needed — see GraftSession.nanosToTs).

@@ -131,6 +131,39 @@ object QueriesScale {
         .orderBy(col("user_id"), col("event_type"), col("value"))
     }),
 
+    // ---- M6 deterministic negative sampling -------------------------------
+    "m6_negative_sampling" -> ((s, dir) => {
+      // annotations fabricated from documents; candidate pool = other
+      // docs of the same source on page>=3, != source page, len>=20
+      // (text_curator.py:190-258 constraints, DetHash pick)
+      val d = docs(s, dir)
+      val ann = d.filter(col("doc_id") < 10).select(
+        col("doc_id").as("row_key"),
+        col("source").as("source_file"),
+        array(pmod(col("doc_id"), lit(3)) + 1).as("source_pages"))
+      val paragraphs = d.select(col("source").as("pdf_name"),
+        pmod(col("doc_id"), lit(20)).as("page"), col("doc_id").as("para_idx"),
+        col("text").as("paragraph"))
+      graft.ops.Curation.negExamples(ann, paragraphs, negPosRatio = 2, minLength = 20)
+        .select(col("row_key"), col("source_file"), col("context"), col("label"))
+        .orderBy(col("row_key"), col("context"))
+    }),
+
+    // ---- F9 fuzzy scores (UDF; no SQL equivalent → rows-only check) -------
+    "f9_fuzzy_scores" -> ((s, dir) => {
+      import graft.functions.Fuzzy
+      val a = docs(s, dir).filter(col("doc_id") < 30)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("sa"))
+      val b = docs(s, dir)
+        .select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 60).as("sb"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"),
+          Fuzzy.token_set_ratio(col("sa"), col("sb")).as("token_set_ratio"),
+          Fuzzy.partial_ratio(substring(col("sa"), 1, 20), col("sb")).as("partial_ratio"),
+          Fuzzy.fuzz_ratio(col("sa"), col("sb")).as("ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing (stub codec, real schema/batching) -----------
     "x_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey")
@@ -281,6 +314,20 @@ object QueriesScale {
          | FROM ann a JOIN documents c ON a.source = c.source AND a.ann_id <> c.doc_id)
          |SELECT ann_id, cand_id, answer, n_hits FROM hits WHERE n_hits > 0
          |ORDER BY ann_id, cand_id""".stripMargin,
+    "m6_negative_sampling" ->
+      s"""WITH ann AS (SELECT doc_id AS row_key, source AS source_file, doc_id % 3 + 1 AS src_page
+         | FROM documents WHERE doc_id < 10),
+         |cand AS (
+         | SELECT a.row_key, a.source_file, c.doc_id % 20 AS cand_page, c.doc_id AS para_idx, c.text AS context
+         | FROM ann a JOIN documents c ON c.source = a.source_file
+         | WHERE c.doc_id % 20 >= 3 AND c.doc_id % 20 <> (a.src_page - 1) AND length(c.text) >= 20),
+         |picked AS (
+         | SELECT *, row_number() OVER (PARTITION BY row_key
+         |   ORDER BY ${graft.functions.DetHash.detUnitSql("row_key * 1000003 + cand_page * 101 + para_idx")} ASC,
+         |    cand_page ASC, para_idx ASC) AS rn
+         | FROM cand)
+         |SELECT row_key, source_file, context, 0 AS label FROM picked WHERE rn <= 2
+         |ORDER BY row_key, context""".stripMargin,
     "s9_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         | count(*) AS n_events,

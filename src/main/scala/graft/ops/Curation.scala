@@ -85,10 +85,14 @@ object Curation {
       parsed: DataFrame,
       paragraphs: DataFrame, // (pdf_name, page, para_idx, paragraph) 0-based pages
       negPosRatio: Int,
-      minLength: Int
+      minLength: Int,
+      rowKeyCol: String = "row_key" // caller-supplied integer key per positive row
   ): DataFrame = {
+    // The caller provides the per-row integer key: a generated id
+    // (monotonically_increasing_id) would be partition-dependent and
+    // break rerun determinism at scale. The candidate pick is a pure
+    // arithmetic DetHash of (row, page, paragraph) — SQL-replicable.
     val rows = parsed
-      .withColumn("row_id", monotonically_increasing_id())
       .withColumn("neg_pages", transform(col("source_pages"), p => p - 1))
     val cand = rows
       .join(
@@ -105,12 +109,12 @@ object Curation {
       .withColumn("context", TextFns.cleanText(col("cand_paragraph")))
       .filter(length(col("context")) >= minLength)
     val pick = DetHash.detUnit(
-      abs(hash(col("row_id"), col("cand_page"), col("para_idx"))).cast("long"))
-    val w = Window.partitionBy(col("row_id")).orderBy(pick.asc, col("cand_page").asc, col("para_idx").asc)
+      col(rowKeyCol) * lit(1000003L) + col("cand_page") * lit(101L) + col("para_idx"))
+    val w = Window.partitionBy(col(rowKeyCol)).orderBy(pick.asc, col("cand_page").asc, col("para_idx").asc)
     cand
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= negPosRatio)
-      .drop("__rn", "row_id", "neg_pages", "cand_page", "para_idx", "cand_paragraph")
+      .drop("__rn", "neg_pages", "cand_page", "para_idx", "cand_paragraph")
       .withColumn("label", lit(0))
   }
 

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.scorer.{QaScorer, RelevanceScorer}
+import graft.sources.ExtractionJson
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's three entry points as runnable jobs (SURVEY §3).
+  *
+  * Process/node boundaries in the reference (one Kubeflow pod per
+  * notebook, state via S3) become plain DataFrame hand-offs here; the
+  * publish step keeps the warehouse contract (ORC/Parquet tables with
+  * SQL DDL) so Superset-style consumers are unchanged.
+  */
+object Pipeline {
+
+  /** §3.1 inference pipeline: extraction-JSON dir → question×paragraph
+    * pairs → relevance filter → KPI QA chain → ORC warehouse table →
+    * the demo2 "KPI answers distribution" aggregate over it.
+    *
+    * `questions` is the kpi_mapping dim (question, kpi_id). The pair
+    * key feeding the scorer is an xxhash64 of the pair identity —
+    * deterministic under any partitioning.
+    */
+  def runInference(
+      spark: SparkSession,
+      extractionDir: String,
+      questions: DataFrame,
+      relevanceScorer: RelevanceScorer,
+      qaScorer: QaScorer,
+      outTable: String,
+      relevanceThreshold: Double = 0.7,
+      topK: Int = 4
+  ): DataFrame = {
+    val paras = ExtractionJson.readExtraction(spark, extractionDir)
+    val pairs = Relevance
+      .questionParagraphPairs(paras, questions)
+      .withColumn("key", xxhash64(col("pdf_name"), col("page"), col("text"), col("text_b")))
+    val relevant = Relevance.relevantPairs(pairs, relevanceScorer, "key", relevanceThreshold)
+    val results  = KpiPost.kpiChain(relevant, qaScorer, questions, "key", topK)
+    // S8: ORC warehouse table (create_results_table.ipynb cell 12)
+    results.write.format("orc").mode("overwrite").saveAsTable(outTable)
+    // A1: Superset demo2 "KPI Answers Distribution" (data/superset/demo2.json)
+    spark.sql(s"SELECT answer, COUNT(*) AS n FROM $outTable GROUP BY answer ORDER BY answer")
+  }
+
+  /** §3.3 warehouse publish: write a DataFrame as parquet at `path`
+    * and register an external table over it (S7: demo1-create-tables
+    * parquet + external DDL), with snakified column names.
+    */
+  def publishParquetExternal(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      table: String
+  ): DataFrame = {
+    import graft.functions.TextFns
+    val renamed = TextFns.snakifyColumns(df.columns).foldLeft(df) {
+      case (d, (from, to)) => if (from == to) d else d.withColumnRenamed(from, to)
+    }
+    renamed.write.mode("overwrite").parquet(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table USING PARQUET LOCATION '$path'")
+    spark.sql(s"SELECT * FROM $table LIMIT 5") // smoke readback, reference cells 20-21
+  }
+}

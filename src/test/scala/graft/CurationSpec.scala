@@ -49,7 +49,7 @@ class CurationSpec extends SparkSpecBase {
   test("negExamples respects page>=3, non-source-page, min length, and ratio") {
     val parsed = Curation.parseListCells(
       Curation.curationFilter(annotations, "TEXT", Seq("BAD")))
-      .withColumn("row_key", monotonically_increasing_id())
+      .withColumn("row_key", (col("kpi_id") * 10).cast("long"))
     val paragraphs = Seq(
       ("acme.pdf", 0, 0, "early page para long enough"),
       ("acme.pdf", 3, 0, "page three para long enough"),
