@@ -231,6 +231,40 @@ object QueriesExt {
         .select(col("doc_id"), TextFns.tokenSlice(col("text"), 5, 10).as("section"))
         .orderBy(col("doc_id"))),
 
+    // ---- M8 QA metrics (EM / set-F1 / relaxed-F1 / answerability) ---------
+    "m8_qa_metrics" -> ((s, dir) => {
+      // gold span = tokens 5..7; predicted span deterministically right
+      // or shifted by one; no-answer predictions and impossibles from
+      // DetHash — mirrors qa_metrics.py:8-81 semantics with set-F1
+      val toks   = filter(split(col("text"), " "), t => t =!= "")
+      val gold   = slice(toks, lit(5), lit(3))
+      val shift  = when(DetHash.detUnit(col("doc_id")) < 0.7, lit(5)).otherwise(lit(6))
+      val pred   = slice(toks, shift, lit(3))
+      val goldNa = (pmod(col("doc_id"), lit(5)) === 0).cast("int")
+      val predNa = (DetHash.detUnit(col("doc_id") * 7) < 0.3).cast("int")
+      val em      = (array_join(pred, " ") === array_join(gold, " ")).cast("int")
+      val pSet    = array_distinct(pred)
+      val gSet    = array_distinct(gold)
+      val inter   = size(array_intersect(pSet, gSet))
+      val f1      = when(size(pSet) + size(gSet) > 0,
+        inter * 2.0 / (size(pSet) + size(gSet))).otherwise(lit(0.0))
+      val relaxed = (inter > 0).cast("int")
+      docs(s, dir)
+        .select(col("source"), em.as("em"),
+          round(f1 * 10000).cast("long").as("f1s"), relaxed.as("relaxed"),
+          goldNa.as("gold_na"), predNa.as("pred_na"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("em")) / count(lit(1)), 4).as("avg_em"),
+          round(sum(col("f1s")) / count(lit(1)) / 10000.0, 4).as("avg_f1"),
+          round(sum(col("relaxed")) / count(lit(1)), 4).as("avg_relaxed"),
+          sum(col("pred_na") * col("gold_na")).as("tp"),
+          sum(col("pred_na") * (lit(1) - col("gold_na"))).as("fp"),
+          sum((lit(1) - col("pred_na")) * col("gold_na")).as("fn"))
+        .orderBy(col("source"))
+    }),
+
     // ---- §2.8 deterministic split -----------------------------------------
     "m5_det_split" -> ((s, dir) =>
       // M5 train/val split, partition-stable (replaces train_test_split;
@@ -406,6 +440,34 @@ object QueriesExt {
       """SELECT doc_id,
         | array_to_string(list_slice(string_split(text, ' '), 6, 15), ' ') AS section
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m8_qa_metrics" -> {
+      val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+      s"""WITH r AS (
+         | SELECT source,
+         |  list_slice($toks, 5, 7) AS gold,
+         |  list_slice($toks,
+         |   CAST(CASE WHEN ${u("doc_id")} < 0.7 THEN 5 ELSE 6 END AS INT),
+         |   CAST(CASE WHEN ${u("doc_id")} < 0.7 THEN 7 ELSE 8 END AS INT)) AS pred,
+         |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS gold_na,
+         |  CASE WHEN ${u("doc_id * 7")} < 0.3 THEN 1 ELSE 0 END AS pred_na
+         | FROM documents),
+         |m AS (
+         | SELECT source, gold_na, pred_na,
+         |  CASE WHEN array_to_string(pred, ' ') = array_to_string(gold, ' ') THEN 1 ELSE 0 END AS em,
+         |  CAST(round(CASE WHEN len(list_distinct(pred)) + len(list_distinct(gold)) > 0
+         |   THEN len(list_intersect(list_distinct(pred), list_distinct(gold))) * 2.0
+         |     / (len(list_distinct(pred)) + len(list_distinct(gold))) ELSE 0.0 END * 10000) AS BIGINT) AS f1s,
+         |  CASE WHEN len(list_intersect(list_distinct(pred), list_distinct(gold))) > 0 THEN 1 ELSE 0 END AS relaxed
+         | FROM r)
+         |SELECT source, count(*) AS n,
+         | round(sum(em) * 1.0 / count(*), 4) AS avg_em,
+         | round(sum(f1s) * 1.0 / count(*) / 10000.0, 4) AS avg_f1,
+         | round(sum(relaxed) * 1.0 / count(*), 4) AS avg_relaxed,
+         | sum(pred_na * gold_na) AS tp,
+         | sum(pred_na * (1 - gold_na)) AS fp,
+         | sum((1 - pred_na) * gold_na) AS fn
+         |FROM m GROUP BY source ORDER BY source""".stripMargin
+    },
     "m5_det_split" ->
       s"""SELECT CASE WHEN ${u("o_orderkey")} < 0.2 THEN 'val' ELSE 'train' END AS split,
          | count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price

@@ -39,7 +39,14 @@ object Pipeline {
       .withColumn("key", xxhash64(col("pdf_name"), col("page"), col("text"), col("text_b")))
     val relevant = Relevance.relevantPairs(pairs, relevanceScorer, "key", relevanceThreshold)
     val results  = KpiPost.kpiChain(relevant, qaScorer, questions, "key", topK)
-    // S8: ORC warehouse table (create_results_table.ipynb cell 12)
+    // S8: ORC warehouse table (create_results_table.ipynb cell 12).
+    // Overwrite must also clear an orphaned managed location (catalog
+    // entry lost, files left behind by a previous session/run).
+    spark.sql(s"DROP TABLE IF EXISTS $outTable")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + outTable.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     results.write.format("orc").mode("overwrite").saveAsTable(outTable)
     // A1: Superset demo2 "KPI Answers Distribution" (data/superset/demo2.json)
     spark.sql(s"SELECT answer, COUNT(*) AS n FROM $outTable GROUP BY answer ORDER BY answer")
@@ -63,5 +70,19 @@ object Pipeline {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"CREATE TABLE $table USING PARQUET LOCATION '$path'")
     spark.sql(s"SELECT * FROM $table LIMIT 5") // smoke readback, reference cells 20-21
+  }
+
+  /** S11: Kubeflow-style metrics JSON sink
+    * (`{"metrics":[{"name":…,"numberValue":…}]}`;
+    * demo1-create-tables.ipynb cells 22-23). Driver-side write — one
+    * tiny artifact, not a distributed dataset.
+    */
+  def writeMetricsJson(metrics: Seq[(String, Double)], path: String): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val items = metrics
+      .map { case (n, v) => s"""{"name": ${q(n)}, "numberValue": $v}""" }
+      .mkString("[", ", ", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path), s"""{"metrics": $items}""")
   }
 }
