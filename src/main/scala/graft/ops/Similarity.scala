@@ -34,10 +34,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def l2normalize(a: Column): Column = {
-    transform(a, x => x.cast("double") / sqrt(
-      aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))))
-  }
+  /** Element-wise divide by a precomputed norm. `precomputedNorm`
+    * MUST be a materialized column attribute (project `norm(a)` into
+    * its own column first): an inline norm expression would be
+    * inlined into the lambda and re-evaluated per vector element
+    * (see Dedup scaladoc on lambda-capture).
+    */
+  def l2normalize(a: Column, precomputedNorm: Column): Column =
+    transform(a, x => x.cast("double") / precomputedNorm)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -80,12 +84,15 @@ object Similarity {
         .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid"))
     )
     // Assign each corpus vector to its nearest centroid (one scan).
-    val wAssign = Window.partitionBy(col("neighbor_id")).orderBy(col("cdist").desc, col("cell_id").asc)
+    // Argmax via max_by on an ordering struct (cdist desc, cell_id
+    // asc): a partial-aggregable groupBy, not a window — the corpus
+    // never gets sorted, only a skinny (id → cell) shuffle.
     val assigned = c.join(centroids)
       .withColumn("cdist", cosine(col("cv"), col("centroid")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cell_id"))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max_by(col("cell_id"), struct(col("cdist"), -col("cell_id"))).as("cell_id"),
+        first(col("cv")).as("cv"))
     // Each query probes its nProbe nearest cells.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
