@@ -212,12 +212,18 @@ object QueriesScale {
 
   val oracleSql: Map[String, String] = Map(
     "x_dedup_jaccard" ->
+      // inverted-index formulation (same as the Spark plan): all-pairs
+      // list_intersect is O(n²·|sh|) and times out in DuckDB at sf0.1
       s"""WITH $CorpusSql,
          |$ShinglesSql,
+         |e AS (SELECT id, unnest(shs) AS s FROM sh),
+         |sizes AS (SELECT id, len(shs) AS n_sh FROM sh),
+         |inter AS (
+         | SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+         | FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
          |scored AS (
-         | SELECT a.id AS id_a, b.id AS id_b,
-         |  len(list_intersect(a.shs, b.shs)) AS ni, len(a.shs) AS na, len(b.shs) AS nb
-         | FROM sh a JOIN sh b ON a.id < b.id)
+         | SELECT id_a, id_b, ni, sa.n_sh AS na, sb.n_sh AS nb
+         | FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
          |SELECT id_a, id_b, round(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE), 4) AS jaccard
          |FROM scored
          |WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
