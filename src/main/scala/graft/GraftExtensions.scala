@@ -1,0 +1,21 @@
+package graft
+
+import graft.functions.TokenSetRatioExpr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extensions: registers the custom Catalyst expressions as SQL
+  * functions. Activated by `GraftSession.local` (and usable on any
+  * cluster via `spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("token_set_ratio"),
+      new ExpressionInfo(classOf[TokenSetRatioExpr].getName, "token_set_ratio"),
+      (children: Seq[Expression]) => TokenSetRatioExpr(children(0), children(1))
+    ))
+  }
+}

@@ -158,7 +158,8 @@ object QueriesScale {
         .select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 60).as("sb"))
       a.join(b, Seq("doc_id"))
         .select(col("doc_id"),
-          Fuzzy.token_set_ratio(col("sa"), col("sb")).as("token_set_ratio"),
+          // native codegen'd Expression (GraftExtensions), not the UDF
+          expr("token_set_ratio(sa, sb)").as("token_set_ratio"),
           Fuzzy.partial_ratio(substring(col("sa"), 1, 20), col("sb")).as("partial_ratio"),
           Fuzzy.fuzz_ratio(col("sa"), col("sb")).as("ratio"))
         .orderBy(col("doc_id"))

@@ -32,6 +32,32 @@ class FuzzySpec extends AnyFunSuite {
   }
 }
 
+class TokenSetRatioExprSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("native expression matches the Scala function and handles nulls") {
+    val df = Seq(
+      ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear"),
+      ("alpha beta", "gamma delta"),
+      (null, "x")
+    ).toDF("a", "b")
+    val out = df.selectExpr("token_set_ratio(a, b) AS r").collect()
+    assert(out(0).getInt(0) === 100)
+    assert(out(1).getInt(0) === graft.functions.Fuzzy.tokenSetRatio("alpha beta", "gamma delta"))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // local one-row relations collapse to LocalTableScan; use a range
+    // source so a codegen stage actually materializes
+    val df = spark.range(4).selectExpr(
+      "token_set_ratio(concat('tok ', id), concat(id, ' tok')) AS r")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project [token_set_ratio"))
+    assert(df.collect().map(_.getInt(0)).forall(_ > 0))
+  }
+}
+
 class AnswerStartSpec extends AnyFunSuite {
   test("plain substring: all occurrences, sorted") {
     assert(AnswerStart.findAnswerStart("ab", "ab cab ab") === Seq(0, 4, 7))
