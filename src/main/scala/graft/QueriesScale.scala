@@ -165,6 +165,15 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    "s9_stream_stateful" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_stateful_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamUserStats(s, dir, schema, name,
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name).orderBy(col("user_id"))
+    }),
+
     // ---- multimodal plumbing (stub codec, real schema/batching) -----------
     "x_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey")
@@ -343,6 +352,11 @@ object QueriesScale {
     "s9_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, value FROM events
         |ORDER BY user_id, event_type, value""".stripMargin,
+    "s9_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+        | sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+        | min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_media_features" -> {
       val fCols = (0 until 8).map { d =>
         s"""round(CAST(CAST(list_sum(list_transform(range(0, 8),

@@ -2,8 +2,20 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** Raw events row (ts = epoch nanos, see GraftSession nanosAsLong). */
+case class EventRow(
+    event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Per-user running stats carried as custom stream state. Money in
+  * exact integer cents so state accumulation is order-independent.
+  */
+case class UserStats(
+    user_id: Long, n_events: Long, sum_cents: Long,
+    first_ts_us: Long, last_ts_us: Long)
 
 /** Structured Streaming extension (SURVEY §2.9: the reference is
   * batch-only; its "incremental" behavior is skip-processed-file
@@ -59,6 +71,47 @@ object EventsStream {
       )
     agg.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Custom-state streaming: per-user running stats via
+    * `mapGroupsWithState` (the KeyValueGroupedDataset face of the
+    * engine — arbitrary state the built-in aggs can't express).
+    * With an AvailableNow run the final state per key equals the batch
+    * group-by, which is the oracle.
+    */
+  def streamUserStats(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    import spark.implicits._
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    reader.parquet(dir)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserStats]) =>
+          val init = state.getOption.getOrElse(
+            UserStats(uid, 0L, 0L, Long.MaxValue, Long.MinValue))
+          val s = rows.foldLeft(init) { (acc, e) =>
+            UserStats(uid,
+              acc.n_events + 1,
+              acc.sum_cents + math.round(e.value * 100),
+              math.min(acc.first_ts_us, e.ts / 1000),
+              math.max(acc.last_ts_us, e.ts / 1000))
+          }
+          state.update(s)
+          s
+      }
+      .writeStream
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
