@@ -165,21 +165,23 @@ object Dedup {
         }: _*)
       ).as("bb")
     ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a")
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v
+    ).cast("double") / lit(numHashes.toDouble)
+    // verify-then-dedup: the threshold rejects most candidates, so the
+    // distinct shuffle only carries survivors
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, v) => acc + v
-    ).cast("double") / lit(numHashes.toDouble)
-    cand.select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** MinHash signature, md5 flavor: the per-seed min is the
@@ -233,9 +235,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 32-bit SimHash, md5 flavor (oracle-checkable): bit b of a token's
@@ -288,9 +290,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
@@ -344,9 +346,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
