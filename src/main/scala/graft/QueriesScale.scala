@@ -176,7 +176,8 @@ object QueriesScale {
 
     // ---- multimodal plumbing (stub codec, real schema/batching) -----------
     "x_media_features" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey")
+      // payloadLen 64 = one sha2 hex exactly (the oracle models 64 bytes)
+      val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey", payloadLen = 64)
       val feats = Multimodal.extractFeatures(media, dims = 8)
       val fCols = (0 until 8).map(d =>
         round(element_at(col("features"), d + 1).cast("double"), 4).as(s"f$d"))

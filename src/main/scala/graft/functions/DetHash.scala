@@ -19,19 +19,26 @@ object DetHash {
 
   /** Knuth's multiplicative constant (golden-ratio hash). */
   val Mult = 2654435761L
-  val Mod  = 4294967296L // 2^32
+  val Mod  = 4294967296L  // 2^32
+  val KeyMod = 2147483648L // 2^31: (KeyMod-1)*Mult < Long.MaxValue
 
-  /** Uniform-ish [0,1) double from a non-negative integer key column. */
+  /** Uniform-ish [0,1) double from a non-negative integer key column.
+    * The key is reduced mod 2^31 before the multiply so the product
+    * cannot overflow Long — Spark 4's default ANSI mode turns a silent
+    * wraparound into a job-killing ARITHMETIC_OVERFLOW (and the DuckDB
+    * oracle into a bigint out-of-range error). Keys below 2^31 (every
+    * key the engine derives) hash exactly as before; larger keys fold.
+    */
   def detUnit(key: Column): Column =
-    (pmod(key * lit(Mult), lit(Mod))).cast("double") / lit(Mod.toDouble)
+    (pmod(pmod(key, lit(KeyMod)) * lit(Mult), lit(Mod))).cast("double") / lit(Mod.toDouble)
 
   /** Same, as SQL text for the DuckDB oracle. `key` must be a
     * non-negative integer expression.
     */
   def detUnitSql(keyExpr: String): String =
-    s"(CAST((($keyExpr) * $Mult) % $Mod AS DOUBLE) / $Mod.0)"
+    s"(CAST((((($keyExpr) % $KeyMod) * $Mult) % $Mod) AS DOUBLE) / $Mod.0)"
 
   /** Deterministic bucket in [0, n) from a key column. */
   def detBucket(key: Column, n: Int): Column =
-    pmod(key * lit(Mult), lit(Mod)) % n
+    pmod(pmod(key, lit(KeyMod)) * lit(Mult), lit(Mod)) % n
 }

@@ -44,11 +44,14 @@ object Fuzzy {
     prev(lb)
   }
 
-  /** fuzz.ratio: round(100 * (la+lb-dist)/(la+lb)). */
+  /** fuzz.ratio: round(100 * (la+lb-dist)/(la+lb)). Rounding is
+    * half-even (Math.rint) to match Python 3's round() used by
+    * fuzzywuzzy's utils.intr — half-up would flip .5-boundary scores.
+    */
   def ratio(a: String, b: String): Int = {
     val lensum = a.length + b.length
     if (lensum == 0) return 100
-    math.round(100.0 * (lensum - indelDistance(a, b)) / lensum).toInt
+    math.rint(100.0 * (lensum - indelDistance(a, b)) / lensum).toInt
   }
 
   /** fuzz.partial_ratio: best ratio of the shorter string vs any
@@ -67,8 +70,16 @@ object Fuzzy {
     best
   }
 
+  /** fuzzywuzzy utils.full_process: non-alphanumerics (unicode word
+    * chars kept, so letters/digits/_) → space, lowercase, trim —
+    * token_set_ratio applies it by default in the reference
+    * (table_curator.py:186), so 'Total CO2:' matches 'total co2'.
+    */
+  def fullProcess(s: String): String =
+    s.replaceAll("(?U)\\W", " ").toLowerCase.trim
+
   private def tokenSet(s: String): Set[String] =
-    s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    fullProcess(s).split("\\s+").filter(_.nonEmpty).toSet
 
   /** fuzz.token_set_ratio. */
   def tokenSetRatio(a: String, b: String): Int = {

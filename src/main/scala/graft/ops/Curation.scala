@@ -127,7 +127,9 @@ object Curation {
     * with a partition-stable rule.
     */
   def trainValSplit(df: DataFrame, key: Column, valRatio: Double): (DataFrame, DataFrame) = {
-    val u = DetHash.detUnit(abs(hash(key)).cast("long"))
+    // cast to long BEFORE abs: abs(Int.MinValue) overflows, which under
+    // ANSI mode kills the job (2^-32 per row — certain on a large corpus)
+    val u = DetHash.detUnit(abs(hash(key).cast("long")))
     (df.filter(u >= valRatio), df.filter(u < valRatio))
   }
 

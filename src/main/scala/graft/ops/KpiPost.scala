@@ -61,6 +61,9 @@ object KpiPost {
       .select(col("*"), explode(col("candidates")).as("c"))
       .drop("candidates")
       .withColumn("rank", concat(lit("rank_"), col("c.rank")))
+      // numeric rank kept for tie-breaks: the string form sorts
+      // "rank_10" before "rank_2"
+      .withColumn("rank_num", col("c.rank"))
       .withColumn("answer", col("c.answer"))
       .withColumn("score", col("c.score"))
       .withColumn("no_ans_score", col("c.noAnsScore"))
@@ -110,7 +113,7 @@ object KpiPost {
     val melted = explodeRanks(scoreQa(relevant, scorer, keyCol))
     val spans  = melted.filter(col("answer") =!= "no_answer")
     val unioned = spans.unionByName(noAnswerRows(melted), allowMissingColumns = true)
-    val top = topKPerGroup(unioned, topK, Seq("rank", keyCol)).drop("rank")
+    val top = topKPerGroup(unioned, topK, Seq("rank_num", keyCol)).drop("rank", "rank_num")
     top
       .join(broadcast(questions.select(col("question"), col("kpi_id"))),
         top("text") === col("question"), "left")

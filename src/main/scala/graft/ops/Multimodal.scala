@@ -73,7 +73,10 @@ object Multimodal {
     df.select(col(keyCol).cast("long").as("media_id"))
       .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("media_id"), lit(3)) + 1).cast("int")))
-      .withColumn("bytes", sha2(col("media_id").cast("string"), 256).cast("binary"))
+      // payload = the sha2 hex repeated/truncated to payloadLen bytes
+      .withColumn("bytes",
+        substring(repeat(sha2(col("media_id").cast("string"), 256), payloadLen / 64 + 1),
+          1, payloadLen).cast("binary"))
       .withColumn("meta", struct(
         lit(16).as("width"), lit(16).as("height"),
         lit(16000).as("sample_rate"), lit(8).as("n_frames")))

@@ -38,7 +38,8 @@ trait QaScorer extends Serializable {
 
 object MockScores {
   def unit(key: Long): Double =
-    (((key * DetHash.Mult) % DetHash.Mod + DetHash.Mod) % DetHash.Mod).toDouble / DetHash.Mod.toDouble
+    ((((key % DetHash.KeyMod) * DetHash.Mult) % DetHash.Mod + DetHash.Mod) % DetHash.Mod).toDouble /
+      DetHash.Mod.toDouble
 
   /** 3-token slice of `context` at a key-derived offset (1-based token
     * index), mirroring TextFns.tokenSlice / SQL list_slice semantics.

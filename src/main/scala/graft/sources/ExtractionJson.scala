@@ -24,7 +24,12 @@ object ExtractionJson {
       .schema(schema)
       .option("multiLine", "true")
       .json(path)
-      .withColumn("pdf_name", regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.json$", ""))
+      .withColumn("pdf_name",
+        // input_file_name() is URI-encoded; '+' protected before
+        // url_decode (which would read it as a form-encoded space)
+        url_decode(regexp_replace(
+          regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.json$", ""),
+          "\\+", "%2B")))
       .select(col("pdf_name"), explode(col("pages")).as(Seq("page_str", "paragraphs")))
       .withColumn("page", col("page_str").cast("int"))
       .select(col("pdf_name"), col("page"), posexplode(col("paragraphs")).as(Seq("para_idx", "paragraph")))
@@ -38,7 +43,12 @@ object ExtractionJson {
     spark.read
       .option("wholetext", "true")
       .text(path)
-      .withColumn("pdf_name", regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.json$", ""))
+      .withColumn("pdf_name",
+        // input_file_name() is URI-encoded; '+' protected before
+        // url_decode (which would read it as a form-encoded space)
+        url_decode(regexp_replace(
+          regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.json$", ""),
+          "\\+", "%2B")))
       .withColumn("pages", from_json(col("value"), MapType(StringType, ArrayType(StringType))))
       .select(col("pdf_name"), explode(col("pages")).as(Seq("page_str", "paragraphs")))
       .withColumn("page", col("page_str").cast("int"))

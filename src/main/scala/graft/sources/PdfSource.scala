@@ -74,8 +74,12 @@ object PdfSource {
         }
       }
     }(Encoders.row(outSchema))
-    exploded.filter(
-      length(regexp_replace(col("paragraph"), "[^a-zA-Z]", "")) > minParagraphLength)
+    // reference order (pdf_text_extractor.py:54-78): clean each
+    // paragraph FIRST, then count alphabetic chars (unicode letters,
+    // matching Python isalpha) on the cleaned text
+    exploded
+      .withColumn("paragraph", TextFns.cleanText(col("paragraph")))
+      .filter(length(regexp_replace(col("paragraph"), "[^\\p{L}]", "")) > minParagraphLength)
   }
 
   /** Write the long paragraph table back out as per-PDF extraction

@@ -59,16 +59,9 @@ object EventsStream {
     val reader0 = spark.readStream.schema(schema)
     val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
     val src     = prep(reader.parquet(dir))
-    val agg = src
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowExpr).as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
-      .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value")
-      )
+    // the batch form IS the oracle — share the aggregation body so the
+    // two can't desynchronize
+    val agg = windowedCounts(src.withWatermark("ts", watermark), windowExpr)
     agg.writeStream
       .outputMode("complete")
       .format("memory")

@@ -109,6 +109,15 @@ class ExtractionJsonSpec extends SparkSpecBase {
     assert(out.last.getString(0) === "beta")
   }
 
+  test("pdf_name with spaces survives the URI-encoded input_file_name") {
+    val dir = Files.createTempDirectory("extr3").toFile
+    Files.writeString(new java.io.File(dir, "Annual Report 2019.json").toPath,
+      """{"pages": {"0": ["some paragraph"]}}""")
+    val names = ExtractionJson.readExtraction(spark, dir.getAbsolutePath)
+      .select("pdf_name").distinct().collect().map(_.getString(0))
+    assert(names === Array("Annual Report 2019"))
+  }
+
   test("root-map flavor parses the reference's native shape") {
     val dir = Files.createTempDirectory("extr2").toFile
     Files.writeString(new java.io.File(dir, "gamma.json").toPath,

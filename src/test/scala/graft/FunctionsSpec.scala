@@ -30,6 +30,14 @@ class FuzzySpec extends AnyFunSuite {
     assert(Fuzzy.tokenSetRatio("a b common", "common a b extra tokens") === 100) // subset → t0 vs t1 prefix
     assert(Fuzzy.tokenSetRatio("alpha beta", "gamma delta") < 40)
   }
+  test("token_set_ratio applies fuzzywuzzy full_process (punctuation stripped)") {
+    assert(Fuzzy.tokenSetRatio("Total CO2:", "total co2") === 100)
+    assert(Fuzzy.fullProcess("A-b.c!") === "a b c")
+  }
+  test("ratio rounds half-even like Python round()") {
+    // lensum 16, indel dist 14 → 12.5 → 12 (banker's), not 13
+    assert(Fuzzy.ratio("abbbbbbb", "accccccc") === 12)
+  }
 }
 
 class TokenSetRatioExprSpec extends SparkSpecBase {
