@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale layout techniques: bucketed co-located joins and
+  * skew salting. Neither changes query semantics — they change where
+  * shuffles happen, which is the difference between a plan that works
+  * at sf0.1 and one that survives 100 TB.
+  */
+object Scale {
+
+  /** Write `df` as a bucketed, sorted table: co-locates rows by join
+    * key so later equi-joins/aggregations on `keys` need NO shuffle
+    * (SortMergeJoin reads both sides pre-partitioned). This is the
+    * persistent analog of `repartition` — pay the shuffle once at
+    * write time, reuse it every query.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      numBuckets: Int,
+      keys: Seq[String],
+      format: String = "parquet"
+  ): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .format(format)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Join two tables previously written with [[writeBucketed]] on the
+    * same keys/bucket count — planner sees matching hash distributions
+    * and emits a shuffle-free SortMergeJoin.
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
+
+  /** Salted join for a skewed build side: the probe (large, skewed)
+    * side gets a deterministic salt in [0, saltFactor) derived from a
+    * non-key column hash; the build side is replicated once per salt.
+    * The hot key's rows then spread over `saltFactor` reducers instead
+    * of one. Deterministic (no rand()) so retries/reruns agree.
+    *
+    * AQE's skew-join split handles most cases automatically; explicit
+    * salting is for the stragglers AQE can't split (e.g. a single
+    * giant key inside one partition of a bucketed layout).
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFactor: Int,
+      saltSource: String // any column with per-row variation
+  ): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(abs(hash(col(saltSource)).cast("long")), lit(saltFactor.toLong)).cast("int"))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}
