@@ -72,6 +72,29 @@ object Pipeline {
     spark.sql(s"SELECT * FROM $table LIMIT 5") // smoke readback, reference cells 20-21
   }
 
+  /** Idempotent skip-processed memoization (the reference's
+    * "incremental" behavior: pdf_text_extractor.py:129-139,
+    * relevance_infer.py:79-92): drop input rows whose key already
+    * appears in the output dataset, so re-running a partially-complete
+    * pipeline only does the remaining work. Left-anti join against the
+    * (distinct, skinny) processed-keys projection; an absent/empty
+    * output location means nothing is skipped.
+    */
+  def skipProcessed(
+      inputs: DataFrame,
+      processedPath: String,
+      keyCol: String
+  ): DataFrame = {
+    val spark = inputs.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(processedPath)
+    val fs     = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fsPath)) inputs
+    else {
+      val done = spark.read.parquet(processedPath).select(col(keyCol)).distinct()
+      inputs.join(done, Seq(keyCol), "left_anti")
+    }
+  }
+
   /** S11: Kubeflow-style metrics JSON sink
     * (`{"metrics":[{"name":…,"numberValue":…}]}`;
     * demo1-create-tables.ipynb cells 22-23). Driver-side write — one

@@ -35,6 +35,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(t.groupBy("pdf_name", "kpi").count().agg(max("count")).head().getLong(0) <= 4)
   }
 
+  test("skipProcessed: second run sees only unprocessed keys; missing output skips nothing") {
+    val out = Files.createTempDirectory("proc").toFile.getAbsolutePath + "/results"
+    val all = GraftSession.table(spark, sf, "documents").select(col("doc_id"), col("source"))
+    // nothing processed yet → everything passes through
+    assert(Pipeline.skipProcessed(all, out, "doc_id").count() === all.count())
+    // "process" half of them
+    all.filter(col("doc_id") % 2 === 0).write.parquet(out)
+    val remaining = Pipeline.skipProcessed(all, out, "doc_id")
+    assert(remaining.count() === all.filter(col("doc_id") % 2 =!= 0).count())
+    assert(remaining.filter(col("doc_id") % 2 === 0).count() === 0)
+  }
+
   test("parquet external publish: snakified DDL table round-trip (S7)") {
     val src = GraftSession.table(spark, sf, "customer")
       .withColumnRenamed("c_name", "Customer Name (Full)")
