@@ -23,20 +23,30 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = filter(split(lower(c), " "), t => t =!= "")
 
+  /** Stopword hits for one language over a materialized token array. */
+  def stopwordHitsOf(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(words)))
+
   /** Stopword hits for one language. */
   def stopwordHits(c: Column, words: Seq[String]): Column =
-    size(filter(toks(c), t => t.isInCollection(words)))
+    stopwordHitsOf(toks(c), words)
 
-  /** Heuristic language ID: argmax of stopword hits, ties broken by
-    * list order, "und" (undetermined) when nothing matches.
+  /** Heuristic language ID over a materialized token array: argmax of
+    * stopword hits, ties broken by list order, "und" when nothing
+    * matches.
     */
-  def langId(c: Column): Column = {
+  def langIdOf(ts: Column): Column = {
     val scored = LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
-      struct(stopwordHits(c, words).as("hits"), lit(LangStopwords.size - i).as("prio"), lit(lang).as("lang"))
+      struct(stopwordHitsOf(ts, words).as("hits"), lit(LangStopwords.size - i).as("prio"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Heuristic language ID (re-tokenizes per call; prefer langIdOf in
+    * wide projections).
+    */
+  def langId(c: Column): Column = langIdOf(toks(c))
 
   /** Whitespace token count. */
   def tokenCountWs(c: Column): Column = size(toks(c))
@@ -52,12 +62,15 @@ object TextAnalysis {
     * and a composite [0,1] quality score. All rounded to 4dp for
     * cross-engine stability.
     */
-  def qualityFeatures(c: Column): Column = {
+  def qualityFeatures(c: Column): Column = qualityFeaturesOf(c, toks(c))
+
+  /** Same, over a materialized token array (one tokenize per row). */
+  def qualityFeaturesOf(c: Column, ts: Column): Column = {
     val nChars   = length(c).cast("double")
-    val nToks    = tokenCountWs(c).cast("double")
+    val nToks    = size(ts).cast("double")
     val alpha    = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
     val punct    = length(regexp_replace(c, "[^.,;:!?]", "")).cast("double")
-    val stopHits = stopwordHits(c, LangStopwords.head._2).cast("double")
+    val stopHits = stopwordHitsOf(ts, LangStopwords.head._2).cast("double")
     val meanWordLen = when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0))
     val alphaRatio  = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
     val punctRatio  = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
@@ -86,19 +99,26 @@ object TextAnalysis {
     * fingerprint are bag-of-words-identical — a cheap canonical key
     * for fuzzy dedup blocking.
     */
-  def fingerprint(c: Column): Column =
-    md5(array_join(array_sort(array_distinct(toks(c))), " "))
+  def fingerprint(c: Column): Column = fingerprintOf(toks(c))
 
-  /** Full document-profile projection over a corpus. */
+  /** Same, over a materialized token array. */
+  def fingerprintOf(ts: Column): Column =
+    md5(array_join(array_sort(array_distinct(ts)), " "))
+
+  /** Full document-profile projection over a corpus: the text is
+    * tokenized ONCE into an attribute, every feature reads the array
+    * (the inline form re-tokenizes ~10x per row).
+    */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(
-      col(idCol),
-      langId(t).as("lang_pred"),
-      tokenCountWs(t).as("n_tokens_ws"),
-      tokenCountBpe(t).as("n_tokens_bpe"),
-      fingerprint(t).as("fingerprint"),
-      qualityFeatures(t).as("q")
-    ).select(col(idCol), col("lang_pred"), col("n_tokens_ws"), col("n_tokens_bpe"), col("fingerprint"), col("q.*"))
+    df.select(col(idCol), t, toks(t).as("__toks"))
+      .select(
+        col(idCol),
+        langIdOf(col("__toks")).as("lang_pred"),
+        size(col("__toks")).as("n_tokens_ws"),
+        tokenCountBpe(t).as("n_tokens_bpe"),
+        fingerprintOf(col("__toks")).as("fingerprint"),
+        qualityFeaturesOf(t, col("__toks")).as("q")
+      ).select(col(idCol), col("lang_pred"), col("n_tokens_ws"), col("n_tokens_bpe"), col("fingerprint"), col("q.*"))
   }
 }
