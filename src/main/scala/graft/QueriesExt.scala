@@ -176,11 +176,13 @@ object QueriesExt {
           concat(lit("{"), paraRaw.substr(lit(2), length(paraRaw))))
         .when(pmod(col("l_orderkey"), lit(4)) === 1, lit("nope"))
         .otherwise(paraRaw)
+      // outputs stringified (array_join): scalar cells keep the driver's
+      // pandas row-sort hashable; NULL arrays stay NULL on both engines
       li(s, dir)
         .filter(col("l_orderkey") < 2000)
         .select(col("l_orderkey"), col("l_linenumber"),
-          ListParse.parseSourcePages(pages).as("pages"),
-          ListParse.parseParagraphList(para).as("paras"))
+          array_join(ListParse.parseSourcePages(pages).cast("array<string>"), ",").as("pages"),
+          array_join(ListParse.parseParagraphList(para), ",").as("paras"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "f6_props_json" -> ((s, dir) =>
@@ -393,12 +395,12 @@ object QueriesExt {
         |   ELSE para_raw END AS para_fix
         | FROM shaped)
         |SELECT l_orderkey, l_linenumber,
-        | CASE WHEN regexp_matches(trim(pages_raw), '^\[.*\]$')
-        |  THEN list_transform(string_split(regexp_replace(trim(pages_raw), '^\[|\]$', '', 'g'), ','), x -> CAST(trim(x) AS INT))
-        |  ELSE NULL END AS pages,
-        | CASE WHEN regexp_matches(para_fix, '^\[.*\]$')
+        | array_to_string(CASE WHEN regexp_matches(trim(pages_raw), '^\[.*\]$')
+        |  THEN list_transform(string_split(regexp_replace(trim(pages_raw), '^\[|\]$', '', 'g'), ','), x -> CAST(CAST(trim(x) AS INT) AS VARCHAR))
+        |  ELSE NULL END, ',') AS pages,
+        | array_to_string(CASE WHEN regexp_matches(para_fix, '^\[.*\]$')
         |  THEN string_split_regex(substr(para_fix, 3, length(para_fix) - 4), '", "|","')
-        |  ELSE NULL END AS paras
+        |  ELSE NULL END, ',') AS paras
         |FROM repaired ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f6_props_json" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n
@@ -463,9 +465,9 @@ object QueriesExt {
          | round(sum(em) * 1.0 / count(*), 4) AS avg_em,
          | round(sum(f1s) * 1.0 / count(*) / 10000.0, 4) AS avg_f1,
          | round(sum(relaxed) * 1.0 / count(*), 4) AS avg_relaxed,
-         | sum(pred_na * gold_na) AS tp,
-         | sum(pred_na * (1 - gold_na)) AS fp,
-         | sum((1 - pred_na) * gold_na) AS fn
+         | CAST(sum(pred_na * gold_na) AS BIGINT) AS tp,
+         | CAST(sum(pred_na * (1 - gold_na)) AS BIGINT) AS fp,
+         | CAST(sum((1 - pred_na) * gold_na) AS BIGINT) AS fn
          |FROM m GROUP BY source ORDER BY source""".stripMargin
     },
     "m5_det_split" ->

@@ -88,10 +88,12 @@ object QueriesScale {
       val toks = filter(split(col("text"), " "), t => t =!= "")
       val ans  = element_at(toks, 4)
       val par  = concat(col("text"), lit(" 2016 in 2016, total 16"))
+      // outputs stringified (array_join): the driver's pandas compare can't
+      // sort array cells — scalar columns keep the row hashable on both engines
       docs(s, dir)
         .select(col("doc_id"), ans.as("answer"),
-          AnswerStart.find_answer_start(ans, col("text")).as("starts"),
-          AnswerStart.find_answer_start(lit("16"), par).as("starts_num"))
+          array_join(AnswerStart.find_answer_start(ans, col("text")).cast("array<string>"), ",").as("starts"),
+          array_join(AnswerStart.find_answer_start(lit("16"), par).cast("array<string>"), ",").as("starts_num"))
         .orderBy(col("doc_id"))
     }),
     "m7_answer_mining" -> ((s, dir) => {
@@ -311,15 +313,18 @@ object QueriesScale {
     "f3_answer_start" -> {
       val par = "(text || ' 2016 in 2016, total 16')"
       s"""SELECT doc_id, ${toksSql("text")}[4] AS answer,
-         | list_filter(range(0, length(text) - length(${toksSql("text")}[4]) + 1),
-         |  i -> substr(text, CAST(i + 1 AS INT), CAST(length(${toksSql("text")}[4]) AS INT)) = ${toksSql("text")}[4]) AS starts,
-         | list_sort(list_distinct(
+         | array_to_string(list_transform(
+         |  list_filter(range(0, length(text) - length(${toksSql("text")}[4]) + 1),
+         |   i -> substr(text, CAST(i + 1 AS INT), CAST(length(${toksSql("text")}[4]) AS INT)) = ${toksSql("text")}[4]),
+         |  z -> CAST(z AS VARCHAR)), ',') AS starts,
+         | array_to_string(list_transform(list_sort(list_distinct(
          |  list_transform(list_filter(range(0, length($par) - 2),
          |   j -> NOT regexp_matches(substr($par, CAST(j + 1 AS INT), 1), '[0-9]')
          |    AND substr($par, CAST(j + 2 AS INT), 2) = '16'), j -> j + 1)
          |  || list_filter(range(0, length($par) - 2),
          |   j -> substr($par, CAST(j + 1 AS INT), 2) = '16'
-         |    AND NOT regexp_matches(substr($par, CAST(j + 3 AS INT), 1), '[0-9]')))) AS starts_num
+         |    AND NOT regexp_matches(substr($par, CAST(j + 3 AS INT), 1), '[0-9]')))),
+         |  z -> CAST(z AS VARCHAR)), ',') AS starts_num
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "m7_answer_mining" ->
@@ -355,7 +360,7 @@ object QueriesScale {
         |ORDER BY user_id, event_type, value""".stripMargin,
     "s9_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events,
-        | sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_media_features" -> {

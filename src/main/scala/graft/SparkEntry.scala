@@ -371,9 +371,9 @@ object SparkEntry {
         |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS label
         | FROM events)
         |SELECT event_type,
-        | sum(pred * label) AS tp,
-        | sum(pred * (1 - label)) AS fp,
-        | sum((1 - pred) * label) AS fn,
+        | CAST(sum(pred * label) AS BIGINT) AS tp,
+        | CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+        | CAST(sum((1 - pred) * label) AS BIGINT) AS fn,
         | round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 4) AS accuracy,
         | round(sum(pred * label) * 1.0 / greatest(sum(pred * label) + sum(pred * (1 - label)), 1), 4) AS precision,
         | round(sum(pred * label) * 1.0 / greatest(sum(pred * label) + sum((1 - pred) * label), 1), 4) AS recall
