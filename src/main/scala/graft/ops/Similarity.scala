@@ -83,16 +83,7 @@ object Similarity {
       c.orderBy(col("neighbor_id")).limit(nCells)
         .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid"))
     )
-    // Assign each corpus vector to its nearest centroid (one scan).
-    // Argmax via max_by on an ordering struct (cdist desc, cell_id
-    // asc): a partial-aggregable groupBy, not a window — the corpus
-    // never gets sorted, only a skinny (id → cell) shuffle.
-    val assigned = c.join(centroids)
-      .withColumn("cdist", cosine(col("cv"), col("centroid")))
-      .groupBy(col("neighbor_id"))
-      .agg(
-        max_by(col("cell_id"), struct(col("cdist"), -col("cell_id"))).as("cell_id"),
-        first(col("cv")).as("cv"))
+    val assigned = ivfAssign(c, centroids)
     // Each query probes its nProbe nearest cells.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
@@ -107,5 +98,45 @@ object Similarity {
         round(cosine(col("cv"), col("qv")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Assign each corpus vector to its nearest centroid with ZERO
+    * corpus-side shuffle: the centroid set is collapsed into a
+    * single-row broadcast array (sorted by cell_id) and the argmax
+    * over cells runs per row inside codegen via `aggregate`. The
+    * corpus is never exploded ×nCells nor re-grouped — the
+    * join+groupBy(neighbor_id) alternative shuffles every corpus row
+    * (vector included) on a unique key, a full-data shuffle at 100 TB
+    * that exists only to compute a per-row argmax.
+    *
+    * The row norm rides in the fold's accumulator — the init
+    * expression is evaluated once per row, so the norm is NOT
+    * recomputed per centroid (the lambda-capture trap documented on
+    * [[l2normalize]]). Strict `>` over centroids iterated in
+    * ascending cell_id order reproduces the (cosine DESC, cell_id
+    * ASC) argmax the oracle models with row_number.
+    */
+  private[graft] def ivfAssign(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = broadcast(
+      centroids
+        .withColumn("cnorm", norm(col("centroid")))
+        .agg(array_sort(collect_list(struct(
+          col("cell_id").cast("long").as("cell_id"),
+          col("centroid"),
+          col("cnorm")))).as("cents"))
+    )
+    c.crossJoin(centArr)
+      .withColumn("cell_id", aggregate(
+        col("cents"),
+        struct(lit(-2.0).as("score"), lit(Long.MaxValue).as("cell"), norm(col("cv")).as("vn")),
+        (acc, ct) => {
+          val cos = dot(col("cv"), ct.getField("centroid")) /
+            (acc.getField("vn") * ct.getField("cnorm"))
+          when(cos > acc.getField("score"),
+            struct(cos.as("score"), ct.getField("cell_id").as("cell"), acc.getField("vn").as("vn")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cell")))
+      .select(col("neighbor_id"), col("cv"), col("cell_id"))
   }
 }

@@ -28,6 +28,29 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfAssign shuffles nothing on the corpus side") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val centroids = broadcast(c.orderBy(col("neighbor_id")).limit(4)
+      .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid")))
+    val assigned = ops.Similarity.ivfAssign(c, centroids)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the only allowed Exchange is the SinglePartition one that folds
+    // the (tiny) centroid set into its broadcast array — the corpus
+    // path must be shuffle-free (no hashpartitioning anywhere)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle in ivfAssign:\n$plan")
+    // every corpus row keeps exactly one cell, and it is the argmax cell
+    assert(assigned.count() === c.count())
+    val viaJoin = c.crossJoin(centroids)
+      .withColumn("cdist", ops.Similarity.cosine(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell_id"), struct(col("cdist"), -col("cell_id"))).as("cell_id"))
+    val mismatches = assigned.select(col("neighbor_id"), col("cell_id"))
+      .except(viaJoin.select(col("neighbor_id"), col("cell_id").cast("long")))
+    assert(mismatches.count() === 0)
+  }
+
   test("salted join equals the plain join") {
     val li = GraftSession.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
