@@ -52,7 +52,9 @@ object QueriesScale {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- near-dup family (oracle-checked md5 flavors) ---------------------
     "x_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(plantedDocs(s, dir), "id", "text", w = 3, threshold = 0.5)
+      // dfCap=6 bites at sf0.01 (max shingle df is 8) so the cap path
+      // is live under the oracle, not just spec-covered
+      Dedup.jaccardPairs(plantedDocs(s, dir), "id", "text", w = 3, threshold = 0.5, dfCap = 6)
         .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairsMd5(plantedDocs(s, dir), "id", "text")
@@ -229,8 +231,10 @@ object QueriesScale {
       // list_intersect is O(n²·|sh|) and times out in DuckDB at sf0.1
       s"""WITH $CorpusSql,
          |$ShinglesSql,
-         |e AS (SELECT id, unnest(shs) AS s FROM sh),
-         |sizes AS (SELECT id, len(shs) AS n_sh FROM sh),
+         |e0 AS (SELECT id, unnest(shs) AS s FROM sh),
+         |hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 6),
+         |e AS (SELECT id, s FROM e0 ANTI JOIN hot USING (s)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM e GROUP BY id),
          |inter AS (
          | SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
          | FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),

@@ -60,15 +60,30 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle
     * index: explode distinct shingles → self-join on shingle (only
     * docs sharing a shingle ever meet) → intersection counts → Jaccard
-    * from |A|+|B|−|A∩B|. Candidate volume is Σ df(shingle)², which
-    * w-shingling keeps near-linear for natural text; the same plan at
-    * 100 TB just needs the shingle join bucketed. Returns
-    * (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4dp.
+    * from |A|+|B|−|A∩B|. Candidate volume is Σ df(shingle)², so a
+    * single hot shingle (boilerplate header, stopword run) with
+    * df=10⁶ would emit 10¹² candidate rows — `dfCap` drops shingles
+    * with document frequency above the cap from BOTH the index and
+    * the size counts (Jaccard is computed over the capped shingle
+    * space). High-df shingles carry no discriminative signal, so the
+    * recall cost is marginal; pairs that ONLY share boilerplate are
+    * the pairs a near-dup pass should not emit anyway. The hot list
+    * is tiny by construction (only shingles above the cap), so the
+    * anti-join broadcasts under AQE. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b, jaccard rounded to 4dp.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int, threshold: Double): DataFrame = {
-    val sh = df
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int, threshold: Double,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    val shAll = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
       .select(col("id"), explode(shinglesOf(col("ts"), w)).as("sh"))
+    val sh =
+      if (dfCap == Int.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select(col("sh"))
+        shAll.join(hot, Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -35,6 +35,32 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs === Array((1L, 2L)))
   }
 
+  test("jaccardPairs dfCap drops hot-shingle candidates, keeps true near-dups") {
+    // 40 unrelated docs that all share one boilerplate header (a hot
+    // shingle run), plus one true near-dup pair that shares real body
+    val boiler = "standard corporate disclaimer header text"
+    val hotDocs = (10L until 50L).map(i =>
+      (i, s"$boiler unique$i body$i words$i only$i here$i now$i"))
+    val pairDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+    val corpus = (hotDocs ++ pairDocs).toDF("id", "text")
+    // uncapped: the boilerplate alone pulls 40·39/2 = 780 candidate
+    // pairs through the join (none survive the threshold, but the
+    // candidate volume is the 100 TB killer)
+    val uncappedCand = Dedup.jaccardPairs(corpus, "id", "text", w = 3, threshold = 0.0)
+    assert(uncappedCand.count() >= 780)
+    // capped: hot shingles (df=40 > 8) leave the index entirely, so
+    // boilerplate-only pairs never become candidates at any threshold
+    val capped = Dedup.jaccardPairs(corpus, "id", "text", w = 3, threshold = 0.0, dfCap = 8)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs === Set((1L, 2L)))
+    // and the surviving pair is the true near-dup at full strength
+    val strong = Dedup.jaccardPairs(corpus, "id", "text", w = 3, threshold = 0.5, dfCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strong === Array((1L, 2L)))
+  }
+
   test("minhash est_jaccard approximates true jaccard for planted dup") {
     val out = Dedup.minhashLshPairsMd5(docs, "id", "text", w = 3, numHashes = 12, bands = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
