@@ -147,6 +147,36 @@ class ScorerPipelineSpec extends SparkSpecBase {
     assert(out.agg(min(col("prob"))).head().getDouble(0) >= 0.7)
   }
 
+  test("trained LogisticRelevanceScorer matches model.transform bit-for-bit and separates") {
+    import spark.implicits._
+    val q = "does the document mention the vector primitive"
+    val d = GraftSession.table(spark, sf, "documents")
+    val gold = when(array_contains(Dedup.tokens(col("text")), "vector"), 1.0).otherwise(0.0)
+    val labeled = d.select(concat(lit(q), lit(" "), col("text")).as("text"), gold.as("label"))
+    val model  = graft.ops.MlPipelines.trainRelevanceClassifier(labeled)
+    val scorer = graft.scorer.LogisticRelevanceScorer.fromModel(model)
+    // MLlib path: transform the combined text, take P(label=1)
+    val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    val viaMl = model.transform(
+        d.select(col("doc_id").as("key"), concat(lit(q), lit(" "), col("text")).as("text")))
+      .select(col("key"), p1(col("probability")).as("prob_ml"))
+    // Scorer-seam path on the same rows
+    val pairs = d.select(col("doc_id").as("key"), lit(q).as("text"), col("text").as("text_b"))
+    val viaSeam = Relevance.scoreRelevance(pairs, scorer, "key")
+      .select(col("key"), col("prob"))
+    val joined = viaMl.join(viaSeam, "key")
+      .select(abs(col("prob_ml") - col("prob")).as("diff"))
+    assert(joined.agg(max("diff")).head().getDouble(0) < 1e-9)
+    // the trained model actually learned the signal: marker docs score higher
+    val byGold = Relevance.scoreRelevance(
+        d.select(col("doc_id").as("key"), lit(q).as("text"), col("text").as("text_b"),
+          gold.as("gold")), scorer, "key")
+      .groupBy("gold").agg(avg("prob").as("p")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(byGold(1.0) > 0.9 && byGold(0.0) < 0.1,
+      s"model failed to separate: $byGold")
+  }
+
   test("kpi chain: top-k bound per (pdf, question), no-answer groups collapse") {
     val rel = Relevance.relevantPairs(pairs, new MockRelevanceScorer, "key", 0.7)
     val out = KpiPost.kpiChain(rel, new MockQaScorer(nBest = 2),
