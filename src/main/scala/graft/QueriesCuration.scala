@@ -1,7 +1,8 @@
 package graft
 
 import graft.GraftSession.table
-import graft.ops.Curation
+import graft.functions.DetHash
+import graft.ops.{Curation, Dedup, QaCuration}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,6 +51,50 @@ object QueriesCuration {
         .select(col("question"), col("context"), col("label"),
           col("kpi_id"), col("page"), col("source_file"), col("annotator"))
         .orderBy(col("question"), col("context"))
+    }),
+
+    // C2: the QA (SQuAD) curation chain end-to-end — answerable +
+    // extra-answerable mining + unanswerable-from-relevance + FARM
+    // shift + keep-first dedup (kpi_inference_curator.py:362-425).
+    // Annotations are fabricated from `documents` (source = pdf,
+    // doc_id/20 = 0-based page); every ann row of doc_id%5==0 answers
+    // with the paragraph's FIRST token so the FARM start==0 shift path
+    // is live under the oracle.
+    "c2_qa_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("source"), col("text"),
+        floor(col("doc_id") / 20).cast("long").as("page0"))
+      val toks = Dedup.tokens(col("text"))
+      val questions = kpiMapping(s).select(col("kpi_id"), col("question"))
+      val ann = base.filter(col("doc_id") < 30)
+        .select(
+          col("doc_id").as("tie"),
+          col("source").as("source_file"),
+          col("page0"),
+          (col("page0") + 1).as("src_page"),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("double").as("kpi_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0, element_at(toks, 1))
+            .otherwise(element_at(toks, 4)).as("answer"),
+          col("text").as("paragraph"))
+        .join(broadcast(questions), Seq("kpi_id"))
+      val cand = base.select(
+        col("source").as("source_file"), col("page0").as("cand_page"),
+        col("doc_id").as("tie"), col("text").as("paragraph"))
+      val pos   = QaCuration.answerable(ann)
+      val extra = QaCuration.extraAnswerable(ann.drop("tie"), cand, skipKpiIds = Seq(1.0))
+      val rel = base
+        .crossJoin(broadcast(questions.withColumn("q_idx", col("kpi_id").cast("long"))))
+        .withColumn("tie", col("doc_id") * 4 + col("q_idx"))
+        .filter(DetHash.detUnit(col("tie")) >= 0.7)
+        .select(col("source").as("pdf_name"), (col("page0") + 1).as("page_viewer"),
+          col("question").as("text"), col("text").as("text_b"), col("tie"))
+      val unans = QaCuration.unanswerable(rel,
+        ann.select(col("source_file"), col("src_page"), col("question"), col("answer")))
+      QaCuration.qaDataset(Seq(pos, extra, unans))
+        .select(col("source_file"), col("question"), col("paragraph"), col("answer"),
+          array_join(col("answer_start").cast("array<string>"), ",").as("starts"),
+          when(size(col("answer_start")) === 0, 1).otherwise(0).as("is_impossible"))
+        .orderBy(col("question"), col("paragraph"), col("answer"))
     })
   )
 
@@ -86,6 +131,64 @@ object QueriesCuration {
         | FROM pos)
         |SELECT question, context, label, kpi_id, page, source_file, annotator
         |FROM deduped WHERE rn = 1
-        |ORDER BY question, context""".stripMargin
+        |ORDER BY question, context""".stripMargin,
+    "c2_qa_curation" -> {
+      val u = DetHash.detUnitSql("b.doc_id * 4 + CAST(q.kpi_id AS BIGINT)")
+      def starts(par: String, ans: String) =
+        s"""list_filter(range(0, length($par) - length($ans) + 1),
+           |   i -> substr($par, CAST(i + 1 AS INT), CAST(length($ans) AS INT)) = $ans)""".stripMargin
+      s"""WITH base AS (SELECT doc_id, source, text, doc_id // 20 AS page0 FROM documents),
+         |q(kpi_id, question) AS (VALUES
+         | (CAST(1 AS DOUBLE), 'what is metric one?'),
+         | (CAST(2 AS DOUBLE), 'what is metric two?'),
+         | (CAST(3 AS DOUBLE), 'what is metric three?')),
+         |ann AS (
+         | SELECT b.doc_id AS tie, b.source AS source_file, b.page0, b.page0 + 1 AS src_page,
+         |  CAST(b.doc_id % 3 + 1 AS DOUBLE) AS kpi_id,
+         |  CASE WHEN b.doc_id % 5 = 0 THEN list_filter(string_split(b.text, ' '), x -> x <> '')[1]
+         |       ELSE list_filter(string_split(b.text, ' '), x -> x <> '')[4] END AS answer,
+         |  b.text AS paragraph, q.question
+         | FROM base b JOIN q ON CAST(b.doc_id % 3 + 1 AS DOUBLE) = q.kpi_id
+         | WHERE b.doc_id < 30),
+         |pos0 AS (SELECT *, ${starts("paragraph", "answer")} AS st FROM ann),
+         |pos AS (SELECT source_file, question,
+         |  CASE WHEN list_contains(st, 0) THEN ' ' || paragraph ELSE paragraph END AS paragraph,
+         |  answer,
+         |  CASE WHEN list_contains(st, 0) THEN list_transform(st, s -> s + 1) ELSE st END AS answer_start,
+         |  0 AS priority, tie
+         | FROM pos0 WHERE len(st) > 0),
+         |ex0 AS (SELECT a.source_file, a.question, c.text AS paragraph, a.answer, c.doc_id AS tie,
+         |  ${starts("c.text", "a.answer")} AS st
+         | FROM ann a JOIN base c ON a.source_file = c.source AND c.page0 <> a.page0
+         | WHERE a.kpi_id <> CAST(1 AS DOUBLE)),
+         |ex AS (SELECT source_file, question,
+         |  CASE WHEN list_contains(st, 0) THEN ' ' || paragraph ELSE paragraph END AS paragraph,
+         |  answer,
+         |  CASE WHEN list_contains(st, 0) THEN list_transform(st, s -> s + 1) ELSE st END AS answer_start,
+         |  1 AS priority, tie
+         | FROM ex0 WHERE len(st) > 0),
+         |rel AS (SELECT b.source AS pdf_name, b.page0 + 1 AS page_viewer,
+         |  q.question AS text, b.text AS text_b,
+         |  b.doc_id * 4 + CAST(q.kpi_id AS BIGINT) AS tie
+         | FROM base b CROSS JOIN q
+         | WHERE $u >= 0.7),
+         |unans AS (SELECT r.pdf_name AS source_file, r.text AS question, r.text_b AS paragraph,
+         |  '' AS answer, CAST([] AS BIGINT[]) AS answer_start, 2 AS priority, r.tie
+         | FROM rel r
+         | WHERE EXISTS (SELECT 1 FROM ann a WHERE a.source_file = r.pdf_name)
+         |  AND NOT EXISTS (SELECT 1 FROM ann a
+         |   WHERE a.source_file = r.pdf_name AND a.src_page = r.page_viewer)
+         |  AND NOT EXISTS (SELECT 1 FROM ann a
+         |   WHERE a.source_file = r.pdf_name AND a.question = r.text
+         |    AND strpos(r.text_b, a.answer) > 0)),
+         |uni AS (SELECT * FROM pos UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM unans),
+         |dd AS (SELECT *, row_number() OVER (
+         |  PARTITION BY answer, paragraph, question ORDER BY priority, tie) AS rn FROM uni)
+         |SELECT source_file, question, paragraph, answer,
+         | coalesce(array_to_string(list_transform(answer_start, z -> CAST(z AS VARCHAR)), ','), '') AS starts,
+         | CASE WHEN len(answer_start) = 0 THEN 1 ELSE 0 END AS is_impossible
+         |FROM dd WHERE rn = 1
+         |ORDER BY question, paragraph, answer""".stripMargin
+    }
   )
 }
