@@ -153,7 +153,8 @@ object QueriesScale {
         .orderBy(col("row_key"), col("context"))
     }),
 
-    // ---- F9 fuzzy scores (UDF; no SQL equivalent → rows-only check) -------
+    // ---- F9 fuzzy scores (UDF engine-side; oracle replicates InDel
+    // via a recursive-CTE DP — see oracleSql) ------------------------------
     "f9_fuzzy_scores" -> ((s, dir) => {
       import graft.functions.Fuzzy
       val a = docs(s, dir).filter(col("doc_id") < 30)
@@ -226,6 +227,81 @@ object QueriesScale {
     }.mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // F9: full SQL replication of the fuzzywuzzy scores. InDel distance
+    // (Levenshtein with substitution=2) is computed by a recursive-CTE
+    // DP that carries the DP row as a list and folds each character
+    // step with list_reduce; `ratio` applies the half-even rounding
+    // (round_even) the engine uses (Fuzzy.ratio/Math.rint),
+    // token_set_ratio runs the three sorted-token reconstructions
+    // through the same DP, and partial_ratio enumerates every
+    // equal-length window of the longer string as its own DP pair.
+    // array_to_string([]) is NULL in DuckDB → coalesce to ''.
+    "f9_fuzzy_scores" ->
+      """WITH RECURSIVE
+        |ab AS (
+        | SELECT a.doc_id, substr(a.text, 1, 60) AS sa, substr(b.text, 1, 60) AS sb
+        | FROM (SELECT doc_id, text FROM documents WHERE doc_id < 30) a
+        | JOIN (SELECT doc_id - 1 AS doc_id, text FROM documents) b USING (doc_id)),
+        |tok AS (
+        | SELECT doc_id,
+        |  list_distinct(list_filter(string_split_regex(trim(lower(regexp_replace(sa, '\W', ' ', 'g'))), '\s+'), t -> t <> '')) AS ta,
+        |  list_distinct(list_filter(string_split_regex(trim(lower(regexp_replace(sb, '\W', ' ', 'g'))), '\s+'), t -> t <> '')) AS tb
+        | FROM ab),
+        |tss AS (
+        | SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' '), '') AS t0,
+        |  trim(coalesce(array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' '), '') || ' ' ||
+        |       coalesce(array_to_string(list_sort(list_filter(ta, t -> NOT list_contains(tb, t))), ' '), '')) AS t1,
+        |  trim(coalesce(array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' '), '') || ' ' ||
+        |       coalesce(array_to_string(list_sort(list_filter(tb, t -> NOT list_contains(ta, t))), ' '), '')) AS t2
+        | FROM tok),
+        |pwin AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(substr(sa,1,20)) <= len(sb) THEN substr(sa,1,20) ELSE sb END AS s,
+        |  CASE WHEN len(substr(sa,1,20)) <= len(sb) THEN sb ELSE substr(sa,1,20) END AS l
+        | FROM ab),
+        |dpairs AS (
+        | SELECT 'r:' || doc_id AS uid, sa AS x, sb AS y FROM ab
+        | UNION ALL SELECT 'ts0:' || doc_id, t0, t1 FROM tss
+        | UNION ALL SELECT 'ts1:' || doc_id, t0, t2 FROM tss
+        | UNION ALL SELECT 'ts2:' || doc_id, t1, t2 FROM tss
+        | UNION ALL
+        | SELECT 'p:' || doc_id || ':' || wi, s, substr(l, CAST(wi AS INT) + 1, CAST(len(s) AS INT))
+        | FROM pwin, unnest(range(0, CAST(len(l) - len(s) AS BIGINT) + 1)) AS t(wi)
+        | WHERE len(s) > 0),
+        |dp AS (
+        | SELECT uid, x, y, 0::BIGINT AS i,
+        |        list_transform(range(0, CAST(len(y) AS BIGINT) + 1), z -> z) AS row
+        | FROM dpairs
+        | UNION ALL
+        | SELECT uid, x, y, i + 1,
+        |  list_reduce(
+        |   [[i + 1]] || list_transform(range(1, CAST(len(y) AS BIGINT) + 1), j -> [j]),
+        |   (acc, el) -> acc || [least(
+        |     row[CAST(el[1] AS INT) + 1] + 1,
+        |     acc[len(acc)] + 1,
+        |     row[CAST(el[1] AS INT)] +
+        |      CASE WHEN substr(x, CAST(i AS INT) + 1, 1) = substr(y, CAST(el[1] AS INT), 1)
+        |           THEN 0 ELSE 2 END)]
+        |  ) AS row
+        | FROM dp WHERE i < len(x)),
+        |scored AS (
+        | SELECT uid,
+        |  CASE WHEN len(x) + len(y) = 0 THEN 100
+        |       ELSE CAST(round_even(100.0 * (len(x) + len(y) - row[CAST(len(y) AS BIGINT) + 1])
+        |                            / (len(x) + len(y)), 0) AS INTEGER) END AS rt
+        | FROM dp WHERE i = len(x))
+        |SELECT a.doc_id,
+        | greatest(s0.rt, s1.rt, s2.rt) AS token_set_ratio,
+        | coalesce((SELECT max(sp.rt) FROM scored sp WHERE sp.uid LIKE 'p:' || a.doc_id || ':%'),
+        |          CASE WHEN len((SELECT l FROM pwin w WHERE w.doc_id = a.doc_id)) = 0 THEN 100 ELSE 0 END) AS partial_ratio,
+        | sr.rt AS ratio
+        |FROM ab a
+        |JOIN scored sr ON sr.uid = 'r:' || a.doc_id
+        |JOIN scored s0 ON s0.uid = 'ts0:' || a.doc_id
+        |JOIN scored s1 ON s1.uid = 'ts1:' || a.doc_id
+        |JOIN scored s2 ON s2.uid = 'ts2:' || a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "x_dedup_jaccard" ->
       // inverted-index formulation (same as the Spark plan): all-pairs
       // list_intersect is O(n²·|sh|) and times out in DuckDB at sf0.1
