@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftSession.table
 import graft.functions.DetHash
-import graft.ops.{Curation, Dedup, QaCuration}
+import graft.ops.{Curation, Dedup, QaCuration, TableCuration}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -95,6 +95,44 @@ object QueriesCuration {
           array_join(col("answer_start").cast("array<string>"), ",").as("starts"),
           when(size(col("answer_start")) === 0, 1).otherwise(0).as("is_impossible"))
         .orderBy(col("question"), col("paragraph"), col("answer"))
+    }),
+
+    // C3: the TABLE curation chain (table_curator.py:94-191) —
+    // filename→(pdf, page) meta parse, per-page fuzzy argmax positive
+    // (native token_set_ratio), same-pdf + pooled cross-pdf negative
+    // sampling. Tables are fabricated 3-per-(source, page s%2) slot so
+    // the argmax has real competition and page (1 - s%2) is empty
+    // (the reference's skip-the-page path); annotations exercise the
+    // data_type filter (doc_id%7), company exclusion (CMP3), the
+    // invalid-kpi drop (kpi 4), and the F7 pdf-name fix.
+    "c3_table_curation" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val d = docs(s, dir)
+      // % 11 knockout starves some pdfs below the neg ratio so the
+      // pooled cross-pdf top-up path is live under the oracle
+      val tables = d.filter(col("doc_id") < 60 && pmod(col("doc_id"), lit(11)) =!= 0).select(
+        concat(col("source"), lit("_page"), pmod(col("doc_id"), lit(2)),
+          lit("_"), col("doc_id"), lit(".csv")).as("table_filename"),
+        substring(col("text"), 1, 80).as("table_text"))
+      val annRaw = d.filter(col("doc_id") < 24).select(
+        col("doc_id").as("row_key"),
+        concat(lit("CMP"), pmod(col("doc_id"), lit(5))).as("company"),
+        col("source").as("source_file"),
+        (lit(2015) + pmod(col("doc_id"), lit(4))).as("year"),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("double").as("kpi_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("TEXT")).otherwise(lit("TABLE")).as("data_type"),
+        substring(col("text"), 11, 30).as("answer"),
+        array(lit(0), lit(1)).as("pages"))
+      val ann = annRaw
+        .filter(col("data_type") === "TABLE" && !col("company").isin("CMP3"))
+        .join(broadcast(kpiMapping(s).select(col("kpi_id"), col("question"))), Seq("kpi_id"))
+        .withColumn("source_file", TextFns.fixPdfName(col("source_file")))
+      TableCuration.dataset(ann, tables,
+          (t, a) => call_function("token_set_ratio", t, a), negPosRatio = 2, poolSize = 12)
+        .select(col("company"), col("year"), col("question"),
+          coalesce(col("answer"), lit("")).as("answer"), col("table_filename"), col("label"))
+        .orderBy(col("company"), col("year"), col("question"), col("label"),
+          col("table_filename"), col("answer"))
     })
   )
 
@@ -189,6 +227,124 @@ object QueriesCuration {
          | CASE WHEN len(answer_start) = 0 THEN 1 ELSE 0 END AS is_impossible
          |FROM dd WHERE rn = 1
          |ORDER BY question, paragraph, answer""".stripMargin
-    }
+    },
+    // C3: same chain in DuckDB — token_set_ratio replicated with the
+    // f9 recursive-CTE InDel DP over the three sorted-token
+    // reconstructions of every (table, answer) candidate; md5-keyed
+    // sampling and the bounded pool mirror TableCuration exactly.
+    "c3_table_curation" ->
+      """WITH RECURSIVE
+        |tables0 AS (
+        | SELECT source || '_page' || (doc_id % 2) || '_' || doc_id || '.csv' AS table_filename,
+        |        substr(text, 1, 80) AS table_text
+        | FROM documents WHERE doc_id < 60 AND doc_id % 11 <> 0),
+        |meta AS (
+        | SELECT table_filename, table_text,
+        |        trim(regexp_extract(table_filename, '^(.*)_page', 1)) || '.pdf' AS pdf_name,
+        |        CAST(regexp_extract(table_filename, '_page([0-9]+)', 1) AS INT) AS page
+        | FROM tables0),
+        |q(kpi_id, question) AS (VALUES
+        | (CAST(1 AS DOUBLE), 'what is metric one?'),
+        | (CAST(2 AS DOUBLE), 'what is metric two?'),
+        | (CAST(3 AS DOUBLE), 'what is metric three?')),
+        |ann AS (
+        | SELECT d.doc_id AS row_key, 'CMP' || (d.doc_id % 5) AS company,
+        |        d.source || '.pdf' AS source_file, 2015 + d.doc_id % 4 AS year,
+        |        substr(d.text, 11, 30) AS answer, q.question
+        | FROM documents d JOIN q ON CAST(d.doc_id % 4 + 1 AS DOUBLE) = q.kpi_id
+        | WHERE d.doc_id < 24 AND d.doc_id % 7 <> 0 AND d.doc_id % 5 <> 3),
+        |pages AS (
+        | SELECT a.*, p.page_idx, p.page
+        | FROM ann a, (VALUES (0, 0), (1, 1)) p(page_idx, page)),
+        |cand AS (
+        | SELECT a.row_key, a.page_idx, a.company, a.year, a.question, a.answer,
+        |        a.source_file, m.table_filename, m.table_text
+        | FROM pages a JOIN meta m ON a.source_file = m.pdf_name AND a.page = m.page),
+        |tok AS (
+        | SELECT row_key, page_idx, table_filename,
+        |  list_distinct(list_filter(string_split_regex(trim(lower(regexp_replace(table_text, '\W', ' ', 'g'))), '\s+'), t -> t <> '')) AS ta,
+        |  list_distinct(list_filter(string_split_regex(trim(lower(regexp_replace(answer, '\W', ' ', 'g'))), '\s+'), t -> t <> '')) AS tb
+        | FROM cand),
+        |tss AS (
+        | SELECT row_key, page_idx, table_filename,
+        |  coalesce(array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' '), '') AS t0,
+        |  trim(coalesce(array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' '), '') || ' ' ||
+        |       coalesce(array_to_string(list_sort(list_filter(ta, t -> NOT list_contains(tb, t))), ' '), '')) AS t1,
+        |  trim(coalesce(array_to_string(list_sort(list_filter(ta, t -> list_contains(tb, t))), ' '), '') || ' ' ||
+        |       coalesce(array_to_string(list_sort(list_filter(tb, t -> NOT list_contains(ta, t))), ' '), '')) AS t2
+        | FROM tok),
+        |dpairs AS (
+        | SELECT row_key || ':' || page_idx || ':' || table_filename || ':0' AS uid, t0 AS x, t1 AS y FROM tss
+        | UNION ALL SELECT row_key || ':' || page_idx || ':' || table_filename || ':1', t0, t2 FROM tss
+        | UNION ALL SELECT row_key || ':' || page_idx || ':' || table_filename || ':2', t1, t2 FROM tss),
+        |dp AS (
+        | SELECT uid, x, y, 0::BIGINT AS i,
+        |        list_transform(range(0, CAST(len(y) AS BIGINT) + 1), z -> z) AS row
+        | FROM dpairs
+        | UNION ALL
+        | SELECT uid, x, y, i + 1,
+        |  list_reduce(
+        |   [[i + 1]] || list_transform(range(1, CAST(len(y) AS BIGINT) + 1), j -> [j]),
+        |   (acc, el) -> acc || [least(
+        |     row[CAST(el[1] AS INT) + 1] + 1,
+        |     acc[len(acc)] + 1,
+        |     row[CAST(el[1] AS INT)] +
+        |      CASE WHEN substr(x, CAST(i AS INT) + 1, 1) = substr(y, CAST(el[1] AS INT), 1)
+        |           THEN 0 ELSE 2 END)]
+        |  ) AS row
+        | FROM dp WHERE i < len(x)),
+        |scored AS (
+        | SELECT uid,
+        |  CASE WHEN len(x) + len(y) = 0 THEN 100
+        |       ELSE CAST(round_even(100.0 * (len(x) + len(y) - row[CAST(len(y) AS BIGINT) + 1])
+        |                            / (len(x) + len(y)), 0) AS INTEGER) END AS rt
+        | FROM dp WHERE i = len(x)),
+        |tsr AS (
+        | SELECT c.*, greatest(s0.rt, s1.rt, s2.rt) AS score
+        | FROM cand c
+        | JOIN scored s0 ON s0.uid = c.row_key || ':' || c.page_idx || ':' || c.table_filename || ':0'
+        | JOIN scored s1 ON s1.uid = c.row_key || ':' || c.page_idx || ':' || c.table_filename || ':1'
+        | JOIN scored s2 ON s2.uid = c.row_key || ':' || c.page_idx || ':' || c.table_filename || ':2'),
+        |pos AS (
+        | SELECT * FROM (
+        |  SELECT t.*, row_number() OVER (PARTITION BY row_key, page_idx
+        |                                 ORDER BY score DESC, table_filename) AS rn
+        |  FROM tsr t) WHERE rn = 1),
+        |rows_ AS (
+        | SELECT * FROM (
+        |  SELECT row_key, company, year, question, source_file, table_filename AS pos_filename,
+        |         row_number() OVER (PARTITION BY row_key ORDER BY page_idx) AS prn
+        |  FROM pos) WHERE prn = 1),
+        |same_ AS (
+        | SELECT * FROM (
+        |  SELECT r.row_key, r.company, r.year, r.question, m.table_filename,
+        |         row_number() OVER (PARTITION BY r.row_key
+        |                            ORDER BY md5(r.row_key || ':' || m.table_filename), m.table_filename) AS rn
+        |  FROM rows_ r JOIN meta m ON m.pdf_name = r.source_file AND m.table_filename <> r.pos_filename)
+        | WHERE rn <= 2),
+        |pool AS (
+        | SELECT table_filename AS pool_filename, pdf_name AS pool_pdf
+        | FROM meta ORDER BY md5('pool:' || table_filename), table_filename LIMIT 12),
+        |cnts AS (SELECT row_key, count(*) AS n_same FROM same_ GROUP BY row_key),
+        |short AS (
+        | SELECT r.*, coalesce(c.n_same, 0) AS n_same
+        | FROM rows_ r LEFT JOIN cnts c USING (row_key)
+        | WHERE coalesce(c.n_same, 0) < 2),
+        |extra AS (
+        | SELECT * FROM (
+        |  SELECT s.row_key, s.company, s.year, s.question, p.pool_filename AS table_filename, s.n_same,
+        |         row_number() OVER (PARTITION BY s.row_key
+        |                            ORDER BY md5(s.row_key || ':' || p.pool_filename), p.pool_filename) AS rn
+        |  FROM short s JOIN pool p ON p.pool_pdf <> s.source_file)
+        | WHERE rn <= 2 - n_same),
+        |unioned AS (
+        | SELECT company, year, question, answer, table_filename, CAST(1 AS INTEGER) AS label FROM pos
+        | UNION ALL
+        | SELECT company, year, question, NULL, table_filename, CAST(0 AS INTEGER) FROM same_
+        | UNION ALL
+        | SELECT company, year, question, NULL, table_filename, CAST(0 AS INTEGER) FROM extra)
+        |SELECT company, year, question, coalesce(answer, '') AS answer, table_filename, label
+        |FROM unioned
+        |ORDER BY company, year, question, label, table_filename, answer""".stripMargin
   )
 }
