@@ -70,19 +70,15 @@ object EventsStream {
       .start()
   }
 
-  /** Custom-state streaming: per-user running stats via
-    * `mapGroupsWithState` (the KeyValueGroupedDataset face of the
-    * engine — arbitrary state the built-in aggs can't express).
-    * With an AvailableNow run the final state per key equals the batch
-    * group-by, which is the oracle.
+  /** The mapGroupsWithState body shared by the memory-sink harness and
+    * the foreachBatch file sink — one definition so the two can't
+    * desynchronize.
     */
-  def streamUserStats(
+  private def userStatsStream(
       spark: SparkSession,
       dir: String,
       schema: StructType,
-      queryName: String,
-      globFilter: Option[String] = None
-  ): StreamingQuery = {
+      globFilter: Option[String]) = {
     import spark.implicits._
     val reader0 = spark.readStream.schema(schema)
     val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
@@ -103,12 +99,104 @@ object EventsStream {
           state.update(s)
           s
       }
+  }
+
+  /** Custom-state streaming: per-user running stats via
+    * `mapGroupsWithState` (the KeyValueGroupedDataset face of the
+    * engine — arbitrary state the built-in aggs can't express).
+    * With an AvailableNow run the final state per key equals the batch
+    * group-by, which is the oracle.
+    */
+  def streamUserStats(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      globFilter: Option[String] = None
+  ): StreamingQuery =
+    userStatsStream(spark, dir, schema, globFilter)
       .writeStream
       .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** PRODUCTION SCALE PATH for the windowed rollup: parquet file sink
+    * in APPEND mode. The memory-sink `streamWindowedCounts` above is
+    * the local verification harness only — complete mode
+    * re-materializes the whole result table on the driver every
+    * trigger, which is a driver bottleneck the moment the window
+    * cardinality grows. The file sink streams each finalized window
+    * out exactly once (the sink commit log makes re-runs idempotent)
+    * and never holds the result on the driver. Append-mode semantics:
+    * a window is emitted only once the watermark passes its end, so
+    * windows still open at end-of-stream stay in state until a later
+    * run's data advances the watermark — that is the exactly-once
+    * contract, not data loss.
+    */
+  def streamWindowedCountsToParquet(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      windowExpr: String = "1 hour",
+      watermark: String = "2 hours",
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val src     = prep(reader.parquet(dir))
+    windowedCounts(src.withWatermark("ts", watermark), windowExpr)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** PRODUCTION SCALE PATH for the custom-state stats: `foreachBatch`
+    * appends each micro-batch's updated rows tagged with the batch id.
+    * The sink is append-only (a retried batch writes the same rows
+    * under the same batch_id again, never corrupting earlier output);
+    * `latestUserStats` resolves each user to their highest-batch row,
+    * making the pair idempotent at read time without a transactional
+    * store.
+    */
+  def streamUserStatsToParquet(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      globFilter: Option[String] = None
+  ): StreamingQuery =
+    userStatsStream(spark, dir, schema, globFilter)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserStats], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Resolve the foreachBatch sink to the latest state per user:
+    * within a batch each user appears at most once, so the highest
+    * batch_id row IS the final state.
+    */
+  def latestUserStats(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "batch_id")
   }
 
   /** Streaming dedup-within-watermark: drop events whose

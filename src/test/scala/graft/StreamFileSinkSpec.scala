@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.{EventRow, EventsStream}
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The production file-sink streaming paths against their batch
+  * oracles: append-mode parquet for the windowed rollup (only
+  * finalized windows emitted), foreachBatch + latest-per-user for the
+  * custom-state stats.
+  */
+class StreamFileSinkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val BaseNs  = 1700000000L * 1000000000L
+  private val StepNs  = 120L * 1000000000L
+  private val N       = 200
+  private val HourMs  = 3600000L
+
+  private def writeEvents(dir: String): Unit =
+    (0 until N).map { i =>
+      EventRow(i.toLong, BaseNs + i.toLong * StepNs, (i % 7).toLong,
+        s"type${i % 3}", (i % 13) * 1.25, "{}")
+    }.toDF().write.mode("overwrite").parquet(dir)
+
+  test("parquet append sink emits exactly the finalized windows of the batch oracle") {
+    val src = Files.createTempDirectory("evsrc").toString
+    val out = Files.createTempDirectory("evout").toString
+    val ckp = Files.createTempDirectory("evckp").toString
+    writeEvents(src)
+    val schema = spark.read.parquet(src).schema
+    val q = EventsStream.streamWindowedCountsToParquet(
+      spark, src, schema, out, ckp, windowExpr = "1 hour", watermark = "1 hour",
+      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))))
+    q.awaitTermination()
+
+    // final watermark = max event time - 1h; append emits windows with end <= watermark
+    val maxMs = (BaseNs + (N - 1).toLong * StepNs) / 1000000L
+    val wmMs  = maxMs - HourMs
+    val batch = EventsStream.windowedCounts(
+        spark.read.parquet(src).withColumn("ts", GraftSession.nanosToTs(col("ts"))))
+      .withColumn("end_ms",
+        (unix_timestamp(to_timestamp(col("window_start"))) * 1000 + HourMs))
+    val expected = batch.filter(col("end_ms") <= wmMs).drop("end_ms")
+    val open     = batch.filter(col("end_ms") > wmMs).count()
+    assert(open > 0, "test must leave at least one unfinalized window")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(rows(spark.read.parquet(out)) === rows(expected))
+  }
+
+  test("foreachBatch sink + latestUserStats equals the batch per-user aggregation") {
+    val src = Files.createTempDirectory("evsrc2").toString
+    val out = Files.createTempDirectory("evout2").toString
+    val ckp = Files.createTempDirectory("evckp2").toString
+    writeEvents(src)
+    val schema = spark.read.parquet(src).schema
+    val q = EventsStream.streamUserStatsToParquet(spark, src, schema, out, ckp)
+    q.awaitTermination()
+
+    val got = EventsStream.latestUserStats(spark, out)
+      .select("user_id", "n_events", "sum_cents", "first_ts_us", "last_ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val exp = spark.read.parquet(src)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        min(col("ts") / 1000).cast("long").as("first_ts_us"),
+        max(col("ts") / 1000).cast("long").as("last_ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got === exp)
+  }
+}
