@@ -237,6 +237,31 @@ object SparkEntry {
       reg(s, dir).crossJoin(nat(s, dir))
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))),
+    // J4: the metric-table join (time-anlysis.ipynb cell 4) — two
+    // renamed per-pdf benchmark frames LEFT-joined on pdf_name, plus
+    // the notebook's targeted bad-cell fix (cell 6: pages := 1 for one
+    // pdf). Inference times are exact decimal sums so the join output
+    // hashes identically cross-engine.
+    "j4_metric_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rel = d.groupBy(col("source").as("pdf_name")).agg(
+        (max(col("doc_id")) % 40 + 1).as("pages"),
+        count(lit(1)).as("rel_data_points"),
+        (sum(col("n_chars")).cast("decimal(18,3)") / 1000).cast("decimal(18,3)")
+          .as("rel_inference_time"))
+      val kpi = d.filter(col("doc_id") % 3 === 0)
+        .groupBy(col("source").as("pdf_name")).agg(
+          count(lit(1)).as("kpi_data_points"),
+          (sum(col("n_chars")).cast("decimal(18,3)") / 500).cast("decimal(18,3)")
+            .as("kpi_inference_time"))
+      rel.join(kpi, Seq("pdf_name"), "left")
+        .withColumn("pages", when(col("pdf_name") === "src0", 1).otherwise(col("pages")))
+        .withColumn("rel_points_per_sec",
+          round(col("rel_data_points") / col("rel_inference_time").cast("double"), 2))
+        .withColumn("rel_inference_time", col("rel_inference_time").cast("double"))
+        .withColumn("kpi_inference_time", col("kpi_inference_time").cast("double"))
+        .orderBy(col("pdf_name"))
+    }),
     "j6_semi_join" -> ((s, dir) => {
       val o = ord(s, dir).filter(col("o_totalprice") > 100000)
       cust(s, dir)
@@ -334,6 +359,24 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a1_count_groupby" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    "j4_metric_join" ->
+      """WITH rel AS (
+        | SELECT source AS pdf_name, max(doc_id) % 40 + 1 AS pages, count(*) AS rel_data_points,
+        |  CAST(CAST(sum(n_chars) AS DECIMAL(18,3)) / 1000 AS DECIMAL(18,3)) AS rel_inference_time
+        | FROM documents GROUP BY source),
+        |kpi AS (
+        | SELECT source AS pdf_name, count(*) AS kpi_data_points,
+        |  CAST(CAST(sum(n_chars) AS DECIMAL(18,3)) / 500 AS DECIMAL(18,3)) AS kpi_inference_time
+        | FROM documents WHERE doc_id % 3 = 0 GROUP BY source)
+        |SELECT r.pdf_name,
+        | CASE WHEN r.pdf_name = 'src0' THEN 1 ELSE r.pages END AS pages,
+        | r.rel_data_points,
+        | CAST(r.rel_inference_time AS DOUBLE) AS rel_inference_time,
+        | k.kpi_data_points,
+        | CAST(k.kpi_inference_time AS DOUBLE) AS kpi_inference_time,
+        | round(r.rel_data_points / CAST(r.rel_inference_time AS DOUBLE), 2) AS rel_points_per_sec
+        |FROM rel r LEFT JOIN kpi k USING (pdf_name)
+        |ORDER BY pdf_name""".stripMargin,
     "a3_avg_groupby" ->
       "SELECT c_mktsegment, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_bal, count(*) AS n FROM customer GROUP BY 1 ORDER BY 1",
     "a5_topk_per_group" ->
