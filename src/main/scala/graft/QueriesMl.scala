@@ -1,8 +1,8 @@
 package graft
 
 import graft.GraftSession.table
-import graft.ops.{Dedup, MlPipelines, Relevance}
-import graft.scorer.LogisticRelevanceScorer
+import graft.ops.{Dedup, KpiPost, MlPipelines, Relevance}
+import graft.scorer.{LogisticQaScorer, LogisticRelevanceScorer}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,6 +44,42 @@ object QueriesMl {
         .withColumn("key", col("doc_id"))
       Relevance.scoreRelevance(pairs, scorer, "key")
         .withColumn("pred", when(col("prob") >= 0.5, 1L).otherwise(0L))
+        .groupBy("gold")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy("gold")
+    }),
+
+    // M2 with a *trained* span ranker through the QaScorer seam: the
+    // classical extractive-QA baseline — token n-gram candidate spans
+    // ranked by the logistic head trained on (question ⊕ span) pairs
+    // labeled by whether the span carries the asked-about token. The
+    // KpiPost melt consumes the trained n-best output unchanged
+    // (reference: text_kpi_infer.py:180-232). Rows-only: learned
+    // coefficients are not expressible as static SQL.
+    "m2_qa_trained" -> ((s, dir) => {
+      val d    = table(s, dir, "documents")
+      val toks = Dedup.tokens(col("text"))
+      // training set: every 3-gram span of the first 150 docs, labeled
+      // by containing the asked-about token
+      val spans = d.filter(col("doc_id") < 150).select(
+          explode(transform(
+            sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+            i => array_join(slice(toks, i, lit(3)), " "))).as("span"))
+      val labeled = spans.select(
+        concat(lit(Question), lit(" "), col("span")).as("text"),
+        when(col("span").contains("vector"), 1.0).otherwise(0.0).as("label"))
+      val model  = MlPipelines.trainRelevanceClassifier(labeled)
+      val qa     = new LogisticQaScorer(LogisticRelevanceScorer.fromModel(model), nBest = 2)
+      val pairs = d.select(
+        col("doc_id").as("key"),
+        lit(Question).as("text"),
+        col("text").as("text_b"),
+        when(array_contains(toks, "vector"), 1L).otherwise(0L).as("gold"))
+      KpiPost.explodeRanks(KpiPost.scoreQa(pairs, qa, "key"))
+        .filter(col("rank_num") === 1)
+        .withColumn("pred", when(col("answer").contains("vector"), 1L).otherwise(0L))
         .groupBy("gold")
         .agg(
           count(lit(1)).as("n"),

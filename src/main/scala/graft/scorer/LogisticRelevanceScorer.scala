@@ -47,17 +47,23 @@ final class LogisticRelevanceScorer private (
     toks.filter(_.length >= minTokenLength)
   }
 
+  /** P(positive) for one (question, text) pair — the single scoring
+    * path shared by the batch iterator and [[LogisticQaScorer]]'s
+    * span ranking.
+    */
+  def score(question: String, text: String): Double = {
+    val toks = tokensOf(question + combineSep + text)
+    val buckets =
+      if (binary) toks.map(hashingTF.indexOf(_: Any)).distinct
+      else toks.map(hashingTF.indexOf(_: Any))
+    var margin = intercept
+    var i      = 0
+    while (i < buckets.length) { margin += coefficients(buckets(i)); i += 1 }
+    1.0 / (1.0 + math.exp(-margin))
+  }
+
   def scoreBatch(batch: Iterator[(Long, String, String)]): Iterator[(Long, Double)] =
-    batch.map { case (key, question, paragraph) =>
-      val toks = tokensOf(question + combineSep + paragraph)
-      val buckets =
-        if (binary) toks.map(hashingTF.indexOf(_: Any)).distinct
-        else toks.map(hashingTF.indexOf(_: Any))
-      var margin = intercept
-      var i      = 0
-      while (i < buckets.length) { margin += coefficients(buckets(i)); i += 1 }
-      (key, 1.0 / (1.0 + math.exp(-margin)))
-    }
+    batch.map { case (key, question, paragraph) => (key, score(question, paragraph)) }
 }
 
 object LogisticRelevanceScorer {

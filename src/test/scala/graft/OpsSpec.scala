@@ -177,6 +177,39 @@ class ScorerPipelineSpec extends SparkSpecBase {
       s"model failed to separate: $byGold")
   }
 
+  test("trained LogisticQaScorer ranks the marked span first with model-parity scores") {
+    import spark.implicits._
+    val q    = "does the document mention the vector primitive"
+    val d    = GraftSession.table(spark, sf, "documents")
+    val toks = Dedup.tokens(col("text"))
+    val spans = d.filter(col("doc_id") < 150).select(
+      explode(transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => array_join(slice(toks, i, lit(3)), " "))).as("span"))
+    val labeled = spans.select(
+      concat(lit(q), lit(" "), col("span")).as("text"),
+      when(col("span").contains("vector"), 1.0).otherwise(0.0).as("label"))
+    val model = graft.ops.MlPipelines.trainRelevanceClassifier(labeled)
+    val qa = new graft.scorer.LogisticQaScorer(
+      graft.scorer.LogisticRelevanceScorer.fromModel(model), nBest = 2)
+
+    val ctx = "alpha beta vector gamma delta"
+    val (_, cands) = qa.scoreBatch(Iterator((7L, q, ctx))).next()
+    assert(cands.length === 2 && cands.map(_.rank) === Seq(1, 2))
+    // the trained ranker puts a vector-carrying span on top
+    assert(cands.head.answer.contains("vector"))
+    assert(cands.head.noAnsScore === 1.0 - cands.head.score)
+    // candidate score parity with the MLlib transform path
+    val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    val viaMl = model.transform(Seq(q + " " + cands.head.answer).toDF("text"))
+      .select(p1(col("probability"))).head().getDouble(0)
+    assert(math.abs(viaMl - cands.head.score) < 1e-9)
+    // a context without the token scores low on top-1
+    val (_, neg) = qa.scoreBatch(Iterator((8L, q, "alpha beta gamma delta epsilon"))).next()
+    assert(neg.head.score < 0.5)
+    // deterministic across calls
+    assert(qa.scoreBatch(Iterator((7L, q, ctx))).next()._2 === cands)
+  }
+
   test("kpi chain: top-k bound per (pdf, question), no-answer groups collapse") {
     val rel = Relevance.relevantPairs(pairs, new MockRelevanceScorer, "key", 0.7)
     val out = KpiPost.kpiChain(rel, new MockQaScorer(nBest = 2),
