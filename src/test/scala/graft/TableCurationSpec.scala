@@ -56,6 +56,21 @@ class TableCurationSpec extends SparkSpecBase {
     assert(neg.filter(col("label") =!= 0 || col("answer").isNotNull).count() === 0)
   }
 
+  test("cross-pdf pool plans as a partial top-k, not a global sort or single-partition window") {
+    // repartition so the local relation can't constant-fold the limit
+    // away at planning — we want the distributed physical shape
+    val meta = TableCuration.tableMeta(tables.repartition(3))
+    val pos  = TableCuration.posExamples(ann, meta, Fuzzy.token_set_ratio)
+      .join(ann.select(col("row_key").as("k"), col("source_file")), col("row_key") === col("k"))
+      .drop("k")
+    // poolSize below the table count — a pool >= the input lets
+    // Catalyst elide the limit (and then the sort) entirely
+    val plan = TableCuration.negExamples(pos, meta, negPosRatio = 2, poolSize = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pool truncation should be a partial per-partition top-k:\n$plan")
+  }
+
   test("dataset emits the reference's columns with labeled pos+neg rows") {
     val out = TableCuration.dataset(ann, tables, Fuzzy.token_set_ratio,
       negPosRatio = 2, poolSize = 5)
