@@ -180,6 +180,17 @@ object QueriesScale {
     }),
 
     // ---- multimodal plumbing (stub codec, real schema/batching) -----------
+    "x_media_frames" -> ((s, dir) => {
+      // video→frames explode through the partition-batched stub codec:
+      // 4 chunks of 16 bytes, every 2nd kept with its original index
+      val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey", payloadLen = 64)
+      Multimodal.sampleFramesOp(media, frameSize = 16, everyNth = 2)
+        .select(col("media_id"), col("kind"), col("frame_idx"),
+          length(col("frame")).as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     "x_media_features" -> ((s, dir) => {
       // payloadLen 64 = one sha2 hex exactly (the oracle models 64 bytes)
       val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey", payloadLen = 64)
@@ -443,6 +454,17 @@ object QueriesScale {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_media_frames" ->
+      """WITH m AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+        | CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | sha256(CAST(n_nationkey AS VARCHAR)) AS payload
+        | FROM nation)
+        |SELECT media_id, kind, CAST(f.i AS INT) AS frame_idx,
+        | CAST(len(substr(payload, CAST(f.i * 16 + 1 AS INT), 16)) AS INT) AS frame_len,
+        | md5(substr(payload, CAST(f.i * 16 + 1 AS INT), 16)) AS frame_md5
+        |FROM m, unnest(range(0, 4)) f(i)
+        |WHERE f.i % 2 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "x_media_features" -> {
       val fCols = (0 until 8).map { d =>
         s"""round(CAST(CAST(list_sum(list_transform(range(0, 8),

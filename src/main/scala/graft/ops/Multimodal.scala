@@ -58,10 +58,14 @@ object Multimodal {
       java.util.Arrays.copyOf(if (bytes == null) Array.emptyByteArray else bytes, w * h)
 
     /** "Frame-sample": every nth chunk of `frameSize` bytes. */
-    def sampleFrames(bytes: Array[Byte], frameSize: Int, everyNth: Int): Seq[Array[Byte]] = {
+    def sampleFrames(bytes: Array[Byte], frameSize: Int, everyNth: Int): Seq[Array[Byte]] =
+      indexedFrames(bytes, frameSize, everyNth).map(_._2)
+
+    /** Same, keeping each frame's original chunk index. */
+    def indexedFrames(bytes: Array[Byte], frameSize: Int, everyNth: Int): Seq[(Int, Array[Byte])] = {
       if (bytes == null || frameSize <= 0) return Seq.empty
       bytes.grouped(frameSize).zipWithIndex
-        .collect { case (frame, idx) if idx % everyNth == 0 => frame }
+        .collect { case (frame, idx) if idx % everyNth == 0 => (idx, frame) }
         .toSeq
     }
   }
@@ -80,6 +84,56 @@ object Multimodal {
       .withColumn("meta", struct(
         lit(16).as("width"), lit(16).as("height"),
         lit(16000).as("sample_rate"), lit(8).as("n_frames")))
+
+  /** Partition-batched resize: rewrites `bytes` to the target
+    * dimensions and updates the metadata struct in place — the
+    * image-normalization step of a training-data pipeline. Cardinality
+    * is preserved; payload size becomes uniform, which is what makes
+    * downstream `maxPartitionBytes` sizing predictable.
+    */
+  def resizeMedia(media: DataFrame, w: Int, h: Int, chunkSize: Int = 64): DataFrame = {
+    val bIdx = media.schema.fieldIndex("bytes")
+    val mIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.map { r =>
+          val resized = FakeCodec.resize(r.getAs[Array[Byte]](bIdx), w, h)
+          val meta    = r.getAs[Row](mIdx)
+          val newMeta =
+            if (meta == null) Row(w, h, null, null)
+            else Row(w, h, meta.get(2), meta.get(3))
+          Row.fromSeq(r.toSeq.updated(bIdx, resized).updated(mIdx, newMeta))
+        }
+      }
+    }(Encoders.row(media.schema))
+  }
+
+  /** Partition-batched frame sampling: one output row per kept frame
+    * (media_id, kind, frame_idx, frame) — the video→frames explode of
+    * a training-data pipeline. Cardinality grows by ~n_frames/everyNth;
+    * the explode happens executor-side inside the batch, so no
+    * driver involvement and no shuffle.
+    */
+  def sampleFramesOp(media: DataFrame, frameSize: Int, everyNth: Int, chunkSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kIdx  = media.schema.fieldIndex("kind")
+    val bIdx  = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.flatMap { r =>
+          FakeCodec.indexedFrames(r.getAs[Array[Byte]](bIdx), frameSize, everyNth)
+            .map { case (idx, frame) =>
+              Row(r.getLong(idIdx), r.getString(kIdx), idx, frame)
+            }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Partition-batched feature extraction: adds `features
     * array<float>` via the stub codec. Real schema, real batching —

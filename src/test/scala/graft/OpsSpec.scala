@@ -271,4 +271,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats.length === 8)
     assert(out.count() === 25)
   }
+
+  test("resizeMedia normalizes payload size and rewrites width/height metadata") {
+    val media = Multimodal.syntheticMedia(
+      GraftSession.table(spark, sf, "nation"), "n_nationkey", payloadLen = 64)
+    val out = Multimodal.resizeMedia(media, w = 4, h = 8)
+    assert(out.schema === media.schema)
+    val lens = out.select(length(col("bytes"))).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq === Seq(32))
+    val meta = out.select(col("meta.width"), col("meta.height"), col("meta.sample_rate")).head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) === ((4, 8, 16000)))
+  }
+
+  test("sampleFramesOp explodes to kept frames with original indices") {
+    val media = Multimodal.syntheticMedia(
+      GraftSession.table(spark, sf, "nation"), "n_nationkey", payloadLen = 64)
+    val out = Multimodal.sampleFramesOp(media, frameSize = 16, everyNth = 2)
+    // 4 chunks per payload, every 2nd kept → frames 0 and 2 for all 25 rows
+    assert(out.count() === 50)
+    val idxs = out.select("frame_idx").distinct().collect().map(_.getInt(0)).sorted
+    assert(idxs.toSeq === Seq(0, 2))
+    assert(out.select(length(col("frame"))).distinct().head().getInt(0) === 16)
+    // frame content is the corresponding payload slice
+    val row = out.filter(col("media_id") === 1 && col("frame_idx") === 2)
+      .select(col("frame").cast("string")).head().getString(0)
+    val payload = media.filter(col("media_id") === 1)
+      .select(col("bytes").cast("string")).head().getString(0)
+    assert(row === payload.substring(32, 48))
+  }
 }
