@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftSession.table
 import graft.functions.AnswerStart
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity}
 import graft.streaming.EventsStream
 
 import java.util.concurrent.atomic.AtomicInteger
@@ -180,6 +180,29 @@ object QueriesScale {
     }),
 
     // ---- multimodal plumbing (stub codec, real schema/batching) -----------
+    // ---- corpus curation: quality filter, mixture sampling, sessions ------
+    "x_quality_filter" -> ((s, dir) =>
+      CorpusOps.gopherFilter(docs(s, dir), "text",
+          minTokens = 20, maxTokens = 80, minStopwordHits = 1)
+        .select(col("doc_id"), col("keep").cast("int").as("keep"), col("drop_reason"))
+        .orderBy(col("doc_id"))),
+
+    "x_sample_stratified" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 0.1, "src1" -> 0.5), defaultRate = 0.9)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))),
+
+    "x_sessionize" -> ((s, dir) =>
+      // µs domain on both engines: DuckDB truncates TIMESTAMP(NANOS)
+      // to micros, so nanos can't hash-match; `div` keeps the floor
+      // division integral (a double division would lose precision at
+      // 1.7e18 epoch-nanos)
+      CorpusOps.sessionize(
+          table(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", gap = 3600L * 1000000L)
+        .orderBy(col("user_id"), col("session_id"))),
+
     "x_media_frames" -> ((s, dir) => {
       // video→frames explode through the partition-batched stub codec:
       // 4 chunks of 16 bytes, every 2nd kept with its original index
@@ -454,6 +477,50 @@ object QueriesScale {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_quality_filter" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS ntoks,
+        |  CAST(len(text) AS DOUBLE) AS nchars,
+        |  CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS symbol,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in'], x))) AS stop_hits
+        | FROM t),
+        |r AS (
+        | SELECT doc_id,
+        |  CASE
+        |   WHEN ntoks < 20 THEN 'too_few_tokens'
+        |   WHEN ntoks > 80 THEN 'too_many_tokens'
+        |   WHEN (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) < 3.0 THEN 'mean_word_len_low'
+        |   WHEN (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) > 10.0 THEN 'mean_word_len_high'
+        |   WHEN (CASE WHEN nchars > 0 THEN symbol / nchars ELSE 0 END) > 0.1 THEN 'symbol_ratio'
+        |   WHEN stop_hits < 1 THEN 'no_stopwords'
+        |   ELSE '' END AS drop_reason
+        | FROM m)
+        |SELECT doc_id, CAST(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END AS INT) AS keep, drop_reason
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "x_sample_stratified" ->
+      s"""SELECT source, count(*) AS n_kept
+         |FROM documents
+         |WHERE ${graft.functions.DetHash.detUnitSql("doc_id")} <
+         | CASE WHEN source = 'src0' THEN 0.1 WHEN source = 'src1' THEN 0.5 ELSE 0.9 END
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "x_sessionize" ->
+      // µs domain (epoch_us): DuckDB truncates the parquet
+      // TIMESTAMP(NANOS) to microsecond precision
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |f AS (SELECT user_id, tsu,
+        | CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 3600000000 THEN 1 ELSE 0 END AS newf
+        | FROM e),
+        |g AS (SELECT user_id, tsu,
+        | sum(newf) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | min(tsu) AS session_start, max(tsu) AS session_end
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_media_frames" ->
       """WITH m AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id,
         | CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.CorpusOps
+
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("gopherFilter assigns the first failing rule and keeps clean rows") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the dog and more words here now"), // clean
+      (2L, "short text"),                                                  // too few tokens
+      (3L, "the " + Seq.fill(300)("word").mkString(" ")),                  // too many tokens
+      (4L, "the aa bb cc dd ee ff gg hh ii jj kk"),                        // mean word len low
+      (5L, "### $$$ %%% ^^^ &&& *** the !!! ((( ))) ___x")                 // symbol ratio
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.gopherFilter(docs, "text",
+        minTokens = 5, maxTokens = 100, minStopwordHits = 1)
+      .select("doc_id", "keep", "drop_reason").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(out === Array(
+      (1L, true, ""),
+      (2L, false, "too_few_tokens"),
+      (3L, false, "too_many_tokens"),
+      (4L, false, "mean_word_len_low"),
+      (5L, false, "symbol_ratio")))
+  }
+
+  test("stratifiedSample is deterministic, partition-independent, and rate-shaped") {
+    val df = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("k", "stratum")
+    val rates = Map("s0" -> 0.05, "s1" -> 0.5)
+    val a = CorpusOps.stratifiedSample(df, "k", "stratum", rates, defaultRate = 0.95)
+    val b = CorpusOps.stratifiedSample(df.repartition(13), "k", "stratum", rates, defaultRate = 0.95)
+    assert(a.select("k").collect().map(_.getLong(0)).sorted ===
+      b.select("k").collect().map(_.getLong(0)).sorted)
+    val byStratum = a.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("s0") < 60)                            // ~25 of 500
+    assert(byStratum("s1") > 180 && byStratum("s1") < 320)  // ~250 of 500
+    assert(byStratum("s2") > 420)                           // ~475 of 500
+  }
+
+  test("sessionize splits on gaps and is stable under event-order ties") {
+    val h = 3600L * 1000000000L // one hour in nanos
+    val events = Seq(
+      (1L, 0L), (1L, h / 2), (1L, h / 2),          // session 0 (tie inside)
+      (1L, h * 3), (1L, h * 3 + 1),                // gap → session 1
+      (2L, 0L), (2L, h * 2), (2L, h * 4)           // user 2: 3 single-event sessions
+    ).toDF("user_id", "ts")
+    val out = CorpusOps.sessionize(events, "user_id", "ts", gap = h)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (1L, 0L, 3L, 0L, h / 2),
+      (1L, 1L, 2L, h * 3, h * 3 + 1),
+      (2L, 0L, 1L, 0L, 0L),
+      (2L, 1L, 1L, h * 2, h * 2),
+      (2L, 2L, 1L, h * 4, h * 4)))
+  }
+}
