@@ -76,6 +76,14 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "x_ann_ivf_refined" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKRefined(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nCells = 16, nProbe = 4, refineIters = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
     "x_dedup_minhash_fast" -> ((s, dir) =>
       Dedup.minhashLshPairs(plantedDocs(s, dir), "id", "text",
@@ -404,6 +412,42 @@ object QueriesScale {
     "x_ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT query_id, qv, cell_id FROM (
+         |  SELECT q.query_id, q.qv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM q CROSS JOIN cent) WHERE rn <= 4),
+         |scored AS (SELECT p.query_id, a.neighbor_id,
+         |  round(${cosSql("a.cv", "p.qv")}, 4) AS cosine
+         | FROM probes p JOIN assigned a USING (cell_id)
+         | WHERE p.query_id <> a.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         | FROM scored) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "x_ann_ivf_refined" ->
+      // refined centroids = per-cell per-dim exact DECIMAL sums cast to
+      // double (cosine is scale-invariant, so the sum is the mean
+      // direction with no division); list(... ORDER BY j) rebuilds the
+      // dim order
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |a0 AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, cent0.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent0.centroid")} DESC, cent0.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN cent0) WHERE rn = 1),
+         |sums AS (SELECT cell_id, j,
+         |  sum(CAST(CAST(cv[CAST(j AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS s
+         | FROM a0, unnest(range(1, CAST(len(cv) AS BIGINT) + 1)) t(j) GROUP BY 1, 2),
+         |cent AS (SELECT cell_id, list(CAST(s AS DOUBLE) ORDER BY j) AS centroid FROM sums GROUP BY 1),
          |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
          |  SELECT c.neighbor_id, c.cv, cent.cell_id,
          |   row_number() OVER (PARTITION BY c.neighbor_id

@@ -78,13 +78,73 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // Deterministic centroid sample: smallest nCells ids (stable, cheap).
-    val centroids = broadcast(
+    probeTopK(c, sampleCentroids(c, nCells), queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** IVF with `refineIters` k-means-style refinement passes before the
+    * final assignment: each pass re-centers every cell on the exact
+    * decimal SUM of its member vectors. Cosine is scale-invariant, so
+    * the unnormalized sum IS the mean direction — no division, and the
+    * decimal aggregation is exact and order-independent (a double mean
+    * would make the argmax partition-layout-dependent). Refined
+    * centroids track the data distribution instead of the id sample,
+    * recovering recall the arbitrary sample loses.
+    */
+  def ivfTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      refineIters: Int = 1
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var centroids = sampleCentroids(c, nCells)
+    (1 to refineIters).foreach { _ =>
+      centroids = refineCentroids(ivfAssign(c, centroids))
+    }
+    probeTopK(c, centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Deterministic centroid sample: smallest nCells ids — plans as a
+    * partial top-k (TakeOrderedAndProject), broadcastable.
+    */
+  private def sampleCentroids(c: DataFrame, nCells: Int): DataFrame =
+    broadcast(
       c.orderBy(col("neighbor_id")).limit(nCells)
-        .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid"))
-    )
+        .select(col("neighbor_id").as("cell_id"), col("cv").as("centroid")))
+
+  /** Per-(cell, dim) exact decimal sums, reassembled dim-ordered —
+    * map-side combinable, so the shuffle carries k×dim partials per
+    * partition, never vectors. Empty cells simply disappear (their
+    * members re-home to surviving cells on the next assignment).
+    */
+  private[graft] def refineCentroids(assigned: DataFrame): DataFrame =
+    broadcast(
+      assigned
+        .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(28,12)")).as("s"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s").cast("double")).as("centroid")))
+
+  /** The probe stage shared by the sampled and refined flavors: each
+    * query probes its nProbe nearest cells, scores only those cells'
+    * members, partial top-k per query.
+    */
+  private def probeTopK(
+      c: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
     val assigned = ivfAssign(c, centroids)
-    // Each query probes its nProbe nearest cells.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
     val probes = q.join(centroids)

@@ -124,6 +124,36 @@ class SimilaritySpec extends SparkSpecBase {
       .select("neighbor_id").head().getLong(0)
     assert(ivf === brute)
   }
+
+  test("refined IVF recall vs brute force is at least the sampled-centroid recall") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", 3)
+            .select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet).size
+    val sampled = hits(Similarity.ivfTopK(e, q, "vec_id", "embedding",
+      k = 3, nCells = 16, nProbe = 4))
+    val refined = hits(Similarity.ivfTopKRefined(e, q, "vec_id", "embedding",
+      k = 3, nCells = 16, nProbe = 4, refineIters = 1))
+    // one Lloyd pass is not guaranteed to dominate on a given query
+    // set — require high absolute recall and no collapse vs sampled
+    assert(refined >= 24, s"refined recall $refined/30 too low (sampled: $sampled)")
+    assert(refined >= sampled - 2, s"refined recall $refined collapsed vs sampled $sampled")
+  }
+
+  test("refined centroids are exact and repartition-stable") {
+    val e = GraftSession.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKRefined(df, q, "vec_id", "embedding", k = 3, refineIters = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(rows(e) === rows(e.repartition(17)))
+  }
 }
 
 class ScorerPipelineSpec extends SparkSpecBase {
