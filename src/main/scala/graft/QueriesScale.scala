@@ -201,6 +201,10 @@ object QueriesScale {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
 
+    "x_repetition" -> ((s, dir) =>
+      CorpusOps.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "x_sessionize" -> ((s, dir) =>
       // µs domain on both engines: DuckDB truncates TIMESTAMP(NANOS)
       // to micros, so nanos can't hash-match; `div` keeps the floor
@@ -552,6 +556,21 @@ object QueriesScale {
          |WHERE ${graft.functions.DetHash.detUnitSql("doc_id")} <
          | CASE WHEN source = 'src0' THEN 0.1 WHEN source = 'src1' THEN 0.5 ELSE 0.9 END
          |GROUP BY source ORDER BY source""".stripMargin,
+    "x_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) - 1 AS n_bigrams,
+        |  CASE WHEN len(toks) > 0
+        |   THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+        |   ELSE 0.0 END AS dup_token_ratio,
+        |  toks FROM t),
+        |e AS (SELECT doc_id, n_bigrams,
+        |  toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bigram
+        | FROM b, unnest(range(1, n_bigrams + 1)) u(i) WHERE n_bigrams > 0),
+        |c AS (SELECT doc_id, n_bigrams, bigram, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac
+        | FROM c GROUP BY doc_id, n_bigrams)
+        |SELECT b.doc_id, b.dup_token_ratio, coalesce(m.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
     "x_sessionize" ->
       // µs domain (epoch_us): DuckDB truncates the parquet
       // TIMESTAMP(NANOS) to microsecond precision

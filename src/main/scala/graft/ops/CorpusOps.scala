@@ -56,6 +56,43 @@ object CorpusOps {
       .drop("__toks")
   }
 
+  /** Repetition signals (the other half of the Gopher quality rules:
+    * duplicate-content fractions). `dup_token_ratio` = 1 − distinct/
+    * total tokens; `top_bigram_frac` = share of the most frequent
+    * bigram. The bigram mode is computed by explode + count + max —
+    * a map-side-combinable aggregation shuffling one row per distinct
+    * (doc, bigram) — NOT the per-row array-mode formulation, whose
+    * size(filter(...))-per-element inner loop is O(tokens²) per row
+    * and dies on long documents.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts    = filter(split(lower(col(textCol)), " "), x => x =!= "")
+    val withT = df.select(col(idCol), ts.as("__toks"))
+    val nTok  = size(col("__toks"))
+    val base = withT.select(
+      col(idCol),
+      col("__toks"),
+      when(nTok > 0,
+        round(lit(1.0) - size(array_distinct(col("__toks"))).cast("double") / nTok, 4))
+        .otherwise(lit(0.0)).as("dup_token_ratio"),
+      (nTok - 1).as("n_bigrams"))
+    val bigrams = base
+      .filter(col("n_bigrams") > 0)
+      .select(col(idCol), col("n_bigrams"),
+        explode(transform(sequence(lit(1), col("n_bigrams")),
+          i => concat_ws(" ", element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
+          .as("bigram"))
+    val top = bigrams
+      .groupBy(col(idCol), col("n_bigrams"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_bigrams")).agg(max(col("c")).as("top_c"))
+      .select(col(idCol).as("__id"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"))
+    base
+      .join(top, base(idCol) === col("__id"), "left")
+      .select(col(idCol), col("dup_token_ratio"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff the key's unit
     * hash falls under its stratum's rate — the mixture-control step of
     * a training-data pipeline (e.g. downsample a dominant source).

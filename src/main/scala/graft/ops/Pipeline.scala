@@ -52,6 +52,37 @@ object Pipeline {
     spark.sql(s"SELECT answer, COUNT(*) AS n FROM $outTable GROUP BY answer ORDER BY answer")
   }
 
+  /** §3.2 QA-curation product: curated examples → deterministic
+    * train/val split → one SQuAD v2 JSON file per split (the
+    * reference's train_kpi_extraction input,
+    * kpi_inference_curator.py:404-425 + the squad file hand-off).
+    * Example ids are xxhash64 of the natural key — stable across runs
+    * and partitionings, unlike the reference's positional index.
+    *
+    * The JSON envelope aggregates to a single row (squadJson), so the
+    * final write is one small text file per split — correct for the
+    * dim-scale training sets QA curation produces; a fact-scale corpus
+    * would shard `buildSquad` output by title instead of enveloping.
+    *
+    * Returns (train rows, val rows).
+    */
+  def runQaCuration(
+      spark: SparkSession,
+      dataset: DataFrame,
+      outDir: String,
+      valRatio: Double = 0.2
+  ): (Long, Long) = {
+    val withId = dataset.withColumn("id",
+      abs(xxhash64(col("source_file"), col("question"), col("paragraph"), col("answer"))))
+    val (train, valSet) = Curation.trainValSplit(withId, col("id"), valRatio)
+    def writeSplit(df: DataFrame, name: String): Long = {
+      Curation.squadJson(Curation.buildSquad(df))
+        .coalesce(1).write.mode("overwrite").text(s"$outDir/$name")
+      df.count()
+    }
+    (writeSplit(train, "train"), writeSplit(valSet, "val"))
+  }
+
   /** §3.3 warehouse publish: write a DataFrame as parquet at `path`
     * and register an external table over it (S7: demo1-create-tables
     * parquet + external DDL), with snakified column names.

@@ -27,6 +27,21 @@ class CorpusOpsSpec extends SparkSpecBase {
       (5L, false, "symbol_ratio")))
   }
 
+  test("repetitionSignals: dup-token ratio and top-bigram share") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),      // one token, one bigram repeated
+      (2L, "all words here differ"),    // no repetition
+      (3L, "one")                       // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out === Array(
+      (1L, 0.75, 1.0),    // 1 - 1/4 tokens distinct; "spam spam" = 3/3 bigrams
+      (2L, 0.0, 0.3333),  // all distinct; every bigram unique → top = 1/3
+      (3L, 0.0, 0.0)))    // single token: no bigrams
+  }
+
   test("stratifiedSample is deterministic, partition-independent, and rate-shaped") {
     val df = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("k", "stratum")
     val rates = Map("s0" -> 0.05, "s1" -> 0.5)

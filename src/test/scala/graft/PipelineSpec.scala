@@ -55,4 +55,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(spark.table("graft_test_pq").count() ===
       GraftSession.table(spark, sf, "customer").count())
   }
+
+  test("QA-curation product: split SQuAD files round-trip through the reader") {
+    import spark.implicits._
+    val d = GraftSession.table(spark, sf, "documents").filter(col("doc_id") < 60)
+    val dataset = d.select(
+      col("source").as("source_file"),
+      concat(lit("q"), pmod(col("doc_id"), lit(3))).as("question"),
+      col("text").as("paragraph"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("")).otherwise(lit("answer me")).as("answer"),
+      when(pmod(col("doc_id"), lit(4)) === 0, array().cast("array<int>"))
+        .otherwise(array(lit(3))).as("answer_start"))
+    val out = Files.createTempDirectory("squadout").toFile.getAbsolutePath
+    val (nTrain, nVal) = Pipeline.runQaCuration(spark, dataset, out, valRatio = 0.25)
+    assert(nTrain + nVal === 60)
+    assert(nVal > 2 && nVal < 30) // ~15 expected; deterministic but ratio-shaped
+    val train = graft.sources.ExtractionJson.readSquad(spark, s"$out/train")
+    val valDf = graft.sources.ExtractionJson.readSquad(spark, s"$out/val")
+    // impossible rows round-trip; every (question, context) lands in exactly one split
+    assert(train.count() + valDf.count() === 60)
+    assert(valDf.filter(col("is_impossible")).count() ===
+      dataset.filter(col("answer") === "").join(
+        valDf.select(col("question"), col("context").as("paragraph")).distinct(),
+        Seq("question", "paragraph"), "left_semi").count())
+    val overlap = train.select("question", "context")
+      .intersect(valDf.select("question", "context")).count()
+    assert(overlap === 0)
+  }
 }
