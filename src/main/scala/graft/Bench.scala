@@ -18,10 +18,15 @@ object Bench {
     "p2_filter_project",
     "m1_relevance",
     "m2_kpi_pipeline",
+    "c2_qa_curation",
+    "c3_table_curation",
     "x_dedup_exact",
     "x_dedup_minhash_fast",
     "x_ann_cosine_topk",
     "x_ann_ivf_topk",
+    "x_ann_ivf_refined",
+    "x_quality_filter",
+    "x_sessionize",
     "x_profile",
     "s9_stream_window"
   )

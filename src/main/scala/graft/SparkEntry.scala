@@ -262,6 +262,33 @@ object SparkEntry {
         .withColumn("kpi_inference_time", col("kpi_inference_time").cast("double"))
         .orderBy(col("pdf_name"))
     }),
+    // J8/J9: the Scale-layout techniques as oracle-checked queries —
+    // bucketing and salting are physical-layout moves, so the plain
+    // join IS the oracle; the plan shape (no shuffle / spread skew) is
+    // asserted in ScaleSpec.
+    "j8_bucketed_join" -> ((s, dir) => {
+      graft.ops.Scale.writeBucketed(
+        ord(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_b_orders", 8, Seq("o_custkey"))
+      graft.ops.Scale.writeBucketed(
+        cust(s, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "graft_b_cust", 8, Seq("o_custkey"))
+      graft.ops.Scale.bucketedJoin(s, "graft_b_orders", "graft_b_cust", Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "j9_salted_join" -> ((s, dir) => {
+      val skewed = li(s, dir).select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"))
+      val dim = supp(s, dir).select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.Scale.saltedJoin(skewed, dim, "l_suppkey", saltFactor = 8, saltSource = "l_orderkey")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("total"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "j6_semi_join" -> ((s, dir) => {
       val o = ord(s, dir).filter(col("o_totalprice") > 100000)
       cust(s, dir)
@@ -359,6 +386,16 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a1_count_groupby" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    "j8_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j9_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "j4_metric_join" ->
       """WITH rel AS (
         | SELECT source AS pdf_name, max(doc_id) % 40 + 1 AS pages, count(*) AS rel_data_points,
