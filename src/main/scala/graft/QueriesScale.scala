@@ -205,6 +205,21 @@ object QueriesScale {
       CorpusOps.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "x_fingerprint_rolling" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      // order-sensitive Rabin-Karp vs the bag-of-words md5: the
+      // sorted-token rolling print differs from the raw one whenever
+      // word order carries information
+      val sortedText = array_join(array_sort(filter(split(lower(col("text")), " "),
+        t => t =!= "")), " ")
+      docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling"),
+          TextAnalysis.rollingFingerprint(sortedText).as("rolling_sorted"),
+          TextAnalysis.fingerprint(col("text")).as("bag_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_sessionize" -> ((s, dir) =>
       // µs domain on both engines: DuckDB truncates TIMESTAMP(NANOS)
       // to micros, so nanos can't hash-match; `div` keeps the floor
@@ -556,6 +571,19 @@ object QueriesScale {
          |WHERE ${graft.functions.DetHash.detUnitSql("doc_id")} <
          | CASE WHEN source = 'src0' THEN 0.1 WHEN source = 'src1' THEN 0.5 ELSE 0.9 END
          |GROUP BY source ORDER BY source""".stripMargin,
+    "x_fingerprint_rolling" -> {
+      def roll(e: String) =
+        s"""list_reduce([CAST(0 AS BIGINT)] ||
+           |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT)),
+           |  (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, text,
+         |  array_to_string(list_sort(list_filter(string_split(lower(text), ' '), x -> x <> '')), ' ') AS sorted_text,
+         |  array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ') AS bag
+         | FROM documents)
+         |SELECT doc_id, ${roll("text")} AS rolling, ${roll("sorted_text")} AS rolling_sorted,
+         | md5(bag) AS bag_md5
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "x_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
         |b AS (SELECT doc_id, len(toks) - 1 AS n_bigrams,

@@ -101,6 +101,20 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column = fingerprintOf(toks(c))
 
+  /** Order-SENSITIVE rolling fingerprint: the classic Rabin-Karp
+    * polynomial hash h = Σ ascii(cᵢ)·B^(n−i) mod P folded left-to-right
+    * as h = (h·B + ascii(cᵢ)) mod P, entirely inside codegen
+    * (`aggregate` over the character array). The mod is applied at
+    * every step so the accumulator stays below P·B + 255 — no ANSI
+    * overflow. Complements [[fingerprint]]: bag-identical docs with
+    * different word order get DIFFERENT rolling prints.
+    */
+  def rollingFingerprint(c: Column, base: Long = 31L, prime: Long = 1000000007L): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(base) + ascii(ch), lit(prime)))
+
   /** Same, over a materialized token array. */
   def fingerprintOf(ts: Column): Column =
     md5(array_join(array_sort(array_distinct(ts)), " "))

@@ -280,6 +280,19 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fp(0) === fp(1))
     assert(fp(0) !== fp(2))
   }
+
+  test("rollingFingerprint is order-sensitive where the bag print is not") {
+    val df = Seq("b a c", "c b a").toDF("text")
+      .select(TextAnalysis.rollingFingerprint(col("text")).as("r"),
+        TextAnalysis.fingerprint(col("text")).as("b"))
+      .collect()
+    assert(df(0).getLong(0) !== df(1).getLong(0))
+    assert(df(0).getString(1) === df(1).getString(1))
+    // matches the hand-computed Rabin-Karp fold for "abc"
+    val abc = Seq("abc").toDF("text")
+      .select(TextAnalysis.rollingFingerprint(col("text"))).head().getLong(0)
+    assert(abc === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {
