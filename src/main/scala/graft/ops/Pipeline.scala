@@ -52,6 +52,75 @@ object Pipeline {
     spark.sql(s"SELECT answer, COUNT(*) AS n FROM $outTable GROUP BY answer ORDER BY answer")
   }
 
+  /** §3.2 TEXT-curation entry point (text_curator.py `run`): cleaned
+    * annotations → positives (KPI broadcast join + year templating +
+    * clean) → deterministic negatives from the paragraph corpus →
+    * keep-first dedup with positives winning (the reference concats
+    * pos before neg, then drop_duplicates keep='first') → the
+    * esg_TEXT_dataset CSV. Returns the dataset row count.
+    */
+  def runTextCuration(
+      spark: SparkSession,
+      annotations: DataFrame, // reference excel columns (stringified list cells)
+      paragraphs: DataFrame,  // (pdf_name, page, para_idx, paragraph)
+      kpiMapping: DataFrame,  // (kpi_id, question, add_year)
+      outDir: String,
+      dataType: String = "TEXT",
+      excludeCompanies: Seq[String] = Nil,
+      negPosRatio: Int = 1,
+      minLength: Int = 30
+  ): Long = {
+    val parsed = Curation.parseListCells(
+      Curation.curationFilter(annotations, dataType, excludeCompanies))
+    val outCols = Seq("question", "context", "label", "kpi_id", "source_file").map(col)
+    val pos = Curation.posExamples(parsed, kpiMapping).select(outCols: _*)
+    // bounded key: negExamples multiplies it by ~1e6 for the pick
+    // hash, and a raw |xxhash64| would overflow under ANSI
+    val negBase = parsed.withColumn("row_key",
+      pmod(abs(xxhash64(col("source_file"), col("kpi_id"), col("year"))), lit(1000000007L)))
+    val neg = Curation.negExamples(negBase, paragraphs, negPosRatio, minLength)
+      .join(broadcast(kpiMapping.select(col("kpi_id"), col("question"), col("add_year"))), Seq("kpi_id"))
+      .withColumn("question",
+        graft.functions.TextFns.templateQuestion(col("question"), col("year"), col("add_year")))
+      .select(outCols: _*)
+    val deduped = Curation.dedupExamples(pos.unionByName(neg),
+      Seq(col("label").desc, col("source_file").asc, col("kpi_id").asc))
+    deduped.write.mode("overwrite").option("header", "true").csv(outDir)
+    deduped.count()
+  }
+
+  /** §3.2 TABLE-curation entry point (table_curator.py `run`): cleaned
+    * annotations (data-type filter, company exclusion, kpi mapping,
+    * pdf-name fix, source-page parse) → fuzzy argmax positives +
+    * same-pdf/pooled negatives → the esg_TABLE_dataset CSV. Returns
+    * the dataset row count.
+    */
+  def runTableCuration(
+      spark: SparkSession,
+      annotations: DataFrame, // (company, source_file, source_page, kpi_id, year, answer, data_type)
+      tables: DataFrame,      // (table_filename, table_text)
+      kpiMapping: DataFrame,  // (kpi_id, question)
+      outDir: String,
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      excludeCompanies: Seq[String] = Nil,
+      negPosRatio: Int = 2,
+      poolSize: Int = 32
+  ): Long = {
+    val ann = annotations
+      .filter(col("data_type") === "TABLE" && !col("company").isin(excludeCompanies: _*))
+      .join(broadcast(kpiMapping.select(col("kpi_id"), col("question"))), Seq("kpi_id"))
+      .withColumn("source_file", graft.functions.TextFns.fixPdfName(col("source_file")))
+      .withColumn("pages", graft.functions.ListParse.parseSourcePages(col("source_page")))
+      .filter(col("pages").isNotNull)
+      .withColumn("row_key", abs(xxhash64(col("source_file"), col("kpi_id"), col("answer"))))
+    val dataset = TableCuration.dataset(
+      ann.select(col("row_key"), col("company"), col("year"), col("question"),
+        col("answer"), col("source_file"), col("pages")),
+      tables, score, negPosRatio, poolSize)
+    dataset.write.mode("overwrite").option("header", "true").csv(outDir)
+    dataset.count()
+  }
+
   /** §3.2 QA-curation product: curated examples → deterministic
     * train/val split → one SQuAD v2 JSON file per split (the
     * reference's train_kpi_extraction input,

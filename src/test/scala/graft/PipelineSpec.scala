@@ -56,6 +56,58 @@ class PipelineSpec extends SparkSpecBase {
       GraftSession.table(spark, sf, "customer").count())
   }
 
+  test("text-curation entry point writes a deduped pos+neg CSV with positives winning") {
+    import spark.implicits._
+    val annotations = Seq(
+      ("ACME", "acme.pdf", "[2]", 1.0, 2019, "TEXT", """["shared paragraph text body", "para two"]"""),
+      ("ACME", "acme.pdf", "[3]", 2.0, 2019, "TEXT", """["shared paragraph text body"]"""),
+      ("SKIP", "skip.pdf", "[1]", 1.0, 2019, "TEXT", """["p"]""")
+    ).toDF("company", "source_file", "source_page", "kpi_id", "year", "data_type", "relevant_paragraphs")
+    val paragraphs = Seq(
+      ("acme.pdf", 4, 0, "a long enough negative candidate paragraph body"),
+      ("acme.pdf", 5, 0, "another long enough negative candidate body here")
+    ).toDF("pdf_name", "page", "para_idx", "paragraph")
+    val kpi = Seq((1.0, "what is one?", false), (2.0, "what is two?", false))
+      .toDF("kpi_id", "question", "add_year")
+    val out = Files.createTempDirectory("textcur").toFile.getAbsolutePath + "/esg"
+    val n = Pipeline.runTextCuration(spark, annotations, paragraphs, kpi, out,
+      excludeCompanies = Seq("SKIP"), negPosRatio = 1, minLength = 10)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() === n)
+    assert(back.filter(col("label") === "1").count() === 3) // 2 paras + 1 single
+    assert(back.filter(col("label") === "0").count() >= 1)  // negatives present
+    // same (question, context) in pos and neg → positive survives
+    assert(back.groupBy("question", "context").count()
+      .agg(max("count")).head().getLong(0) === 1)
+  }
+
+  test("table-curation entry point cleans annotations and writes pos+neg rows") {
+    import spark.implicits._
+    val annotations = Seq(
+      ("ACME", "acme", "[2]", 1.0, 2019, "total co2 42", "TABLE"),
+      ("ACME", "acme", "bad-page", 1.0, 2019, "dropped", "TABLE"),   // unparseable page
+      ("ACME", "acme", "[2]", 9.0, 2019, "invalid kpi", "TABLE"),    // no kpi mapping
+      ("GONE", "acme", "[2]", 1.0, 2019, "excluded", "TABLE")
+    ).toDF("company", "source_file", "source_page", "kpi_id", "year", "answer", "data_type")
+    val tables = Seq(
+      ("acme_page2_0.csv", "total co2 42 tonnes"),
+      ("acme_page2_1.csv", "unrelated numbers"),
+      ("beta_page1_0.csv", "other pdf table")
+    ).toDF("table_filename", "table_text")
+    val kpi = Seq((1.0, "what is co2?")).toDF("kpi_id", "question")
+    val out = Files.createTempDirectory("tablecur").toFile.getAbsolutePath + "/esg_table"
+    val n = Pipeline.runTableCuration(spark, annotations, tables, kpi, out,
+      score = graft.functions.Fuzzy.token_set_ratio,
+      excludeCompanies = Seq("GONE"), negPosRatio = 2, poolSize = 3)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() === n)
+    // one surviving annotation: 1 positive (the matching table) + 2 negatives
+    assert(back.filter(col("label") === "1").count() === 1)
+    assert(back.filter(col("label") === "1").select("table_filename").head().getString(0)
+      === "acme_page2_0.csv")
+    assert(back.filter(col("label") === "0").count() === 2)
+  }
+
   test("QA-curation product: split SQuAD files round-trip through the reader") {
     import spark.implicits._
     val d = GraftSession.table(spark, sf, "documents").filter(col("doc_id") < 60)
