@@ -103,7 +103,16 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     var centroids = sampleCentroids(c, nCells)
     (1 to refineIters).foreach { _ =>
-      centroids = refineCentroids(ivfAssign(c, centroids))
+      val refined = refineCentroids(ivfAssign(c, centroids))
+      // Materialize the k×dim result at the driver once per iteration —
+      // what every distributed Lloyd implementation does between
+      // passes. Without this the refinement subtree (full corpus
+      // assignment + dim aggregation) re-executes for EVERY downstream
+      // consumer (probe ranking and final assignment), since the two
+      // consumers' plans don't canonicalize to a reusable exchange.
+      val spark = c.sparkSession
+      centroids = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(refined.collect(): _*), refined.schema))
     }
     probeTopK(c, centroids, queries, idCol, vecCol, k, nProbe)
   }
