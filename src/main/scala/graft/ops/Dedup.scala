@@ -84,9 +84,13 @@ object Dedup {
           .filter(col("df") > dfCap).select(col("sh"))
         shAll.join(hot, Seq("sh"), "left_anti")
       }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+    // one materialized stage on the join key: the size aggregation and
+    // BOTH self-join sides reuse it (AQE stage reuse) instead of each
+    // recomputing tokenize -> shingle -> df-cap
+    val shM = sh.repartition(col("sh"))
+    val sizes = shM.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = shM.as("a")
+      .join(shM.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /
@@ -180,6 +184,10 @@ object Dedup {
         }: _*)
       ).as("bb")
     ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // materialize ONE banded-signature stage on the join keys: both
+      // sides of the self-join below reuse it (AQE stage reuse), so
+      // the numHashes min-passes run once per corpus, not twice
+      .repartition(col("band"), col("bucket"))
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -238,6 +246,8 @@ object Dedup {
           concat_ws("|", slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb")
     ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // single materialized banded stage reused by both self-join sides
+      .repartition(col("band"), col("bucket"))
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -297,6 +307,8 @@ object Dedup {
             .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
       }: _*)).as("bb")
     ).select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      // single materialized banded stage reused by both self-join sides
+      .repartition(col("band"), col("chunk"))
     val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     banded.as("a")
       .join(banded.as("b"),
@@ -353,6 +365,8 @@ object Dedup {
             .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
       }: _*)).as("bb")
     ).select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      // single materialized banded stage reused by both self-join sides
+      .repartition(col("band"), col("chunk"))
     val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     banded.as("a")
       .join(banded.as("b"),
@@ -388,8 +402,10 @@ object Dedup {
         .reduce((a: Column, b: Column) => a + b).as("bucket")
     )
     val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-    keyed.as("a")
-      .join(keyed.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    // single materialized keyed stage reused by both self-join sides
+    val keyedM = keyed.repartition(col("bucket"))
+    keyedM.as("a")
+      .join(keyedM.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
