@@ -110,7 +110,13 @@ object KpiPost {
       keyCol: String,
       topK: Int = 4
   ): DataFrame = {
+    // materialize ONE scored stage on the group keys: the span branch
+    // and the no-answer aggregation both consume `melted`, and without
+    // the shuffle stage each would re-run the scorer over every
+    // partition — 2× model inference, the dominant cost with a real
+    // model. noAnswerRows' groupBy then needs no further exchange.
     val melted = explodeRanks(scoreQa(relevant, scorer, keyCol))
+      .repartition(col("pdf_name"), col("text"))
     val spans  = melted.filter(col("answer") =!= "no_answer")
     val unioned = spans.unionByName(noAnswerRows(melted), allowMissingColumns = true)
     val top = topKPerGroup(unioned, topK, Seq("rank_num", keyCol)).drop("rank", "rank_num")
