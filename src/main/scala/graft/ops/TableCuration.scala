@@ -125,7 +125,10 @@ object TableCuration {
   def dataset(ann: DataFrame, tables: DataFrame, score: (Column, Column) => Column,
               negPosRatio: Int, poolSize: Int): DataFrame = {
     val meta = tableMeta(tables)
-    val pos  = posExamples(ann, meta, score)
+    // one materialized stage for the fuzzy-scored positives: the final
+    // positive rows AND negExamples' first-positive lookup both consume
+    // them — without the shared stage the scoring join runs twice
+    val pos = posExamples(ann, meta, score).repartition(col("row_key"))
     val annDim = ann.select(col("row_key").as("ann_key"), col("source_file"))
     val neg = negExamples(
       pos.join(annDim, pos("row_key") === annDim("ann_key")).drop("ann_key"),
