@@ -74,20 +74,22 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int, threshold: Double,
       dfCap: Int = Int.MaxValue): DataFrame = {
+    // one materialized stage on the join key, BEFORE the df-cap: the
+    // hot-shingle aggregation, the anti-join probe, the size
+    // aggregation, and BOTH self-join sides all reuse it (AQE stage
+    // reuse) instead of each recomputing tokenize -> shingle
     val shAll = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
       .select(col("id"), explode(shinglesOf(col("ts"), w)).as("sh"))
-    val sh =
+      .repartition(col("sh"))
+    val shM =
       if (dfCap == Int.MaxValue) shAll
       else {
         val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > dfCap).select(col("sh"))
+        // broadcast anti-join preserves the (sh) partitioning
         shAll.join(hot, Seq("sh"), "left_anti")
       }
-    // one materialized stage on the join key: the size aggregation and
-    // BOTH self-join sides reuse it (AQE stage reuse) instead of each
-    // recomputing tokenize -> shingle -> df-cap
-    val shM = sh.repartition(col("sh"))
     val sizes = shM.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = shM.as("a")
       .join(shM.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
