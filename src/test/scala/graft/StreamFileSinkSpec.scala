@@ -54,6 +54,51 @@ class StreamFileSinkSpec extends SparkSpecBase {
     assert(rows(spark.read.parquet(out)) === rows(expected))
   }
 
+  test("restart with the same checkpoint is incremental and exactly-once") {
+    val src = Files.createTempDirectory("evsrc3").toString
+    val out = Files.createTempDirectory("evout3").toString
+    val ckp = Files.createTempDirectory("evckp3").toString
+    // first run: events 0..99
+    (0 until 100).map { i =>
+      EventRow(i.toLong, BaseNs + i.toLong * StepNs, (i % 7).toLong,
+        s"type${i % 3}", (i % 13) * 1.25, "{}")
+    }.toDF().write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = EventsStream.streamWindowedCountsToParquet(
+        spark, src, schema, out, ckp, windowExpr = "1 hour", watermark = "1 hour",
+        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))))
+      q.awaitTermination()
+    }
+    run()
+    val afterFirst = spark.read.parquet(out).count()
+    // second run: append events 100..199 (later timestamps) as a NEW file
+    (100 until 200).map { i =>
+      EventRow(i.toLong, BaseNs + i.toLong * StepNs, (i % 7).toLong,
+        s"type${i % 3}", (i % 13) * 1.25, "{}")
+    }.toDF().write.mode("append").parquet(src)
+    run()
+
+    // the second run advanced the watermark: windows open after run 1
+    // are now emitted, nothing is emitted twice
+    val maxMs = (BaseNs + (N - 1).toLong * StepNs) / 1000000L
+    val wmMs  = maxMs - HourMs
+    val expected = EventsStream.windowedCounts(
+        spark.read.parquet(src).withColumn("ts", GraftSession.nanosToTs(col("ts"))))
+      .withColumn("end_ms",
+        (unix_timestamp(to_timestamp(col("window_start"))) * 1000 + HourMs))
+      .filter(col("end_ms") <= wmMs).drop("end_ms")
+    val got = spark.read.parquet(out)
+    assert(got.count() > afterFirst, "second run must emit the newly finalized windows")
+    assert(got.groupBy("window_start", "event_type").count()
+      .filter(col("count") > 1).count() === 0, "no window may be emitted twice")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(rows(got) === rows(expected))
+  }
+
   test("foreachBatch sink + latestUserStats equals the batch per-user aggregation") {
     val src = Files.createTempDirectory("evsrc2").toString
     val out = Files.createTempDirectory("evout2").toString
