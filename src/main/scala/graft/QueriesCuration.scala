@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftSession.table
 import graft.functions.DetHash
-import graft.ops.{Curation, Dedup, QaCuration, TableCuration}
+import graft.ops.{Curation, Dedup, NqCuration, QaCuration, TableCuration}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,6 +19,47 @@ import org.apache.spark.sql.functions._
 object QueriesCuration {
 
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+
+  /** NQ-shaped fixture fabricated from `documents` (doc_id < 60):
+    * `document_text` is the doc's whitespace tokens plus an appended
+    * `<Table>…</Table>` block and a too-short `<P>…</P>` block, so the
+    * candidate spans exercise every routing path of the NQ chain —
+    * table split (doc_id%8 long answers, %3 candidates, plus natural
+    * spill for short docs whose spans reach the appended region),
+    * shortness drop (%9 long answers, the `<P>` span), the
+    * no-long-answer extractor drop (%13 → candidate_index -1), the
+    * top-level filter (%7 / %2 knockouts, which also starve some
+    * questions of negatives so the both-labels filter is live), and a
+    * multi-negative pick for %2 docs so the DetHash first-negative
+    * order matters.
+    */
+  private def nqFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 60)
+    val n = size(split(col("text"), " "))
+    val laS = when(pmod(col("doc_id"), lit(8)) === 0, n).otherwise(lit(1))
+    val laE = when(pmod(col("doc_id"), lit(8)) === 0, n + lit(4))
+      .when(pmod(col("doc_id"), lit(9)) === 0, lit(9))
+      .otherwise(lit(15))
+    d.select(
+      col("doc_id").as("example_id"),
+      concat(lit("q"), lpad(col("doc_id").cast("string"), 3, "0")).as("question_text"),
+      concat(col("text"), lit(" <Table> tA tB </Table> <P> tiny bit </P>")).as("document_text"),
+      when(pmod(col("doc_id"), lit(13)) === 0, lit(-1)).otherwise(lit(0)).as("candidate_index"),
+      laS.as("long_answer_start"),
+      laE.as("long_answer_end"),
+      array(
+        struct(laS.as("start_token"), laE.as("end_token"), lit(true).as("top_level")),
+        struct(lit(2).as("start_token"), lit(16).as("end_token"),
+          (pmod(col("doc_id"), lit(7)) =!= 0).as("top_level")),
+        struct(n.as("start_token"), (n + lit(4)).as("end_token"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("top_level")),
+        struct((n + lit(4)).as("start_token"), (n + lit(8)).as("end_token"),
+          lit(true).as("top_level")),
+        struct(lit(3).as("start_token"),
+          (lit(15) + pmod(col("doc_id"), lit(3))).cast("int").as("end_token"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("top_level"))
+      ).as("candidates"))
+  }
 
   private def kpiMapping(s: SparkSession): DataFrame =
     s.createDataFrame(Seq(
@@ -97,6 +138,27 @@ object QueriesCuration {
         .orderBy(col("question"), col("paragraph"), col("answer"))
     }),
 
+    // C4: the NQ relevance-dataset chain end-to-end
+    // (nq_extractor.py:84-140 + nq_curator.py:100-196): candidate
+    // extraction → table split → HTML strip → shortness → both-labels
+    // → DetHash first-negative-per-question → question-shuffle
+    // cross-doc negatives → balanced union.
+    "c4_nq_curation" -> ((s, dir) => {
+      val rows = NqCuration.relevanceRows(nqFixture(s, dir))
+      NqCuration.balancedDataset(NqCuration.textDataset(rows), negativeFromOtherDocs = true)
+        .orderBy(col("question"), col("label"), col("text"))
+    }),
+
+    // C4b: the table-side flavor of the same chain — no strip /
+    // shortness / both-labels (nq_curator.py:134-141), balanced with
+    // negative_from_other_docs=False so the non-shuffled branch is
+    // also live under the oracle.
+    "c4_nq_table" -> ((s, dir) => {
+      val rows = NqCuration.relevanceRows(nqFixture(s, dir))
+      NqCuration.balancedDataset(NqCuration.tableDataset(rows), negativeFromOtherDocs = false)
+        .orderBy(col("question"), col("label"), col("text"))
+    }),
+
     // C3: the TABLE curation chain (table_curator.py:94-191) —
     // filename→(pdf, page) meta parse, per-page fuzzy argmax positive
     // (native token_set_ratio), same-pdf + pooled cross-pdf negative
@@ -136,7 +198,79 @@ object QueriesCuration {
     })
   )
 
+  /** Shared DuckDB prefix for the c4 oracles: the NQ fixture, candidate
+    * spans (role 0 = long answer, 1-4 = other candidates), extraction
+    * filters, and the `<Table>` routing flag — mirroring [[nqFixture]]
+    * + [[graft.ops.NqCuration.relevanceRows]] arithmetic exactly.
+    */
+  private val nqOraclePrefix: String =
+    """WITH f AS (
+      | SELECT doc_id AS example_id, doc_id,
+      |  'q' || lpad(CAST(doc_id AS VARCHAR), 3, '0') AS question,
+      |  string_split(text || ' <Table> tA tB </Table> <P> tiny bit </P>', ' ') AS toks,
+      |  len(string_split(text, ' ')) AS n
+      | FROM documents WHERE doc_id < 60 AND doc_id % 13 <> 0),
+      |g AS (
+      | SELECT *,
+      |  CASE WHEN doc_id % 8 = 0 THEN n ELSE 1 END AS la_s,
+      |  CASE WHEN doc_id % 8 = 0 THEN n + 4 WHEN doc_id % 9 = 0 THEN 9 ELSE 15 END AS la_e
+      | FROM f),
+      |cand AS (
+      | SELECT g.*, r.role,
+      |  CASE r.role WHEN 0 THEN la_s WHEN 1 THEN 2 WHEN 2 THEN n WHEN 3 THEN n + 4 ELSE 3 END AS s,
+      |  CASE r.role WHEN 0 THEN la_e WHEN 1 THEN 16 WHEN 2 THEN n + 4 WHEN 3 THEN n + 8
+      |              ELSE 15 + doc_id % 3 END AS e,
+      |  CASE r.role WHEN 0 THEN true WHEN 1 THEN doc_id % 7 <> 0 WHEN 2 THEN doc_id % 3 = 0
+      |              WHEN 3 THEN true ELSE doc_id % 2 = 0 END AS top
+      | FROM g, (VALUES (0),(1),(2),(3),(4)) r(role)),
+      |rows_ AS (
+      | SELECT question,
+      |  coalesce(array_to_string(list_slice(toks, s + 1, e), ' '), '') AS text,
+      |  CASE WHEN role = 0 THEN 1 ELSE 0 END AS label,
+      |  CASE WHEN role = 0 THEN example_id * 8 ELSE example_id * 8 + role + 1 END AS tie
+      | FROM cand WHERE role = 0 OR top),
+      |tb AS (SELECT *, regexp_matches(text, '<Table>.*</Table>') AS with_table FROM rows_)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "c4_nq_curation" -> {
+      val u = DetHash.detUnitSql("tie")
+      s"""$nqOraclePrefix,
+         |txt AS (
+         | SELECT question, regexp_replace(text, '<[^>]+>\\s?', '', 'g') AS text, label, tie
+         | FROM tb WHERE NOT with_table),
+         |txt2 AS (SELECT * FROM txt WHERE len(string_split(text, ' ')) > 10),
+         |bl AS (
+         | SELECT * FROM (
+         |  SELECT *, max(label) OVER (PARTITION BY question) AS mx,
+         |            min(label) OVER (PARTITION BY question) AS mn FROM txt2)
+         | WHERE mx = 1 AND mn = 0),
+         |fneg AS (
+         | SELECT * FROM (
+         |  SELECT question, text, label, tie,
+         |   row_number() OVER (PARTITION BY question ORDER BY $u, tie) AS rn
+         |  FROM bl WHERE label = 0) WHERE rn = 1),
+         |bodies AS (SELECT text, label, row_number() OVER (ORDER BY question) AS r FROM fneg),
+         |qs AS (SELECT question,
+         |        row_number() OVER (ORDER BY md5('shuf:' || question), question) AS r FROM fneg)
+         |SELECT question, text, label FROM bl WHERE label = 1
+         |UNION ALL
+         |SELECT qs.question, b.text, b.label FROM bodies b JOIN qs USING (r)
+         |ORDER BY question, label, text""".stripMargin
+    },
+    "c4_nq_table" -> {
+      val u = DetHash.detUnitSql("tie")
+      s"""$nqOraclePrefix,
+         |tbl AS (SELECT question, text, label, tie FROM tb WHERE with_table),
+         |fneg AS (
+         | SELECT * FROM (
+         |  SELECT question, text, label, tie,
+         |   row_number() OVER (PARTITION BY question ORDER BY $u, tie) AS rn
+         |  FROM tbl WHERE label = 0) WHERE rn = 1)
+         |SELECT question, text, label FROM tbl WHERE label = 1
+         |UNION ALL
+         |SELECT question, text, label FROM fneg
+         |ORDER BY question, label, text""".stripMargin
+    },
     "c1_curation_dataset" ->
       """WITH ann AS (
         | SELECT d.doc_id AS annotator,

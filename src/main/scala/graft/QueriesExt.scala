@@ -434,9 +434,9 @@ object QueriesExt {
         |   ELSE '<div>' || substr(text, 1, 8) || '</div>' END AS html
         | FROM documents)
         |SELECT doc_id,
-        | regexp_replace(html, '<[^>]*>', '', 'g') AS stripped,
+        | regexp_replace(html, '<[^>]+>\s?', '', 'g') AS stripped,
         | regexp_matches(html, '<Table>.*</Table>') AS has_table,
-        | len(string_split(regexp_replace(html, '<[^>]*>', '', 'g'), ' ')) > 5 AS not_short
+        | len(string_split(regexp_replace(html, '<[^>]+>\s?', '', 'g'), ' ')) > 5 AS not_short
         |FROM src ORDER BY doc_id""".stripMargin,
     "f14_token_slice" ->
       """SELECT doc_id,

@@ -65,8 +65,12 @@ object TextFns {
       concat(substring_index(question, "?", 1), lit(" in year "), year.cast("string"), lit("?"))
     ).otherwise(question)
 
-  /** Strip HTML tags. Reference: src/components/utils/nq_utils.py:6-26. */
-  def removeHtmlTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+  /** Strip HTML tags, consuming at most one whitespace character after
+    * each tag — the reference's exact regex, which matters for the NQ
+    * chain's downstream token counting (`is_not_short` runs on the
+    * stripped string). Reference: src/components/utils/nq_utils.py:19-21.
+    */
+  def removeHtmlTags(c: Column): Column = regexp_replace(c, "<[^>]+>\\s?", "")
 
   /** True when the text embeds an NQ-style `<Table>` block.
     * Reference: src/components/utils/nq_utils.py:11-17.
