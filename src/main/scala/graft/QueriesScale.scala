@@ -93,6 +93,21 @@ object QueriesScale {
       Dedup.simhashPairs(plantedDocs(s, dir), "id", "text", maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- agreement queries: the fast xxhash64 machinery, hash-green.
+    // Blocking runs the production hash family; the verdict is the
+    // TRUE shingle jaccard, so the output is ground truth (all pairs
+    // with j >= 0.9) and the oracle is plain all-pairs SQL. Blocking
+    // recall tails at j >= 0.9: minhash 1-(1-j²)^16 ≈ 3e-12 per pair,
+    // simhash P(hamming > 20 | cos ≳ 0.95) ≈ 1e-7 per pair.
+    "x_dedup_minhash_agree" -> ((s, dir) =>
+      Dedup.minhashExactPairs(plantedDocs(s, dir), "id", "text",
+          w = 3, numHashes = 32, bands = 16, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+    "x_dedup_simhash_agree" -> ((s, dir) =>
+      Dedup.simhashExactPairs(plantedDocs(s, dir), "id", "text",
+          w = 3, maxHamming = 20, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- F3 answer-start + M7 mining --------------------------------------
     "f3_answer_start" -> ((s, dir) => {
       val toks = filter(split(col("text"), " "), t => t =!= "")
@@ -269,6 +284,24 @@ object QueriesScale {
        |  range(1, greatest(len(toks) - 2, 0) + 1),
        |  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs FROM t)""".stripMargin
 
+  /** Ground truth for both agreement queries: ALL pairs with true
+    * 3-shingle jaccard ≥ 0.9 — algorithm-independent, so the same SQL
+    * oracles both the minhash- and the simhash-blocked flavor. The
+    * oracle may go O(n²) (it only ever runs at sf0.01); the Spark side
+    * must not.
+    */
+  private val agreeOracleSql: String =
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+       |pairs AS (
+       | SELECT a.id AS id_a, b.id AS id_b,
+       |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+       |        CAST(len(list_distinct(a.shs || b.shs)) AS DOUBLE), 4) AS jaccard
+       | FROM nz a JOIN nz b ON a.id < b.id)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** In-order cosine of two list columns, all-double. */
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))" +
@@ -382,6 +415,8 @@ object QueriesScale {
          |FROM scored
          |WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "x_dedup_minhash_agree" -> agreeOracleSql,
+    "x_dedup_simhash_agree" -> agreeOracleSql,
     "x_dedup_minhash" ->
       s"""WITH $CorpusSql,
          |$ShinglesSql,

@@ -209,6 +209,115 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash-blocked, exact-Jaccard-verified pairs: banding generates
+    * candidates with the production xxhash64 machinery
+    * (O(n·numHashes) + keyed equi-join, same plan shape as
+    * [[minhashLshPairs]]), but the verdict is the TRUE shingle-set
+    * Jaccard — hash-family-independent, so for any pair the blocking
+    * surfaces the output matches plain-SQL ground truth. With
+    * rows-per-band = numHashes/bands = 2, blocking recall at true
+    * jaccard j is 1-(1-j²)^bands — ≈ 3e-12 miss at j ≥ 0.9 with the
+    * default 32/16 — which is what lets the x_dedup_minhash_agree
+    * query hash-check the fast pipeline against an all-pairs DuckDB
+    * oracle. Production near-dup runs keep the estimated-Jaccard
+    * verify (16 longs per pair instead of the shingle sets); this is
+    * the ground-truth harness flavor.
+    */
+  def minhashExactPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val base = df
+      .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), shingleHashesOf(col("hs"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), minhashSignatureFast(col("sh"), numHashes).as("sig"))
+    val banded = base.select(
+      col("id"),
+      col("sh"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            (b * rows until (b + 1) * rows)
+              .map(j => rotl(element_at(col("sig"), j + 1), (j * 13) % 63 + 1))
+              .reduce((a: Column, c: Column) => a.bitwiseXOR(c)).as("bucket"))
+        }: _*)
+      ).as("bb")
+    ).select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .repartition(col("band"), col("bucket"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash-blocked, exact-Jaccard-verified pairs: the 64-bit
+    * xxhash64 fingerprint + pigeonhole band join from [[simhashPairs]]
+    * generate candidates at a wide Hamming radius, then the TRUE
+    * shingle-set Jaccard decides. A j ≥ 0.9 pair has fingerprint
+    * cosine ≳ 0.95, i.e. expected Hamming ≈ 6.5/64 — radius 20 leaves
+    * a ~5σ recall margin (miss ≈ 1e-7) while the Jaccard verify
+    * restores precision, so the agreement query is deterministic
+    * ground truth. 21 bands × 3 bits cover 63 bits; diffs within the
+    * covered region are ≤ total Hamming ≤ 20 < 21 bands, so at least
+    * one band is clean (pigeonhole holds with the uncovered top bit).
+    */
+  def simhashExactPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      maxHamming: Int = 20,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val bands     = 21
+    val bandWidth = 3
+    val base = df
+      .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), simhashOfHashes(col("hs")).as("sim"), shingleHashesOf(col("hs"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = base.select(
+      col("id"),
+      col("sim"),
+      col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("sim"), b * bandWidth)
+            .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
+      }: _*)).as("bb")
+    ).select(col("id"), col("sim"), col("sh"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      .repartition(col("band"), col("chunk"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** MinHash signature, md5 flavor: the per-seed min is the
     * lexicographic minimum of `md5(seed:shingle)` hex strings. Slower
     * than the xxhash64 flavor (use that at scale) but byte-identical

@@ -89,6 +89,25 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.contains((1L, 4L)))
   }
+
+  test("exact-verified agreement flavors output TRUE jaccard pairs, hash-family-independent") {
+    // ground truth at threshold 0.9: only the identical pair (1,4);
+    // the near-dup (1,2) has jaccard (8 shared / 9+8-8) < 0.9
+    for (out <- Seq(
+        Dedup.minhashExactPairs(docs, "id", "text", w = 3, numHashes = 32, bands = 16, threshold = 0.9),
+        Dedup.simhashExactPairs(docs, "id", "text", w = 3, maxHamming = 20, threshold = 0.9))) {
+      val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq === Seq((1L, 4L, 1.0)))
+    }
+    // at 0.5 both blockings surface the true near-dup with its exact
+    // (not estimated) jaccard — identical values from both machineries
+    val mh = Dedup.minhashExactPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.simhashExactPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh === sh)
+    assert(mh.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5 && p._3 < 0.9))
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
