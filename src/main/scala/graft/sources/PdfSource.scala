@@ -12,9 +12,13 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing is real: `binaryFile` source → partition-batched
   * extraction (one extractor init per task) → long table
   * `(pdf_name, page, para_idx, paragraph)` → paragraph-length filter.
-  * The PDF codec itself is pluggable: this container ships no pdfbox,
-  * so `FakePdfExtractor` is a deterministic stand-in with the same
-  * signature a pdfbox-backed implementation would have.
+  * The PDF codec is pluggable behind [[PdfTextExtractor]]:
+  * [[SimplePdfExtractor]] is a JDK-only real implementation covering
+  * the simple-PDF subset (raw/FlateDecode content streams, standard
+  * text operators — see its scaladoc for the documented limits);
+  * swap in a pdfbox-backed extractor for full coverage where that
+  * dependency is available. `FakePdfExtractor` remains as the
+  * deterministic plumbing-test stand-in.
   */
 object PdfSource {
 
