@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.ml.{Pipeline => MlPipeline, PipelineModel}
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel, RegexTokenizer}
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -37,6 +39,51 @@ object MlPipelines {
     val lr = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("label").setMaxIter(maxIter)
     new MlPipeline().setStages(Array(tok, tf, lr)).fit(train)
+  }
+
+  /** k-fold cross-validated hyperparameter selection for the relevance
+    * head — the MLlib analog of the reference's FARM k-fold CV +
+    * hyperparameter search (farm_trainer.py:291-348 `run_cv` /
+    * trainer_optuna.py:14-120): `CrossValidator` over a regParam grid,
+    * areaUnderROC as the selection metric, seeded folds.
+    *
+    * Scale: each (fold, param) fit is an independent Spark job;
+    * `parallelism` bounds how many run concurrently — at cluster
+    * scale the k·|grid| fits dominate, and they parallelize across
+    * the cluster exactly like any other MLlib training job.
+    *
+    * Returns the fitted CrossValidatorModel (bestModel inside) and
+    * the selected regParam.
+    */
+  def crossValidateRelevance(
+      train: DataFrame, // (text: String, label: Double)
+      regParams: Seq[Double] = Seq(0.0, 0.01, 0.1, 1.0),
+      numFolds: Int = 3,
+      numFeatures: Int = 1 << 14,
+      maxIter: Int = 20,
+      parallelism: Int = 4,
+      elasticNetParam: Double = 0.0
+  ): (CrossValidatorModel, Double) = {
+    val tok = new RegexTokenizer()
+      .setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
+    val tf = new HashingTF()
+      .setInputCol("tokens").setOutputCol("features").setNumFeatures(numFeatures)
+    val lr = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("label").setMaxIter(maxIter)
+      .setElasticNetParam(elasticNetParam)
+    val grid = new ParamGridBuilder().addGrid(lr.regParam, regParams).build()
+    val cv = new CrossValidator()
+      .setEstimator(new MlPipeline().setStages(Array(tok, tf, lr)))
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("label").setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setParallelism(parallelism)
+      .setSeed(42L)
+    val model = cv.fit(train)
+    val bestReg = model.bestModel.asInstanceOf[PipelineModel]
+      .stages.last.asInstanceOf[LogisticRegressionModel].getRegParam
+    (model, bestReg)
   }
 
   /** Near-dup candidate pairs via MLlib MinHashLSH over hashed binary

@@ -20,6 +20,40 @@ class MlPipelinesSpec extends SparkSpecBase {
     assert(acc > 0.95)
   }
 
+  test("cross-validated regParam selection rejects the crippling value and beats it held-out") {
+    // noisy learnable signal: 'emission' marks label 1, but 10% of
+    // labels are flipped so an over-regularized model can't hide at
+    // AUC parity and an unregularized one still generalizes
+    def mk(n: Int, offset: Int) = (0 until n).map { i =>
+      val pos  = i % 2 == 0
+      val flip = (i + offset) % 10 == 0
+      val label = if (pos ^ flip) 1.0 else 0.0
+      val text =
+        if (pos) s"report $i u$i discusses emission reduction targets"
+        else s"report $i u$i discusses quarterly revenue figures"
+      (text, label)
+    }.toDF("text", "label")
+    val train = mk(300, 0)
+    val held  = mk(100, 7)
+    // under L1, regParam 100 zeroes every coefficient (constant score,
+    // AUC 0.5) — L2 would only shrink magnitudes and leave the ranking
+    // intact; CV must select the workable value, and the
+    // reference-shaped claim holds: the CV-selected model beats the
+    // bad grid point on held-out data
+    val (model, bestReg) = MlPipelines.crossValidateRelevance(
+      train, regParams = Seq(0.01, 100.0), numFolds = 3, elasticNetParam = 1.0)
+    assert(bestReg === 0.01)
+    assert(model.avgMetrics.length === 2)
+    val eval = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol("label").setMetricName("areaUnderROC")
+    val aucBest = eval.evaluate(model.bestModel.transform(held))
+    val crippled = MlPipelines.crossValidateRelevance(
+      train, regParams = Seq(100.0), numFolds = 3, elasticNetParam = 1.0)._1.bestModel
+    val aucBad = eval.evaluate(crippled.transform(held))
+    assert(aucBest > 0.85, s"best-model held-out AUC $aucBest")
+    assert(aucBest > aucBad + 0.1, s"selected $aucBest vs crippled $aucBad")
+  }
+
   test("MLlib MinHashLSH approxSimilarityJoin finds the planted near-dup") {
     val docs = GraftSession.table(spark, sf, "documents").select(col("doc_id"), col("text"))
     val planted = docs.unionByName(
