@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Automated plan asserts for SCALING.md's headline claims — the ones
+  * previously verified "by eye via graft.Explain". Each test fails if
+  * a future change silently degrades the physical plan: top-k per
+  * group losing the Spark 4 partial-top-k, global top-n regressing to
+  * a global sort, scans losing pushdown/pruning, a dim join falling
+  * off broadcast, or the single-shuffle partial-agg shape growing a
+  * second exchange.
+  */
+class PlanAssertSpec extends SparkSpecBase {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("a5_topk_per_group plans as WindowGroupLimit (map-side partial top-k)") {
+    val plan = planOf(q("a5_topk_per_group"))
+    assert(plan.contains("WindowGroupLimit"), s"partial top-k lost:\n$plan")
+  }
+
+  test("p8/w3 global top-n plan as TakeOrderedAndProject, never a global sort") {
+    for (name <- Seq("p8_limit_topn", "w3_global_topn_rank")) {
+      val plan = planOf(q(name))
+      assert(plan.contains("TakeOrderedAndProject"), s"$name lost partial top-n:\n$plan")
+    }
+  }
+
+  test("p2 filter+projection reach the parquet scan (pushdown + pruning)") {
+    val plan = planOf(q("p2_filter_project"))
+    // predicate pushed to the scan...
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"filter not pushed:\n$plan")
+    // ...and the scan reads only the referenced columns, not the table
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("j2 dim join stays broadcast (no shuffle join against a dim)") {
+    val plan = planOf(q("j2_broadcast_dim_join"))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join fell off broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join shuffled:\n$plan")
+  }
+
+  test("q1 aggregation is partial (map-side combine, exactly one exchange)") {
+    val plan = planOf(q("q1_agg"))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"partial aggregation lost:\n$plan")
+  }
+
+  test("m1 relevance pair build broadcasts the question side (no cartesian)") {
+    val plan = planOf(q("m1_relevance"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pair build:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"question side not broadcast:\n$plan")
+  }
+
+  test("x_dedup_exact groups through one exchange with map-side partials") {
+    val plan = planOf(q("x_dedup_exact"))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"exact dedup grew extra shuffles ($exchanges):\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"map-side combine lost:\n$plan")
+  }
+}
