@@ -31,18 +31,12 @@ object Bench {
     "s9_stream_window"
   )
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local(cpus, "graft-bench")
-
-    val names = headline.filter(SparkEntry.queries.contains)
-    // warm the JVM + parquet footers once with the cheapest query
-    SparkEntry.queries(names.head)(spark, sfDir).count()
-
-    // best-of-2: first run pays JIT/codegen for operators the warm-up
-    // didn't touch; steady-state is what a long-running cluster sees
-    val results = names.map { name =>
+  /** Best-of-2 per query: first run pays JIT/codegen for operators the
+    * warm-up didn't touch; steady-state is what a long-running cluster
+    * sees.
+    */
+  private def timeAll(spark: SparkSession, names: Seq[String], sfDir: String): Seq[(String, Double)] =
+    names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -52,6 +46,27 @@ object Bench {
       }
       name -> times.min
     }
+
+  /** One scale factor down from the primary dir (sf0.1 → sf0.01 →
+    * sf0.001), for the scaling-slope pass.
+    */
+  private def smallerSf(sfDir: String): Option[String] = {
+    val down = Map("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001", "sf1" -> "sf0.1")
+    val name = sfDir.reverse.takeWhile(_ != '/').reverse
+    down.get(name).map(n => sfDir.stripSuffix(name) + n)
+      .filter(p => new java.io.File(p).isDirectory)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-bench")
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    // warm the JVM + parquet footers once with the cheapest query
+    SparkEntry.queries(names.head)(spark, sfDir).count()
+
+    val results = timeAll(spark, names, sfDir)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -62,8 +77,25 @@ object Bench {
     val (streaming, relational) = results.partition(_._1.startsWith("s9_stream"))
     val relTotal    = relational.map(_._2).sum
     val streamTotal = streaming.map(_._2).sum
+    // scaling-slope pass: the same headline set one scale factor down
+    // (10× less data). ratio ≈ time_primary / time_small per query —
+    // ≲ 10 is at-worst-linear, ≫ 10 flags a super-linear operator
+    // before a real scale-up does; ≈ 1 means fixed cost dominates.
+    val slopeJson = (sys.env.get("SPARK_GRAFT_SF2_DIR").filter(p => new java.io.File(p).isDirectory)
+        orElse smallerSf(sfDir)) match {
+      case Some(sf2) =>
+        val small = timeAll(spark, names, sf2)
+        val qs2 = small.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        val byName = small.toMap
+        val ratios = results.map { case (k, v) =>
+          val r = if (byName.getOrElse(k, 0.0) > 0) v / byName(k) else -1.0
+          "\"" + k + "\":" + f"$r%.2f"
+        }.mkString("{", ",", "}")
+        s""","sf2":"$sf2","queries_sf2":$qs2,"scale_ratio":$ratios"""
+      case None => ""
+    }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$slopeJson}"""
     )
     spark.stop()
   }
