@@ -74,22 +74,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int, threshold: Double,
       dfCap: Int = Int.MaxValue): DataFrame = {
-    // one materialized stage on the join key, BEFORE the df-cap: the
-    // hot-shingle aggregation, the anti-join probe, the size
-    // aggregation, and BOTH self-join sides all reuse it (AQE stage
-    // reuse) instead of each recomputing tokenize -> shingle
-    val shAll = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
-      .select(col("id"), explode(shinglesOf(col("ts"), w)).as("sh"))
-      .repartition(col("sh"))
-    val shM =
-      if (dfCap == Int.MaxValue) shAll
-      else {
-        val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap).select(col("sh"))
-        // broadcast anti-join preserves the (sh) partitioning
-        shAll.join(hot, Seq("sh"), "left_anti")
-      }
+    val shM = cappedShingleIndex(df, idCol, textCol, w, dfCap)
     val sizes = shM.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = shM.as("a")
       .join(shM.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -102,6 +87,37 @@ object Dedup {
       .join(sizes.as("sb"), col("id_b") === col("sb.id"))
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** The (id, sh) inverted index feeding [[jaccardPairs]], partitioned
+    * on `sh` and materialized ONCE for all consumers (size counts and
+    * both self-join sides — AQE stage reuse).
+    *
+    * df-cap ordering matters at scale: the cap is applied BEFORE the
+    * `(sh)` exchange, so the materialized stage never carries a
+    * pathological partition — a boilerplate shingle with df=10⁶ would
+    * otherwise land a 10⁶-row partition in the exchange even though
+    * the cap drops it immediately after. The price is one extra
+    * exchange on `id` (balanced by construction: ids are unique) that
+    * pins the raw explode for its two consumers (the exact-df
+    * aggregation — itself skew-safe, partial aggregation combines
+    * map-side — and the anti-join probe). At extreme scale the exact
+    * hot list can be replaced by a DetHash-sampled estimate to drop
+    * the id-exchange entirely; exact df is kept here because the
+    * DuckDB oracle replicates `HAVING count(*) > cap` semantics.
+    */
+  private[graft] def cappedShingleIndex(
+      df: DataFrame, idCol: String, textCol: String, w: Int, dfCap: Int): DataFrame = {
+    val shRaw = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), explode(shinglesOf(col("ts"), w)).as("sh"))
+    if (dfCap == Int.MaxValue) shRaw.repartition(col("sh"))
+    else {
+      val pinned = shRaw.repartition(col("id"))
+      val hot = pinned.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("sh"))
+      pinned.join(hot, Seq("sh"), "left_anti").repartition(col("sh"))
+    }
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,

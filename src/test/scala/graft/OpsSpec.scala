@@ -61,6 +61,31 @@ class DedupSpec extends SparkSpecBase {
     assert(strong === Array((1L, 2L)))
   }
 
+  test("df-cap applies BEFORE the (sh) exchange: the materialized index never carries the hot partition") {
+    // 200 docs all sharing a boilerplate trigram (df=200 >> cap): under
+    // a cap-after-exchange layout the (sh) stage would materialize one
+    // 200-row partition for that shingle; capped-before, every shingle
+    // in the exchanged stage has df <= cap, so no partition can exceed
+    // cap * (shingles per partition) concentration
+    val hot = (0L until 200L).map(i =>
+      (i, s"standard corporate disclaimer unique$i body$i words$i here$i")).toDF("id", "text")
+    val idx = Dedup.cappedShingleIndex(hot, "id", "text", w = 3, dfCap = 8)
+    // the hot shingle is gone from the materialized stage entirely
+    val dfs = idx.groupBy("sh").count()
+    assert(dfs.agg(max("count")).head().getLong(0) <= 8)
+    // and the plan orders the anti-join BELOW the (sh) exchange
+    val plan = idx.queryExecution.executedPlan.toString
+    val exIdx  = plan.indexOf("Exchange hashpartitioning(sh")
+    val antiIdx = plan.indexOf("LeftAnti")
+    assert(exIdx >= 0 && antiIdx >= 0 && exIdx < antiIdx,
+      s"anti-join must sit below the (sh) exchange:\n$plan")
+    // (no partition-occupancy assertion: AQE coalesces this tiny
+    // exchange to one partition at test scale — the two checks above
+    // are the invariants that imply no hot partition can form: every
+    // surviving shingle has df <= cap, and the drop happens below the
+    // exchange)
+  }
+
   test("minhash est_jaccard approximates true jaccard for planted dup") {
     val out = Dedup.minhashLshPairsMd5(docs, "id", "text", w = 3, numHashes = 12, bands = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
