@@ -210,6 +210,40 @@ object QueriesScale {
         .select(col("doc_id"), col("keep").cast("int").as("keep"), col("drop_reason"))
         .orderBy(col("doc_id"))),
 
+    // ---- PII redaction: synthetic emails/phones/IPs injected per
+    // doc_id residue so every pattern and the ordering contract
+    // (emails before IPs before phones) are live under the oracle
+    "x_pii_redact" -> ((s, dir) => {
+      val pii = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact bob"), col("doc_id"), lit("@corp.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call 555-123-"), lpad(col("doc_id").cast("string"), 4, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))).otherwise(lit("")))
+      CorpusOps.redactPii(docs(s, dir).select(col("doc_id"), pii.as("text")), "text")
+        .select(col("doc_id"), col("redacted"), col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- benchmark contamination: eval items are 15-token slices of
+    // docs < 10, so each flags its source doc (and that doc's natural
+    // near-dups — the exact behavior a decontamination pass exists for)
+    "x_contamination" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val bench = docs(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"), TextFns.tokenSlice(col("text"), 5, 15).as("btext"))
+      CorpusOps.contaminationCheck(docs(s, dir), "doc_id", "text",
+          bench, "bench_id", "btext", w = 3, minShared = 8)
+        .orderBy(col("id"), col("bench_id"))
+    }),
+
+    // ---- token-budget sequence packing per source shard
+    "x_pack_sequences" -> ((s, dir) =>
+      CorpusOps.packSequences(docs(s, dir), "doc_id", "text", "source", 512)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_offset"))
+        .orderBy(col("source"), col("doc_id"))),
+
     "x_sample_stratified" -> ((s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), "doc_id", "source",
           Map("src0" -> 0.1, "src1" -> 0.5), defaultRate = 0.9)
@@ -575,6 +609,54 @@ object QueriesScale {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_pii_redact" -> {
+      val email = CorpusOps.EmailRe
+      val ip    = CorpusOps.IpRe
+      val phone = CorpusOps.PhoneRe
+      s"""WITH src AS (
+         | SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact bob' || doc_id || '@corp.example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS t
+         | FROM documents),
+         |r1 AS (SELECT doc_id, len(regexp_extract_all(t, '$email')) AS n_emails,
+         |        regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM src),
+         |r2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '$ip')) AS n_ips,
+         |        regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, n_emails, n_ips, len(regexp_extract_all(t2, '$phone')) AS n_phones,
+         |        regexp_replace(t2, '$phone', '<PHONE>', 'g') AS redacted FROM r2)
+         |SELECT doc_id, redacted, n_emails, n_ips, n_phones FROM r3
+         |ORDER BY doc_id""".stripMargin
+    },
+    "x_contamination" -> {
+      def sh(toks: String) =
+        s"""list_distinct(list_transform(
+           |  range(1, greatest(len($toks) - 2, 0) + 1),
+           |  i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
+      s"""WITH ct AS (SELECT doc_id AS id, ${toksSql("text")} AS toks FROM documents),
+         |csh AS (SELECT id, unnest(${sh("toks")}) AS sh FROM ct),
+         |b0 AS (SELECT doc_id AS bench_id,
+         |        array_to_string(list_slice(string_split(text, ' '), 6, 20), ' ') AS btext
+         |       FROM documents WHERE doc_id < 10),
+         |bt AS (SELECT bench_id, ${toksSql("btext")} AS toks FROM b0),
+         |bsh AS (SELECT bench_id, unnest(${sh("toks")}) AS sh FROM bt),
+         |j AS (SELECT id, bench_id, count(*) AS n_shared
+         |      FROM csh JOIN bsh USING (sh) GROUP BY 1, 2)
+         |SELECT id, bench_id, n_shared FROM j WHERE n_shared >= 8
+         |ORDER BY id, bench_id""".stripMargin
+    },
+    "x_pack_sequences" ->
+      s"""WITH t AS (
+         | SELECT source, doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |c AS (
+         | SELECT *,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+         | FROM t)
+         |SELECT source, doc_id, n_tokens, strt // 512 AS bin_id, strt % 512 AS bin_offset
+         |FROM c ORDER BY source, doc_id""".stripMargin,
     "x_quality_filter" ->
       """WITH t AS (
         | SELECT doc_id, text,

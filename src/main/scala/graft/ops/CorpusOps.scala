@@ -113,6 +113,99 @@ object CorpusOps {
     df.filter(DetHash.detUnit(col(keyCol)) < rate)
   }
 
+  /** PII redaction: emails, then IPv4 addresses, then phone numbers
+    * are replaced by placeholder tokens, with per-kind match counts
+    * for the redaction audit (the aggregate a pipeline monitors — a
+    * sudden count spike means a source started leaking PII). Ordering
+    * matters: emails are counted/redacted first so the IP pattern can
+    * never fire inside a host part, and each later count runs on the
+    * already-redacted text. Pure per-row regexp column algebra (one
+    * codegen'd pass, no shuffle, no UDF); patterns are
+    * lookaround-free so the DuckDB (RE2) oracle runs them verbatim.
+    */
+  /** PII patterns, shared verbatim with the DuckDB oracle (both Java
+    * regex and RE2 read them identically: no lookarounds).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val email = EmailRe
+    val ip    = IpRe
+    val phone = PhoneRe
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ip, "<IP>")
+    val t3 = regexp_replace(t2, phone, "<PHONE>")
+    df
+      .withColumn("n_emails", size(regexp_extract_all(t0, lit(email), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t1, lit(ip), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t2, lit(phone), lit(0))))
+      .withColumn("redacted", t3)
+  }
+
+  /** Benchmark-contamination check: which corpus documents share at
+    * least `minShared` distinct w-shingles with a benchmark/eval item
+    * (the n-gram-overlap decontamination step every training-data
+    * pipeline runs before an eval is trustworthy). The benchmark set
+    * is a dim — its shingle explode broadcasts, so the corpus is
+    * touched once with no corpus-side shuffle before the final
+    * (doc, bench) count, which partial-aggregates map-side. Both
+    * shingle sets are per-document distinct, so the join count IS the
+    * distinct shared-shingle count. Returns
+    * (id, bench_id, n_shared) for flagged pairs.
+    */
+  def contaminationCheck(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      w: Int = 3,
+      minShared: Int = 8
+  ): DataFrame = {
+    def shingles(df: DataFrame, id: String, text: String, outId: String) = df
+      .select(col(id).as(outId), Dedup.tokens(col(text)).as("__ts"))
+      .select(col(outId), explode(Dedup.shinglesOf(col("__ts"), w)).as("sh"))
+    val corpusSh = shingles(corpus, idCol, textCol, "id")
+    val benchSh  = broadcast(shingles(bench, benchIdCol, benchTextCol, "bench_id"))
+    corpusSh.join(benchSh, Seq("sh"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Token-budget sequence packing: within each `groupCol` shard,
+    * documents in `idCol` order fill a contiguous token stream that is
+    * cut into bins of `maxTokens` — each doc gets the bin and offset
+    * where it starts (docs may straddle a boundary; the trainer
+    * truncates or continues, both need exactly this layout). The
+    * cumulative sum is one window per shard — shards (sources, dump
+    * partitions) are how packing parallelizes in practice, so there is
+    * no global order and no single-partition sort. Deterministic:
+    * layout is a pure function of (group, id, token counts).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      maxTokens: Int
+  ): DataFrame = {
+    val nToks = size(filter(split(col(textCol), " "), x => x =!= "")).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("n_tokens", nToks)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .withColumn("bin_id", floor(col("__start").cast("double") / maxTokens).cast("long"))
+      .withColumn("bin_offset", pmod(col("__start"), lit(maxTokens.toLong)))
+      .drop("__cum", "__start")
+  }
+
   /** Gap sessionization: events more than `gap` apart (same user)
     * start a new session. Classic cumulative-sum-over-new-session-flag
     * window; the only shuffle is the hash partition by user the window

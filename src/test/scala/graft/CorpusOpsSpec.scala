@@ -56,6 +56,61 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(byStratum("s2") > 420)                           // ~475 of 500
   }
 
+  test("redactPii replaces emails/IPs/phones with counts, in the documented order") {
+    val df = Seq(
+      (1L, "mail a.user+tag@sub.example.org and b@x.io today"),
+      (2L, "server 192.168.1.255 dialed 555-123-4567 twice: 555-123-4567"),
+      (3L, "clean text with no pii at all"),
+      (4L, "edge bob@1.2.3.4 has a numeric host, not an alphabetic TLD")
+    ).toDF("id", "text")
+    val out = CorpusOps.redactPii(df, "text").orderBy("id")
+      .select("redacted", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out(0) === (("mail <EMAIL> and <EMAIL> today", 2, 0, 0)))
+    assert(out(1) === (("server <IP> dialed <PHONE> twice: <PHONE>", 0, 1, 2)))
+    assert(out(2) === (("clean text with no pii at all", 0, 0, 0)))
+    // the email pattern requires an alphabetic TLD, so a numeric-host
+    // address is NOT an email — the IP redaction catches it instead
+    // (identical semantics in the RE2 oracle)
+    assert(out(3) === (("edge bob@<IP> has a numeric host, not an alphabetic TLD", 0, 1, 0)))
+  }
+
+  test("contaminationCheck flags docs sharing enough shingles with a benchmark item") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "totally unrelated words live here in this document body now"),
+      (3L, "prefix alpha beta gamma delta epsilon zeta eta theta iota suffix")
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("bench_id", "btext")
+    val out = CorpusOps.contaminationCheck(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", w = 3, minShared = 6)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 contains the full bench item (8 shared trigrams), doc 3 a
+    // 9-token run (7 shared); doc 2 shares nothing
+    assert(out.map(_._1).toSeq === Seq(1L, 3L))
+    assert(out.forall(_._2 == 10L))
+    assert(out(0)._3 === 8L && out(1)._3 === 7L)
+  }
+
+  test("packSequences lays docs contiguously into token bins per shard") {
+    val df = Seq(
+      ("s0", 1L, "a b c d e"),        // 5 tokens → bin 0, offset 0
+      ("s0", 2L, "f g h i j k l m"),  // 8 tokens → bin 0, offset 5
+      ("s0", 3L, "n o p"),            // 3 tokens → starts at 13 → bin 1, offset 3
+      ("s1", 9L, "x y")               // separate shard restarts at 0
+    ).toDF("source", "doc_id", "text")
+    val out = CorpusOps.packSequences(df, "doc_id", "text", "source", maxTokens = 10)
+      .orderBy("source", "doc_id")
+      .select("source", "doc_id", "n_tokens", "bin_id", "bin_offset")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      ("s0", 1L, 5L, 0L, 0L),
+      ("s0", 2L, 8L, 0L, 5L),
+      ("s0", 3L, 3L, 1L, 3L),
+      ("s1", 9L, 2L, 0L, 0L)))
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
