@@ -2,9 +2,10 @@ package graft.ops
 
 import graft.functions.{DetHash, TextFns}
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** The NQ (Natural Questions) curation pipeline: long-answer-candidate
   * extraction → relevance-dataset split (text vs table) → balanced
@@ -46,6 +47,51 @@ object NqCuration {
     array_join(
       slice(toks, start.cast("int") + lit(1), greatest(end - start, lit(0)).cast("int")),
       " ")
+
+  /** The real NQ JSONL shape (simplified-NQ lines:
+    * nq_extractor.py:84-115) read with an explicit schema and
+    * flattened to the frame [[relevanceRows]] consumes: first
+    * annotation unnested (long-answer span + candidate_index, first
+    * short answer or -1, yes/no answer), candidate list carried as-is.
+    * The explicit schema means Spark never samples the (huge) files to
+    * infer types, and column pruning drops `document_text` at the scan
+    * whenever a downstream query doesn't slice it.
+    */
+  def readNqJsonl(spark: SparkSession, path: String): DataFrame = {
+    val candType = StructType(Seq(
+      StructField("start_token", LongType),
+      StructField("end_token", LongType),
+      StructField("top_level", BooleanType)))
+    val schema = StructType(Seq(
+      StructField("example_id", LongType),
+      StructField("document_text", StringType),
+      StructField("question_text", StringType),
+      StructField("annotations", ArrayType(StructType(Seq(
+        StructField("yes_no_answer", StringType),
+        StructField("long_answer", StructType(Seq(
+          StructField("start_token", LongType),
+          StructField("end_token", LongType),
+          StructField("candidate_index", LongType)))),
+        StructField("short_answers", ArrayType(StructType(Seq(
+          StructField("start_token", LongType),
+          StructField("end_token", LongType))))))))),
+      StructField("long_answer_candidates", ArrayType(candType))))
+    val shortAns = try_element_at(col("ann.short_answers"), lit(1))
+    spark.read.schema(schema).json(path)
+      .select(
+        col("example_id"), col("document_text"), col("question_text"),
+        try_element_at(col("annotations"), lit(1)).as("ann"),
+        col("long_answer_candidates").as("candidates"))
+      .select(
+        col("example_id"), col("document_text"), col("question_text"),
+        col("ann.yes_no_answer").as("yes_no_answer"),
+        col("ann.long_answer.start_token").as("long_answer_start"),
+        col("ann.long_answer.end_token").as("long_answer_end"),
+        col("ann.long_answer.candidate_index").as("candidate_index"),
+        coalesce(shortAns.getField("start_token"), lit(-1L)).as("short_answer_start"),
+        coalesce(shortAns.getField("end_token"), lit(-1L)).as("short_answer_end"),
+        col("candidates"))
+  }
 
   /** Extractor + `create_relevance_dataset` fused into relational form.
     *

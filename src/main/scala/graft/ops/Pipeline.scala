@@ -121,6 +121,44 @@ object Pipeline {
     dataset.count()
   }
 
+  /** NQ-curation entry point (nq_curator.py `run`/`_run`): real NQ
+    * JSONL → candidate extraction → text/table relevance datasets →
+    * balanced CSVs (the reference's `NQ_text_relevance_balanced.csv` /
+    * `NQ_table_relevance_balanced.csv` file products). The reference
+    * loops over extractor CSV chunks and concatenates per-chunk
+    * balanced sets; one Spark job over all lines is the same dataset
+    * with the chunk loop gone — balancing keys on `question`, which is
+    * chunk-invariant here because the DetHash negative pick replaces
+    * the per-chunk RNG. Returns (text rows, table rows).
+    */
+  def runNqCuration(
+      spark: SparkSession,
+      nqJsonlPath: String,
+      outDir: String,
+      extractText: Boolean = true,
+      extractTables: Boolean = false,
+      negativeFromOtherDocs: Boolean = true
+  ): (Long, Long) = {
+    val rows = NqCuration.relevanceRows(NqCuration.readNqJsonl(spark, nqJsonlPath))
+    val nText =
+      if (!extractText) 0L
+      else {
+        val ds = NqCuration.balancedDataset(NqCuration.textDataset(rows), negativeFromOtherDocs)
+        ds.write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/NQ_text_relevance_balanced.csv")
+        ds.count()
+      }
+    val nTable =
+      if (!extractTables) 0L
+      else {
+        val ds = NqCuration.balancedDataset(NqCuration.tableDataset(rows), negativeFromOtherDocs)
+        ds.write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/NQ_table_relevance_balanced.csv")
+        ds.count()
+      }
+    (nText, nTable)
+  }
+
   /** §3.2 QA-curation product: curated examples → deterministic
     * train/val split → one SQuAD v2 JSON file per split (the
     * reference's train_kpi_extraction input,

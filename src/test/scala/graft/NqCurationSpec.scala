@@ -57,6 +57,50 @@ class NqCurationSpec extends SparkSpecBase {
     assert(NqCuration.textDataset(posOnly, minTokens = 10).count() === 0)
   }
 
+  test("readNqJsonl + runNqCuration: real JSONL lines through to the balanced CSV products") {
+    import java.nio.file.{Files, Paths}
+    def line(id: Long, q: String, doc: String, candIdx: Long,
+        la: (Long, Long), cands: Seq[(Long, Long, Boolean)]): String = {
+      val candJson = cands.map { case (s, e, t) =>
+        s"""{"start_token":$s,"end_token":$e,"top_level":$t}""" }.mkString("[", ",", "]")
+      s"""{"example_id":$id,"document_text":"$doc","question_text":"$q",""" +
+        s""""annotations":[{"yes_no_answer":"NONE","long_answer":{"start_token":${la._1},""" +
+        s""""end_token":${la._2},"candidate_index":$candIdx},"short_answers":[]}],""" +
+        s""""long_answer_candidates":$candJson}"""
+    }
+    val body = "tok00 tok01 tok02 tok03 tok04 tok05 tok06 tok07 tok08 tok09 tok10 tok11" // 12 toks
+    val tbl  = "<Table> cell one </Table>"
+    val doc1 = s"$body other01 other02 other03 other04 other05 other06 other07 other08 other09 other10 other11 other12 $tbl"
+    val dir = Files.createTempDirectory("nq-jsonl")
+    Files.writeString(Paths.get(dir.toString, "nq.jsonl"), Seq(
+      // q1: long answer = first 12 tokens, negatives: a 12-token span and the table span
+      line(1, "q one?", doc1, 0L, (0L, 12L),
+        Seq((0L, 12L, true), (12L, 24L, true), (24L, 28L, true))),
+      // dropped: no long answer
+      line(2, "q two?", doc1, -1L, (-1L, -1L), Seq((0L, 12L, true))),
+      // q3: same shape so the text dataset keeps two questions
+      line(3, "q three?", doc1, 0L, (0L, 12L),
+        Seq((0L, 12L, true), (12L, 24L, true)))
+    ).mkString("\n"))
+    val nq = NqCuration.readNqJsonl(spark, dir.toString)
+    assert(nq.count() === 3)
+    assert(nq.filter(col("candidate_index") === -1).count() === 1)
+    assert(nq.select("short_answer_start").head().getLong(0) === -1L)
+    val out = Files.createTempDirectory("nq-out").toString
+    val (nText, nTable) = graft.ops.Pipeline.runNqCuration(
+      spark, dir.toString, out, extractText = true, extractTables = true,
+      negativeFromOtherDocs = false)
+    // text: q1 and q3 each keep 1 positive + 1 negative (the table span
+    // routes to the table side, where it is a label-0 row per question)
+    assert(nText === 4L)
+    assert(nTable === 1L)
+    val txt = spark.read.option("header", "true").csv(s"$out/NQ_text_relevance_balanced.csv")
+    assert(txt.count() === 4)
+    assert(txt.filter(col("label") === "1").count() === 2)
+    val tblDs = spark.read.option("header", "true").csv(s"$out/NQ_table_relevance_balanced.csv")
+    assert(tblDs.select("text").head().getString(0).contains("<Table>"))
+  }
+
   test("balancedDataset picks one DetHash-first negative per question; shuffle reassigns questions") {
     val df = Seq(
       ("qa", "pos a", 1, 100L), ("qa", "neg a1", 0, 101L), ("qa", "neg a2", 0, 102L),
