@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TokenSetRatioExpr
+import graft.functions.{DotF32Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_set_ratio"),
       new ExpressionInfo(classOf[TokenSetRatioExpr].getName, "token_set_ratio"),
       (children: Seq[Expression]) => TokenSetRatioExpr(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32Expr].getName, "dot_f32"),
+      (children: Seq[Expression]) => DotF32Expr(children(0), children(1))
     ))
   }
 }

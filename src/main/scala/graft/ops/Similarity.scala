@@ -18,19 +18,21 @@ import org.apache.spark.sql.functions._
   *     `nProbe` closest cells per query. Scan cost drops by
   *     ~nCells/nProbe at the price of approximate recall.
   *
-  * Dot products are in-order `aggregate(zip_with(...))` folds over
-  * doubles — deterministic, codegen-friendly, and bit-identical to the
-  * oracle's sequential sum.
+  * Dot products are the native fused-loop `dot_f32` expression —
+  * in-order double accumulation, deterministic, inside whole-stage
+  * codegen, and bit-identical to the oracle's sequential sum.
   */
 object Similarity {
 
-  /** In-order dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+  /** In-order dot product of two float-array columns, in double: the
+    * native fused-loop expression ([[graft.functions.DotF32Expr]],
+    * registered by `GraftExtensions` — required on the session). Same
+    * accumulation order and widening as the `aggregate(zip_with(...))`
+    * formulation it replaced, so every oracle is unchanged; without
+    * the intermediate product array it is the kernel the ANN family
+    * hot loop wants.
+    */
+  def dot(a: Column, b: Column): Column = call_function("dot_f32", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -164,3 +164,40 @@ class DetHashSpec extends SparkSpecBase {
     assert(colVals.toSeq === scalaVals)
   }
 }
+
+class DotF32Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dot_f32 matches the HOF formulation bit-for-bit and handles nulls/empties") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-7.5f, 0.25f, 12.125f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      graft.ops.Similarity.dot(col("a"), col("b")).as("fast"), hof.as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(rows(2).getDouble(0) === 0.0)
+    // null input → null out (nullSafeEval contract)
+    val n = Seq((null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("a", "b")
+      .select(graft.ops.Similarity.dot(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("dot_f32 powers cosine on the embeddings table identically to the HOF path") {
+    val e = GraftSession.table(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val hofDot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val out = pairs.select(
+      graft.ops.Similarity.dot(col("a.embedding"), col("b.embedding")).as("fast"),
+      hofDot.as("ref")).collect()
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+}
