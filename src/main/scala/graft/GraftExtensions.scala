@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, MinhashSigsExpr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -21,6 +21,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32Expr].getName, "dot_f32"),
       (children: Seq[Expression]) => DotF32Expr(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigsExpr].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinhashSigsExpr(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64Expr(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32_md5"),
+      new ExpressionInfo(classOf[Simhash32Md5Expr].getName, "simhash32_md5"),
+      (children: Seq[Expression]) => Simhash32Md5Expr(children(0))
     ))
   }
 }

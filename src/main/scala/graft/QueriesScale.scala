@@ -99,13 +99,21 @@ object QueriesScale {
     // with j >= 0.9) and the oracle is plain all-pairs SQL. Blocking
     // recall tails at j >= 0.9: minhash 1-(1-j²)^16 ≈ 3e-12 per pair,
     // simhash P(hamming > 20 | cos ≳ 0.95) ≈ 1e-7 per pair.
+    // The simhash harness runs on a BOUNDED slice (identical output at
+    // the sf0.01 oracle gate, where every doc_id < 600): a
+    // recall-safe radius of 20/64 admits most pairs of this
+    // correlated-vocab corpus as candidates, so ground-truth verify on
+    // the full corpus is inherently near-quadratic — an agreement
+    // harness validates the machinery on a sample; it is not the
+    // production dedup path (that is x_dedup_simhash_fast).
     "x_dedup_minhash_agree" -> ((s, dir) =>
       Dedup.minhashExactPairs(plantedDocs(s, dir), "id", "text",
           w = 3, numHashes = 32, bands = 16, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_simhash_agree" -> ((s, dir) =>
-      Dedup.simhashExactPairs(plantedDocs(s, dir), "id", "text",
-          w = 3, maxHamming = 20, threshold = 0.9)
+      Dedup.simhashExactPairs(
+          plantedDocs(s, dir).filter(col("id") < 600 || col("id") >= 10000),
+          "id", "text", w = 3, maxHamming = 20, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- F3 answer-start + M7 mining --------------------------------------
@@ -450,7 +458,9 @@ object QueriesScale {
          |WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "x_dedup_minhash_agree" -> agreeOracleSql,
-    "x_dedup_simhash_agree" -> agreeOracleSql,
+    "x_dedup_simhash_agree" -> agreeOracleSql.replace(
+      "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
+      "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
     "x_dedup_minhash" ->
       s"""WITH $CorpusSql,
          |$ShinglesSql,

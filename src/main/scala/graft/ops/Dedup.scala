@@ -159,13 +159,14 @@ object Dedup {
 
   /** Derived minhash family over numeric shingle hashes:
     * h_i = xxhash64(seed, h) — hashing a single long per (shingle,
-    * seed), not a string. (Plain arithmetic mixing would be cheaper
-    * still but overflows under ANSI mode.)
+    * seed), not a string. Computed by the fused one-pass native
+    * expression ([[graft.functions.MinhashSigsExpr]], bit-identical
+    * to the per-seed `array_min(transform(...))` formulation it
+    * replaced — see its scaladoc); requires `GraftExtensions` on the
+    * session.
     */
   def minhashSignatureFast(shingleHashArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleHashArr, h => xxhash64(lit(i), h)))
-    }: _*)
+    call_function("minhash_sigs", shingleHashArr, lit(numHashes))
 
   /** MinHash-LSH near-dup candidate pairs: signature → `bands` bands of
     * `rows` hashes → hash each band → docs sharing any (band, value)
@@ -403,16 +404,7 @@ object Dedup {
     * pairs op projects the hashes first so each token is hashed once,
     * not once per bit.
     */
-  def simhash32OfMd5(hs: Column): Column = {
-    (0 until 32).map { b =>
-      val votes = aggregate(hs, lit(0), (acc, h) => {
-        val n  = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
-        val bt = shiftright(n, b % 4).bitwiseAND(lit(1))
-        acc + (bt * 2 - 1)
-      })
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a: Column, b: Column) => a + b)
-  }
+  def simhash32OfMd5(hs: Column): Column = call_function("simhash32_md5", hs)
 
   /** SimHash near-dup pairs, 32-bit md5 flavor with 8 bands of 4 bits:
     * pigeonhole guarantees recall for Hamming distance ≤ 7. Returns
@@ -457,19 +449,13 @@ object Dedup {
   def simhash(tokensArr: Column): Column =
     simhashOfHashes(transform(tokensArr, t => xxhash64(t)))
 
-  /** Same, over an already-materialized xxhash64 array column. */
-  def simhashOfHashes(hashes: Column): Column = {
-    (0 until 64)
-      .map { bit =>
-        val votes = aggregate(
-          hashes,
-          lit(0L),
-          (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
-        )
-        when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
-      }
-      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  /** Same, over an already-materialized xxhash64 array column: the
+    * fused one-pass native expression
+    * ([[graft.functions.Simhash64Expr]], bit-identical to the 64
+    * per-bit aggregate folds it replaced; requires `GraftExtensions`
+    * on the session).
+    */
+  def simhashOfHashes(hashes: Column): Column = call_function("simhash64", hashes)
 
   /** SimHash near-dup pairs with band blocking: split the 64-bit
     * fingerprint into `bands` chunks; by pigeonhole, any pair within

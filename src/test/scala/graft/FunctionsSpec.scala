@@ -201,3 +201,67 @@ class DotF32Spec extends SparkSpecBase {
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 }
+
+class MinhashSigsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("minhash_sigs is bit-identical to the per-seed array_min(transform(xxhash64)) formulation") {
+    val df = Seq(
+      Tuple1(Array(3L, 99L, -5L, 123456789L)),
+      Tuple1(Array(42L)),
+      Tuple1(Array(Long.MaxValue, Long.MinValue, 0L))
+    ).toDF("hs")
+    val k = 16
+    val ref = array((0 until k).map { i =>
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
+    }: _*)
+    val rows = df.select(
+      graft.ops.Dedup.minhashSignatureFast(col("hs"), k).as("fast"), ref.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+}
+
+class Simhash64Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("simhash64 is bit-identical to the 64 per-bit aggregate folds") {
+    val df = Seq(
+      Tuple1(Array(3L, 99L, -5L, 123456789L, 3L)),
+      Tuple1(Array(42L)),
+      Tuple1(Array(Long.MaxValue, Long.MinValue, 0L, -1L))
+    ).toDF("hs")
+    val ref = (0 until 64).map { bit =>
+      val votes = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val rows = df.select(
+      graft.ops.Dedup.simhashOfHashes(col("hs")).as("fast"), ref.as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+}
+
+class Simhash32Md5Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("simhash32_md5 is bit-identical to the per-bit conv(substring) folds") {
+    val df = Seq(
+      Tuple1(Seq("words", "more", "words", "here")),
+      Tuple1(Seq("single")),
+      Tuple1(Seq("a", "b", "c", "d", "e", "f"))
+    ).toDF("toks").select(transform(col("toks"), t => md5(t)).as("hs"))
+    val ref = (0 until 32).map { b =>
+      val votes = aggregate(col("hs"), lit(0), (acc, h) => {
+        val n  = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
+        val bt = shiftright(n, b % 4).bitwiseAND(lit(1))
+        acc + (bt * 2 - 1)
+      })
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+    val rows = df.select(
+      graft.ops.Dedup.simhash32OfMd5(col("hs")).as("fast"), ref.as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+}
