@@ -218,6 +218,24 @@ object QueriesScale {
         .select(col("doc_id"), col("keep").cast("int").as("keep"), col("drop_reason"))
         .orderBy(col("doc_id"))),
 
+    // ---- int8-quantized ANN: the 4x-memory embedding layout, ranked
+    // by scale-free quantized cosine (integer sums are exact in
+    // double, so the oracle is plain SQL)
+    "x_ann_int8_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.int8CosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- rarity-weighted top terms per doc (tf-idf family; rational
+    // idf keeps ranks bit-reproducible cross-engine)
+    "x_tfidf_topterms" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ---- PII redaction: synthetic emails/phones/IPs injected per
     // doc_id residue so every pattern and the ordering contract
     // (emails before IPs before phones) are live under the oracle
@@ -619,6 +637,39 @@ object QueriesScale {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_ann_int8_topk" ->
+      s"""WITH s0 AS (
+         | SELECT vec_id, embedding,
+         |  greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0 AS sc
+         | FROM embeddings),
+         |qz AS (
+         | SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT)) AS qv
+         | FROM s0),
+         |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, qv AS cv FROM qz),
+         |sc2 AS (
+         | SELECT query_id, neighbor_id, round(${cosSql("cv", "qq")}, 4) AS qcosine
+         | FROM c JOIN q ON query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id) AS rank FROM sc2)
+         |SELECT query_id, rank, neighbor_id, qcosine FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "x_tfidf_topterms" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  CAST(tf.tf AS DOUBLE) * ((CAST(n.n AS DOUBLE) + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)) AS score
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "x_pii_redact" -> {
       val email = CorpusOps.EmailRe
       val ip    = CorpusOps.IpRe

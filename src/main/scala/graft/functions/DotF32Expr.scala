@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** In-order dot product of two numeric array columns (`array<float>`
   * or `array<double>`, independently per side) in double precision, as
@@ -34,9 +34,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotF32Expr(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemType(dt: DataType): Option[DataType] = dt match {
-    case ArrayType(FloatType, _)  => Some(FloatType)
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case _                        => None
+    case ArrayType(FloatType, _)   => Some(FloatType)
+    case ArrayType(DoubleType, _)  => Some(DoubleType)
+    case ArrayType(IntegerType, _) => Some(IntegerType)
+    case _                         => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -44,7 +45,7 @@ case class DotF32Expr(left: Expression, right: Expression) extends BinaryExpress
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        s"dot_f32 requires array<float>/array<double> inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
+        s"dot_f32 requires array<float>/array<double>/array<int> inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
@@ -57,9 +58,11 @@ case class DotF32Expr(left: Expression, right: Expression) extends BinaryExpress
     val n  = math.min(x.numElements(), y.numElements())
     var s  = 0.0
     var i  = 0
+    val xi = elemType(left.dataType).contains(IntegerType)
+    val yi = elemType(right.dataType).contains(IntegerType)
     while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = if (xf) x.getFloat(i).toDouble else if (xi) x.getInt(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else if (yi) y.getInt(i).toDouble else y.getDouble(i)
       s += xv * yv
       i += 1
     }
@@ -71,9 +74,11 @@ case class DotF32Expr(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("sum")
-      def acc(arr: String, side: Expression, idx: String): String =
-        if (elemType(side.dataType).contains(FloatType)) s"(double) $arr.getFloat($idx)"
-        else s"$arr.getDouble($idx)"
+      def acc(arr: String, side: Expression, idx: String): String = elemType(side.dataType) match {
+        case Some(FloatType)   => s"(double) $arr.getFloat($idx)"
+        case Some(IntegerType) => s"(double) $arr.getInt($idx)"
+        case _                 => s"$arr.getDouble($idx)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;

@@ -65,6 +65,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization: `(id, qv: array<int>,
+    * scale: double)` — the 4×-memory layout a 100 TB embedding store
+    * runs ANN over ([[graft.functions.QuantizeInt8Expr]]; requires
+    * `GraftExtensions`).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), call_function("quantize_i8", col(vecCol)).as("__qz"))
+      .select(col(idCol), col("__qz.q").as("qv"), col("__qz.scale").as("scale"))
+
+  /** Brute-force cosine top-k over int8-quantized vectors — same plan
+    * as [[cosineTopK]] (broadcast queries, one corpus scan, partial
+    * top-k) but the per-pair arithmetic runs on the quantized arrays:
+    * quantized cosine is scale-free (both per-vector scales cancel),
+    * so only the int arrays travel. Accuracy loss vs exact cosine is
+    * the int8 rounding (~1e-3 at dim 64) — spec-measured against the
+    * exact ranking.
+    */
+  def int8CosineTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qc = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qv").as("cv"))
+    val qq = broadcast(quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("qv")))
+    val cos = dot(col("cv"), col("qv")) /
+      (sqrt(dot(col("cv"), col("cv"))) * sqrt(dot(col("qv"), col("qv"))))
+    val scored = qc.join(qq, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(cos, 4).as("qcosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-bucketed approximate top-k: centroids are the corpus rows
     * whose id hashes into the first `nCells` slots (deterministic
     * sample), every corpus vector is assigned to its nearest centroid,

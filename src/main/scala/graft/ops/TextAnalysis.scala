@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -123,6 +124,44 @@ object TextAnalysis {
     * tokenized ONCE into an attribute, every feature reads the array
     * (the inline form re-tokenizes ~10x per row).
     */
+  /** Rarity-weighted top terms per document (tf-idf family): term
+    * frequency per (doc, term) × inverse document frequency, top-k
+    * terms per doc. Plan shape at scale: one explode → (doc, term, tf)
+    * aggregation (map-side combinable) → per-term df aggregation (one
+    * row per distinct term, broadcastable for any real vocabulary) →
+    * broadcast join back → `WindowGroupLimit` partial top-k per doc.
+    * The corpus is touched once; the only full shuffle is the
+    * (doc, term) aggregation.
+    *
+    * `idf` defaults to the raw ratio (N+1)/(df+1): IEEE add/mul/div
+    * are correctly rounded in every engine, so scores and ranks are
+    * bit-reproducible cross-engine (the DuckDB oracle) — unlike
+    * `ln`, whose last-ulp behavior is libm-specific. Pass
+    * `logIdf = true` for the textbook ln((N+1)/(df+1))+1 weighting
+    * when cross-engine hashing is not required.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      logIdf: Boolean = false
+  ): DataFrame = {
+    val n = df.count() // one scalar job: N docs (cheap, cacheable)
+    val terms = df
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf0  = (lit(n + 1.0)) / (col("df") + lit(1.0))
+    val idf   = if (logIdf) log(idf0) + lit(1.0) else idf0
+    val scored = terms
+      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("score", col("tf").cast("double") * idf)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol), t, toks(t).as("__toks"))

@@ -152,6 +152,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r === 1.0)
   }
 
+  test("int8 quantization round-trips direction; quantized top-k matches exact top-1 on real embeddings") {
+    val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding").orderBy("vec_id").collect()
+    // unit-x vector quantizes to (127, 0, 0) with scale 1/127
+    assert(qz(0).getSeq[Int](1) === Seq(127, 0, 0))
+    assert(math.abs(qz(0).getDouble(2) - 1.0 / 127) < 1e-12)
+    // colinear vector (scale 2/127) has the identical quantized ints
+    assert(qz(3).getSeq[Int](1) === Seq(127, 0, 0))
+    val e = GraftSession.table(spark, sf, "embeddings").limit(200)
+    val exact = Similarity.cosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.int8CosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 rounding at dim 64 does not change the top-1 neighbor
+    assert(quant === exact)
+  }
+
   test("cosineTopK ranks the colinear vector first") {
     val out = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
       .orderBy(col("rank")).collect()
@@ -336,6 +352,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     val abc = Seq("abc").toDF("text")
       .select(TextAnalysis.rollingFingerprint(col("text"))).head().getLong(0)
     assert(abc === ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+}
+
+class TfidfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tfidfTopTerms ranks rare repeated terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "rareword rareword common common common"),
+      (2L, "common common other words here"),
+      (3L, "common unrelated text body now")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: 'rareword' (tf 2, df 1 → idf 2) beats 'common' (tf 3, df 3 → idf 1)
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq === Seq((1, "rareword"), (2, "common")))
+    val rare = out.find(t => t._1 == 1L && t._3 == "rareword").get
+    assert(rare._4 === 2L && rare._5 === 1L)
+    // ln flavor keeps the same leader on this data
+    val ln = graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1, logIdf = true)
+      .filter(col("doc_id") === 1).select("term").head().getString(0)
+    assert(ln === "rareword")
   }
 }
 
