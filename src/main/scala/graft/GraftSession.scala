@@ -39,9 +39,15 @@ object GraftSession {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Epoch-nanos long (see nanosAsLong above) → timestamp, truncated
-    * to Spark's microsecond precision.
+    * to Spark's microsecond precision via TRUE integer division
+    * (`IntegralDivide`). `(c / 1000).cast("long")` is subtly wrong:
+    * the long converts to double BEFORE the divide, and at 1.7e18 the
+    * double grid is 256 ns wide — ~1.6% of values come back 1 µs off
+    * versus DuckDB's truncating epoch_us (found by the
+    * s9_stream_sessions oracle; hour-truncated outputs had masked it).
     */
-  def nanosToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+  def nanosToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    timestamp_micros(call_function("div", c, lit(1000L)))
+  }
 }

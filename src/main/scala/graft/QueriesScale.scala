@@ -201,6 +201,16 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    "s9_stream_sessions" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_sessions_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamSessionCounts(s, dir, schema, name,
+        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name).orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     "s9_stream_stateful" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name   = s"stream_stateful_${streamN.incrementAndGet()}"
@@ -632,6 +642,32 @@ object QueriesScale {
     "s9_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, value FROM events
         |ORDER BY user_id, event_type, value""".stripMargin,
+    // streaming session windows: islands in the µs domain with the
+    // session_window merge rule (merge iff gap STRICTLY below 1h, so
+    // the break flag is >=), end = last event + gap, and the
+    // append-mode finalization cut at watermark = max event time − 2h
+    "s9_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT max(us) AS mx_us FROM e),
+        |flag AS (
+        | SELECT user_id, us, value,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 3600000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |sess AS (
+        | SELECT user_id, us, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flag),
+        |agg AS (
+        | SELECT user_id, sid, min(us) AS session_start_us,
+        |  max(us) + 3600000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        | FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+        |FROM agg, mx WHERE session_end_us <= mx_us - 7200000000
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "s9_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

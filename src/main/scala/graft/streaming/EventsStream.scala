@@ -70,6 +70,55 @@ object EventsStream {
       .start()
   }
 
+  /** Session-window rollup (batch form): per-user events within `gap`
+    * of each other coalesce into one session
+    * (`functions.session_window` — window end = last event + gap).
+    * Bounds in epoch-µs longs so the oracle needs no timestamp
+    * formatting. Works identically on a static frame, which is what
+    * the spec compares the stream against.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows as a stream: append mode (session windows do not
+    * support complete), so the sink receives exactly the sessions the
+    * advanced watermark finalized — sessions whose end is at or before
+    * max(event time) − `watermark` when the source is exhausted
+    * (AvailableNow). The trailing per-user sessions stay in state; a
+    * longer-running stream emits them when later data advances the
+    * watermark. The oracle replicates the finalization cut.
+    */
+  def streamSessionCounts(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      gap: String = "1 hour",
+      watermark: String = "2 hours",
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val src     = prep(reader.parquet(dir))
+    sessionCounts(src.withWatermark("ts", watermark), gap)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The mapGroupsWithState body shared by the memory-sink harness and
     * the foreachBatch file sink — one definition so the two can't
     * desynchronize.

@@ -123,3 +123,32 @@ class StreamFileSinkSpec extends SparkSpecBase {
     assert(got === exp)
   }
 }
+
+class StreamSessionSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  test("append-mode session windows equal the batch sessions the watermark finalized") {
+    val dir    = sf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val q = graft.streaming.EventsStream.streamSessionCounts(
+      spark, dir, schema, "sess_spec",
+      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      globFilter = Some("events.parquet"))
+    q.awaitTermination()
+    val streamed = spark.table("sess_spec")
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    // batch form on the same static frame, minus sessions the final
+    // watermark (max event time - 2h) had not yet closed
+    val batchAll = graft.streaming.EventsStream.sessionCounts(
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", GraftSession.nanosToTs(col("ts"))))
+    val mx = batchAll.agg(max(col("session_end_us"))).head().getLong(0)
+    val maxEvent = spark.read.parquet(s"$dir/events.parquet")
+      .select(max(call_function("div", col("ts"), lit(1000L)))).head().getLong(0)
+    val finalized = batchAll
+      .filter(col("session_end_us") <= maxEvent - 7200000000L)
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(streamed.nonEmpty && streamed.size < batchAll.count())
+    assert(streamed === finalized)
+  }
+}
