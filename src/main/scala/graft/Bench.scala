@@ -25,10 +25,15 @@ object Bench {
     "x_ann_cosine_topk",
     "x_ann_ivf_topk",
     "x_ann_ivf_refined",
+    "x_ann_int8_topk",
     "x_quality_filter",
     "x_sessionize",
     "x_profile",
-    "s9_stream_window"
+    "x_tfidf_topterms",
+    "x_pack_sequences",
+    "x_pii_redact",
+    "s9_stream_window",
+    "s9_stream_sessions"
   )
 
   /** Best-of-2 per query: first run pays JIT/codegen for operators the
