@@ -274,6 +274,11 @@ object QueriesScale {
         .orderBy(col("id"), col("bench_id"))
     }),
 
+    // ---- overlapping context-window chunking (size 40, overlap 10)
+    "x_chunk_docs" -> ((s, dir) =>
+      CorpusOps.chunkDocuments(docs(s, dir), "doc_id", "text", chunkSize = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- token-budget sequence packing per source shard
     "x_pack_sequences" -> ((s, dir) =>
       CorpusOps.packSequences(docs(s, dir), "doc_id", "text", "source", 512)
@@ -742,6 +747,16 @@ object QueriesScale {
          |SELECT id, bench_id, n_shared FROM j WHERE n_shared >= 8
          |ORDER BY id, bench_id""".stripMargin
     },
+    "x_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+         |c AS (SELECT doc_id, toks, n_tokens,
+         |  unnest(range(0, greatest(CAST(ceil(CAST(n_tokens - 10 AS DOUBLE) / 30) AS INT), 1))) AS chunk_idx
+         | FROM n)
+         |SELECT doc_id, chunk_idx,
+         | array_to_string(list_slice(toks, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' ') AS chunk_text,
+         | least(40, n_tokens - chunk_idx * 30) AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "x_pack_sequences" ->
       s"""WITH t AS (
          | SELECT source, doc_id,

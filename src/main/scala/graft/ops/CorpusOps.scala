@@ -206,6 +206,38 @@ object CorpusOps {
       .drop("__cum", "__start")
   }
 
+  /** Overlapping token-window chunking — the standard context-window
+    * splitter for pretraining/RAG ingestion: chunks of `chunkSize`
+    * tokens starting every `chunkSize - overlap`, the last chunk
+    * truncated, every doc yielding at least one chunk. One tokenize
+    * into an attribute, one generator; the token array rides through
+    * the explode as a plain attribute, so nothing is re-evaluated per
+    * chunk (the HOF-capture trap a transform-over-sequence formulation
+    * would hit). Pure per-row work: no shuffle.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val nChunks = greatest(
+      ceil((col("n_tokens") - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    df
+      .select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), col("n_tokens") - col("chunk_idx") * stride).as("chunk_tokens"))
+  }
+
   /** Gap sessionization: events more than `gap` apart (same user)
     * start a new session. Classic cumulative-sum-over-new-session-flag
     * window; the only shuffle is the hash partition by user the window

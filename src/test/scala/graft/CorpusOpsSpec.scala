@@ -111,6 +111,26 @@ class CorpusOpsSpec extends SparkSpecBase {
       ("s1", 9L, 2L, 0L, 0L)))
   }
 
+  test("chunkDocuments: stride windows, truncated tail, short docs yield one chunk") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c")                                     // 3 tokens < overlap
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocuments(df, "doc_id", "text", chunkSize = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L)
+    // ceil((100-10)/30) = 3 chunks at starts 0/30/60
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._4 === 40)
+    assert(d1(1)._3.startsWith("t31 ") && d1(1)._4 === 40)
+    assert(d1(2)._3.startsWith("t61 ") && d1(2)._3.endsWith(" t100") && d1(2)._4 === 40)
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(d1(0)._3.split(" ").takeRight(10).toSeq === d1(1)._3.split(" ").take(10).toSeq)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0, "a b c", 3)))
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
