@@ -85,9 +85,14 @@ object QueriesScale {
     }),
 
     // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
+    // 32 hashes / 16 bands (r=2): banding recall at true j ≥ 0.8 is
+    // 1-(1-j²)^16 ≈ certain and the 32-hash estimate puts
+    // P(est < 0.5 | j ≥ 0.8) ≈ 3e-6 — the 16/4 config missed a true
+    // 0.82-jaccard pair through est noise and had a 1.5% per-pair
+    // banding miss at j = 0.8
     "x_dedup_minhash_fast" -> ((s, dir) =>
       Dedup.minhashLshPairs(plantedDocs(s, dir), "id", "text",
-          w = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          w = 3, numHashes = 32, bands = 16, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_simhash_fast" -> ((s, dir) =>
       Dedup.simhashPairs(plantedDocs(s, dir), "id", "text", maxHamming = 7)
