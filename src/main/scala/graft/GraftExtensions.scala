@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, MinhashSigsExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32_md5"),
       new ExpressionInfo(classOf[Simhash32Md5Expr].getName, "simhash32_md5"),
       (children: Seq[Expression]) => Simhash32Md5Expr(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_md5_sigs"),
+      new ExpressionInfo(classOf[MinhashMd5SigsExpr].getName, "minhash_md5_sigs"),
+      (children: Seq[Expression]) => MinhashMd5SigsExpr(children(0), children(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("quantize_i8"),

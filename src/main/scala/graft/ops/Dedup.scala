@@ -341,9 +341,7 @@ object Dedup {
     * in ANSI SQL, which makes the whole LSH pipeline oracle-checkable.
     */
   def minhashSignatureMd5(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
-    }: _*)
+    call_function("minhash_md5_sigs", shingleArr, lit(numHashes))
 
   /** MinHash-LSH near-dup pairs, md5/oracle flavor. Identical plan
     * shape to [[minhashLshPairs]]: signature → bands → bucket

@@ -40,6 +40,18 @@ class KernelPropertySpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("minhash_md5_sigs ≡ per-seed array_min(transform(md5)) on 100 random shingle sets") {
+    val k = 12
+    val data = Seq.fill(100)(Seq.fill(1 + rnd.nextInt(40))(s"tok${rnd.nextInt(999)} w${rnd.nextInt(99)}"))
+    val df = data.map(Tuple1(_)).toDF("shs")
+    val ref = array((0 until k).map { seed =>
+      array_min(transform(col("shs"), s => md5(concat(lit(s"$seed:"), s))))
+    }: _*)
+    val bad = df.select(graft.ops.Dedup.minhashSignatureMd5(col("shs"), k).as("a"), ref.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad === 0)
+  }
+
   test("dot_f32 ≡ aggregate(zip_with) bit-for-bit on 200 random float pairs") {
     val data = Seq.fill(200) {
       val n = 1 + rnd.nextInt(80)
