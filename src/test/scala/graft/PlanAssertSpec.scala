@@ -61,6 +61,22 @@ class PlanAssertSpec extends SparkSpecBase {
       s"question side not broadcast:\n$plan")
   }
 
+  test("chunking and PII redaction are shuffle-free; packing uses exactly one exchange") {
+    for (name <- Seq("x_chunk_docs", "x_pii_redact")) {
+      // sort for output determinism is allowed; no hash exchange may appear
+      val plan = planOf(q(name))
+      assert(!plan.contains("Exchange hashpartitioning"), s"$name gained a shuffle:\n$plan")
+    }
+    val plan = planOf(q("x_pack_sequences"))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"packing needs exactly the per-shard window exchange:\n$plan")
+  }
+
+  test("tfidf top-k per doc plans as WindowGroupLimit") {
+    val plan = planOf(q("x_tfidf_topterms"))
+    assert(plan.contains("WindowGroupLimit"), s"tfidf lost partial top-k:\n$plan")
+  }
+
   test("x_dedup_exact groups through one exchange with map-side partials") {
     val plan = planOf(q("x_dedup_exact"))
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
