@@ -279,6 +279,19 @@ object QueriesScale {
         .orderBy(col("id"), col("bench_id"))
     }),
 
+    // ---- URL/domain inventory over synthetically injected links
+    "x_url_domains" -> ((s, dir) => {
+      val linked = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)), lit(".com/path/a"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit(" and http://Data.org/x?q=1 plus https://example0.com")).otherwise(lit(""))).as("text"))
+      CorpusOps.extractUrls(linked, "doc_id", "text")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
     // ---- overlapping context-window chunking (size 40, overlap 10)
     "x_chunk_docs" -> ((s, dir) =>
       CorpusOps.chunkDocuments(docs(s, dir), "doc_id", "text", chunkSize = 40, overlap = 10)
@@ -752,6 +765,18 @@ object QueriesScale {
          |SELECT id, bench_id, n_shared FROM j WHERE n_shared >= 8
          |ORDER BY id, bench_id""".stripMargin
     },
+    "x_url_domains" ->
+      s"""WITH linked AS (
+         | SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 4 = 0
+         |   THEN ' see https://example' || (doc_id % 7) || '.com/path/a' ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0
+         |   THEN ' and http://Data.org/x?q=1 plus https://example0.com' ELSE '' END AS t
+         | FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(t, '${CorpusOps.UrlRe}')) AS url FROM linked),
+         |d AS (SELECT doc_id, lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS domain FROM u)
+         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
          |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),

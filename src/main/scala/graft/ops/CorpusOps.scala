@@ -206,6 +206,20 @@ object CorpusOps {
       .drop("__cum", "__start")
   }
 
+  /** URL regex shared verbatim with the DuckDB oracle (RE2-safe). */
+  val UrlRe = "https?://[^\\s]+"
+
+  /** URL extraction: one row per URL occurrence with its lowercased
+    * host — the inventory a web-corpus pipeline aggregates for domain
+    * mixture stats, allow/deny filtering, and source attribution.
+    * One regexp pass + explode per row, no shuffle; aggregation is the
+    * caller's (map-side-combinable groupBy on domain).
+    */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df
+      .select(col(idCol), explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("domain", lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1)))
+
   /** Overlapping token-window chunking — the standard context-window
     * splitter for pretraining/RAG ingestion: chunks of `chunkSize`
     * tokens starting every `chunkSize - overlap`, the last chunk

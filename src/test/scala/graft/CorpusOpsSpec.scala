@@ -111,6 +111,18 @@ class CorpusOpsSpec extends SparkSpecBase {
       ("s1", 9L, 2L, 0L, 0L)))
   }
 
+  test("extractUrls pulls every link with its lowercased host") {
+    val df = Seq(
+      (1L, "intro https://Sub.Example.COM/a/b?q=1 mid http://plain.org tail"),
+      (2L, "no links at all here")
+    ).toDF("id", "text")
+    val out = CorpusOps.extractUrls(df, "id", "text").orderBy("url")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out === Array(
+      (1L, "http://plain.org", "plain.org"),
+      (1L, "https://Sub.Example.COM/a/b?q=1", "sub.example.com")))
+  }
+
   test("chunkDocuments: stride windows, truncated tail, short docs yield one chunk") {
     val df = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
