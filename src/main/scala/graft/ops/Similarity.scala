@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,8 +110,9 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    probeTopK(c, sampleCentroids(c, nCells), queries, idCol, vecCol, k, nProbe)
+    val c         = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val centroids = sampleCentroids(c, nCells)
+    probeTopK(ivfAssign(c, centroids), centroids, queries, idCol, vecCol, k, nProbe)
   }
 
   /** IVF with `refineIters` k-means-style refinement passes before the
@@ -147,7 +148,54 @@ object Similarity {
       centroids = broadcast(spark.createDataFrame(
         java.util.Arrays.asList(refined.collect(): _*), refined.schema))
     }
-    probeTopK(c, centroids, queries, idCol, vecCol, k, nProbe)
+    probeTopK(ivfAssign(c, centroids), centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Build and persist an IVF index: the centroid set plus the
+    * assigned corpus laid out `partitionBy(cell_id)`. Build once,
+    * probe many times — the full-corpus assignment scan is the
+    * expensive step, and the cell-partitioned layout means a probe
+    * reads ONLY the probed cells' files (partition pruning /
+    * dynamic partition pruning against the broadcast probe set)
+    * instead of rescanning 100 TB per query batch.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16,
+      refineIters: Int = 0
+  ): Unit = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var centroids = sampleCentroids(c, nCells)
+    (1 to refineIters).foreach { _ =>
+      val refined = refineCentroids(ivfAssign(c, centroids))
+      val spark   = c.sparkSession
+      centroids = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(refined.collect(): _*), refined.schema))
+    }
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(c, centroids).write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$path/assigned")
+  }
+
+  /** Probe a persisted IVF index: identical results to running
+    * [[ivfTopK]]/[[ivfTopKRefined]] with the same centroids, but the
+    * corpus assignment is read, not recomputed.
+    */
+  def probeIvfIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val assigned  = spark.read.parquet(s"$path/assigned")
+    probeTopK(assigned, centroids, queries, idCol, vecCol, k, nProbe)
   }
 
   /** Deterministic centroid sample: smallest nCells ids — plans as a
@@ -173,12 +221,14 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           x => x.getField("s").cast("double")).as("centroid")))
 
-  /** The probe stage shared by the sampled and refined flavors: each
-    * query probes its nProbe nearest cells, scores only those cells'
-    * members, partial top-k per query.
+  /** The probe stage shared by the sampled, refined, and persisted
+    * flavors: each query probes its nProbe nearest cells, scores only
+    * those cells' members (`assigned`: neighbor_id, cv, cell_id —
+    * freshly computed or read back from a written index), partial
+    * top-k per query.
     */
   private def probeTopK(
-      c: DataFrame,
+      assigned: DataFrame,
       centroids: DataFrame,
       queries: DataFrame,
       idCol: String,
@@ -186,7 +236,6 @@ object Similarity {
       k: Int,
       nProbe: Int
   ): DataFrame = {
-    val assigned = ivfAssign(c, centroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
     val probes = q.join(centroids)

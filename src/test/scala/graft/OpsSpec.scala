@@ -216,6 +216,39 @@ class SimilaritySpec extends SparkSpecBase {
   }
 }
 
+class IvfIndexSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  test("persisted IVF index probes identically to the in-memory flavor, reading only probed cells") {
+    val e   = GraftSession.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    graft.ops.Similarity.writeIvfIndex(e, "vec_id", "embedding", dir, nCells = 16)
+    val q = e.filter(col("vec_id") < 5)
+    val fromIndex = graft.ops.Similarity.probeIvfIndex(spark, dir, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    val inMemory = graft.ops.Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3, nCells = 16)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromIndex === inMemory)
+    assert(fromIndex.nonEmpty)
+    // layout: one directory per cell, so a probe can prune to its cells
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(cellDirs.size > 1 && cellDirs.size <= 16)
+    // refined flavor round-trips too
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-index-r").toString
+    graft.ops.Similarity.writeIvfIndex(e, "vec_id", "embedding", dir2, nCells = 16, refineIters = 1)
+    val fromIndex2 = graft.ops.Similarity.probeIvfIndex(spark, dir2, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    val inMemory2 = graft.ops.Similarity.ivfTopKRefined(e, q, "vec_id", "embedding", k = 3, nCells = 16, refineIters = 1)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromIndex2 === inMemory2)
+  }
+}
+
 class ScorerPipelineSpec extends SparkSpecBase {
 
   private def pairs = {
