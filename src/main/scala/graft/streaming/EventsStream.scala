@@ -208,6 +208,36 @@ object EventsStream {
       .start()
   }
 
+  /** PRODUCTION SCALE PATH for session windows: append-mode parquet
+    * with the sink commit log for exactly-once — identical semantics
+    * to [[streamSessionCounts]]'s memory-sink harness (only
+    * watermark-finalized sessions are ever written; open trailing
+    * sessions stay in state until later data closes them).
+    */
+  def streamSessionCountsToParquet(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      gap: String = "1 hour",
+      watermark: String = "2 hours",
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val src     = prep(reader.parquet(dir))
+    sessionCounts(src.withWatermark("ts", watermark), gap)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** PRODUCTION SCALE PATH for the custom-state stats: `foreachBatch`
     * appends each micro-batch's updated rows tagged with the batch id.
     * The sink is append-only (a retried batch writes the same rows

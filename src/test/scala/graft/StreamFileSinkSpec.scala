@@ -124,6 +124,33 @@ class StreamFileSinkSpec extends SparkSpecBase {
   }
 }
 
+class StreamSessionSinkSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  test("session parquet sink writes exactly the finalized sessions of the memory harness") {
+    val dir    = sf
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val out  = java.nio.file.Files.createTempDirectory("sess-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
+    val q = graft.streaming.EventsStream.streamSessionCountsToParquet(
+      spark, dir, schema, out, ckpt,
+      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      globFilter = Some("events.parquet"))
+    q.awaitTermination()
+    val fromSink = spark.read.parquet(out)
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    val qm = graft.streaming.EventsStream.streamSessionCounts(
+      spark, dir, schema, "sess_sink_ref",
+      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      globFilter = Some("events.parquet"))
+    qm.awaitTermination()
+    val fromMemory = spark.table("sess_sink_ref")
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(fromSink.nonEmpty)
+    assert(fromSink === fromMemory)
+  }
+}
+
 class StreamSessionSpec extends SparkSpecBase {
   import org.apache.spark.sql.functions._
 
