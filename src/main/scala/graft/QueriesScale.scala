@@ -1,7 +1,7 @@
 package graft
 
 import graft.GraftSession.table
-import graft.functions.AnswerStart
+import graft.functions.{AnswerStart, DetHash}
 import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity}
 import graft.streaming.EventsStream
 
@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * embedding near-dup + IVF ANN), Structured Streaming parity queries,
   * multimodal plumbing, and the answer-start/mining machinery.
   *
-  * The testdata has no near-duplicates (500 docs, max pairwise Jaccard
-  * ≈ 0.03), so the near-dup queries plant mutated copies inline —
-  * deterministically, with the identical UNION in the oracle — and
-  * must then find exactly the planted pairs.
+  * The near-dup queries plant mutated copies inline — deterministically,
+  * with the identical UNION in the oracle. Round-3 testdata ALSO carries
+  * ~26 natural near-dup pairs (trigram jaccard 0.82-0.99), so outputs are
+  * planted ∪ natural pairs, identical on both engines either way.
   */
 object QueriesScale {
 
@@ -302,6 +302,12 @@ object QueriesScale {
       CorpusOps.packSequences(docs(s, dir), "doc_id", "text", "source", 512)
         .select(col("source"), col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_offset"))
         .orderBy(col("source"), col("doc_id"))),
+
+    // ---- temperature (alpha=0.5) mixture resampling with replication
+    "x_resample_temperature" -> ((s, dir) =>
+      CorpusOps.temperatureResample(docs(s, dir), "doc_id", "source", targetTotal = 600)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))),
 
     "x_sample_stratified" -> ((s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), "doc_id", "source",
@@ -764,6 +770,21 @@ object QueriesScale {
          |      FROM csh JOIN bsh USING (sh) GROUP BY 1, 2)
          |SELECT id, bench_id, n_shared FROM j WHERE n_shared >= 8
          |ORDER BY id, bench_id""".stripMargin
+    },
+    "x_resample_temperature" -> {
+      val u = DetHash.detUnitSql("doc_id")
+      s"""WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wgt FROM s),
+         |tot AS (SELECT CAST(sum(CAST(wgt AS DECIMAL(28,12))) AS DOUBLE) AS z FROM w),
+         |r AS (SELECT source, n, wgt / z * 600.0 / n AS ratio FROM w, tot),
+         |d AS (SELECT d0.doc_id, d0.source, r.ratio FROM documents d0 JOIN r USING (source)),
+         |c AS (SELECT doc_id, source,
+         |  CAST(floor(ratio) AS BIGINT) +
+         |  CASE WHEN $u < ratio - floor(ratio) THEN 1 ELSE 0 END AS copies
+         | FROM d)
+         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy_idx
+         |FROM c WHERE copies >= 1
+         |ORDER BY doc_id, copy_idx""".stripMargin
     },
     "x_url_domains" ->
       s"""WITH linked AS (

@@ -206,6 +206,46 @@ object CorpusOps {
       .drop("__cum", "__start")
   }
 
+  /** Temperature (α-weighted) source resampling with replication — the
+    * data-mixture step that upsamples small sources and downsamples
+    * dominant ones: source weights `w_s = weight(n_s)` (α=0.5 ⇒
+    * `sqrt`), target share `w_s/Σw`, per-doc copy count =
+    * `⌊ratio_s⌋` plus one more when the doc's DetHash falls under the
+    * fractional part — so expected counts hit the target exactly and
+    * the realized sample is deterministic under any partitioning.
+    * Docs with zero copies drop; others explode to `copy_idx` rows.
+    *
+    * One tiny aggregation (per-source counts, broadcast back) + a
+    * per-row explode: no corpus shuffle. Determinism notes: the
+    * default `sqrt` weight is IEEE-correctly-rounded in every engine
+    * (unlike `pow`/`ln`, which are libm-specific — pass a custom
+    * `weight` only where cross-engine hashing is not required), and
+    * the weight normalizer sums in DECIMAL so it is
+    * aggregation-order-independent.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      targetTotal: Long,
+      weight: Column => Column = c => sqrt(c)
+  ): DataFrame = {
+    val stats = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weight(col("__n").cast("double")))
+    val z = stats.agg(sum(col("__w").cast("decimal(28,12)")).cast("double").as("__z"))
+    val ratios = broadcast(stats.crossJoin(broadcast(z))
+      .withColumn("__ratio", col("__w") / col("__z") * lit(targetTotal.toDouble) / col("__n"))
+      .select(col(strataCol), col("__ratio")))
+    df.join(ratios, Seq(strataCol))
+      .withColumn("__copies",
+        floor(col("__ratio")).cast("long") +
+          when(DetHash.detUnit(col(keyCol)) < col("__ratio") - floor(col("__ratio")), 1L).otherwise(0L))
+      .filter(col("__copies") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__ratio", "__copies")
+  }
+
   /** URL regex shared verbatim with the DuckDB oracle (RE2-safe). */
   val UrlRe = "https?://[^\\s]+"
 

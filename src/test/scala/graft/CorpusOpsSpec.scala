@@ -56,6 +56,25 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(byStratum("s2") > 420)                           // ~475 of 500
   }
 
+  test("temperatureResample hits the target size with sqrt-flattened source shares, deterministically") {
+    // 900 docs in a 8:1 source imbalance; sqrt weights flatten it to 3:1
+    val df = (0L until 900L).map(i => (i, if (i < 800) "big" else "small")).toDF("k", "src")
+    val out = CorpusOps.temperatureResample(df, "k", "src", targetTotal = 450)
+    val byS = out.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byS.values.sum
+    assert(math.abs(total - 450L) <= 25, s"total $total")
+    // sqrt(800):sqrt(100) ≈ 2.83:1 — the small source is upsampled
+    // relative to its 1:8 share (docs repeat via copy_idx)
+    val ratio = byS("big").toDouble / byS("small")
+    assert(ratio > 2.0 && ratio < 4.0, s"ratio $ratio")
+    assert(out.filter(col("src") === "small").groupBy("k").count()
+      .filter(col("count") > 1).count() > 0, "small-source docs should repeat")
+    // deterministic under repartitioning
+    val again = CorpusOps.temperatureResample(df.repartition(13), "k", "src", targetTotal = 450)
+      .select("k", "copy_idx").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again === out.select("k", "copy_idx").collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+  }
+
   test("redactPii replaces emails/IPs/phones with counts, in the documented order") {
     val df = Seq(
       (1L, "mail a.user+tag@sub.example.org and b@x.io today"),
