@@ -77,6 +77,14 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"), s"tfidf lost partial top-k:\n$plan")
   }
 
+  test("contamination and temperature-resample keep their dims broadcast") {
+    for (name <- Seq("x_contamination", "x_resample_temperature")) {
+      val plan = planOf(q(name))
+      assert(plan.contains("BroadcastHashJoin"), s"$name dim join fell off broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name shuffled a dim join:\n$plan")
+    }
+  }
+
   test("x_dedup_exact groups through one exchange with map-side partials") {
     val plan = planOf(q("x_dedup_exact"))
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
