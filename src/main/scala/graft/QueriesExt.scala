@@ -28,6 +28,26 @@ object QueriesExt {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4 under the oracle gate: nation → written as a real .xlsx
+    // (inline strings) → read back through the JDK-only OOXML decode
+    // path → typed projection the oracle recomputes from the parquet
+    // table directly. A decode bug anywhere (zip, StAX, refs, header
+    // projection) breaks the hash.
+    "s4_xlsx_roundtrip" -> ((s, dir) => {
+      import graft.sources.XlsxSource
+      val tmp = java.nio.file.Files.createTempDirectory("xlsx-rt").toString
+      val n = nat(s, dir).select(
+        col("n_nationkey").cast("string").as("nationkey"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("string").as("regionkey"))
+      XlsxSource.writeXlsx(n, s"$tmp/nation.xlsx", "data_ex_in_xls")
+      XlsxSource.readXlsx(s, tmp, "data_ex_in_xls")
+        .select(
+          col("nationkey").cast("long").as("n_nationkey"),
+          col("name").as("n_name"),
+          col("regionkey").cast("long").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
     // ---- §2.4 remaining aggregations --------------------------------------
     "a2_sum_groupby" -> ((s, dir) =>
       ord(s, dir)
@@ -283,6 +303,10 @@ object QueriesExt {
   private def u(key: String): String = DetHash.detUnitSql(key)
 
   val oracleSql: Map[String, String] = Map(
+    "s4_xlsx_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "a2_sum_groupby" ->
       """SELECT o_orderpriority, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

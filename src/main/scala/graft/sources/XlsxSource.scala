@@ -1,7 +1,8 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
-import java.util.zip.ZipInputStream
+import java.io.{ByteArrayInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
@@ -26,6 +27,52 @@ import org.apache.spark.sql.functions._
   * fact tables arrive as parquet/csv.
   */
 object XlsxSource {
+
+  /** Write a dim-scale DataFrame as a single-sheet .xlsx (header row =
+    * column names, every value an inline string, nulls as absent
+    * cells) — the round-trip partner of [[readXlsx]], used to export
+    * curated annotations back to the spreadsheet workflow and to put
+    * the whole OOXML decode path under the DuckDB oracle gate
+    * (`s4_xlsx_roundtrip`). Driver-side single file by design:
+    * annotation workbooks are hundreds of rows, and a zip is not
+    * splittable anyway (see the reader's scale note).
+    */
+  def writeXlsx(df: DataFrame, path: String, sheetName: String): Unit = {
+    val cols = df.columns
+    val data = df.collect()
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def colLetters(i: Int): String =
+      if (i < 26) ('A' + i).toChar.toString
+      else ('A' + i / 26 - 1).toChar.toString + ('A' + i % 26).toChar
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes(UTF_8))
+      zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      put("xl/workbook.xml",
+        s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+      val header = cols.zipWithIndex.map { case (c, i) =>
+        s"""<c r="${colLetters(i)}1" t="inlineStr"><is><t>${esc(c)}</t></is></c>"""
+      }.mkString
+      val body = data.zipWithIndex.map { case (row, ri) =>
+        val cells = cols.indices.flatMap { i =>
+          Option(row.get(i)).map { v =>
+            s"""<c r="${colLetters(i)}${ri + 2}" t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
+          }
+        }.mkString
+        s"""<row r="${ri + 2}">$cells</row>"""
+      }.mkString
+      put("xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1">$header</row>$body</sheetData></worksheet>""")
+    } finally zos.close()
+  }
 
   private val ColRef = "^([A-Z]+)([0-9]+)$".r
 

@@ -73,6 +73,23 @@ class XlsxSourceSpec extends SparkSpecBase {
   private val sharedStrings =
     Seq("company", "kpi_id", "source_page", "flag", "ACME")
 
+  test("writeXlsx round-trips through readXlsx, escaping XML and skipping nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xlsx-w").toString
+    val df = Seq(
+      ("a & b", "1.5", "x <tag> y"),
+      ("plain", null, "z")
+    ).toDF("company", "kpi_id", "note")
+    XlsxSource.writeXlsx(df, s"$dir/out.xlsx", "data_ex_in_xls")
+    val back = XlsxSource.readXlsx(spark, dir, "data_ex_in_xls")
+      .orderBy("row_idx")
+      .select("company", "kpi_id", "note").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back === Array(
+      ("a & b", "1.5", "x <tag> y"),
+      ("plain", null, "z")))
+  }
+
   test("readXlsx projects header-named string columns with typed-cell decoding") {
     val dir = Files.createTempDirectory("xlsx").toString
     writeXlsx(s"$dir/ann.xlsx",
