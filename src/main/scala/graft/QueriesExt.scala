@@ -28,6 +28,36 @@ object QueriesExt {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 under the oracle gate: nation rows → a generated one-page PDF
+    // (raw content stream, blank-line paragraph breaks) → the JDK-only
+    // simple-PDF codec → binaryFile paragraph table, hash-compared
+    // against the same text recomputed from the parquet table. Any
+    // regression in the object scan, stream carving, BT..ET walk, or
+    // paragraph plumbing breaks the hash.
+    "s1_pdf_roundtrip" -> ((s, dir) => {
+      import graft.sources.{PdfSource, SimplePdfExtractor}
+      import java.nio.charset.StandardCharsets.ISO_8859_1
+      val rows = nat(s, dir)
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .orderBy(col("n_nationkey")).collect() // dim-scale fixture build
+      def escape(p: String) = p.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val paras = rows.map(r => s"nation ${r.getString(1)} region ${r.getLong(2)} body text here")
+      val content = "BT /F1 12 Tf 72 720 Td " +
+        paras.map(p => s"(${escape(p)}) Tj").mkString(" 0 -14 Td 0 -14 Td ") + " ET"
+      val doc =
+        "%PDF-1.4\n" +
+          "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+          "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+          "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+          s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+          "%%EOF\n"
+      val tmp = java.nio.file.Files.createTempDirectory("pdf-rt")
+      java.nio.file.Files.write(tmp.resolve("nations.pdf"), doc.getBytes(ISO_8859_1))
+      PdfSource.readPdfParagraphs(s, tmp.toString, new SimplePdfExtractor())
+        .select(col("pdf_name"), col("page"), col("para_idx"), col("paragraph"))
+        .orderBy(col("para_idx"))
+    }),
+
     // S4 under the oracle gate: nation → written as a real .xlsx
     // (inline strings) → read back through the JDK-only OOXML decode
     // path → typed projection the oracle recomputes from the parquet
@@ -303,6 +333,11 @@ object QueriesExt {
   private def u(key: String): String = DetHash.detUnitSql(key)
 
   val oracleSql: Map[String, String] = Map(
+    "s1_pdf_roundtrip" ->
+      """SELECT 'nations' AS pdf_name, 0 AS page,
+        | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
+        | 'nation ' || n_name || ' region ' || n_regionkey || ' body text here' AS paragraph
+        |FROM nation ORDER BY para_idx""".stripMargin,
     "s4_xlsx_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
