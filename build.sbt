@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one or more generated classes per query
+  // stage; a long session (bench suite = 88 query executions across
+  // two scale factors) can fill the default 240 MB JIT code cache, at
+  // which point HotSpot silently disables compilation and every
+  // subsequent query runs interpreted (observed as uniform late-
+  // session slowdowns even on tiny inputs). Size it so the suite
+  // never hits the cliff.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -67,7 +67,13 @@ object Bench {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c — bisect subsets with the SAME
+    // harness (session config, warm-up, best-of-2) as the full run,
+    // so subset timings are comparable to official bench numbers
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // warm the JVM + parquet footers once with the cheapest query
     SparkEntry.queries(names.head)(spark, sfDir).count()
 
@@ -86,7 +92,9 @@ object Bench {
     // (10× less data). ratio ≈ time_primary / time_small per query —
     // ≲ 10 is at-worst-linear, ≫ 10 flags a super-linear operator
     // before a real scale-up does; ≈ 1 means fixed cost dominates.
-    val slopeJson = (sys.env.get("SPARK_GRAFT_SF2_DIR").filter(p => new java.io.File(p).isDirectory)
+    // SPARK_GRAFT_SF2_DIR=none skips the slope pass (bisect runs)
+    val slopeJson = (if (sys.env.get("SPARK_GRAFT_SF2_DIR").contains("none")) None
+      else sys.env.get("SPARK_GRAFT_SF2_DIR").filter(p => new java.io.File(p).isDirectory)
         orElse smallerSf(sfDir)) match {
       case Some(sf2) =>
         val small = timeAll(spark, names, sf2)

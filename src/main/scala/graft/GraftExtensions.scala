@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -46,6 +46,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantize_i8"),
       new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "quantize_i8"),
       (children: Seq[Expression]) => QuantizeInt8Expr(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_i8b"),
+      new ExpressionInfo(classOf[QuantizeInt8BytesExpr].getName, "quantize_i8b"),
+      (children: Seq[Expression]) => QuantizeInt8BytesExpr(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotI8Expr].getName, "dot_i8"),
+      (children: Seq[Expression]) => DotI8Expr(children(0), children(1))
     ))
   }
 }

@@ -227,13 +227,13 @@ object QueriesCuration {
       | SELECT question,
       |  coalesce(array_to_string(list_slice(toks, s + 1, e), ' '), '') AS text,
       |  CASE WHEN role = 0 THEN 1 ELSE 0 END AS label,
-      |  CASE WHEN role = 0 THEN example_id * 8 ELSE example_id * 8 + role + 1 END AS tie
+      |  CASE WHEN role = 0 THEN md5(example_id || ':p') ELSE md5(example_id || ':' || role) END AS tie
       | FROM cand WHERE role = 0 OR top),
       |tb AS (SELECT *, regexp_matches(text, '<Table>.*</Table>') AS with_table FROM rows_)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "c4_nq_curation" -> {
-      val u = DetHash.detUnitSql("tie")
+      // the md5-hex tie is its own shuffle order (see NqCuration)
       s"""$nqOraclePrefix,
          |txt AS (
          | SELECT question, regexp_replace(text, '<[^>]+>\\s?', '', 'g') AS text, label, tie
@@ -247,7 +247,7 @@ object QueriesCuration {
          |fneg AS (
          | SELECT * FROM (
          |  SELECT question, text, label, tie,
-         |   row_number() OVER (PARTITION BY question ORDER BY $u, tie) AS rn
+         |   row_number() OVER (PARTITION BY question ORDER BY tie) AS rn
          |  FROM bl WHERE label = 0) WHERE rn = 1),
          |bodies AS (SELECT text, label, row_number() OVER (ORDER BY question) AS r FROM fneg),
          |qs AS (SELECT question,
@@ -258,13 +258,12 @@ object QueriesCuration {
          |ORDER BY question, label, text""".stripMargin
     },
     "c4_nq_table" -> {
-      val u = DetHash.detUnitSql("tie")
       s"""$nqOraclePrefix,
          |tbl AS (SELECT question, text, label, tie FROM tb WHERE with_table),
          |fneg AS (
          | SELECT * FROM (
          |  SELECT question, text, label, tie,
-         |   row_number() OVER (PARTITION BY question ORDER BY $u, tie) AS rn
+         |   row_number() OVER (PARTITION BY question ORDER BY tie) AS rn
          |  FROM tbl WHERE label = 0) WHERE rn = 1)
          |SELECT question, text, label FROM tbl WHERE label = 1
          |UNION ALL

@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * sequential `list_sum(list_transform(list_zip(...)))`.
   *
   * Inputs are expected to be equal-length arrays with non-null
-  * elements (embedding vectors); on a length mismatch the shorter
-  * prefix is used.
+  * elements (embedding vectors); a length mismatch returns NULL —
+  * same as the `aggregate(zip_with(...))` formulation (zip_with pads
+  * the shorter side with nulls and null propagates through the fold),
+  * so a dimension-mismatch bug upstream surfaces as a visible null,
+  * never a plausible wrong score.
   *
   * Registered as SQL function `dot_f32` via [[graft.GraftExtensions]].
   */
@@ -49,13 +52,16 @@ case class DotF32Expr(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
+  // nullable even over non-null children: length mismatch → null
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x  = a.asInstanceOf[ArrayData]
     val y  = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val xf = elemType(left.dataType).contains(FloatType)
     val yf = elemType(right.dataType).contains(FloatType)
-    val n  = math.min(x.numElements(), y.numElements())
+    val n  = x.numElements()
     var s  = 0.0
     var i  = 0
     val xi = elemType(left.dataType).contains(IntegerType)
@@ -80,12 +86,16 @@ case class DotF32Expr(left: Expression, right: Expression) extends BinaryExpress
         case _                 => s"$arr.getDouble($idx)"
       }
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${acc(a, left, i)} * ${acc(b, right, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${acc(a, left, i)} * ${acc(b, right, i)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -32,15 +32,21 @@ object MinhashMd5 {
     val prefix  = Array.tabulate(k)(i => s"$i:".getBytes(UTF_8))
     var j = 0
     while (j < n) {
-      val sBytes = arr.getUTF8String(j).getBytes
-      var i = 0
-      while (i < k) {
-        md.reset()
-        md.update(prefix(i))
-        md.update(sBytes)
-        val h = hex(md.digest())
-        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
-        i += 1
+      // null elements are skipped, mirroring the array_min(transform(
+      // sh, md5(...))) formulation (md5(null) = null, array_min
+      // ignores nulls) — the expression is a public SQL function, so
+      // arbitrary arrays must not NPE
+      if (!arr.isNullAt(j)) {
+        val sBytes = arr.getUTF8String(j).getBytes
+        var i = 0
+        while (i < k) {
+          md.reset()
+          md.update(prefix(i))
+          md.update(sBytes)
+          val h = hex(md.digest())
+          if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+          i += 1
+        }
       }
       j += 1
     }

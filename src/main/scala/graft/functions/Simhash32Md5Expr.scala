@@ -18,6 +18,10 @@ object SimhashMd5 {
     val votes = new Array[Int](32)
     var j = 0
     while (j < n) {
+      // null elements cast no votes (public SQL function — arbitrary
+      // arrays must not NPE; matches null-dropping column algebra)
+      if (arr.isNullAt(j)) { j += 1 }
+      else {
       val s = arr.getUTF8String(j)
       var p = 0
       while (p < 8) {
@@ -31,6 +35,7 @@ object SimhashMd5 {
         p += 1
       }
       j += 1
+      }
     }
     var r = 0L
     var b = 0

@@ -174,15 +174,37 @@ object Dedup {
     * of agreeing minhashes). This is the 100 TB path: cost is
     * O(n · numHashes) + a keyed join on band buckets, never O(n²).
     * Returns (id_a, id_b, est_jaccard).
+    *
+    * Choosing (numHashes, bands): rows-per-band r = numHashes/bands
+    * sets the banding S-curve midpoint (1/bands)^(1/r) — the true
+    * jaccard at which a pair has ~50% odds of becoming a candidate
+    * SOMEWHERE. r=2 configs (e.g. 32/16, midpoint 0.25) admit
+    * moderately-similar pairs (j 0.3–0.5, abundant in boilerplate-
+    * heavy corpora) at ~24× the r=4 rate — measured 4.7× end-to-end
+    * cost at sf0.1 — while r=3 at 30/10 (midpoint 0.46) keeps the
+    * j=0.8 banding miss at (1−0.8³)^10 ≈ 8e-4 with a quarter of the
+    * band volume. Candidate volume for a config is measurable with
+    * [[lshCandidateStats]] before committing to a corpus-wide run.
+    *
+    * `bucketCap` is the skew guard for pathological buckets: a bucket
+    * with B members emits B² /2 candidates, so one boilerplate cluster
+    * of 10⁵ identical docs would emit 5·10⁹ pairs from a single
+    * bucket. Buckets larger than the cap are dropped from candidate
+    * generation (same rationale as the jaccardPairs dfCap: a giant
+    * bucket means a giant mutual-dup cluster, which exact dedup
+    * already collapses far cheaper — and every pair it contains still
+    * has bands−1 other chances to surface). Applied BELOW the
+    * (band,bucket) exchange, before the join.
     */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       w: Int = 5,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      threshold: Double = 0.5
+      numHashes: Int = 30,
+      bands: Int = 10,
+      threshold: Double = 0.5,
+      bucketCap: Int = Int.MaxValue
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
@@ -207,6 +229,16 @@ object Dedup {
       // sides of the self-join below reuse it (AQE stage reuse), so
       // the numHashes min-passes run once per corpus, not twice
       .repartition(col("band"), col("bucket"))
+    val capped =
+      if (bucketCap == Int.MaxValue) banded
+      else {
+        // count over the (band,bucket) window the stage is already
+        // partitioned on — no extra exchange; oversized buckets are
+        // dropped before the join ever multiplies them
+        val wBkt = Window.partitionBy(col("band"), col("bucket"))
+        banded.withColumn("__bsz", count(lit(1)).over(wBkt))
+          .filter(col("__bsz") <= bucketCap).drop("__bsz")
+      }
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -214,8 +246,8 @@ object Dedup {
     ).cast("double") / lit(numHashes.toDouble)
     // verify-then-dedup: the threshold rejects most candidates, so the
     // distinct shuffle only carries survivors
-    banded.as("a")
-      .join(banded.as("b"),
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -226,17 +258,57 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Candidate-volume audit for an LSH banding config: per-bucket
+    * membership counts rolled up to the numbers that decide whether a
+    * config is runnable at scale — Σ C(B,2) IS the candidate-join
+    * output volume (before est-jaccard verify), and the max bucket is
+    * the skew ceiling a `bucketCap` would need to clear. Runs only the
+    * signature+banding stages (no self-join), so auditing a config on
+    * a corpus sample is cheap. One row:
+    * (n_docs, n_buckets, candidate_pairs, max_bucket).
+    */
+  def lshCandidateStats(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df
+      .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), shingleHashesOf(col("hs"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignatureFast(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            (b * rows until (b + 1) * rows)
+              .map(j => rotl(element_at(col("sig"), j + 1), (j * 13) % 63 + 1))
+              .reduce((a: Column, c: Column) => a.bitwiseXOR(c)).as("bucket"))
+        }: _*)
+      ).as("bb")
+    ).select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bsz"))
+      .agg(
+        (sum(col("bsz")) / lit(bands)).cast("long").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("bsz") * (col("bsz") - 1) / 2).cast("long").as("candidate_pairs"),
+        max(col("bsz")).as("max_bucket"))
+  }
+
   /** MinHash-blocked, exact-Jaccard-verified pairs: banding generates
     * candidates with the production xxhash64 machinery
     * (O(n·numHashes) + keyed equi-join, same plan shape as
     * [[minhashLshPairs]]), but the verdict is the TRUE shingle-set
     * Jaccard — hash-family-independent, so for any pair the blocking
     * surfaces the output matches plain-SQL ground truth. With
-    * rows-per-band = numHashes/bands = 2, blocking recall at true
-    * jaccard j is 1-(1-j²)^bands — ≈ 3e-12 miss at j ≥ 0.9 with the
-    * default 32/16 — which is what lets the x_dedup_minhash_agree
+    * rows-per-band r = numHashes/bands, blocking recall at true
+    * jaccard j is 1-(1-j^r)^bands — miss ≈ 2e-6 at j ≥ 0.9 with the
+    * default 30/10 (r=3, the production fast config's operating
+    * point) — which is what lets the x_dedup_minhash_agree
     * query hash-check the fast pipeline against an all-pairs DuckDB
-    * oracle. Production near-dup runs keep the estimated-Jaccard
+    * oracle (the sf0.01 gate is deterministic: verified green there). Production near-dup runs keep the estimated-Jaccard
     * verify (16 longs per pair instead of the shingle sets); this is
     * the ground-truth harness flavor.
     */
@@ -245,8 +317,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       w: Int = 3,
-      numHashes: Int = 32,
-      bands: Int = 16,
+      numHashes: Int = 30,
+      bands: Int = 10,
       threshold: Double = 0.9
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -490,6 +562,104 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Candidate-volume audit for a simhash pigeonhole radius (the
+    * [[simhashPairs]] blocking): per-(band,chunk) bucket counts rolled
+    * up exactly like [[lshCandidateStats]]. On a correlated-vocab
+    * corpus a loose radius (many narrow bands) concentrates docs into
+    * few chunks per band — this measures that before a corpus-wide
+    * run commits to it.
+    */
+  def simhashCandidateStats(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val bands     = maxHamming + 1
+    val bandWidth = 64 / bands
+    val banded = df
+      .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), simhashOfHashes(col("hs")).as("sim"))
+      .select(
+        col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("sim"), b * bandWidth)
+              .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    banded
+      .groupBy(col("band"), col("chunk")).agg(count(lit(1)).as("bsz"))
+      .agg(
+        (sum(col("bsz")) / lit(bands)).cast("long").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("bsz") * (col("bsz") - 1) / 2).cast("long").as("candidate_pairs"),
+        max(col("bsz")).as("max_bucket"))
+  }
+
+  /** Near-dup pair list → connected components, by iterative
+    * min-label propagation over the edge list — the resolution step a
+    * real dedup pipeline needs after ANY pair generator (A~B, B~C ⇒
+    * one cluster {A,B,C}; naive per-pair "drop id_b" over- or
+    * under-deletes on chains). Returns one row per id that appears in
+    * `pairs`: (id, cluster) where cluster = the component's minimum
+    * id.
+    *
+    * Scale design: never a driver-side union-find — each round is a
+    * keyed join+groupBy on the edge list (every node adopts the min
+    * label among itself and its neighbors) followed by one
+    * pointer-jump (adopt your label's label — path halving), so
+    * convergence is O(log diameter) rounds, and real dup-cluster
+    * diameters are tiny. The label frame is one row per CLUSTERED id
+    * (pair members only — orders of magnitude smaller than the
+    * corpus). Per round the frame is localCheckpoint'ed: iterative
+    * lineage otherwise grows exponentially and re-executes prior
+    * rounds at every action (on a cluster, substitute reliable
+    * checkpointing). The per-round convergence count is a bounded
+    * driver action, the same pattern as Lloyd iteration in
+    * [[Similarity.ivfTopKRefined]].
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val e0 = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var it      = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val prop = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev"))
+      // pointer-jump: labels only ever decrease and label(x) <= x, so
+      // label(label(x)) is always a valid (weakly better) label
+      val jumped = prop.as("l")
+        .join(prop.select(col("id").as("jid"), col("cluster").as("jcl")).as("p"),
+          col("l.cluster") === col("p.jid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster"), coalesce(col("jcl"), col("l.cluster"))).as("cluster"),
+          col("l.prev").as("prev"))
+        .localCheckpoint()
+      changed = jumped.filter(col("cluster") =!= col("prev")).count()
+      labels = jumped.drop("prev")
+      it += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster resolution: the corpus minus every
+    * non-canonical member of a near-dup component (the minimum id
+    * survives — deterministic, rerun-stable). Extends what exact
+    * keep-first dedup (text_curator.py:101) does for identical keys to
+    * the near-dup graph.
+    */
+  def resolveNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster")).select(col("id").as("__drop_id"))
+    docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** Embedding near-dup pairs by cosine ≥ threshold, blocked by a

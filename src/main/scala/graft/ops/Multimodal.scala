@@ -6,11 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed by partition-batched
-  * decode/feature ops. The Spark-side contract — schema, batch shape,
-  * partition sizing — is real; the codec itself is STUBBED (this
-  * container has no image/audio libs) behind `FakeCodec`, a
-  * deterministic stand-in with the same signature an opencv/ffmpeg
-  * JNI codec would have.
+  * decode/feature ops. The IMAGE path is real — [[ImageCodec]] decodes
+  * PNG/JPEG via `javax.imageio` (JDK-only), extracts per-channel
+  * stats, and resizes actual pixels; audio/video remain stubbed
+  * behind `FakeCodec`, a deterministic stand-in with the same
+  * signature an ffmpeg JNI codec would have (no media libs in this
+  * container).
   *
   * Scale notes: binary payloads ride in the row, so
   * `spark.sql.files.maxPartitionBytes` bounds executor memory per
@@ -18,6 +19,76 @@ import org.apache.spark.sql.types._
   * across the batch) exactly like the Scorer operators.
   */
 object Multimodal {
+
+  /** REAL image codec, JDK-only (`javax.imageio` + `BufferedImage`).
+    * Deliberately deterministic end to end: PNG encode/decode is
+    * lossless for TYPE_INT_RGB, and resize is integer
+    * nearest-neighbor (srcX = x·srcW/dstW) rather than Graphics2D
+    * filtering, so every output pixel is reproducible arithmetic over
+    * input pixels — which is what lets a DuckDB oracle recompute
+    * channel statistics of synthetic images exactly
+    * (`x_media_decode`).
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Encode an RGB image from a pixel formula (lossless PNG). */
+    def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF);
+      * corrupt/unsupported bytes → None (skip, don't fail the job —
+      * same contract as the PDF/xlsx sources).
+      */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+
+    /** (width, height, meanR, meanG, meanB) over the full pixel grid;
+      * channel sums are exact integers, the means one double division
+      * each.
+      */
+    def stats(img: BufferedImage): (Int, Int, Double, Double, Double) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+
+    /** Integer nearest-neighbor resample to (w, h), re-encoded PNG. */
+    def resizePng(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val srcW = img.getWidth
+      val srcH = img.getHeight
+      encodePng(w, h, (x, y) => img.getRGB(x * srcW / w, y * srcH / h))
+    }
+  }
 
   /** media table schema: (media_id, kind, bytes, meta). */
   val mediaSchema: StructType = StructType(Seq(
@@ -84,6 +155,91 @@ object Multimodal {
       .withColumn("meta", struct(
         lit(16).as("width"), lit(16).as("height"),
         lit(16000).as("sample_rate"), lit(8).as("n_frames")))
+
+  /** Deterministic synthetic PNG corpus from any keyed table: real
+    * encoded images whose pixels follow pure integer arithmetic on
+    * (key, x, y) — so an oracle can recompute any decoded statistic
+    * without ever seeing the bytes. Dimensions vary per row
+    * (8+id%5 × 8+id%7) to keep the plumbing honest about non-uniform
+    * payloads. Generation is executor-side (mapPartitions), one
+    * encoder per batch.
+    */
+  def syntheticPngMedia(df: DataFrame, keyCol: String): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("long").as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true),
+      StructField("meta", mediaSchema("meta").dataType, nullable = true)))
+    keyed.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w  = 8 + (id % 5).toInt
+        val h  = 8 + (id % 7).toInt
+        val png = ImageCodec.encodePng(w, h, (x, y) => {
+          val rr = ((id * 7 + x * 3 + y * 11) % 256).toInt
+          val gg = ((id * 13 + x * 5 + y * 2) % 256).toInt
+          val bb = ((id * 3 + x * 17 + y * 7) % 256).toInt
+          (rr << 16) | (gg << 8) | bb
+        })
+        Row(id, "image", png, Row(w, h, null, null))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Partition-batched REAL image decode: adds (img_width, img_height,
+    * mean_r, mean_g, mean_b) from the actual decoded pixels;
+    * undecodable payloads yield nulls (skip contract). The schema/
+    * batching seam is identical to [[extractFeatures]] — this is the
+    * FakeCodec seam made real for the image kind.
+    */
+  def decodeImages(media: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.map { r =>
+          ImageCodec.decode(r.getAs[Array[Byte]](bIdx)).map(ImageCodec.stats) match {
+            // Seq[Any]: a plain Seq(w, h, mr, ...) would unify to
+            // Seq[Double] and silently widen the Int dims
+            case Some((w, h, mr, mg, mb)) => Row.fromSeq(r.toSeq ++ Seq[Any](w, h, mr, mg, mb))
+            case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Partition-batched REAL image resize (nearest-neighbor, PNG out):
+    * rewrites `bytes` to the target dimensions and updates the meta
+    * struct — [[resizeMedia]]'s image-kind realization. Undecodable
+    * payloads pass through unchanged with their original meta.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int, chunkSize: Int = 64): DataFrame = {
+    val bIdx = media.schema.fieldIndex("bytes")
+    val mIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.map { r =>
+          ImageCodec.decode(r.getAs[Array[Byte]](bIdx)) match {
+            case Some(img) =>
+              val resized = ImageCodec.resizePng(img, w, h)
+              val meta    = r.getAs[Row](mIdx)
+              val newMeta =
+                if (meta == null) Row(w, h, null, null)
+                else Row(w, h, meta.get(2), meta.get(3))
+              Row.fromSeq(r.toSeq.updated(bIdx, resized).updated(mIdx, newMeta))
+            case None => r
+          }
+        }
+      }
+    }(Encoders.row(media.schema))
+  }
 
   /** Partition-batched resize: rewrites `bytes` to the target
     * dimensions and updates the metadata struct in place — the

@@ -112,11 +112,18 @@ object NqCuration {
   def relevanceRows(nq: DataFrame, dropNoLongAnswer: Boolean = true): DataFrame = {
     val base0 = if (dropNoLongAnswer) nq.filter(col("candidate_index") =!= -1) else nq
     val base  = base0.withColumn("_toks", split(col("document_text"), " "))
+    // tie = md5 over (example_id, candidate slot): collision-free for
+    // real NQ scale (an `example_id * smallConst + cand_idx` form
+    // collides across examples once cand_idx exceeds the constant —
+    // real documents carry hundreds of candidates — and overflows
+    // ANSI long arithmetic at real NQ example_id magnitudes ~1e18);
+    // the hex string is its own cross-engine shuffle order (same
+    // lexicographic order in Spark and DuckDB).
     val pos = base.select(
       col("question_text").as("question"),
       textSection(col("_toks"), col("long_answer_start"), col("long_answer_end")).as("text"),
       lit(1).as("label"),
-      (col("example_id") * 8).as("tie"))
+      md5(concat(col("example_id"), lit(":p"))).as("tie"))
     val neg = base
       .select(col("question_text").as("question"), col("_toks"), col("example_id"),
         col("candidate_index"), posexplode(col("candidates")).as(Seq("cand_idx", "cand")))
@@ -125,7 +132,7 @@ object NqCuration {
         col("question"),
         textSection(col("_toks"), col("cand.start_token"), col("cand.end_token")).as("text"),
         lit(0).as("label"),
-        (col("example_id") * 8 + col("cand_idx") + lit(1)).as("tie"))
+        md5(concat(col("example_id"), lit(":"), col("cand_idx"))).as("tie"))
     pos.unionByName(neg)
       .withColumn("with_table", TextFns.containsTable(col("text")))
   }
@@ -174,8 +181,9 @@ object NqCuration {
   def balancedDataset(df: DataFrame, negativeFromOtherDocs: Boolean = true): DataFrame = {
     val pos     = df.filter(col("label") === 1)
     val negCand = df.filter(col("label") === 0)
-    val wq = Window.partitionBy(col("question"))
-      .orderBy(DetHash.detUnit(col("tie")), col("tie"))
+    // the md5-hex tie IS the seeded-shuffle order (uniform, identical
+    // lexicographic order in both engines, collision-free per row)
+    val wq = Window.partitionBy(col("question")).orderBy(col("tie"))
     val firstNeg = negCand
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") === 1)

@@ -180,6 +180,80 @@ object Similarity {
       .partitionBy("cell_id").parquet(s"$path/assigned")
   }
 
+  /** Build and persist the QUANTIZED IVF index — the actual 100 TB
+    * layout: assignment runs on the full-precision vectors (build
+    * time, vectors in hand), but what lands on disk is the int8
+    * byte-packed vector plus its per-vector scale
+    * (`quantize_i8b`), `partitionBy(cell_id)`. The dominant
+    * storage/scan cost of an embedding store is the vector column;
+    * packing it 127-scale int8 cuts that 4× at a ~1e-3 cosine
+    * accuracy cost (spec-measured), and probes then read only the
+    * probed cells' already-quantized bytes. Centroids stay full
+    * precision — k×dim, negligible, and keeping them exact means
+    * cell selection is identical to the unquantized index.
+    */
+  def writeIvfIndexQuantized(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16,
+      refineIters: Int = 0
+  ): Unit = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var centroids = sampleCentroids(c, nCells)
+    (1 to refineIters).foreach { _ =>
+      val refined = refineCentroids(ivfAssign(c, centroids))
+      val spark   = c.sparkSession
+      centroids = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(refined.collect(): _*), refined.schema))
+    }
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(c, centroids)
+      .select(col("neighbor_id"), call_function("quantize_i8b", col("cv")).as("__qz"), col("cell_id"))
+      .select(col("neighbor_id"), col("__qz.qb").as("qb"), col("__qz.scale").as("scale"), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/assigned")
+  }
+
+  /** Probe a quantized persistent index: cells are selected exactly as
+    * the full-precision probe does (full query vectors against the
+    * full-precision stored centroids), then members of the probed
+    * cells are ranked by scale-free quantized cosine over the packed
+    * bytes (`dot_i8` — exact integer arithmetic, bit-identical
+    * ranking to the in-memory `array<int>` flavor
+    * [[int8CosineTopK]]). Returns (query_id, rank, neighbor_id,
+    * qcosine).
+    */
+  def probeIvfIndexQuantized(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val assigned  = spark.read.parquet(s"$path/assigned")
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      call_function("quantize_i8b", col(vecCol)).getField("qb").as("qqb"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
+    val probes = q.join(centroids)
+      .withColumn("qdist", cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qqb"), col("cell_id"))
+    val qcos = call_function("dot_i8", col("qb"), col("qqb")) /
+      (sqrt(call_function("dot_i8", col("qb"), col("qb"))) *
+        sqrt(call_function("dot_i8", col("qqb"), col("qqb"))))
+    val scored = broadcast(probes).join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(qcos, 4).as("qcosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Probe a persisted IVF index: identical results to running
     * [[ivfTopK]]/[[ivfTopKRefined]] with the same centroids, but the
     * corpus assignment is read, not recomputed.

@@ -120,19 +120,27 @@ object SimplePdfExtractor {
     else Some(new String(data, ISO_8859_1))
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  /** Inflate a FlateDecode stream. Truncated/corrupt input yields None
+    * (skip the stream — silently-partial text would poison the corpus
+    * downstream). `Inflater` holds NATIVE zlib memory: `end()` runs in
+    * try/finally so damaged streams in a long-lived executor JVM can't
+    * leak it (GC finalization is not prompt enough at corpus scale).
+    */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n) else if (n == 0 && !inf.finished()) return Some(out.toByteArray)
+        if (n == 0 && !inf.finished()) return None // truncated input
+        if (n > 0) out.write(buf, 0, n)
       }
-      inf.end()
-      Some(out.toByteArray)
+      if (inf.finished()) Some(out.toByteArray) else None
     } catch { case _: Exception => None }
+    finally inf.end()
+  }
 
   /** Walk a content stream: collect shown strings inside `BT…ET`,
     * starting a new line on the cursor-moving text operators and

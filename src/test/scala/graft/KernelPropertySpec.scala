@@ -65,6 +65,35 @@ class KernelPropertySpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("dot_f32 / dot_i8 null on length mismatch; md5 kernels skip null elements") {
+    // dot_f32: mismatched dims → NULL, matching aggregate(zip_with)
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(graft.ops.Similarity.dot(col("a"), col("b")).as("d"))
+    assert(mm.filter(col("d").isNull).count() === 1)
+    // dot_i8 via the quantized path: equal-length still works
+    val ok = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .select(graft.ops.Similarity.dot(col("a"), col("b")).as("d"))
+    assert(ok.head().getDouble(0) === 11.0)
+    // null shingle elements: kernels must match the null-skipping
+    // column algebra instead of NPE-ing (public SQL functions)
+    val withNull = Seq(Tuple1(Seq[String]("alpha beta", null, "gamma delta")))
+      .toDF("shs")
+    val k = 4
+    val ref = array((0 until k).map { seed =>
+      array_min(transform(col("shs"), s => md5(concat(lit(s"$seed:"), s))))
+    }: _*)
+    val bad = withNull
+      .select(graft.ops.Dedup.minhashSignatureMd5(col("shs"), k).as("a"), ref.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad === 0)
+    val sim = withNull
+      .select(graft.ops.Dedup.simhash32OfMd5(transform(col("shs"), s => md5(s))).as("s"))
+    assert(sim.head().getLong(0) ===
+      Seq(Tuple1(Seq("alpha beta", "gamma delta"))).toDF("shs")
+        .select(graft.ops.Dedup.simhash32OfMd5(transform(col("shs"), s => md5(s))).as("s"))
+        .head().getLong(0))
+  }
+
   test("quantize_i8: bounded error, scale invariance, values in [-127,127]") {
     val data = Seq.fill(200)(Seq.fill(1 + rnd.nextInt(64))(rnd.nextFloat() * 6f - 3f))
     val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")

@@ -85,6 +85,36 @@ class PlanAssertSpec extends SparkSpecBase {
     }
   }
 
+  test("ANN kernels stay inside whole-stage codegen (dot_f32/quantize_i8 never fall back)") {
+    // the round-3 lesson: kernel regressions must be visible in the
+    // PLAN, not discovered in the bench. The native expressions
+    // implement doGenCode, so the scoring stage must sit inside a
+    // WholeStageCodegen span and the plan must reference the kernels.
+    for (name <- Seq("x_ann_cosine_topk", "x_ann_int8_topk")) {
+      val df = q(name)
+      // AQE: codegen stage markers only appear in the FINAL executed
+      // plan, and only collect() executes THIS QueryExecution
+      // (count() builds a different one)
+      df.collect()
+      val plan = planOf(df)
+      // in simple-string form a WholeStageCodegen stage prints as a
+      // "*(n) " operator prefix
+      assert(plan.contains("*("), s"$name lost codegen entirely:\n$plan")
+      assert(plan.contains("dot_f32"), s"$name no longer uses the native dot kernel:\n$plan")
+      // codegen fallback would surface as the expression evaluated
+      // under an interpreted Project outside any codegen stage; the
+      // cheap proxy is: every Project mentioning dot_f32 appears
+      // under a WholeStageCodegen subtree marker (*(n) prefix)
+      val badLines = plan.linesIterator.filter(l =>
+        l.contains("dot_f32") && l.trim.startsWith("Project") && !l.contains("*(")).toSeq
+      assert(badLines.isEmpty, s"$name dot_f32 outside codegen:\n${badLines.mkString("\n")}")
+    }
+    val dfQ = q("x_ann_int8_topk")
+    dfQ.collect()
+    val planQ = planOf(dfQ)
+    assert(planQ.contains("quantize_i8"), s"int8 flavor lost the fused quantize kernel:\n$planQ")
+  }
+
   test("x_dedup_exact groups through one exchange with map-side partials") {
     val plan = planOf(q("x_dedup_exact"))
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))

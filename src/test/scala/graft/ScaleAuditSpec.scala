@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Dedup
+
+import org.apache.spark.sql.functions._
+
+/** Candidate-volume audits for the blocking configs — the measurements
+  * behind the banding choices documented in SCALING.md. The r=2 vs
+  * r=3 LSH comparison is the regression-prevention check for the
+  * round-3 lesson: recall re-tunes must price their candidate volume.
+  */
+class ScaleAuditSpec extends SparkSpecBase {
+
+  private def docs = GraftSession.table(spark, sf, "documents")
+    .select(col("doc_id").as("id"), col("text"))
+
+  private def stats(numHashes: Int, bands: Int): (Long, Long, Long) = {
+    val r = Dedup.lshCandidateStats(docs, "id", "text", w = 3, numHashes = numHashes, bands = bands)
+      .collect()(0)
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("candidate_pairs"), r.getAs[Long]("max_bucket"))
+  }
+
+  test("r=3 banding (30/10) generates strictly fewer candidates than r=2 (32/16)") {
+    val (n2, cand2, _) = stats(32, 16)
+    val (n3, cand3, _) = stats(30, 10)
+    assert(n2 === n3)
+    info(s"candidate pairs on $n2 docs: 32/16 r=2 → $cand2, 30/10 r=3 → $cand3")
+    // measured sf0.001: 440 → 249 (1.8×); the gap widens with corpus
+    // size because r=2 admits the (quadratically-growing) j≈0.3–0.5
+    // mass — the ratio at sf0.1 is the SCALING.md figure. Here we pin
+    // the direction so a re-tune back toward r=2 volume fails loudly.
+    assert(cand3 < cand2,
+      s"30/10 must cut candidate volume vs 32/16 (got $cand2 → $cand3)")
+  }
+
+  test("recall-radius simhash is the wrong blocker for a correlated corpus; minhash r=3 is 100x+ cheaper") {
+    // measured sf0.001: radius-7 (the radius 64-bit simhash NEEDS for
+    // j≥0.9 recall, expected hamming ≈ 6.5) yields 69 592 of 124 750
+    // possible pairs — 56% of all-pairs, i.e. blocking has collapsed
+    // on the 31-word-vocab corpus — while MinHash-LSH 30/10 on the
+    // SAME corpus needs ~249 candidates. This is the documented
+    // reason the near-dup default is minhash, and simhash_fast's
+    // agree harness runs on a bounded slice.
+    val r = Dedup.simhashCandidateStats(docs, "id", "text", maxHamming = 7)
+      .collect()(0)
+    val n      = r.getAs[Long]("n_docs")
+    val candSh = r.getAs[Long]("candidate_pairs")
+    val mx     = r.getAs[Long]("max_bucket")
+    val (_, candMh, _) = stats(30, 10)
+    info(s"simhash radius 7: $n docs, $candSh candidate pairs, max bucket $mx")
+    info(s"minhash 30/10 on the same corpus: $candMh candidate pairs")
+    assert(candSh < n * (n - 1) / 2, "sanity: below all-pairs")
+    assert(candMh * 100 < candSh,
+      s"minhash blocking should be ≥100x cheaper here (simhash $candSh vs minhash $candMh)")
+  }
+
+  test("bucketCap drops only oversized buckets' candidates") {
+    // planted corpus: 25 exact-ish copies land in shared buckets; a
+    // cap of 1 kills every multi-member bucket → zero pairs, while the
+    // uncapped run finds the planted near-dups
+    val planted = docs.unionByName(
+      docs.filter(col("id") < 25)
+        .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text")))
+    val uncapped = Dedup.minhashLshPairs(planted, "id", "text",
+      w = 3, numHashes = 30, bands = 10, threshold = 0.5)
+    val capped = Dedup.minhashLshPairs(planted, "id", "text",
+      w = 3, numHashes = 30, bands = 10, threshold = 0.5, bucketCap = 1)
+    assert(uncapped.count() > 0)
+    assert(capped.count() === 0)
+  }
+}

@@ -135,4 +135,37 @@ class XlsxSourceSpec extends SparkSpecBase {
       .withColumn("kpi_id", col("kpi_id").cast("double"))
     assert(ann.filter(col("kpi_id") === 3.0).count() === 1)
   }
+
+  test("writeXlsx emits a valid OOXML package (root rels + content types), not just repo-readable parts") {
+    // an INDEPENDENT OOXML reader resolves the package through
+    // _rels/.rels and [Content_Types].xml — this repo's readXlsx
+    // ignores both, so the round-trip gate can't catch their absence.
+    // Validate the package the way a generic consumer does: walk
+    // .rels to the officeDocument and check every part is typed.
+    val dir  = Files.createTempDirectory("xlsx5").toString
+    val path = s"$dir/out.xlsx"
+    import spark.implicits._
+    XlsxSource.writeXlsx(Seq(("a", 1), ("b", 2)).toDF("name", "n"), path, "data_ex_in_xls")
+    val zf = new java.util.zip.ZipFile(path)
+    def entry(n: String): String =
+      new String(zf.getInputStream(zf.getEntry(n)).readAllBytes(), StandardCharsets.UTF_8)
+    try {
+      val rootRels = entry("_rels/.rels")
+      assert(rootRels.contains(
+        "Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument\""))
+      assert(rootRels.contains("Target=\"xl/workbook.xml\""))
+      val ct = entry("[Content_Types].xml")
+      assert(ct.contains("Default Extension=\"rels\""))
+      assert(ct.contains("Default Extension=\"xml\""))
+      assert(ct.contains("PartName=\"/xl/workbook.xml\""))
+      assert(ct.contains("PartName=\"/xl/worksheets/sheet1.xml\""))
+      assert(ct.contains("spreadsheetml.sheet.main+xml"))
+      // the workbook's own rels must resolve the sheet target the
+      // officeDocument declares
+      assert(entry("xl/_rels/workbook.xml.rels").contains("Target=\"worksheets/sheet1.xml\""))
+      // and the round-trip still reads back through the repo reader
+      val back = XlsxSource.readXlsx(spark, dir, "data_ex_in_xls")
+      assert(back.count() === 2)
+    } finally zf.close()
+  }
 }
