@@ -32,6 +32,10 @@ object Bench {
     "x_tfidf_topterms",
     "x_pack_sequences",
     "x_pii_redact",
+    "x_asof_join",
+    "x_range_join",
+    "x_window_moving",
+    "x_rollup",
     "s9_stream_window",
     "s9_stream_sessions"
   )

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not part of the shipped library): synthesizes an
+  * sf1-scale BENCH dataset as a 10× structured upscale of the
+  * driver's sf0.1 tables, so the scaling-slope pass has a point where
+  * timings clear the fixed-cost floor (the driver generates testdata
+  * only up to sf0.1). Output is for `Bench` ONLY — the correctness
+  * oracle always runs on driver-generated data.
+  *
+  * Upscale rules (copy i ∈ 0..9), chosen so each query's work grows
+  * ~linearly — i.e. the slope pass measures the ENGINE, not an
+  * artifact of duplicated data:
+  *   - fact keys offset by i·10⁷ (o_orderkey/l_orderkey share the
+  *     offset, so order↔lineitem joins replicate per copy); dim keys
+  *     (nation, custkey, partkey, suppkey) unchanged — dims stay dims.
+  *   - timestamps shift per copy (events +35 days, orders/lineitem
+  *     +2500 days, both sides of each relation equally): temporal
+  *     DENSITY stays constant, so sessionization, as-of, moving
+  *     windows and interval joins replicate per copy instead of
+  *     interleaving (10× data → 10× sessions, not fused ones; range
+  *     join candidates grow 10×, not 100×).
+  *   - document tokens get a per-copy suffix: cross-copy jaccard is 0,
+  *     so near-dup structure (planted + natural pairs) replicates per
+  *     copy — pair count grows 10×, never quadratically as verbatim
+  *     copies would (every doc would become a 10-member cluster).
+  *   - embeddings perturb per (copy, dim): copies are NOT colinear,
+  *     so near-dup blocking isn't flooded; ANN query vectors
+  *     (vec_id < 5) exist only in copy 0, keeping probe count fixed
+  *     while the corpus scans 10×.
+  */
+object GenBenchData {
+
+  private val Copies  = 10
+  private val KeyOff  = 10000000L
+  private val DayNs   = 86400L * 1000000000L
+
+  private def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
+    val spark  = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-gen-sf1")
+    def src(name: String) = GraftSession.table(spark, srcDir, name)
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[gen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+    // dims: unchanged
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(t, src(t))
+
+    // session TZ is UTC, so NTZ→timestamp is the identity; written
+    // back as micros TIMESTAMP — every consumer goes through
+    // unix_micros(cast("timestamp")), identical on both encodings
+    def shiftDays(c: String, days: Long) =
+      timestamp_micros(unix_micros(col(c).cast("timestamp")) + lit(days * 86400L * 1000000L))
+
+    write("orders", copies(src("orders")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff))
+        .withColumn("o_orderdate", shiftDays("o_orderdate", i * 2500L))
+    })
+
+    write("lineitem", copies(src("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff))
+        .withColumn("l_shipdate", shiftDays("l_shipdate", i * 2500L))
+    })
+
+    // events.ts is an epoch-nanos long under nanosAsLong
+    write("events", copies(src("events")) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * KeyOff))
+        .withColumn("ts", col("ts") + lit(i * 35L * DayNs))
+    })
+
+    write("documents", copies(src("documents")) { (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else array_join(
+            transform(filter(split(col("text"), " "), t => t =!= ""),
+              t => concat(t, lit(s"x$i"))), " "))
+    })
+
+    write("embeddings", copies(src("embeddings")) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else transform(col("embedding"), (x, j) =>
+            (x * (lit(1.0f) + (pmod(lit(i * 31) + j * 7, lit(11)) - lit(5)).cast("float") * lit(0.07f)))
+              .cast("float")))
+    })
+
+    spark.stop()
+  }
+}

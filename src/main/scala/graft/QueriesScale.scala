@@ -140,6 +140,19 @@ object QueriesScale {
         .orderBy(col("id"))
     }),
 
+    // ---- end-to-end dedup application: the full production chain
+    // (ground-truth pairs → components → surviving corpus, min-id
+    // canonical, n_merged = absorbed cluster size). Survivors join is
+    // broadcast-sized; the corpus is scanned once.
+    "x_dedup_apply" -> ((s, dir) => {
+      val corpus = plantedDocs(s, dir)
+      val pairs = Dedup.minhashExactPairs(corpus, "id", "text",
+        w = 3, numHashes = 30, bands = 10, threshold = 0.9)
+      Dedup.applyDedup(corpus, "id", pairs)
+        .select(col("id"), col("n_merged"))
+        .orderBy(col("id"))
+    }),
+
     // ---- F3 answer-start + M7 mining --------------------------------------
     "f3_answer_start" -> ((s, dir) => {
       val toks = filter(split(col("text"), " "), t => t =!= "")
@@ -585,6 +598,31 @@ object QueriesScale {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          |SELECT id, cluster, CASE WHEN id = cluster THEN 1 ELSE 0 END AS kept
          |FROM comp ORDER BY id""".stripMargin,
+    // survivors = corpus minus non-canonical members of the closure
+    // components; n_merged = component size (1 for unpaired docs)
+    "x_dedup_apply" ->
+      s"""WITH RECURSIVE $CorpusSql,
+         |$ShinglesSql,
+         |nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+         |pairs AS (
+         | SELECT a.id AS id_a, b.id AS id_b
+         | FROM nz a JOIN nz b ON a.id < b.id
+         | WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |       CAST(len(list_distinct(a.shs || b.shs)) AS DOUBLE), 4) >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1)
+         |SELECT c.id, coalesce(s.csize, 1) AS n_merged
+         |FROM corpus c
+         |LEFT JOIN comp ON c.id = comp.id
+         |LEFT JOIN sizes s ON comp.cluster = s.cluster
+         |WHERE comp.id IS NULL OR c.id = comp.cluster
+         |ORDER BY c.id""".stripMargin,
     "x_dedup_simhash_agree" -> agreeOracleSql.replace(
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),

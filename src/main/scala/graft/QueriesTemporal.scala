@@ -1,0 +1,170 @@
+package graft
+
+import graft.GraftSession.table
+import graft.ops.Temporal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal-join and multidimensional-aggregate queries: the as-of
+  * join / range join / moving-window family (operators the DataFrame
+  * API has no single verb for — see [[graft.ops.Temporal]] for the
+  * scale formulations) plus ROLLUP, PIVOT and exact group percentiles.
+  *
+  * Timestamps run in the epoch-µs integer domain on both engines
+  * (events.ts is TIMESTAMP(NANOS) → `ts div 1000`; o_orderdate /
+  * l_shipdate are µs-precision timestamps → `unix_micros`), matching
+  * DuckDB's `epoch_us` exactly — same contract as `x_sessionize`.
+  */
+object QueriesTemporal {
+
+  private val DayUs = 86400L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- as-of join: each 'view' event picks up the latest preceding
+    // 'purchase' (value) of the same user. Right side pre-aggregated
+    // unique per (user, ts) as the operator contract requires; matched
+    // rows only (inner as-of), so no cross-engine null columns.
+    "x_asof_join" -> ((s, dir) => {
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("value")).as("p_value"))
+      Temporal.asofJoin(views, purchases, "user_id", "us")
+        .filter(col("asof_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_us"), col("asof_p_value").as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- range join with NO equi key: sparse order "promotion
+    // windows" [orderdate, orderdate + 1..5 days] × every lineitem
+    // shipped inside the window, blocked on 7-day buckets (one
+    // equi-join, never a nested loop). Aggregated per interval.
+    "x_range_join" -> ((s, dir) => {
+      // parquet ms-timestamps read as TIMESTAMP_NTZ; the session is
+      // pinned UTC so the cast to TIMESTAMP is the identity mapping
+      val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
+      val iv = table(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(200)) === 0)
+        .select(col("o_orderkey"),
+          odUs.as("start_us"),
+          (odUs + (expr("(o_orderkey div 200) % 5") + 1) * DayUs).as("end_us"))
+      val pts = table(s, dir, "lineitem")
+        .select(unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"), col("l_quantity"))
+      Temporal.rangeJoin(iv, pts, "start_us", "end_us", "ship_us", bucketWidth = 7 * DayUs)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_pts"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- trailing-hour moving aggregates + inter-event gap per user.
+    // RANGE frame includes timestamp peers on both engines; the gap
+    // lag is tie-broken by event_id so equal-timestamp rows order
+    // deterministically.
+    "x_window_moving" -> ((s, dir) => {
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      Temporal.movingWindow(e, "user_id", "us", "event_id", "value", rangeBack = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("us"),
+          coalesce(col("gap"), lit(-1L)).as("gap_us"),
+          col("n_window"), col("sum_window"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- ROLLUP: hierarchical subtotals in one pass (Spark expands
+    // grouping sets inside a single Expand + one exchange — no
+    // re-scan per level). Keys coalesced to 'ALL' so the subtotal
+    // rows carry no cross-engine nulls; grouping flags disambiguate.
+    "x_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))),
+
+    // ---- PIVOT (reverse of r4_unpivot): order counts by priority ×
+    // status. Explicit value list — with values known up front Spark
+    // plans a single pivot aggregate, no distinct-values pre-scan.
+    "x_pivot" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- exact group percentiles (linear interpolation, the R-7 /
+    // quantile_cont convention both engines share). Exact percentile
+    // sorts each group; the 100 TB path is approx_percentile (t-digest
+    // sketch, map-side combinable) — parity bounds spec'd in
+    // TemporalSpec, not oracle-gated (sketches are engine-specific).
+    "x_percentiles" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        | WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS p_value FROM events
+        | WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, v.us, p.us AS asof_us, p.p_value
+        |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.us >= p.us
+        |ORDER BY v.event_id""".stripMargin,
+    "x_range_join" ->
+      """WITH iv AS (SELECT o_orderkey, epoch_us(o_orderdate) AS start_us,
+        |  epoch_us(o_orderdate) + ((o_orderkey // 200) % 5 + 1) * 86400000000 AS end_us
+        | FROM orders WHERE o_orderkey % 200 = 0),
+        |j AS (SELECT iv.o_orderkey, l.l_quantity FROM iv JOIN lineitem l
+        |  ON epoch_us(l.l_shipdate) BETWEEN iv.start_us AND iv.end_us)
+        |SELECT o_orderkey, count(*) AS n_pts,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_window_moving" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT event_id, user_id, us,
+        | coalesce(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id), -1) AS gap_us,
+        | count(*) OVER w AS n_window,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_window
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "x_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin,
+    "x_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

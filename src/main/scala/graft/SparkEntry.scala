@@ -76,7 +76,7 @@ object SparkEntry {
     queries("m2_kpi_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ QueriesExt.queries ++ QueriesScale.queries ++ QueriesCuration.queries ++ QueriesMl.queries
+    baseQueries ++ QueriesExt.queries ++ QueriesScale.queries ++ QueriesCuration.queries ++ QueriesMl.queries ++ QueriesTemporal.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregations -------------------------------------------------
@@ -372,7 +372,7 @@ object SparkEntry {
   private def u(key: String): String = DetHash.detUnitSql(key)
 
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ QueriesExt.oracleSql ++ QueriesScale.oracleSql ++ QueriesCuration.oracleSql ++ QueriesMl.oracleSql
+    baseOracleSql ++ QueriesExt.oracleSql ++ QueriesScale.oracleSql ++ QueriesCuration.oracleSql ++ QueriesMl.oracleSql ++ QueriesTemporal.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -690,4 +690,26 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** End-to-end dedup application: pair list → components → the
+    * SURVIVING corpus. Each cluster keeps its minimum-id member;
+    * docs in no pair survive untouched. Adds `n_merged` (cluster size,
+    * 1 for singletons) so downstream resampling can weight survivors
+    * by how much duplication they absorbed.
+    *
+    * Scale shape: the component frame is one row per PAIRED id —
+    * orders of magnitude smaller than the corpus — so both joins
+    * against the corpus broadcast (or AQE converts them); the corpus
+    * itself is touched once and never shuffled.
+    */
+  def applyDedup(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp  = connectedComponents(pairs)
+    val sizes = comp.groupBy(col("cluster")).agg(count(lit(1)).as("__csize"))
+    corpus
+      .join(comp.withColumnRenamed("id", "__cid"), col(idCol) === col("__cid"), "left")
+      .filter(col("cluster").isNull || col(idCol) === col("cluster"))
+      .join(sizes, Seq("cluster"), "left")
+      .withColumn("n_merged", coalesce(col("__csize"), lit(1L)))
+      .drop("cluster", "__cid", "__csize")
+  }
 }

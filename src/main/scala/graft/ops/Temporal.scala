@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join/window operators the DataFrame API has no single verb
+  * for: as-of join, interval range join, and time-range moving
+  * aggregates. All three are expressed so the only shuffle is the one
+  * their semantics force (a hash partition by key, or an equi-join on
+  * a blocking bucket) — never a nested-loop inequality join, which is
+  * what a naive `ts BETWEEN start AND end` join plans as and what dies
+  * first at 100 TB.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` on the same key (the time-series
+    * point-in-time lookup; DuckDB/kdb spell it ASOF JOIN).
+    *
+    * Implementation is the union-and-carry formulation, not a join:
+    * tag both sides, union them, and carry the most recent right
+    * payload forward with `last(_, ignoreNulls)` over a
+    * (key, ts, side) window. One hash exchange on the key, one sort —
+    * the same cost as sessionization — versus a per-row range probe.
+    * At 100 TB this matters twice over: there is no candidate-pair
+    * blow-up for keys with many right rows, and AQE's skew-join
+    * handling applies to the single exchange.
+    *
+    * Right rows sort BEFORE left rows at equal timestamps
+    * (`side` 0 < 1), making the match inclusive (`<=`). The right side
+    * must be unique per (key, ts) — pre-aggregate duplicates, else the
+    * carried row at a tied timestamp is partition-order dependent.
+    *
+    * Output: all left columns plus each right payload column prefixed
+    * `asof_` (null when no right row precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val rPayload = right.columns.filter(c => c != key && c != ts).toSeq
+    val lStruct  = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct  = struct((col(ts) +: rPayload.map(col)).toIndexedSeq: _*)
+    val lType    = left.select(lStruct.as("s")).schema("s").dataType
+    val rType    = right.select(rStruct.as("s")).schema("s").dataType
+
+    val leftU = left.select(
+      col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val rightU = right.select(
+      col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    val carry = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val asofCols = (ts +: rPayload).map(c => col(s"__m.$c").as(s"asof_$c"))
+    leftU.unionByName(rightU)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(carry))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++ asofCols: _*)
+  }
+
+  /** Interval-point range join: pair each point with every interval
+    * containing it (`start <= pt <= end`), with NO equi key — the
+    * query shape Spark plans as a BroadcastNestedLoopJoin (or worse, a
+    * cartesian) if written directly.
+    *
+    * Blocking: each interval explodes to the coarse time buckets it
+    * overlaps (`floor(start/w) .. floor(end/w)`), each point hashes to
+    * exactly ONE bucket, and the join is a plain equi-join on the
+    * bucket followed by the exact containment filter. Because the
+    * point's bucket is unique, a (point, interval) pair can meet in at
+    * most one bucket — no dedup stage. Candidate volume is
+    * |points| × (intervals overlapping the point's bucket), so pick
+    * `bucketWidth` on the order of the typical interval length:
+    * shorter floods interval replicas, longer floods candidates.
+    * Intervals spanning k buckets replicate k times — bounded by
+    * (max interval length / width) + 1, independent of corpus size.
+    *
+    * `pt`/`start`/`end` are integer columns in any shared time unit.
+    * Output: all interval columns + all point columns.
+    */
+  def rangeJoin(
+      intervals: DataFrame,
+      points: DataFrame,
+      startCol: String,
+      endCol: String,
+      ptCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val iv = intervals.withColumn(
+      "__bucket",
+      explode(sequence(floor(col(startCol) / w).cast("long"),
+        floor(col(endCol) / w).cast("long"))))
+    val pt = points.withColumn("__bucket", floor(col(ptCol) / w).cast("long"))
+    iv.join(pt, Seq("__bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Per-key time-range moving aggregates: for every event, the count
+    * and sum of `valCol` over the trailing `rangeBack` time units
+    * (inclusive of the current row and its RANGE peers), plus the gap
+    * to the previous event. One hash exchange by key, one sort — the
+    * RANGE frame and the lag ride the same sorted partition (the
+    * (ts, tieCol) sort satisfies the RANGE frame's ts-prefix
+    * ordering, so Spark plans a single Window exchange+sort).
+    *
+    * Sum accumulates in DECIMAL so the result is independent of
+    * intra-frame order — the double sum of a sliding frame would
+    * otherwise depend on which peer rows entered first.
+    */
+  def movingWindow(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      tieCol: String,
+      valCol: String,
+      rangeBack: Long
+  ): DataFrame = {
+    val byTs = Window.partitionBy(col(key)).orderBy(col(ts).asc)
+      .rangeBetween(-rangeBack, Window.currentRow)
+    val byTie = Window.partitionBy(col(key)).orderBy(col(ts).asc, col(tieCol).asc)
+    events
+      .withColumn("gap", col(ts) - lag(col(ts), 1).over(byTie))
+      .withColumn("n_window", count(lit(1)).over(byTs))
+      .withColumn("sum_window",
+        round(sum(col(valCol).cast("decimal(18,2)")).over(byTs).cast("double"), 2))
+  }
+}

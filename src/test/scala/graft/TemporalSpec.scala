@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.{Dedup, Temporal}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape specs for the temporal operator family
+  * (as-of join, bucketed range join, moving window) and the
+  * end-to-end dedup application.
+  */
+class TemporalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- as-of join
+
+  test("asofJoin: latest right row at or before each left ts, per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 50L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 60L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, "k", "ts")
+      .select("tag", "asof_ts", "asof_v").as[(String, Option[Long], Option[Double])]
+      .collect().map { case (t, ts, v) => t -> ((ts, v)) }.toMap
+    // ts=10 matches the right row AT 10 (inclusive <=)
+    assert(out("a") == ((Some(10L), Some(1.0))))
+    // ts=20 carries the latest (15), not the first
+    assert(out("b") == ((Some(15L), Some(2.0))))
+    // ts=5 precedes all right rows -> null
+    assert(out("c") == ((None, None)))
+    // key 2's only right row is later -> null (no cross-key leakage)
+    assert(out("d") == ((None, None)))
+  }
+
+  test("asofJoin plans one exchange, never a join") {
+    val left  = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")
+    val plan = Temporal.asofJoin(left, right, "k", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should be union+window, not a join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 key exchange, got $exchanges:\n$plan")
+  }
+
+  // ------------------------------------------------------------ range join
+
+  test("rangeJoin: exact containment, no duplicate pairs across buckets") {
+    // interval B spans 3 buckets (width 10); point 25 falls in its
+    // middle bucket — the pair must appear exactly once
+    val iv = Seq(("A", 0L, 4L), ("B", 8L, 29L), ("C", 40L, 41L))
+      .toDF("iv_id", "lo", "hi")
+    val pts = Seq(3L, 8L, 25L, 29L, 30L, 39L).toDF("p")
+    val out = Temporal.rangeJoin(iv, pts, "lo", "hi", "p", bucketWidth = 10L)
+      .select("iv_id", "p").as[(String, Long)].collect().sorted
+    assert(out.toSeq == Seq(("A", 3L), ("B", 8L), ("B", 25L), ("B", 29L)))
+  }
+
+  test("rangeJoin plans an equi-join on the bucket, never a nested loop") {
+    val iv  = Seq(("A", 0L, 4L)).toDF("iv_id", "lo", "hi")
+    val pts = Seq(3L).toDF("p")
+    val plan = Temporal.rangeJoin(iv, pts, "lo", "hi", "p", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join degraded to a nested loop:\n$plan")
+  }
+
+  // --------------------------------------------------------- moving window
+
+  test("movingWindow: RANGE frame includes ts peers; gap tie-broken") {
+    val e = Seq(
+      (1L, 1L, 100L, 10.0), // user 1: two events at the SAME ts
+      (2L, 1L, 100L, 20.0),
+      (3L, 1L, 150L, 1.0),  // inside the 100-unit window of both
+      (4L, 1L, 300L, 5.0)   // only itself in range [200, 300]
+    ).toDF("event_id", "user_id", "us", "value")
+    val out = Temporal.movingWindow(e, "user_id", "us", "event_id", "value", rangeBack = 100L)
+      .select("event_id", "gap", "n_window", "sum_window")
+      .as[(Long, Option[Long], Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // RANGE peers: both ts=100 rows see each other (n=2, sum=30)
+    assert(out(1L) == ((None, 2L, 30.0)))
+    assert(out(2L) == ((Some(0L), 2L, 30.0)))
+    // ts=150 window [50,150] holds all three
+    assert(out(3L) == ((Some(50L), 3L, 31.0)))
+    // ts=300 window [200,300] holds only itself
+    assert(out(4L) == ((Some(150L), 1L, 5.0)))
+  }
+
+  test("movingWindow plans a single exchange+sort for both frames") {
+    val e = Seq((1L, 1L, 100L, 1.0)).toDF("event_id", "user_id", "us", "value")
+    val plan = Temporal.movingWindow(e, "user_id", "us", "event_id", "value", 100L)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"lag + RANGE frames should share one exchange:\n$plan")
+  }
+
+  // ------------------------------------------------- dedup application
+
+  test("applyDedup: chains collapse to the min-id survivor; singletons keep n_merged=1") {
+    val corpus = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "y"))
+      .toDF("id", "text")
+    // chain 1~2, 2~3 => component {1,2,3}, survivor 1 with n_merged 3
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.applyDedup(corpus, "id", pairs)
+      .select("id", "n_merged").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 3L), (9L, 1L)))
+  }
+
+  // --------------------------------------- approx percentile scale path
+
+  test("approx_percentile tracks exact percentile within the accuracy bound") {
+    // the oracle-gated x_percentiles is exact (full sort per group);
+    // at 100 TB the same question is answered by approx_percentile
+    // (map-side-combinable sketch). Check the sketch at accuracy
+    // 10000 stays within 1% of exact on the real sf table.
+    val li = GraftSession.table(spark, sf, "lineitem")
+    val both = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+    both.collect().foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(e - a) / e < 0.01, s"approx median off: exact=$e approx=$a")
+    }
+  }
+}
