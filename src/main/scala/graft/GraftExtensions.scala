@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, KmvDistinctAgg, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_i8"),
       new ExpressionInfo(classOf[DotI8Expr].getName, "dot_i8"),
       (children: Seq[Expression]) => DotI8Expr(children(0), children(1))
+    ))
+    // native aggregate (not scalar): the analyzer wraps returned
+    // AggregateFunctions in AggregateExpression like any built-in agg
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => KmvDistinctAgg(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
     ))
   }
 }

@@ -102,6 +102,20 @@ object QueriesTemporal {
         .na.fill(0L)
         .orderBy(col("o_orderpriority"))),
 
+    // ---- KMV distinct-count sketch (native TypedImperativeAggregate,
+    // map-side partials, k·32-byte synopsis per group on the shuffle
+    // instead of every distinct value). Deterministic md5 estimator →
+    // the oracle replays it in SQL, hash-exact — the reason this
+    // sketch is gateable where HLL byte layouts are not. Exact
+    // countDistinct rides along so the error is driver-visible.
+    "x_sketch_distinct" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("kmv_distinct(cast(l_partkey as string), 256)"), 4).as("kmv_est"),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- exact group percentiles (linear interpolation, the R-7 /
     // quantile_cont convention both engines share). Exact percentile
     // sorts each group; the 100 TB path is approx_percentile (t-digest
@@ -160,6 +174,26 @@ object QueriesTemporal {
         | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KMV replay: distinct md5s → k-th smallest per group → hex
+    // fraction of its first 12 nibbles (exact in double: every term
+    // < 2^48) → (k−1)/u_k; groups under k distinct report exactly
+    "x_sketch_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS hh
+        | FROM lineitem),
+        |r AS (SELECT l_returnflag, hh,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY hh) AS rn FROM h),
+        |nd AS (SELECT l_returnflag, count(*) AS exact_nd FROM h GROUP BY 1),
+        |kth AS (SELECT l_returnflag,
+        |  list_sum(list_transform(range(1, 13), i ->
+        |    (strpos('0123456789abcdef', substr(hh, CAST(i AS INT), 1)) - 1)
+        |      * power(16, CAST(12 - i AS INT)))) AS v
+        | FROM r WHERE rn = 256)
+        |SELECT n.l_returnflag,
+        | round(CASE WHEN k.v IS NULL THEN CAST(n.exact_nd AS DOUBLE)
+        |       ELSE 255.0 / (CAST(k.v AS DOUBLE) / 281474976710656.0) END, 4) AS kmv_est,
+        | n.exact_nd
+        |FROM nd n LEFT JOIN kth k USING (l_returnflag)
+        |ORDER BY n.l_returnflag""".stripMargin,
     "x_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
