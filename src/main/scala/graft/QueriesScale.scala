@@ -418,6 +418,31 @@ object QueriesScale {
         .orderBy(col("media_id"))
     }),
 
+    // ---- REAL audio decode: deterministic synthetic 16-bit PCM WAVs
+    // (samples = integer arithmetic on (id,t)), parsed by the
+    // JDK-only RIFF-chunk codec; the oracle recomputes every decoded
+    // stat from the sample formula — the audio twin of x_media_decode
+    "x_media_audio" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavMedia(nat(s, dir), "n_nationkey")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("mean_amp"), 4).as("mean_amp"),
+          col("peak_amp"),
+          round(col("rms_amp"), 4).as("rms_amp"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- stream-static dim enrichment (broadcast dim inside the
+    // micro-batch; oracle = the equivalent batch join+rollup)
+    "s9_stream_enrich" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_enrich_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamEnrichedCounts(s, dir, schema, name, nat(s, dir),
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name).orderBy(col("n_name"))
+    }),
+
     "x_media_features" -> ((s, dir) => {
       // payloadLen 64 = one sha2 hex exactly (the oracle models 64 bytes)
       val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey", payloadLen = 64)
@@ -827,6 +852,26 @@ object QueriesScale {
         | round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
         |FROM px GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
+    // decoded WAV stats recomputed from the synthetic sample formula:
+    // BIGINT sums (exact), single double division, IEEE sqrt
+    // (correctly rounded on both engines)
+    "x_media_audio" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation),
+        |dims AS (SELECT media_id, CAST(200 + (media_id % 7) * 50 AS BIGINT) AS ns,
+        |  CAST(8000 + (media_id % 3) * 4000 AS INT) AS rate FROM n),
+        |sm AS (SELECT media_id, rate, ((media_id * 131 + t.t * 17) % 2003) - 1001 AS v
+        | FROM dims, unnest(range(0, ns)) AS t(t))
+        |SELECT media_id, max(rate) AS sample_rate, CAST(count(*) AS INT) AS n_samples,
+        | round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_amp,
+        | CAST(max(abs(v)) AS INT) AS peak_amp,
+        | round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 4) AS rms_amp
+        |FROM sm GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
+    "s9_stream_enrich" ->
+      """SELECT n.n_name, count(*) AS n_events,
+        | round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // IVF cell assignment + probe selection exactly as x_ann_ivf_topk,
     // but the member scoring runs on int8-quantized vectors (the
     // persisted layout) — integer sums are exact in double, so the

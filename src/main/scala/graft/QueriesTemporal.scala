@@ -102,6 +102,17 @@ object QueriesTemporal {
         .na.fill(0L)
         .orderBy(col("o_orderpriority"))),
 
+    // ---- time-series regularization: 6-hour grid per user between
+    // first and last observation, missing buckets materialized and
+    // forward-filled — the prep step before training on regularly
+    // sampled sequences.
+    "x_gap_fill" -> ((s, dir) => {
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+        .select(col("user_id"), col("us"), col("value"))
+      Temporal.gapFill(e, "user_id", "us", "value", step = 6L * 3600L * 1000000L)
+        .orderBy(col("user_id"), col("bucket_ts"))
+    }),
+
     // ---- KMV distinct-count sketch (native TypedImperativeAggregate,
     // map-side partials, k·32-byte synopsis per group on the shuffle
     // instead of every distinct value). Deterministic md5 estimator →
@@ -174,6 +185,20 @@ object QueriesTemporal {
         | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |obs AS (SELECT user_id, (us // 21600000000) * 21600000000 AS b, max(value) AS v
+        | FROM e GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, t.b AS b
+        | FROM spans, unnest(range(lo, hi + 1, 21600000000)) AS t(b)),
+        |j AS (SELECT g.user_id, g.b, o.v FROM grid g
+        | LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b)
+        |SELECT user_id, b AS bucket_ts,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        | CAST(v IS NOT NULL AS INT) AS observed
+        |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
     // KMV replay: distinct md5s → k-th smallest per group → hex
     // fraction of its first 12 nibbles (exact in double: every term
     // < 2^48) → (k−1)/u_k; groups under k distinct report exactly

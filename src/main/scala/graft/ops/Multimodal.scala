@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed by partition-batched
   * decode/feature ops. The IMAGE path is real — [[ImageCodec]] decodes
   * PNG/JPEG via `javax.imageio` (JDK-only), extracts per-channel
-  * stats, and resizes actual pixels; audio/video remain stubbed
-  * behind `FakeCodec`, a deterministic stand-in with the same
-  * signature an ffmpeg JNI codec would have (no media libs in this
-  * container).
+  * stats, and resizes actual pixels. The AUDIO path is real —
+  * [[WavCodec]] encodes/parses 16-bit PCM mono WAV by walking RIFF
+  * chunks (pure `ByteBuffer`, JDK-only) and extracts exact sample
+  * statistics. Video remains stubbed behind `FakeCodec`, a
+  * deterministic stand-in with the same signature an ffmpeg JNI codec
+  * would have (no media libs in this container).
   *
   * Scale notes: binary payloads ride in the row, so
   * `spark.sql.files.maxPartitionBytes` bounds executor memory per
@@ -286,6 +288,147 @@ object Multimodal {
             .map { case (idx, frame) =>
               Row(r.getLong(idIdx), r.getString(kIdx), idx, frame)
             }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio codec, JDK-only: canonical 16-bit PCM mono WAV
+    * (RIFF/fmt/data) encoded and parsed with plain `ByteBuffer` walks
+    * — no media library, no lossy math, so every decoded statistic is
+    * exact integer arithmetic an oracle can replay (`x_media_audio`),
+    * the same trick [[ImageCodec]] plays with lossless PNG.
+    */
+  object WavCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Encode 16-bit PCM mono: 44-byte canonical header + LE samples. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits/sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Parse a PCM-16 mono WAV by walking RIFF chunks (tolerates extra
+      * chunks between fmt and data); anything malformed, compressed,
+      * multi-channel or non-16-bit → None (skip contract).
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (bytes == null || bytes.length < 44) return None
+      try {
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val tag = new Array[Byte](4)
+        buf.get(tag)
+        if (!java.util.Arrays.equals(tag, "RIFF".getBytes("US-ASCII"))) return None
+        buf.getInt // riff size (unchecked: trailing garbage tolerated)
+        buf.get(tag)
+        if (!java.util.Arrays.equals(tag, "WAVE".getBytes("US-ASCII"))) return None
+        var rate    = -1
+        var samples: Array[Short] = null
+        while (buf.remaining() >= 8 && (rate < 0 || samples == null)) {
+          buf.get(tag)
+          val size = buf.getInt
+          if (size < 0 || size > buf.remaining()) return None
+          val name = new String(tag, "US-ASCII")
+          if (name == "fmt ") {
+            if (size < 16) return None
+            val p = buf.position()
+            val fmt = buf.getShort; val ch = buf.getShort
+            rate = buf.getInt
+            buf.getInt; buf.getShort
+            val bits = buf.getShort
+            if (fmt != 1 || ch != 1 || bits != 16) return None
+            buf.position(p + size)
+          } else if (name == "data") {
+            val n   = size / 2
+            val arr = new Array[Short](n)
+            var i   = 0
+            while (i < n) { arr(i) = buf.getShort; i += 1 }
+            samples = arr
+          } else buf.position(buf.position() + size)
+        }
+        if (rate < 0 || samples == null) None else Some((rate, samples))
+      } catch { case _: Exception => None }
+    }
+
+    /** Exact integer/double stats: (n, mean, peak |amplitude|, rms).
+      * Sums accumulate in Long (|s| ≤ 2¹⁵ ⇒ Σs² < 2³⁰·n, exact far
+      * past any real clip length), divisions happen once in double —
+      * bit-reproducible by the oracle's BIGINT sums.
+      */
+    def stats(rate: Int, samples: Array[Short]): (Int, Double, Int, Double) = {
+      val n = samples.length
+      var sum = 0L; var sumSq = 0L; var peak = 0
+      var i = 0
+      while (i < n) {
+        val v = samples(i).toInt
+        sum += v; sumSq += v.toLong * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        i += 1
+      }
+      (n, sum.toDouble / n, peak, math.sqrt(sumSq.toDouble / n))
+    }
+  }
+
+  /** Deterministic synthetic WAV corpus: one clip per input row,
+    * samples follow pure integer arithmetic on (key, t) and length/
+    * rate vary per row — the audio twin of [[syntheticPngMedia]], so
+    * the `x_media_audio` oracle recomputes decoded stats from the
+    * formula without seeing a byte.
+    */
+  def syntheticWavMedia(df: DataFrame, keyCol: String): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("long").as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true),
+      StructField("meta", mediaSchema("meta").dataType, nullable = true)))
+    keyed.mapPartitions { rows =>
+      rows.map { r =>
+        val id   = r.getLong(0)
+        val n    = (200 + (id % 7) * 50).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(n)(t => (((id * 131 + t * 17) % 2003) - 1001).toShort)
+        Row(id, "audio", WavCodec.encodeWav(rate, samples), Row(null, null, rate, n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Partition-batched REAL audio decode: adds (sample_rate,
+    * n_samples, mean_amp, peak_amp, rms_amp) from the actual parsed
+    * PCM samples; undecodable payloads yield nulls. The audio-kind
+    * realization of the FakeCodec seam, batch shape identical to
+    * [[decodeImages]].
+    */
+  def decodeAudio(media: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("mean_amp", DoubleType, nullable = true),
+      StructField("peak_amp", IntegerType, nullable = true),
+      StructField("rms_amp", DoubleType, nullable = true)))
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.map { r =>
+          WavCodec.decode(r.getAs[Array[Byte]](bIdx)) match {
+            case Some((rate, samples)) if samples.nonEmpty =>
+              val (n, mean, peak, rms) = WavCodec.stats(rate, samples)
+              Row.fromSeq(r.toSeq ++ Seq[Any](rate, n, mean, peak, rms))
+            case _ => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+          }
         }
       }
     }(Encoders.row(outSchema))

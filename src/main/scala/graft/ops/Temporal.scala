@@ -112,6 +112,46 @@ object Temporal {
     * intra-frame order — the double sum of a sliding frame would
     * otherwise depend on which peer rows entered first.
     */
+  /** Time-series regularization: bucket each key's events onto a
+    * fixed `step` grid, materialize the MISSING buckets between the
+    * key's first and last observation, and forward-fill values
+    * (`last(_, ignoreNulls)`). The standard prep step before
+    * training on regularly-sampled sequences.
+    *
+    * Per-bucket value is `max(valCol)` (deterministic under ties, no
+    * order dependence). Scale shape: the grid explodes from per-key
+    * (lo, hi) spans — grid size is span/step per key, controlled by
+    * the caller's step, never |corpus|²; one keyed aggregation, one
+    * keyed join, one window, all on the same key so AQE can reuse
+    * the partitioning.
+    *
+    * Output: (key, bucket_ts, value, observed) — `value` null only
+    * for gap rows before the key's first observation (none, by
+    * construction of the span).
+    */
+  def gapFill(
+      events: DataFrame,
+      key: String,
+      ts: String,
+      valCol: String,
+      step: Long
+  ): DataFrame = {
+    require(step > 0, "step must be positive")
+    val obs = events
+      .withColumn("__b", (floor(col(ts) / step) * step).cast("long"))
+      .groupBy(col(key), col("__b"))
+      .agg(max(col(valCol)).as("__v"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col(key), explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__b"))
+    val carry = Window.partitionBy(col(key)).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(key, "__b"), "left")
+      .select(col(key), col("__b").as("bucket_ts"),
+        last(col("__v"), ignoreNulls = true).over(carry).as("value"),
+        col("__v").isNotNull.cast("int").as("observed"))
+  }
+
   def movingWindow(
       events: DataFrame,
       key: String,

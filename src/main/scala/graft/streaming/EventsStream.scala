@@ -41,6 +41,46 @@ object EventsStream {
         col("event_type"), col("n_events"), col("sum_value")
       )
 
+  /** Stream-static dim enrichment + rollup (batch form): events join
+    * a STATIC dim on a derived key, then aggregate per dim attribute.
+    * The join is explicitly broadcast — in a stream every micro-batch
+    * re-executes the join subtree, so a shuffled dim would pay an
+    * exchange per trigger; a broadcast dim ships once per executor.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+
+  /** The same enrichment as a file-source stream (stream-static inner
+    * join, supported without watermark state: the static side is
+    * fixed per batch). Complete-mode memory sink for the local
+    * harness; production form is the same query over a parquet/
+    * foreachBatch sink like the other rollups.
+    */
+  def streamEnrichedCounts(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      dim: DataFrame,
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val src     = prep(reader.parquet(dir))
+    enrichedCounts(src, dim).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Same rollup as a file-source stream with a watermark for late
     * data; memory sink for synchronous local verification. `prep`
     * adapts raw columns (e.g. epoch-nanos long → timestamp) before

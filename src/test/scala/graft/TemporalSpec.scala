@@ -106,6 +106,39 @@ class TemporalSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 3L), (9L, 1L)))
   }
 
+  // --------------------------------------------------------- gap fill
+
+  test("gapFill materializes missing buckets and forward-fills") {
+    val e = Seq(
+      (1L, 5L, 10.0),   // bucket 0
+      (1L, 35L, 20.0),  // bucket 30 — bucket 10/20 are gaps
+      (2L, 12L, 7.0)    // single bucket, no grid beyond itself
+    ).toDF("user_id", "us", "value")
+    val out = Temporal.gapFill(e, "user_id", "us", "value", step = 10L)
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    assert(out == Seq(
+      (1L, 0L, 10.0, 1),
+      (1L, 10L, 10.0, 0), // gap, carried forward
+      (1L, 20L, 10.0, 0), // gap, carried forward
+      (1L, 30L, 20.0, 1),
+      (2L, 10L, 7.0, 1)))
+  }
+
+  // ---------------------------------------------- stream-static enrich
+
+  test("streamEnrichedCounts equals the batch enrichment (stream-static broadcast join)") {
+    import graft.streaming.EventsStream
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val nation = GraftSession.table(spark, sf, "nation")
+    val q = EventsStream.streamEnrichedCounts(spark, sf, schema, "enrich_spec", nation,
+      globFilter = Some("events.parquet"))
+    q.awaitTermination()
+    val streamed = spark.table("enrich_spec").orderBy("n_name").collect().toSeq
+    val batch = EventsStream.enrichedCounts(
+      spark.read.parquet(s"$sf/events.parquet"), nation).orderBy("n_name").collect().toSeq
+    assert(streamed == batch)
+  }
+
   // --------------------------------------- approx percentile scale path
 
   test("approx_percentile tracks exact percentile within the accuracy bound") {
