@@ -140,6 +140,28 @@ object QueriesScale {
         .orderBy(col("id"))
     }),
 
+    // ---- exact edit-distance similarity join (ed ≤ 1), PassJoin
+    // segment blocking — bounded keyed fan-out, never all-pairs; the
+    // oracle IS all-pairs levenshtein (only ever at sf0.01), so any
+    // recall loss in the blocking breaks the hash. Planted: 40-char
+    // prefixes with one char deleted at position 10 under id+20000.
+    "x_editdist_join" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s"))
+      val planted = t.filter(col("id") < 25)
+        .select((col("id") + 20000).as("id"),
+          concat(substring(col("s"), 1, 9), substring(col("s"), 11, 40)).as("s"))
+      Dedup.editDistancePairs(t.unionByName(planted), "id", "s")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- collocation extraction: bigram association vs independence
+    // (rational PMI ratio — no log, so the score hashes cross-engine)
+    "x_collocations" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.collocations(docs(s, dir), "text", minCount = 30)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
     // ---- end-to-end dedup application: the full production chain
     // (ground-truth pairs → components → surviving corpus, min-id
     // canonical, n_merged = absorbed cluster size). Survivors join is
@@ -623,6 +645,31 @@ object QueriesScale {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          |SELECT id, cluster, CASE WHEN id = cluster THEN 1 ELSE 0 END AS kept
          |FROM comp ORDER BY id""".stripMargin,
+    // all-pairs levenshtein ground truth for the PassJoin blocking
+    "x_editdist_join" ->
+      """WITH t0 AS (SELECT doc_id AS id, substr(text, 1, 40) AS s FROM documents),
+        |t AS (SELECT id, s FROM t0
+        | UNION ALL SELECT id + 20000, substr(s, 1, 9) || substr(s, 11, 30)
+        |  FROM t0 WHERE id < 25),
+        |tt AS (SELECT id, s FROM t WHERE length(s) >= 2)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+        |FROM tt a JOIN tt b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |t2 AS (SELECT tk FROM t WHERE len(tk) >= 2),
+        |bi AS (SELECT tk[CAST(i.i AS INT)] AS w1, tk[CAST(i.i + 1 AS INT)] AS w2
+        | FROM t2, unnest(range(1, len(tk))) AS i(i)),
+        |bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT u.w AS w, count(*) AS n FROM t, unnest(tk) AS u(w) GROUP BY 1),
+        |tot AS (SELECT sum(n) AS N FROM uni)
+        |SELECT b.w1, b.w2, b.n_ab,
+        | round(CAST(b.n_ab * t0.N AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE), 4) AS assoc
+        |FROM bc b JOIN uni ua ON b.w1 = ua.w JOIN uni ub ON b.w2 = ub.w CROSS JOIN tot t0
+        |WHERE b.n_ab >= 30
+        |ORDER BY b.w1, b.w2""".stripMargin,
     // survivors = corpus minus non-canonical members of the closure
     // components; n_merged = component size (1 for unpaired docs)
     "x_dedup_apply" ->

@@ -691,6 +691,69 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact edit-distance similarity self-join for ed ≤ 1 — PassJoin
+    * segment blocking (Li et al., "PassJoin: A Partition-based Method
+    * for Similarity Joins", VLDB'12), never all-pairs:
+    *
+    * Index side: every string splits into k+1 = 2 contiguous
+    * segments, keyed (length, slot, segment). Probe side: every
+    * string enumerates, for each partner length within ±1 and each
+    * slot, its substrings at the slot's position shifted by −1/0/+1 —
+    * ≤ 18 probe keys per row. Pigeonhole: a single edit touches at
+    * most one segment, so the untouched segment of one string appears
+    * in the other shifted by at most 1 → the equi-join on
+    * (length, slot, substring) finds EVERY true pair; the final
+    * `levenshtein ≤ 1` filter removes false candidates, so the output
+    * is exact (what lets an all-pairs SQL oracle check it).
+    *
+    * Scale shape: candidate generation is a keyed equi-join whose
+    * fan-out is bounded (2 index keys + ≤ 18 probe keys per row);
+    * hot segment values (shared prefixes) concentrate like any
+    * skewed join key and AQE's skew split applies. All-pairs compare
+    * is O(n²·L); this is O(n·B + candidates) — the PassJoin trade.
+    *
+    * Strings shorter than 2 chars are excluded (no 2-segment split).
+    * Output: (id_a, id_b, dist) with id_a < id_b.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= 2)
+
+    // ---- index: the 2 exact segments of s, keyed by its OWN length
+    val seg0Len = (length(col("s")) / 2).cast("int")
+    val index = base.select(col("id"), col("s"), length(col("s")).cast("int").as("len"),
+        array(
+          struct(lit(0).as("slot"), col("s").substr(lit(1), seg0Len).as("seg")),
+          struct(lit(1).as("slot"), col("s").substr(seg0Len + 1, length(col("s"))).as("seg"))
+        ).as("__segs"))
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("len"), explode(col("__segs")).as("e"))
+      .select(col("id_a"), col("s_a"), col("len"), col("e.slot").as("slot"), col("e.seg").as("seg"))
+
+    // ---- probe: for partner lengths len±1 and both slots, substrings
+    // at the slot position shifted −1/0/+1 (clamped to valid range)
+    val probe = base
+      .withColumn("__la", explode(array(length(col("s")) - 1, length(col("s")), length(col("s")) + 1)))
+      .filter(col("__la") >= 2)
+      .withColumn("__slot", explode(array(lit(0), lit(1))))
+      .withColumn("__segLen",
+        when(col("__slot") === 0, (col("__la") / 2).cast("int"))
+          .otherwise(col("__la") - (col("__la") / 2).cast("int")))
+      .withColumn("__segStart", when(col("__slot") === 0, lit(1)).otherwise((col("__la") / 2).cast("int") + 1))
+      .withColumn("__shift", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("__p", col("__segStart") + col("__shift"))
+      .filter(col("__p") >= 1 && col("__p") + col("__segLen") - 1 <= length(col("s")))
+      .select(col("id").as("id_b"), col("s").as("s_b"),
+        col("__la").cast("int").as("len"), col("__slot").as("slot"),
+        col("s").substr(col("__p"), col("__segLen")).as("seg"))
+
+    index.join(probe, Seq("len", "slot", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** End-to-end dedup application: pair list → components → the
     * SURVIVING corpus. Each cluster keeps its minimum-id member;
     * docs in no pair survive untouched. Adds `n_merged` (cluster size,

@@ -162,6 +162,37 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Collocation extraction: consecutive-token bigram counts with a
+    * rational association score — `assoc = n_ab·N / (n_a·n_b)`, the
+    * PMI ratio WITHOUT the log (log is not correctly rounded
+    * cross-engine; the ratio orders identically and stays exact in
+    * double for any corpus where n_ab·N < 2⁵³). assoc > 1 ⇒ the pair
+    * co-occurs more than independence predicts.
+    *
+    * Scale shape: one tokenize, one explode per bigram; bigram and
+    * unigram counts are map-side-combinable groupBys; unigram totals
+    * are a dim (vocabulary-sized) joined back broadcast; the corpus
+    * scans once.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 2L): DataFrame = {
+    val t = df.select(toks(col(textCol)).as("__t")).filter(size(col("__t")) >= 2)
+    val bi = t.select(explode(expr(
+        "transform(sequence(0, size(__t) - 2), " +
+          "i -> struct(element_at(__t, i + 1) AS w1, element_at(__t, i + 2) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val uni = df.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("N"))
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_ab") >= minCount)
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round((col("n_ab") * col("N")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("assoc"))
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol), t, toks(t).as("__toks"))

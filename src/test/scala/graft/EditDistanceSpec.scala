@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+
+import org.apache.spark.sql.functions._
+
+/** PassJoin edit-distance join: exactness against brute force
+  * (the blocking must have ZERO false negatives — the oracle is
+  * all-pairs), plus the collocation scorer.
+  */
+class EditDistanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def bruteForce(strs: Seq[(Long, String)]): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && sa.length >= 2 && sb.length >= 2
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+  }
+
+  test("editDistancePairs finds substitutions, insertions and deletions in either half") {
+    val strs = Seq(
+      1L -> "abcdefgh",
+      2L -> "abcdefgX", // substitution in segment 1
+      3L -> "Xbcdefgh", // substitution in segment 0
+      4L -> "abcdefghZ", // append (length +1)
+      5L -> "bcdefgh",   // delete first char (shifts segment 0)
+      6L -> "abcdXefgh", // insert mid-string (shifts segment 1)
+      7L -> "zzzzzzzz"   // unrelated
+    )
+    val out = Dedup.editDistancePairs(strs.toDF("id", "s"), "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == bruteForce(strs))
+    assert(out.contains((1L, 2L, 1)) && out.contains((1L, 3L, 1)) &&
+      out.contains((1L, 4L, 1)) && out.contains((1L, 5L, 1)) && out.contains((1L, 6L, 1)))
+    assert(!out.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("editDistancePairs ≡ brute force on randomized corpora (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    for (round <- 1 to 3) {
+      val strs = (1L to 60L).map { i =>
+        val len = 2 + rnd.nextInt(7)
+        i -> Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val out = Dedup.editDistancePairs(strs.toDF("id", "s"), "id", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(out == bruteForce(strs), s"round $round diverged from brute force")
+    }
+  }
+
+  test("collocations scores association vs independence exactly") {
+    // corpus: "a b" ×3, "a c" ×1 → N=8; n(a)=4, n(b)=3, n(c)=1
+    // assoc(a,b) = 3·8/(4·3) = 2.0 ; assoc(a,c) = 1·8/(4·1) = 2.0
+    val df = (Seq.fill(3)("a b") :+ "a c").toDF("text")
+    val out = TextAnalysis.collocations(df, "text", minCount = 1)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(("a", "b", 3L, 2.0), ("a", "c", 1L, 2.0)))
+  }
+}
