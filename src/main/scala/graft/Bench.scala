@@ -36,6 +36,9 @@ object Bench {
     "x_range_join",
     "x_window_moving",
     "x_rollup",
+    "x_sketch_distinct",
+    "x_gap_fill",
+    "x_editdist_join",
     "s9_stream_window",
     "s9_stream_sessions"
   )

@@ -440,6 +440,21 @@ object QueriesScale {
         .orderBy(col("media_id"))
     }),
 
+    // ---- REAL video decode: deterministic synthetic AVI containers
+    // (RIFF walk is real, PNG frames decode through the real image
+    // codec); the oracle recomputes per-frame channel means from the
+    // (id, frame, x, y) pixel formula — all three modalities are now
+    // formula-oracle-checked end to end
+    "x_media_video" -> ((s, dir) => {
+      val media = Multimodal.syntheticAviMedia(nat(s, dir), "n_nationkey")
+      Multimodal.decodeVideoFrames(media)
+        .select(col("media_id"), col("frame_idx"), col("frame_w"), col("frame_h"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- REAL audio decode: deterministic synthetic 16-bit PCM WAVs
     // (samples = integer arithmetic on (id,t)), parsed by the
     // JDK-only RIFF-chunk codec; the oracle recomputes every decoded
@@ -463,6 +478,19 @@ object QueriesScale {
         globFilter = Some("events.parquet"))
       q.awaitTermination()
       s.table(name).orderBy(col("n_name"))
+    }),
+
+    // ---- stream-stream time-bounded join (watermarks both sides +
+    // event-time bound in the condition → evictable state; inner
+    // append emits exactly the batch join, which IS the oracle)
+    "s9_stream_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_join_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamViewPurchaseJoin(s, dir, schema, name,
+        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name).orderBy(col("view_id"), col("pts_us"))
     }),
 
     "x_media_features" -> ((s, dir) => {
@@ -899,6 +927,24 @@ object QueriesScale {
         | round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
         |FROM px GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
+    "x_media_video" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation),
+        |dims AS (SELECT media_id, 6 + media_id % 3 AS w, 6 + media_id % 4 AS h,
+        |  3 + media_id % 3 AS nf FROM n),
+        |px AS (
+        | SELECT media_id, w, h, ff.f AS f,
+        |  (media_id * 7 + ff.f * 29 + xx.x * 3 + yy.y * 11) % 256 AS r,
+        |  (media_id * 13 + ff.f * 19 + xx.x * 5 + yy.y * 2) % 256 AS g,
+        |  (media_id * 3 + ff.f * 23 + xx.x * 17 + yy.y * 7) % 256 AS b
+        | FROM dims, unnest(range(0, nf)) AS ff(f),
+        |  unnest(range(0, w)) AS xx(x), unnest(range(0, h)) AS yy(y))
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        | CAST(w AS INT) AS frame_w, CAST(h AS INT) AS frame_h,
+        | round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS mean_r,
+        | round(CAST(sum(g) AS DOUBLE) / count(*), 4) AS mean_g,
+        | round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
+        |FROM px GROUP BY media_id, f, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // decoded WAV stats recomputed from the synthetic sample formula:
     // BIGINT sums (exact), single double division, IEEE sqrt
     // (correctly rounded on both engines)
@@ -914,6 +960,15 @@ object QueriesScale {
         | round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 4) AS rms_amp
         |FROM sm GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+    "s9_stream_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts
+        | FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pts, value FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT v.view_id, v.user_id, v.vts AS vts_us, p.pts AS pts_us, p.value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        | AND p.pts BETWEEN v.vts - 3600000000 AND v.vts
+        |ORDER BY view_id, pts_us""".stripMargin,
     "s9_stream_enrich" ->
       """SELECT n.n_name, count(*) AS n_events,
         | round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value

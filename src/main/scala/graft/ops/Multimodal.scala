@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * stats, and resizes actual pixels. The AUDIO path is real —
   * [[WavCodec]] encodes/parses 16-bit PCM mono WAV by walking RIFF
   * chunks (pure `ByteBuffer`, JDK-only) and extracts exact sample
-  * statistics. Video remains stubbed behind `FakeCodec`, a
-  * deterministic stand-in with the same signature an ffmpeg JNI codec
-  * would have (no media libs in this container).
+  * statistics. The VIDEO path is real — [[AviCodec]] writes/parses a
+  * RIFF-AVI container whose frames are lossless PNG (fourcc MPNG),
+  * so frames decode through [[ImageCodec]] bit-exactly. `FakeCodec`
+  * remains as the seam a native (ffmpeg-JNI) codec would plug into
+  * for formats beyond the JDK-only set.
   *
   * Scale notes: binary payloads ride in the row, so
   * `spark.sql.files.maxPartitionBytes` bounds executor memory per
@@ -382,6 +384,119 @@ object Multimodal {
     }
   }
 
+  /** REAL video container codec, JDK-only: a minimal RIFF-AVI writer/
+    * parser (LIST hdrl with avih/strl headers, LIST movi with 00dc
+    * frame chunks, even-byte padding) carrying PNG-encoded frames
+    * (fourcc MPNG — PNG-in-AVI, lossless, so frame pixels decode
+    * through the real [[ImageCodec]] bit-exactly). The container walk
+    * is the same chunk discipline as [[WavCodec]]; together they make
+    * all three modalities real: image (PNG), audio (WAV), video
+    * (AVI of PNG frames).
+    */
+  object AviCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    /** Encode an AVI with the given pre-encoded PNG frames. */
+    def encodeAvi(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length % 2
+        val b = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(fourcc(tag)).putInt(body.length).put(body)
+        b.array()
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", fourcc(kind) ++ body)
+
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+      val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      strh.put(fourcc("vids")).put(fourcc("MPNG"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(fps) // scale, rate
+        .putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+      val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      strf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .put(fourcc("MPNG")).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih.array()) ++ list("strl",
+          chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val riffBody = fourcc("AVI ") ++ hdrl ++ movi
+      val out = ByteBuffer.allocate(8 + riffBody.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(fourcc("RIFF")).putInt(riffBody.length).put(riffBody)
+      out.array()
+    }
+
+    /** Parse: (width, height, fps, frame payloads); malformed → None.
+      * Walks top-level chunks for LIST hdrl (avih dims) and LIST movi
+      * (00dc/00db frames), honoring even-byte padding.
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Byte]])] = {
+      if (bytes == null || bytes.length < 24) return None
+      try {
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val tag = new Array[Byte](4)
+        buf.get(tag)
+        if (!java.util.Arrays.equals(tag, fourcc("RIFF"))) return None
+        buf.getInt
+        buf.get(tag)
+        if (!java.util.Arrays.equals(tag, fourcc("AVI "))) return None
+        var w = -1; var h = -1; var fps = -1
+        val frames = Seq.newBuilder[Array[Byte]]
+        while (buf.remaining() >= 8) {
+          buf.get(tag)
+          val size = buf.getInt
+          if (size < 0 || size > buf.remaining()) return None
+          val end = buf.position() + size + (size % 2)
+          if (java.util.Arrays.equals(tag, fourcc("LIST"))) {
+            buf.get(tag)
+            if (java.util.Arrays.equals(tag, fourcc("hdrl"))) {
+              // scan hdrl sub-chunks for avih (dims + frame interval)
+              val hEnd = end
+              while (buf.position() + 8 <= hEnd) {
+                buf.get(tag)
+                val s2 = buf.getInt
+                if (s2 < 0 || buf.position() + s2 > hEnd) return None
+                if (java.util.Arrays.equals(tag, fourcc("avih")) && s2 >= 40) {
+                  val p = buf.position()
+                  val usPerFrame = buf.getInt
+                  fps = if (usPerFrame > 0) 1000000 / usPerFrame else -1
+                  buf.position(p + 28); buf.getInt // skip to width slot
+                  w = buf.getInt; h = buf.getInt
+                  buf.position(p + s2 + (s2 % 2))
+                } else if (java.util.Arrays.equals(tag, fourcc("LIST"))) {
+                  buf.get(tag) // descend trivially by skipping the kind
+                } else buf.position(buf.position() + s2 + (s2 % 2))
+              }
+              buf.position(hEnd)
+            } else if (java.util.Arrays.equals(tag, fourcc("movi"))) {
+              while (buf.position() + 8 <= end) {
+                buf.get(tag)
+                val s2 = buf.getInt
+                if (s2 < 0 || buf.position() + s2 > end) return None
+                val name = new String(tag, "US-ASCII")
+                if (name == "00dc" || name == "00db") {
+                  val payload = new Array[Byte](s2)
+                  buf.get(payload)
+                  frames += payload
+                  if (s2 % 2 == 1) buf.get()
+                } else buf.position(buf.position() + s2 + (s2 % 2))
+              }
+              buf.position(end)
+            } else buf.position(end)
+          } else buf.position(end)
+        }
+        val fs = frames.result()
+        if (w <= 0 || h <= 0 || fs.isEmpty) None else Some((w, h, fps, fs))
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** Deterministic synthetic WAV corpus: one clip per input row,
     * samples follow pure integer arithmetic on (key, t) and length/
     * rate vary per row — the audio twin of [[syntheticPngMedia]], so
@@ -402,6 +517,73 @@ object Multimodal {
         val rate = (8000 + (id % 3) * 4000).toInt
         val samples = Array.tabulate(n)(t => (((id * 131 + t * 17) % 2003) - 1001).toShort)
         Row(id, "audio", WavCodec.encodeWav(rate, samples), Row(null, null, rate, n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic synthetic AVI corpus: one clip per row, PNG frames
+    * whose pixels follow integer arithmetic on (key, frame, x, y) —
+    * the video twin of [[syntheticPngMedia]]/[[syntheticWavMedia]].
+    */
+  def syntheticAviMedia(df: DataFrame, keyCol: String): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("long").as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true),
+      StructField("meta", mediaSchema("meta").dataType, nullable = true)))
+    keyed.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w  = 6 + (id % 3).toInt
+        val h  = 6 + (id % 4).toInt
+        val n  = 3 + (id % 3).toInt
+        val frames = (0 until n).map { f =>
+          ImageCodec.encodePng(w, h, (x, y) => {
+            val rr = ((id * 7 + f * 29 + x * 3 + y * 11) % 256).toInt
+            val gg = ((id * 13 + f * 19 + x * 5 + y * 2) % 256).toInt
+            val bb = ((id * 3 + f * 23 + x * 17 + y * 7) % 256).toInt
+            (rr << 16) | (gg << 8) | bb
+          })
+        }
+        Row(id, "video", AviCodec.encodeAvi(w, h, fps = 10, frames), Row(w, h, null, n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Partition-batched REAL video decode: container walk → one row
+    * per frame with the frame's decoded dimensions and channel means
+    * (PNG frames decode through [[ImageCodec]] bit-exactly).
+    * Undecodable containers are skipped entirely; undecodable single
+    * frames yield null stats (both contracts spec'd).
+    */
+  def decodeVideoFrames(media: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_w", IntegerType, nullable = true),
+      StructField("frame_h", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val bIdx = media.schema.fieldIndex("bytes")
+    val iIdx = media.schema.fieldIndex("media_id")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.flatMap { r =>
+          AviCodec.decode(r.getAs[Array[Byte]](bIdx)) match {
+            case Some((_, _, _, frames)) =>
+              frames.zipWithIndex.iterator.map { case (png, i) =>
+                ImageCodec.decode(png).map(ImageCodec.stats) match {
+                  case Some((fw, fh, mr, mg, mb)) =>
+                    Row.fromSeq(Seq[Any](r.getLong(iIdx), i, fw, fh, mr, mg, mb))
+                  case None =>
+                    Row.fromSeq(Seq[Any](r.getLong(iIdx), i, null, null, null, null, null))
+                }
+              }
+            case None => Iterator.empty
+          }
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -81,6 +81,48 @@ object EventsStream {
       .start()
   }
 
+  /** Stream-stream time-bounded join: every view event pairs with the
+    * same user's purchases in the trailing hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state is provably evictable (Spark buffers each side only within
+    * watermark + bound — without the time bound, stream-stream join
+    * state grows forever). Inner join in append mode emits exactly
+    * the batch-join rows, which is what the oracle checks.
+    */
+  def streamViewPurchaseJoin(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    def src: DataFrame = {
+      val reader0 = spark.readStream.schema(schema)
+      val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+      prep(reader.parquet(dir))
+    }
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+      .withWatermark("pts", "2 hours")
+    views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("pts") >= col("vts") - expr("interval 1 hour") &&
+          col("pts") <= col("vts"))
+      .select(col("view_id"), col("v_user").as("user_id"),
+        unix_micros(col("vts")).as("vts_us"),
+        unix_micros(col("pts")).as("pts_us"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Same rollup as a file-source stream with a watermark for late
     * data; memory sink for synchronous local verification. `prep`
     * adapts raw columns (e.g. epoch-nanos long → timestamp) before
