@@ -28,6 +28,39 @@ object QueriesExt {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- FULL OUTER join with asymmetric sides (left-only, both,
+    // right-only all populated); keys coalesced and absent-side
+    // values sentineled so no cross-engine nulls ride the hash
+    "x_join_full_outer" -> ((s, dir) => {
+      val oc = table(s, dir, "orders").filter(col("o_custkey") < 800)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val cust = table(s, dir, "customer").filter(col("c_custkey") >= 400)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      oc.join(cust, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_orders"), lit(-1L)).as("n_orders"),
+          coalesce(round(col("c_acctbal"), 2), lit(-1.0)).as("acctbal"))
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- the full rank-function family over one deterministic
+    // (unique) ordering: rank / dense_rank / percent_rank / ntile /
+    // cume_dist — Spark plans them all in ONE Window over one
+    // exchange+sort
+    "x_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      table(s, dir, "lineitem").filter(col("l_partkey") < 100)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("l_returnflag"), col("rnk"))
+    }),
     // S1 under the oracle gate: nation rows → a generated one-page PDF
     // (raw content stream, blank-line paragraph breaks) → the JDK-only
     // simple-PDF codec → binaryFile paragraph table, hash-compared
@@ -333,6 +366,27 @@ object QueriesExt {
   private def u(key: String): String = DetHash.detUnitSql(key)
 
   val oracleSql: Map[String, String] = Map(
+    "x_join_full_outer" ->
+      """WITH oc AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+        | FROM orders WHERE o_custkey < 800 GROUP BY 1),
+        |cust AS (SELECT c_custkey AS custkey, c_acctbal FROM customer
+        | WHERE c_custkey >= 400)
+        |SELECT coalesce(oc.custkey, cust.custkey) AS custkey,
+        | coalesce(oc.n_orders, -1) AS n_orders,
+        | coalesce(round(cust.c_acctbal, 2), -1.0) AS acctbal
+        |FROM oc FULL OUTER JOIN cust ON oc.custkey = cust.custkey
+        |ORDER BY custkey""".stripMargin,
+    "x_window_ranks" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | round(percent_rank() OVER w, 6) AS prnk,
+        | ntile(4) OVER w AS quartile,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM lineitem WHERE l_partkey < 100
+        |WINDOW w AS (PARTITION BY l_returnflag
+        | ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_returnflag, rnk""".stripMargin,
     "s1_pdf_roundtrip" ->
       """SELECT 'nations' AS pdf_name, 0 AS page,
         | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,

@@ -102,6 +102,22 @@ object QueriesTemporal {
         .na.fill(0L)
         .orderBy(col("o_orderpriority"))),
 
+    // ---- SCD2 historization: each (user, event) becomes a validity
+    // interval [ts, next event's ts) via lead over one keyed
+    // exchange+sort; the open current row is sentineled (-1), the
+    // standard change-capture shape for slowly-changing attributes.
+    "x_scd2_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from").asc, col("event_id").asc)
+      table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("us").as("valid_from"), col("value"))
+        .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
+        .withColumn("is_current", (col("valid_to") === -1L).cast("int"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     // ---- time-series regularization: 6-hour grid per user between
     // first and last observation, missing buckets materialized and
     // forward-filled — the prep step before training on regularly
@@ -185,6 +201,15 @@ object QueriesTemporal {
         | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from, value
+        | FROM events WHERE event_type = 'signup')
+        |SELECT user_id, event_id, valid_from, value,
+        | coalesce(lead(valid_from) OVER (PARTITION BY user_id
+        |   ORDER BY valid_from, event_id), -1) AS valid_to,
+        | CAST(coalesce(lead(valid_from) OVER (PARTITION BY user_id
+        |   ORDER BY valid_from, event_id), -1) = -1 AS INT) AS is_current
+        |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin,
     "x_gap_fill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
         |obs AS (SELECT user_id, (us // 21600000000) * 21600000000 AS b, max(value) AS v
