@@ -122,4 +122,20 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"map-side combine lost:\n$plan")
   }
+
+  test("kmv_distinct aggregates with map-side partial sketches") {
+    // the sketch's whole point: partial_kmv_distinct below the
+    // exchange, the k-hash synopsis on the wire — not the raw values
+    val plan = planOf(q("x_sketch_distinct"))
+    assert(plan.contains("partial_kmv_distinct"), s"partial sketch lost:\n$plan")
+    val aggs = plan.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+    assert(aggs >= 2, s"two-phase sketch aggregation lost:\n$plan")
+  }
+
+  test("x_editdist_join candidates come from an equi-join, never a nested loop") {
+    val plan = planOf(q("x_editdist_join"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"PassJoin blocking degraded to all-pairs:\n$plan")
+  }
 }
