@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, KmvDistinctAgg, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, KmvDistinctAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_i8"),
       new ExpressionInfo(classOf[DotI8Expr].getName, "dot_i8"),
       (children: Seq[Expression]) => DotI8Expr(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("lev_at_most"),
+      new ExpressionInfo(classOf[LevAtMostExpr].getName, "lev_at_most"),
+      (children: Seq[Expression]) => LevAtMostExpr(children(0), children(1), children(2))
     ))
     // native aggregate (not scalar): the analyzer wraps returned
     // AggregateFunctions in AggregateExpression like any built-in agg

@@ -746,10 +746,14 @@ object Dedup {
         col("__la").cast("int").as("len"), col("__slot").as("slot"),
         col("s").substr(col("__p"), col("__segLen")).as("seg"))
 
+    // verify with the banded native kernel: lev_at_most caps at k+1
+    // after O(k·n) band cells (vs the full O(n²) DP of the built-in
+    // levenshtein), and for kept pairs (d ≤ k) the value IS the
+    // distance — bit-identical output, spec'd in EditDistanceSpec
     index.join(probe, Seq("len", "slot", "seg"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .withColumn("dist", call_function("lev_at_most", col("s_a"), col("s_b"), lit(1)))
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }

@@ -60,6 +60,22 @@ class EditDistanceSpec extends SparkSpecBase {
     }
   }
 
+  test("lev_at_most ≡ min(levenshtein, k+1) on randomized strings, every k") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map { _ =>
+      def mk = Seq.fill(rnd.nextInt(12))("abcd".charAt(rnd.nextInt(4))).mkString
+      (mk, mk)
+    }
+    val df = pairs.toDF("a", "b")
+    for (k <- 0 to 3) {
+      val bad = df.select(
+          expr(s"lev_at_most(a, b, $k)").as("banded"),
+          least(levenshtein(col("a"), col("b")), lit(k + 1)).as("full"))
+        .filter(col("banded") =!= col("full")).count()
+      assert(bad == 0L, s"banded kernel diverged from levenshtein at k=$k")
+    }
+  }
+
   test("collocations scores association vs independence exactly") {
     // corpus: "a b" ×3, "a c" ×1 → N=8; n(a)=4, n(b)=3, n(c)=1
     // assoc(a,b) = 3·8/(4·3) = 2.0 ; assoc(a,c) = 1·8/(4·1) = 2.0
