@@ -715,7 +715,30 @@ object Dedup {
     * Strings shorter than 2 chars are excluded (no 2-segment split).
     * Output: (id_a, id_b, dist) with id_a < id_b.
     */
-  def editDistancePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    edCandidates(df, idCol, strCol)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+      // verify with the banded native kernel: lev_at_most caps at k+1
+      // after O(k·n) band cells (vs the full O(n²) DP of the built-in
+      // levenshtein), and for kept pairs (d ≤ k) the value IS the
+      // distance — bit-identical output, spec'd in EditDistanceSpec
+      .withColumn("dist", call_function("lev_at_most", col("s_a"), col("s_b"), lit(1)))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+
+  /** Candidate-volume instrumentation for [[editDistancePairs]] —
+    * same discipline as [[lshCandidateStats]]: price the blocking
+    * before a corpus-wide run. `candidate_rows` is the raw join
+    * output (what the verify step pays); `candidate_pairs` the
+    * distinct pairs. Compare against n·(n−1)/2 to see what the
+    * blocking saved.
+    */
+  def editDistanceCandidateStats(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    edCandidates(df, idCol, strCol).agg(
+      count(lit(1)).as("candidate_rows"),
+      countDistinct(col("id_a"), col("id_b")).as("candidate_pairs"))
+
+  private def edCandidates(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= 2)
 
@@ -746,16 +769,8 @@ object Dedup {
         col("__la").cast("int").as("len"), col("__slot").as("slot"),
         col("s").substr(col("__p"), col("__segLen")).as("seg"))
 
-    // verify with the banded native kernel: lev_at_most caps at k+1
-    // after O(k·n) band cells (vs the full O(n²) DP of the built-in
-    // levenshtein), and for kept pairs (d ≤ k) the value IS the
-    // distance — bit-identical output, spec'd in EditDistanceSpec
     index.join(probe, Seq("len", "slot", "seg"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
-      .withColumn("dist", call_function("lev_at_most", col("s_a"), col("s_b"), lit(1)))
-      .filter(col("dist") <= 1)
-      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** End-to-end dedup application: pair list → components → the

@@ -54,6 +54,24 @@ class ScaleAuditSpec extends SparkSpecBase {
       s"minhash blocking should be ≥100x cheaper here (simhash $candSh vs minhash $candMh)")
   }
 
+  test("PassJoin blocking prices far below all-pairs on the real corpus") {
+    // the same measure-before-you-run discipline for the edit-distance
+    // join: 40-char prefixes + planted deletions (the x_editdist_join
+    // corpus shape)
+    val t = docs.select(col("id"), substring(col("text"), 1, 40).as("s"))
+    val planted = t.filter(col("id") < 25)
+      .select((col("id") + 20000).as("id"),
+        concat(substring(col("s"), 1, 9), substring(col("s"), 11, 40)).as("s"))
+    val corpus = t.unionByName(planted)
+    val n = corpus.count()
+    val r = Dedup.editDistanceCandidateStats(corpus, "id", "s").collect()(0)
+    val (rows, pairs) = (r.getAs[Long]("candidate_rows"), r.getAs[Long]("candidate_pairs"))
+    val allPairs = n * (n - 1) / 2
+    info(s"PassJoin on $n strings: $rows candidate rows, $pairs distinct pairs vs $allPairs all-pairs")
+    assert(pairs * 4 < allPairs,
+      s"blocking should prune ≥75% of all-pairs here ($pairs vs $allPairs)")
+  }
+
   test("bucketCap drops only oversized buckets' candidates") {
     // planted corpus: 25 exact-ish copies land in shared buckets; a
     // cap of 1 kills every multi-member bucket → zero pairs, while the
