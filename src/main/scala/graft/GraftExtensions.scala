@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, KmvDistinctAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, KmvDistinctAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
       (children: Seq[Expression]) => KmvDistinctAgg(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => KmvSketchAgg(children(0),
         children(1).eval().asInstanceOf[Number].intValue())
     ))
   }

@@ -143,6 +143,40 @@ object QueriesTemporal {
           countDistinct(col("l_partkey")).as("exact_nd"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- KMV sketch ALGEBRA: per-group synopses answer pairwise
+    // overlap (Jaccard / intersection size) without re-scanning the
+    // corpus — union sketch = k smallest of the merged synopses,
+    // jaccard = share of the union synopsis present in both sides,
+    // intersection = jaccard × union estimate. Exact counts ride
+    // along so the sketch error is driver-visible.
+    "x_sketch_overlap" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val k = 256
+      // carve PARTIALLY overlapping per-flag key sets (every flag
+      // covers every partkey at these SFs, which would make jaccard
+      // degenerately 1.0 and leave the estimator untested)
+      val li = table(s, dir, "lineitem").filter(
+        (col("l_returnflag") === "A" && col("l_partkey") < 1400) ||
+          (col("l_returnflag") === "N" && col("l_partkey") >= 600) ||
+          (col("l_returnflag") === "R" && pmod(col("l_partkey"), lit(2)) === 0))
+      val sk = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(expr(s"kmv_sketch(cast(l_partkey as string), $k)").as("sk"))
+      val pairs = sk.select(col("flag").as("flag_a"), col("sk").as("sk_a"))
+        .join(sk.select(col("flag").as("flag_b"), col("sk").as("sk_b")),
+          col("flag_a") < col("flag_b"))
+      val d = li.select(col("l_returnflag").as("flag"), col("l_partkey").as("pk")).distinct()
+      val exact = d.select(col("flag").as("flag_a"), col("pk"))
+        .join(d.select(col("flag").as("flag_b"), col("pk")), Seq("pk"))
+        .filter(col("flag_a") < col("flag_b"))
+        .groupBy(col("flag_a"), col("flag_b")).agg(count(lit(1)).as("n_exact"))
+      pairs
+        .select(col("flag_a"), col("flag_b"),
+          round(Sketches.jaccardEst(col("sk_a"), col("sk_b"), k), 4).as("jaccard_est"),
+          round(Sketches.intersectEst(col("sk_a"), col("sk_b"), k), 4).as("inter_est"))
+        .join(exact, Seq("flag_a", "flag_b"))
+        .orderBy(col("flag_a"), col("flag_b"))
+    }),
+
     // ---- exact group percentiles (linear interpolation, the R-7 /
     // quantile_cont convention both engines share). Exact percentile
     // sorts each group; the 100 TB path is approx_percentile (t-digest
@@ -224,6 +258,43 @@ object QueriesTemporal {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         | CAST(v IS NOT NULL AS INT) AS observed
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    // KMV algebra replay: per-flag k-min synopses → merged-and-ranked
+    // union synopsis → membership counts → the same double arithmetic
+    "x_sketch_overlap" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk FROM lineitem
+        | WHERE (l_returnflag = 'A' AND l_partkey < 1400)
+        |    OR (l_returnflag = 'N' AND l_partkey >= 600)
+        |    OR (l_returnflag = 'R' AND l_partkey % 2 = 0)),
+        |dh AS (SELECT flag, md5(CAST(pk AS VARCHAR)) AS h FROM d),
+        |r AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM dh),
+        |sk AS (SELECT flag, h FROM r WHERE rn <= 256),
+        |fl AS (SELECT DISTINCT flag FROM d),
+        |pr AS (SELECT a.flag AS flag_a, b.flag AS flag_b FROM fl a JOIN fl b ON a.flag < b.flag),
+        |uh AS (SELECT p.flag_a, p.flag_b, s.h FROM pr p
+        |  JOIN sk s ON s.flag = p.flag_a OR s.flag = p.flag_b GROUP BY 1, 2, 3),
+        |ur AS (SELECT flag_a, flag_b, h,
+        |  row_number() OVER (PARTITION BY flag_a, flag_b ORDER BY h) AS rn FROM uh),
+        |ku AS (SELECT * FROM ur WHERE rn <= 256),
+        |kz AS (SELECT flag_a, flag_b, count(*) AS usz,
+        |  max(CASE WHEN rn = 256 THEN h END) AS kth FROM ku GROUP BY 1, 2),
+        |nb AS (SELECT k.flag_a, k.flag_b, count(*) AS nboth FROM ku k
+        | WHERE EXISTS (SELECT 1 FROM sk sa WHERE sa.flag = k.flag_a AND sa.h = k.h)
+        |   AND EXISTS (SELECT 1 FROM sk sb WHERE sb.flag = k.flag_b AND sb.h = k.h)
+        | GROUP BY 1, 2),
+        |ex AS (SELECT a.flag AS flag_a, b.flag AS flag_b, count(*) AS n_exact
+        | FROM d a JOIN d b ON a.pk = b.pk AND a.flag < b.flag GROUP BY 1, 2)
+        |SELECT z.flag_a, z.flag_b,
+        | round(CAST(coalesce(n.nboth, 0) AS DOUBLE) / CAST(z.usz AS DOUBLE), 4) AS jaccard_est,
+        | round((CAST(coalesce(n.nboth, 0) AS DOUBLE) / CAST(z.usz AS DOUBLE)) *
+        |  (CASE WHEN z.usz < 256 THEN CAST(z.usz AS DOUBLE)
+        |        ELSE 255.0 / (list_sum(list_transform(range(1, 13), i ->
+        |          (strpos('0123456789abcdef', substr(z.kth, CAST(i AS INT), 1)) - 1)
+        |            * power(16, CAST(12 - i AS INT)))) / 281474976710656.0) END), 4) AS inter_est,
+        | e.n_exact
+        |FROM kz z
+        |LEFT JOIN nb n ON n.flag_a = z.flag_a AND n.flag_b = z.flag_b
+        |JOIN ex e ON e.flag_a = z.flag_a AND e.flag_b = z.flag_b
+        |ORDER BY z.flag_a, z.flag_b""".stripMargin,
     // KMV replay: distinct md5s → k-th smallest per group → hex
     // fraction of its first 12 nibbles (exact in double: every term
     // < 2^48) → (k−1)/u_k; groups under k distinct report exactly

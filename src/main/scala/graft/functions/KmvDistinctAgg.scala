@@ -115,4 +115,81 @@ object KmvDistinctAgg {
     }
     sb.toString
   }
+
+  /** (k−1)/u_k estimate from a sorted k-min hash set; exact below k. */
+  def estimate(sorted: Seq[String], k: Int): Double =
+    if (sorted.size < k) sorted.size.toDouble
+    else (k - 1).toDouble /
+      (java.lang.Long.parseLong(sorted(k - 1).substring(0, 12), 16).toDouble / Denom)
+}
+
+/** The k-min SKETCH itself (`kmv_sketch(str, k)` → sorted
+  * `array<string>` of the k smallest distinct md5s) — the composable
+  * form of [[KmvDistinctAgg]]: synopses of different groups combine
+  * by set algebra (union = k smallest of the merged sets; Jaccard =
+  * share of the union synopsis present in both sides; intersection =
+  * Jaccard × union estimate — Beyer et al. SIGMOD'07), which is what
+  * makes overlap questions answerable from per-group sketches without
+  * re-scanning the corpus. Same buffer/merge discipline as the
+  * estimate form: map-side partials, k·32 bytes per group on the
+  * shuffle.
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+
+  require(k >= 2, "kmv_sketch needs k >= 2")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  private def add(buf: java.util.TreeSet[String], h: String): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last && !buf.contains(h)) { buf.add(h); buf.remove(buf.last); () }
+  }
+
+  override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, KmvDistinctAgg.md5Hex(v.asInstanceOf[UTF8String].getBytes))
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[String], other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[String]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it  = buf.iterator()
+    var i   = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] =
+    String.join(",", buf).getBytes(StandardCharsets.US_ASCII)
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val buf = new java.util.TreeSet[String]()
+    val s   = new String(bytes, StandardCharsets.US_ASCII)
+    if (s.nonEmpty) s.split(",").foreach(buf.add)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = newChildren.head)
 }

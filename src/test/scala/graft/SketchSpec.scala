@@ -34,6 +34,34 @@ class SketchSpec extends SparkSpecBase {
     assert(est == 3.0)
   }
 
+  test("kmv sketch algebra: union of part-sketches IS the sketch of the union") {
+    import graft.ops.Sketches
+    // the composability law the synopsis table relies on
+    val left  = (1 to 3000).map(i => s"L$i")
+    val right = (2000 to 5000).map(i => s"L$i") // overlap 2000..3000
+    val skL = left.toDF("s").agg(expr("kmv_sketch(s, 64)")).head.getSeq[String](0)
+    val skR = right.toDF("s").agg(expr("kmv_sketch(s, 64)")).head.getSeq[String](0)
+    val skU = (left ++ right).toDF("s").agg(expr("kmv_sketch(s, 64)")).head.getSeq[String](0)
+    val merged = Seq((skL, skR)).toDF("a", "b")
+      .select(Sketches.unionSketch(col("a"), col("b"), 64)).head.getSeq[String](0)
+    assert(merged == skU)
+  }
+
+  test("kmv sketch algebra: jaccard and intersection estimates track truth") {
+    import graft.ops.Sketches
+    val left  = (1 to 3000).map(i => s"v$i")
+    val right = (2001 to 5000).map(i => s"v$i") // |∩| = 1000, |∪| = 5000, J = 0.2
+    val df = Seq((
+      left.toDF("s").agg(expr("kmv_sketch(s, 256)")).head.getSeq[String](0),
+      right.toDF("s").agg(expr("kmv_sketch(s, 256)")).head.getSeq[String](0)
+    )).toDF("a", "b")
+    val row = df.select(
+      Sketches.jaccardEst(col("a"), col("b"), 256).as("j"),
+      Sketches.intersectEst(col("a"), col("b"), 256).as("i")).head
+    assert(math.abs(row.getDouble(0) - 0.2) < 0.06, s"jaccard est ${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 1000.0) / 1000.0 < 0.3, s"intersect est ${row.getDouble(1)}")
+  }
+
   test("kmv_distinct matches the closed-form estimator on a known set") {
     // recompute (k-1)/u_k by hand from the same md5 ordering
     val vals = (1 to 1000).map(_.toString)
