@@ -277,6 +277,22 @@ object QueriesExt {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("k"))),
+    // ---- Spark 4 VARIANT path for semi-structured data: parse_json →
+    // typed variant_get with nested-path/array-index navigation, no
+    // schema declared up front (f6 is the schema-ful from_json twin).
+    // The nested document is synthesized around the real props value
+    // so the path walk ('$.a.b[2]', '$.t') is live under the oracle.
+    "x_variant_extract" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("__nested", concat(lit("""{"a":{"b":[1,2,"""),
+          regexp_extract(col("props"), "[0-9]+", 0),
+          lit("""]},"t":"e"""), pmod(col("event_id"), lit(7)), lit(""""}""")))
+        .select(col("event_id"),
+          expr("variant_get(parse_json(__nested), '$.a.b[2]', 'int')").as("k"),
+          expr("variant_get(parse_json(__nested), '$.t', 'string')").as("tag"),
+          expr("variant_get(parse_json(__nested), '$.a.b[0]', 'int')").as("first"))
+        .orderBy(col("event_id"))),
+
     "f7_pdfname_fix" -> ((s, dir) => {
       val raw = when(pmod(col("p_partkey"), lit(3)) === 0, concat(col("p_name"), lit(",pdf")))
         .when(pmod(col("p_partkey"), lit(3)) === 1, col("p_name"))
@@ -518,6 +534,16 @@ object QueriesExt {
     "f6_props_json" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_variant_extract" ->
+      """WITH n AS (SELECT event_id,
+        | '{"a":{"b":[1,2,' || regexp_extract(props, '[0-9]+', 0) || ']},"t":"e'
+        |   || (event_id % 7) || '"}' AS nested
+        | FROM events)
+        |SELECT event_id,
+        | CAST(nested->>'$.a.b[2]' AS INT) AS k,
+        | nested->>'$.t' AS tag,
+        | CAST(nested->>'$.a.b[0]' AS INT) AS first
+        |FROM n ORDER BY event_id""".stripMargin,
     "f7_pdfname_fix" ->
       """WITH src AS (
         | SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 THEN p_name || ',pdf'
