@@ -39,6 +39,24 @@ object QueriesTemporal {
         .orderBy(col("event_id"))
     }),
 
+    // ---- forward as-of with tolerance: each view's NEXT purchase at
+    // or after it, only within 2h — the other half of the merge_asof
+    // surface (carry over the negated time axis, same one exchange)
+    "x_asof_forward" -> ((s, dir) => {
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("value")).as("p_value"))
+      Temporal.asofJoin(views, purchases, "user_id", "us",
+          direction = "forward", tolerance = Some(7200000000L))
+        .filter(col("asof_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_us"), col("asof_p_value").as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- range join with NO equi key: sparse order "promotion
     // windows" [orderdate, orderdate + 1..5 days] × every lineitem
     // shipped inside the window, blocked on 7-day buckets (one
@@ -200,6 +218,15 @@ object QueriesTemporal {
         | WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT v.event_id, v.user_id, v.us, p.us AS asof_us, p.p_value
         |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.us >= p.us
+        |ORDER BY v.event_id""".stripMargin,
+    "x_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        | WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS p_value FROM events
+        | WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, v.us, p.us AS asof_us, p.p_value
+        |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.us <= p.us
+        |WHERE p.us - v.us <= 7200000000
         |ORDER BY v.event_id""".stripMargin,
     "x_range_join" ->
       """WITH iv AS (SELECT o_orderkey, epoch_us(o_orderdate) AS start_us,

@@ -32,10 +32,26 @@ object Temporal {
     * must be unique per (key, ts) — pre-aggregate duplicates, else the
     * carried row at a tied timestamp is partition-order dependent.
     *
+    * `direction`: "backward" (default — latest right at or before the
+    * left ts, the lookup semantics) or "forward" (earliest right at or
+    * after — implemented by carrying over the NEGATED time axis, same
+    * single exchange). `tolerance`: maximum |left.ts − right.ts| for a
+    * match (integer time units); beyond it the match nulls out —
+    * together the full pandas `merge_asof` surface.
+    *
     * Output: all left columns plus each right payload column prefixed
-    * `asof_` (null when no right row precedes the left row).
+    * `asof_` (null when no right row matches).
     */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rPayload = right.columns.filter(c => c != key && c != ts).toSeq
     val lStruct  = struct(left.columns.map(col).toIndexedSeq: _*)
     val rStruct  = struct((col(ts) +: rPayload.map(col)).toIndexedSeq: _*)
@@ -49,13 +65,21 @@ object Temporal {
       col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
+    val axis = if (direction == "backward") col("__ts").asc else col("__ts").desc
     val carry = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(axis, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matched0 = last(col("__r"), ignoreNulls = true).over(carry)
+    val matched = tolerance match {
+      case Some(tol) =>
+        when(abs(col("__ts") - matched0.getField(ts)) <= tol, matched0)
+          .otherwise(lit(null).cast(rType))
+      case None => matched0
+    }
     val asofCols = (ts +: rPayload).map(c => col(s"__m.$c").as(s"asof_$c"))
     leftU.unionByName(rightU)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(carry))
+      .withColumn("__m", matched)
       .filter(col("__side") === 1)
       .select(left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++ asofCols: _*)
   }

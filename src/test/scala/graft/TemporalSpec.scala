@@ -32,6 +32,28 @@ class TemporalSpec extends SparkSpecBase {
     assert(out("d") == ((None, None)))
   }
 
+  test("asofJoin forward + tolerance: earliest right at/after, nulled beyond the bound") {
+    val left = Seq((1L, 10L, "a"), (1L, 16L, "b"), (1L, 100L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 15L, 1.0), (1L, 20L, 2.0)).toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, "k", "ts",
+        direction = "forward", tolerance = Some(10L))
+      .select("tag", "asof_ts", "asof_v").as[(String, Option[Long], Option[Double])]
+      .collect().map { case (t, ts, v) => t -> ((ts, v)) }.toMap
+    // ts=10 → earliest at/after is 15 (within tol 10)
+    assert(out("a") == ((Some(15L), Some(1.0))))
+    // ts=16 → next is 20, not the earlier 15 (forward only)
+    assert(out("b") == ((Some(20L), Some(2.0))))
+    // ts=100 → nothing after; and backward matches don't leak
+    assert(out("c") == ((None, None)))
+    // tolerance kills only matches beyond the bound (a: gap 5 > 4
+    // nulled; b: gap 4 ≤ 4 kept)
+    val tight = Temporal.asofJoin(left, right, "k", "ts",
+        direction = "forward", tolerance = Some(4L))
+      .select("tag", "asof_ts").as[(String, Option[Long])].collect().toMap
+    assert(tight("a").isEmpty && tight("b").contains(20L))
+  }
+
   test("asofJoin plans one exchange, never a join") {
     val left  = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")
