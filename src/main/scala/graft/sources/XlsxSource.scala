@@ -258,7 +258,7 @@ object XlsxSource {
     * the reference logs-and-skips corrupt/missing-sheet workbooks
     * (table_curator.py:381-395), so a bad file must not fail the job.
     */
-  private[sources] def parseWorkbook(
+  private[graft] def parseWorkbook(
       bytes: Array[Byte], sheetName: String): Seq[(Int, Seq[String])] =
     try {
       val parts = readZipEntries(bytes, n =>

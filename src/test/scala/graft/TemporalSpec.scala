@@ -54,6 +54,29 @@ class TemporalSpec extends SparkSpecBase {
     assert(tight("a").isEmpty && tight("b").contains(20L))
   }
 
+  test("asofJoin ≡ brute force on randomized series (both directions, seeded)") {
+    val rnd = new scala.util.Random(99)
+    val left = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(200).toLong))
+    // unique (key, ts) on the right, as the operator contract requires
+    val right = rnd.shuffle((0L until 5L).flatMap(k =>
+      rnd.shuffle((0L until 200L).toVector).take(30).map(t => (k, t, rnd.nextDouble()))))
+    val lDf = left.toDF("id", "k", "ts")
+    val rDf = right.toDF("k", "ts", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val got = Temporal.asofJoin(lDf, rDf, "k", "ts", direction = dir)
+        .select("id", "asof_ts").as[(Long, Option[Long])].collect().toMap
+      left.foreach { case (id, k, ts) =>
+        val cands = right.filter(r => r._1 == k &&
+          (if (dir == "backward") r._2 <= ts else r._2 >= ts)).map(_._2)
+        val expected =
+          if (cands.isEmpty) None
+          else Some(if (dir == "backward") cands.max else cands.min)
+        assert(got(id) == expected, s"dir=$dir id=$id k=$k ts=$ts")
+      }
+    }
+  }
+
   test("asofJoin plans one exchange, never a join") {
     val left  = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")
