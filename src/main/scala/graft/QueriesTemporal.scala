@@ -109,6 +109,21 @@ object QueriesTemporal {
           col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
         .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))),
 
+    // ---- CUBE: all 2ⁿ grouping combinations in the same single
+    // Expand + one exchange (the ROLLUP sibling — together the full
+    // grouping-sets surface)
+    "x_cube" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"), col("n"), col("sum_price"))
+        .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))),
+
     // ---- PIVOT (reverse of r4_unpivot): order counts by priority ×
     // status. Explicit value list — with values known up front Spark
     // plans a single pivot aggregate, no distinct-values pre-scan.
@@ -256,6 +271,15 @@ object QueriesTemporal {
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin,
+    "x_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "x_pivot" ->
       """SELECT o_orderpriority,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
