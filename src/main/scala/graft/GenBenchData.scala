@@ -70,11 +70,30 @@ object GenBenchData {
         .withColumn("l_shipdate", shiftDays("l_shipdate", i * 2500L))
     })
 
-    // events.ts is an epoch-nanos long under nanosAsLong
-    write("events", copies(src("events")) { (d, i) =>
+    // events.ts is an epoch-nanos long under nanosAsLong.
+    // Written as a single FILE named events.parquet (not a directory):
+    // the streaming queries discover source files with
+    // pathGlobFilter("events.parquet"), which matches leaf file names —
+    // part-files inside a directory would silently match nothing and
+    // the streams would run empty.
+    val eventsUp = copies(src("events")) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * KeyOff))
         .withColumn("ts", col("ts") + lit(i * 35L * DayNs))
-    })
+    }
+    val tmp = s"$outDir/_events_tmp"
+    eventsUp.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("no part file written"))
+    val target = java.nio.file.Paths.get(s"$outDir/events.parquet")
+    // a previous run may have left a DIRECTORY at this path
+    val old = new java.io.File(s"$outDir/events.parquet")
+    if (old.isDirectory) { old.listFiles().foreach(_.delete()); old.delete() }
+    java.nio.file.Files.deleteIfExists(target)
+    java.nio.file.Files.move(part.toPath, target)
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+    println(s"[gen] events: ${spark.read.parquet(s"$outDir/events.parquet").count()} rows")
 
     write("documents", copies(src("documents")) { (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
