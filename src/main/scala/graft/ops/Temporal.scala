@@ -113,12 +113,16 @@ object Temporal {
       bucketWidth: Long
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val w = lit(bucketWidth)
+    // TRUE integral division (IntegralDivide), not floor(double-div):
+    // at epoch-scale integers a double quotient can misplace a value
+    // within an ulp of a bucket boundary — and a point mis-bucketed
+    // relative to its interval is a silently missed pair (the same
+    // trap nanosToTs documents). Time values are non-negative, where
+    // `div` ≡ floor division.
+    def bucketOf(c: Column) = call_function("div", c.cast("long"), lit(bucketWidth))
     val iv = intervals.withColumn(
-      "__bucket",
-      explode(sequence(floor(col(startCol) / w).cast("long"),
-        floor(col(endCol) / w).cast("long"))))
-    val pt = points.withColumn("__bucket", floor(col(ptCol) / w).cast("long"))
+      "__bucket", explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val pt = points.withColumn("__bucket", bucketOf(col(ptCol)))
     iv.join(pt, Seq("__bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")
