@@ -39,6 +39,7 @@ object Bench {
     "x_sketch_distinct",
     "x_gap_fill",
     "x_editdist_join",
+    "x_corpus_pipeline",
     "s9_stream_window",
     "s9_stream_sessions"
   )

@@ -140,6 +140,37 @@ object QueriesScale {
         .orderBy(col("id"))
     }),
 
+    // ---- the LLM-data pipeline END TO END as one declarative plan:
+    // quality filter → near-dup resolution (pairs → components →
+    // survivors, n_merged carried) → PII redaction → overlapping
+    // chunking. Each stage is individually oracle-gated elsewhere;
+    // this entry gates their COMPOSITION (ordering effects included:
+    // chunks are cut from the redacted text, dedup runs only on
+    // quality-kept docs). One corpus scan feeds the whole chain.
+    "x_corpus_pipeline" -> ((s, dir) => {
+      val kept = CorpusOps.gopherFilter(docs(s, dir), "text",
+          minTokens = 20, maxTokens = 80, minStopwordHits = 1)
+        .filter(col("keep")).select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashExactPairs(kept, "doc_id", "text",
+        w = 3, numHashes = 30, bands = 10, threshold = 0.9)
+      val survivors = Dedup.applyDedup(kept, "doc_id", pairs)
+      val withPii = survivors.select(col("doc_id"), col("n_merged"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact bob"), col("doc_id"), lit("@corp.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call 555-123-"), lpad(col("doc_id").cast("string"), 4, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))).otherwise(lit("")))
+        .as("text"))
+      val redacted = CorpusOps.redactPii(withPii, "text")
+        .select(col("doc_id"), col("n_merged"), col("redacted"))
+      CorpusOps.chunkDocuments(redacted, "doc_id", "redacted", chunkSize = 40, overlap = 10)
+        .join(redacted.select(col("doc_id"), col("n_merged")), Seq("doc_id"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_merged"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- exact edit-distance similarity join (ed ≤ 1), PassJoin
     // segment blocking — bounded keyed fan-out, never all-pairs; the
     // oracle IS all-pairs levenshtein (only ever at sf0.01), so any
@@ -673,6 +704,75 @@ object QueriesScale {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          |SELECT id, cluster, CASE WHEN id = cluster THEN 1 ELSE 0 END AS kept
          |FROM comp ORDER BY id""".stripMargin,
+    // the composed pipeline replay: quality keep → all-pairs true-
+    // jaccard closure → survivors(n_merged) → pii inject+redact →
+    // overlapping chunking of the REDACTED text
+    "x_corpus_pipeline" -> {
+      val email = graft.ops.CorpusOps.EmailRe
+      val ip    = graft.ops.CorpusOps.IpRe
+      val phone = graft.ops.CorpusOps.PhoneRe
+      s"""WITH RECURSIVE q0 AS (
+         | SELECT doc_id, text,
+         |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+         | FROM documents),
+         |qm AS (
+         | SELECT doc_id, text,
+         |  CAST(len(ltoks) AS DOUBLE) AS ntoks,
+         |  CAST(len(text) AS DOUBLE) AS nchars,
+         |  CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS symbol,
+         |  len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in'], x))) AS stop_hits
+         | FROM q0),
+         |kept AS (
+         | SELECT doc_id, text FROM qm
+         | WHERE NOT (ntoks < 20 OR ntoks > 80
+         |  OR (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) < 3.0
+         |  OR (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) > 10.0
+         |  OR (CASE WHEN nchars > 0 THEN symbol / nchars ELSE 0 END) > 0.1
+         |  OR stop_hits < 1)),
+         |kt AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM kept),
+         |ksh AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(1, greatest(len(toks) - 2, 0) + 1),
+         |  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs FROM kt),
+         |nz AS (SELECT doc_id, shs FROM ksh WHERE len(shs) > 0),
+         |pairs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         | WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |       CAST(len(list_distinct(a.shs || b.shs)) AS DOUBLE), 4) >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1),
+         |survivors AS (
+         | SELECT k.doc_id, k.text, coalesce(s.csize, 1) AS n_merged
+         | FROM kept k
+         | LEFT JOIN comp ON k.doc_id = comp.id
+         | LEFT JOIN sizes s ON comp.cluster = s.cluster
+         | WHERE comp.id IS NULL OR k.doc_id = comp.cluster),
+         |src AS (
+         | SELECT doc_id, n_merged, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact bob' || doc_id || '@corp.example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS t
+         | FROM survivors),
+         |r1 AS (SELECT doc_id, n_merged, regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM src),
+         |r2 AS (SELECT doc_id, n_merged, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, n_merged, regexp_replace(t2, '$phone', '<PHONE>', 'g') AS redacted FROM r2),
+         |ct AS (SELECT doc_id, n_merged, ${toksSql("redacted")} AS toks FROM r3),
+         |cn AS (SELECT doc_id, n_merged, toks, len(toks) AS n_tokens FROM ct),
+         |ch AS (SELECT doc_id, n_merged, toks, n_tokens,
+         |  unnest(range(0, greatest(CAST(ceil(CAST(n_tokens - 10 AS DOUBLE) / 30) AS INT), 1))) AS chunk_idx
+         | FROM cn)
+         |SELECT doc_id, chunk_idx,
+         | least(40, n_tokens - chunk_idx * 30) AS chunk_tokens,
+         | md5(array_to_string(list_slice(toks, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' ')) AS chunk_md5,
+         | n_merged
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     // all-pairs levenshtein ground truth for the PassJoin blocking
     "x_editdist_join" ->
       """WITH t0 AS (SELECT doc_id AS id, substr(text, 1, 40) AS s FROM documents),
