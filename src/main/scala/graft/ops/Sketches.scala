@@ -38,8 +38,10 @@ object Sketches {
     */
   def jaccardEst(a: Column, b: Column, k: Int): Column = {
     val ku = unionSketch(a, b, k)
-    size(filter(ku, h => array_contains(a, h) && array_contains(b, h))).cast("double") /
-      size(ku).cast("double")
+    // two empty inputs → empty union → define J(∅,∅) = 0, not 0/0 NaN
+    when(size(ku) === 0, lit(0.0)).otherwise(
+      size(filter(ku, h => array_contains(a, h) && array_contains(b, h))).cast("double") /
+        size(ku).cast("double"))
   }
 
   /** Intersection-size estimate: Jaccard × union estimate. */
