@@ -109,6 +109,45 @@ class TemporalSpec extends SparkSpecBase {
       s"range join degraded to a nested loop:\n$plan")
   }
 
+  test("rangeJoin ≡ brute force on randomized intervals (seeded)") {
+    val rnd = new scala.util.Random(321)
+    for (round <- 1 to 3) {
+      val ivs = (1 to 40).map { i =>
+        val lo = rnd.nextInt(500).toLong
+        (i.toLong, lo, lo + rnd.nextInt(60).toLong)
+      }
+      val pts = (1 to 120).map(_ => rnd.nextInt(560).toLong).distinct
+      val got = Temporal.rangeJoin(
+          ivs.toDF("iv_id", "lo", "hi"), pts.toDF("p"), "lo", "hi", "p",
+          bucketWidth = 1 + rnd.nextInt(80).toLong)
+        .select("iv_id", "p").as[(Long, Long)].collect().sorted.toSeq
+      val expected = (for {
+        (id, lo, hi) <- ivs; p <- pts if p >= lo && p <= hi
+      } yield (id, p)).sorted
+      assert(got == expected, s"round $round diverged (width-dependent bug)")
+    }
+  }
+
+  test("gapFill ≡ brute force on randomized series (seeded)") {
+    val rnd = new scala.util.Random(77)
+    val events = (1 to 200).map(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(300).toLong, rnd.nextInt(100).toDouble))
+    val step = 25L
+    val got = Temporal.gapFill(events.toDF("k", "ts", "v"), "k", "ts", "v", step)
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      val byBucket = es.groupBy(e => e._2 / step * step).view.mapValues(_.map(_._3).max).toMap
+      val (lo, hi) = (byBucket.keys.min, byBucket.keys.max)
+      var lastV = 0.0
+      (lo to hi by step).map { b =>
+        val obs = byBucket.get(b)
+        obs.foreach(lastV = _)
+        (k, b, lastV, if (obs.isDefined) 1 else 0)
+      }
+    }.sorted
+    assert(got == expected)
+  }
+
   // --------------------------------------------------------- moving window
 
   test("movingWindow: RANGE frame includes ts peers; gap tie-broken") {
