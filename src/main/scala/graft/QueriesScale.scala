@@ -511,6 +511,26 @@ object QueriesScale {
       s.table(name).orderBy(col("n_name"))
     }),
 
+    // ---- the corpus curation ops are STREAM-READY unchanged: the
+    // same gopherFilter transform (pure stateless column algebra)
+    // runs over a document stream in append mode — batch output IS
+    // the oracle. What makes this free is the design rule that the
+    // quality/profile family is per-row algebra with no shuffle.
+    "s9_stream_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val name   = s"stream_quality_${streamN.incrementAndGet()}"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = CorpusOps.gopherFilter(src, "text",
+          minTokens = 20, maxTokens = 80, minStopwordHits = 1)
+        .select(col("doc_id"), col("keep").cast("int").as("keep"), col("drop_reason"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("doc_id"))
+    }),
+
     // ---- stream-stream time-bounded join (watermarks both sides +
     // event-time bound in the condition → evictable state; inner
     // append emits exactly the batch join, which IS the oracle)
@@ -587,6 +607,33 @@ object QueriesScale {
          |  2 * ((CAST(strpos('0123456789abcdef', substr(h, $nibPos, 1)) - 1 AS INT) // $bitDiv) % 2) - 1)) > 0
          | THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString("(", " + ", ")")
+
+  /** Shared by x_quality_filter and its streaming twin. */
+  private val QualityOracleSql: String =
+    """WITH t AS (
+        | SELECT doc_id, text,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS ntoks,
+        |  CAST(len(text) AS DOUBLE) AS nchars,
+        |  CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS symbol,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in'], x))) AS stop_hits
+        | FROM t),
+        |r AS (
+        | SELECT doc_id,
+        |  CASE
+        |   WHEN ntoks < 20 THEN 'too_few_tokens'
+        |   WHEN ntoks > 80 THEN 'too_many_tokens'
+        |   WHEN (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) < 3.0 THEN 'mean_word_len_low'
+        |   WHEN (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) > 10.0 THEN 'mean_word_len_high'
+        |   WHEN (CASE WHEN nchars > 0 THEN symbol / nchars ELSE 0 END) > 0.1 THEN 'symbol_ratio'
+        |   WHEN stop_hits < 1 THEN 'no_stopwords'
+        |   ELSE '' END AS drop_reason
+        | FROM m)
+        |SELECT doc_id, CAST(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END AS INT) AS keep, drop_reason
+        |FROM r ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // F9: full SQL replication of the fuzzywuzzy scores. InDel distance
@@ -1229,31 +1276,8 @@ object QueriesScale {
          | FROM t)
          |SELECT source, doc_id, n_tokens, strt // 512 AS bin_id, strt % 512 AS bin_offset
          |FROM c ORDER BY source, doc_id""".stripMargin,
-    "x_quality_filter" ->
-      """WITH t AS (
-        | SELECT doc_id, text,
-        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-        | FROM documents),
-        |m AS (
-        | SELECT doc_id,
-        |  CAST(len(toks) AS DOUBLE) AS ntoks,
-        |  CAST(len(text) AS DOUBLE) AS nchars,
-        |  CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS symbol,
-        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in'], x))) AS stop_hits
-        | FROM t),
-        |r AS (
-        | SELECT doc_id,
-        |  CASE
-        |   WHEN ntoks < 20 THEN 'too_few_tokens'
-        |   WHEN ntoks > 80 THEN 'too_many_tokens'
-        |   WHEN (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) < 3.0 THEN 'mean_word_len_low'
-        |   WHEN (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) > 10.0 THEN 'mean_word_len_high'
-        |   WHEN (CASE WHEN nchars > 0 THEN symbol / nchars ELSE 0 END) > 0.1 THEN 'symbol_ratio'
-        |   WHEN stop_hits < 1 THEN 'no_stopwords'
-        |   ELSE '' END AS drop_reason
-        | FROM m)
-        |SELECT doc_id, CAST(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END AS INT) AS keep, drop_reason
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "x_quality_filter" -> QualityOracleSql,
+    "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept
          |FROM documents
