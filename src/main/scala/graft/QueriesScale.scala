@@ -393,6 +393,38 @@ object QueriesScale {
         .orderBy(col("domain"))
     }),
 
+    // ---- sentence segmentation: one row per sentence with stable
+    // (doc, idx) ids — the sentence-level explode every curation
+    // pipeline needs before per-sentence filters/embeddings. Regex is
+    // RE2-safe (no lookbehind) so both engines split identically;
+    // shuffle-free (the explode rides the scan).
+    "x_sentences" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(expr(
+          """filter(transform(regexp_extract_all(text, '[^.!?]+[.!?]?', 0), s -> trim(s)),
+            | s -> s != '')""".stripMargin)).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx"), col("sentence"),
+          length(col("sentence")).as("n_chars"))
+        .orderBy(col("doc_id"), col("sent_idx"))),
+
+    // ---- ROWS-frame sliding aggregate (the RANGE twin is
+    // x_window_moving): last-3-events moving decimal average per
+    // user, unique ordering so frames are deterministic
+    "x_window_rows_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_frame"),
+          // divide IN DOUBLE (decimal-division scale rules would
+          // round differently than the oracle's double division)
+          round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w), 4).as("avg3"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- overlapping context-window chunking (size 40, overlap 10)
     "x_chunk_docs" -> ((s, dir) =>
       CorpusOps.chunkDocuments(docs(s, dir), "doc_id", "text", chunkSize = 40, overlap = 10)
@@ -873,6 +905,26 @@ object QueriesScale {
     "x_dedup_simhash_agree" -> agreeOracleSql.replace(
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
+    "x_sentences" ->
+      """WITH s0 AS (SELECT doc_id,
+        |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+        |    s -> trim(s)), s -> s <> '') AS sents
+        | FROM documents)
+        |SELECT doc_id, CAST(i.i - 1 AS INT) AS sent_idx,
+        | sents[CAST(i.i AS INT)] AS sentence,
+        | length(sents[CAST(i.i AS INT)]) AS n_chars
+        |FROM s0, unnest(range(1, len(sents) + 1)) AS i(i)
+        |ORDER BY doc_id, sent_idx""".stripMargin,
+    "x_window_rows_frame" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT event_id, user_id, us,
+        | count(*) OVER w AS n_frame,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   / (count(*) OVER w), 4) AS avg3
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "x_dedup_minhash" ->
       s"""WITH $CorpusSql,
          |$ShinglesSql,
