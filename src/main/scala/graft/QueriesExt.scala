@@ -277,6 +277,27 @@ object QueriesExt {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("k"))),
+    // ---- generic data-quality table profile (the Deequ-style column
+    // stats pass): one row per column with row/null/distinct counts
+    // and lexicographic min/max of the string form — schema-driven, so
+    // the same code profiles ANY table. n columns → n scan-aggregates
+    // here; at 100 TB profile all columns in one pass via a single
+    // agg with per-column expressions instead (same outputs).
+    "x_table_profile" -> ((s, dir) => {
+      val t = table(s, dir, "orders")
+      t.schema.fields.toSeq.map { f =>
+        t.agg(
+          count(lit(1)).as("n"),
+          count(when(col(f.name).isNull, 1)).as("n_null"),
+          countDistinct(col(f.name)).as("n_distinct"),
+          min(col(f.name).cast("string")).as("min_str"),
+          max(col(f.name).cast("string")).as("max_str"))
+          .withColumn("col_name", lit(f.name))
+          .select(col("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+      }.reduce(_ unionByName _).orderBy(col("col_name"))
+    }),
+
     // ---- Spark 4 VARIANT path for semi-structured data: parse_json →
     // typed variant_get with nested-path/array-index navigation, no
     // schema declared up front (f6 is the schema-ful from_json twin).
@@ -534,6 +555,18 @@ object QueriesExt {
     "f6_props_json" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | min(CAST($c AS VARCHAR)) AS min_str,
+           | max(CAST($c AS VARCHAR)) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "x_variant_extract" ->
       """WITH n AS (SELECT event_id,
         | '{"a":{"b":[1,2,' || regexp_extract(props, '[0-9]+', 0) || ']},"t":"e'

@@ -162,6 +162,41 @@ object QueriesTemporal {
         .orderBy(col("user_id"), col("bucket_ts"))
     }),
 
+    // ---- time-weighted average (TWAP): each signup value holds until
+    // the user's next signup (the SCD2 intervals); the average weights
+    // each value by its holding duration. Open intervals close at the
+    // user's last event time. Decimal accumulation start-to-finish so
+    // partial aggregation order can't move the result.
+    "x_time_weighted_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val cut = e.groupBy(col("user_id")).agg(max(col("us")).as("end_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from").asc, col("event_id").asc)
+      e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("us").as("valid_from"), col("value"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .join(cut, Seq("user_id"))
+        .withColumn("dur", coalesce(col("valid_to"), col("end_us")) - col("valid_from"))
+        .filter(col("dur") > 0)
+        .groupBy(col("user_id"))
+        .agg(round((sum(col("value").cast("decimal(18,2)") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double")), 4).as("twa"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- histogram binning: fixed-width value buckets per group (the
+    // profiling histogram every quality dashboard draws); pure integer
+    // bucket arithmetic, map-side-combinable counts
+    "x_histogram" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") / 10000.0).cast("int").as("bucket"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("bucket"))),
+
     // ---- KMV distinct-count sketch (native TypedImperativeAggregate,
     // map-side partials, k·32-byte synopsis per group on the shuffle
     // instead of every distinct value). Deterministic md5 estimator →
@@ -309,6 +344,25 @@ object QueriesTemporal {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         | CAST(v IS NOT NULL AS INT) AS observed
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+    "x_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value, event_type
+        | FROM events),
+        |cut AS (SELECT user_id, max(us) AS end_us FROM e GROUP BY 1),
+        |s AS (SELECT user_id, event_id, us AS valid_from, value FROM e
+        | WHERE event_type = 'signup'),
+        |iv AS (SELECT s.user_id, s.value,
+        |  coalesce(lead(s.valid_from) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.valid_from, s.event_id), c.end_us) - s.valid_from AS dur
+        | FROM s JOIN cut c ON s.user_id = c.user_id)
+        |SELECT user_id,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2)) * dur) AS DOUBLE)
+        |   / CAST(sum(dur) AS DOUBLE), 4) AS twa,
+        | count(*) AS n_intervals
+        |FROM iv WHERE dur > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_histogram" ->
+      """SELECT l_returnflag, CAST(floor(l_extendedprice / 10000.0) AS INT) AS bucket,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // KMV algebra replay: per-flag k-min synopses → merged-and-ranked
     // union synopsis → membership counts → the same double arithmetic
     "x_sketch_overlap" ->
