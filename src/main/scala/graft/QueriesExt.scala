@@ -27,6 +27,24 @@ object QueriesExt {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** ONE SQL text, two engines: executed verbatim by `spark.sql` and
+    * by the DuckDB oracle (ANSI core only — scalar subquery, HAVING,
+    * CASE, decimal casts; no timestamp literals, where the engines'
+    * session-TZ semantics diverge).
+    */
+  private val SharedSqlText: String =
+    """SELECT l_returnflag,
+      | count(*) AS n,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+      | CASE WHEN count(*) > 15000 THEN 'big' ELSE 'small' END AS size_class,
+      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+      |   (SELECT CAST(count(*) AS DOUBLE) FROM orders), 4) AS price_per_order
+      |FROM lineitem
+      |WHERE l_discount <= 0.1 AND l_quantity >= 1
+      |GROUP BY l_returnflag
+      |HAVING count(*) > 1000
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- FULL OUTER join with asymmetric sides (left-only, both,
     // right-only all populated); keys coalesced and absent-side
@@ -277,6 +295,31 @@ object QueriesExt {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("k"))),
+    // ---- INTERSECT / EXCEPT (the set-op family beyond UNION ALL):
+    // customers ordering in BOTH priority classes, and in the first
+    // but never the second. Spark plans both as aggregated semi/anti
+    // joins — no sort-based set difference.
+    "x_set_ops" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      def custs(prio: String) =
+        o.filter(col("o_orderpriority") === prio).select(col("o_custkey"))
+      val both = custs("1-URGENT").intersect(custs("2-HIGH"))
+        .select(col("o_custkey"), lit("both").as("set_kind"))
+      val onlyFirst = custs("1-URGENT").except(custs("2-HIGH"))
+        .select(col("o_custkey"), lit("only_urgent").as("set_kind"))
+      both.unionByName(onlyFirst).orderBy(col("set_kind"), col("o_custkey"))
+    }),
+
+    // ---- shared-dialect SQL text: ONE SQL string executed verbatim
+    // by spark.sql AND by the DuckDB oracle — the spark.sql surface
+    // is first-class, and the engines agree on the ANSI core
+    // (scalar subquery, HAVING, CASE, date_trunc).
+    "x_sql_text" -> ((s, dir) => {
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+        .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SharedSqlText)
+    }),
+
     // ---- generic data-quality table profile (the Deequ-style column
     // stats pass): one row per column with row/null/distinct counts
     // and lexicographic min/max of the string form — schema-driven, so
@@ -555,6 +598,16 @@ object QueriesExt {
     "f6_props_json" ->
       """SELECT CAST(props->>'$.k' AS INT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_set_ops" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |b AS (SELECT o_custkey, 'both' AS set_kind FROM
+        |  (SELECT o_custkey FROM u INTERSECT SELECT o_custkey FROM h)),
+        |f AS (SELECT o_custkey, 'only_urgent' AS set_kind FROM
+        |  (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM h))
+        |SELECT * FROM b UNION ALL SELECT * FROM f
+        |ORDER BY set_kind, o_custkey""".stripMargin,
+    "x_sql_text" -> SharedSqlText,
     "x_table_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
