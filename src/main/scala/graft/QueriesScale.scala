@@ -393,6 +393,19 @@ object QueriesScale {
         .orderBy(col("domain"))
     }),
 
+    // ---- BPE tokenizer TRAINING: learn the first 10 merge rules from
+    // the corpus (argmax adjacent-pair frequency over the word-count
+    // vocabulary, lexicographic tie-break → fully deterministic). The
+    // corpus is aggregated once; each merge iterates the vocab-sized
+    // frame with a one-row driver argmax (Lloyd pattern). The oracle
+    // replays all 10 merge steps as unrolled CTEs — both engines use
+    // the same left-to-right non-overlapping string replace.
+    "x_bpe_merges" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 10)
+        .orderBy(col("step"))
+    }),
+
     // ---- sentence segmentation: one row per sentence with stable
     // (doc, idx) ids — the sentence-level explode every curation
     // pipeline needs before per-sentence filters/embeddings. Regex is
@@ -905,6 +918,36 @@ object QueriesScale {
     "x_dedup_simhash_agree" -> agreeOracleSql.replace(
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
+    // 10 unrolled BPE merge steps: pair counts over the symbolized
+    // vocab, deterministic argmax, then the merge as a plain replace
+    "x_bpe_merges" -> {
+      def stepCte(i: Int): String = {
+        val prev = s"v${i - 1}"
+        s"""p$i AS (SELECT sy[CAST(j.j AS INT)] AS l, sy[CAST(j.j + 1 AS INT)] AS r,
+           |  sum(wc) AS cnt
+           | FROM (SELECT list_filter(string_split(repr, chr(31)), s -> s <> '') AS sy, wc
+           |       FROM $prev) t,
+           |  unnest(range(1, len(sy))) AS j(j)
+           | GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$i AS MATERIALIZED (SELECT replace(repr,
+           |   (SELECT l || chr(31) || r || chr(31) FROM b$i),
+           |   (SELECT l || r || chr(31) FROM b$i)) AS repr, wc FROM $prev)""".stripMargin
+      }
+      val steps = (1 to 10).map(stepCte).mkString(",\n")
+      val sel = (1 to 10)
+        .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", cnt AS pair_count FROM b$i""")
+        .mkString("\n UNION ALL\n ")
+      s"""WITH w AS (SELECT u.w AS word, count(*) AS wc FROM
+         | (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+         |  FROM documents) t,
+         | unnest(tk) AS u(w) GROUP BY 1),
+         |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS repr, wc FROM w),
+         |$steps
+         |SELECT * FROM (
+         | $sel)
+         |ORDER BY step""".stripMargin
+    },
     "x_sentences" ->
       """WITH s0 AS (SELECT doc_id,
         |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),

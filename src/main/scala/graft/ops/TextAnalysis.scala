@@ -193,6 +193,59 @@ object TextAnalysis {
           (col("n_a") * col("n_b")).cast("double"), 4).as("assoc"))
   }
 
+  /** BPE tokenizer training: learn `nMerges` merge rules from the
+    * corpus (the real "train a tokenizer" step of an LLM data
+    * pipeline, not just token counting). Classic algorithm: collapse
+    * the corpus to a (word, count) vocabulary, then repeatedly merge
+    * the most frequent adjacent symbol pair (ties broken
+    * lexicographically, so training is deterministic).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregation — map-side combinable); every merge iteration runs
+    * on the vocabulary frame, which is vocabulary-sized, not
+    * corpus-sized. The per-step driver touch is one argmax row — the
+    * same bounded pattern as Lloyd centroids. Words are represented
+    * as symbols joined by a 0x1F separator; a merge is a plain
+    * left-to-right non-overlapping string replace, which both Spark
+    * and SQL implement identically (what makes the trainer
+    * oracle-replayable step by step).
+    *
+    * Returns the merge table: (step, left, right, pair_count).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val sep   = "\u001f"
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(toks(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("word"), "(.)", "$1" + sep).as("repr"), col("wc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val syms = filter(split(col("repr"), sep), s => s =!= "")
+      val best = vocab
+        .withColumn("__syms", syms)
+        .filter(size(col("__syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(__syms) - 2), " +
+            "i -> struct(element_at(__syms, i + 1) AS l, element_at(__syms, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // ONE bounded row per step (Lloyd pattern)
+      if (best.nonEmpty) {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        vocab = vocab
+          .withColumn("repr",
+            call_function("replace", col("repr"), lit(l + sep + r + sep), lit(l + r + sep)))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol), t, toks(t).as("__toks"))

@@ -76,6 +76,28 @@ class EditDistanceSpec extends SparkSpecBase {
     }
   }
 
+  test("bpeTrain learns merges by weighted pair frequency, composing earlier merges") {
+    // corpus: "abab" x3, "abc" x2, "dd" x1
+    // step 1: pairs (a,b):3*2+2=8, (b,a):3, (b,c):2, (d,d):1 → merge (a,b)
+    // step 2: symbols now ab|ab, ab|c, d|d → (ab,ab):3, (ab,c):2, (d,d):1
+    //         → merge (ab,ab) — a COMPOSED merge of the step-1 symbol
+    val df = (Seq.fill(3)("abab") ++ Seq.fill(2)("abc") :+ "dd").toDF("text")
+    val merges = graft.ops.TextAnalysis.bpeTrain(df, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges(0) == ((1, "a", "b", 8L)))
+    assert(merges(1) == ((2, "ab", "ab", 3L)))
+    assert(merges(2) == ((3, "ab", "c", 2L)))
+  }
+
+  test("bpeTrain breaks count ties lexicographically (deterministic training)") {
+    // "xy" and "zw" both appear twice → tie at 2, (x,y) < (z,w)
+    val df = Seq("xy", "zw", "xy", "zw").toDF("text")
+    val merges = graft.ops.TextAnalysis.bpeTrain(df, "text", nMerges = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges(0) == ((1, "x", "y", 2L)))
+    assert(merges(1) == ((2, "z", "w", 2L)))
+  }
+
   test("collocations scores association vs independence exactly") {
     // corpus: "a b" ×3, "a c" ×1 → N=8; n(a)=4, n(b)=3, n(c)=1
     // assoc(a,b) = 3·8/(4·3) = 2.0 ; assoc(a,c) = 1·8/(4·1) = 2.0
