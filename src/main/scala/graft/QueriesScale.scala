@@ -406,6 +406,19 @@ object QueriesScale {
         .orderBy(col("step"))
     }),
 
+    // ---- BPE ENCODING with the learned merges: train → apply round
+    // trip. The merge fold runs once per DISTINCT word (vocab-sized),
+    // broadcast back to the corpus; output is the per-doc compression
+    // the learned tokenizer achieves.
+    "x_bpe_encode" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 10)
+        .orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sentence segmentation: one row per sentence with stable
     // (doc, idx) ids — the sentence-level explode every curation
     // pipeline needs before per-sentence filters/embeddings. Regex is
@@ -918,6 +931,42 @@ object QueriesScale {
     "x_dedup_simhash_agree" -> agreeOracleSql.replace(
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
+    // the same 10-step replay, carrying `word` so the final symbol
+    // table maps back to the corpus; per-doc totals via word join
+    "x_bpe_encode" -> {
+      def stepCte(i: Int): String = {
+        val prev = s"e${i - 1}"
+        s"""q$i AS (SELECT sy[CAST(j.j AS INT)] AS l, sy[CAST(j.j + 1 AS INT)] AS r,
+           |  sum(wc) AS cnt
+           | FROM (SELECT list_filter(string_split(repr, chr(31)), s -> s <> '') AS sy, wc
+           |       FROM $prev) t,
+           |  unnest(range(1, len(sy))) AS j(j)
+           | GROUP BY 1, 2),
+           |c$i AS MATERIALIZED (SELECT l, r, cnt FROM q$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |e$i AS MATERIALIZED (SELECT word, replace(repr,
+           |   (SELECT l || chr(31) || r || chr(31) FROM c$i),
+           |   (SELECT l || r || chr(31) FROM c$i)) AS repr, wc FROM $prev)""".stripMargin
+      }
+      val steps = (1 to 10).map(stepCte).mkString(",\n")
+      s"""WITH w AS (SELECT u.w AS word, count(*) AS wc FROM
+         | (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+         |  FROM documents) t,
+         | unnest(tk) AS u(w) GROUP BY 1),
+         |e0 AS MATERIALIZED (SELECT word,
+         |  regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS repr, wc FROM w),
+         |$steps,
+         |enc AS (SELECT word,
+         |  len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS n_syms
+         | FROM e10),
+         |dw AS (SELECT doc_id, u.w AS word FROM
+         | (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+         |  FROM documents) t,
+         | unnest(tk) AS u(w))
+         |SELECT doc_id, count(*) AS n_words,
+         | CAST(sum(n_syms) AS BIGINT) AS n_bpe_symbols
+         |FROM dw JOIN enc USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // 10 unrolled BPE merge steps: pair counts over the symbolized
     // vocab, deterministic argmax, then the merge as a plain replace
     "x_bpe_merges" -> {
@@ -936,7 +985,7 @@ object QueriesScale {
       }
       val steps = (1 to 10).map(stepCte).mkString(",\n")
       val sel = (1 to 10)
-        .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", cnt AS pair_count FROM b$i""")
+        .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM b$i""")
         .mkString("\n UNION ALL\n ")
       s"""WITH w AS (SELECT u.w AS word, count(*) AS wc FROM
          | (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk

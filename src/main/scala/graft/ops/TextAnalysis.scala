@@ -246,6 +246,36 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "pair_count")
   }
 
+  /** BPE encoding with a learned merge table: apply the merges IN
+    * TRAINING ORDER to every distinct word (the same fold of
+    * left-to-right replaces the trainer used), then count symbols per
+    * document. Encoding runs on the vocabulary — one row per distinct
+    * word, broadcast back to the corpus — so the per-word merge fold
+    * never touches corpus-sized data.
+    *
+    * Output per doc: (id, n_words, n_bpe_symbols) — the compression
+    * the learned tokenizer achieves on its own corpus.
+    */
+  def bpeEncodeCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val sep   = "\u001f"
+    val words = df.select(col(idCol), explode(toks(col(textCol))).as("word"))
+    val vocab = words.select(col("word")).distinct()
+    var repr: Column = regexp_replace(col("word"), "(.)", "$1" + sep)
+    merges.foreach { case (l, r) =>
+      repr = call_function("replace", repr, lit(l + sep + r + sep), lit(l + r + sep))
+    }
+    val wsyms = vocab.select(col("word"),
+      size(filter(split(repr, sep), s => s =!= "")).as("n_syms"))
+    words.join(broadcast(wsyms), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_symbols"))
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol), t, toks(t).as("__toks"))

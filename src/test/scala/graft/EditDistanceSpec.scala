@@ -89,6 +89,16 @@ class EditDistanceSpec extends SparkSpecBase {
     assert(merges(2) == ((3, "ab", "c", 2L)))
   }
 
+  test("bpeEncodeCounts applies merges in order, composing symbols") {
+    val df = Seq((1L, "abab"), (2L, "abc"), (3L, "dd ab")).toDF("id", "text")
+    // merges: (a,b) then (ab,ab) → "abab"=1 symbol, "abc"=2 (ab+c),
+    // "dd"=2 (no d merge), "ab"=1
+    val out = graft.ops.TextAnalysis
+      .bpeEncodeCounts(df, "id", "text", Seq(("a", "b"), ("ab", "ab")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 3L)))
+  }
+
   test("bpeTrain breaks count ties lexicographically (deterministic training)") {
     // "xy" and "zw" both appear twice → tie at 2, (x,y) < (z,w)
     val df = Seq("xy", "zw", "xy", "zw").toDF("text")
