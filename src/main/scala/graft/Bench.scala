@@ -40,6 +40,7 @@ object Bench {
     "x_gap_fill",
     "x_editdist_join",
     "x_corpus_pipeline",
+    "x_bpe_merges",
     "s9_stream_window",
     "s9_stream_sessions"
   )
