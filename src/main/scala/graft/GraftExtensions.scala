@@ -10,6 +10,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * functions. Activated by `GraftSession.local` (and usable on any
   * cluster via `spark.sql.extensions=graft.GraftExtensions`).
   */
+object GraftExtensions {
+  /** Builder-time sketch-size argument: must be a foldable integer
+    * literal (the sketch size shapes the aggregation buffer, so it
+    * cannot vary per row). Fails analysis with a named error instead
+    * of an opaque eval NPE/ClassCastException.
+    */
+  private[graft] def literalK(fn: String, children: Seq[Expression], pos: Int): Int = {
+    require(children.length > pos, s"$fn requires a size argument at position ${pos + 1}")
+    val e = children(pos)
+    require(e.foldable, s"$fn size argument must be a literal, got: ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn size argument must be an integer literal, got: $other")
+    }
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -68,13 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
       (children: Seq[Expression]) => KmvDistinctAgg(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())
+        GraftExtensions.literalK("kmv_distinct", children, 1))
     ))
     ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       (children: Seq[Expression]) => KmvSketchAgg(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())
+        GraftExtensions.literalK("kmv_sketch", children, 1))
     ))
   }
 }

@@ -27,6 +27,13 @@ object QueriesExt {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Columns x_table_profile profiles — ONE constant drives both the
+    * Spark frame and the generated oracle SQL so the two sides move
+    * together if the orders schema ever changes.
+    */
+  private val TableProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
   /** ONE SQL text, two engines: executed verbatim by `spark.sql` and
     * by the DuckDB oracle (ANSI core only — scalar subquery, HAVING,
     * CASE, decimal casts; no timestamp literals, where the engines'
@@ -327,7 +334,11 @@ object QueriesExt {
     // here; at 100 TB profile all columns in one pass via a single
     // agg with per-column expressions instead (same outputs).
     "x_table_profile" -> ((s, dir) => {
-      val t = table(s, dir, "orders")
+      // Pin the profiled frame to TableProfileCols (shared with the
+      // oracle below) so an orders schema change can't silently
+      // desynchronize the two sides; the profiler itself stays
+      // schema-driven over whatever frame it is handed.
+      val t = table(s, dir, "orders").select(TableProfileCols.map(col): _*)
       t.schema.fields.toSeq.map { f =>
         t.agg(
           count(lit(1)).as("n"),
@@ -609,9 +620,9 @@ object QueriesExt {
         |ORDER BY set_kind, o_custkey""".stripMargin,
     "x_sql_text" -> SharedSqlText,
     "x_table_profile" -> {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority")
-      cols.map { c =>
+      // Same TableProfileCols constant as the Spark query above — the
+      // two sides cannot drift apart on a schema change.
+      TableProfileCols.map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n,
            | count(*) FILTER (WHERE $c IS NULL) AS n_null,
            | count(DISTINCT $c) AS n_distinct,

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -47,6 +48,11 @@ case class KmvDistinctAgg(
   require(k >= 2, "kmv_distinct needs k >= 2")
 
   override def children: Seq[Expression] = Seq(child)
+  // Hashing CAST(x AS VARCHAR) is the cross-engine contract, so the
+  // cast must be explicit at the call site — reject non-string input
+  // at analysis instead of ClassCastException at execution.
+  override def checkInputDataTypes(): TypeCheckResult =
+    KmvDistinctAgg.requireString("kmv_distinct", child)
   override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kmv_distinct"
@@ -104,6 +110,18 @@ object KmvDistinctAgg {
   /** 16^12 = 2^48: the hex-fraction denominator for the first 12 nibbles. */
   val Denom: Double = 281474976710656.0
 
+  /** Analysis-time input check shared by both KMV forms: the value
+    * child must already be a string (the md5(CAST(x AS VARCHAR))
+    * cross-engine contract), never implicitly cast.
+    */
+  private[functions] def requireString(fn: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires a STRING value argument (cast explicitly so the " +
+          s"oracle hashes the same bytes); got ${other.catalogString}")
+    }
+
   def md5Hex(bytes: Array[Byte]): String = {
     val d  = MessageDigest.getInstance("MD5").digest(bytes)
     val sb = new java.lang.StringBuilder(32)
@@ -144,6 +162,8 @@ case class KmvSketchAgg(
   require(k >= 2, "kmv_sketch needs k >= 2")
 
   override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    KmvDistinctAgg.requireString("kmv_sketch", child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "kmv_sketch"

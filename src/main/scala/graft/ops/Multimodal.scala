@@ -351,14 +351,17 @@ object Multimodal {
             buf.getInt; buf.getShort
             val bits = buf.getShort
             if (fmt != 1 || ch != 1 || bits != 16) return None
-            buf.position(p + size)
+            // RIFF pads odd-sized chunks to even boundaries; skip the
+            // pad byte or the remaining walk misaligns (same discipline
+            // as AviCodec.decode).
+            buf.position(math.min(p + size + (size % 2), buf.limit()))
           } else if (name == "data") {
             val n   = size / 2
             val arr = new Array[Short](n)
             var i   = 0
             while (i < n) { arr(i) = buf.getShort; i += 1 }
             samples = arr
-          } else buf.position(buf.position() + size)
+          } else buf.position(math.min(buf.position() + size + (size % 2), buf.limit()))
         }
         if (rate < 0 || samples == null) None else Some((rate, samples))
       } catch { case _: Exception => None }

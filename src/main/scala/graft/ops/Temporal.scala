@@ -128,18 +128,6 @@ object Temporal {
       .drop("__bucket")
   }
 
-  /** Per-key time-range moving aggregates: for every event, the count
-    * and sum of `valCol` over the trailing `rangeBack` time units
-    * (inclusive of the current row and its RANGE peers), plus the gap
-    * to the previous event. One hash exchange by key, one sort — the
-    * RANGE frame and the lag ride the same sorted partition (the
-    * (ts, tieCol) sort satisfies the RANGE frame's ts-prefix
-    * ordering, so Spark plans a single Window exchange+sort).
-    *
-    * Sum accumulates in DECIMAL so the result is independent of
-    * intra-frame order — the double sum of a sliding frame would
-    * otherwise depend on which peer rows entered first.
-    */
   /** Time-series regularization: bucket each key's events onto a
     * fixed `step` grid, materialize the MISSING buckets between the
     * key's first and last observation, and forward-fill values
@@ -165,8 +153,12 @@ object Temporal {
       step: Long
   ): DataFrame = {
     require(step > 0, "step must be positive")
+    // Same integral-division discipline as rangeJoin.bucketOf: floor of a
+    // double quotient can land an ulp off the boundary at epoch-scale
+    // magnitudes, silently shifting a grid cell.
     val obs = events
-      .withColumn("__b", (floor(col(ts) / step) * step).cast("long"))
+      .withColumn("__b",
+        (call_function("div", col(ts).cast("long"), lit(step)) * step).cast("long"))
       .groupBy(col(key), col("__b"))
       .agg(max(col(valCol)).as("__v"))
     val grid = obs.groupBy(col(key))
@@ -180,6 +172,18 @@ object Temporal {
         col("__v").isNotNull.cast("int").as("observed"))
   }
 
+  /** Per-key time-range moving aggregates: for every event, the count
+    * and sum of `valCol` over the trailing `rangeBack` time units
+    * (inclusive of the current row and its RANGE peers), plus the gap
+    * to the previous event. One hash exchange by key, one sort — the
+    * RANGE frame and the lag ride the same sorted partition (the
+    * (ts, tieCol) sort satisfies the RANGE frame's ts-prefix
+    * ordering, so Spark plans a single Window exchange+sort).
+    *
+    * Sum accumulates in DECIMAL so the result is independent of
+    * intra-frame order — the double sum of a sliding frame would
+    * otherwise depend on which peer rows entered first.
+    */
   def movingWindow(
       events: DataFrame,
       key: String,

@@ -34,6 +34,25 @@ class SketchSpec extends SparkSpecBase {
     assert(est == 3.0)
   }
 
+  test("kmv_distinct rejects non-string input at ANALYSIS, not execution") {
+    // the hash contract is md5(CAST(x AS VARCHAR)) with the cast
+    // explicit; an un-cast bigint must fail analysis, not CCE at eval
+    val df = Seq(1L, 2L, 3L).toDF("n")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(expr("kmv_distinct(n, 16)")).queryExecution.analyzed
+    }
+    assert(err.getMessage.toLowerCase.contains("kmv_distinct"))
+  }
+
+  test("kmv_distinct rejects a non-literal k with a named error") {
+    val df = Seq(("a", 4)).toDF("s", "k")
+    val err = intercept[Exception] {
+      df.agg(expr("kmv_distinct(s, k)")).queryExecution.analyzed
+    }
+    assert(err.getMessage.contains("kmv_distinct"),
+      s"expected a kmv_distinct-naming error, got: ${err.getMessage}")
+  }
+
   test("kmv sketch algebra: union of part-sketches IS the sketch of the union") {
     import graft.ops.Sketches
     // the composability law the synopsis table relies on

@@ -208,6 +208,20 @@ class TemporalSpec extends SparkSpecBase {
       (2L, 10L, 7.0, 1)))
   }
 
+  test("gapFill buckets by integral division at epoch-nano magnitudes (no double floor)") {
+    // 2^62-1 rounds UP to 2^62 as a double, so floor(ts/step) computed in
+    // double space lands the point one bucket too late (bucket start
+    // AFTER the point). Integral div must place it correctly.
+    val step = 1000L
+    val ts   = (1L << 62) - 1       // 4611686018427387903
+    assert(math.floor(ts.toDouble / step).toLong * step > ts,
+      "precondition: this magnitude must actually break double floor-div")
+    val out = Temporal.gapFill(
+      Seq((1L, ts, 5.0)).toDF("k", "ns", "v"), "k", "ns", "v", step)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out == Seq((1L, ts / step * step, 5.0, 1)))
+  }
+
   // ---------------------------------------------- stream-static enrich
 
   test("streamEnrichedCounts equals the batch enrichment (stream-static broadcast join)") {

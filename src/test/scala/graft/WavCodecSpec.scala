@@ -34,6 +34,21 @@ class WavCodecSpec extends SparkSpecBase {
     assert(rate == 8000 && out.toSeq == samples.toSeq)
   }
 
+  test("decode skips ODD-sized extra chunks with the RIFF pad byte") {
+    val canonical = WavCodec.encodeWav(8000, samples)
+    // splice a 5-byte LIST INFO-ish chunk (odd size → 1 pad byte) after fmt
+    val extra = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII")).put(0.toByte)
+      .array()
+    val spliced = canonical.take(36) ++ extra ++ canonical.drop(36)
+    val riffSize = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte
+    val Some((rate, out)) = WavCodec.decode(spliced)
+    assert(rate == 8000 && out.toSeq == samples.toSeq)
+  }
+
   test("corrupt / non-PCM payloads skip (None), never throw") {
     assert(WavCodec.decode(null).isEmpty)
     assert(WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
