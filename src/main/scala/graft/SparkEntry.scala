@@ -289,6 +289,31 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // J10: date-partitioned warehouse layout + dynamic partition
+    // pruning — the fact table published partitionBy(event_day), then
+    // joined through a dim filtered at runtime (day-of-week), so only
+    // the matching day directories are scanned. The dim filter IS the
+    // oracle's WHERE; pruning is a physical-layout move, plan-asserted
+    // live (dynamicpruningexpression + partitions-read metric) in
+    // PlanAssertSpec.
+    "j10_dpp_join" -> ((s, dir) => {
+      // epoch-nanos → whole days since epoch, integral div twice
+      // (ns → µs → days) so the bucket matches epoch_us // 86400000000
+      def dayOf(c: Column): Column = call_function("div",
+        call_function("div", c.cast("long"), lit(1000L)), lit(86400000000L)).cast("int")
+      val base = ev(s, dir).select(
+        col("event_type"), col("value"), dayOf(col("ts")).as("event_day"))
+      val wh = java.nio.file.Files.createTempDirectory("graft-dpp-gate").toString
+      val fact = graft.ops.Scale.publishPartitioned(base, wh, Seq("event_day"))
+      val dayDim = base.select(col("event_day")).distinct()
+        .withColumn("dow", pmod(col("event_day"), lit(7)))
+      fact.join(broadcast(dayDim.filter(col("dow") === 2)), Seq("event_day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "j6_semi_join" -> ((s, dir) => {
       val o = ord(s, dir).filter(col("o_totalprice") > 100000)
       cust(s, dir)
@@ -396,6 +421,16 @@ object SparkEntry {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "j10_dpp_join" ->
+      """WITH e AS (SELECT event_type, value,
+        |  CAST(epoch_us(ts) // 86400000000 AS INT) AS event_day FROM events),
+        |dim AS (SELECT event_day, event_day % 7 AS dow
+        |  FROM (SELECT DISTINCT event_day FROM e))
+        |SELECT e.event_type, count(*) AS n_events,
+        | round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |FROM e JOIN dim ON e.event_day = dim.event_day
+        |WHERE dim.dow = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j4_metric_join" ->
       """WITH rel AS (
         | SELECT source AS pdf_name, max(doc_id) % 40 + 1 AS pages, count(*) AS rel_data_points,

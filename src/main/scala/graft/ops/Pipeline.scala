@@ -210,6 +210,34 @@ object Pipeline {
     spark.sql(s"SELECT * FROM $table LIMIT 5") // smoke readback, reference cells 20-21
   }
 
+  /** §3.3 warehouse publish, PARTITIONED: the fact-table layout for
+    * 100 TB — [[publishParquetExternal]] plus a partition spec, so the
+    * published table is one directory per partition value (the S3
+    * prefix layout of the reference's external Trino tables,
+    * demo1-create-tables.ipynb cells 14-19) and downstream dim-filtered
+    * joins scan only the matching partitions (dynamic partition
+    * pruning — proven live in PlanAssertSpec j10). The external DDL
+    * infers data+partition schema from the written layout; MSCK keeps
+    * the catalog's partition list in sync on re-publish.
+    */
+  def publishParquetPartitionedExternal(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      table: String,
+      partitionCols: Seq[String]
+  ): DataFrame = {
+    import graft.functions.TextFns
+    val renamed = TextFns.snakifyColumns(df.columns).foldLeft(df) {
+      case (d, (from, to)) => if (from == to) d else d.withColumnRenamed(from, to)
+    }
+    renamed.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table USING PARQUET LOCATION '$path'")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"SELECT * FROM $table LIMIT 5")
+  }
+
   /** Idempotent skip-processed memoization (the reference's
     * "incremental" behavior: pdf_text_extractor.py:129-139,
     * relevance_infer.py:79-92): drop input rows whose key already

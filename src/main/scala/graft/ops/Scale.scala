@@ -43,6 +43,31 @@ object Scale {
   def bucketedJoin(spark: SparkSession, left: String, right: String, keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
 
+  /** Partitioned warehouse publish — the FIRST scan-cost lever at
+    * 100 TB. `partitionBy` lays the fact table out as one directory
+    * per partition value (the Hive/S3-prefix layout of the reference's
+    * external Trino tables, demo1-create-tables.ipynb cells 14-19), so
+    * a query filtering on the partition column — statically, or at
+    * runtime through a filtered dim join (dynamic partition pruning) —
+    * never lists, opens, or reads the other partitions' files.
+    * Bloom-filter join pruning (proven live in BloomJoinSpec) cuts
+    * rows AFTER the scan; partition pruning cuts the scan itself.
+    *
+    * Partition-column cardinality discipline: date/source-grain (tens
+    * to thousands of directories), never a high-cardinality key —
+    * one directory per distinct value is the object-store metadata
+    * cost. Returns the read-back frame so callers query the
+    * partitioned layout, not the in-memory lineage.
+    */
+  def publishPartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]
+  ): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Salted join for a skewed build side: the probe (large, skewed)
     * side gets a deterministic salt in [0, saltFactor) derived from a
     * non-key column hash; the build side is replicated once per salt.

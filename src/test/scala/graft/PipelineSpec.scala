@@ -56,6 +56,35 @@ class PipelineSpec extends SparkSpecBase {
       GraftSession.table(spark, sf, "customer").count())
   }
 
+  test("partitioned external publish: partition dirs on disk, static pruning in the plan") {
+    val src = GraftSession.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val path = Files.createTempDirectory("graft-part-pub").toFile.getAbsolutePath + "/orders_part"
+    val smoke = Pipeline.publishParquetPartitionedExternal(
+      spark, src, path, "graft_test_part", Seq("o_orderpriority"))
+    assert(smoke.count() === 5)
+    // physical layout: one directory per priority value
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("o_orderpriority=")).toSeq
+    assert(dirs.size === 5, s"expected 5 partition dirs, got: $dirs")
+    // a partition-column filter prunes STATICALLY: scan lists 1 of 5 dirs
+    val q = spark.table("graft_test_part").filter(col("o_orderpriority") === "1-URGENT")
+    // collect() executes THIS QueryExecution (count() builds another one)
+    assert(q.collect().length ===
+      src.filter(col("o_orderpriority") === "1-URGENT").count())
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan).headOption
+    assert(scan.exists(_.metrics("numPartitions").value === 1),
+      s"partition filter did not prune the listing")
+  }
+
   test("text-curation entry point writes a deduped pos+neg CSV with positives winning") {
     import spark.implicits._
     val annotations = Seq(

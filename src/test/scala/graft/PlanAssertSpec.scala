@@ -133,6 +133,36 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(aggs >= 2, s"two-phase sketch aggregation lost:\n$plan")
   }
 
+  test("j10 partitioned fact scan is dynamically pruned (DPP live, partitions-read metric)") {
+    val df = q("j10_dpp_join")
+    // DPP injected: the partitioned scan carries a runtime pruning
+    // predicate fed by the filtered dim's broadcast
+    val plan = planOf(df)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"dynamic partition pruning not injected:\n$plan")
+    df.collect()
+    // and it actually pruned: the fact scan read only the dow==2 day
+    // directories, not all of them
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides subtrees inside ASPE.executedPlan / QueryStageExec.plan
+    // (not children), so a plain collect can't see the scans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec        => scans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val partitioned = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partitioned.nonEmpty, "no partitioned scan found in the executed plan")
+    val scan = partitioned.head
+    val read  = scan.metrics("numPartitions").value
+    val total = scan.relation.location.listFiles(Nil, Nil).size
+    assert(read > 0 && read < total,
+      s"scan read $read of $total partitions — pruning did not bite")
+  }
+
   test("x_editdist_join candidates come from an equi-join, never a nested loop") {
     val plan = planOf(q("x_editdist_join"))
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
