@@ -146,11 +146,15 @@ object QueriesScale {
     // chunking. Each stage is individually oracle-gated elsewhere;
     // this entry gates their COMPOSITION (ordering effects included:
     // chunks are cut from the redacted text, dedup runs only on
-    // quality-kept docs). One corpus scan feeds the whole chain.
+    // quality-kept docs). One corpus scan: the quality-kept frame is
+    // materialized once (localCheckpoint) and feeds pair generation
+    // AND the survivor join — without it the gopher scan re-executes
+    // per consumer.
     "x_corpus_pipeline" -> ((s, dir) => {
       val kept = CorpusOps.gopherFilter(docs(s, dir), "text",
           minTokens = 20, maxTokens = 80, minStopwordHits = 1)
         .filter(col("keep")).select(col("doc_id"), col("text"))
+        .localCheckpoint()
       val pairs = Dedup.minhashExactPairs(kept, "doc_id", "text",
         w = 3, numHashes = 30, bands = 10, threshold = 0.9)
       val survivors = Dedup.applyDedup(kept, "doc_id", pairs)
