@@ -49,6 +49,36 @@ object QueriesScale {
 
   private val streamN = new AtomicInteger(0)
 
+  /** The word-carrying BPE merge replay shared by the encode/tokenize
+    * oracles: CTE prologue `w` (word counts), `e0` (symbolized), and
+    * the unrolled merge steps `q_i`/`c_i`/`e_i` up to `e$n` — each step
+    * is pair-count argmax (deterministic tie-break) + the merge as a
+    * plain left-to-right replace, exactly what `bpeTrain` computes.
+    */
+  private def bpeOracleChain(n: Int): String = {
+    def stepCte(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""q$i AS (SELECT sy[CAST(j.j AS INT)] AS l, sy[CAST(j.j + 1 AS INT)] AS r,
+         |  sum(wc) AS cnt
+         | FROM (SELECT list_filter(string_split(repr, chr(31)), s -> s <> '') AS sy, wc
+         |       FROM $prev) t,
+         |  unnest(range(1, len(sy))) AS j(j)
+         | GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (SELECT l, r, cnt FROM q$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$i AS MATERIALIZED (SELECT word, replace(repr,
+         |   (SELECT l || chr(31) || r || chr(31) FROM c$i),
+         |   (SELECT l || r || chr(31) FROM c$i)) AS repr, wc FROM $prev)""".stripMargin
+    }
+    val steps = (1 to n).map(stepCte).mkString(",\n")
+    s"""w AS (SELECT u.w AS word, count(*) AS wc FROM
+       | (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  FROM documents) t,
+       | unnest(tk) AS u(w) GROUP BY 1),
+       |e0 AS MATERIALIZED (SELECT word,
+       |  regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS repr, wc FROM w),
+       |$steps""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- near-dup family (oracle-checked md5 flavors) ---------------------
     "x_dedup_jaccard" -> ((s, dir) =>
@@ -420,6 +450,20 @@ object QueriesScale {
         .orderBy(col("step"))
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncodeCounts(docs(s, dir), "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE TOKENIZATION to token IDS: the trainer hand-off — vocab
+    // table (final symbols, lexicographic-rank ids) + per-doc id
+    // sequences in document word order. Same vocab-sized fold as
+    // x_bpe_encode, broadcast back; the oracle replays the chain and
+    // assembles the identical id lists.
+    "x_bpe_tokenize" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 10)
+        .orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenize(docs(s, dir), "doc_id", "text", merges)
         .orderBy(col("doc_id"))
     }),
 
@@ -937,28 +981,8 @@ object QueriesScale {
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
     // the same 10-step replay, carrying `word` so the final symbol
     // table maps back to the corpus; per-doc totals via word join
-    "x_bpe_encode" -> {
-      def stepCte(i: Int): String = {
-        val prev = s"e${i - 1}"
-        s"""q$i AS (SELECT sy[CAST(j.j AS INT)] AS l, sy[CAST(j.j + 1 AS INT)] AS r,
-           |  sum(wc) AS cnt
-           | FROM (SELECT list_filter(string_split(repr, chr(31)), s -> s <> '') AS sy, wc
-           |       FROM $prev) t,
-           |  unnest(range(1, len(sy))) AS j(j)
-           | GROUP BY 1, 2),
-           |c$i AS MATERIALIZED (SELECT l, r, cnt FROM q$i ORDER BY cnt DESC, l, r LIMIT 1),
-           |e$i AS MATERIALIZED (SELECT word, replace(repr,
-           |   (SELECT l || chr(31) || r || chr(31) FROM c$i),
-           |   (SELECT l || r || chr(31) FROM c$i)) AS repr, wc FROM $prev)""".stripMargin
-      }
-      val steps = (1 to 10).map(stepCte).mkString(",\n")
-      s"""WITH w AS (SELECT u.w AS word, count(*) AS wc FROM
-         | (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
-         |  FROM documents) t,
-         | unnest(tk) AS u(w) GROUP BY 1),
-         |e0 AS MATERIALIZED (SELECT word,
-         |  regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS repr, wc FROM w),
-         |$steps,
+    "x_bpe_encode" ->
+      s"""WITH ${bpeOracleChain(10)},
          |enc AS (SELECT word,
          |  len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS n_syms
          | FROM e10),
@@ -969,8 +993,28 @@ object QueriesScale {
          |SELECT doc_id, count(*) AS n_words,
          | CAST(sum(n_syms) AS BIGINT) AS n_bpe_symbols
          |FROM dw JOIN enc USING (word)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same chain again, extended to ids: symbol table by lexicographic
+    // row_number, per-word id lists in symbol order, per-doc flatten
+    // in word order — replays bpeTokenize exactly
+    "x_bpe_tokenize" ->
+      s"""WITH ${bpeOracleChain(10)},
+         |sy10 AS (SELECT word, list_filter(string_split(repr, chr(31)), s -> s <> '') AS sy
+         | FROM e10),
+         |sv AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS INT) AS tid FROM
+         | (SELECT DISTINCT u.s AS sym FROM sy10, unnest(sy) AS u(s))),
+         |wsym AS (SELECT word, CAST(j.i AS INT) AS spos, sy[CAST(j.i AS INT)] AS sym
+         | FROM sy10, unnest(range(1, len(sy) + 1)) AS j(i)),
+         |wid AS (SELECT word, list(tid ORDER BY spos) AS ids
+         | FROM wsym JOIN sv USING (sym) GROUP BY word),
+         |dw AS (SELECT doc_id, CAST(u.i AS INT) AS wpos, tk[CAST(u.i AS INT)] AS word FROM
+         | (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+         |  FROM documents) t,
+         | unnest(range(1, len(tk) + 1)) AS u(i)),
+         |doc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS token_ids
+         | FROM dw JOIN wid USING (word) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(token_ids) AS INT) AS n_tokens, token_ids
+         |FROM doc ORDER BY doc_id""".stripMargin,
     // 10 unrolled BPE merge steps: pair counts over the symbolized
     // vocab, deterministic argmax, then the merge as a plain replace
     "x_bpe_merges" -> {

@@ -276,6 +276,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_symbols"))
   }
 
+  private val BpeSep = "\u001f"
+
+  /** The per-distinct-word merge fold shared by the encode/tokenize
+    * faces: apply the learned merges in training order to every
+    * distinct word, returning (word, syms: array&lt;string&gt;).
+    */
+  private def wordSymbols(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var repr: Column = regexp_replace(col("word"), "(.)", "$1" + BpeSep)
+    merges.foreach { case (l, r) =>
+      repr = call_function("replace", repr, lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep))
+    }
+    words.select(col("word")).distinct()
+      .select(col("word"), filter(split(repr, BpeSep), s => s =!= "").as("syms"))
+  }
+
+  /** The token-id table a trained tokenizer exports: every distinct
+    * final symbol, id = its lexicographic rank (dense, deterministic,
+    * replayable by a plain SQL row_number — no hash ids to drift
+    * cross-engine). The single-partition rank window is vocab-sized:
+    * |base characters| + one new symbol per merge, thousands of rows
+    * at production vocab sizes, never corpus-scale.
+    */
+  def bpeTokenVocab(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
+    wordSymbols(df.select(explode(toks(col(textCol))).as("word")), merges)
+      .select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("sym"))).cast("int"))
+
+  /** BPE tokenization to TOKEN IDS — what a training pipeline hands to
+    * the trainer: per doc, the id sequence in document word order
+    * (symbols in order within each word) against the
+    * [[bpeTokenVocab]] id table. Same scale shape as
+    * [[bpeEncodeCounts]]: the merge fold and id mapping run once per
+    * DISTINCT word and broadcast back to the corpus; the per-doc
+    * sequence assembles through one keyed aggregation (position-sorted
+    * collect_list, flattened).
+    *
+    * Output: (id, n_tokens, token_ids: array&lt;int&gt;).
+    */
+  def bpeTokenize(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val words = df.select(col(idCol), posexplode(toks(col(textCol))).as(Seq("wpos", "word")))
+    val wsyms = wordSymbols(words, merges)
+    val symIds = bpeTokenVocab(df, textCol, merges)
+    val wordIds = wsyms
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(broadcast(symIds), Seq("sym"))
+      .groupBy(col("word"))
+      .agg(expr("transform(array_sort(collect_list(struct(spos, tid))), p -> p.tid)").as("ids"))
+    words.join(broadcast(wordIds), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(wpos, ids))), p -> p.ids))")
+        .as("token_ids"))
+      .select(col(idCol), size(col("token_ids")).as("n_tokens"), col("token_ids"))
+  }
+
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol), t, toks(t).as("__toks"))

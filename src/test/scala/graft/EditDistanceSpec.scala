@@ -108,6 +108,27 @@ class EditDistanceSpec extends SparkSpecBase {
     assert(merges(1) == ((2, "z", "w", 2L)))
   }
 
+  test("bpeTokenize emits per-doc token-id sequences that DECODE back to the text words") {
+    val df = Seq((1L, "abab abc"), (2L, "dd ab abab")).toDF("id", "text")
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val vocab = graft.ops.TextAnalysis.bpeTokenVocab(df, "text", merges)
+      .as[(String, Int)].collect().toMap.map(_.swap) // tid -> sym
+    // vocab = final symbols {abab, ab, c, d} ranked lexicographically
+    assert(vocab.values.toSet == Set("abab", "ab", "c", "d"))
+    val out = graft.ops.TextAnalysis.bpeTokenize(df, "id", "text", merges)
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    // round trip: ids -> symbols -> concatenated words == whitespace words
+    val decoded = out.map { case (id, n, ids) =>
+      assert(n == ids.length)
+      id -> ids.map(vocab)
+    }.toMap
+    // doc 1: "abab"->[abab], "abc"->[ab, c]; doc 2: "dd"->[d, d], "ab"->[ab], "abab"->[abab]
+    assert(decoded(1L) == Seq("abab", "ab", "c"))
+    assert(decoded(2L) == Seq("d", "d", "ab", "abab"))
+    assert(decoded(1L).mkString == "ababab" + "c")
+    assert(decoded(2L).mkString == "ddababab")
+  }
+
   test("collocations scores association vs independence exactly") {
     // corpus: "a b" ×3, "a c" ×1 → N=8; n(a)=4, n(b)=3, n(c)=1
     // assoc(a,b) = 3·8/(4·3) = 2.0 ; assoc(a,c) = 1·8/(4·1) = 2.0
