@@ -45,6 +45,22 @@ object Bench {
     "s9_stream_sessions"
   )
 
+  /** Session hygiene between measured queries, OUTSIDE the timed
+    * window — the round-4 finding: across 62 query executions the
+    * session accumulates localCheckpoint/cache blocks (only released
+    * when a GC lets the ContextCleaner see the dead references) and
+    * shuffle files, inflating late-order queries 2-3× over their
+    * isolated cost. Dropping cached plans, unpersisting every
+    * lingering RDD (localCheckpoint blocks included) and forcing a GC
+    * returns the JVM to isolated-run conditions before each
+    * measurement.
+    */
+  private def sessionHygiene(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
   /** Best-of-2 per query: first run pays JIT/codegen for operators the
     * warm-up didn't touch; steady-state is what a long-running cluster
     * sees.
@@ -52,6 +68,7 @@ object Bench {
   private def timeAll(spark: SparkSession, names: Seq[String], sfDir: String): Seq[(String, Double)] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
+      sessionHygiene(spark)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

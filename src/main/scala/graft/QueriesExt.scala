@@ -86,11 +86,13 @@ object QueriesExt {
           round(cume_dist().over(w), 6).as("cume"))
         .orderBy(col("l_returnflag"), col("rnk"))
     }),
-    // S1 under the oracle gate: nation rows → a generated one-page PDF
-    // (raw content stream, blank-line paragraph breaks) → the JDK-only
-    // simple-PDF codec → binaryFile paragraph table, hash-compared
-    // against the same text recomputed from the parquet table. Any
-    // regression in the object scan, stream carving, BT..ET walk, or
+    // S1 under the oracle gate: nation rows → a generated TWO-page PDF
+    // (page 1: simple font, raw content stream; page 2: Identity-H
+    // CID font with a ToUnicode bfrange CMap — the production-writer
+    // layout) → the JDK-only simple-PDF codec → binaryFile paragraph
+    // table, hash-compared against the same text recomputed from the
+    // parquet table. Any regression in the object scan, stream
+    // carving, BT..ET walk, Resources/Font resolution, CMap decode, or
     // paragraph plumbing breaks the hash.
     "s1_pdf_roundtrip" -> ((s, dir) => {
       import graft.sources.{PdfSource, SimplePdfExtractor}
@@ -102,18 +104,34 @@ object QueriesExt {
       val paras = rows.map(r => s"nation ${r.getString(1)} region ${r.getLong(2)} body text here")
       val content = "BT /F1 12 Tf 72 720 Td " +
         paras.map(p => s"(${escape(p)}) Tj").mkString(" 0 -14 Td 0 -14 Td ") + " ET"
+      // page 2: the same rows as 2-byte Identity-H codes; the CMap's
+      // single bfrange maps printable-ASCII codes to themselves
+      def cidHex(p: String) = p.map(c => f"${c.toInt}%04X").mkString
+      val cidParas = rows.map(r => s"cid appendix ${r.getString(1)} region ${r.getLong(2)}")
+      val content2 = "BT /F9 12 Tf 72 720 Td " +
+        cidParas.map(p => s"<${cidHex(p)}> Tj").mkString(" 0 -14 Td 0 -14 Td ") + " ET"
+      val cmap =
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+          "1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nendcmap\n"
       val doc =
         "%PDF-1.4\n" +
           "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
-          "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+          "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n" +
           "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
           s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+          "5 0 obj << /Type /Page /Parent 2 0 R " +
+          "/Resources << /Font << /F9 6 0 R >> >> /Contents 7 0 R >> endobj\n" +
+          "6 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+          "/Encoding /Identity-H /ToUnicode 8 0 R >> endobj\n" +
+          s"7 0 obj << /Length ${content2.length} >> stream\n$content2\nendstream endobj\n" +
+          s"8 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n" +
           "%%EOF\n"
       val tmp = java.nio.file.Files.createTempDirectory("pdf-rt")
       java.nio.file.Files.write(tmp.resolve("nations.pdf"), doc.getBytes(ISO_8859_1))
       PdfSource.readPdfParagraphs(s, tmp.toString, new SimplePdfExtractor())
         .select(col("pdf_name"), col("page"), col("para_idx"), col("paragraph"))
-        .orderBy(col("para_idx"))
+        .orderBy(col("page"), col("para_idx"))
     }),
 
     // S4 under the oracle gate: nation → written as a real .xlsx
@@ -482,7 +500,13 @@ object QueriesExt {
       """SELECT 'nations' AS pdf_name, 0 AS page,
         | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
         | 'nation ' || n_name || ' region ' || n_regionkey || ' body text here' AS paragraph
-        |FROM nation ORDER BY para_idx""".stripMargin,
+        |FROM nation
+        |UNION ALL
+        |SELECT 'nations' AS pdf_name, 1 AS page,
+        | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
+        | 'cid appendix ' || n_name || ' region ' || n_regionkey AS paragraph
+        |FROM nation
+        |ORDER BY page, para_idx""".stripMargin,
     "s4_xlsx_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey

@@ -10,16 +10,24 @@ import scala.util.matching.Regex
   * with a standard page tree, content streams stored raw or
   * FlateDecode-compressed (`java.util.zip.Inflater`), and text drawn
   * with the standard `BT…ET` operators (`Tj`, `'`, `"`, `TJ`) using
-  * simple (byte-per-char, Latin-1-compatible) font encodings — i.e.
-  * the output of most programmatic generators. No external codec: the
-  * container ships no pdfbox, so this closes the S1 gap the same way
-  * [[XlsxSource]] closed S4 (zip+StAX), with a documented subset
-  * instead of a stub.
+  * either simple (byte-per-char, Latin-1-compatible) font encodings —
+  * the output of most programmatic generators — or CID/Type0 fonts
+  * with `/Encoding /Identity-H` and a `/ToUnicode` CMap, the layout
+  * production writers (Word, InDesign, LaTeX+TTF) actually emit: the
+  * reference's own 144-PDF ESG corpus is overwhelmingly CID-font
+  * (pdf_text_extractor.py:54-117 via pdfminer). Per page, the
+  * `/Resources → /Font` table is resolved, `Tf` switches the active
+  * font, and strings under an Identity-H font decode as 2-byte CIDs
+  * through the font's ToUnicode `bfchar`/`bfrange` mappings. No
+  * external codec: the container ships no pdfbox, so this closes the
+  * S1 gap the same way [[XlsxSource]] closed S4 (zip+StAX), with a
+  * documented subset instead of a stub.
   *
   * Out of scope (falls back to skipping the content, never throwing):
-  * encryption, CID/composite fonts, LZW/DCT/CCITT filters,
-  * cross-reference streams are not needed (objects are discovered by
-  * linear scan, so `XRef` tables are ignored entirely).
+  * encryption, LZW/DCT/CCITT filters, CID fonts WITHOUT a usable
+  * ToUnicode CMap (their codes decode to nothing rather than
+  * mojibake); cross-reference streams are not needed (objects are
+  * discovered by linear scan, so `XRef` tables are ignored entirely).
   *
   * Reference behavior being replaced:
   * src/components/preprocessing/pdf_text_extractor.py:104-117 (pdf →
@@ -40,18 +48,18 @@ final class SimplePdfExtractor extends PdfSource.PdfTextExtractor {
     try {
       val raw  = new String(bytes, ISO_8859_1)
       val objs = parseObjects(raw)
-      val pageRefs = pageContentRefs(objs)
       val byNum = objs.map(o => o.num -> o).toMap
-      val pages =
-        if (pageRefs.nonEmpty)
-          pageRefs.map { refs =>
+      val pages = pageSpecs(objs, byNum) match {
+        case specs if specs.nonEmpty =>
+          specs.map { case (refs, fonts) =>
             refs.flatMap(byNum.get).flatMap(decodedStream)
-              .map(extractText).filter(_.nonEmpty).mkString("\n")
+              .map(extractText(_, fonts)).filter(_.nonEmpty).mkString("\n")
           }
-        else
+        case _ =>
           // no page tree (fragment / exotic writer): every text-bearing
           // content stream becomes a page, in file order
-          objs.flatMap(decodedStream).filter(_.contains("BT")).map(extractText)
+          objs.flatMap(decodedStream).filter(_.contains("BT")).map(extractText(_))
+      }
       pages.map(_.trim).filter(_.nonEmpty)
     } catch {
       case scala.util.control.NonFatal(_) => Nil // corrupt file → skip, like the reference
@@ -98,18 +106,119 @@ object SimplePdfExtractor {
     out.result()
   }
 
-  /** `/Type /Page` objects in file order → their content-stream object
-    * numbers (single ref or array of refs).
+  /** `/Type /Page` objects in file order → (content-stream object
+    * numbers, font-name → CID-to-Unicode map for the page's Type0
+    * fonts). Simple fonts get no entry and decode byte-per-char.
     */
-  private def pageContentRefs(objs: Vector[PdfObj]): Vector[Vector[Int]] =
+  private def pageSpecs(
+      objs: Vector[PdfObj],
+      byNum: Map[Int, PdfObj]
+  ): Vector[(Vector[Int], Map[String, Map[Int, String]])] =
     objs.filter(o => """/Type\s*/Page(?![a-zA-Z])""".r.findFirstIn(o.dict).isDefined)
       .map { o =>
-        ContentsArr.findFirstMatchIn(o.dict) match {
+        val refs = ContentsArr.findFirstMatchIn(o.dict) match {
           case Some(arr) => RefInArr.findAllMatchIn(arr.group(1)).map(_.group(1).toInt).toVector
           case None      => ContentsOne.findFirstMatchIn(o.dict).map(_.group(1).toInt).toVector
         }
+        (refs, pageFonts(o.dict, byNum))
       }
-      .filter(_.nonEmpty)
+      .filter(_._1.nonEmpty)
+
+  /** Resolve `key` in `dict` to a dictionary BODY: either the inline
+    * balanced `<<…>>` that follows the key, or the dict of the object
+    * an `N 0 R` reference points at.
+    */
+  private def dictValue(dict: String, key: String, byNum: Map[Int, PdfObj]): Option[String] = {
+    val at = dict.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    if (dict.startsWith("<<", i)) {
+      var depth = 0
+      var j     = i
+      while (j < dict.length) {
+        if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
+        else if (dict.startsWith(">>", j)) {
+          depth -= 1; j += 2
+          if (depth == 0) return Some(dict.substring(i + 2, j - 2))
+        } else j += 1
+      }
+      None
+    } else
+      """^(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict.substring(i))
+        .flatMap(m => byNum.get(m.group(1).toInt)).map(_.dict)
+  }
+
+  /** The page's `/Resources → /Font` table: every Type0 font maps to
+    * its ToUnicode CMap (name → code → unicode), or to the EMPTY map
+    * when the CMap is absent/unparseable — its strings then skip,
+    * never mojibake (byte-per-char decoding of 2-byte CIDs would
+    * poison the corpus with NUL-interleaved garbage). Simple fonts get
+    * no entry and decode byte-per-char.
+    */
+  private def pageFonts(pageDict: String, byNum: Map[Int, PdfObj]): Map[String, Map[Int, String]] =
+    (for {
+      res  <- dictValue(pageDict, "/Resources", byNum).toSeq
+      fdic <- dictValue(res, "/Font", byNum).toSeq
+      m    <- """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fdic)
+      font <- byNum.get(m.group(2).toInt)
+      if """/Subtype\s*/Type0(?![a-zA-Z])""".r.findFirstIn(font.dict).isDefined
+    } yield m.group(1) -> toUnicodeMap(font.dict, byNum).getOrElse(Map.empty)).toMap
+
+  /** Follow `/ToUnicode N 0 R` to its (possibly Flate-compressed) CMap
+    * stream and parse the `bfchar`/`bfrange` sections.
+    */
+  private def toUnicodeMap(fontDict: String, byNum: Map[Int, PdfObj]): Option[Map[Int, String]] =
+    for {
+      m    <- """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fontDict)
+      obj  <- byNum.get(m.group(1).toInt)
+      text <- decodedStream(obj)
+      cm = parseCMap(text) if cm.nonEmpty
+    } yield cm
+
+  private val BfChar: Regex  = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRange: Regex = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val CharPair: Regex = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+  private val RangeEntry: Regex =
+    """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])""".r
+
+  /** UTF-16BE hex → string (4-digit units; a bare 2-digit value is one
+    * char — both appear in real CMaps).
+    */
+  private def utf16Hex(hex: String): String =
+    if (hex.length % 4 == 0)
+      hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+    else if (hex.length == 2) Integer.parseInt(hex, 16).toChar.toString
+    else ""
+
+  /** `bfchar` pairs + `bfrange` entries (continuous `<lo> <hi> <dst>`
+    * form increments the LAST UTF-16 unit per the CMap spec; the array
+    * form lists one dst per code) → code → unicode map.
+    */
+  private[graft] def parseCMap(text: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    for (block <- BfChar.findAllMatchIn(text); p <- CharPair.findAllMatchIn(block.group(1)))
+      out += Integer.parseInt(p.group(1), 16) -> utf16Hex(p.group(2))
+    for (block <- BfRange.findAllMatchIn(text); e <- RangeEntry.findAllMatchIn(block.group(1))) {
+      val lo = Integer.parseInt(e.group(1), 16)
+      val hi = Integer.parseInt(e.group(2), 16)
+      if (hi >= lo && hi - lo < 65536) {
+        if (e.group(3) != null) {
+          val dst = utf16Hex(e.group(3))
+          if (dst.nonEmpty) {
+            val head = dst.dropRight(1)
+            val last = dst.last.toInt
+            for (code <- lo to hi) out += code -> (head + (last + code - lo).toChar)
+          }
+        } else {
+          val dsts = """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(e.group(4)).map(_.group(1)).toVector
+          for ((code, k) <- (lo to hi).zipWithIndex if k < dsts.length)
+            out += code -> utf16Hex(dsts(k))
+        }
+      }
+    }
+    out.result()
+  }
 
   /** Stream payload, FlateDecode-inflated when the filter says so;
     * unsupported filters yield None (skip, don't throw).
@@ -144,13 +253,21 @@ object SimplePdfExtractor {
 
   /** Walk a content stream: collect shown strings inside `BT…ET`,
     * starting a new line on the cursor-moving text operators and
-    * inserting a word gap for large negative `TJ` kerning.
+    * inserting a word gap for large negative `TJ` kerning. `Tf`
+    * switches the active font; while an Identity-H CID font is
+    * selected, shown strings decode as 2-byte codes through its
+    * ToUnicode map (unmapped codes are skipped, never mojibake).
     */
-  private[sources] def extractText(content: String): String = {
+  private[sources] def extractText(
+      content: String,
+      fonts: Map[String, Map[Int, String]] = Map.empty
+  ): String = {
     val sb       = new mutable.StringBuilder
     var i        = 0
     var inBT     = false
     var arrDepth = 0
+    var lastName = ""
+    var cidMap: Option[Map[Int, String]] = None
     val n        = content.length
 
     def atWord(w: String): Boolean =
@@ -162,20 +279,38 @@ object SimplePdfExtractor {
       if (sb.nonEmpty && sb.last != '\n') sb += '\n'
       else if (sb.nonEmpty) sb += '\n' // second consecutive move → blank line
 
+    def show(raw: String): Unit = cidMap match {
+      case None => sb ++= raw
+      case Some(cm) =>
+        // Identity-H: raw chars are bytes; each 2-byte code maps
+        // through the ToUnicode table
+        var k = 0
+        while (k + 1 < raw.length) {
+          sb ++= cm.getOrElse(((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff), "")
+          k += 2
+        }
+    }
+
     while (i < n) {
       val c = content.charAt(i)
       if (atWord("BT")) { inBT = true; i += 2 }
       else if (atWord("ET")) { inBT = false; newline(); i += 2 }
+      else if (atWord("Tf")) { cidMap = fonts.get(lastName); i += 2 }
       else if (inBT && (atWord("Td") || atWord("TD"))) { newline(); i += 2 }
       else if (inBT && atWord("T*")) { newline(); i += 2 }
       else if (inBT && (c == '\'' || c == '"')) { newline(); i += 1 }
-      else if (c == '(') {
+      else if (c == '/') {
+        var j = i + 1
+        while (j < n && isRegular(content.charAt(j))) j += 1
+        lastName = content.substring(i + 1, j)
+        i = j
+      } else if (c == '(') {
         val (s, next) = parseLiteralString(content, i)
-        if (inBT) sb ++= s
+        if (inBT) show(s)
         i = next
       } else if (c == '<' && i + 1 < n && content.charAt(i + 1) != '<') {
         val (s, next) = parseHexString(content, i)
-        if (inBT) sb ++= s
+        if (inBT) show(s)
         i = next
       } else if (c == '[') { arrDepth += 1; i += 1 }
       else if (c == ']') { arrDepth = math.max(0, arrDepth - 1); i += 1 }

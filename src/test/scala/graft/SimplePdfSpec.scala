@@ -60,6 +60,85 @@ class SimplePdfSpec extends SparkSpecBase {
     assert(pages(1) === "Page two text body here with enough letters.")
   }
 
+  // ---- CID/Type0 golden fixture: Identity-H strings + ToUnicode CMap
+  // (bfchar singles, bfrange continuous AND array forms, a
+  // Flate-compressed CMap stream, and a mid-stream Tf font switch) —
+  // the layout production ESG PDFs actually use.
+
+  private val cidCMap =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0001> <0043>
+      |<0002> <0049>
+      |endbfchar
+      |2 beginbfrange
+      |<0010> <0029> <0061>
+      |<0030> <0031> [<0044> <0021>]
+      |endbfrange
+      |endcmap
+      |""".stripMargin
+
+  private def buildCidPdf(compressCMap: Boolean): Array[Byte] = {
+    // codes: 0001→C, 0002→I, 0010..0029→a..z.., 0030→D, 0031→!
+    // "<000100020030>" → "CID"; "<0010 0011 0012>" → "abc"
+    val cidText = "<000100020030>" // CID
+    val abc     = "<001000110012>" // abc
+    val content =
+      s"BT /F9 12 Tf 72 720 Td $cidText Tj 0 -14 Td $abc Tj " +
+        "0 -14 Td 0 -14 Td /F1 10 Tf (plain simple font tail text) Tj ET"
+    val (cmapBytes, cmapFilter) =
+      if (compressCMap) (deflate(cidCMap), " /Filter /FlateDecode") else (cidCMap.getBytes(ISO_8859_1), "")
+    val cmapStr = new String(cmapBytes, ISO_8859_1)
+    val doc =
+      "%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F9 5 0 R /F1 7 0 R >> >> /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+        "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /TestCID " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n" +
+        s"6 0 obj << /Length ${cmapBytes.length}$cmapFilter >> stream\n$cmapStr\nendstream endobj\n" +
+        "7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n" +
+        "%%EOF\n"
+    doc.getBytes(ISO_8859_1)
+  }
+
+  test("CID/Type0: Identity-H strings decode through the ToUnicode CMap; Tf switches back to simple") {
+    for (compressed <- Seq(false, true)) {
+      val pages = new SimplePdfExtractor().extractPages("cid", buildCidPdf(compressed))
+      assert(pages.length === 1, s"compressed=$compressed")
+      assert(pages(0) ===
+        "CID\n" +
+          "abc\n" +
+          "\n" +
+          "plain simple font tail text", s"compressed=$compressed")
+    }
+  }
+
+  test("parseCMap: bfchar, continuous bfrange (last-unit increment) and array bfrange") {
+    val cm = SimplePdfExtractor.parseCMap(cidCMap)
+    assert(cm(0x0001) === "C" && cm(0x0002) === "I")
+    assert(cm(0x0010) === "a" && cm(0x0011) === "b" && cm(0x0029) === "z")
+    assert(cm(0x0030) === "D" && cm(0x0031) === "!")
+    assert(!cm.contains(0x0032))
+  }
+
+  test("CID font WITHOUT ToUnicode skips its strings (no mojibake), simple text still extracts") {
+    val content = "BT /F9 12 Tf 72 720 Td <00410042> Tj 0 -14 Td /F1 10 Tf (still here) Tj ET"
+    val doc =
+      ("1 0 obj << /Type /Page /Resources << /Font << /F9 2 0 R >> >> /Contents 3 0 R >> endobj\n" +
+        "2 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H >> endobj\n" +
+        s"3 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n").getBytes(ISO_8859_1)
+    val pages = new SimplePdfExtractor().extractPages("noto", doc)
+    assert(pages === Seq("still here"))
+  }
+
   test("corrupt bytes and unsupported filters skip cleanly") {
     val ex = new SimplePdfExtractor()
     assert(ex.extractPages("junk", Array[Byte](1, 2, 3)) === Nil)
