@@ -128,7 +128,10 @@ class StreamSessionSinkSpec extends SparkSpecBase {
   import org.apache.spark.sql.functions._
 
   test("session parquet sink writes exactly the finalized sessions of the memory harness") {
-    val dir    = sf
+    // deliberately sf0.1 (not the spec-default sf0.001): the round-4
+    // verdict asked for the PRODUCTION sink gated at real scale —
+    // 100k events through watermarked session state into parquet
+    val dir    = "/root/testdata/sf0.1"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val out  = java.nio.file.Files.createTempDirectory("sess-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
