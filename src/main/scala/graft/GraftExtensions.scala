@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, KmvDistinctAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -93,6 +93,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       (children: Seq[Expression]) => KmvSketchAgg(children(0),
         GraftExtensions.literalK("kmv_sketch", children, 1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(classOf[FreqTopKAgg].getName, "freq_topk"),
+      (children: Seq[Expression]) => FreqTopKAgg(children(0),
+        GraftExtensions.literalK("freq_topk", children, 1))
     ))
   }
 }

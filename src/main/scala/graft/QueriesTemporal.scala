@@ -211,6 +211,25 @@ object QueriesTemporal {
           countDistinct(col("l_partkey")).as("exact_nd"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- Misra-Gries heavy hitters (native mergeable aggregate,
+    // Agarwal et al. PODS'12 merge rule): per-group top partkeys from
+    // a bounded synopsis — ≤ k (item, count) pairs per group on the
+    // shuffle where groupBy(item).count() would shuffle the whole
+    // domain. k=4096 exceeds the gate corpus's per-group distinct
+    // count, so counts are EXACT here and the oracle hash-checks them;
+    // the lossy-path ε ≤ N/(k+1) contract is spec-checked
+    // (FreqTopKSpec) because MG's decrement path is order-dependent —
+    // no SQL replay exists (same gate split as the SimHash fast
+    // flavor).
+    "x_freq_topk" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("freq_topk(cast(l_partkey as string), 4096)").as("tops"))
+        .select(col("l_returnflag"), posexplode(expr("slice(tops, 1, 10)")).as(Seq("r0", "t")))
+        .select(col("l_returnflag"), (col("r0") + 1).as("rank"),
+          col("t.item").as("partkey"), col("t.cnt").as("n"))
+        .orderBy(col("l_returnflag"), col("rank"))),
+
     // ---- KMV sketch ALGEBRA: per-group synopses answer pairwise
     // overlap (Jaccard / intersection size) without re-scanning the
     // corpus — union sketch = k smallest of the merged synopses,
@@ -420,6 +439,17 @@ object QueriesTemporal {
         | n.exact_nd
         |FROM nd n LEFT JOIN kth k USING (l_returnflag)
         |ORDER BY n.l_returnflag""".stripMargin,
+    // exact replay inside the MG exactness envelope (k > per-group
+    // distinct): per-group counts ranked (n desc, item asc) — the
+    // same total order FreqTopKAgg.eval emits
+    "x_freq_topk" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS partkey,
+        |  count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, partkey, n,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, partkey ASC) AS rn
+        | FROM c)
+        |SELECT l_returnflag, CAST(rn AS INT) AS rank, partkey, n
+        |FROM r WHERE rn <= 10 ORDER BY l_returnflag, rank""".stripMargin,
     "x_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

@@ -133,6 +133,12 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(aggs >= 2, s"two-phase sketch aggregation lost:\n$plan")
   }
 
+  test("freq_topk aggregates with map-side partial summaries") {
+    // ≤ k (item, count) pairs per group on the wire, not the domain
+    val plan = planOf(q("x_freq_topk"))
+    assert(plan.contains("partial_freq_topk"), s"partial MG summary lost:\n$plan")
+  }
+
   test("j10 partitioned fact scan is dynamically pruned (DPP live, partitions-read metric)") {
     val df = q("j10_dpp_join")
     // DPP injected: the partitioned scan carries a runtime pruning
