@@ -205,6 +205,23 @@ object QueriesScale {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- INTRA-document span dedup (the C4 rule: keep only the first
+    // occurrence of a repeated in-doc span). Even doc_ids get the
+    // doc's first 10-token span PREPENDED (span-aligned since every
+    // doc has ≥ 10 tokens), so the duplicate-drop branch and the
+    // no-op branch are both live under the oracle. Shuffle-free
+    // per-row column algebra.
+    "x_dedup_intradoc" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val planted = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(array_join(slice(toks, 1, 10), " "), lit(" "), col("text")))
+        .otherwise(col("text"))
+      CorpusOps.dedupIntraDoc(
+          docs(s, dir).select(col("doc_id"), planted.as("text")),
+          "doc_id", "text", window = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact edit-distance similarity join (ed ≤ 1), PassJoin
     // segment blocking — bounded keyed fan-out, never all-pairs; the
     // oracle IS all-pairs levenshtein (only ever at sf0.01), so any
@@ -979,6 +996,23 @@ object QueriesScale {
     "x_dedup_simhash_agree" -> agreeOracleSql.replace(
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
+    // span build + first-occurrence filter replayed with the same
+    // 1-based list_position the Spark array_position uses
+    "x_dedup_intradoc" ->
+      """WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |p AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |  THEN array_to_string(tk[1:10], ' ') || ' ' || array_to_string(tk, ' ')
+        |  ELSE array_to_string(tk, ' ') END AS text FROM t0),
+        |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM p),
+        |sp AS (SELECT doc_id, list_transform(range(0, (len(tk) + 9) // 10),
+        |  i -> array_to_string(tk[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')) AS spans
+        | FROM t),
+        |k AS (SELECT doc_id, spans,
+        |  list_filter(spans, (s, i) -> list_position(spans, s) = i) AS kept FROM sp)
+        |SELECT doc_id, CAST(len(spans) AS INT) AS n_spans, CAST(len(kept) AS INT) AS n_kept,
+        | array_to_string(kept, ' ') AS cleaned
+        |FROM k ORDER BY doc_id""".stripMargin,
     // the same 10-step replay, carrying `word` so the final symbol
     // table maps back to the corpus; per-doc totals via word join
     "x_bpe_encode" ->

@@ -292,6 +292,39 @@ object CorpusOps {
         least(lit(chunkSize), col("n_tokens") - col("chunk_idx") * stride).as("chunk_tokens"))
   }
 
+  /** INTRA-document span dedup (the C4 cleanup rule: of any repeated
+    * span within a document, keep only the first occurrence): the text
+    * splits into consecutive `window`-token spans, and span i survives
+    * iff it is the FIRST occurrence of its content
+    * (`array_position == i+1`). Boilerplate headers/footers and
+    * copy-paste runs inside one document disappear while cross-doc
+    * dedup (MinHash etc.) handles the corpus level.
+    *
+    * Pure per-row column algebra — shuffle-free, rides the scan like
+    * the quality filters; the span list lives only inside the row's
+    * projection. Output: (id, n_spans, n_kept, cleaned).
+    */
+  def dedupIntraDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    df
+      .select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
+      .withColumn("__spans", expr(
+        s"""transform(sequence(0, cast((size(__toks) + ${window - 1}) / $window as int) - 1),
+           | i -> array_join(slice(__toks, i * $window + 1, $window), ' '))""".stripMargin))
+      .withColumn("__kept", expr(
+        "filter(__spans, (s, i) -> array_position(__spans, s) == i + 1)"))
+      .select(
+        col(idCol),
+        size(col("__spans")).as("n_spans"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), " ").as("cleaned"))
+  }
+
   /** Gap sessionization: events more than `gap` apart (same user)
     * start a new session. Classic cumulative-sum-over-new-session-flag
     * window; the only shuffle is the hash partition by user the window

@@ -162,6 +162,31 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(d2.toSeq === Seq((2L, 0, "a b c", 3)))
   }
 
+  test("dedupIntraDoc drops only repeated spans, keeping first occurrences in order") {
+    val span = (1 to 3).map(i => s"s$i").mkString(" ")   // 3-token span
+    val df = Seq(
+      // spans: [span][x y z][span AGAIN -> dropped][tail w] (window=3)
+      (1L, s"$span x y z $span w"),
+      // no repeats: everything survives, including the short tail
+      (2L, "a b c d"),
+      // three identical spans: only the first survives
+      (3L, s"$span $span $span")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dedupIntraDoc(df, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) === ((1L, 4, 3, s"$span x y z w")))
+    assert(out(1) === ((2L, 2, 2, "a b c d")))
+    assert(out(2) === ((3L, 3, 1, span)))
+  }
+
+  test("dedupIntraDoc is shuffle-free (rides the scan)") {
+    val df = GraftSession.table(spark, sf, "documents")
+    val plan = CorpusOps.dedupIntraDoc(df, "doc_id", "text", window = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"intra-doc dedup gained a shuffle:\n$plan")
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
