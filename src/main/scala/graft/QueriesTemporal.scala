@@ -79,6 +79,29 @@ object QueriesTemporal {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- interval × interval OVERLAP join: two sparse order-window
+    // families paired where they overlap, blocked on 7-day buckets
+    // with the emit-once owner-bucket rule (no distinct over the
+    // output; never a nested loop). The oracle is the all-pairs
+    // overlap predicate.
+    "x_overlap_join" -> ((s, dir) => {
+      val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
+      val a = table(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(200)) === 0)
+        .select(col("o_orderkey").as("a_key"), odUs.as("a_start"),
+          (odUs + (expr("(o_orderkey div 200) % 5") + 1) * DayUs).as("a_end"))
+      val b = table(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(170)) === 0)
+        .select(col("o_orderkey").as("b_key"), odUs.as("b_start"),
+          (odUs + (expr("(o_orderkey div 170) % 7") + 1) * DayUs).as("b_end"))
+      Temporal.overlapJoin(a, b, "a_start", "a_end", "b_start", "b_end",
+          bucketWidth = 7 * DayUs)
+        .select(col("a_key"), col("b_key"),
+          (least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
+            .as("overlap_us"))
+        .orderBy(col("a_key"), col("b_key"))
+    }),
+
     // ---- trailing-hour moving aggregates + inter-event gap per user.
     // RANGE frame includes timestamp peers on both engines; the gap
     // lag is tie-broken by event_id so equal-timestamp rows order
@@ -269,6 +292,33 @@ object QueriesTemporal {
     // sorts each group; the 100 TB path is approx_percentile (t-digest
     // sketch, map-side combinable) — parity bounds spec'd in
     // TemporalSpec, not oracle-gated (sketches are engine-specific).
+    // ---- per-group OLS regression (price-vs-quantity trend per
+    // returnflag): closed-form slope/intercept from EXACT integer
+    // sums — x is the integral quantity, y is the price in cents
+    // (round(·100), the w2 convention), so Σx/Σy/Σxy/Σx² are all
+    // overflow-safe BIGINTs (bounded by the l_partkey < 200 slice)
+    // and both engines divide the same exact numbers in double. One
+    // map-side-combinable aggregation; regr_slope/regr_covar would
+    // float-drift across engines.
+    "x_regr_group" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_partkey") < 200)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")), 6).as("slope_cents"),
+          round((col("sy").cast("double") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              col("sx").cast("double")) / col("n").cast("double"), 6).as("intercept_cents"))
+        .orderBy(col("l_returnflag"))),
+
     "x_percentiles" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -306,6 +356,17 @@ object QueriesTemporal {
         |SELECT o_orderkey, count(*) AS n_pts,
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_overlap_join" ->
+      """WITH a AS (SELECT o_orderkey AS a_key, epoch_us(o_orderdate) AS a_start,
+        |  epoch_us(o_orderdate) + ((o_orderkey // 200) % 5 + 1) * 86400000000 AS a_end
+        | FROM orders WHERE o_orderkey % 200 = 0),
+        |b AS (SELECT o_orderkey AS b_key, epoch_us(o_orderdate) AS b_start,
+        |  epoch_us(o_orderdate) + ((o_orderkey // 170) % 7 + 1) * 86400000000 AS b_end
+        | FROM orders WHERE o_orderkey % 170 = 0)
+        |SELECT a_key, b_key,
+        | least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+        |FROM a JOIN b ON greatest(a_start, b_start) <= least(a_end, b_end)
+        |ORDER BY a_key, b_key""".stripMargin,
     "x_window_moving" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
         |SELECT event_id, user_id, us,
@@ -450,6 +511,20 @@ object QueriesTemporal {
         | FROM c)
         |SELECT l_returnflag, CAST(rn AS INT) AS rank, partkey, n
         |FROM r WHERE rn <= 10 ORDER BY l_returnflag, rank""".stripMargin,
+    // identical exact-integer closed form: same sums, same double ops
+    "x_regr_group" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        | FROM lineitem WHERE l_partkey < 200),
+        |s AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * x) AS sxx, sum(x * y) AS sxy FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |  AS slope_cents,
+        | round((CAST(sy AS DOUBLE) -
+        |   CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cents
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "x_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

@@ -128,6 +128,44 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Interval-interval OVERLAP join: pair every left interval with
+    * every right interval it overlaps (`max(starts) <= min(ends)`,
+    * closed intervals) — the other non-equi temporal join shape
+    * ([[rangeJoin]] covers interval × point).
+    *
+    * Both sides explode to their covered buckets, so an overlapping
+    * pair can meet in SEVERAL buckets. Instead of a distinct (a full
+    * extra shuffle of the output), each candidate pair is kept only in
+    * its OWNER bucket — the bucket containing max(start_a, start_b),
+    * which every genuine overlap has exactly one of (the overlap
+    * region starts there). Emit-exactly-once falls out of the same
+    * equi-join, costing one comparison instead of a dedup exchange —
+    * the detail that matters when the output is fact-scale.
+    *
+    * Replication bound: (interval length / bucketWidth) + 1 per row,
+    * independent of corpus size; same width-tuning trade as rangeJoin.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column) = call_function("div", c.cast("long"), lit(bucketWidth))
+    val l = left.withColumn(
+      "__bucket", explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val r = right.withColumn(
+      "__bucket", explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    l.join(r, Seq("__bucket"))
+      .filter(greatest(col(lStart), col(rStart)) <= least(col(lEnd), col(rEnd)))
+      .filter(col("__bucket") === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("__bucket")
+  }
+
   /** Time-series regularization: bucket each key's events onto a
     * fixed `step` grid, materialize the MISSING buckets between the
     * key's first and last observation, and forward-fill values

@@ -128,6 +128,39 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("overlapJoin ≡ brute force, emits each pair EXACTLY once (any bucket width)") {
+    val rnd = new scala.util.Random(99)
+    for (round <- 1 to 3) {
+      val as = (1 to 40).map { i =>
+        val lo = rnd.nextInt(400).toLong; (i.toLong, lo, lo + rnd.nextInt(80).toLong)
+      }
+      val bs = (1 to 40).map { i =>
+        val lo = rnd.nextInt(400).toLong; (i.toLong, lo, lo + rnd.nextInt(80).toLong)
+      }
+      // width 1..6 makes most intervals span MANY buckets — the
+      // emit-once owner rule is what keeps pairs unique here
+      val got = Temporal.overlapJoin(
+          as.toDF("a_id", "a_lo", "a_hi"), bs.toDF("b_id", "b_lo", "b_hi"),
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 1 + rnd.nextInt(6).toLong)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      val expected = (for {
+        (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+        if math.max(alo, blo) <= math.min(ahi, bhi)
+      } yield (ai, bi)).sorted
+      assert(got.sorted == expected, s"round $round diverged")
+      assert(got.distinct.size == got.size, s"round $round emitted duplicates")
+    }
+  }
+
+  test("overlapJoin plans an equi-join on the bucket, never a nested loop") {
+    val a = Seq((1L, 0L, 4L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((2L, 3L, 9L)).toDF("b_id", "b_lo", "b_hi")
+    val plan = Temporal.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"overlap join degraded to a nested loop:\n$plan")
+  }
+
   test("gapFill ≡ brute force on randomized series (seeded)") {
     val rnd = new scala.util.Random(77)
     val events = (1 to 200).map(_ =>
