@@ -314,6 +314,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // J11: Z-order-clustered layout under the oracle — the rewrite is
+    // semantics-free (same rows, different file order), so the oracle
+    // is the identical box query over the RAW table; what the layout
+    // buys (2-D row-group pruning) is metric-asserted in ScaleSpec.
+    "j11_zorder_scan" -> ((s, dir) => {
+      val ev0  = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val zdir = java.nio.file.Files.createTempDirectory("graft-zorder-gate").toString
+      val z    = graft.ops.Scale.writeZOrdered(ev0, zdir, "user_id", "value")
+      z.filter(col("user_id").between(100, 160) && col("value").between(50, 80))
+        .agg(count(lit(1)).as("n_events"),
+          round(coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).cast("double"), 2).as("sum_value"),
+          coalesce(min(col("event_id")), lit(-1L)).as("min_event"))
+    }),
+
     "j6_semi_join" -> ((s, dir) => {
       val o = ord(s, dir).filter(col("o_totalprice") > 100000)
       cust(s, dir)
@@ -421,6 +436,12 @@ object SparkEntry {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "j11_zorder_scan" ->
+      """SELECT count(*) AS n_events,
+        | round(CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS sum_value,
+        | coalesce(min(event_id), -1) AS min_event
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 50 AND 80""".stripMargin,
     "j10_dpp_join" ->
       """WITH e AS (SELECT event_type, value,
         |  CAST(epoch_us(ts) // 86400000000 AS INT) AS event_day FROM events),

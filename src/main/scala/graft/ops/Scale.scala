@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale layout techniques: bucketed co-located joins and
@@ -65,6 +65,64 @@ object Scale {
       partitionCols: Seq[String]
   ): DataFrame = {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Morton (Z-order) interleave of two columns scaled to `bits`-bit
+    * grid cells: bit i of each scaled value lands at output bits 2i /
+    * 2i+1, so rows close in BOTH dimensions get close z-values. Pure
+    * column algebra (codegen'd shift/mask terms), no UDF.
+    */
+  def zorderValue(a: Column, b: Column, aMin: Double, aMax: Double,
+      bMin: Double, bMax: Double, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 21, "bits must be in [1, 21]")
+    val cells = (1L << bits) - 1
+    // multiply BEFORE dividing: (v/range)*cells truncates a cell low
+    // whenever the quotient rounds under an integer (1/3*3 < 1.0)
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(greatest(
+        ((c.cast("double") - lit(lo)) * cells / lit(hi - lo)).cast("long"),
+        lit(0L)), lit(cells))
+    val (za, zb) = (scaled(a, aMin, aMax), scaled(b, bMin, bMax))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order-clustered rewrite — the multi-column data-skipping layout
+    * (the lever partitioning and bucketing don't give: BOTH of two
+    * numeric dimensions stay selective). Rows sort by their Morton
+    * code into range-partitioned files, so every file's parquet
+    * row-group min/max envelope is tight in BOTH dimensions and a
+    * 2-D box predicate prunes most row groups at scan time — scans
+    * read a corner of the data, not a stripe. The min/max probe is one
+    * bounded layout-time action (this is a write-side operator, like
+    * [[writeBucketed]]).
+    *
+    * Semantics-free: the rewritten table holds exactly the input rows
+    * (the oracle for any query over it is the same query over the
+    * original), which is what makes the layout safely droppable.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      bits: Int = 16,
+      numFiles: Int = 16
+  ): DataFrame = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val z = zorderValue(col(colA), col(colB),
+      r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 

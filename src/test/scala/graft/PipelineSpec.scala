@@ -72,15 +72,7 @@ class PipelineSpec extends SparkSpecBase {
     // collect() executes THIS QueryExecution (count() builds another one)
     assert(q.collect().length ===
       src.filter(col("o_orderpriority") === "1-URGENT").count())
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: QueryStageExec        => scans(s.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case other                    => other.children.flatMap(scans)
-    }
-    val scan = scans(q.queryExecution.executedPlan).headOption
+    val scan = fileScans(q.queryExecution.executedPlan).headOption
     assert(scan.exists(_.metrics("numPartitions").value === 1),
       s"partition filter did not prune the listing")
   }

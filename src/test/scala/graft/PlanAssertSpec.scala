@@ -149,17 +149,7 @@ class PlanAssertSpec extends SparkSpecBase {
     df.collect()
     // and it actually pruned: the fact scan read only the dow==2 day
     // directories, not all of them
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // AQE hides subtrees inside ASPE.executedPlan / QueryStageExec.plan
-    // (not children), so a plain collect can't see the scans
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: QueryStageExec        => scans(s.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case other                    => other.children.flatMap(scans)
-    }
-    val partitioned = scans(df.queryExecution.executedPlan)
+    val partitioned = fileScans(df.queryExecution.executedPlan)
       .filter(_.relation.partitionSchema.nonEmpty)
     assert(partitioned.nonEmpty, "no partitioned scan found in the executed plan")
     val scan = partitioned.head

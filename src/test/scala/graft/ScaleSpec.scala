@@ -51,6 +51,42 @@ class ScaleSpec extends SparkSpecBase {
     assert(mismatches.count() === 0)
   }
 
+  test("z-ordered layout prunes row groups for a 2-D box predicate; linear layout cannot") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val ldir = java.nio.file.Files.createTempDirectory("linear").toString
+    val z = Scale.writeZOrdered(ev, zdir, "user_id", "value", bits = 16, numFiles = 16)
+    ev.repartition(16).write.mode("overwrite").parquet(ldir)
+    val l = spark.read.parquet(ldir)
+    def boxScanRows(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val q = df.filter(col("user_id").between(100, 160) && col("value").between(50, 80))
+      val n = q.collect().length.toLong
+      (n, fileScans(q.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum)
+    }
+    val (zN, zScanned) = boxScanRows(z)
+    val (lN, lScanned) = boxScanRows(l)
+    assert(zN === lN, "layouts must return identical rows")
+    assert(zN > 0, "box must select something or the test is vacuous")
+    // round-robin files span the full (user, value) range → their
+    // row-group stats prune nothing
+    assert(lScanned === ev.count(), s"linear layout unexpectedly pruned ($lScanned)")
+    // the z-sorted files' min/max envelopes are tight in BOTH dims →
+    // most row groups skip
+    assert(zScanned * 2 < lScanned,
+      s"z-order did not prune: scanned $zScanned of $lScanned")
+  }
+
+  test("zorderValue interleaves bits so 2-D proximity maps to value proximity") {
+    import Scale.zorderValue
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L)).toDF("a", "b")
+    val zs = df.select(zorderValue(col("a"), col("b"), 0, 3, 0, 3, bits = 2).as("z"))
+      .as[Long].collect().toSeq
+    // grid (a,b) scaled to [0,3]: morton codes 0,1,2,15
+    assert(zs === Seq(0L, 1L, 2L, 15L))
+  }
+
   test("salted join equals the plain join") {
     val li = GraftSession.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
