@@ -134,6 +134,46 @@ object QueriesExt {
         .orderBy(col("page"), col("para_idx"))
     }),
 
+    // S5 hardened: PERMISSIVE CSV ingest with corrupt-record
+    // quarantine — production files carry broken lines, and silently
+    // dropping them (DROPMALFORMED) loses data while failing the job
+    // (FAILFAST) loses the day. Well-formed rows land typed, malformed
+    // lines land whole in _corrupt_record; the query reports both
+    // streams (clean aggregate + quarantine count) so the oracle pins
+    // the split exactly. Fixture: nation rows, every 5th line mangled
+    // (non-numeric key, dropped column).
+    "s5_csv_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val rows = nat(s, dir)
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .orderBy(col("n_nationkey")).collect() // dim-scale fixture build
+      val lines = rows.map { r =>
+        val (k, nm, rk) = (r.getLong(0), r.getString(1), r.getLong(2))
+        if (k % 5 == 0) s"not_a_number;$nm" // mangled: bad key, missing col
+        else s"$k;$nm;$rk"
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("csv-quarantine")
+      java.nio.file.Files.write(tmp.resolve("nations.csv"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("nationkey", LongType), StructField("name", StringType),
+        StructField("regionkey", LongType), StructField("_corrupt_record", StringType)))
+      val read = s.read.schema(schema)
+        .option("sep", ";").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(tmp.toString)
+        // filtering on _corrupt_record next to data columns needs a
+        // materialized frame (Spark disallows the lazy mix)
+        .cache()
+      val clean = read.filter(col("_corrupt_record").isNull)
+        .groupBy(col("regionkey"))
+        .agg(count(lit(1)).as("n_ok"), min(col("name")).as("first_name"))
+      val bad = read.filter(col("_corrupt_record").isNotNull)
+        .agg(lit(-1L).as("regionkey"), count(lit(1)).as("n_ok"),
+          min(col("_corrupt_record")).as("first_name"))
+      clean.unionByName(bad).orderBy(col("regionkey"))
+    }),
+
     // S4 under the oracle gate: nation → written as a real .xlsx
     // (inline strings) → read back through the JDK-only OOXML decode
     // path → typed projection the oracle recomputes from the parquet
@@ -511,6 +551,17 @@ object QueriesExt {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // replays the fixture rule: every 5th nation line was mangled into
+    // the quarantine stream, the rest parse clean
+    "s5_csv_quarantine" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey, count(*) AS n_ok,
+        | min(n_name) AS first_name
+        |FROM nation WHERE n_nationkey % 5 <> 0 GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS regionkey, count(*) AS n_ok,
+        | min('not_a_number;' || n_name) AS first_name
+        |FROM nation WHERE n_nationkey % 5 = 0
+        |ORDER BY regionkey""".stripMargin,
     "a2_sum_groupby" ->
       """SELECT o_orderpriority, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
