@@ -147,6 +147,24 @@ object QueriesTemporal {
           col("g_status"), col("g_priority"), col("n"), col("sum_price"))
         .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))),
 
+    // ---- ARBITRARY GROUPING SETS (the combination ROLLUP/CUBE can't
+    // express: two disjoint single-dimension summaries in ONE pass —
+    // one Expand, one exchange, where two separate groupBys would
+    // scan the fact table twice)
+    "x_grouping_sets" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"), col("n"), col("sum_price"))
+        .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))),
+
     // ---- PIVOT (reverse of r4_unpivot): order counts by priority ×
     // status. Explicit value list — with values known up front Spark
     // plans a single pivot aggregate, no distinct-values pre-scan.
@@ -394,6 +412,15 @@ object QueriesTemporal {
         | count(*) AS n,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+    "x_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "x_pivot" ->
       """SELECT o_orderpriority,
