@@ -444,6 +444,22 @@ object QueriesScale {
         .orderBy(col("domain"))
     }),
 
+    // ---- URL-keyed dedup: crawl variants of the same page
+    // (http/https, WWW., trailing slash, query string, fragment)
+    // collapse to one canonical key — the first dedup pass of any
+    // web corpus, cheaper than any content hash
+    "x_dedup_url" -> ((s, dir) => {
+      val linked = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" ref http://WWW.Site"), pmod(col("doc_id"), lit(5)),
+            lit(".com/page/"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" ref https://site"), pmod(col("doc_id"), lit(5)),
+            lit(".com/page?utm=x#frag"))).otherwise(lit(""))).as("text"))
+      CorpusOps.dedupByUrl(linked, "doc_id", "text")
+        .orderBy(col("canon"))
+    }),
+
     // ---- BPE tokenizer TRAINING: learn the first 10 merge rules from
     // the corpus (argmax adjacent-pair frequency over the word-count
     // vocabulary, lexicographic tie-break → fully deterministic). The
@@ -1468,6 +1484,22 @@ object QueriesScale {
          |FROM c WHERE copies >= 1
          |ORDER BY doc_id, copy_idx""".stripMargin
     },
+    "x_dedup_url" ->
+      s"""WITH linked AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |   THEN ' ref http://WWW.Site' || (doc_id % 5) || '.com/page/' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0
+         |   THEN ' ref https://site' || (doc_id % 5) || '.com/page?utm=x#frag' ELSE '' END AS text
+         | FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${CorpusOps.UrlRe}')) AS url
+         | FROM linked),
+         |c AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |   lower(regexp_replace(url, '^https?://', '')),
+         |   '^www\\.', ''), '[?#].*$$', ''), '/$$', '') AS canon
+         | FROM u)
+         |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_occurrences
+         |FROM c GROUP BY 1 ORDER BY canon""".stripMargin,
     "x_url_domains" ->
       s"""WITH linked AS (
          | SELECT doc_id, text ||

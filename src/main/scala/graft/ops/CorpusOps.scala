@@ -260,6 +260,40 @@ object CorpusOps {
       .select(col(idCol), explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
       .withColumn("domain", lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1)))
 
+  /** Canonical form of a URL for dedup keying — the web-corpus rule
+    * set: scheme dropped, whole URL lowercased (aggressive keying:
+    * case-variant paths that serve the same page collapse; the rare
+    * genuinely case-distinct path pair costs one extra near-dup check
+    * downstream), `www.` stripped, query string / fragment / trailing
+    * slash removed. Two crawls of the same page under
+    * `http://WWW.x.com/a?utm=…#frag` and `https://x.com/a/` collapse
+    * to one key. Pure regex column algebra, identical in the SQL
+    * oracle.
+    */
+  def canonicalUrl(url: Column): Column =
+    // query-strip BEFORE slash-strip, in separate passes: a single
+    // alternation pass can't drop the slash in "/page/?q=1" because
+    // its $ still sees the query text
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_replace(url, "^https?://", "")),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
+  /** URL-keyed dedup: extract links, canonicalize, keep ONE row per
+    * canonical URL (minimum doc id — deterministic), with the
+    * occurrence count. The first dedup pass of any web-scale corpus —
+    * cheaper than any content hash because the key is right there in
+    * the text. One map-side-combinable aggregation.
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    extractUrls(df, idCol, textCol)
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_occurrences"))
+
   /** Overlapping token-window chunking — the standard context-window
     * splitter for pretraining/RAG ingestion: chunks of `chunkSize`
     * tokens starting every `chunkSize - overlap`, the last chunk

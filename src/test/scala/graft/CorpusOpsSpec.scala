@@ -162,6 +162,22 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(d2.toSeq === Seq((2L, 0, "a b c", 3)))
   }
 
+  test("canonicalUrl collapses crawl variants; dedupByUrl keeps min doc per key") {
+    val df = Seq(
+      (5L, "a http://WWW.Example.com/Page/ b"),
+      (3L, "c https://example.com/Page?utm=1#x d"),
+      (9L, "e https://example.com/page f"),
+      (7L, "g http://other.org/ h")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dedupByUrl(df, "doc_id", "text")
+      .orderBy("canon").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      // scheme/WWW/slash/query/case variants all merge; min doc id kept
+      ("example.com/page", 3L, 3L),
+      ("other.org", 7L, 1L)))
+  }
+
   test("dedupIntraDoc drops only repeated spans, keeping first occurrences in order") {
     val span = (1 to 3).map(i => s"s$i").mkString(" ")   // 3-token span
     val df = Seq(
