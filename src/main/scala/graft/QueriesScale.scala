@@ -444,6 +444,23 @@ object QueriesScale {
         .orderBy(col("domain"))
     }),
 
+    // ---- accent-strip text normalization (the match-key prep step
+    // before exact/fuzzy dedup on multilingual corpora): lower →
+    // 1:1 accent fold via translate (both engines run the identical
+    // mapping string — no ICU dependency) → whitespace collapse.
+    // Planted accented phrases keep the fold live under the oracle.
+    "x_text_normalize" -> ((s, dir) => {
+      val accented = when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(" Café MÜNCHEN São naïve Résumé ")).otherwise(lit(" plain Tail "))
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(
+            translate(lower(concat(col("text"), accented)),
+              "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy"),
+            "\\s+", " ").as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- URL-keyed dedup: crawl variants of the same page
     // (http/https, WWW., trailing slash, query string, fragment)
     // collapse to one canonical key — the first dedup pass of any
@@ -1484,6 +1501,14 @@ object QueriesScale {
          |FROM c WHERE copies >= 1
          |ORDER BY doc_id, copy_idx""".stripMargin
     },
+    "x_text_normalize" ->
+      """SELECT doc_id,
+        | regexp_replace(translate(lower(text ||
+        |   CASE WHEN doc_id % 3 = 0 THEN ' Café MÜNCHEN São naïve Résumé '
+        |        ELSE ' plain Tail ' END),
+        |  'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ', 'aaaaaaceeeeiiiinooooouuuuyy'),
+        |  '\s+', ' ', 'g') AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_dedup_url" ->
       s"""WITH linked AS (SELECT doc_id, text ||
          |  CASE WHEN doc_id % 3 = 0
