@@ -98,6 +98,19 @@ object QueriesScale {
     "x_neardup_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(plantedEmb(s, dir), "vec_id", "embedding", 0.99, planes = 4)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- SEMANTIC dedup end to end: the embedding twin of
+    // x_dedup_apply — cosine near-dup pairs (sign-plane blocked) →
+    // connected components → surviving corpus with n_merged. The same
+    // resolution machinery serves both modalities; the oracle chains
+    // the cosine-pair SQL into the recursive closure.
+    "x_dedup_semantic" -> ((s, dir) => {
+      val e = plantedEmb(s, dir)
+      val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.99, planes = 4)
+      Dedup.applyDedup(e.select(col("vec_id").as("id")), "id", pairs)
+        .select(col("id"), col("n_merged"))
+        .orderBy(col("id"))
+    }),
     "x_ann_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -1177,6 +1190,35 @@ object QueriesScale {
          |FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE round($cos, 4) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    // the cosine-pair CTE chained into the recursive closure + keep-one
+    "x_dedup_semantic" -> {
+      val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"
+      s"""WITH RECURSIVE corpus AS (SELECT vec_id AS id, embedding FROM embeddings
+         | UNION ALL SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 2 AS REAL))
+         |  FROM embeddings WHERE vec_id < 20),
+         |k AS (SELECT id, embedding AS v,
+         |  sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         | FROM corpus),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
+         | WHERE round($cos, 4) >= 0.99),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1)
+         |SELECT c.id, coalesce(s.csize, 1) AS n_merged
+         |FROM corpus c
+         |LEFT JOIN comp ON c.id = comp.id
+         |LEFT JOIN sizes s ON comp.cluster = s.cluster
+         |WHERE comp.id IS NULL OR c.id = comp.cluster
+         |ORDER BY c.id""".stripMargin
     },
     "x_ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
