@@ -99,6 +99,21 @@ object QueriesScale {
       Dedup.embeddingNearDupPairs(plantedEmb(s, dir), "vec_id", "embedding", 0.99, planes = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- INCREMENTAL dedup against a persistent LSH index: the base
+    // corpus is signed+banded once into a partitioned index; the
+    // "new crawl" (the planted variants) probes it — base text is
+    // never re-read. Same pairs as batch LSH restricted to
+    // (base × new), which is exactly what the oracle replays.
+    "x_dedup_incremental" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val fresh = base.filter(col("id") < 25)
+        .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      Dedup.writeMinhashIndexMd5(base, "id", "text", path)
+      Dedup.probeMinhashIndexMd5(s, path, fresh, "id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- SEMANTIC dedup end to end: the embedding twin of
     // x_dedup_apply — cosine near-dup pairs (sign-plane blocked) →
     // connected components → surviving corpus with n_merged. The same
@@ -1157,6 +1172,26 @@ object QueriesScale {
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
          | FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b,
+         | round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) AS est_jaccard
+         |FROM cand
+         |WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the batch replay restricted to (base x new) — the side split IS
+    // the incremental-probe semantics
+    "x_dedup_incremental" ->
+      s"""WITH $CorpusSql,
+         |$ShinglesSql,
+         |sig AS (SELECT id, list_transform(range(0, 12),
+         |  k -> list_min(list_transform(shs, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+         | FROM sh WHERE len(shs) > 0),
+         |banded AS (SELECT id, sig, tb.b AS band,
+         |  array_to_string(list_slice(sig, tb.b * 3 + 1, tb.b * 3 + 3), '|') AS bucket
+         | FROM sig, range(0, 4) tb(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         | WHERE a.id < 10000 AND b.id >= 10000)
          |SELECT id_a, id_b,
          | round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) AS est_jaccard
          |FROM cand

@@ -420,6 +420,34 @@ object Dedup {
     * equi-join → estimated-Jaccard verify. Returns
     * (id_a, id_b, est_jaccard).
     */
+  /** (id, sig, band, bucket) banded md5 signatures — the shared stage
+    * behind the self-join pair finder and the persistent index.
+    */
+  private def bandedSigsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), shinglesOf(col("ts"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignatureMd5(col("sh"), numHashes).as("sig"))
+      .select(
+        col("id"),
+        col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("|", slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minhashLshPairsMd5(
       df: DataFrame,
       idCol: String,
@@ -429,21 +457,7 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
-      .select(col("id"), shinglesOf(col("ts"), w).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignatureMd5(col("sh"), numHashes).as("sig"))
-    val banded = sig.select(
-      col("id"),
-      col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-      }: _*)).as("bb")
-    ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedSigsMd5(df, idCol, textCol, w, numHashes, bands)
       // single materialized banded stage reused by both self-join sides
       .repartition(col("band"), col("bucket"))
     val est = aggregate(
@@ -456,6 +470,65 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** PERSISTENT MinHash-LSH band index — the incremental-dedup layout:
+    * signatures+bands of the existing corpus computed ONCE and written
+    * `partitionBy(band)`, sorted by bucket within files. Each crawl
+    * increment then probes the index instead of re-signing the whole
+    * corpus (the dominant cost at 100 TB, where the increment is a
+    * fraction of a percent of the index): probe bands equi-join the
+    * stored bands, bucket-sorted files give parquet-stat pruning
+    * within each band partition. Same build-once/probe-many pattern
+    * as [[Similarity.writeIvfIndexQuantized]].
+    */
+  def writeMinhashIndexMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      w: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4
+  ): Unit =
+    bandedSigsMd5(df, idCol, textCol, w, numHashes, bands)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Probe the [[writeMinhashIndexMd5]] index with a NEW document
+    * increment: new docs band exactly as the index did, candidates
+    * come from the (band, bucket) equi-join, and the estimated-Jaccard
+    * verify runs on the signatures both sides already carry — the
+    * corpus text is never touched again. Returns
+    * (id_a = indexed id, id_b = new id, est_jaccard).
+    */
+  def probeMinhashIndexMd5(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val index  = spark.read.parquet(path)
+    val probes = bandedSigsMd5(newDocs, idCol, textCol, w, numHashes, bands)
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v
+    ).cast("double") / lit(numHashes.toDouble)
+    index.as("a")
+      .join(probes.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))

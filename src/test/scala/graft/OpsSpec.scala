@@ -94,6 +94,28 @@ class DedupSpec extends SparkSpecBase {
     assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.4))
   }
 
+  test("persistent LSH index probe ≡ batch LSH restricted to (base × new)") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val base  = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val fresh = base.filter(col("id") < 10)
+      .select((col("id") + 5000).as("id"), concat(col("text"), lit(" zz")).as("text"))
+    val path = java.nio.file.Files.createTempDirectory("lsh-index-spec").toString
+    Dedup.writeMinhashIndexMd5(base, "id", "text", path)
+    val probed = Dedup.probeMinhashIndexMd5(spark, path, fresh, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: batch LSH over base ∪ new, keep only cross-side pairs
+    val batch = Dedup.minhashLshPairsMd5(base.unionByName(fresh), "id", "text")
+      .filter(col("id_a") < 5000 && col("id_b") >= 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed === batch)
+    assert(probed.nonEmpty, "planted variants must probe-hit or the test is vacuous")
+    // index layout: one directory per band
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("band=")).toSeq
+    assert(dirs.sorted === Seq("band=0", "band=1", "band=2", "band=3"))
+  }
+
   test("xxhash64 minhash flavor agrees on the exact-dup pair") {
     val out = Dedup.minhashLshPairs(docs, "id", "text", w = 3, numHashes = 16, bands = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
