@@ -114,6 +114,26 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- the same incremental probe ONLINE: the new-crawl increment
+    // arrives as a document STREAM and probes the persistent index
+    // per micro-batch (stateless banding + stream-static join) —
+    // batch x_dedup_incremental is the oracle semantics, so the same
+    // SQL gates both
+    "s9_stream_neardup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val fresh = base.filter(col("id") < 25)
+        .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
+      val indexPath = java.nio.file.Files.createTempDirectory("graft-lsh-sindex").toString
+      Dedup.writeMinhashIndexMd5(base, "id", "text", indexPath)
+      val freshDir = java.nio.file.Files.createTempDirectory("graft-lsh-stream").toString
+      fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
+      val name = s"stream_neardup_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamIncrementalDedup(
+        s, indexPath, freshDir, fresh.schema, name)
+      q.awaitTermination()
+      s.table(name).orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- SEMANTIC dedup end to end: the embedding twin of
     // x_dedup_apply — cosine near-dup pairs (sign-plane blocked) →
     // connected components → surviving corpus with n_merged. The same
@@ -756,6 +776,28 @@ object QueriesScale {
        |  range(1, greatest(len(toks) - 2, 0) + 1),
        |  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs FROM t)""".stripMargin
 
+  /** Batch LSH replay restricted to (base × new): the oracle for both
+    * the batch index probe and its streaming twin.
+    */
+  private val IncrementalLshSql: String =
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |sig AS (SELECT id, list_transform(range(0, 12),
+       |  k -> list_min(list_transform(shs, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+       | FROM sh WHERE len(shs) > 0),
+       |banded AS (SELECT id, sig, tb.b AS band,
+       |  array_to_string(list_slice(sig, tb.b * 3 + 1, tb.b * 3 + 3), '|') AS bucket
+       | FROM sig, range(0, 4) tb(b)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       | FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket
+       | WHERE a.id < 10000 AND b.id >= 10000)
+       |SELECT id_a, id_b,
+       | round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) AS est_jaccard
+       |FROM cand
+       |WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Ground truth for both agreement queries: ALL pairs with true
     * 3-shingle jaccard ≥ 0.9 — algorithm-independent, so the same SQL
     * oracles both the minhash- and the simhash-blocked flavor. The
@@ -1178,25 +1220,11 @@ object QueriesScale {
          |WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     // the batch replay restricted to (base x new) — the side split IS
-    // the incremental-probe semantics
-    "x_dedup_incremental" ->
-      s"""WITH $CorpusSql,
-         |$ShinglesSql,
-         |sig AS (SELECT id, list_transform(range(0, 12),
-         |  k -> list_min(list_transform(shs, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
-         | FROM sh WHERE len(shs) > 0),
-         |banded AS (SELECT id, sig, tb.b AS band,
-         |  array_to_string(list_slice(sig, tb.b * 3 + 1, tb.b * 3 + 3), '|') AS bucket
-         | FROM sig, range(0, 4) tb(b)),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-         | FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.bucket = b.bucket
-         | WHERE a.id < 10000 AND b.id >= 10000)
-         |SELECT id_a, id_b,
-         | round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) AS est_jaccard
-         |FROM cand
-         |WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+    // the incremental-probe semantics; the STREAMING probe has the
+    // same batch semantics (stateless banding + stream-static join),
+    // so one SQL gates both flavors
+    "x_dedup_incremental" -> IncrementalLshSql,
+    "s9_stream_neardup" -> IncrementalLshSql,
     "x_dedup_simhash" ->
       s"""WITH $CorpusSql,
          |t AS (SELECT id, ${toksSql("text")} AS toks FROM corpus),

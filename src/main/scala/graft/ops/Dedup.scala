@@ -423,7 +423,7 @@ object Dedup {
   /** (id, sig, band, bucket) banded md5 signatures — the shared stage
     * behind the self-join pair finder and the persistent index.
     */
-  private def bandedSigsMd5(
+  private[graft] def bandedSigsMd5(
       df: DataFrame,
       idCol: String,
       textCol: String,

@@ -81,6 +81,48 @@ object EventsStream {
       .start()
   }
 
+  /** STREAMING incremental dedup: the document stream probes the
+    * persistent MinHash-LSH band index ([[graft.ops.Dedup
+    * .writeMinhashIndexMd5]]) online — signature/banding is stateless
+    * projection on the stream, the index joins stream-static (no
+    * stream state), and the estimated-Jaccard verify runs on stored
+    * signatures, so an arriving crawl increment is deduped against
+    * the full corpus without re-reading it. `dropDuplicates` folds
+    * multi-band hits of the same pair; its state is bounded by the
+    * emitted pair set (at corpus scale, watermark + within-watermark
+    * dedup bounds it by time instead).
+    */
+  def streamIncrementalDedup(
+      spark: SparkSession,
+      indexPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      queryName: String,
+      threshold: Double = 0.5
+  ): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(newDocsDir)
+    val banded = graft.ops.Dedup.bandedSigsMd5(src, "id", "text",
+      w = 3, numHashes = 12, bands = 4)
+    val index = spark.read.parquet(indexPath)
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(12.0)
+    banded.as("b")
+      .join(index.as("a"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream time-bounded join: every view event pairs with the
     * same user's purchases in the trailing hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so
