@@ -41,6 +41,9 @@ object Bench {
     "x_editdist_join",
     "x_corpus_pipeline",
     "x_bpe_merges",
+    "x_overlap_join",
+    "x_freq_topk",
+    "x_dedup_incremental",
     "s9_stream_window",
     "s9_stream_sessions"
   )
