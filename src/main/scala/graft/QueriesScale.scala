@@ -555,13 +555,18 @@ object QueriesScale {
     // table (final symbols, lexicographic-rank ids) + per-doc id
     // sequences in document word order. Same vocab-sized fold as
     // x_bpe_encode, broadcast back; the oracle replays the chain and
-    // assembles the identical id lists.
+    // assembles the identical id lists. The id sequence is emitted as
+    // a space-joined string (not array<int>) so cross-engine
+    // comparators that sort on scalar cells can hash it.
     "x_bpe_tokenize" -> ((s, dir) => {
       import graft.ops.TextAnalysis
       val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 10)
         .orderBy(col("step"))
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeTokenize(docs(s, dir), "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("array_join(transform(token_ids, i -> cast(i as string)), ' ')")
+            .as("token_ids"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1150,7 +1155,8 @@ object QueriesScale {
          | unnest(range(1, len(tk) + 1)) AS u(i)),
          |doc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS token_ids
          | FROM dw JOIN wid USING (word) GROUP BY doc_id)
-         |SELECT doc_id, CAST(len(token_ids) AS INT) AS n_tokens, token_ids
+         |SELECT doc_id, CAST(len(token_ids) AS INT) AS n_tokens,
+         | array_to_string(token_ids, ' ') AS token_ids
          |FROM doc ORDER BY doc_id""".stripMargin,
     // 10 unrolled BPE merge steps: pair counts over the symbolized
     // vocab, deterministic argmax, then the merge as a plain replace

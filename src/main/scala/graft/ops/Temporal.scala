@@ -193,10 +193,15 @@ object Temporal {
     require(step > 0, "step must be positive")
     // Same integral-division discipline as rangeJoin.bucketOf: floor of a
     // double quotient can land an ulp off the boundary at epoch-scale
-    // magnitudes, silently shifting a grid cell.
+    // magnitudes, silently shifting a grid cell. Unlike the join
+    // blocking key (where any monotone bucketing works), bucket_ts is
+    // exposed as the grid cell START, so the division must floor —
+    // `div` truncates toward zero and would put a pre-1970 negative
+    // timestamp in a bucket that starts after it. ts - pmod(ts, step)
+    // is exact floor-to-multiple in pure long arithmetic.
     val obs = events
       .withColumn("__b",
-        (call_function("div", col(ts).cast("long"), lit(step)) * step).cast("long"))
+        (col(ts).cast("long") - pmod(col(ts).cast("long"), lit(step))).cast("long"))
       .groupBy(col(key), col("__b"))
       .agg(max(col(valCol)).as("__v"))
     val grid = obs.groupBy(col(key))

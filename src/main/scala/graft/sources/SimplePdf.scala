@@ -129,24 +129,30 @@ object SimplePdfExtractor {
     * an `N 0 R` reference points at.
     */
   private def dictValue(dict: String, key: String, byNum: Map[Int, PdfObj]): Option[String] = {
-    val at = dict.indexOf(key)
-    if (at < 0) return None
-    var i = at + key.length
-    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
-    if (dict.startsWith("<<", i)) {
-      var depth = 0
-      var j     = i
-      while (j < dict.length) {
-        if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
-        else if (dict.startsWith(">>", j)) {
-          depth -= 1; j += 2
-          if (depth == 0) return Some(dict.substring(i + 2, j - 2))
-        } else j += 1
-      }
-      None
-    } else
-      """^(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict.substring(i))
-        .flatMap(m => byNum.get(m.group(1).toInt)).map(_.dict)
+    // PDF names end at a delimiter, so '/Font' must not match inside
+    // '/FontFile' or '/FontDescriptor'; and a boundary-correct hit can
+    // still sit inside an unrelated nested value, so scan every
+    // occurrence until one parses as an inline dict or an `N 0 R` ref.
+    val keyRe = (java.util.regex.Pattern.quote(key) + "(?![A-Za-z0-9])").r
+    keyRe.findAllMatchIn(dict).flatMap { km =>
+      var i = km.end
+      while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+      if (dict.startsWith("<<", i)) {
+        var depth               = 0
+        var j                   = i
+        var res: Option[String] = None
+        while (j < dict.length && res.isEmpty) {
+          if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
+          else if (dict.startsWith(">>", j)) {
+            depth -= 1; j += 2
+            if (depth == 0) res = Some(dict.substring(i + 2, j - 2))
+          } else j += 1
+        }
+        res
+      } else
+        """^(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict.substring(i))
+          .flatMap(m => byNum.get(m.group(1).toInt)).map(_.dict)
+    }.nextOption()
   }
 
   /** The page's `/Resources → /Font` table: every Type0 font maps to

@@ -129,6 +129,24 @@ class SimplePdfSpec extends SparkSpecBase {
     assert(!cm.contains(0x0032))
   }
 
+  test("dictValue: '/Font' is not confused by longer names like /FontFile earlier in the dict") {
+    // A Resources dict whose FIRST '/Font'-prefixed token is a longer
+    // name (/FontFile, dangling ref) must not shadow the real /Font
+    // table — a plain indexOf would anchor there, fail to parse, and
+    // silently drop every CID string on the page.
+    val content = "BT /F9 12 Tf 72 720 Td <000100020030> Tj ET" // "CID"
+    val cmap    = cidCMap.getBytes(ISO_8859_1)
+    val doc =
+      ("1 0 obj << /Type /Page " +
+        "/Resources << /FontFile 99 0 R /Font << /F9 2 0 R >> >> /Contents 3 0 R >> endobj\n" +
+        "2 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 4 0 R >> endobj\n" +
+        s"3 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+        s"4 0 obj << /Length ${cmap.length} >> stream\n${new String(cmap, ISO_8859_1)}\nendstream endobj\n")
+        .getBytes(ISO_8859_1)
+    val pages = new SimplePdfExtractor().extractPages("decoy", doc)
+    assert(pages === Seq("CID"))
+  }
+
   test("CID font WITHOUT ToUnicode skips its strings (no mojibake), simple text still extracts") {
     val content = "BT /F9 12 Tf 72 720 Td <00410042> Tj 0 -14 Td /F1 10 Tf (still here) Tj ET"
     val doc =

@@ -255,6 +255,18 @@ class TemporalSpec extends SparkSpecBase {
     assert(out == Seq((1L, ts / step * step, 5.0, 1)))
   }
 
+  test("gapFill floors (not truncates) negative pre-1970 timestamps") {
+    // div truncates toward zero: ts=-500, step=1000 would land in
+    // bucket 0, whose START (0) is after the observation. True floor
+    // places it at -1000; the grid then spans [-1000, 1000].
+    val out = Temporal.gapFill(
+      Seq((1L, -500L, 1.0), (1L, 1500L, 2.0)).toDF("k", "ts", "v"),
+      "k", "ts", "v", step = 1000L)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (1L, -1000L, 1.0, 1), (1L, 0L, 1.0, 0), (1L, 1000L, 2.0, 1)))
+  }
+
   // ---------------------------------------------- stream-static enrich
 
   test("streamEnrichedCounts equals the batch enrichment (stream-static broadcast join)") {
