@@ -270,6 +270,24 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CROSS-document exact-substring dedup (ExactSubstr rule,
+    // fingerprint-bucketed): any 8-token run appearing more than once
+    // in the corpus survives only at its smallest (doc, pos). A fixed
+    // 12-token license header is planted onto every 4th doc, so the
+    // cross-doc boilerplate cut and the untouched branch are both
+    // live; the first header carrier keeps its copy. Never all-pairs:
+    // windows meet only inside their fingerprint bucket.
+    "x_dedup_substring" -> ((s, dir) => {
+      val header =
+        "this document is licensed under the creative commons attribution share alike license"
+      val planted = when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(header), lit(" "), col("text"))).otherwise(col("text"))
+      CorpusOps.dedupCrossDocSubstring(
+          docs(s, dir).select(col("doc_id"), planted.as("text")),
+          "doc_id", "text", window = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact edit-distance similarity join (ed ≤ 1), PassJoin
     // segment blocking — bounded keyed fan-out, never all-pairs; the
     // oracle IS all-pairs levenshtein (only ever at sf0.01), so any
@@ -1121,6 +1139,30 @@ object QueriesScale {
         |SELECT doc_id, CAST(len(spans) AS INT) AS n_spans, CAST(len(kept) AS INT) AS n_kept,
         | array_to_string(kept, ' ') AS cleaned
         |FROM k ORDER BY doc_id""".stripMargin,
+    // full replay of the fingerprint-bucketed ExactSubstr cut: same
+    // planted header, same md5 window fingerprints, same long-encoded
+    // first-occurrence key, same 0-based covered-position filter
+    // (DuckDB list lambdas index from 1, hence i - 1)
+    "x_dedup_substring" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN 'this document is licensed under the creative commons attribution share alike license ' || text
+        |  ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM p),
+        |w AS (SELECT doc_id, CAST(u.i AS INT) AS wpos,
+        |  md5(array_to_string(tk[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ')) AS fp
+        | FROM t, unnest(range(0, len(tk) - 8 + 1)) AS u(i)),
+        |own AS (SELECT fp, min(doc_id * 1000000 + wpos) AS okey, count(*) AS c
+        | FROM w GROUP BY fp),
+        |dup AS (SELECT w.doc_id, w.wpos FROM w JOIN own USING (fp)
+        | WHERE c > 1 AND w.doc_id * 1000000 + w.wpos <> okey),
+        |cov AS (SELECT DISTINCT doc_id, CAST(u.p AS INT) AS tpos
+        | FROM dup, unnest(range(wpos, wpos + 8)) AS u(p)),
+        |dl AS (SELECT doc_id, list(tpos ORDER BY tpos) AS dups FROM cov GROUP BY doc_id),
+        |f AS (SELECT t.doc_id, tk, coalesce(dups, []) AS dups FROM t LEFT JOIN dl USING (doc_id))
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens, CAST(len(dups) AS INT) AS n_dup_tokens,
+        | coalesce(array_to_string(list_filter(tk, (x, i) -> NOT list_contains(dups, i - 1)), ' '),
+        |          '') AS cleaned
+        |FROM f ORDER BY doc_id""".stripMargin,
     // the same 10-step replay, carrying `word` so the final symbol
     // table maps back to the corpus; per-doc totals via word join
     "x_bpe_encode" ->

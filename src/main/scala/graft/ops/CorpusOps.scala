@@ -359,6 +359,78 @@ object CorpusOps {
         array_join(col("__kept"), " ").as("cleaned"))
   }
 
+  /** CROSS-document exact-substring dedup (the ExactSubstr rule from
+    * the deduplication literature, re-expressed as fingerprint
+    * bucketing instead of a suffix array): any `window`-token run that
+    * appears more than once ANYWHERE in the corpus survives only at
+    * its first occurrence (smallest (doc, position)); every other
+    * occurrence's tokens are cut. Catches duplicated *passages* —
+    * license boilerplate, shared headers, quoted paragraphs — between
+    * documents that are nowhere near whole-doc near-dups, the one
+    * modality doc-level MinHash/SimHash and intra-doc C4
+    * ([[dedupIntraDoc]]) both miss.
+    *
+    * Scale shape (never all-pairs): slide a `window`-token fingerprint
+    * over every doc (explode — linear in corpus tokens), aggregate the
+    * global first occurrence PER FINGERPRINT with an algebraic `min`
+    * (map-side combinable, so a boilerplate fingerprint shared by
+    * millions of docs partial-aggregates on the mappers instead of
+    * skewing one reducer — deliberately NOT a row_number window, which
+    * would sort the hot key on a single partition), join the windows
+    * back on fingerprint to mark non-first occurrences, explode their
+    * covered positions, and cut per doc with one index-filter. Two
+    * column-pruned scans of (id, text); everything between is keyed by
+    * fingerprint or doc id.
+    *
+    * First-occurrence key is `id * 1e6 + wpos` in pure long
+    * arithmetic (cross-engine exact); a doc with more than 1e6 window
+    * positions would overflow the encoding, so such docs pass through
+    * un-deduped (explicit filter below — a 1M-token single document is
+    * a corpus bug upstream of this operator). Output: (id, n_tokens,
+    * n_dup_tokens, cleaned).
+    *
+    * Ref behavior: extends the reference's intra-doc cleanup
+    * (text_curator.py dedup rules) corpus-wide, per the ExactSubstr
+    * design in "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022) — fingerprint-bucketed instead of
+    * suffix-array because bucketing is the shuffle-native shape.
+    */
+  def dedupCrossDocSubstring(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int
+  ): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    val toks = df.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
+    val wins = toks
+      .filter(size(col("__toks")) >= window && size(col("__toks")) < lit(1000000) + window)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - lit(window))).as("__wpos"))
+      .select(col(idCol), col("__wpos"),
+        md5(array_join(slice(col("__toks"), col("__wpos") + 1, lit(window)), " ")).as("__fp"))
+    val okey = col(idCol).cast("long") * lit(1000000L) + col("__wpos")
+    val owners = wins
+      .groupBy(col("__fp"))
+      .agg(min(okey).as("__okey"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+    val covered = wins
+      .join(owners, Seq("__fp"))
+      .filter(okey =!= col("__okey"))
+      .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__tpos"))).as("__dups"))
+    toks
+      .join(covered, Seq(idCol), "left")
+      .withColumn("__dups", coalesce(col("__dups"), array().cast("array<int>")))
+      .select(
+        col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        size(col("__dups")).as("n_dup_tokens"),
+        array_join(filter(col("__toks"), (t, i) => !array_contains(col("__dups"), i)), " ")
+          .as("cleaned"))
+  }
+
   /** Gap sessionization: events more than `gap` apart (same user)
     * start a new session. Classic cumulative-sum-over-new-session-flag
     * window; the only shuffle is the hash partition by user the window

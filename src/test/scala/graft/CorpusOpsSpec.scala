@@ -203,6 +203,34 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"intra-doc dedup gained a shuffle:\n$plan")
   }
 
+  test("dedupCrossDocSubstring cuts repeated cross-doc runs, keeping the corpus-first occurrence") {
+    val df = Seq(
+      (1L, "h1 h2 h3 a b c"),    // first carrier of the h-run: kept whole
+      (2L, "x y z h1 h2 h3 q"),  // mid-doc repeat: exactly the run is cut
+      (3L, "h1 h2 h3"),          // doc IS the run: cut to empty
+      (4L, "p q"),               // shorter than the window: untouched
+      (5L, "m h1 h2 h3 a n")     // overlapping dup windows ([h1 h2 h3] and
+                                 // [h2 h3 a], both first in doc 1) merge
+                                 // into one maximal covered span 1..4
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dedupCrossDocSubstring(df, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) === ((1L, 6, 0, "h1 h2 h3 a b c")))
+    assert(out(1) === ((2L, 7, 3, "x y z q")))
+    assert(out(2) === ((3L, 3, 3, "")))
+    assert(out(3) === ((4L, 2, 0, "p q")))
+    assert(out(4) === ((5L, 6, 4, "m n")))
+  }
+
+  test("dedupCrossDocSubstring plans bucketed joins, never all-pairs") {
+    val df = GraftSession.table(spark, sf, "documents")
+    val plan = CorpusOps.dedupCrossDocSubstring(df, "doc_id", "text", window = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-doc substring dedup planned an all-pairs join:\n$plan")
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
