@@ -34,6 +34,82 @@ object QueriesExt {
   private val TableProfileCols = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** S1 gate fixture: nation rows → a generated TWO-page PDF (page 1:
+    * simple font, raw content stream; page 2: Identity-H CID font with
+    * a ToUnicode bfrange CMap — the production-writer layout) → the
+    * JDK-only simple-PDF codec → binaryFile paragraph table,
+    * hash-compared against the same text recomputed from the parquet
+    * table. With `encrypted = true`, every stream is RC4-128-encrypted
+    * under the standard security handler (arbitrary-but-fixed /O and
+    * /ID — the reader derives its key from them as given; password
+    * round-tripping is the fixture spec's job).
+    */
+  private def nationPdfQuery(s: SparkSession, dir: String, encrypted: Boolean): DataFrame = {
+    import graft.sources.{PdfSource, SimplePdfExtractor}
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val rows = nat(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .orderBy(col("n_nationkey")).collect() // dim-scale fixture build
+    def escape(p: String) = p.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val paras = rows.map(r => s"nation ${r.getString(1)} region ${r.getLong(2)} body text here")
+    val content = "BT /F1 12 Tf 72 720 Td " +
+      paras.map(p => s"(${escape(p)}) Tj").mkString(" 0 -14 Td 0 -14 Td ") + " ET"
+    // page 2: the same rows as 2-byte Identity-H codes; the CMap's
+    // single bfrange maps printable-ASCII codes to themselves
+    def cidHex(p: String) = p.map(c => f"${c.toInt}%04X").mkString
+    val cidParas = rows.map(r => s"cid appendix ${r.getString(1)} region ${r.getLong(2)}")
+    val content2 = "BT /F9 12 Tf 72 720 Td " +
+      cidParas.map(p => s"<${cidHex(p)}> Tj").mkString(" 0 -14 Td 0 -14 Td ") + " ET"
+    val cmap =
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nendcmap\n"
+    val oEntry = Array.tabulate(32)(_.toByte)
+    val id0    = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    val perm   = -3904
+    val key =
+      if (encrypted)
+        Some(SimplePdfExtractor.fileKey(oEntry, perm, id0, r = 3, lengthBits = 128,
+          encryptMetadata = true))
+      else None
+    def stream(num: Int, body: String): String = {
+      val enc = key match {
+        case Some(k) =>
+          new String(SimplePdfExtractor.rc4(
+            SimplePdfExtractor.objectKey(k, num, 0, aes = false),
+            body.getBytes(ISO_8859_1)), ISO_8859_1)
+        case None => body
+      }
+      s"$num 0 obj << /Length ${enc.length} >> stream\n$enc\nendstream endobj\n"
+    }
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val tail = key match {
+      case Some(_) =>
+        s"9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+          s"/O <${hex(oEntry)}> /U <${hex(oEntry)}> /P $perm >> endobj\n" +
+          s"trailer << /Root 1 0 R /Encrypt 9 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n"
+      case None => "%%EOF\n"
+    }
+    val doc =
+      "%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        stream(4, content) +
+        "5 0 obj << /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F9 6 0 R >> >> /Contents 7 0 R >> endobj\n" +
+        "6 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        "/Encoding /Identity-H /ToUnicode 8 0 R >> endobj\n" +
+        stream(7, content2) +
+        stream(8, cmap) +
+        tail
+    val tmp = java.nio.file.Files.createTempDirectory("pdf-rt")
+    java.nio.file.Files.write(tmp.resolve("nations.pdf"), doc.getBytes(ISO_8859_1))
+    PdfSource.readPdfParagraphs(s, tmp.toString, new SimplePdfExtractor())
+      .select(col("pdf_name"), col("page"), col("para_idx"), col("paragraph"))
+      .orderBy(col("page"), col("para_idx"))
+  }
+
   /** ONE SQL text, two engines: executed verbatim by `spark.sql` and
     * by the DuckDB oracle (ANSI core only — scalar subquery, HAVING,
     * CASE, decimal casts; no timestamp literals, where the engines'
@@ -94,45 +170,17 @@ object QueriesExt {
     // parquet table. Any regression in the object scan, stream
     // carving, BT..ET walk, Resources/Font resolution, CMap decode, or
     // paragraph plumbing breaks the hash.
-    "s1_pdf_roundtrip" -> ((s, dir) => {
-      import graft.sources.{PdfSource, SimplePdfExtractor}
-      import java.nio.charset.StandardCharsets.ISO_8859_1
-      val rows = nat(s, dir)
-        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
-        .orderBy(col("n_nationkey")).collect() // dim-scale fixture build
-      def escape(p: String) = p.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-      val paras = rows.map(r => s"nation ${r.getString(1)} region ${r.getLong(2)} body text here")
-      val content = "BT /F1 12 Tf 72 720 Td " +
-        paras.map(p => s"(${escape(p)}) Tj").mkString(" 0 -14 Td 0 -14 Td ") + " ET"
-      // page 2: the same rows as 2-byte Identity-H codes; the CMap's
-      // single bfrange maps printable-ASCII codes to themselves
-      def cidHex(p: String) = p.map(c => f"${c.toInt}%04X").mkString
-      val cidParas = rows.map(r => s"cid appendix ${r.getString(1)} region ${r.getLong(2)}")
-      val content2 = "BT /F9 12 Tf 72 720 Td " +
-        cidParas.map(p => s"<${cidHex(p)}> Tj").mkString(" 0 -14 Td 0 -14 Td ") + " ET"
-      val cmap =
-        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
-          "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
-          "1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nendcmap\n"
-      val doc =
-        "%PDF-1.4\n" +
-          "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
-          "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n" +
-          "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
-          s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
-          "5 0 obj << /Type /Page /Parent 2 0 R " +
-          "/Resources << /Font << /F9 6 0 R >> >> /Contents 7 0 R >> endobj\n" +
-          "6 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
-          "/Encoding /Identity-H /ToUnicode 8 0 R >> endobj\n" +
-          s"7 0 obj << /Length ${content2.length} >> stream\n$content2\nendstream endobj\n" +
-          s"8 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n" +
-          "%%EOF\n"
-      val tmp = java.nio.file.Files.createTempDirectory("pdf-rt")
-      java.nio.file.Files.write(tmp.resolve("nations.pdf"), doc.getBytes(ISO_8859_1))
-      PdfSource.readPdfParagraphs(s, tmp.toString, new SimplePdfExtractor())
-        .select(col("pdf_name"), col("page"), col("para_idx"), col("paragraph"))
-        .orderBy(col("page"), col("para_idx"))
-    }),
+    "s1_pdf_roundtrip" -> ((s, dir) => nationPdfQuery(s, dir, encrypted = false)),
+
+    // S1 through the ENCRYPTED read path: the same generated two-page
+    // nation PDF, but every stream RC4-128-encrypted under the
+    // standard security handler's empty-user-password key (V2 R3) —
+    // the transparent-open case production ESG reports ship with. Same
+    // oracle as s1_pdf_roundtrip: any regression in key derivation,
+    // per-object keys, or the RC4 cipher breaks the hash. (Spec-level
+    // conformance of the handler itself is pinned separately against
+    // python-generated golden fixtures in SimplePdfSpec.)
+    "s1_pdf_encrypted" -> ((s, dir) => nationPdfQuery(s, dir, encrypted = true)),
 
     // S5 hardened: PERMISSIVE CSV ingest with corrupt-record
     // quarantine — production files carry broken lines, and silently
@@ -541,6 +589,18 @@ object QueriesExt {
         | ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
         |ORDER BY l_returnflag, rnk""".stripMargin,
     "s1_pdf_roundtrip" ->
+      """SELECT 'nations' AS pdf_name, 0 AS page,
+        | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
+        | 'nation ' || n_name || ' region ' || n_regionkey || ' body text here' AS paragraph
+        |FROM nation
+        |UNION ALL
+        |SELECT 'nations' AS pdf_name, 1 AS page,
+        | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
+        | 'cid appendix ' || n_name || ' region ' || n_regionkey AS paragraph
+        |FROM nation
+        |ORDER BY page, para_idx""".stripMargin,
+    // the encrypted variant must decode to EXACTLY the same table
+    "s1_pdf_encrypted" ->
       """SELECT 'nations' AS pdf_name, 0 AS page,
         | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
         | 'nation ' || n_name || ' region ' || n_regionkey || ' body text here' AS paragraph

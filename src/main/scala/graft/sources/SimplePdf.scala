@@ -23,11 +23,22 @@ import scala.util.matching.Regex
   * S1 gap the same way [[XlsxSource]] closed S4 (zip+StAX), with a
   * documented subset instead of a stub.
   *
+  * Standard-security ENCRYPTED documents (the RC4-40/RC4-128/AES-128
+  * "standard security handler" most password-less ESG reports ship
+  * with — V 1/2/4, R 2/3/4, empty user password) decrypt
+  * transparently: the file key derives from the trailer's /Encrypt
+  * dict + /ID per ISO 32000-1 Algorithm 2, each stream decrypts under
+  * its per-object key (Algorithm 1; RC4 hand-rolled, AES-128-CBC via
+  * JDK crypto) before filters apply. A non-empty user password or an
+  * unsupported handler (AESV3/R6) yields no text — counted, never
+  * garbage.
+  *
   * Out of scope (falls back to skipping the content, never throwing):
-  * encryption, LZW/DCT/CCITT filters, CID fonts WITHOUT a usable
-  * ToUnicode CMap (their codes decode to nothing rather than
-  * mojibake); cross-reference streams are not needed (objects are
-  * discovered by linear scan, so `XRef` tables are ignored entirely).
+  * AESV3/R6 encryption and non-empty user passwords, LZW/DCT/CCITT
+  * filters, CID fonts WITHOUT a usable ToUnicode CMap (their codes
+  * decode to nothing rather than mojibake); cross-reference streams
+  * are not needed (objects are discovered by linear scan, so `XRef`
+  * tables are ignored entirely).
   *
   * Reference behavior being replaced:
   * src/components/preprocessing/pdf_text_extractor.py:104-117 (pdf →
@@ -46,8 +57,8 @@ final class SimplePdfExtractor extends PdfSource.PdfTextExtractor {
   def extractPages(fileName: String, bytes: Array[Byte]): Seq[String] = {
     if (bytes == null || bytes.length == 0) return Nil
     try {
-      val raw  = new String(bytes, ISO_8859_1)
-      val objs = parseObjects(raw)
+      val raw   = new String(bytes, ISO_8859_1)
+      val objs  = decryptObjects(raw, parseObjects(raw))
       val byNum = objs.map(o => o.num -> o).toMap
       val pages = pageSpecs(objs, byNum) match {
         case specs if specs.nonEmpty =>
@@ -69,9 +80,9 @@ final class SimplePdfExtractor extends PdfSource.PdfTextExtractor {
 
 object SimplePdfExtractor {
 
-  private case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+  private case class PdfObj(num: Int, gen: Int, dict: String, stream: Option[Array[Byte]])
 
-  private val ObjStart: Regex    = """(\d+)\s+\d+\s+obj""".r
+  private val ObjStart: Regex    = """(\d+)\s+(\d+)\s+obj""".r
   private val ContentsOne: Regex = """/Contents\s+(\d+)\s+\d+\s+R""".r
   private val ContentsArr: Regex = """/Contents\s*\[([^\]]*)\]""".r
   private val RefInArr: Regex    = """(\d+)\s+\d+\s+R""".r
@@ -98,12 +109,179 @@ object SimplePdfExtractor {
             // trailing EOL before endstream is not part of the data
             if (e > s && body.charAt(e - 1) == '\n') e -= 1
             if (e > s && body.charAt(e - 1) == '\r') e -= 1
-            out += PdfObj(m.group(1).toInt, dict, Some(body.substring(s, e).getBytes(ISO_8859_1)))
-          } else out += PdfObj(m.group(1).toInt, dict, None)
-        } else out += PdfObj(m.group(1).toInt, body, None)
+            out += PdfObj(m.group(1).toInt, m.group(2).toInt, dict,
+              Some(body.substring(s, e).getBytes(ISO_8859_1)))
+          } else out += PdfObj(m.group(1).toInt, m.group(2).toInt, dict, None)
+        } else out += PdfObj(m.group(1).toInt, m.group(2).toInt, body, None)
       }
     }
     out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // Standard security handler (ISO 32000-1 §7.6.3): transparent
+  // decryption for the empty user password — what pdfminer does for
+  // the reference (pdf_text_extractor.py:54-117 passes password="").
+  // ------------------------------------------------------------------
+
+  /** The 32-byte password pad from the spec (Algorithm 2 step a). */
+  private val PwPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01,
+    0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53,
+    0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** Algorithm 2 file-encryption key for the EMPTY user password:
+    * MD5(pad ‖ O ‖ P-as-LE-int32 ‖ ID₀ [‖ FFFFFFFF if R≥4 and metadata
+    * unencrypted]), then 50 re-digest rounds of the first n bytes for
+    * R≥3. n = Length/8 (5 for R2).
+    */
+  private[graft] def fileKey(
+      o: Array[Byte],
+      p: Int,
+      id0: Array[Byte],
+      r: Int,
+      lengthBits: Int,
+      encryptMetadata: Boolean
+  ): Array[Byte] = {
+    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    val tail =
+      if (r >= 4 && !encryptMetadata) Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+      else Array.emptyByteArray
+    val n = if (r == 2) 5 else math.max(5, lengthBits / 8)
+    var h = md5(PwPad, o.take(32), pLe, id0, tail)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+    h.take(n)
+  }
+
+  /** Algorithm 1 per-object key: MD5(fileKey ‖ num-LE24 ‖ gen-LE16
+    * [‖ "sAlT" for AESV2]), truncated to min(n+5, 16).
+    */
+  private[graft] def objectKey(key: Array[Byte], num: Int, gen: Int, aes: Boolean): Array[Byte] = {
+    val ng = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    val salt = if (aes) Array(0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte)
+               else Array.emptyByteArray
+    md5(key, ng, salt).take(math.min(key.length + 5, 16))
+  }
+
+  /** Plain RC4 (spec Algorithm 1 cipher for V<4 and the /V2 crypt
+    * filter) — 30 lines beats a JCE provider lookup on the hot
+    * executor path.
+    */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** AESV2 stream: leading 16-byte IV, AES-128-CBC body, PKCS#7
+    * padding. Malformed length/padding → None (skip, don't throw).
+    */
+  private def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 32 || data.length % 16 != 0) return None
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      val plain = c.doFinal(data.drop(16))
+      val pad   = plain.last & 0xff
+      if (pad >= 1 && pad <= 16 && pad <= plain.length) Some(plain.dropRight(pad)) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** A byte-string dict entry (`/O`, `/U`): literal `(…)` (PDF escapes
+    * apply) or hex `<…>` form, as raw bytes.
+    */
+  private def stringValue(dict: String, key: String): Option[Array[Byte]] = {
+    val keyRe = (java.util.regex.Pattern.quote(key) + "(?![A-Za-z0-9])").r
+    keyRe.findAllMatchIn(dict).flatMap { km =>
+      var i = km.end
+      while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+      if (i < dict.length && dict.charAt(i) == '(')
+        Some(parseLiteralString(dict, i)._1.toCharArray.map(_.toByte))
+      else if (i < dict.length && dict.charAt(i) == '<' && !dict.startsWith("<<", i))
+        Some(parseHexString(dict, i)._1.toCharArray.map(_.toByte))
+      else None
+    }.nextOption()
+  }
+
+  private def intValue(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + """\s+(-?\d+)""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  private val EncryptRef: Regex = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
+  private val FileId: Regex     = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r
+
+  /** If the trailer names a standard-security /Encrypt dict this
+    * handler supports (V 1/2/4, R 2/3/4, RC4 or AESV2), decrypt every
+    * object's stream under the empty-user-password file key. An
+    * unsupported handler (or a real user password, whose key produces
+    * garbage that fails the filters) degrades to skipped streams —
+    * never mojibake, never a throw. The /Encrypt dict's own strings
+    * are plaintext by spec and the object carries no stream; XRef/
+    * metadata streams decrypt to garbage we never consume.
+    */
+  private def decryptObjects(raw: String, objs: Vector[PdfObj]): Vector[PdfObj] = {
+    val byNum = objs.map(o => o.num -> o).toMap
+    val enc = EncryptRef.findAllMatchIn(raw).map(_.group(1).toInt).toSeq.lastOption
+      .flatMap(byNum.get)
+    enc match {
+      case None => objs
+      case Some(e) =>
+        val d = e.dict
+        val supported = d.contains("/Standard") &&
+          intValue(d, "/V").exists(v => v == 1 || v == 2 || v == 4) &&
+          intValue(d, "/R").exists(r => r >= 2 && r <= 4) &&
+          (intValue(d, "/V").getOrElse(1) < 4 || d.contains("/AESV2") || d.contains("/V2"))
+        val id0 = FileId.findFirstMatchIn(raw).map(_.group(1))
+          .map(h => h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        (for {
+          _ <- Option.when(supported)(())
+          o <- stringValue(d, "/O") if o.length >= 32
+          p <- intValue(d, "/P")
+          id <- id0
+          r = intValue(d, "/R").get
+          v = intValue(d, "/V").get
+        } yield {
+          val aes = v == 4 && d.contains("/AESV2")
+          val key = fileKey(o, p, id, r, intValue(d, "/Length").getOrElse(40),
+            encryptMetadata = """/EncryptMetadata\s+false""".r.findFirstIn(d).isEmpty)
+          objs.map { obj =>
+            obj.stream match {
+              case Some(data) if obj.num != e.num =>
+                val ok = objectKey(key, obj.num, obj.gen, aes)
+                val dec = if (aes) aesCbcDecrypt(ok, data) else Some(rc4(ok, data))
+                obj.copy(stream = dec)
+              case _ => obj
+            }
+          }
+        }).getOrElse(objs.map(o => o.copy(stream = None))) // unsupported: no garbage text
+    }
   }
 
   /** `/Type /Page` objects in file order → (content-stream object

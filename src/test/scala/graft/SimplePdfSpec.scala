@@ -157,6 +157,35 @@ class SimplePdfSpec extends SparkSpecBase {
     assert(pages === Seq("still here"))
   }
 
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/pdf/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("standard-security encrypted PDFs decode identically to their plaintext twin") {
+    // Golden fixtures generated by scripts/make_encrypted_pdf.py — an
+    // INDEPENDENT python implementation of the ISO 32000-1 standard
+    // security handler (so a key-derivation bug here can't cancel
+    // against itself). Empty user password, owner password set.
+    val plain = new SimplePdfExtractor().extractPages("plain", fixture("plain.pdf"))
+    assert(plain.length === 2)
+    assert(plain(0).startsWith("Encrypted page one body text."))
+    assert(plain(1) === "Encrypted page two via flate.")
+    for (f <- Seq("rc4_40.pdf", "rc4_128.pdf", "aesv2.pdf")) {
+      val pages = new SimplePdfExtractor().extractPages(f, fixture(f))
+      assert(pages === plain, s"encrypted $f did not match the plaintext twin")
+    }
+  }
+
+  test("unsupported encryption handlers yield no text, never garbage") {
+    // Take the RC4-128 fixture and claim an AESV3/R6 handler: the key
+    // derivation no longer applies, so every stream must be skipped.
+    val raw = new String(fixture("rc4_128.pdf"), ISO_8859_1)
+      .replace("/V 2 /R 3", "/V 5 /R 6")
+    val pages = new SimplePdfExtractor().extractPages("v5", raw.getBytes(ISO_8859_1))
+    assert(pages === Nil)
+  }
+
   test("corrupt bytes and unsupported filters skip cleanly") {
     val ex = new SimplePdfExtractor()
     assert(ex.extractPages("junk", Array[Byte](1, 2, 3)) === Nil)
