@@ -2,6 +2,7 @@ package graft
 
 import graft.GraftSession.table
 import graft.functions.{DetHash, ListParse, TextFns}
+import graft.ops.Scale
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -440,26 +441,18 @@ object QueriesExt {
     // ---- generic data-quality table profile (the Deequ-style column
     // stats pass): one row per column with row/null/distinct counts
     // and lexicographic min/max of the string form — schema-driven, so
-    // the same code profiles ANY table. n columns → n scan-aggregates
-    // here; at 100 TB profile all columns in one pass via a single
-    // agg with per-column expressions instead (same outputs).
+    // the same code profiles ANY table. ONE aggregation over ONE scan
+    // (Scale.profileTable); the exact-count flavor gates here, the
+    // approx (HLL++, Expand-free single-Exchange) flavor is the 100 TB
+    // path, plan-asserted in ScaleSpec.
     "x_table_profile" -> ((s, dir) => {
       // Pin the profiled frame to TableProfileCols (shared with the
       // oracle below) so an orders schema change can't silently
       // desynchronize the two sides; the profiler itself stays
       // schema-driven over whatever frame it is handed.
-      val t = table(s, dir, "orders").select(TableProfileCols.map(col): _*)
-      t.schema.fields.toSeq.map { f =>
-        t.agg(
-          count(lit(1)).as("n"),
-          count(when(col(f.name).isNull, 1)).as("n_null"),
-          countDistinct(col(f.name)).as("n_distinct"),
-          min(col(f.name).cast("string")).as("min_str"),
-          max(col(f.name).cast("string")).as("max_str"))
-          .withColumn("col_name", lit(f.name))
-          .select(col("col_name"), col("n"), col("n_null"),
-            col("n_distinct"), col("min_str"), col("max_str"))
-      }.reduce(_ unionByName _).orderBy(col("col_name"))
+      Scale.profileTable(
+          table(s, dir, "orders").select(TableProfileCols.map(col): _*))
+        .orderBy(col("col_name"))
     }),
 
     // ---- Spark 4 VARIANT path for semi-structured data: parse_json →

@@ -136,6 +136,47 @@ object Scale {
     * salting is for the stragglers AQE can't split (e.g. a single
     * giant key inside one partition of a bucketed layout).
     */
+  /** ONE-PASS Deequ-style table profile: one row per column with
+    * row/null/distinct counts and lexicographic min/max of the string
+    * form, computed as a SINGLE aggregation of 4·N + 1 expressions
+    * over ONE scan of the table — the shape a 100 TB profile needs
+    * (a per-column aggregation loop scans the table N times).
+    *
+    * `approx = true` swaps `count_distinct` for HLL++
+    * `approx_count_distinct`: every expression is then algebraic, the
+    * plan is scan → partial agg → ONE single-partition Exchange →
+    * final agg (no Expand), and the full profile costs one map-side
+    * pass. The exact flavor keeps cross-engine hash parity for the
+    * oracle at the price of Catalyst's multi-distinct Expand rewrite
+    * (still one scan; the Expand multiplies rows N+1× on the mappers).
+    * The wide single row pivots to per-column rows with an inline
+    * explode — no extra shuffle.
+    */
+  def profileTable(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val cols = df.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      val dist =
+        if (approx) approx_count_distinct(col(c)).as(s"__dist_$c")
+        else count_distinct(col(c)).as(s"__dist_$c")
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        dist,
+        min(col(c).cast("string")).as(s"__min_$c"),
+        max(col(c).cast("string")).as(s"__max_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_str"),
+        col(s"__max_$c").as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   def saltedJoin(
       skewed: DataFrame,
       dim: DataFrame,

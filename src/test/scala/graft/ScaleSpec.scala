@@ -87,6 +87,43 @@ class ScaleSpec extends SparkSpecBase {
     assert(zs === Seq(0L, 1L, 2L, 15L))
   }
 
+  test("profileTable: ONE scan; approx flavor plans a single Exchange and tracks exact") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def exchanges(p: SparkPlan): Seq[Exchange] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: QueryStageExec        => exchanges(s.plan)
+      case e: Exchange              => e +: e.children.flatMap(exchanges)
+      case other                    => other.children.flatMap(exchanges)
+    }
+    val t = GraftSession.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+    val exact = Scale.profileTable(t)
+    exact.collect()
+    assert(fileScans(exact.queryExecution.executedPlan).length === 1,
+      "exact profile must read the table once, not once per column")
+
+    val approx = Scale.profileTable(t, approx = true)
+    val approxRows = approx.collect()
+    assert(fileScans(approx.queryExecution.executedPlan).length === 1)
+    assert(exchanges(approx.queryExecution.executedPlan).length === 1,
+      "approx profile must be scan -> partial agg -> ONE Exchange -> final agg")
+
+    // approx agrees exactly on everything but n_distinct, which lands
+    // within HLL++'s default 5% relative error
+    val exactBy = exact.collect().map(r => r.getString(0) -> r).toMap
+    approxRows.foreach { r =>
+      val e = exactBy(r.getString(0))
+      assert(r.getLong(1) === e.getLong(1) && r.getLong(2) === e.getLong(2))
+      assert(r.getString(4) === e.getString(4) && r.getString(5) === e.getString(5))
+      val (ad, ed) = (r.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(ad - ed) <= math.max(2.0, ed * 0.1),
+        s"${r.getString(0)}: approx distinct $ad vs exact $ed")
+    }
+  }
+
   test("salted join equals the plain join") {
     val li = GraftSession.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
