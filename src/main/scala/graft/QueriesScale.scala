@@ -49,6 +49,30 @@ object QueriesScale {
 
   private val streamN = new AtomicInteger(0)
 
+  /** Shared oracle for the incremental semantic probe (batch AND
+    * streaming flavors): cosine pairs between the base embeddings and
+    * the planted colinear increment on matching sign buckets —
+    * exactly what probing the persistent sign-plane index computes.
+    */
+  private val semanticIncOracle: String = {
+    val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"
+    def keyed(src: String) =
+      s"""SELECT id, embedding AS v,
+         |  sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         | FROM $src""".stripMargin
+    s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |fresh AS (SELECT vec_id + 100000 AS id, list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id < 20),
+       |ka AS (${keyed("base")}),
+       |kb AS (${keyed("fresh")})
+       |SELECT a.id AS id_a, b.id AS id_b, round($cos, 4) AS cosine
+       |FROM ka a JOIN kb b ON a.bucket = b.bucket
+       |WHERE round($cos, 4) >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The word-carrying BPE merge replay shared by the encode/tokenize
     * oracles: CTE prologue `w` (word counts), `e0` (symbolized), and
     * the unrolled merge steps `q_i`/`c_i`/`e_i` up to `e$n` — each step
@@ -130,6 +154,44 @@ object QueriesScale {
       val name = s"stream_neardup_${streamN.incrementAndGet()}"
       val q = EventsStream.streamIncrementalDedup(
         s, indexPath, freshDir, fresh.schema, name)
+      q.awaitTermination()
+      s.table(name).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- INCREMENTAL semantic dedup against a persistent SIGN-PLANE
+    // index: the embedding twin of x_dedup_incremental — base corpus
+    // keyed (vector, norm, sign bucket) once and written
+    // partitionBy(bucket); the planted colinear increment probes it
+    // (base embeddings never re-keyed). Oracle = cosine pairs
+    // restricted to (base × new).
+    "x_dedup_semantic_inc" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val fresh = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val path = java.nio.file.Files.createTempDirectory("graft-sp-index").toString
+      Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
+      Dedup.probeSignPlaneIndex(s, path, fresh, "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- the same semantic probe ONLINE: the embedding increment
+    // arrives as a STREAM and probes the persistent sign-plane index
+    // per micro-batch (stateless keying + stream-static join, zero
+    // stream state — one bucket per id means no multi-band pair
+    // dedup). Batch x_dedup_semantic_inc is the oracle semantics, so
+    // the same SQL gates both.
+    "s9_stream_semantic" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val fresh = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val indexPath = java.nio.file.Files.createTempDirectory("graft-sp-sindex").toString
+      Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", indexPath)
+      val freshDir = java.nio.file.Files.createTempDirectory("graft-sp-stream").toString
+      fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
+      val name = s"stream_semantic_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamSemanticDedup(s, indexPath, freshDir, fresh.schema, name)
       q.awaitTermination()
       s.table(name).orderBy(col("id_a"), col("id_b"))
     }),
@@ -1302,6 +1364,10 @@ object QueriesScale {
          |WHERE round($cos, 4) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // base × increment cosine pairs on matching sign buckets — gates
+    // BOTH the batch index probe and its streaming twin
+    "x_dedup_semantic_inc" -> semanticIncOracle,
+    "s9_stream_semantic" -> semanticIncOracle,
     // the cosine-pair CTE chained into the recursive closure + keep-one
     "x_dedup_semantic" -> {
       val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"

@@ -756,26 +756,77 @@ object Dedup {
     * `planes` components) so candidates are bucket-local. For exact
     * recall use Similarity.cosineTopK against the full set.
     */
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double, planes: Int = 4): DataFrame = {
-    // No per-element normalization (a normalize lambda would capture
-    // the norm and recompute it per element): cosine is computed as
-    // dot(a,b)/(‖a‖·‖b‖) with norms carried as plain columns. The
-    // sign-plane bucket uses raw components — positive scaling
-    // preserves signs, so bucketing matches normalized semantics.
-    val keyed = df.select(
+  /** The sign-plane blocking projection shared by the batch pair
+    * miner, the persistent index writer, and the stream probe: id,
+    * raw vector, its norm as a plain column, and the `planes`-bit
+    * sign bucket of the leading components.
+    */
+  private[graft] def signPlaneKeyed(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
+    df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       sqrt(aggregate(col(vecCol), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
       (0 until planes)
         .map(i => when(element_at(col(vecCol), i + 1) >= 0, 1 << i).otherwise(0))
-        .reduce((a: Column, b: Column) => a + b).as("bucket")
-    )
+        .reduce((a: Column, b: Column) => a + b).as("bucket"))
+
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double, planes: Int = 4): DataFrame = {
+    // No per-element normalization (a normalize lambda would capture
+    // the norm and recompute it per element): cosine is computed as
+    // dot(a,b)/(‖a‖·‖b‖) with norms carried as plain columns. The
+    // sign-plane bucket uses raw components — positive scaling
+    // preserves signs, so bucketing matches normalized semantics.
     val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     // single materialized keyed stage reused by both self-join sides
-    val keyedM = keyed.repartition(col("bucket"))
+    val keyedM = signPlaneKeyed(df, idCol, vecCol, planes).repartition(col("bucket"))
     keyedM.as("a")
       .join(keyedM.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** PERSISTENT sign-plane index — the semantic (embedding) analog of
+    * [[writeMinhashIndexMd5]]: the base corpus is keyed ONCE (vector,
+    * norm, sign bucket) and written `partitionBy(bucket)`, so an
+    * embedding increment probes only its matching bucket partitions
+    * instead of re-reading and re-keying the full corpus. At 100 TB
+    * the increment is a fraction of a percent of the index; the probe
+    * cost is proportional to the increment × its bucket population.
+    */
+  def writeSignPlaneIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      planes: Int = 4
+  ): Unit =
+    signPlaneKeyed(df, idCol, vecCol, planes)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe the [[writeSignPlaneIndex]] index with NEW embeddings:
+    * the increment keys exactly as the index did, candidates come
+    * from the bucket equi-join (partition-pruned on the index side),
+    * and the cosine verify runs on stored vectors+norms. Each id
+    * lives in exactly ONE bucket, so a pair appears at most once — no
+    * dedup state needed (unlike multi-band LSH). Returns
+    * (id_a = indexed id, id_b = new id, cosine).
+    */
+  def probeSignPlaneIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 4
+  ): DataFrame = {
+    val index  = spark.read.parquet(path)
+    val probes = signPlaneKeyed(newEmb, idCol, vecCol, planes)
+    val cos    = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    index.as("a")
+      .join(probes.as("b"), col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -123,6 +123,41 @@ object EventsStream {
       .start()
   }
 
+  /** STREAMING semantic dedup: the embedding stream probes the
+    * persistent sign-plane index ([[graft.ops.Dedup
+    * .writeSignPlaneIndex]]) online — the (vector, norm, sign-bucket)
+    * keying is stateless projection on the stream, the index joins
+    * stream-static (partition-pruned by bucket), and the cosine
+    * verify runs on stored vectors, so arriving embeddings dedup
+    * against the full corpus without re-reading it. Each id maps to
+    * exactly one bucket, so pairs emit once — NO dedup state at all
+    * (the LSH twin needs dropDuplicates for its multi-band hits).
+    */
+  def streamSemanticDedup(
+      spark: SparkSession,
+      indexPath: String,
+      newEmbDir: String,
+      schema: StructType,
+      queryName: String,
+      threshold: Double = 0.99,
+      planes: Int = 4
+  ): StreamingQuery = {
+    val src    = spark.readStream.schema(schema).parquet(newEmbDir)
+    val probes = graft.ops.Dedup.signPlaneKeyed(src, "vec_id", "embedding", planes)
+    val index  = spark.read.parquet(indexPath)
+    val cos = graft.ops.Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    index.as("a")
+      .join(probes.as("b"), col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream time-bounded join: every view event pairs with the
     * same user's purchases in the trailing hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

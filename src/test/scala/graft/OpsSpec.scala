@@ -116,6 +116,29 @@ class DedupSpec extends SparkSpecBase {
     assert(dirs.sorted === Seq("band=0", "band=1", "band=2", "band=3"))
   }
 
+  test("persistent sign-plane index probe ≡ batch cosine pairs restricted to (base × new)") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val base = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fresh = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("sp-index-spec").toString
+    Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
+    val probed = Dedup.probeSignPlaneIndex(spark, path, fresh, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: batch sign-plane pairs over base ∪ new, cross-side only
+    val batch = Dedup.embeddingNearDupPairs(base.unionByName(fresh), "vec_id", "embedding", 0.99)
+      .filter(col("id_a") < 5000 && col("id_b") >= 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed === batch)
+    assert(probed.nonEmpty, "planted colinear copies must probe-hit or the test is vacuous")
+    // index layout: one directory per live sign bucket, probe prunes to it
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket=")).toSeq
+    assert(dirs.nonEmpty)
+  }
+
   test("xxhash64 minhash flavor agrees on the exact-dup pair") {
     val out = Dedup.minhashLshPairs(docs, "id", "text", w = 3, numHashes = 16, bands = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
