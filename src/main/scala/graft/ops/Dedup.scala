@@ -501,6 +501,33 @@ object Dedup {
       .sortWithinPartitions(col("bucket"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
 
+  /** Fold a document increment INTO the persistent LSH index without
+    * rebuilding it: the increment signs+bands exactly as the build
+    * did and appends into the existing `band=` partitions (new files
+    * per partition — parquet partition append, no rewrite of the base
+    * data). After the append, probes see base ∪ increment, so the
+    * steady-state loop is probe-the-increment → append-the-increment:
+    * each crawl pays O(increment), never O(corpus). New files are
+    * bucket-sorted internally, so parquet min/max stats keep pruning
+    * within every file; COMPACTION is operational hygiene, not
+    * correctness — when a band partition accumulates many small
+    * append files, rewrite that partition (read → sortWithinPartitions
+    * → overwrite) during low-traffic windows (see SCALING.md).
+    */
+  def appendToMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      w: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4
+  ): Unit =
+    bandedSigsMd5(df, idCol, textCol, w, numHashes, bands)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("append").partitionBy("band").parquet(path)
+
   /** Probe the [[writeMinhashIndexMd5]] index with a NEW document
     * increment: new docs band exactly as the index did, candidates
     * come from the (band, bucket) equi-join, and the estimated-Jaccard
@@ -804,6 +831,24 @@ object Dedup {
     signPlaneKeyed(df, idCol, vecCol, planes)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Fold an embedding increment INTO the persistent sign-plane index
+    * without rebuilding: same append-into-partitions contract as
+    * [[appendToMinhashIndex]] — the keying is deterministic per
+    * vector, so appended rows land in exactly the bucket partitions a
+    * rebuild would put them in, and probe-after-append ≡
+    * probe-of-rebuilt (spec-proven).
+    */
+  def appendToSignPlaneIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      planes: Int = 4
+  ): Unit =
+    signPlaneKeyed(df, idCol, vecCol, planes)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
 
   /** Probe the [[writeSignPlaneIndex]] index with NEW embeddings:
     * the increment keys exactly as the index did, candidates come

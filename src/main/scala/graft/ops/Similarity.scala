@@ -215,6 +215,51 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/assigned")
   }
 
+  /** Fold a corpus increment INTO a persisted IVF index without
+    * rebuilding: new vectors assign against the STORED centroids
+    * (read back, broadcast — cell geometry frozen, so the probe's
+    * cell selection is unchanged and probe-after-append ≡ probing an
+    * index built over base ∪ increment with the same centroids,
+    * spec-proven) and append into the existing `cell_id=` partitions.
+    * Each increment pays one assignment pass over ITSELF only.
+    * Centroid drift is an operational policy, not a correctness
+    * issue: when accumulated increments shift the data distribution,
+    * re-refine centroids and rewrite (a rebuild amortized over many
+    * appends); small-file compaction per cell partition likewise —
+    * see SCALING.md.
+    */
+  def appendToIvfIndex(
+      spark: SparkSession,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val c         = increment.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    ivfAssign(c, centroids).write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
+  }
+
+  /** [[appendToIvfIndex]] for the quantized layout: assignment runs on
+    * the increment's full-precision vectors (in hand at append time),
+    * what lands is the int8-packed form — same contract as
+    * [[writeIvfIndexQuantized]].
+    */
+  def appendToIvfIndexQuantized(
+      spark: SparkSession,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val c         = increment.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    ivfAssign(c, centroids)
+      .select(col("neighbor_id"), call_function("quantize_i8b", col("cv")).as("__qz"), col("cell_id"))
+      .select(col("neighbor_id"), col("__qz.qb").as("qb"), col("__qz.scale").as("scale"), col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
+  }
+
   /** Probe a quantized persistent index: cells are selected exactly as
     * the full-precision probe does (full query vectors against the
     * full-precision stored centroids), then members of the probed

@@ -116,6 +116,50 @@ class DedupSpec extends SparkSpecBase {
     assert(dirs.sorted === Seq("band=0", "band=1", "band=2", "band=3"))
   }
 
+  test("LSH index probe-after-append ≡ rebuilt-index probe") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val base = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val inc = base.filter(col("id") < 10)
+      .select((col("id") + 5000).as("id"), concat(col("text"), lit(" zz")).as("text"))
+    // probes are variants of BASE docs, so they hit both the original
+    // index rows and (via near-identity) the appended increment
+    val probes = base.filter(col("id") < 10)
+      .select((col("id") + 9000).as("id"), concat(col("text"), lit(" qq")).as("text"))
+    val pathA = java.nio.file.Files.createTempDirectory("lsh-append").toString
+    Dedup.writeMinhashIndexMd5(base, "id", "text", pathA)
+    Dedup.appendToMinhashIndex(inc, "id", "text", pathA)
+    val pathR = java.nio.file.Files.createTempDirectory("lsh-rebuild").toString
+    Dedup.writeMinhashIndexMd5(base.unionByName(inc), "id", "text", pathR)
+    def probe(p: String) = Dedup.probeMinhashIndexMd5(spark, p, probes, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val appended = probe(pathA)
+    assert(appended === probe(pathR))
+    assert(appended.exists(_._1 >= 5000), "appended docs never hit — vacuous append")
+  }
+
+  test("sign-plane index probe-after-append ≡ rebuilt-index probe") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val base = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val inc = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(3.0f)).cast("float")).as("embedding"))
+    val pathA = java.nio.file.Files.createTempDirectory("sp-append").toString
+    Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", pathA)
+    Dedup.appendToSignPlaneIndex(inc, "vec_id", "embedding", pathA)
+    val pathR = java.nio.file.Files.createTempDirectory("sp-rebuild").toString
+    Dedup.writeSignPlaneIndex(base.unionByName(inc), "vec_id", "embedding", pathR)
+    def probe(p: String) = Dedup.probeSignPlaneIndex(spark, p, probes, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val appended = probe(pathA)
+    assert(appended === probe(pathR))
+    assert(appended.exists(_._1 >= 5000), "appended embeddings never hit — vacuous append")
+  }
+
   test("persistent sign-plane index probe ≡ batch cosine pairs restricted to (base × new)") {
     import org.apache.spark.sql.functions.{col, lit, transform}
     val base = GraftSession.table(spark, sf, "embeddings")

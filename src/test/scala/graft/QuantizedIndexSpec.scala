@@ -52,6 +52,45 @@ class QuantizedIndexSpec extends SparkSpecBase {
     assert(brute.except(probed).count() === 0)
   }
 
+  test("IVF probe-after-append ≡ rebuilt-index probe (frozen centroids)") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // increment ids sit ABOVE every base id, so a from-scratch rebuild
+    // over base ∪ increment samples the SAME centroids (smallest ids)
+    // the append-path index froze — making exact equality provable
+    val inc = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(3.0f)).cast("float")).as("embedding"))
+    val q = base.filter(col("vec_id") < 5)
+
+    val pathA = Files.createTempDirectory("ivf-append").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", pathA, nCells = 8)
+    Similarity.appendToIvfIndex(spark, inc, "vec_id", "embedding", pathA)
+
+    val pathR = Files.createTempDirectory("ivf-rebuild").toString
+    Similarity.writeIvfIndex(base.unionByName(inc), "vec_id", "embedding", pathR, nCells = 8)
+
+    def probe(p: String) =
+      Similarity.probeIvfIndex(spark, p, q, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val appended = probe(pathA)
+    assert(appended === probe(pathR))
+    // the appended colinear copies must actually surface as neighbors
+    assert(appended.exists(_._2 >= 5000), "increment vectors never probed — vacuous append")
+
+    // quantized flavor: same contract
+    val pathQA = Files.createTempDirectory("ivfq-append").toString
+    Similarity.writeIvfIndexQuantized(base, "vec_id", "embedding", pathQA, nCells = 8)
+    Similarity.appendToIvfIndexQuantized(spark, inc, "vec_id", "embedding", pathQA)
+    val pathQR = Files.createTempDirectory("ivfq-rebuild").toString
+    Similarity.writeIvfIndexQuantized(base.unionByName(inc), "vec_id", "embedding", pathQR, nCells = 8)
+    def probeQ(p: String) =
+      Similarity.probeIvfIndexQuantized(spark, p, q, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probeQ(pathQA) === probeQ(pathQR))
+  }
+
   test("quantized index assigned data is ~4x smaller at rest") {
     val pathF = Files.createTempDirectory("graft-ivf-full").toString
     val pathQ = Files.createTempDirectory("graft-ivf-quant").toString
