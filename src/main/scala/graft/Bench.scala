@@ -44,8 +44,18 @@ object Bench {
     "x_overlap_join",
     "x_freq_topk",
     "x_dedup_incremental",
+    // round-5 survivors + round-6 additions: tracked from birth
+    "x_dedup_semantic",
+    "x_dedup_semantic_inc",
+    "x_dedup_url",
+    "x_dedup_substring",
+    "x_grouping_sets",
+    "x_table_profile",
+    "x_bpe_tokenize",
     "s9_stream_window",
-    "s9_stream_sessions"
+    "s9_stream_sessions",
+    "s9_stream_neardup",
+    "s9_stream_semantic"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
