@@ -52,6 +52,7 @@ object Bench {
     "x_grouping_sets",
     "x_table_profile",
     "x_bpe_tokenize",
+    "x_ngram_quality",
     "s9_stream_window",
     "s9_stream_sessions",
     "s9_stream_neardup",

@@ -372,6 +372,16 @@ object QueriesScale {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    // ---- n-gram frequency quality score: the CCNet LM-perplexity
+    // filter family in exact integer arithmetic — each doc scored by
+    // how rare its bigrams are corpus-wide (high rare_ratio =
+    // gibberish/OCR noise). Integer sums until one rounded division.
+    "x_ngram_quality" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.ngramFrequencyScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- end-to-end dedup application: the full production chain
     // (ground-truth pairs → components → surviving corpus, min-id
     // canonical, n_merged = absorbed cluster size). Survivors join is
@@ -1156,6 +1166,20 @@ object QueriesScale {
         |FROM bc b JOIN uni ua ON b.w1 = ua.w JOIN uni ub ON b.w2 = ub.w CROSS JOIN tot t0
         |WHERE b.n_ab >= 30
         |ORDER BY b.w1, b.w2""".stripMargin,
+    // exact replay: same bigram explode, corpus-wide counts, per-doc
+    // integer sums, one final rounded division
+    "x_ngram_quality" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |bi AS (SELECT doc_id, tk[CAST(i.i AS INT)] AS w1, tk[CAST(i.i + 1 AS INT)] AS w2
+        | FROM t, unnest(range(1, len(tk))) AS i(i) WHERE len(tk) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |j AS (SELECT doc_id, c12 FROM bi JOIN bc USING (w1, w2))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        | CAST(sum(c12) AS BIGINT) AS sum_freq,
+        | CAST(sum(CASE WHEN c12 <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        | round(CAST(sum(CASE WHEN c12 <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rare_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // survivors = corpus minus non-canonical members of the closure
     // components; n_merged = component size (1 for unpaired docs)
     "x_dedup_apply" ->

@@ -193,6 +193,52 @@ object TextAnalysis {
           (col("n_a") * col("n_b")).cast("double"), 4).as("assoc"))
   }
 
+  /** Corpus n-gram frequency quality score — the CCNet-style
+    * LM-perplexity filter family re-expressed in EXACT integer
+    * arithmetic (a real LM assigns low probability to documents whose
+    * n-grams are rare in the training corpus; the integer proxy
+    * scores each document by how rare its bigrams are corpus-wide,
+    * which is the same signal without log-space float accumulation —
+    * and therefore cross-engine hash-checkable). Per document:
+    * `n_bigrams`, `sum_freq` (total corpus frequency of its bigram
+    * occurrences — an exact integer sum), `n_rare` (bigrams with
+    * corpus count ≤ `rareMax`), and `rare_ratio` (one rounded
+    * division at the end). High rare_ratio = gibberish/OCR noise/
+    * wrong-language text; low = fluent in-domain prose.
+    *
+    * Scale shape: bigram explode (linear in corpus tokens), bigram
+    * count aggregation (map-side combinable — "of the" partial-
+    * aggregates on the mappers), then a keyed equi-join of doc
+    * bigrams against the count table (AQE skew-split applies to the
+    * hot keys; a window-count formulation would sort the hot bigram
+    * on one partition, so the join shape is deliberate) and a per-doc
+    * aggregation. Documents with fewer than 2 tokens emit no row.
+    */
+  def ngramFrequencyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rareMax: Long = 2L
+  ): DataFrame = {
+    val t = df.select(col(idCol), toks(col(textCol)).as("__t")).filter(size(col("__t")) >= 2)
+    val bi = t.select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__t) - 2), " +
+          "i -> struct(element_at(__t, i + 1) AS w1, element_at(__t, i + 2) AS w2))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    bi.join(counts, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__nb"),
+        sum(col("__c12")).as("__sf"),
+        sum(when(col("__c12") <= rareMax, 1L).otherwise(0L)).as("__nr"))
+      .select(col(idCol),
+        col("__nb").cast("int").as("n_bigrams"),
+        col("__sf").cast("bigint").as("sum_freq"),
+        col("__nr").cast("bigint").as("n_rare"),
+        round(col("__nr").cast("double") / col("__nb").cast("double"), 4).as("rare_ratio"))
+  }
+
   /** BPE tokenizer training: learn `nMerges` merge rules from the
     * corpus (the real "train a tokenizer" step of an LLM data
     * pipeline, not just token counting). Classic algorithm: collapse

@@ -498,6 +498,28 @@ class TfidfSpec extends SparkSpecBase {
       .filter(col("doc_id") === 1).select("term").head().getString(0)
     assert(ln === "rareword")
   }
+
+  test("ngramFrequencyScore: fluent shared bigrams score low, gibberish scores high") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // bigrams shared with doc 2
+      (2L, "the cat sat on the floor"), // mostly shared with doc 1
+      (3L, "zq xv qp wk jn bv"),        // gibberish: every bigram unique
+      (4L, "a")                         // < 2 tokens: no row
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.ngramFrequencyScore(docs, "doc_id", "text", rareMax = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val byId = out.map(t => t._1 -> t).toMap
+    // docs 1/2 share "the cat","cat sat","sat on","on the" (c12=2 each);
+    // only their last bigram ("the mat"/"the floor") is unique
+    assert(byId(1L)._2 === 5 && byId(1L)._3 === 9L && byId(1L)._4 === 1L)
+    assert(byId(1L)._5 === 0.2)
+    assert(byId(2L)._5 === 0.2)
+    // gibberish: all 5 bigrams rare
+    assert(byId(3L)._4 === 5L && byId(3L)._5 === 1.0)
+    assert(byId(3L)._5 > byId(1L)._5)
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {
