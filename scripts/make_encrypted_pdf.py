@@ -168,12 +168,62 @@ def make_enc(r: int, v: int, nbits: int, aes: bool) -> dict:
     return {"key": key, "aes": aes, "o": o, "u": u, "p": p, "dict": d}
 
 
+def build_objstm(out_name: str, enc: dict | None) -> None:
+    """PDF 1.5 layout: page + font dicts packed in a Flate ObjStm
+    (encrypted when enc is set), content stream top-level. Exercises
+    the decrypt -> inflate -> expand ordering against this independent
+    writer."""
+    id0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
+    content = b"BT /F1 12 Tf 72 720 Td (Text from an object stream page.) Tj ET"
+
+    def protect(num: int, data: bytes) -> bytes:
+        if enc is None:
+            return data
+        k = obj_key(enc["key"], num, 0, enc["aes"])
+        return aes_encrypt(k, data) if enc["aes"] else rc4(k, data)
+
+    # embedded objects: 1 = catalog, 2 = pages, 3 = page, 6 = font
+    emb = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 6 0 R >> >> /Contents 4 0 R >>"),
+        (6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    offs, body = [], b""
+    for num, d in emb:
+        offs.append((num, len(body)))
+        body += d + b" "
+    header = b" ".join(b"%d %d" % p for p in offs) + b" "
+    payload = zlib.compress(header + body)
+    s5 = protect(5, payload)
+    s4 = protect(4, content)
+    objs = [
+        b"5 0 obj << /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >> stream\n"
+        % (len(emb), len(header), len(s5)) + s5 + b"\nendstream endobj\n",
+        b"4 0 obj << /Length %d >> stream\n" % len(s4) + s4 + b"\nendstream endobj\n",
+    ]
+    trailer = b"trailer << /Root 1 0 R /ID [<%s> <%s>] " % (id0.hex().encode(), id0.hex().encode())
+    if enc is not None:
+        objs.append(
+            b"7 0 obj << /Filter /Standard %s /O <%s> /U <%s> /P %d >> endobj\n"
+            % (enc["dict"], enc["o"].hex().encode(), enc["u"].hex().encode(), enc["p"]))
+        trailer += b"/Encrypt 7 0 R "
+    trailer += b">>\n%%EOF\n"
+    body_all = b"%PDF-1.6\n" + b"".join(objs) + trailer
+    path = os.path.join(OUT, out_name)
+    with open(path, "wb") as f:
+        f.write(body_all)
+    print(f"wrote {path} ({len(body_all)} bytes)")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     build("plain.pdf", None)
     build("rc4_40.pdf", make_enc(r=2, v=1, nbits=40, aes=False))
     build("rc4_128.pdf", make_enc(r=3, v=2, nbits=128, aes=False))
     build("aesv2.pdf", make_enc(r=4, v=4, nbits=128, aes=True))
+    build_objstm("objstm.pdf", None)
+    build_objstm("objstm_rc4.pdf", make_enc(r=3, v=2, nbits=128, aes=False))
 
 
 if __name__ == "__main__":

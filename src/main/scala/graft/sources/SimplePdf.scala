@@ -33,12 +33,18 @@ import scala.util.matching.Regex
   * unsupported handler (AESV3/R6) yields no text — counted, never
   * garbage.
   *
+  * PDF 1.5+ OBJECT STREAMS (`/ObjStm`) expand transparently: objects
+  * packed into compressed streams — where every modern writer puts
+  * its page/font dicts — are carved out after decryption and join
+  * the object table, so the linear scan sees post-2005 files whole.
+  *
   * Out of scope (falls back to skipping the content, never throwing):
   * AESV3/R6 encryption and non-empty user passwords, LZW/DCT/CCITT
   * filters, CID fonts WITHOUT a usable ToUnicode CMap (their codes
   * decode to nothing rather than mojibake); cross-reference streams
-  * are not needed (objects are discovered by linear scan, so `XRef`
-  * tables are ignored entirely).
+  * carry no needed information (objects are discovered by linear
+  * scan + ObjStm expansion, so `XRef` tables/streams are ignored
+  * entirely).
   *
   * Reference behavior being replaced:
   * src/components/preprocessing/pdf_text_extractor.py:104-117 (pdf →
@@ -58,7 +64,7 @@ final class SimplePdfExtractor extends PdfSource.PdfTextExtractor {
     if (bytes == null || bytes.length == 0) return Nil
     try {
       val raw   = new String(bytes, ISO_8859_1)
-      val objs  = decryptObjects(raw, parseObjects(raw))
+      val objs  = expandObjectStreams(decryptObjects(raw, parseObjects(raw)))
       val byNum = objs.map(o => o.num -> o).toMap
       val pages = pageSpecs(objs, byNum) match {
         case specs if specs.nonEmpty =>
@@ -282,6 +288,44 @@ object SimplePdfExtractor {
           }
         }).getOrElse(objs.map(o => o.copy(stream = None))) // unsupported: no garbage text
     }
+  }
+
+  /** PDF 1.5+ object streams (`/Type /ObjStm`, ISO 32000-1 §7.5.7):
+    * modern writers pack their small dict objects (pages, fonts,
+    * catalogs) into a compressed stream whose header lists `N`
+    * (objnum, offset) integer pairs before `/First`, bodies following
+    * at `First + offset`. A linear top-level scan alone would MISS
+    * every object stored this way — most post-2005 PDFs — so each
+    * decoded ObjStm is expanded into ordinary [[PdfObj]]s (gen 0, no
+    * nested streams per spec). Runs AFTER decryption (the ObjStm
+    * stream itself is encrypted; its embedded objects are not
+    * re-encrypted). Top-level objects win numbering collisions —
+    * a file carrying both forms is usually an incremental update
+    * whose appended top-level objects supersede packed ones.
+    */
+  private def expandObjectStreams(objs: Vector[PdfObj]): Vector[PdfObj] = {
+    val have = objs.map(_.num).toSet
+    val embedded = objs
+      .filter(o => """/Type\s*/ObjStm(?![A-Za-z])""".r.findFirstIn(o.dict).isDefined)
+      .flatMap { o =>
+        (for {
+          n     <- """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+          first <- """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+          text  <- decodedStream(o)
+          if first <= text.length
+        } yield {
+          val pairs = """\d+""".r.findAllIn(text.substring(0, first)).map(_.toInt)
+            .grouped(2).collect { case Seq(a, b) => (a, b) }.take(n).toVector
+          pairs.zipWithIndex.map { case ((num, off), i) =>
+            val start = math.min(first + off, text.length)
+            val end =
+              if (i + 1 < pairs.length) math.min(math.max(first + pairs(i + 1)._2, start), text.length)
+              else text.length
+            PdfObj(num, 0, text.substring(start, end), None)
+          }
+        }).getOrElse(Vector.empty)
+      }
+    objs ++ embedded.filterNot(e => have(e.num))
   }
 
   /** `/Type /Page` objects in file order → (content-stream object

@@ -177,6 +177,17 @@ class SimplePdfSpec extends SparkSpecBase {
     }
   }
 
+  test("object streams expand: page/font dicts packed in an ObjStm resolve, plain and encrypted") {
+    // PDF 1.5+ layout from the independent python writer — the page
+    // tree lives INSIDE a compressed object stream (what every modern
+    // writer emits); the encrypted twin additionally proves the
+    // decrypt → inflate → expand ordering.
+    for (f <- Seq("objstm.pdf", "objstm_rc4.pdf")) {
+      val pages = new SimplePdfExtractor().extractPages(f, fixture(f))
+      assert(pages === Seq("Text from an object stream page."), s"fixture $f")
+    }
+  }
+
   test("unsupported encryption handlers yield no text, never garbage") {
     // Take the RC4-128 fixture and claim an AESV3/R6 handler: the key
     // derivation no longer applies, so every stream must be skipped.
