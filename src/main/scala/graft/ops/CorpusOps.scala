@@ -378,9 +378,17 @@ object CorpusOps {
     * skewing one reducer — deliberately NOT a row_number window, which
     * would sort the hot key on a single partition), join the windows
     * back on fingerprint to mark non-first occurrences, explode their
-    * covered positions, and cut per doc with one index-filter. Two
-    * column-pruned scans of (id, text); everything between is keyed by
-    * fingerprint or doc id.
+    * covered positions, and cut per doc with one index-filter.
+    *
+    * The window frame is deliberately RECOMPUTED on the owner and
+    * probe sides of the fingerprint join (plus one more scan for the
+    * final assembly — three column-pruned scans of (id, text) total,
+    * plan-verified): the exploded (id, wpos, fp) frame is tens of
+    * times the corpus size, so persisting it would cost more IO than
+    * re-deriving it from the pruned text scan. Everything between the
+    * scans is keyed by fingerprint or doc id. Use
+    * [[substringDupStats]] to price the window/duplicate volumes
+    * before a corpus-wide run.
     *
     * First-occurrence key is `id * 1e6 + wpos` in pure long
     * arithmetic (cross-engine exact); a doc with more than 1e6 window
@@ -395,6 +403,17 @@ object CorpusOps {
     * Better" (Lee et al., 2022) — fingerprint-bucketed instead of
     * suffix-array because bucketing is the shuffle-native shape.
     */
+  /** The sliding-window fingerprint frame (id, wpos, fp) shared by the
+    * dedup and its stats audit.
+    */
+  private def substringWins(toks: DataFrame, idCol: String, window: Int): DataFrame =
+    toks
+      .filter(size(col("__toks")) >= window && size(col("__toks")) < lit(1000000) + window)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - lit(window))).as("__wpos"))
+      .select(col(idCol), col("__wpos"),
+        md5(array_join(slice(col("__toks"), col("__wpos") + 1, lit(window)), " ")).as("__fp"))
+
   def dedupCrossDocSubstring(
       df: DataFrame,
       idCol: String,
@@ -403,12 +422,7 @@ object CorpusOps {
   ): DataFrame = {
     require(window >= 2, "window must be >= 2 tokens")
     val toks = df.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
-    val wins = toks
-      .filter(size(col("__toks")) >= window && size(col("__toks")) < lit(1000000) + window)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0), size(col("__toks")) - lit(window))).as("__wpos"))
-      .select(col(idCol), col("__wpos"),
-        md5(array_join(slice(col("__toks"), col("__wpos") + 1, lit(window)), " ")).as("__fp"))
+    val wins = substringWins(toks, idCol, window)
     val okey = col(idCol).cast("long") * lit(1000000L) + col("__wpos")
     val owners = wins
       .groupBy(col("__fp"))
@@ -429,6 +443,32 @@ object CorpusOps {
         size(col("__dups")).as("n_dup_tokens"),
         array_join(filter(col("__toks"), (t, i) => !array_contains(col("__dups"), i)), " ")
           .as("cleaned"))
+  }
+
+  /** Candidate-volume audit for [[dedupCrossDocSubstring]] — the same
+    * price-the-blocking discipline as `Dedup.lshCandidateStats`: how
+    * many windows exist, how many fingerprints are duplicated, how
+    * many window occurrences will be cut, and the hottest
+    * fingerprint's occurrence count (the skew the algebraic-min
+    * aggregation absorbs). Run at a sample scale before a corpus-wide
+    * dedup; `max_fp_count` ≈ corpus docs means a boilerplate string is
+    * present nearly everywhere and the cut volume will be large.
+    */
+  def substringDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int
+  ): DataFrame = {
+    val toks = df.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
+    substringWins(toks, idCol, window)
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).cast("bigint").as("n_windows"),
+        count(lit(1)).cast("bigint").as("n_fingerprints"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_fingerprints"),
+        sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L)).as("n_cut_occurrences"),
+        max(col("__c")).as("max_fp_count"))
   }
 
   /** Gap sessionization: events more than `gap` apart (same user)

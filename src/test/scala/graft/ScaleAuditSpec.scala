@@ -72,6 +72,25 @@ class ScaleAuditSpec extends SparkSpecBase {
       s"blocking should prune ≥75% of all-pairs here ($pairs vs $allPairs)")
   }
 
+  test("substring-dedup audit prices window volume and the planted-boilerplate hot fingerprint") {
+    import graft.ops.CorpusOps
+    import org.apache.spark.sql.functions.{concat, lit, pmod, when, col => c}
+    val header = "hh1 hh2 hh3 hh4 hh5 hh6 hh7 hh8"
+    val planted = docs.select(c("id"),
+      when(pmod(c("id"), lit(4)) === 0, concat(lit(header + " "), c("text")))
+        .otherwise(c("text")).as("text"))
+    val r = CorpusOps.substringDupStats(planted, "id", "text", window = 8).collect()(0)
+    val (nWin, nFp, nDupFp, nCut, maxC) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nWin > 0 && nFp <= nWin)
+    assert(nWin - nFp === nCut, "cut occurrences must equal windows minus distinct fingerprints")
+    // the planted header is one window shared by every 4th doc — the
+    // audit must surface it as (at least) the hot fingerprint
+    val carriers = planted.filter(pmod(c("id"), lit(4)) === 0).count()
+    assert(maxC >= carriers, s"hot fingerprint count $maxC < planted carriers $carriers")
+    assert(nDupFp >= 1 && nCut >= carriers - 1)
+  }
+
   test("bucketCap drops only oversized buckets' candidates") {
     // planted corpus: 25 exact-ish copies land in shared buckets; a
     // cap of 1 kills every multi-member bucket → zero pairs, while the
