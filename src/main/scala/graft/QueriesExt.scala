@@ -85,9 +85,12 @@ object QueriesExt {
     }
     def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
     val tail = key match {
-      case Some(_) =>
+      case Some(k) =>
+        // the reader VERIFIES /U (Algorithm 5) before decrypting, so
+        // the writer must emit the real entry (+16 bytes spec padding)
+        val u = SimplePdfExtractor.userEntry(k, id0, r = 3) ++ Array.fill[Byte](16)(0)
         s"9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
-          s"/O <${hex(oEntry)}> /U <${hex(oEntry)}> /P $perm >> endobj\n" +
+          s"/O <${hex(oEntry)}> /U <${hex(u)}> /P $perm >> endobj\n" +
           s"trailer << /Root 1 0 R /Encrypt 9 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n"
       case None => "%%EOF\n"
     }

@@ -390,12 +390,14 @@ object CorpusOps {
     * [[substringDupStats]] to price the window/duplicate volumes
     * before a corpus-wide run.
     *
-    * First-occurrence key is `id * 1e6 + wpos` in pure long
-    * arithmetic (cross-engine exact); a doc with more than 1e6 window
-    * positions would overflow the encoding, so such docs pass through
-    * un-deduped (explicit filter below — a 1M-token single document is
-    * a corpus bug upstream of this operator). Output: (id, n_tokens,
-    * n_dup_tokens, cleaned).
+    * First occurrence is the `min` of the (id, wpos) STRUCT —
+    * lexicographic struct ordering, algebraic, and total for ANY
+    * orderable id type (string ids and 64-bit hashed ids included; an
+    * encoded `id * K + wpos` long would silently null out non-numeric
+    * ids and collide past 2^63/K). The oracle replays it as
+    * `id * 1e6 + wpos` — an identical ordering at gate scale, where
+    * ids are small integers. Output: (id, n_tokens, n_dup_tokens,
+    * cleaned).
     *
     * Ref behavior: extends the reference's intra-doc cleanup
     * (text_curator.py dedup rules) corpus-wide, per the ExactSubstr
@@ -408,7 +410,7 @@ object CorpusOps {
     */
   private def substringWins(toks: DataFrame, idCol: String, window: Int): DataFrame =
     toks
-      .filter(size(col("__toks")) >= window && size(col("__toks")) < lit(1000000) + window)
+      .filter(size(col("__toks")) >= window)
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), size(col("__toks")) - lit(window))).as("__wpos"))
       .select(col(idCol), col("__wpos"),
@@ -423,14 +425,14 @@ object CorpusOps {
     require(window >= 2, "window must be >= 2 tokens")
     val toks = df.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
     val wins = substringWins(toks, idCol, window)
-    val okey = col(idCol).cast("long") * lit(1000000L) + col("__wpos")
+    val self = struct(col(idCol), col("__wpos"))
     val owners = wins
       .groupBy(col("__fp"))
-      .agg(min(okey).as("__okey"), count(lit(1)).as("__c"))
+      .agg(min(self).as("__own"), count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
     val covered = wins
       .join(owners, Seq("__fp"))
-      .filter(okey =!= col("__okey"))
+      .filter(self =!= col("__own"))
       .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__tpos"))).as("__dups"))

@@ -496,10 +496,27 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4
   ): Unit =
+    minhashIndexLayout(df, idCol, textCol, path, w, numHashes, bands,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** ONE layout pipeline for build AND append — the probe-after-append
+    * ≡ rebuild guarantee depends on the two flavors staying
+    * byte-identical, so they cannot be two copies.
+    */
+  private def minhashIndexLayout(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      w: Int,
+      numHashes: Int,
+      bands: Int,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit =
     bandedSigsMd5(df, idCol, textCol, w, numHashes, bands)
       .repartition(col("band"))
       .sortWithinPartitions(col("bucket"))
-      .write.mode("overwrite").partitionBy("band").parquet(path)
+      .write.mode(mode).partitionBy("band").parquet(path)
 
   /** Fold a document increment INTO the persistent LSH index without
     * rebuilding it: the increment signs+bands exactly as the build
@@ -523,10 +540,8 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4
   ): Unit =
-    bandedSigsMd5(df, idCol, textCol, w, numHashes, bands)
-      .repartition(col("band"))
-      .sortWithinPartitions(col("bucket"))
-      .write.mode("append").partitionBy("band").parquet(path)
+    minhashIndexLayout(df, idCol, textCol, path, w, numHashes, bands,
+      org.apache.spark.sql.SaveMode.Append)
 
   /** Probe the [[writeMinhashIndexMd5]] index with a NEW document
     * increment: new docs band exactly as the index did, candidates
@@ -828,9 +843,21 @@ object Dedup {
       path: String,
       planes: Int = 4
   ): Unit =
+    signPlaneIndexLayout(df, idCol, vecCol, path, planes,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Shared build/append layout pipeline — see [[minhashIndexLayout]]. */
+  private def signPlaneIndexLayout(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      planes: Int,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit =
     signPlaneKeyed(df, idCol, vecCol, planes)
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Fold an embedding increment INTO the persistent sign-plane index
     * without rebuilding: same append-into-partitions contract as
@@ -846,9 +873,8 @@ object Dedup {
       path: String,
       planes: Int = 4
   ): Unit =
-    signPlaneKeyed(df, idCol, vecCol, planes)
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    signPlaneIndexLayout(df, idCol, vecCol, path, planes,
+      org.apache.spark.sql.SaveMode.Append)
 
   /** Probe the [[writeSignPlaneIndex]] index with NEW embeddings:
     * the increment keys exactly as the index did, candidates come

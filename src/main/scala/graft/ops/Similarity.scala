@@ -176,9 +176,30 @@ object Similarity {
         java.util.Arrays.asList(refined.collect(): _*), refined.schema))
     }
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssign(c, centroids).write.mode("overwrite")
-      .partitionBy("cell_id").parquet(s"$path/assigned")
+    writeAssigned(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Overwrite)
   }
+
+  /** ONE assigned-layout writer for build AND append — the
+    * probe-after-append ≡ rebuild guarantee depends on the flavors
+    * staying byte-identical.
+    */
+  private def writeAssigned(
+      assigned: DataFrame,
+      path: String,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit =
+    assigned.write.mode(mode).partitionBy("cell_id").parquet(s"$path/assigned")
+
+  /** Same, quantized flavor: int8 byte-pack before landing. */
+  private def writeAssignedQuantized(
+      assigned: DataFrame,
+      path: String,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit =
+    assigned
+      .select(col("neighbor_id"), call_function("quantize_i8b", col("cv")).as("__qz"), col("cell_id"))
+      .select(col("neighbor_id"), col("__qz.qb").as("qb"), col("__qz.scale").as("scale"), col("cell_id"))
+      .write.mode(mode).partitionBy("cell_id").parquet(s"$path/assigned")
 
   /** Build and persist the QUANTIZED IVF index — the actual 100 TB
     * layout: assignment runs on the full-precision vectors (build
@@ -209,10 +230,7 @@ object Similarity {
         java.util.Arrays.asList(refined.collect(): _*), refined.schema))
     }
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssign(c, centroids)
-      .select(col("neighbor_id"), call_function("quantize_i8b", col("cv")).as("__qz"), col("cell_id"))
-      .select(col("neighbor_id"), col("__qz.qb").as("qb"), col("__qz.scale").as("scale"), col("cell_id"))
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/assigned")
+    writeAssignedQuantized(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Fold a corpus increment INTO a persisted IVF index without
@@ -237,7 +255,7 @@ object Similarity {
   ): Unit = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val c         = increment.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    ivfAssign(c, centroids).write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
+    writeAssigned(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Append)
   }
 
   /** [[appendToIvfIndex]] for the quantized layout: assignment runs on
@@ -254,10 +272,7 @@ object Similarity {
   ): Unit = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val c         = increment.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    ivfAssign(c, centroids)
-      .select(col("neighbor_id"), call_function("quantize_i8b", col("cv")).as("__qz"), col("cell_id"))
-      .select(col("neighbor_id"), col("__qz.qb").as("qb"), col("__qz.scale").as("scale"), col("cell_id"))
-      .write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
+    writeAssignedQuantized(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Probe a quantized persistent index: cells are selected exactly as

@@ -111,10 +111,20 @@ object SimplePdfExtractor {
           if (s < body.length && body.charAt(s) == '\n') s += 1
           val endStream = body.lastIndexOf("endstream")
           if (endStream > s) {
-            var e = endStream
-            // trailing EOL before endstream is not part of the data
-            if (e > s && body.charAt(e - 1) == '\n') e -= 1
-            if (e > s && body.charAt(e - 1) == '\r') e -= 1
+            // Prefer the dict's declared direct /Length: binary payloads
+            // (ciphertext especially) legitimately END in 0x0A/0x0D, and
+            // the EOL-strip heuristic below would eat that real byte.
+            val declared = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+              .findFirstMatchIn(dict).map(_.group(1).toInt)
+            val e = declared match {
+              case Some(l) if l >= 0 && s + l <= endStream => s + l
+              case _ =>
+                var e0 = endStream
+                // trailing EOL before endstream is not part of the data
+                if (e0 > s && body.charAt(e0 - 1) == '\n') e0 -= 1
+                if (e0 > s && body.charAt(e0 - 1) == '\r') e0 -= 1
+                e0
+            }
             out += PdfObj(m.group(1).toInt, m.group(2).toInt, dict,
               Some(body.substring(s, e).getBytes(ISO_8859_1)))
           } else out += PdfObj(m.group(1).toInt, m.group(2).toInt, dict, None)
@@ -240,17 +250,89 @@ object SimplePdfExtractor {
     (java.util.regex.Pattern.quote(key) + """\s+(-?\d+)""").r
       .findFirstMatchIn(dict).map(_.group(1).toInt)
 
+  /** The dict with every NESTED `<<…>>` body blanked out, so regex
+    * lookups can't anchor inside a sub-dictionary — e.g. the crypt
+    * filter's `/CF << /StdCF << /Length 16 >> >>` (bytes!) must never
+    * shadow the encrypt dict's own `/Length 128` (bits).
+    */
+  private def topLevelOf(dict: String): String = {
+    val sb    = new java.lang.StringBuilder(dict.length)
+    var depth = 0
+    var i     = 0
+    while (i < dict.length) {
+      if (dict.startsWith("<<", i)) { depth += 1; sb.append(if (depth > 1) "  " else "<<"); i += 2 }
+      else if (dict.startsWith(">>", i)) { sb.append(if (depth > 1) "  " else ">>"); depth -= 1; i += 2 }
+      else { sb.append(if (depth > 1) ' ' else dict.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   private val EncryptRef: Regex = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
-  private val FileId: Regex     = """/ID\s*\[\s*<([0-9A-Fa-f]*)>""".r
+
+  /** Trailer /ID first element — hex `<…>` OR literal `(…)` form
+    * (both legal; real writers emit both). Last occurrence wins
+    * (incremental updates append trailers).
+    */
+  private def fileIdOf(raw: String): Option[Array[Byte]] =
+    """/ID\s*\[""".r.findAllMatchIn(raw).flatMap { m =>
+      var i = m.end
+      while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+      if (i < raw.length && raw.charAt(i) == '<')
+        Some(parseHexString(raw, i)._1.toCharArray.map(_.toByte))
+      else if (i < raw.length && raw.charAt(i) == '(')
+        Some(parseLiteralString(raw, i)._1.toCharArray.map(_.toByte))
+      else None
+    }.toSeq.lastOption
+
+  /** Algorithm 4 (R2) / 5 (R≥3): the /U entry the empty user password
+    * produces under `key`. R≥3 compares on the first 16 bytes (the
+    * stored tail is arbitrary padding).
+    */
+  private[graft] def userEntry(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(key, PwPad)
+    else {
+      var u = rc4(key, md5(PwPad, id0))
+      for (i <- 1 until 20) u = rc4(key.map(b => (b ^ i).toByte), u)
+      u
+    }
+
+  /** The stream cipher the encrypt dict selects for STREAMS: V<4 is
+    * always RC4; V4 resolves /StmF → named crypt filter → /CFM
+    * (AESV2, V2=RC4, None/Identity = not encrypted). Substring
+    * matching on the whole dict would mis-cipher mixed-filter files.
+    */
+  private sealed trait StreamCipher
+  private case object CipherRc4 extends StreamCipher
+  private case object CipherAes extends StreamCipher
+  private case object CipherNone extends StreamCipher
+
+  private def streamCipherOf(d: String, top: String, v: Int, byNum: Map[Int, PdfObj]): Option[StreamCipher] =
+    if (v < 4) Some(CipherRc4)
+    else {
+      val stmf = """/StmF\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(top).map(_.group(1))
+        .getOrElse("Identity") // spec default: streams not encrypted
+      if (stmf == "Identity") Some(CipherNone)
+      else
+        dictValue(d, "/CF", byNum).flatMap(cf => dictValue(cf, "/" + stmf, byNum)) match {
+          case Some(f) if """/CFM\s*/AESV2(?![A-Za-z0-9])""".r.findFirstIn(f).isDefined => Some(CipherAes)
+          case Some(f) if """/CFM\s*/V2(?![A-Za-z0-9])""".r.findFirstIn(f).isDefined    => Some(CipherRc4)
+          case Some(f) if """/CFM\s*/None(?![A-Za-z0-9])""".r.findFirstIn(f).isDefined  => Some(CipherNone)
+          case _ => None // unknown/missing crypt filter: unsupported
+        }
+    }
 
   /** If the trailer names a standard-security /Encrypt dict this
     * handler supports (V 1/2/4, R 2/3/4, RC4 or AESV2), decrypt every
-    * object's stream under the empty-user-password file key. An
-    * unsupported handler (or a real user password, whose key produces
-    * garbage that fails the filters) degrades to skipped streams —
-    * never mojibake, never a throw. The /Encrypt dict's own strings
-    * are plaintext by spec and the object carries no stream; XRef/
-    * metadata streams decrypt to garbage we never consume.
+    * object's stream under the empty-user-password file key. The
+    * derived key is VERIFIED against the stored /U (Algorithm 4/5)
+    * first: a wrong password or tampered dict fails verification and
+    * degrades to skipped streams — never mojibake, never a throw —
+    * which also covers raw (unfiltered) streams where garbage
+    * plaintext would otherwise flow straight into extraction. All
+    * numeric/name entries parse from the TOP-LEVEL dict only (the
+    * crypt-filter sub-dict carries its own /Length in BYTES). The
+    * /Encrypt dict's own strings are plaintext by spec; XRef/metadata
+    * streams decrypt to garbage we never consume.
     */
   private def decryptObjects(raw: String, objs: Vector[PdfObj]): Vector[PdfObj] = {
     val byNum = objs.map(o => o.num -> o).toMap
@@ -259,34 +341,37 @@ object SimplePdfExtractor {
     enc match {
       case None => objs
       case Some(e) =>
-        val d = e.dict
-        val supported = d.contains("/Standard") &&
-          intValue(d, "/V").exists(v => v == 1 || v == 2 || v == 4) &&
-          intValue(d, "/R").exists(r => r >= 2 && r <= 4) &&
-          (intValue(d, "/V").getOrElse(1) < 4 || d.contains("/AESV2") || d.contains("/V2"))
-        val id0 = FileId.findFirstMatchIn(raw).map(_.group(1))
-          .map(h => h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        val d   = e.dict
+        val top = topLevelOf(d)
         (for {
-          _ <- Option.when(supported)(())
-          o <- stringValue(d, "/O") if o.length >= 32
-          p <- intValue(d, "/P")
-          id <- id0
-          r = intValue(d, "/R").get
-          v = intValue(d, "/V").get
-        } yield {
-          val aes = v == 4 && d.contains("/AESV2")
-          val key = fileKey(o, p, id, r, intValue(d, "/Length").getOrElse(40),
-            encryptMetadata = """/EncryptMetadata\s+false""".r.findFirstIn(d).isEmpty)
-          objs.map { obj =>
-            obj.stream match {
-              case Some(data) if obj.num != e.num =>
-                val ok = objectKey(key, obj.num, obj.gen, aes)
-                val dec = if (aes) aesCbcDecrypt(ok, data) else Some(rc4(ok, data))
-                obj.copy(stream = dec)
-              case _ => obj
+          v  <- intValue(top, "/V") if v == 1 || v == 2 || v == 4
+          r  <- intValue(top, "/R") if r >= 2 && r <= 4
+          _  <- Option.when(top.contains("/Standard"))(())
+          o  <- stringValue(top, "/O") if o.length >= 32
+          u  <- stringValue(top, "/U") if u.length >= 16
+          p  <- intValue(top, "/P")
+          id <- fileIdOf(raw)
+          cipher <- streamCipherOf(d, top, v, byNum)
+          lengthBits = intValue(top, "/Length").getOrElse(if (v == 4) 128 else 40)
+          key = fileKey(o, p, id, r, lengthBits,
+            encryptMetadata = """/EncryptMetadata\s+false""".r.findFirstIn(top).isEmpty)
+          expectU = userEntry(key, id, r)
+          checkLen = if (r == 2) 32 else 16
+          _ <- Option.when(u.take(checkLen).sameElements(expectU.take(checkLen)))(())
+        } yield cipher match {
+          case CipherNone => objs
+          case _ =>
+            objs.map { obj =>
+              obj.stream match {
+                case Some(data) if obj.num != e.num =>
+                  val ok = objectKey(key, obj.num, obj.gen, aes = cipher == CipherAes)
+                  val dec =
+                    if (cipher == CipherAes) aesCbcDecrypt(ok, data) else Some(rc4(ok, data))
+                  obj.copy(stream = dec)
+                case _ => obj
+              }
             }
-          }
-        }).getOrElse(objs.map(o => o.copy(stream = None))) // unsupported: no garbage text
+        }).getOrElse(objs.map(o => o.copy(stream = None))) // unsupported/unverified: no garbage text
     }
   }
 

@@ -142,14 +142,12 @@ object EventsStream {
       threshold: Double = 0.99,
       planes: Int = 4
   ): StreamingQuery = {
-    val src    = spark.readStream.schema(schema).parquet(newEmbDir)
-    val probes = graft.ops.Dedup.signPlaneKeyed(src, "vec_id", "embedding", planes)
-    val index  = spark.read.parquet(indexPath)
-    val cos = graft.ops.Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-    index.as("a")
-      .join(probes.as("b"), col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val src = spark.readStream.schema(schema).parquet(newEmbDir)
+    // the batch probe accepts the streaming frame unchanged (the
+    // index side joins stream-static) — ONE implementation, so the
+    // streaming twin can never drift from the oracle-gated batch path
+    graft.ops.Dedup.probeSignPlaneIndex(spark, indexPath, src, "vec_id", "embedding",
+        threshold, planes)
       .writeStream
       .outputMode("append")
       .format("memory")

@@ -188,6 +188,57 @@ class SimplePdfSpec extends SparkSpecBase {
     }
   }
 
+  private def hexStr(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+  private val fixtureId0 = "0123456789abcdef0123456789abcdef"
+    .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("encrypt-dict /Length parses top-level only (nested /CF /Length 16 must not shadow it)") {
+    // permute the AESV2 dict so the crypt filter's byte-length comes
+    // FIRST — a plain findFirst would derive a 5-byte key and lose
+    // every stream
+    val raw = new String(fixture("aesv2.pdf"), ISO_8859_1)
+      .replace("/V 4 /R 4 /Length 128 /CF", "/V 4 /R 4 /CF")
+      .replace("/StmF /StdCF /StrF /StdCF /O", "/StmF /StdCF /StrF /StdCF /Length 128 /O")
+    val pages = new SimplePdfExtractor().extractPages("permuted", raw.getBytes(ISO_8859_1))
+    assert(pages === new SimplePdfExtractor().extractPages("plain", fixture("plain.pdf")))
+  }
+
+  test("trailer /ID in literal-string form parses like the hex form") {
+    val lit = "(" + new String(fixtureId0, ISO_8859_1) + ")"
+    val raw = new String(fixture("rc4_128.pdf"), ISO_8859_1)
+      .replace(s"/ID [<$fixtureId0> <$fixtureId0>]", s"/ID [$lit $lit]")
+    val pages = new SimplePdfExtractor().extractPages("litid", raw.getBytes(ISO_8859_1))
+    assert(pages === new SimplePdfExtractor().extractPages("plain", fixture("plain.pdf")))
+  }
+
+  test("V4 /StmF /Identity leaves streams undecrypted (spec: streams not encrypted)") {
+    // plaintext body + a V4 Identity-streams encrypt dict with a VALID
+    // /U for the fixture /ID: the reader must verify the key, then
+    // pass streams through untouched
+    val o   = Array.tabulate(32)(_.toByte)
+    val p   = -3904
+    val key = SimplePdfExtractor.fileKey(o, p, fixtureId0, r = 4, lengthBits = 128,
+      encryptMetadata = true)
+    val u = SimplePdfExtractor.userEntry(key, fixtureId0, 4) ++ Array.fill[Byte](16)(0)
+    val raw = new String(fixture("plain.pdf"), ISO_8859_1).replace("trailer <<",
+      s"9 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 " +
+        s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /Identity /StrF /StdCF " +
+        s"/O <${hexStr(o)}> /U <${hexStr(u)}> /P $p >> endobj\ntrailer << /Encrypt 9 0 R")
+    val pages = new SimplePdfExtractor().extractPages("identity", raw.getBytes(ISO_8859_1))
+    assert(pages === new SimplePdfExtractor().extractPages("plain", fixture("plain.pdf")))
+  }
+
+  test("a /U that does not verify (wrong password) yields no text, never garbage") {
+    val raw = new String(fixture("rc4_40.pdf"), ISO_8859_1)
+    val at  = raw.indexOf("/U <")
+    assert(at > 0)
+    val flipped = raw.substring(0, at + 4) +
+      raw.substring(at + 4, at + 12).map(c => if (c == 'f') '0' else 'f') +
+      raw.substring(at + 12)
+    val pages = new SimplePdfExtractor().extractPages("badu", flipped.getBytes(ISO_8859_1))
+    assert(pages === Nil)
+  }
+
   test("unsupported encryption handlers yield no text, never garbage") {
     // Take the RC4-128 fixture and claim an AESV3/R6 handler: the key
     // derivation no longer applies, so every stream must be skipped.
