@@ -39,12 +39,13 @@ import scala.util.matching.Regex
   * the object table, so the linear scan sees post-2005 files whole.
   *
   * Out of scope (falls back to skipping the content, never throwing):
-  * AESV3/R6 encryption and non-empty user passwords, LZW/DCT/CCITT
-  * filters, CID fonts WITHOUT a usable ToUnicode CMap (their codes
-  * decode to nothing rather than mojibake); cross-reference streams
-  * carry no needed information (objects are discovered by linear
-  * scan + ObjStm expansion, so `XRef` tables/streams are ignored
-  * entirely).
+  * AESV3/R6 encryption and non-empty user passwords, DCT/CCITT
+  * filters and LZW with EarlyChange 0 (the default EarlyChange 1
+  * decodes natively), CID fonts WITHOUT a usable ToUnicode CMap
+  * (their codes decode to nothing rather than mojibake);
+  * cross-reference streams carry no needed information (objects are
+  * discovered by linear scan + ObjStm expansion, so `XRef`
+  * tables/streams are ignored entirely).
   *
   * Reference behavior being replaced:
   * src/components/preprocessing/pdf_text_extractor.py:104-117 (pdf →
@@ -533,14 +534,76 @@ object SimplePdfExtractor {
     out.result()
   }
 
-  /** Stream payload, FlateDecode-inflated when the filter says so;
-    * unsupported filters yield None (skip, don't throw).
+  /** Stream payload, FlateDecode-inflated or LZWDecode-expanded when
+    * the filter says so; unsupported filters yield None (skip, don't
+    * throw).
     */
   private def decodedStream(o: PdfObj): Option[String] = o.stream.flatMap { data =>
     if (o.dict.contains("/FlateDecode")) inflate(data).map(b => new String(b, ISO_8859_1))
-    else if (o.dict.contains("/Filter")) None
+    else if (o.dict.contains("/LZWDecode")) {
+      // EarlyChange 0 shifts every width bump one code later; rare
+      // (default is 1) and a mis-width read would emit garbage, so skip
+      if ("""/EarlyChange\s+0""".r.findFirstIn(o.dict).isDefined) None
+      else lzwDecode(data).map(b => new String(b, ISO_8859_1))
+    } else if (o.dict.contains("/Filter")) None
     else Some(new String(data, ISO_8859_1))
   }
+
+  /** PDF/TIFF LZW with the default EarlyChange=1 width rule: the code
+    * width is chosen from the decoder's table size BEFORE each read
+    * (<511 → 9 bits, <1023 → 10, <2047 → 11, else 12). 256 clears,
+    * 257 ends; the `code == table.size` case is the classic KwKwK
+    * self-reference. Validated against the independent python
+    * encoder/decoder pair in scripts/make_lzw_pdf.py. Malformed input
+    * yields None (skip, never partial-garbage).
+    */
+  private def lzwDecode(data: Array[Byte]): Option[Array[Byte]] = try {
+    val out   = new java.io.ByteArrayOutputStream(data.length * 4)
+    var table = mutable.ArrayBuffer.empty[Array[Byte]]
+    def resetTable(): Unit = {
+      table = mutable.ArrayBuffer.tabulate(258)(i => if (i < 256) Array(i.toByte) else null)
+    }
+    resetTable()
+    var prev: Array[Byte] = null
+    var bitbuf = 0L
+    var nbits  = 0
+    var pos    = 0
+    while (true) {
+      val width = if (table.length < 511) 9 else if (table.length < 1023) 10
+                  else if (table.length < 2047) 11 else 12
+      while (nbits < width) {
+        if (pos >= data.length) return Some(out.toByteArray) // no EOD: emit what decoded
+        bitbuf = (bitbuf << 8) | (data(pos) & 0xff)
+        nbits += 8
+        pos += 1
+      }
+      val code = ((bitbuf >> (nbits - width)) & ((1L << width) - 1)).toInt
+      nbits -= width
+      if (code == 256) { resetTable(); prev = null }
+      else if (code == 257) return Some(out.toByteArray)
+      else if (prev == null) {
+        if (code > 255) return None
+        val x = table(code)
+        out.write(x)
+        prev = x
+      } else {
+        val x =
+          if (code < table.length) {
+            val v = table(code)
+            if (v == null) return None
+            table += (prev :+ v(0))
+            v
+          } else if (code == table.length) {
+            val v = prev :+ prev(0)
+            table += v
+            v
+          } else return None
+        out.write(x)
+        prev = x
+      }
+    }
+    None // unreachable
+  } catch { case _: Exception => None }
 
   /** Inflate a FlateDecode stream. Truncated/corrupt input yields None
     * (skip the stream — silently-partial text would poison the corpus

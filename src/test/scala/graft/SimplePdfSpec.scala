@@ -248,6 +248,23 @@ class SimplePdfSpec extends SparkSpecBase {
     assert(pages === Nil)
   }
 
+  test("LZWDecode streams decode (golden fixture from the python encoder)") {
+    val pages = new SimplePdfExtractor().extractPages("lzw", fixture("lzw.pdf"))
+    assert(pages === Seq(
+      "LZW page body text with repeats: the cat the cat the cat sat."))
+    // EarlyChange 0 shifts the width rule: must skip, not mis-decode
+    val ec0 = new String(fixture("lzw.pdf"), ISO_8859_1)
+      .replace("/Filter /LZWDecode", "/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>")
+    assert(new SimplePdfExtractor().extractPages("lzw0", ec0.getBytes(ISO_8859_1)) === Nil)
+    // corrupt LZW payload: skip, never partial garbage
+    val bytes = fixture("lzw.pdf")
+    val at    = new String(bytes, ISO_8859_1).indexOf("stream\n") + 7
+    val corrupt = bytes.clone()
+    for (i <- at + 4 until math.min(at + 12, corrupt.length)) corrupt(i) = 0x57
+    val p2 = new SimplePdfExtractor().extractPages("lzwc", corrupt)
+    assert(p2.isEmpty || !p2.exists(_.contains(" ")))
+  }
+
   test("corrupt bytes and unsupported filters skip cleanly") {
     val ex = new SimplePdfExtractor()
     assert(ex.extractPages("junk", Array[Byte](1, 2, 3)) === Nil)
