@@ -49,6 +49,7 @@ object Bench {
     "x_dedup_semantic_inc",
     "x_dedup_url",
     "x_dedup_substring",
+    "x_dedup_substring_inc",
     "x_grouping_sets",
     "x_table_profile",
     "x_bpe_tokenize",
@@ -56,7 +57,8 @@ object Bench {
     "s9_stream_window",
     "s9_stream_sessions",
     "s9_stream_neardup",
-    "s9_stream_semantic"
+    "s9_stream_semantic",
+    "s9_stream_substring"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

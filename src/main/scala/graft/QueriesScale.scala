@@ -49,6 +49,47 @@ object QueriesScale {
 
   private val streamN = new AtomicInteger(0)
 
+  /** The planted crawl increment for the substring-index probes: every
+    * doc_id<25 contributes a "new" doc (id+30000) whose first 12
+    * tokens are lifted verbatim from the base doc (duplicated passage
+    * — must be cut) followed by a fresh gibberish tail (must survive).
+    */
+  private def substringIncrement(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs(s, dir).filter(col("doc_id") < 25)
+      .select((col("doc_id") + 30000).as("id"),
+        concat(array_join(slice(toks, 1, 12), " "),
+          lit(" qq ww ee rr tt yy uu ii oo pp")).as("text"))
+  }
+
+  /** Shared oracle for the incremental substring probe (batch AND
+    * streaming flavors): the increment's 8-token window fingerprints
+    * joined against the base corpus's distinct fingerprint set, the
+    * matching windows' positions cut — exactly what probing the
+    * persistent substring index computes.
+    */
+  private val substringIncOracle: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      | FROM documents),
+      |bfp AS (SELECT DISTINCT md5(array_to_string(tk[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ')) AS fp
+      | FROM t, unnest(range(0, len(tk) - 7)) AS u(i)),
+      |f0 AS (SELECT doc_id + 30000 AS id,
+      |  array_to_string(tk[1:12], ' ') || ' qq ww ee rr tt yy uu ii oo pp' AS text
+      | FROM t WHERE doc_id < 25),
+      |ft AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM f0),
+      |w AS (SELECT id, CAST(u.i AS INT) AS wpos,
+      |  md5(array_to_string(tk[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ')) AS fp
+      | FROM ft, unnest(range(0, len(tk) - 7)) AS u(i)),
+      |dup AS (SELECT id, wpos FROM w JOIN bfp USING (fp)),
+      |cov AS (SELECT DISTINCT id, CAST(u.p AS INT) AS tpos
+      | FROM dup, unnest(range(wpos, wpos + 8)) AS u(p)),
+      |dl AS (SELECT id, list(tpos ORDER BY tpos) AS dups FROM cov GROUP BY id),
+      |f AS (SELECT ft.id, tk, coalesce(dups, []) AS dups FROM ft LEFT JOIN dl USING (id))
+      |SELECT id, CAST(len(tk) AS INT) AS n_tokens, CAST(len(dups) AS INT) AS n_dup_tokens,
+      | coalesce(array_to_string(list_filter(tk, (x, i) -> NOT list_contains(dups, i - 1)), ' '),
+      |          '') AS cleaned
+      |FROM f ORDER BY id""".stripMargin
+
   /** Shared oracle for the incremental semantic probe (batch AND
     * streaming flavors): cosine pairs between the base embeddings and
     * the planted colinear increment on matching sign buckets —
@@ -348,6 +389,41 @@ object QueriesScale {
           docs(s, dir).select(col("doc_id"), planted.as("text")),
           "doc_id", "text", window = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- INCREMENTAL substring dedup against a persistent
+    // fingerprint index: the passage analog of x_dedup_incremental —
+    // the corpus's distinct 8-token fingerprints are written once
+    // (prefix-partitioned); the increment (12-token passages lifted
+    // from base docs + fresh tails) probes it and lands cut. Base
+    // text never re-read.
+    "x_dedup_substring_inc" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("graft-sub-index").toString
+      CorpusOps.writeSubstringIndex(base, "id", "text", path, window = 8)
+      CorpusOps.probeSubstringIndex(s, path, substringIncrement(s, dir), "id", "text", window = 8)
+        .orderBy(col("id"))
+    }),
+
+    // ---- the same probe ONLINE: the increment arrives as a STREAM,
+    // each micro-batch runs the batch probe inside foreachBatch
+    // (documents are whole within their batch; the index carries the
+    // corpus history) and lands cut parquet — dedup-at-ingest for the
+    // third modality. Batch x_dedup_substring_inc is the oracle
+    // semantics; the same SQL gates both.
+    "s9_stream_substring" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val indexPath = java.nio.file.Files.createTempDirectory("graft-sub-sindex").toString
+      CorpusOps.writeSubstringIndex(base, "id", "text", indexPath, window = 8)
+      val fresh    = substringIncrement(s, dir)
+      val freshDir = java.nio.file.Files.createTempDirectory("graft-sub-stream").toString
+      fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
+      val outDir = java.nio.file.Files.createTempDirectory("graft-sub-out").toString
+      val ckpt   = java.nio.file.Files.createTempDirectory("graft-sub-ckpt").toString
+      val q = EventsStream.streamSubstringDedup(
+        s, indexPath, freshDir, fresh.schema, outDir, ckpt, window = 8)
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("id"))
     }),
 
     // ---- exact edit-distance similarity join (ed ≤ 1), PassJoin
@@ -1392,6 +1468,10 @@ object QueriesScale {
     // BOTH the batch index probe and its streaming twin
     "x_dedup_semantic_inc" -> semanticIncOracle,
     "s9_stream_semantic" -> semanticIncOracle,
+    // increment windows joined to the base fingerprint set, covered
+    // positions cut — gates BOTH the batch probe and its stream twin
+    "x_dedup_substring_inc" -> substringIncOracle,
+    "s9_stream_substring" -> substringIncOracle,
     // the cosine-pair CTE chained into the recursive closure + keep-one
     "x_dedup_semantic" -> {
       val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"

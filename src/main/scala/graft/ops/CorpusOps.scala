@@ -436,6 +436,14 @@ object CorpusOps {
       .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__tpos"))).as("__dups"))
+    cutCovered(toks, covered, idCol)
+  }
+
+  /** The per-doc cut shared by the batch dedup and the index probe:
+    * left-join the covered-position lists and filter each doc's token
+    * array by index.
+    */
+  private def cutCovered(toks: DataFrame, covered: DataFrame, idCol: String): DataFrame =
     toks
       .join(covered, Seq(idCol), "left")
       .withColumn("__dups", coalesce(col("__dups"), array().cast("array<int>")))
@@ -445,6 +453,91 @@ object CorpusOps {
         size(col("__dups")).as("n_dup_tokens"),
         array_join(filter(col("__toks"), (t, i) => !array_contains(col("__dups"), i)), " ")
           .as("cleaned"))
+
+  /** PERSISTENT substring-fingerprint index — the passage-dedup analog
+    * of the LSH and sign-plane indexes: the DISTINCT `window`-token
+    * fingerprints of the existing corpus, written once
+    * `partitionBy(2-hex-prefix)` (256 balanced partitions,
+    * fingerprint-sorted files for stat pruning). An increment then
+    * probes it instead of re-fingerprinting the whole corpus: any
+    * increment passage ALREADY IN the corpus is cut at ingest — base
+    * occurrences always precede the increment, so existence in the
+    * index IS first-occurrence ownership. (Repeats only WITHIN the
+    * increment are the batch operator's job.)
+    */
+  def writeSubstringIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      window: Int
+  ): Unit =
+    substringIndexLayout(df, idCol, textCol, path, window,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Fold an increment's fingerprints into the index — O(increment)
+    * per crawl, same append contract as the LSH/sign-plane layouts.
+    * Appends may duplicate a fingerprint already present (the index
+    * is semantically a SET and the probe's covered-position collect_set
+    * absorbs duplicates — spec-proven probe-after-append ≡ rebuilt);
+    * periodic per-partition distinct-rewrite compaction reclaims the
+    * space.
+    */
+  def appendToSubstringIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      window: Int
+  ): Unit =
+    substringIndexLayout(df, idCol, textCol, path, window,
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** ONE layout pipeline for build AND append (see
+    * `Dedup.minhashIndexLayout` — the flavors must not drift).
+    */
+  private def substringIndexLayout(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      window: Int,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit = {
+    val toks = df.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
+    substringWins(toks, idCol, window)
+      .select(col("__fp"), substring(col("__fp"), 1, 2).as("pfx")).distinct()
+      .repartition(col("pfx"))
+      .sortWithinPartitions(col("__fp"))
+      .write.mode(mode).partitionBy("pfx").parquet(path)
+  }
+
+  /** Probe the [[writeSubstringIndex]] index with a NEW document
+    * increment: the increment fingerprints itself (linear), the
+    * equi-join on (prefix, fingerprint) finds passages already in the
+    * corpus, and their covered positions are cut per document —
+    * returning the increment in [[dedupCrossDocSubstring]]'s output
+    * shape (id, n_tokens, n_dup_tokens, cleaned). The corpus text is
+    * never re-read.
+    */
+  def probeSubstringIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int
+  ): DataFrame = {
+    val toks = newDocs.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
+    val wins = substringWins(toks, idCol, window)
+      .withColumn("pfx", substring(col("__fp"), 1, 2))
+    val index = spark.read.parquet(path)
+    val covered = wins
+      .join(index, Seq("pfx", "__fp"))
+      .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__tpos"))).as("__dups"))
+    cutCovered(toks, covered, idCol)
   }
 
   /** Candidate-volume audit for [[dedupCrossDocSubstring]] — the same

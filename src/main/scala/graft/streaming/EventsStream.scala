@@ -156,6 +156,37 @@ object EventsStream {
       .start()
   }
 
+  /** STREAMING exact-substring dedup-at-ingest: each arriving
+    * micro-batch of documents probes the persistent substring index
+    * ([[graft.ops.CorpusOps.writeSubstringIndex]]) and lands its CUT
+    * form as parquet. The probe aggregates covered positions per doc,
+    * so it runs as the BATCH probe inside `foreachBatch` (documents
+    * are whole within their batch — no cross-batch state needed; the
+    * index carries the corpus history). One implementation serves
+    * batch and stream, so the twins can't drift.
+    */
+  def streamSubstringDedup(
+      spark: SparkSession,
+      indexPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      window: Int
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.CorpusOps
+          .probeSubstringIndex(spark, indexPath, batch, "id", "text", window)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream time-bounded join: every view event pairs with the
     * same user's purchases in the trailing hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

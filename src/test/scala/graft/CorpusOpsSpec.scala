@@ -231,6 +231,48 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"cross-doc substring dedup planned an all-pairs join:\n$plan")
   }
 
+  test("substring index probe cuts exactly the passages present in the base corpus") {
+    val base = Seq(
+      (1L, "h1 h2 h3 h4 a b c"),
+      (2L, "x y z w q r s")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "h1 h2 h3 h4 fresh tail words"), // base passage + new tail
+      (11L, "totally new content here only") // untouched
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("sub-index-spec").toString
+    CorpusOps.writeSubstringIndex(base, "doc_id", "text", path, window = 4)
+    val out = CorpusOps.probeSubstringIndex(spark, path, fresh, "doc_id", "text", window = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) === ((10L, 7, 4, "fresh tail words")))
+    assert(out(1) === ((11L, 5, 0, "totally new content here only")))
+  }
+
+  test("substring index probe-after-append ≡ rebuilt-index probe") {
+    val base = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val inc = base.filter(col("id") < 10)
+      .select((col("id") + 5000).as("id"),
+        concat(array_join(slice(toks, 1, 10), " "), lit(" aa bb cc dd")).as("text"))
+    val probes = base.filter(col("id") < 10)
+      .select((col("id") + 9000).as("id"),
+        concat(array_join(slice(toks, 1, 10), " "), lit(" aa bb cc dd ee")).as("text"))
+    val pathA = java.nio.file.Files.createTempDirectory("sub-append").toString
+    CorpusOps.writeSubstringIndex(base, "id", "text", pathA, window = 4)
+    CorpusOps.appendToSubstringIndex(inc, "id", "text", pathA, window = 4)
+    val pathR = java.nio.file.Files.createTempDirectory("sub-rebuild").toString
+    CorpusOps.writeSubstringIndex(base.unionByName(inc), "id", "text", pathR, window = 4)
+    def probe(p: String) = CorpusOps.probeSubstringIndex(spark, p, probes, "id", "text", window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val appended = probe(pathA)
+    assert(appended === probe(pathR))
+    // probes share the base prefix AND the increment's appended tail
+    // run ("aa bb cc dd"), so the append must contribute cut windows
+    assert(appended.forall(_._3 > 0), "every probe doc carries planted passages")
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
