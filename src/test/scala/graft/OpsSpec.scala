@@ -102,8 +102,11 @@ class DedupSpec extends SparkSpecBase {
       .select((col("id") + 5000).as("id"), concat(col("text"), lit(" zz")).as("text"))
     val path = java.nio.file.Files.createTempDirectory("lsh-index-spec").toString
     Dedup.writeMinhashIndexMd5(base, "id", "text", path)
-    val probed = Dedup.probeMinhashIndexMd5(spark, path, fresh, "id", "text")
+    val probeDf = Dedup.probeMinhashIndexMd5(spark, path, fresh, "id", "text")
+    val probed = probeDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeDf.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "LSH probe lost dynamic partition pruning on the band-partitioned index scan")
     // ground truth: batch LSH over base ∪ new, keep only cross-side pairs
     val batch = Dedup.minhashLshPairsMd5(base.unionByName(fresh), "id", "text")
       .filter(col("id_a") < 5000 && col("id_b") >= 5000)
@@ -169,8 +172,13 @@ class DedupSpec extends SparkSpecBase {
         transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
     val path = java.nio.file.Files.createTempDirectory("sp-index-spec").toString
     Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
-    val probed = Dedup.probeSignPlaneIndex(spark, path, fresh, "vec_id", "embedding", 0.99)
+    val probeDf = Dedup.probeSignPlaneIndex(spark, path, fresh, "vec_id", "embedding", 0.99)
+    val probed = probeDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the probe must partition-prune the index by bucket (DPP fires
+    // against the small probe side) — the layout's whole point
+    assert(probeDf.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "sign-plane probe lost dynamic partition pruning on the index scan")
     // ground truth: batch sign-plane pairs over base ∪ new, cross-side only
     val batch = Dedup.embeddingNearDupPairs(base.unionByName(fresh), "vec_id", "embedding", 0.99)
       .filter(col("id_a") < 5000 && col("id_b") >= 5000)
