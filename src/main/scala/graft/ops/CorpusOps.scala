@@ -531,7 +531,15 @@ object CorpusOps {
     val toks = newDocs.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
     val wins = substringWins(toks, idCol, window)
       .withColumn("pfx", substring(col("__fp"), 1, 2))
-    val index = spark.read.parquet(path)
+    // explicit schema: an index built from a corpus with no
+    // window-sized docs is an EMPTY partitioned dir, and schema
+    // inference would throw where the correct semantics is
+    // "no history → pass the increment through uncut"
+    val index = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__fp", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pfx", org.apache.spark.sql.types.StringType))))
+      .parquet(path)
     val covered = wins
       .join(index, Seq("pfx", "__fp"))
       .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))

@@ -70,13 +70,13 @@ final class SimplePdfExtractor extends PdfSource.PdfTextExtractor {
       val pages = pageSpecs(objs, byNum) match {
         case specs if specs.nonEmpty =>
           specs.map { case (refs, fonts) =>
-            refs.flatMap(byNum.get).flatMap(decodedStream)
+            refs.flatMap(byNum.get).flatMap(o => decodedStream(o, byNum))
               .map(extractText(_, fonts)).filter(_.nonEmpty).mkString("\n")
           }
         case _ =>
           // no page tree (fragment / exotic writer): every text-bearing
           // content stream becomes a page, in file order
-          objs.flatMap(decodedStream).filter(_.contains("BT")).map(extractText(_))
+          objs.flatMap(o => decodedStream(o, byNum)).filter(_.contains("BT")).map(extractText(_))
       }
       pages.map(_.trim).filter(_.nonEmpty)
     } catch {
@@ -115,7 +115,9 @@ object SimplePdfExtractor {
             // Prefer the dict's declared direct /Length: binary payloads
             // (ciphertext especially) legitimately END in 0x0A/0x0D, and
             // the EOL-strip heuristic below would eat that real byte.
-            val declared = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+            // \d++ is POSSESSIVE: '/Length 50 0 R' (indirect ref) must
+            // not backtrack into '5' to satisfy the lookahead.
+            val declared = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
               .findFirstMatchIn(dict).map(_.group(1).toInt)
             val e = declared match {
               case Some(l) if l >= 0 && s + l <= endStream => s + l
@@ -260,10 +262,20 @@ object SimplePdfExtractor {
     val sb    = new java.lang.StringBuilder(dict.length)
     var depth = 0
     var i     = 0
+    def emitRange(end: Int): Unit =
+      while (i < end && i < dict.length) { sb.append(if (depth > 1) ' ' else dict.charAt(i)); i += 1 }
     while (i < dict.length) {
+      val c = dict.charAt(i)
       if (dict.startsWith("<<", i)) { depth += 1; sb.append(if (depth > 1) "  " else "<<"); i += 2 }
       else if (dict.startsWith(">>", i)) { sb.append(if (depth > 1) "  " else ">>"); depth -= 1; i += 2 }
-      else { sb.append(if (depth > 1) ' ' else dict.charAt(i)); i += 1 }
+      else if (c == '(')
+        // literal string: random /O-/U bytes legitimately contain '<<'
+        // or '>>' pairs — they must not corrupt the depth tracking
+        emitRange(parseLiteralString(dict, i)._2)
+      else if (c == '<') { // hex string ('<<' handled above)
+        val close = dict.indexOf('>', i + 1)
+        emitRange(if (close < 0) dict.length else close + 1)
+      } else { sb.append(if (depth > 1) ' ' else c); i += 1 }
     }
     sb.toString
   }
@@ -397,7 +409,7 @@ object SimplePdfExtractor {
         (for {
           n     <- """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
           first <- """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
-          text  <- decodedStream(o)
+          text  <- decodedStream(o, objs.map(x => x.num -> x).toMap)
           if first <= text.length
         } yield {
           val pairs = """\d+""".r.findAllIn(text.substring(0, first)).map(_.toInt)
@@ -486,7 +498,7 @@ object SimplePdfExtractor {
     for {
       m    <- """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fontDict)
       obj  <- byNum.get(m.group(1).toInt)
-      text <- decodedStream(obj)
+      text <- decodedStream(obj, byNum)
       cm = parseCMap(text) if cm.nonEmpty
     } yield cm
 
@@ -534,20 +546,53 @@ object SimplePdfExtractor {
     out.result()
   }
 
-  /** Stream payload, FlateDecode-inflated or LZWDecode-expanded when
-    * the filter says so; unsupported filters yield None (skip, don't
-    * throw).
+  /** The stream dict's /Filter as a name list: single name, array
+    * form, or empty when the key is absent; None when the value is an
+    * indirect reference or unparseable (treat as unsupported).
     */
-  private def decodedStream(o: PdfObj): Option[String] = o.stream.flatMap { data =>
-    if (o.dict.contains("/FlateDecode")) inflate(data).map(b => new String(b, ISO_8859_1))
-    else if (o.dict.contains("/LZWDecode")) {
-      // EarlyChange 0 shifts every width bump one code later; rare
-      // (default is 1) and a mis-width read would emit garbage, so skip
-      if ("""/EarlyChange\s+0""".r.findFirstIn(o.dict).isDefined) None
-      else lzwDecode(data).map(b => new String(b, ISO_8859_1))
-    } else if (o.dict.contains("/Filter")) None
-    else Some(new String(data, ISO_8859_1))
+  private def filterNamesOf(dict: String): Option[Vector[String]] = {
+    val top = topLevelOf(dict)
+    """/Filter(?![A-Za-z0-9])""".r.findFirstMatchIn(top) match {
+      case None => Some(Vector.empty)
+      case Some(m) =>
+        var i = m.end
+        while (i < top.length && top.charAt(i).isWhitespace) i += 1
+        if (i < top.length && top.charAt(i) == '[') {
+          val close = top.indexOf(']', i)
+          val body  = if (close < 0) top.substring(i + 1) else top.substring(i + 1, close)
+          Some("""/([A-Za-z0-9]+)""".r.findAllMatchIn(body).map(_.group(1)).toVector)
+        } else if (i < top.length && top.charAt(i) == '/')
+          Some("""/([A-Za-z0-9]+)""".r.findFirstMatchIn(top.substring(i)).map(_.group(1)).toVector)
+        else None
+    }
   }
+
+  /** EarlyChange 0 detection, following an indirect /DecodeParms. */
+  private def earlyChangeZero(dict: String, byNum: Map[Int, PdfObj]): Boolean =
+    """/EarlyChange\s+0(?![0-9])""".r.findFirstIn(dict).isDefined ||
+      """/DecodeParms\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict)
+        .flatMap(m => byNum.get(m.group(1).toInt))
+        .exists(p => """/EarlyChange\s+0(?![0-9])""".r.findFirstIn(p.dict).isDefined)
+
+  /** Stream payload, FlateDecode-inflated or LZWDecode-expanded when
+    * the filter says so. Filter CHAINS (e.g. [/ASCII85Decode
+    * /LZWDecode]) and unsupported/indirect filters yield None — a
+    * substring match would feed un-85-decoded text to the LZW table
+    * and emit mojibake.
+    */
+  private def decodedStream(o: PdfObj, byNum: Map[Int, PdfObj] = Map.empty): Option[String] =
+    o.stream.flatMap { data =>
+      filterNamesOf(o.dict) match {
+        case Some(Vector()) => Some(new String(data, ISO_8859_1))
+        case Some(Vector("FlateDecode")) => inflate(data).map(b => new String(b, ISO_8859_1))
+        case Some(Vector("LZWDecode")) =>
+          // EarlyChange 0 shifts every width bump one code later; rare
+          // (default is 1) and a mis-width read would emit garbage
+          if (earlyChangeZero(o.dict, byNum)) None
+          else lzwDecode(data).map(b => new String(b, ISO_8859_1))
+        case _ => None
+      }
+    }
 
   /** PDF/TIFF LZW with the default EarlyChange=1 width rule: the code
     * width is chosen from the decoder's table size BEFORE each read
@@ -572,7 +617,10 @@ object SimplePdfExtractor {
       val width = if (table.length < 511) 9 else if (table.length < 1023) 10
                   else if (table.length < 2047) 11 else 12
       while (nbits < width) {
-        if (pos >= data.length) return Some(out.toByteArray) // no EOD: emit what decoded
+        // exhausted without EOD = truncated (the spec requires the EOD
+        // marker): NONE, never the decoded prefix — silently-partial
+        // page text is the poisoning mode inflate() also guards against
+        if (pos >= data.length) return None
         bitbuf = (bitbuf << 8) | (data(pos) & 0xff)
         nbits += 8
         pos += 1

@@ -249,6 +249,18 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out(1) === ((11L, 5, 0, "totally new content here only")))
   }
 
+  test("substring index over a corpus with no window-sized docs: probe passes increment through") {
+    // an empty history must no-op the cut, not crash on schema
+    // inference over the empty partitioned dir
+    val base = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("sub-empty").toString
+    CorpusOps.writeSubstringIndex(base, "doc_id", "text", path, window = 4)
+    val fresh = Seq((10L, "fresh words here now ok")).toDF("doc_id", "text")
+    val out = CorpusOps.probeSubstringIndex(spark, path, fresh, "doc_id", "text", window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq === Seq((10L, 5, 0, "fresh words here now ok")))
+  }
+
   test("substring index probe-after-append ≡ rebuilt-index probe") {
     val base = GraftSession.table(spark, sf, "documents")
       .select(col("doc_id").as("id"), col("text"))

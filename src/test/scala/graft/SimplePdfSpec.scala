@@ -228,6 +228,25 @@ class SimplePdfSpec extends SparkSpecBase {
     assert(pages === new SimplePdfExtractor().extractPages("plain", fixture("plain.pdf")))
   }
 
+  test("literal-string /O containing '<<' bytes does not corrupt encrypt-dict parsing") {
+    // 32 printable bytes with '<<' and '>>' planted: a naive depth
+    // scanner would treat them as dict delimiters and blank out /U
+    // and /P, failing a fully supported file
+    val oEntry = "ab<<cd>>ef0123456789abcdefghijkl".getBytes(ISO_8859_1)
+    assert(oEntry.length === 32)
+    val p   = -3904
+    val key = SimplePdfExtractor.fileKey(oEntry, p, fixtureId0, r = 4, lengthBits = 128,
+      encryptMetadata = true)
+    val u   = SimplePdfExtractor.userEntry(key, fixtureId0, 4) ++ Array.fill[Byte](16)(0)
+    val lit = new String(oEntry, ISO_8859_1)
+    val raw = new String(fixture("plain.pdf"), ISO_8859_1).replace("trailer <<",
+      s"9 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 " +
+        s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /Identity /StrF /StdCF " +
+        s"/O ($lit) /U <${hexStr(u)}> /P $p >> endobj\ntrailer << /Encrypt 9 0 R")
+    val pages = new SimplePdfExtractor().extractPages("lito", raw.getBytes(ISO_8859_1))
+    assert(pages === new SimplePdfExtractor().extractPages("plain", fixture("plain.pdf")))
+  }
+
   test("a /U that does not verify (wrong password) yields no text, never garbage") {
     val raw = new String(fixture("rc4_40.pdf"), ISO_8859_1)
     val at  = raw.indexOf("/U <")
@@ -252,10 +271,16 @@ class SimplePdfSpec extends SparkSpecBase {
     val pages = new SimplePdfExtractor().extractPages("lzw", fixture("lzw.pdf"))
     assert(pages === Seq(
       "LZW page body text with repeats: the cat the cat the cat sat."))
-    // EarlyChange 0 shifts the width rule: must skip, not mis-decode
-    val ec0 = new String(fixture("lzw.pdf"), ISO_8859_1)
+    // EarlyChange 0 shifts the width rule: must skip, not mis-decode -
+    // inline AND via an indirect /DecodeParms reference
+    val rawLzw = new String(fixture("lzw.pdf"), ISO_8859_1)
+    val ec0 = rawLzw
       .replace("/Filter /LZWDecode", "/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>")
     assert(new SimplePdfExtractor().extractPages("lzw0", ec0.getBytes(ISO_8859_1)) === Nil)
+    val ec0i = rawLzw
+      .replace("/Filter /LZWDecode", "/Filter /LZWDecode /DecodeParms 9 0 R")
+      .replace("trailer <<", "9 0 obj << /EarlyChange 0 >> endobj\ntrailer <<")
+    assert(new SimplePdfExtractor().extractPages("lzw0i", ec0i.getBytes(ISO_8859_1)) === Nil)
     // corrupt LZW payload: skip, never partial garbage
     val bytes = fixture("lzw.pdf")
     val at    = new String(bytes, ISO_8859_1).indexOf("stream\n") + 7
@@ -263,6 +288,28 @@ class SimplePdfSpec extends SparkSpecBase {
     for (i <- at + 4 until math.min(at + 12, corrupt.length)) corrupt(i) = 0x57
     val p2 = new SimplePdfExtractor().extractPages("lzwc", corrupt)
     assert(p2.isEmpty || !p2.exists(_.contains(" ")))
+  }
+
+  test("truncated LZW (no EOD) and filter chains skip; indirect /Length falls back to carving") {
+    val raw = new String(fixture("lzw.pdf"), ISO_8859_1)
+    // truncate the payload mid-stream, keeping markers intact: the
+    // decoder must yield nothing, never the decoded prefix
+    val at  = raw.indexOf("stream\n") + 7
+    val end = raw.indexOf("\nendstream")
+    val truncated = raw.substring(0, at + (end - at) / 2) + raw.substring(end)
+    assert(new SimplePdfExtractor().extractPages("trunc", truncated.getBytes(ISO_8859_1)) === Nil)
+    // a filter CHAIN containing LZWDecode must not decode the raw
+    // bytes as bare LZW (classic ASCII85+LZW combination)
+    val chained = raw.replace("/Filter /LZWDecode", "/Filter [/ASCII85Decode /LZWDecode]")
+    assert(new SimplePdfExtractor().extractPages("chain", chained.getBytes(ISO_8859_1)) === Nil)
+    // an INDIRECT /Length ('N 0 R', multi-digit object number) must not
+    // backtrack-parse as a short direct length and truncate the stream
+    val plain = new String(fixture("plain.pdf"), ISO_8859_1)
+    val m = """5 0 obj << /Length (\d+) >>""".r.findFirstMatchIn(plain).get
+    val doc = plain.substring(0, m.start) + "5 0 obj << /Length 50 0 R >>" +
+      plain.substring(m.end) + s"50 0 obj ${m.group(1)} endobj\n"
+    val pages = new SimplePdfExtractor().extractPages("indlen", doc.getBytes(ISO_8859_1))
+    assert(pages.nonEmpty && pages(0).startsWith("Encrypted page one body text."))
   }
 
   test("corrupt bytes and unsupported filters skip cleanly") {
