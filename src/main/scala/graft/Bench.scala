@@ -54,6 +54,7 @@ object Bench {
     "x_table_profile",
     "x_bpe_tokenize",
     "x_ngram_quality",
+    "x_sketch_quantiles",
     "s9_stream_window",
     "s9_stream_sessions",
     "s9_stream_neardup",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvQuantileAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -99,6 +99,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqTopKAgg].getName, "freq_topk"),
       (children: Seq[Expression]) => FreqTopKAgg(children(0),
         GraftExtensions.literalK("freq_topk", children, 1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_quantile"),
+      new ExpressionInfo(classOf[KmvQuantileAgg].getName, "kmv_quantile"),
+      (children: Seq[Expression]) => KmvQuantileAgg(children(0),
+        GraftExtensions.literalK("kmv_quantile", children, 1),
+        GraftExtensions.literalK("kmv_quantile", children, 2))
     ))
   }
 }

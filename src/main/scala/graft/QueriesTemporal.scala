@@ -305,6 +305,34 @@ object QueriesTemporal {
         .orderBy(col("flag_a"), col("flag_b"))
     }),
 
+    // ---- distinct-sampling quantile sketch (native mergeable
+    // aggregate, Gibbons VLDB'01): per-group percentile estimates from
+    // a ≤k-entry (value, count) synopsis on the shuffle where exact
+    // percentile shuffles every row. Unlike GK/KLL/t-digest, the k-min
+    // selection is a semilattice — merge-tree-independent — so the
+    // WHOLE estimator (sampling step included) replays in the oracle's
+    // SQL and hash-checks even in the LOSSY regime: k=16 is below the
+    // ~50 distinct quantities per flag, so this gate row exercises the
+    // estimate path, with the exact median riding along so the sketch
+    // error stays driver-visible.
+    "x_sketch_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("kmv_quantile(v, 16, 25)").as("q25_est"),
+          expr("kmv_quantile(v, 16, 50)").as("q50_est"),
+          expr("kmv_quantile(v, 16, 75)").as("q75_est"))
+      val cum = li.groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("l_returnflag").orderBy("v")))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("l_returnflag")))
+      val exact = cum.filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag")).agg(min(col("v")).as("q50_exact"))
+      est.join(exact, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+    }),
+
     // ---- exact group percentiles (linear interpolation, the R-7 /
     // quantile_cont convention both engines share). Exact percentile
     // sorts each group; the 100 TB path is approx_percentile (t-digest
@@ -557,6 +585,35 @@ object QueriesTemporal {
         | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
         | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full estimator replay: k-min md5 sample of distinct values WITH
+    // their multiset counts, then the lower weighted quantile
+    // (smallest v with 100·cum ≥ p·total) — all-integer, so the hash
+    // must match even where the sketch is lossy
+    "x_sketch_quantiles" ->
+      """WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+        | FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, v, c,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY md5(CAST(v AS VARCHAR))) AS rk
+        | FROM d),
+        |w AS (SELECT l_returnflag, v,
+        |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY l_returnflag) AS tot
+        | FROM r WHERE rk <= 16),
+        |est AS (SELECT l_returnflag,
+        |  min(v) FILTER (WHERE 100 * cum >= 25 * tot) AS q25_est,
+        |  min(v) FILTER (WHERE 100 * cum >= 50 * tot) AS q50_est,
+        |  min(v) FILTER (WHERE 100 * cum >= 75 * tot) AS q75_est
+        | FROM w GROUP BY 1),
+        |fw AS (SELECT l_returnflag, v,
+        |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY l_returnflag) AS tot
+        | FROM d),
+        |ex AS (SELECT l_returnflag, min(v) FILTER (WHERE 2 * cum >= tot) AS q50_exact
+        | FROM fw GROUP BY 1)
+        |SELECT est.l_returnflag, q25_est, q50_est, q75_est, q50_exact
+        |FROM est JOIN ex USING (l_returnflag)
+        |ORDER BY est.l_returnflag""".stripMargin
   )
 }

@@ -81,6 +81,53 @@ class SketchSpec extends SparkSpecBase {
     assert(math.abs(row.getDouble(1) - 1000.0) / 1000.0 < 0.3, s"intersect est ${row.getDouble(1)}")
   }
 
+  test("kmv_quantile is the exact lower weighted quantile below k") {
+    // 1..200 each with multiplicity = value (triangular multiset):
+    // total = 20100, p50 boundary at cum ≥ 10050 → v = 141
+    val df = (1 to 200).flatMap(v => Seq.fill(v)(v.toLong)).toDF("v")
+    val est = df.agg(expr("kmv_quantile(v, 1024, 50)")).head.getLong(0)
+    val exact = {
+      val total = 20100L
+      (1 to 200).map(_.toLong).scanLeft(0L)(_ + _).zipWithIndex
+        .collectFirst { case (cum, i) if 100L * cum >= 50L * total => i.toLong }.get
+    }
+    assert(est == exact, s"exact-regime median $est != $exact")
+  }
+
+  test("kmv_quantile lossy regime matches a hand replay of the same estimator") {
+    // 500 distinct values, k=32: sample = the 32 min-md5 values with
+    // their counts; the lower weighted quantile of that sample is the
+    // contract — recompute it directly
+    val vals = (1 to 500).map(v => v.toLong -> (1L + v % 7)).toMap
+    val rows = vals.toSeq.flatMap { case (v, n) => Seq.fill(n.toInt)(v) }
+    val k = 32
+    val sample = vals.keys.toSeq
+      .sortBy(v => graft.functions.KmvDistinctAgg.md5Hex(v.toString.getBytes("US-ASCII")))
+      .take(k).sorted
+    val total = sample.map(vals).sum
+    val expected = sample.zip(sample.map(vals).scanLeft(0L)(_ + _).tail)
+      .collectFirst { case (v, cum) if 100L * cum >= 75L * total => v }.get
+    val est = rows.toDF("v").agg(expr(s"kmv_quantile(v, $k, 75)")).head.getLong(0)
+    assert(est == expected, s"lossy-regime p75 $est != replay $expected")
+  }
+
+  test("kmv_quantile is partition-layout invariant, even when lossy") {
+    val rows = (1 to 4000).map(i => (i * 2654435761L) % 997L)
+    val one  = rows.toDF("v").repartition(1).agg(expr("kmv_quantile(v, 64, 50)")).head.getLong(0)
+    val many = rows.toDF("v").repartition(17).agg(expr("kmv_quantile(v, 64, 50)")).head.getLong(0)
+    assert(one == many, s"merge path diverged: $one vs $many")
+  }
+
+  test("kmv_quantile rejects non-bigint input at analysis and skips nulls") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.5, 2.5).toDF("d").agg(expr("kmv_quantile(d, 16, 50)")).queryExecution.analyzed
+    }
+    assert(err.getMessage.toLowerCase.contains("kmv_quantile"))
+    val est = Seq[java.lang.Long](5L, null, 7L, null, 9L).toDF("v")
+      .agg(expr("kmv_quantile(v, 16, 50)")).head.getLong(0)
+    assert(est == 7L)
+  }
+
   test("kmv_distinct matches the closed-form estimator on a known set") {
     // recompute (k-1)/u_k by hand from the same md5 ordering
     val vals = (1 to 1000).map(_.toString)
