@@ -55,6 +55,7 @@ object Bench {
     "x_bpe_tokenize",
     "x_ngram_quality",
     "x_sketch_quantiles",
+    "x_pagerank_hosts",
     "s9_stream_window",
     "s9_stream_sessions",
     "s9_stream_neardup",
