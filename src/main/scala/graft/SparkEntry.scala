@@ -329,6 +329,26 @@ object SparkEntry {
           coalesce(min(col("event_id")), lit(-1L)).as("min_event"))
     }),
 
+    // ---- J12: scan after small-file compaction — the rewrite is
+    // semantics-free (same rows in the same partition dirs, fewer
+    // files), so the oracle is the identical aggregate over the RAW
+    // table; the file accounting itself (counts drop, well-sized dirs
+    // untouched) is CompactionSpec's job. The write is forced into 24
+    // shards per lang partition first, the worst-case many-writers
+    // layout a real ingest produces.
+    "j12_compact_scan" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-compact-gate").toString
+      docs(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+        .repartition(24)
+        .write.mode("overwrite").partitionBy("lang").parquet(wh)
+      graft.ops.Scale.compact(s, wh, targetBytes = 1L << 30)
+      s.read.parquet(wh)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("lang"))
+    }),
+
     "j6_semi_join" -> ((s, dir) => {
       val o = ord(s, dir).filter(col("o_totalprice") > 100000)
       cust(s, dir)
@@ -436,6 +456,10 @@ object SparkEntry {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "j12_compact_scan" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        | min(doc_id) AS min_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "j11_zorder_scan" ->
       """SELECT count(*) AS n_events,
         | round(CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS sum_value,

@@ -177,6 +177,66 @@ object Scale {
     wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** One compacted partition directory's before/after accounting. */
+  final case class CompactStats(dir: String, filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Bin-pack a parquet dataset's files toward `targetBytes` per file
+    * — the small-files problem is the classic large-pipeline failure
+    * mode (a 100 TB warehouse written by thousands of tasks ends up
+    * with millions of KB-sized files, and every later scan pays a
+    * task + open + footer read per file).
+    *
+    * Walks the (possibly Hive-partitioned) layout to its leaf
+    * directories and, for each leaf whose file count exceeds
+    * ceil(bytes/target), reads JUST that directory, `coalesce`s to
+    * the target count (split merge — NO shuffle, rows never leave
+    * their executor in bulk), writes alongside, and swaps the part
+    * files in place. Well-sized directories are never read or
+    * rewritten, so a periodic compaction pass costs IO proportional
+    * to the under-sized tail only. Partition values live in the
+    * directory names, not the files, so the swapped files re-derive
+    * them on read unchanged.
+    *
+    * The leaf-dir loop is driver-side but METADATA-sized (one
+    * iteration per partition directory, each submitting a distributed
+    * job — the Lloyd/CC bounded-loop pattern, never row-sized); at
+    * production scale submit leaves concurrently from a small pool.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Seq[CompactStats] = {
+    require(targetBytes > 0, "compact needs a positive target file size")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries        = fs.listStatus(p).filter(visible)
+      val (dirs, files)  = entries.partition(_.isDirectory)
+      if (dirs.isEmpty) { if (files.nonEmpty) Seq(p) else Nil }
+      else dirs.toSeq.flatMap(d => leafDirs(d.getPath))
+    }
+    leafDirs(root).sortBy(_.toString).flatMap { dir =>
+      val files = fs.listStatus(dir).filter(s => s.isFile && visible(s))
+      val bytes = files.map(_.getLen).sum
+      val want  = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length <= want) None
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(dir, "_compact_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        spark.read.parquet(dir.toString).coalesce(want)
+          .write.mode("overwrite").parquet(tmp.toString)
+        files.foreach(f => fs.delete(f.getPath, false))
+        val compacted = fs.listStatus(tmp).filter(s => s.isFile && visible(s))
+        compacted.zipWithIndex.foreach { case (s, i) =>
+          fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir, f"compact-$i%05d.parquet"))
+        }
+        fs.delete(tmp, true)
+        Some(CompactStats(dir.toString, files.length, compacted.length, bytes))
+      }
+    }
+  }
+
   def saltedJoin(
       skewed: DataFrame,
       dim: DataFrame,

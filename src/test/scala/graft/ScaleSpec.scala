@@ -124,6 +124,41 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("compact bin-packs small files per partition dir, preserving rows exactly") {
+    val src = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val wh = java.nio.file.Files.createTempDirectory("compact-spec").toString
+    src.repartition(16).write.mode("overwrite").partitionBy("lang").parquet(wh)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def langFiles(lang: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(wh, s"lang=$lang"))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    val langs  = src.select("lang").distinct().collect().map(_.getString(0))
+    val before = langs.map(l => l -> langFiles(l)).toMap
+    assert(before.values.exists(_ > 4), "fixture must start fragmented")
+
+    val stats = Scale.compact(spark, wh, targetBytes = 1L << 30)
+
+    // every fragmented dir got packed to ONE file (target >> bytes)
+    assert(stats.nonEmpty)
+    stats.foreach { st =>
+      assert(st.filesAfter === 1, s"${st.dir}: ${st.filesAfter}")
+      assert(st.filesBefore > 1)
+    }
+    langs.foreach(l => assert(langFiles(l) === 1, s"lang=$l"))
+    // rows identical, partition column re-derived from dir names
+    val back = spark.read.parquet(wh)
+    assert(back.count() === src.count())
+    val a = src.select("doc_id", "lang", "n_chars").collect().map(_.toString).sorted
+    val b = back.select("doc_id", "lang", "n_chars").collect().map(_.toString).sorted
+    assert(a === b)
+
+    // idempotent: a second pass finds nothing under-sized
+    assert(Scale.compact(spark, wh, targetBytes = 1L << 30).isEmpty)
+  }
+
   test("salted join equals the plain join") {
     val li = GraftSession.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
