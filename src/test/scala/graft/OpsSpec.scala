@@ -141,6 +141,34 @@ class DedupSpec extends SparkSpecBase {
     assert(appended.exists(_._1 >= 5000), "appended docs never hit — vacuous append")
   }
 
+  test("LSH index probe-after-COMPACT ≡ probe (maintenance loop closes)") {
+    // the steady-state crawl loop is probe → append → (eventually)
+    // compact; appends fragment the band= partitions, and compaction
+    // must be invisible to the probe
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val base = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val probes = base.filter(col("id") < 10)
+      .select((col("id") + 9000).as("id"), concat(col("text"), lit(" qq")).as("text"))
+    val path = java.nio.file.Files.createTempDirectory("lsh-compact").toString
+    Dedup.writeMinhashIndexMd5(base, "id", "text", path)
+    // fragment the index with several small appends
+    (0 until 3).foreach { i =>
+      val inc = base.filter(col("id") < 5)
+        .select((col("id") + 5000 + i * 100).as("id"),
+          concat(col("text"), lit(s" zz$i")).as("text"))
+      Dedup.appendToMinhashIndex(inc, "id", "text", path)
+    }
+    def probe() = Dedup.probeMinhashIndexMd5(spark, path, probes, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    val stats  = graft.ops.Scale.compact(spark, path, targetBytes = 1L << 30)
+    assert(stats.nonEmpty, "appends must fragment at least one band dir")
+    assert(stats.forall(_.filesAfter < stats.map(_.filesBefore).max))
+    assert(probe() === before)
+    assert(before.exists(_._1 >= 5000), "appended docs never hit — vacuous")
+  }
+
   test("sign-plane index probe-after-append ≡ rebuilt-index probe") {
     import org.apache.spark.sql.functions.{col, lit, transform}
     val base = GraftSession.table(spark, sf, "embeddings")
