@@ -56,6 +56,7 @@ object Bench {
     "x_ngram_quality",
     "x_sketch_quantiles",
     "x_pagerank_hosts",
+    "x_funnel_steps",
     "s9_stream_window",
     "s9_stream_sessions",
     "s9_stream_neardup",

@@ -305,6 +305,35 @@ object QueriesTemporal {
         .orderBy(col("flag_a"), col("flag_b"))
     }),
 
+    // ---- windowed funnel (view → click → purchase within 3 days):
+    // per-user earliest-chain depth via ONE groupBy + a codegen'd
+    // higher-order fold over the time-sorted events — no UDF, no
+    // per-step re-join. The oracle replays the equivalent min-ts
+    // chain (greedy fold ≡ min-chain on depth: once a candidate
+    // overruns the window, every later one does). Depth-0 users
+    // (funnel events but no step-1) are operator output, filtered
+    // here so both engines count the same population.
+    "x_funnel_steps" -> ((s, dir) => {
+      import graft.ops.EventAnalytics
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      EventAnalytics.funnelDepth(e, "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"), windowUs = 3L * 86400L * 1000000L)
+        .filter(col("funnel_depth") >= 1)
+        .groupBy(col("funnel_depth")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_depth"))
+    }),
+
+    // ---- retention cohorts: signup-week cohort × week offset,
+    // distinct returning users — two map-side-combinable aggregations
+    // and one user-keyed join, µs-integer week buckets shared with
+    // the oracle's `//`.
+    "x_retention_cohorts" -> ((s, dir) => {
+      import graft.ops.EventAnalytics
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      EventAnalytics.retentionCohorts(e, "user_id", "event_type", "us", "signup")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // ---- distinct-sampling quantile sketch (native mergeable
     // aggregate, Gibbons VLDB'01): per-group percentile estimates from
     // a ≤k-entry (value, count) synopsis on the shuffle where exact
@@ -586,6 +615,34 @@ object QueriesTemporal {
         | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // min-ts chain replay of the earliest-chain funnel (t₁ = first
+    // view; tᵢ = first step-i strictly after tᵢ₋₁; window gates the
+    // depth — a within-window t₃ implies a within-window t₂)
+    "x_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        | WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        | WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        | WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |d AS (SELECT t1.user_id,
+        |  CASE WHEN t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 259200000000 THEN 3
+        |       WHEN t2.t2 IS NOT NULL AND t2.t2 - t1.t1 <= 259200000000 THEN 2
+        |       ELSE 1 END AS funnel_depth
+        | FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+        |SELECT funnel_depth, count(*) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |a AS (SELECT user_id, min(us) // 604800000000 AS cohort_week FROM e
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |w AS (SELECT e.user_id, us // 604800000000 AS week, cohort_week
+        | FROM e JOIN a USING (user_id))
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM w WHERE week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // full estimator replay: k-min md5 sample of distinct values WITH
     // their multiset counts, then the lower weighted quantile
     // (smallest v with 100·cum ≥ p·total) — all-integer, so the hash

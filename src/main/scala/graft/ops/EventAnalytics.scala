@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: windowed funnels and retention cohorts —
+  * the two standard product-analytics operators over an event log
+  * (ClickHouse's `windowFunnel` / every analytics warehouse's cohort
+  * matrix), here with deterministic, cross-engine-checkable
+  * semantics.
+  *
+  * Funnel semantics (earliest-chain): per user, t₁ = first step-1
+  * event; tᵢ = first step-i event STRICTLY after tᵢ₋₁; the reached
+  * depth counts the chain while tᵢ − t₁ ≤ window. The greedy fold
+  * and the min-ts chain are depth-equivalent (once a candidate
+  * overruns the window every later one does too), which is what lets
+  * a per-user single-pass fold be replayed by the oracle as K
+  * unrolled min-chains.
+  *
+  * Scale shape: ONE shuffle (groupBy user) + a codegen'd higher-order
+  * `aggregate` fold over the user's time-sorted events — no UDF, no
+  * per-step re-join. Per-user event cardinality bounds the array (the
+  * same contract as sessionize); timestamps run in the µs integer
+  * domain. Retention is two map-side-combinable aggregations (first
+  * event per user, then distinct users per cohort×offset cell) joined
+  * on user — broadcastable when the user dimension is small,
+  * shuffle-keyed otherwise.
+  */
+object EventAnalytics {
+
+  /** Per-user funnel depth over `steps`, timestamps in `usCol` (µs
+    * longs), chain window `windowUs`. Returns `(user, funnel_depth)`
+    * with depth 0 = step 1 never fired.
+    */
+  def funnelDepth(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: String,
+      steps: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = (c: Column) =>
+      steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(c === s, lit(i)).otherwise(acc)
+      }
+    // (ts, step) pairs for funnel-relevant events only, folded in
+    // (ts, step) order: state = (depth, t1, tprev)
+    val fold =
+      s"""aggregate(
+         |  array_sort(evts),
+         |  struct(0 AS depth, CAST(-1 AS BIGINT) AS t1, CAST(-1 AS BIGINT) AS tp),
+         |  (acc, e) -> CASE
+         |    WHEN acc.depth = 0 AND e.step = 0
+         |      THEN struct(1 AS depth, e.us AS t1, e.us AS tp)
+         |    WHEN acc.depth > 0 AND acc.depth < ${steps.length}
+         |         AND e.step = acc.depth AND e.us > acc.tp
+         |         AND e.us - acc.t1 <= ${windowUs}L
+         |      THEN struct(acc.depth + 1 AS depth, acc.t1 AS t1, e.us AS tp)
+         |    ELSE acc END,
+         |  acc -> acc.depth)""".stripMargin
+    events
+      .select(col(userCol).as("user"), col(usCol).as("us"),
+        stepIdx(col(typeCol)).as("step"))
+      .filter(col("step") >= 0)
+      .groupBy(col("user"))
+      .agg(collect_list(struct(col("us"), col("step"))).as("evts"))
+      .select(col("user"), expr(fold).as("funnel_depth"))
+  }
+
+  /** Cohort retention matrix: cohort = the user's FIRST `anchorType`
+    * event's week (µs integer weeks since epoch), one output row per
+    * (cohort_week, week_offset ≥ 0) cell with the distinct returning
+    * users. Users without an anchor event are absent by definition.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: String,
+      anchorType: String
+  ): DataFrame = {
+    val WeekUs = 7L * 86400L * 1000000L
+    // integral div (`/` on longs is DOUBLE division in Spark)
+    val weekOf = (c: Column) => call_function("div", c.cast("long"), lit(WeekUs))
+    val anchors = events
+      .filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(usCol)).as("anchor_us"))
+      .select(col("user"), weekOf(col("anchor_us")).as("cohort_week"))
+    events
+      .select(col(userCol).as("user"), weekOf(col(usCol)).as("week"))
+      .join(anchors, Seq("user"))
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
+}
