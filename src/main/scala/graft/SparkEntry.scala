@@ -337,7 +337,11 @@ object SparkEntry {
     // shards per lang partition first, the worst-case many-writers
     // layout a real ingest produces.
     "j12_compact_scan" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-compact-gate").toString
+      // fixed, sf-keyed path (overwritten per run): the gate/bench can
+      // invoke query lambdas repeatedly, and a fresh temp dir per call
+      // would leak one table copy per invocation
+      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-compact-gate-" + Integer.toHexString(dir.hashCode)).toString
       docs(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
         .repartition(24)
         .write.mode("overwrite").partitionBy("lang").parquet(wh)

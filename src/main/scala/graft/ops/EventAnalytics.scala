@@ -63,7 +63,10 @@ object EventAnalytics {
     events
       .select(col(userCol).as("user"), col(usCol).as("us"),
         stepIdx(col(typeCol)).as("step"))
-      .filter(col("step") >= 0)
+      // null timestamps would wedge the fold state (null t1/tp makes
+      // every later comparison null); SQL's min() skips them, so drop
+      // them here to keep the two populations identical
+      .filter(col("step") >= 0 && col("us").isNotNull)
       .groupBy(col("user"))
       .agg(collect_list(struct(col("us"), col("step"))).as("evts"))
       .select(col("user"), expr(fold).as("funnel_depth"))

@@ -201,6 +201,16 @@ object Scale {
     * iteration per partition directory, each submitting a distributed
     * job — the Lloyd/CC bounded-loop pattern, never row-sized); at
     * production scale submit leaves concurrently from a small pool.
+    *
+    * Swap contract: new files rename in BEFORE originals are deleted
+    * (a crash can duplicate a partition transiently, never lose it;
+    * failed renames roll back to the originals), so run passes in a
+    * maintenance window or behind a table-format commit if readers
+    * race writers. Type fidelity: the rewrite round-trips through the
+    * SESSION's parquet mapping — tables read under legacy mappings
+    * (e.g. `nanosAsLong` TIMESTAMP(NANOS) → BIGINT) would be written
+    * back with the mapped type, so compact those from a session
+    * without the mapping.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): Seq[CompactStats] = {
     require(targetBytes > 0, "compact needs a positive target file size")
@@ -226,13 +236,29 @@ object Scale {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         spark.read.parquet(dir.toString).coalesce(want)
           .write.mode("overwrite").parquet(tmp.toString)
-        files.foreach(f => fs.delete(f.getPath, false))
+        // crash-safe swap order: the compacted files move IN first
+        // (unique names — a rerun over a previously-compacted dir must
+        // not collide with surviving compact-* files), originals are
+        // deleted only after every rename is confirmed. A crash or a
+        // false rename (object stores return false rather than throw)
+        // leaves originals intact plus at worst a duplicate-free
+        // partial set of new files that the next guard line cleans up.
         val compacted = fs.listStatus(tmp).filter(s => s.isFile && visible(s))
-        compacted.zipWithIndex.foreach { case (s, i) =>
-          fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dir, f"compact-$i%05d.parquet"))
+        val token     = java.util.UUID.randomUUID.toString.take(8)
+        val renamed = compacted.zipWithIndex.map { case (s, i) =>
+          val dest = new org.apache.hadoop.fs.Path(dir, f"compact-$token-$i%05d.parquet")
+          (dest, fs.rename(s.getPath, dest))
         }
-        fs.delete(tmp, true)
-        Some(CompactStats(dir.toString, files.length, compacted.length, bytes))
+        if (renamed.forall(_._2)) {
+          files.foreach(f => fs.delete(f.getPath, false))
+          fs.delete(tmp, true)
+          Some(CompactStats(dir.toString, files.length, compacted.length, bytes))
+        } else {
+          // failed swap: roll the new files back out, keep originals
+          renamed.filter(_._2).foreach { case (p, _) => fs.delete(p, false) }
+          fs.delete(tmp, true)
+          None
+        }
       }
     }
   }

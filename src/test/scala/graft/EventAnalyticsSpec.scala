@@ -38,6 +38,19 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(d(1L) === 1, "a click at the view's own timestamp is not 'after' it")
   }
 
+  test("funnel: null timestamps are skipped, not fold-wedging") {
+    // a null-us view must not become t1=null (which nulls every later
+    // comparison); SQL min() skips nulls, the operator must too
+    val rows = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "view", null), (1L, "view", 10L), (1L, "click", 20L),
+      (2L, "view", null), (2L, "click", 100L))
+      .toDF("user_id", "event_type", "us")
+    val d = EventAnalytics.funnelDepth(rows, "user_id", "event_type", "us", Steps, W)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d(1L) === 2, "the non-null view anchors the chain")
+    assert(d(2L) === 0, "only-null step-1 events leave the user at depth 0")
+  }
+
   test("funnel fold ≡ brute-force min-chain on randomized event logs") {
     val rng  = new scala.util.Random(42)
     val evts = (1 to 2000).map { i =>
