@@ -61,7 +61,8 @@ object Bench {
     "s9_stream_sessions",
     "s9_stream_neardup",
     "s9_stream_semantic",
-    "s9_stream_substring"
+    "s9_stream_substring",
+    "s9_stream_funnel"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -575,6 +575,25 @@ object QueriesScale {
       s.table(name).orderBy(col("user_id"))
     }),
 
+    // ---- streaming funnel: the batch earliest-chain state machine
+    // carried as constant-size per-user stream state; gated by the
+    // SAME min-chain SQL as x_funnel_steps (an AvailableNow run's
+    // final state equals the batch operator). Depth is monotone, so
+    // max() collapses multi-batch update rows safely.
+    "s9_stream_funnel" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_funnel_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamFunnelDepth(s, dir, schema, name,
+        Seq("view", "click", "purchase"), windowUs = 3L * 86400L * 1000000L,
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("user_id")).agg(max(col("funnel_depth")).as("funnel_depth"))
+        .filter(col("funnel_depth") >= 1)
+        .groupBy(col("funnel_depth")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_depth"))
+    }),
+
     // ---- multimodal plumbing (stub codec, real schema/batching) -----------
     // ---- corpus curation: quality filter, mixture sampling, sessions ------
     "x_quality_filter" -> ((s, dir) =>
@@ -1663,6 +1682,23 @@ object QueriesScale {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the batch funnel's min-chain oracle verbatim: stream state after
+    // an AvailableNow run must equal the batch operator
+    "s9_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        | WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        | WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        | WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |d AS (SELECT t1.user_id,
+        |  CASE WHEN t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 259200000000 THEN 3
+        |       WHEN t2.t2 IS NOT NULL AND t2.t2 - t1.t1 <= 259200000000 THEN 2
+        |       ELSE 1 END AS funnel_depth
+        | FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+        |SELECT funnel_depth, count(*) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // channel means recomputed from the synthetic pixel formula via
     // correlated lateral unnest over the per-image (w,h) grid
     "x_media_decode" ->

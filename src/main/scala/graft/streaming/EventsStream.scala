@@ -17,6 +17,14 @@ case class UserStats(
     user_id: Long, n_events: Long, sum_cents: Long,
     first_ts_us: Long, last_ts_us: Long)
 
+/** Funnel chain state: reached depth, chain anchor t₁ and the last
+  * matched step's timestamp (µs) — constant-size per user.
+  */
+case class FunnelState(depth: Int, t1: Long, tp: Long)
+
+/** Streaming funnel output row. */
+case class UserFunnel(user_id: Long, funnel_depth: Int)
+
 /** Structured Streaming extension (SURVEY §2.9: the reference is
   * batch-only; its "incremental" behavior is skip-processed-file
   * memoization). The engine runs the same tumbling-window aggregation
@@ -336,6 +344,62 @@ object EventsStream {
           state.update(s)
           s
       }
+  }
+
+  /** Streaming funnel: the per-user earliest-chain state machine of
+    * [[graft.ops.EventAnalytics.funnelDepth]] carried as stream state
+    * — (depth, t1, tprev) per user, a few dozen bytes regardless of
+    * history length, advanced by each micro-batch.
+    *
+    * Order contract: rows are time-sorted WITHIN each batch (micro-
+    * batch iterators are unordered); ACROSS batches the fold assumes
+    * time-ordered arrival (the replayable-log convention every
+    * append-only event source satisfies) — a late event older than
+    * the chain head is skipped, because a monotone state machine
+    * cannot rewind. An AvailableNow run over a static source is a
+    * single sorted batch, so the final state per key equals the batch
+    * operator, which is the oracle.
+    */
+  def streamFunnelDepth(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      steps: Seq[String],
+      windowUs: Long,
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None // spec hook: forces multi-batch runs
+  ): StreamingQuery = {
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val reader0 = spark.readStream.schema(schema)
+    val reader1 = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val reader  = maxFilesPerTrigger.fold(reader1)(n => reader1.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          val init = state.getOption.getOrElse(FunnelState(0, -1L, -1L))
+          val evts = rows
+            .flatMap(e => stepIdx.get(e.event_type).map(st => (e.ts / 1000, st)))
+            .toVector.sorted
+          val s = evts.foldLeft(init) { case (acc, (us, step)) =>
+            if (acc.depth == 0 && step == 0) FunnelState(1, us, us)
+            else if (acc.depth > 0 && acc.depth < steps.length && step == acc.depth &&
+              us > acc.tp && us - acc.t1 <= windowUs)
+              FunnelState(acc.depth + 1, acc.t1, us)
+            else acc
+          }
+          state.update(s)
+          UserFunnel(uid, s.depth)
+      }
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   /** Custom-state streaming: per-user running stats via

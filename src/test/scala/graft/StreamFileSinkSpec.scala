@@ -124,6 +124,51 @@ class StreamFileSinkSpec extends SparkSpecBase {
   }
 }
 
+class StreamFunnelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("funnel chain state carries ACROSS micro-batches") {
+    // chains split over two files + maxFilesPerTrigger=1: depth-3
+    // completion is only reachable if t1/tp survive the batch boundary
+    val Us = 1000000L
+    def ev(id: Long, uid: Long, tUs: Long, tp: String) =
+      EventRow(id, tUs * 1000L, uid, tp, 0.0, "{}")
+    val early = Seq(
+      ev(1, 1, 10 * Us, "view"),
+      ev(2, 2, 10 * Us, "view"), ev(3, 2, 20 * Us, "click"),
+      ev(4, 3, 10 * Us, "view"), ev(5, 3, 500 * Us, "click")) // out of window
+    val late = Seq(
+      ev(6, 1, 40 * Us, "click"), ev(7, 1, 60 * Us, "purchase"),
+      ev(8, 2, 50 * Us, "purchase"))
+    val src = Files.createTempDirectory("funnelsrc").toString
+    // ONE part file per dir: same-mtime siblings would make the
+    // trigger order among them arbitrary
+    early.toDF().coalesce(1).write.parquet(s"$src/f1")
+    late.toDF().coalesce(1).write.parquet(s"$src/f2")
+    // deterministic trigger order: file source processes oldest first
+    new java.io.File(s"$src/f1").listFiles().foreach(_.setLastModified(1000000L))
+    new java.io.File(s"$src/f2").listFiles().foreach(_.setLastModified(2000000L))
+
+    val schema = spark.read.parquet(s"$src/f1").schema
+    val q = EventsStream.streamFunnelDepth(
+      spark, s"$src/*", schema, "funnel_xbatch",
+      Seq("view", "click", "purchase"), windowUs = 100 * Us,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val got = spark.table("funnel_xbatch")
+      .groupBy(col("user_id")).agg(max(col("funnel_depth")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 3, 3L -> 1))
+
+    // and the stream's final state equals the batch operator on the union
+    val batch = graft.ops.EventAnalytics.funnelDepth(
+      (early ++ late).toDF().withColumn("us", expr("ts div 1000")),
+      "user_id", "event_type", "us", Seq("view", "click", "purchase"), 100 * Us)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === batch)
+  }
+}
+
 class StreamSessionSinkSpec extends SparkSpecBase {
   import org.apache.spark.sql.functions._
 
