@@ -118,6 +118,48 @@ CONTENT1 = (
 CONTENT2 = b"BT 72 720 Td (Encrypted page two via flate.) Tj ET"
 
 
+def hash_2b(pw: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6); plain SHA-256 for R5."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    K = hashlib.sha256(pw + salt + udata).digest()
+    if r == 5:
+        return K
+    i = 0
+    while True:
+        K1 = (pw + K + udata) * 64
+        enc = Cipher(algorithms.AES(K[:16]), modes.CBC(K[16:32])).encryptor()
+        E = enc.update(K1) + enc.finalize()
+        K = [hashlib.sha256, hashlib.sha384, hashlib.sha512][sum(E[:16]) % 3](E).digest()
+        i += 1
+        if i >= 64 and E[-1] <= i - 32:
+            return K[:32]
+
+
+def make_enc_v5(r: int) -> dict:
+    """V5 AES-256 (AESV3): /U self-validating hash + salts, file key
+    wrapped in /UE; owner-side /O and /OE generated properly with the
+    owner password even though the empty-user open path never reads
+    them."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    def cbc0(key: bytes, data: bytes) -> bytes:
+        enc = Cipher(algorithms.AES(key), modes.CBC(b"\x00" * 16)).encryptor()
+        return enc.update(data) + enc.finalize()
+
+    fk = bytes(range(32))  # fixed file key: fixtures must be byte-stable
+    vs, ks = bytes(range(8)), bytes(range(8, 16))
+    u = hash_2b(b"", vs, b"", r) + vs + ks
+    ue = cbc0(hash_2b(b"", ks, b"", r), fk)
+    ovs, oks = bytes(range(16, 24)), bytes(range(24, 32))
+    o = hash_2b(b"owner", ovs, u, r) + ovs + oks
+    oe = cbc0(hash_2b(b"owner", oks, u, r), fk)
+    d = (b"/V 5 /R %d /Length 256 /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+         b"/StmF /StdCF /StrF /StdCF /OE <%s> /UE <%s>"
+         % (r, oe.hex().encode(), ue.hex().encode()))
+    return {"key": fk, "aes": True, "o": o, "u": u, "p": -3904, "dict": d, "v5": True}
+
+
 def build(out_name: str, enc: dict | None) -> None:
     id0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
     flate2 = zlib.compress(CONTENT2)
@@ -125,6 +167,8 @@ def build(out_name: str, enc: dict | None) -> None:
     def protect(num: int, data: bytes) -> bytes:
         if enc is None:
             return data
+        if enc.get("v5"):
+            return aes_encrypt(enc["key"], data)  # V5: file key, no per-object derivation
         k = obj_key(enc["key"], num, 0, enc["aes"])
         return aes_encrypt(k, data) if enc["aes"] else rc4(k, data)
 
@@ -222,6 +266,8 @@ def main() -> None:
     build("rc4_40.pdf", make_enc(r=2, v=1, nbits=40, aes=False))
     build("rc4_128.pdf", make_enc(r=3, v=2, nbits=128, aes=False))
     build("aesv2.pdf", make_enc(r=4, v=4, nbits=128, aes=True))
+    build("aes256_r5.pdf", make_enc_v5(r=5))
+    build("aes256.pdf", make_enc_v5(r=6))
     build_objstm("objstm.pdf", None)
     build_objstm("objstm_rc4.pdf", make_enc(r=3, v=2, nbits=128, aes=False))
 

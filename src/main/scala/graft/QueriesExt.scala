@@ -45,7 +45,8 @@ object QueriesExt {
     * /ID — the reader derives its key from them as given; password
     * round-tripping is the fixture spec's job).
     */
-  private def nationPdfQuery(s: SparkSession, dir: String, encrypted: Boolean): DataFrame = {
+  private def nationPdfQuery(s: SparkSession, dir: String, encrypted: Boolean,
+      v5: Boolean = false): DataFrame = {
     import graft.sources.{PdfSource, SimplePdfExtractor}
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val rows = nat(s, dir)
@@ -69,31 +70,64 @@ object QueriesExt {
     val id0    = Array.tabulate(16)(i => (i * 17 + 3).toByte)
     val perm   = -3904
     val key =
-      if (encrypted)
+      if (encrypted && !v5)
         Some(SimplePdfExtractor.fileKey(oEntry, perm, id0, r = 3, lengthBits = 128,
           encryptMetadata = true))
       else None
+    // V5 (AES-256 R6): arbitrary-but-fixed file key; every stream
+    // encrypts under it directly (no per-object derivation)
+    val fk = Array.tabulate[Byte](32)(i => (i * 7 + 1).toByte)
+    def aesEnc(k: Array[Byte], iv: Array[Byte], data: Array[Byte], pad: Boolean): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      val body =
+        if (pad) { val p = 16 - data.length % 16; data ++ Array.fill(p.toInt)(p.toByte) }
+        else data
+      c.doFinal(body)
+    }
     def stream(num: Int, body: String): String = {
-      val enc = key match {
-        case Some(k) =>
-          new String(SimplePdfExtractor.rc4(
-            SimplePdfExtractor.objectKey(k, num, 0, aes = false),
-            body.getBytes(ISO_8859_1)), ISO_8859_1)
-        case None => body
-      }
+      val enc =
+        if (v5) {
+          val iv = Array.tabulate[Byte](16)(i => (i + num).toByte)
+          new String(iv ++ aesEnc(fk, iv, body.getBytes(ISO_8859_1), pad = true), ISO_8859_1)
+        } else key match {
+          case Some(k) =>
+            new String(SimplePdfExtractor.rc4(
+              SimplePdfExtractor.objectKey(k, num, 0, aes = false),
+              body.getBytes(ISO_8859_1)), ISO_8859_1)
+          case None => body
+        }
       s"$num 0 obj << /Length ${enc.length} >> stream\n$enc\nendstream endobj\n"
     }
     def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
-    val tail = key match {
-      case Some(k) =>
-        // the reader VERIFIES /U (Algorithm 5) before decrypting, so
-        // the writer must emit the real entry (+16 bytes spec padding)
-        val u = SimplePdfExtractor.userEntry(k, id0, r = 3) ++ Array.fill[Byte](16)(0)
-        s"9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
-          s"/O <${hex(oEntry)}> /U <${hex(u)}> /P $perm >> endobj\n" +
+    val tail =
+      if (v5) {
+        // the reader validates /U's 2.B hash and unwraps /UE, so the
+        // writer must construct both for real; /O, /OE are owner-side
+        // entries the empty-user open path never reads
+        val vs = Array.tabulate[Byte](8)(_.toByte)
+        val ks = Array.tabulate[Byte](8)(i => (i + 8).toByte)
+        val u  = SimplePdfExtractor.hash2b(6, vs, Array.emptyByteArray) ++ vs ++ ks
+        val ue = aesEnc(SimplePdfExtractor.hash2b(6, ks, Array.emptyByteArray),
+          new Array[Byte](16), fk, pad = false)
+        val o  = Array.tabulate[Byte](48)(i => (i * 3 + 5).toByte)
+        val oe = Array.tabulate[Byte](32)(i => (i * 5 + 7).toByte)
+        s"9 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 " +
+          s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+          s"/O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> /P $perm >> endobj\n" +
           s"trailer << /Root 1 0 R /Encrypt 9 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n"
-      case None => "%%EOF\n"
-    }
+      } else key match {
+        case Some(k) =>
+          // the reader VERIFIES /U (Algorithm 5) before decrypting, so
+          // the writer must emit the real entry (+16 bytes spec padding)
+          val u = SimplePdfExtractor.userEntry(k, id0, r = 3) ++ Array.fill[Byte](16)(0)
+          s"9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+            s"/O <${hex(oEntry)}> /U <${hex(u)}> /P $perm >> endobj\n" +
+            s"trailer << /Root 1 0 R /Encrypt 9 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n"
+        case None => "%%EOF\n"
+      }
     val doc =
       "%PDF-1.4\n" +
         "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
@@ -185,6 +219,13 @@ object QueriesExt {
     // conformance of the handler itself is pinned separately against
     // python-generated golden fixtures in SimplePdfSpec.)
     "s1_pdf_encrypted" -> ((s, dir) => nationPdfQuery(s, dir, encrypted = true)),
+
+    // S1 through the MODERN encrypted read path: same document, AES-256
+    // AESV3 (V5 R6, ISO 32000-2 / Acrobat X+) — /U's hardened-2.B hash
+    // validated, file key unwrapped from /UE, streams AES-256-CBC.
+    // Same oracle again; spec-level conformance is pinned against the
+    // independent python-generated aes256 fixtures in SimplePdfSpec.
+    "s1_pdf_aes256" -> ((s, dir) => nationPdfQuery(s, dir, encrypted = true, v5 = true)),
 
     // S5 hardened: PERMISSIVE CSV ingest with corrupt-record
     // quarantine — production files carry broken lines, and silently
@@ -597,6 +638,18 @@ object QueriesExt {
         |ORDER BY page, para_idx""".stripMargin,
     // the encrypted variant must decode to EXACTLY the same table
     "s1_pdf_encrypted" ->
+      """SELECT 'nations' AS pdf_name, 0 AS page,
+        | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
+        | 'nation ' || n_name || ' region ' || n_regionkey || ' body text here' AS paragraph
+        |FROM nation
+        |UNION ALL
+        |SELECT 'nations' AS pdf_name, 1 AS page,
+        | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
+        | 'cid appendix ' || n_name || ' region ' || n_regionkey AS paragraph
+        |FROM nation
+        |ORDER BY page, para_idx""".stripMargin,
+    // the AES-256 variant must decode to EXACTLY the same table too
+    "s1_pdf_aes256" ->
       """SELECT 'nations' AS pdf_name, 0 AS page,
         | CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS INT) AS para_idx,
         | 'nation ' || n_name || ' region ' || n_regionkey || ' body text here' AS paragraph

@@ -23,15 +23,17 @@ import scala.util.matching.Regex
   * S1 gap the same way [[XlsxSource]] closed S4 (zip+StAX), with a
   * documented subset instead of a stub.
   *
-  * Standard-security ENCRYPTED documents (the RC4-40/RC4-128/AES-128
-  * "standard security handler" most password-less ESG reports ship
-  * with — V 1/2/4, R 2/3/4, empty user password) decrypt
-  * transparently: the file key derives from the trailer's /Encrypt
-  * dict + /ID per ISO 32000-1 Algorithm 2, each stream decrypts under
-  * its per-object key (Algorithm 1; RC4 hand-rolled, AES-128-CBC via
-  * JDK crypto) before filters apply. A non-empty user password or an
-  * unsupported handler (AESV3/R6) yields no text — counted, never
-  * garbage.
+  * Standard-security ENCRYPTED documents (the standard security
+  * handler most password-less ESG reports ship with, empty user
+  * password) decrypt transparently across BOTH generations: legacy
+  * V 1/2/4 R 2–4 (RC4-40/128, AES-128 — file key per ISO 32000-1
+  * Algorithm 2 from /Encrypt + /ID, per-object keys per Algorithm 1)
+  * and modern V 5 R 5/6 (AES-256 AESV3, ISO 32000-2 / Acrobat X+ —
+  * /U validated by the SHA-2 hash chain incl. the R6 hardened 2.B
+  * rounds, file key unwrapped from /UE, every object under the file
+  * key). RC4 is hand-rolled, AES via JDK crypto. A non-empty user
+  * password or an unsupported handler yields no text — counted,
+  * never garbage.
   *
   * PDF 1.5+ OBJECT STREAMS (`/ObjStm`) expand transparently: objects
   * packed into compressed streams — where every modern writer puts
@@ -39,7 +41,8 @@ import scala.util.matching.Regex
   * the object table, so the linear scan sees post-2005 files whole.
   *
   * Out of scope (falls back to skipping the content, never throwing):
-  * AESV3/R6 encryption and non-empty user passwords, DCT/CCITT
+  * non-empty user passwords, public-key (PKCS#7) security handlers,
+  * DCT/CCITT
   * filters and LZW with EarlyChange 0 (the default EarlyChange 1
   * decodes natively), CID fonts WITHOUT a usable ToUnicode CMap
   * (their codes decode to nothing rather than mojibake);
@@ -217,8 +220,66 @@ object SimplePdfExtractor {
     out
   }
 
-  /** AESV2 stream: leading 16-byte IV, AES-128-CBC body, PKCS#7
-    * padding. Malformed length/padding → None (skip, don't throw).
+  /** ISO 32000-2 §7.6.4.3.4 Algorithm 2.B hardened hash (R6), or the
+    * plain SHA-256(pw ‖ salt ‖ udata) it supersedes (R5 / Adobe
+    * Extension Level 3). Empty user password throughout (the
+    * transparent-open corpus case): each round AES-128-CBC-encrypts
+    * 64 copies of (K ‖ udata) under K's halves, picks SHA-256/384/512
+    * by the first block's byte sum mod 3, and stops once round ≥ 64
+    * and the last byte permits.
+    */
+  private[graft] def hash2b(r: Int, salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    def sha(alg: String, b: Array[Byte]) =
+      java.security.MessageDigest.getInstance(alg).digest(b)
+    var k = sha("SHA-256", salt ++ udata)
+    if (r == 5) k
+    else {
+      var i    = 0
+      var done = false
+      while (!done) {
+        val block = k ++ udata
+        val k1    = new Array[Byte](block.length * 64)
+        var j     = 0
+        while (j < 64) { System.arraycopy(block, 0, k1, j * block.length, block.length); j += 1 }
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+          new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+        val e   = c.doFinal(k1)
+        val mod = e.take(16).map(_ & 0xff).sum % 3
+        k = sha(Seq("SHA-256", "SHA-384", "SHA-512")(mod), e)
+        i += 1
+        if (i >= 64 && (e.last & 0xff) <= i - 32) done = true
+      }
+      k.take(32)
+    }
+  }
+
+  /** V5 (AES-256) file key under the empty user password: validate
+    * hash(vs) against /U[0..32), then unwrap /UE with hash(ks) —
+    * AES-256-CBC, zero IV, no padding (Algorithms 2.A / 8.A). None on
+    * any mismatch → the caller degrades to skipped streams.
+    */
+  private[graft] def v5FileKey(u: Array[Byte], ue: Array[Byte], r: Int): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32) None
+    else {
+      val vs = u.slice(32, 40)
+      val ks = u.slice(40, 48)
+      if (!hash2b(r, vs, Array.emptyByteArray).sameElements(u.take(32))) None
+      else
+        try {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(hash2b(r, ks, Array.emptyByteArray), "AES"),
+            new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+          Some(c.doFinal(ue.take(32)))
+        } catch { case _: Exception => None }
+    }
+  }
+
+  /** AESV2/AESV3 stream: leading 16-byte IV, AES-CBC body (128- or
+    * 256-bit key), PKCS#7 padding. Malformed length/padding → None
+    * (skip, don't throw).
     */
   private def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] = {
     if (data.length < 32 || data.length % 16 != 0) return None
@@ -327,6 +388,7 @@ object SimplePdfExtractor {
       if (stmf == "Identity") Some(CipherNone)
       else
         dictValue(d, "/CF", byNum).flatMap(cf => dictValue(cf, "/" + stmf, byNum)) match {
+          case Some(f) if """/CFM\s*/AESV3(?![A-Za-z0-9])""".r.findFirstIn(f).isDefined => Some(CipherAes)
           case Some(f) if """/CFM\s*/AESV2(?![A-Za-z0-9])""".r.findFirstIn(f).isDefined => Some(CipherAes)
           case Some(f) if """/CFM\s*/V2(?![A-Za-z0-9])""".r.findFirstIn(f).isDefined    => Some(CipherRc4)
           case Some(f) if """/CFM\s*/None(?![A-Za-z0-9])""".r.findFirstIn(f).isDefined  => Some(CipherNone)
@@ -335,10 +397,11 @@ object SimplePdfExtractor {
     }
 
   /** If the trailer names a standard-security /Encrypt dict this
-    * handler supports (V 1/2/4, R 2/3/4, RC4 or AESV2), decrypt every
-    * object's stream under the empty-user-password file key. The
-    * derived key is VERIFIED against the stored /U (Algorithm 4/5)
-    * first: a wrong password or tampered dict fails verification and
+    * handler supports (V 1/2/4 R 2–4 with RC4/AESV2, or V 5 R 5/6
+    * with AES-256 AESV3), decrypt every object's stream under the
+    * empty-user-password file key. The derived key is VERIFIED first
+    * — against the stored /U (Algorithm 4/5) for the legacy handlers,
+    * via the /U hash self-check (Algorithm 2.A/2.B) for V5: a wrong password or tampered dict fails verification and
     * degrades to skipped streams — never mojibake, never a throw —
     * which also covers raw (unfiltered) streams where garbage
     * plaintext would otherwise flow straight into extraction. All
@@ -357,27 +420,42 @@ object SimplePdfExtractor {
         val d   = e.dict
         val top = topLevelOf(d)
         (for {
-          v  <- intValue(top, "/V") if v == 1 || v == 2 || v == 4
-          r  <- intValue(top, "/R") if r >= 2 && r <= 4
-          _  <- Option.when(top.contains("/Standard"))(())
-          o  <- stringValue(top, "/O") if o.length >= 32
-          u  <- stringValue(top, "/U") if u.length >= 16
-          p  <- intValue(top, "/P")
-          id <- fileIdOf(raw)
+          v <- intValue(top, "/V") if v == 1 || v == 2 || v == 4 || v == 5
+          r <- intValue(top, "/R") if (v == 5 && (r == 5 || r == 6)) || (v < 5 && r >= 2 && r <= 4)
+          _ <- Option.when(top.contains("/Standard"))(())
           cipher <- streamCipherOf(d, top, v, byNum)
-          lengthBits = intValue(top, "/Length").getOrElse(if (v == 4) 128 else 40)
-          key = fileKey(o, p, id, r, lengthBits,
-            encryptMetadata = """/EncryptMetadata\s+false""".r.findFirstIn(top).isEmpty)
-          expectU = userEntry(key, id, r)
-          checkLen = if (r == 2) 32 else 16
-          _ <- Option.when(u.take(checkLen).sameElements(expectU.take(checkLen)))(())
+          key <-
+            if (v == 5)
+              // AES-256 (R5/R6): /U self-validates, /UE wraps the key
+              for {
+                u  <- stringValue(top, "/U") if u.length >= 48
+                ue <- stringValue(top, "/UE")
+                k  <- v5FileKey(u, ue, r)
+              } yield k
+            else
+              for {
+                o  <- stringValue(top, "/O") if o.length >= 32
+                u  <- stringValue(top, "/U") if u.length >= 16
+                p  <- intValue(top, "/P")
+                id <- fileIdOf(raw)
+                lengthBits = intValue(top, "/Length").getOrElse(if (v == 4) 128 else 40)
+                k = fileKey(o, p, id, r, lengthBits,
+                  encryptMetadata = """/EncryptMetadata\s+false""".r.findFirstIn(top).isEmpty)
+                expectU  = userEntry(k, id, r)
+                checkLen = if (r == 2) 32 else 16
+                _ <- Option.when(u.take(checkLen).sameElements(expectU.take(checkLen)))(())
+              } yield k
         } yield cipher match {
           case CipherNone => objs
           case _ =>
             objs.map { obj =>
               obj.stream match {
                 case Some(data) if obj.num != e.num =>
-                  val ok = objectKey(key, obj.num, obj.gen, aes = cipher == CipherAes)
+                  // V5: the FILE key encrypts every object (no
+                  // per-object MD5 derivation — ISO 32000-2 drops it)
+                  val ok =
+                    if (v == 5) key
+                    else objectKey(key, obj.num, obj.gen, aes = cipher == CipherAes)
                   val dec =
                     if (cipher == CipherAes) aesCbcDecrypt(ok, data) else Some(rc4(ok, data))
                   obj.copy(stream = dec)

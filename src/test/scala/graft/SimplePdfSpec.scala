@@ -171,10 +171,22 @@ class SimplePdfSpec extends SparkSpecBase {
     assert(plain.length === 2)
     assert(plain(0).startsWith("Encrypted page one body text."))
     assert(plain(1) === "Encrypted page two via flate.")
-    for (f <- Seq("rc4_40.pdf", "rc4_128.pdf", "aesv2.pdf")) {
+    for (f <- Seq("rc4_40.pdf", "rc4_128.pdf", "aesv2.pdf", "aes256_r5.pdf", "aes256.pdf")) {
       val pages = new SimplePdfExtractor().extractPages(f, fixture(f))
       assert(pages === plain, s"encrypted $f did not match the plaintext twin")
     }
+  }
+
+  test("AES-256: a tampered /U hash fails validation and yields no text, never garbage") {
+    // flip one hex nibble inside the stored /U hash (first 32 bytes):
+    // the 2.B self-check must refuse the file key
+    val raw = new String(fixture("aes256.pdf"), ISO_8859_1)
+    val at  = raw.indexOf("/U <")
+    val c   = raw.charAt(at + 5)
+    val sub = if (c == 'f') 'e' else if (c >= 'a' && c < 'f') (c + 1).toChar
+              else if (c == '9') 'a' else (c + 1).toChar
+    val bad = raw.substring(0, at + 5) + sub + raw.substring(at + 6)
+    assert(new SimplePdfExtractor().extractPages("badu256", bad.getBytes(ISO_8859_1)) === Nil)
   }
 
   test("object streams expand: page/font dicts packed in an ObjStm resolve, plain and encrypted") {
@@ -259,12 +271,14 @@ class SimplePdfSpec extends SparkSpecBase {
   }
 
   test("unsupported encryption handlers yield no text, never garbage") {
-    // Take the RC4-128 fixture and claim an AESV3/R6 handler: the key
-    // derivation no longer applies, so every stream must be skipped.
     val raw = new String(fixture("rc4_128.pdf"), ISO_8859_1)
-      .replace("/V 2 /R 3", "/V 5 /R 6")
-    val pages = new SimplePdfExtractor().extractPages("v5", raw.getBytes(ISO_8859_1))
-    assert(pages === Nil)
+    // an unknown future version must be skipped wholesale
+    val v6 = raw.replace("/V 2 /R 3", "/V 6 /R 7")
+    assert(new SimplePdfExtractor().extractPages("v6", v6.getBytes(ISO_8859_1)) === Nil)
+    // a V5 CLAIM over a legacy-shaped dict (32-byte /U, no /UE) must
+    // fail the V5 validation path, not fall through to RC4 plaintext
+    val v5 = raw.replace("/V 2 /R 3", "/V 5 /R 6")
+    assert(new SimplePdfExtractor().extractPages("v5", v5.getBytes(ISO_8859_1)) === Nil)
   }
 
   test("LZWDecode streams decode (golden fixture from the python encoder)") {
