@@ -195,6 +195,44 @@ object QueriesCuration {
           coalesce(col("answer"), lit("")).as("answer"), col("table_filename"), col("label"))
         .orderBy(col("company"), col("year"), col("question"), col("label"),
           col("table_filename"), col("answer"))
+    }),
+
+    // C5: domain-authority-weighted corpus selection — the chain the
+    // round-6 operators compose into: link-inject → integer PageRank
+    // over the host graph (LinkGraph) → per-doc quality gate
+    // (gopherFilter) → authority × size score in exact integers →
+    // deterministic top-3 per source. A CommonCrawl-style curation
+    // pass: quality rules drop junk, site authority ranks what
+    // remains, the whole pipeline stays hash-checkable because every
+    // stage is integer/deterministic.
+    "c5_authority_curation" -> ((s, dir) => {
+      import graft.ops.{CorpusOps, LinkGraph}
+      val d = table(s, dir, "documents")
+      val linked = d.select(col("doc_id"), col("source"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)), lit(".com/path/a"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit(" and http://Data.org/x?q=1")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" ref https://src"), pmod(col("doc_id"), lit(20)), lit(".site/home"))).otherwise(lit(""))).as("text"))
+      val edges = CorpusOps.extractUrls(linked.select(col("doc_id"), col("text")), "doc_id", "text")
+        .join(linked.select(col("doc_id"), col("source")), "doc_id")
+        .select(concat(col("source"), lit(".site")).as("src"), col("domain").as("dst"))
+      val ranks = LinkGraph.pageRank(edges, iters = 3).select(col("host"), col("rank"))
+      val kept = CorpusOps.gopherFilter(d, "text",
+          minTokens = 20, maxTokens = 80, minStopwordHits = 1)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          concat(col("source"), lit(".site")).as("host"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+      kept
+        .join(ranks, Seq("host"), "left")
+        .withColumn("score", coalesce(col("rank"), lit(0L)) * col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("doc_id"), col("score"), col("rk"))
+        .orderBy(col("source"), col("rk"))
     })
   )
 
@@ -478,6 +516,67 @@ object QueriesCuration {
         | SELECT company, year, question, NULL, table_filename, CAST(0 AS INTEGER) FROM extra)
         |SELECT company, year, question, coalesce(answer, '') AS answer, table_filename, label
         |FROM unioned
-        |ORDER BY company, year, question, label, table_filename, answer""".stripMargin
+        |ORDER BY company, year, question, label, table_filename, answer""".stripMargin,
+    // C5 replay: the x_pagerank_hosts iteration CTEs + the
+    // x_quality_filter rule CTEs + the integer score and window
+    "c5_authority_curation" ->
+      s"""WITH linked AS (
+         | SELECT doc_id, source, text ||
+         |  CASE WHEN doc_id % 4 = 0
+         |   THEN ' see https://example' || (doc_id % 7) || '.com/path/a' ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0
+         |   THEN ' and http://Data.org/x?q=1' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0
+         |   THEN ' ref https://src' || (doc_id % 20) || '.site/home' ELSE '' END AS t
+         | FROM documents),
+         |u AS (SELECT source, unnest(regexp_extract_all(t, '${graft.ops.CorpusOps.UrlRe}')) AS url
+         | FROM linked),
+         |e0 AS (SELECT DISTINCT source || '.site' AS src,
+         |  lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS dst FROM u),
+         |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         |p AS (SELECT count(*) AS n FROM nodes),
+         |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT host, 1000000000000 // n AS rank FROM nodes CROSS JOIN p),
+         |c1 AS (SELECT dst, sum((85 * rank) // (100 * outdeg)) AS c
+         | FROM e JOIN r0 ON r0.host = e.src JOIN outd USING (src) GROUP BY 1),
+         |r1 AS (SELECT host, (15 * 1000000000000) // (100 * n) + coalesce(c, 0) AS rank
+         | FROM nodes CROSS JOIN p LEFT JOIN c1 ON c1.dst = host),
+         |c2 AS (SELECT dst, sum((85 * rank) // (100 * outdeg)) AS c
+         | FROM e JOIN r1 ON r1.host = e.src JOIN outd USING (src) GROUP BY 1),
+         |r2 AS (SELECT host, (15 * 1000000000000) // (100 * n) + coalesce(c, 0) AS rank
+         | FROM nodes CROSS JOIN p LEFT JOIN c2 ON c2.dst = host),
+         |c3 AS (SELECT dst, sum((85 * rank) // (100 * outdeg)) AS c
+         | FROM e JOIN r2 ON r2.host = e.src JOIN outd USING (src) GROUP BY 1),
+         |r3 AS (SELECT host, (15 * 1000000000000) // (100 * n) + coalesce(c, 0) AS rank
+         | FROM nodes CROSS JOIN p LEFT JOIN c3 ON c3.dst = host),
+         |tq AS (
+         | SELECT doc_id, source, n_chars, text,
+         |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         | FROM documents),
+         |m AS (
+         | SELECT doc_id, source, n_chars,
+         |  CAST(len(toks) AS DOUBLE) AS ntoks,
+         |  CAST(len(text) AS DOUBLE) AS nchars,
+         |  CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS symbol,
+         |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in'], x))) AS stop_hits
+         | FROM tq),
+         |kept AS (
+         | SELECT doc_id, source, n_chars FROM m
+         | WHERE NOT (ntoks < 20 OR ntoks > 80
+         |  OR (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) < 3.0
+         |  OR (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) > 10.0
+         |  OR (CASE WHEN nchars > 0 THEN symbol / nchars ELSE 0 END) > 0.1
+         |  OR stop_hits < 1)),
+         |scored AS (
+         | SELECT k.source, k.doc_id,
+         |  coalesce(CAST(r3.rank AS BIGINT), 0) * k.n_chars AS score
+         | FROM kept k LEFT JOIN r3 ON r3.host = k.source || '.site'),
+         |ranked AS (
+         | SELECT source, doc_id, score,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS INT) AS rk
+         | FROM scored)
+         |SELECT source, doc_id, score, rk FROM ranked
+         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
   )
 }
