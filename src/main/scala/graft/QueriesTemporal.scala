@@ -323,6 +323,23 @@ object QueriesTemporal {
         .orderBy(col("funnel_depth"))
     }),
 
+    // ---- conversion timing: duration stats over COMPLETED chains —
+    // the fold's final tp is the matched last-step time (≡ min-chain
+    // t₃), so convert_us = tp − t₁ replays exactly; integer µs sums,
+    // one rounded division at the end
+    "x_funnel_timing" -> ((s, dir) => {
+      import graft.ops.EventAnalytics
+      val e = table(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      EventAnalytics.funnelTiming(e, "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"), windowUs = 3L * 86400L * 1000000L)
+        .filter(col("convert_us").isNotNull)
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("convert_us")).as("min_us"), max(col("convert_us")).as("max_us"),
+          sum(col("convert_us")).as("sum_us"))
+        .select(col("n_converted"), col("min_us"), col("max_us"), col("sum_us"),
+          round(col("sum_us").cast("double") / col("n_converted").cast("double"), 4).as("avg_us"))
+    }),
+
     // ---- retention cohorts: signup-week cohort × week offset,
     // distinct returning users — two map-side-combinable aggregations
     // and one user-keyed join, µs-integer week buckets shared with
@@ -633,6 +650,20 @@ object QueriesTemporal {
         | FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
         |SELECT funnel_depth, count(*) AS n_users
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        | WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        | WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        | WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |conv AS (SELECT t1.user_id, t3.t3 - t1.t1 AS dur
+        | FROM t1 JOIN t3 USING (user_id) WHERE t3.t3 - t1.t1 <= 259200000000)
+        |SELECT count(*) AS n_converted, min(dur) AS min_us, max(dur) AS max_us,
+        | CAST(sum(dur) AS BIGINT) AS sum_us,
+        | round(CAST(sum(dur) AS DOUBLE) / count(*), 4) AS avg_us
+        |FROM conv""".stripMargin,
     "x_retention_cohorts" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |a AS (SELECT user_id, min(us) // 604800000000 AS cohort_week FROM e

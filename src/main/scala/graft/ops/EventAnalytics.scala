@@ -45,8 +45,46 @@ object EventAnalytics {
       steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(c === s, lit(i)).otherwise(acc)
       }
-    // (ts, step) pairs for funnel-relevant events only, folded in
-    // (ts, step) order: state = (depth, t1, tprev)
+    foldedState(events, userCol, typeCol, usCol, stepIdx, steps.length, windowUs)
+      .select(col("user"), col("st.depth").as("funnel_depth"))
+  }
+
+  /** Per-user funnel state incl. conversion timing: `(user,
+    * funnel_depth, convert_us)` where `convert_us` = chain-completion
+    * time minus anchor time, null unless the full chain fired. Same
+    * fold as [[funnelDepth]] — the final state's tp IS the matched
+    * last-step time (≡ the min-chain's t_K), so the duration is
+    * oracle-replayable as t_K − t₁.
+    */
+  def funnelTiming(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: String,
+      steps: Seq[String],
+      windowUs: Long
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = (c: Column) =>
+      steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(c === s, lit(i)).otherwise(acc)
+      }
+    foldedState(events, userCol, typeCol, usCol, stepIdx, steps.length, windowUs)
+      .select(col("user"), col("st.depth").as("funnel_depth"),
+        when(col("st.depth") === steps.length, col("st.tp") - col("st.t1")).as("convert_us"))
+  }
+
+  // (ts, step) pairs for funnel-relevant events only, folded in
+  // (ts, step) order: state = (depth, t1, tprev)
+  private def foldedState(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      usCol: String,
+      stepIdx: Column => Column,
+      nSteps: Int,
+      windowUs: Long
+  ): DataFrame = {
     val fold =
       s"""aggregate(
          |  array_sort(evts),
@@ -54,12 +92,12 @@ object EventAnalytics {
          |  (acc, e) -> CASE
          |    WHEN acc.depth = 0 AND e.step = 0
          |      THEN struct(1 AS depth, e.us AS t1, e.us AS tp)
-         |    WHEN acc.depth > 0 AND acc.depth < ${steps.length}
+         |    WHEN acc.depth > 0 AND acc.depth < $nSteps
          |         AND e.step = acc.depth AND e.us > acc.tp
          |         AND e.us - acc.t1 <= ${windowUs}L
          |      THEN struct(acc.depth + 1 AS depth, acc.t1 AS t1, e.us AS tp)
          |    ELSE acc END,
-         |  acc -> acc.depth)""".stripMargin
+         |  acc -> acc)""".stripMargin
     events
       .select(col(userCol).as("user"), col(usCol).as("us"),
         stepIdx(col(typeCol)).as("step"))
@@ -69,7 +107,7 @@ object EventAnalytics {
       .filter(col("step") >= 0 && col("us").isNotNull)
       .groupBy(col("user"))
       .agg(collect_list(struct(col("us"), col("step"))).as("evts"))
-      .select(col("user"), expr(fold).as("funnel_depth"))
+      .select(col("user"), expr(fold).as("st"))
   }
 
   /** Cohort retention matrix: cohort = the user's FIRST `anchorType`

@@ -77,6 +77,17 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("funnelTiming: convert_us = completion minus anchor, null unless the chain finished") {
+    val rows = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 75L), // dur 65
+      (2L, "view", 10L), (2L, "click", 20L))                        // incomplete
+      .toDF("user_id", "event_type", "us")
+    val out = EventAnalytics.funnelTiming(rows, "user_id", "event_type", "us", Steps, W)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out === Map(1L -> ((3, 65L)), 2L -> ((2, -1L))))
+  }
+
   test("retention cohorts: hand matrix") {
     val Week = 7L * 86400L * 1000000L
     val rows = Seq(
