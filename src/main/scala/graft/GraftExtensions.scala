@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvQuantileAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvQuantileAgg, KmvQuantileMergeAgg, KmvQuantileSketchAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -106,6 +106,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => KmvQuantileAgg(children(0),
         GraftExtensions.literalK("kmv_quantile", children, 1),
         GraftExtensions.literalK("kmv_quantile", children, 2))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_quantile_sketch"),
+      new ExpressionInfo(classOf[KmvQuantileSketchAgg].getName, "kmv_quantile_sketch"),
+      (children: Seq[Expression]) => KmvQuantileSketchAgg(children(0),
+        GraftExtensions.literalK("kmv_quantile_sketch", children, 1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_quantile_merge"),
+      new ExpressionInfo(classOf[KmvQuantileMergeAgg].getName, "kmv_quantile_merge"),
+      (children: Seq[Expression]) => KmvQuantileMergeAgg(children(0),
+        GraftExtensions.literalK("kmv_quantile_merge", children, 1),
+        GraftExtensions.literalK("kmv_quantile_merge", children, 2))
     ))
   }
 }

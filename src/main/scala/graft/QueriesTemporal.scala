@@ -379,6 +379,27 @@ object QueriesTemporal {
       est.join(exact, Seq("l_returnflag")).orderBy(col("l_returnflag"))
     }),
 
+    // ---- quantile-sketch ALGEBRA: per-group synopses (string
+    // arrays) re-aggregate to the GLOBAL quantile without touching
+    // the rows again — and because the summary is a semilattice,
+    // merge(per-flag sketches) must equal the direct global sketch.
+    // The oracle computes the direct estimator once; the query
+    // emits BOTH the merged path and the direct path, so the law
+    // itself is what the hash verifies.
+    "x_sketch_quantile_merge" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      val entries = li.groupBy(col("l_returnflag"))
+        .agg(expr("kmv_quantile_sketch(v, 16)").as("sk"))
+        .select(explode(col("sk")).as("entry"))
+      val merged = entries.agg(
+        expr("kmv_quantile_merge(entry, 16, 25)").as("q25_merged"),
+        expr("kmv_quantile_merge(entry, 16, 50)").as("q50_merged"),
+        expr("kmv_quantile_merge(entry, 16, 75)").as("q75_merged"))
+      val direct = li.agg(expr("kmv_quantile(v, 16, 50)").as("q50_direct"))
+      merged.crossJoin(direct)
+    }),
+
     // ---- exact group percentiles (linear interpolation, the R-7 /
     // quantile_cont convention both engines share). Exact percentile
     // sorts each group; the 100 TB path is approx_percentile (t-digest
@@ -674,6 +695,21 @@ object QueriesTemporal {
         | count(DISTINCT user_id) AS n_users
         |FROM w WHERE week >= cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ONE direct global replay serves all four columns: the
+    // semilattice law says merge(per-flag sketches) ≡ direct global
+    // sketch, so a law violation shows as a hash mismatch
+    "x_sketch_quantile_merge" ->
+      """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+        | FROM lineitem GROUP BY 1),
+        |r AS (SELECT v, c, row_number() OVER (ORDER BY md5(CAST(v AS VARCHAR))) AS rk
+        | FROM d),
+        |w AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot
+        | FROM r WHERE rk <= 16)
+        |SELECT min(v) FILTER (WHERE 100 * cum >= 25 * tot) AS q25_merged,
+        | min(v) FILTER (WHERE 100 * cum >= 50 * tot) AS q50_merged,
+        | min(v) FILTER (WHERE 100 * cum >= 75 * tot) AS q75_merged,
+        | min(v) FILTER (WHERE 100 * cum >= 50 * tot) AS q50_direct
+        |FROM w""".stripMargin,
     // full estimator replay: k-min md5 sample of distinct values WITH
     // their multiset counts, then the lower weighted quantile
     // (smallest v with 100·cum ≥ p·total) — all-integer, so the hash

@@ -76,18 +76,12 @@ case class KmvQuantileAgg(
   override def createAggregationBuffer(): java.util.TreeMap[String, Array[Long]] =
     new java.util.TreeMap[String, Array[Long]]()
 
-  private def add(buf: java.util.TreeMap[String, Array[Long]], h: String, v: Long, n: Long): Unit = {
-    val hit = buf.get(h)
-    if (hit != null) hit(1) += n
-    else if (buf.size < k) { buf.put(h, Array(v, n)); () }
-    else if (h < buf.lastKey) { buf.put(h, Array(v, n)); buf.remove(buf.lastKey); () }
-  }
-
   override def update(buf: java.util.TreeMap[String, Array[Long]], input: InternalRow): java.util.TreeMap[String, Array[Long]] = {
     val raw = child.eval(input)
     if (raw != null) {
       val v = raw.asInstanceOf[Long]
-      add(buf, KmvDistinctAgg.md5Hex(v.toString.getBytes(StandardCharsets.US_ASCII)), v, 1L)
+      QuantileSynopsis.add(buf, k,
+        KmvDistinctAgg.md5Hex(v.toString.getBytes(StandardCharsets.US_ASCII)), v, 1L)
     }
     buf
   }
@@ -96,16 +90,49 @@ case class KmvQuantileAgg(
   // dropped when k smaller hashes are present, and those are genuine
   // members of the union — so the dropped hash was never going to be
   // in the union's k-min set
-  override def merge(buf: java.util.TreeMap[String, Array[Long]], other: java.util.TreeMap[String, Array[Long]]): java.util.TreeMap[String, Array[Long]] = {
+  override def merge(buf: java.util.TreeMap[String, Array[Long]], other: java.util.TreeMap[String, Array[Long]]): java.util.TreeMap[String, Array[Long]] =
+    QuantileSynopsis.merge(buf, k, other)
+
+  override def eval(buf: java.util.TreeMap[String, Array[Long]]): Any =
+    QuantileSynopsis.quantile(buf, p)
+
+  override def serialize(buf: java.util.TreeMap[String, Array[Long]]): Array[Byte] =
+    QuantileSynopsis.serialize(buf)
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Array[Long]] =
+    QuantileSynopsis.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvQuantileAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvQuantileAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvQuantileAgg =
+    copy(child = newChildren.head)
+}
+
+/** Shared synopsis algebra for the quantile-sketch family: the
+  * TreeMap buffer (hash → [value, count]), the k-min insert rule, the
+  * lower-weighted-quantile eval and the `h:v:c` wire form.
+  */
+private[functions] object QuantileSynopsis {
+  def add(buf: java.util.TreeMap[String, Array[Long]], k: Int, h: String, v: Long, n: Long): Unit = {
+    val hit = buf.get(h)
+    if (hit != null) hit(1) += n
+    else if (buf.size < k) { buf.put(h, Array(v, n)); () }
+    else if (h < buf.lastKey) { buf.put(h, Array(v, n)); buf.remove(buf.lastKey); () }
+  }
+
+  def merge(buf: java.util.TreeMap[String, Array[Long]], k: Int,
+      other: java.util.TreeMap[String, Array[Long]]): java.util.TreeMap[String, Array[Long]] = {
     val it = other.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      add(buf, e.getKey, e.getValue()(0), e.getValue()(1))
+      add(buf, k, e.getKey, e.getValue()(0), e.getValue()(1))
     }
     buf
   }
 
-  override def eval(buf: java.util.TreeMap[String, Array[Long]]): Any =
+  def quantile(buf: java.util.TreeMap[String, Array[Long]], p: Int): Any =
     if (buf.isEmpty) null
     else {
       val sample = new Array[Array[Long]](buf.size)
@@ -127,7 +154,7 @@ case class KmvQuantileAgg(
       res
     }
 
-  override def serialize(buf: java.util.TreeMap[String, Array[Long]]): Array[Byte] = {
+  def serialize(buf: java.util.TreeMap[String, Array[Long]]): Array[Byte] = {
     val sb = new java.lang.StringBuilder(buf.size * 48)
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
@@ -138,7 +165,7 @@ case class KmvQuantileAgg(
     sb.toString.getBytes(StandardCharsets.US_ASCII)
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Array[Long]] = {
+  def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Array[Long]] = {
     val buf = new java.util.TreeMap[String, Array[Long]]()
     val s   = new String(bytes, StandardCharsets.US_ASCII)
     if (s.nonEmpty) s.split(",").foreach { entry =>
@@ -147,11 +174,132 @@ case class KmvQuantileAgg(
     }
     buf
   }
+}
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): KmvQuantileAgg =
+/** The quantile SYNOPSIS itself (`kmv_quantile_sketch(v, k)` → sorted
+  * `array<string>` of `hash:value:count` entries) — the composable
+  * form of [[KmvQuantileAgg]]: per-group/day/source synopses persist
+  * as plain string arrays, and because the summary is a semilattice,
+  * re-aggregating stored synopses with [[KmvQuantileMergeAgg]] yields
+  * EXACTLY the sketch (and quantile) a direct pass over the raw rows
+  * would — the law the gate verifies cross-engine. Same buffer
+  * discipline: ≤ k entries map-side and on the shuffle.
+  */
+case class KmvQuantileSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[java.util.TreeMap[String, Array[Long]]] {
+
+  require(k >= 2, "kmv_quantile_sketch needs k >= 2")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kmv_quantile_sketch requires a BIGINT value argument; got ${other.catalogString}")
+    }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kmv_quantile_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeMap[String, Array[Long]] =
+    new java.util.TreeMap[String, Array[Long]]()
+
+  override def update(buf: java.util.TreeMap[String, Array[Long]], input: InternalRow): java.util.TreeMap[String, Array[Long]] = {
+    val raw = child.eval(input)
+    if (raw != null) {
+      val v = raw.asInstanceOf[Long]
+      QuantileSynopsis.add(buf, k,
+        KmvDistinctAgg.md5Hex(v.toString.getBytes(StandardCharsets.US_ASCII)), v, 1L)
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[String, Array[Long]], other: java.util.TreeMap[String, Array[Long]]): java.util.TreeMap[String, Array[Long]] =
+    QuantileSynopsis.merge(buf, k, other)
+
+  override def eval(buf: java.util.TreeMap[String, Array[Long]]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it  = buf.entrySet().iterator()
+    var i   = 0
+    while (it.hasNext) {
+      val e = it.next()
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"${e.getKey}:${e.getValue()(0)}:${e.getValue()(1)}")
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeMap[String, Array[Long]]): Array[Byte] =
+    QuantileSynopsis.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Array[Long]] =
+    QuantileSynopsis.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvQuantileSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): KmvQuantileAgg =
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvQuantileSketchAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvQuantileAgg =
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvQuantileSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Re-aggregate stored synopsis entries (`hash:value:count` strings,
+  * e.g. exploded [[KmvQuantileSketchAgg]] output) back into the
+  * global quantile: `kmv_quantile_merge(entry, k, p)`. Counts sum on
+  * shared hashes, the k-min rule trims, eval is the same
+  * lower-weighted quantile — so merge(sketches) ≡ direct sketch by
+  * the semilattice law, answering corpus-level quantile questions
+  * from per-partition synopsis tables without re-scanning the rows.
+  */
+case class KmvQuantileMergeAgg(
+    child: Expression,
+    k: Int,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[java.util.TreeMap[String, Array[Long]]] {
+
+  require(k >= 2, "kmv_quantile_merge needs k >= 2")
+  require(p >= 0 && p <= 100, "kmv_quantile_merge needs a percentile in 0..100")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    KmvDistinctAgg.requireString("kmv_quantile_merge", child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_quantile_merge"
+
+  override def createAggregationBuffer(): java.util.TreeMap[String, Array[Long]] =
+    new java.util.TreeMap[String, Array[Long]]()
+
+  override def update(buf: java.util.TreeMap[String, Array[Long]], input: InternalRow): java.util.TreeMap[String, Array[Long]] = {
+    val raw = child.eval(input)
+    if (raw != null) {
+      val parts = raw.toString.split(":")
+      QuantileSynopsis.add(buf, k, parts(0), parts(1).toLong, parts(2).toLong)
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[String, Array[Long]], other: java.util.TreeMap[String, Array[Long]]): java.util.TreeMap[String, Array[Long]] =
+    QuantileSynopsis.merge(buf, k, other)
+
+  override def eval(buf: java.util.TreeMap[String, Array[Long]]): Any =
+    QuantileSynopsis.quantile(buf, p)
+
+  override def serialize(buf: java.util.TreeMap[String, Array[Long]]): Array[Byte] =
+    QuantileSynopsis.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Array[Long]] =
+    QuantileSynopsis.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvQuantileMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvQuantileMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvQuantileMergeAgg =
     copy(child = newChildren.head)
 }

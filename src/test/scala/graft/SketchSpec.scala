@@ -128,6 +128,17 @@ class SketchSpec extends SparkSpecBase {
     assert(est == 7L)
   }
 
+  test("kmv_quantile sketch algebra: merge(group sketches) ≡ direct sketch, even lossy") {
+    // the law the synopsis-table workflow relies on: per-group string
+    // synopses re-aggregate to exactly the single-pass global answer
+    val df = (1 to 3000).map(i => ((i % 7).toString, ((i * 31) % 211).toLong)).toDF("g", "v")
+    val merged = df.groupBy(col("g")).agg(expr("kmv_quantile_sketch(v, 32)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .agg(expr("kmv_quantile_merge(e, 32, 50)")).head.getLong(0)
+    val direct = df.agg(expr("kmv_quantile(v, 32, 50)")).head.getLong(0)
+    assert(merged == direct, s"merge path $merged != direct $direct")
+  }
+
   test("kmv_distinct matches the closed-form estimator on a known set") {
     // recompute (k-1)/u_k by hand from the same md5 ordering
     val vals = (1 to 1000).map(_.toString)
