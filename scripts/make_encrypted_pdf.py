@@ -2,14 +2,16 @@
 """Generate golden encrypted-PDF fixtures for SimplePdfSpec.
 
 Independent (python, spec-faithful) implementation of the ISO 32000-1
-standard security handler, so the Scala decryptor is verified against a
-SECOND implementation of the spec rather than against itself. Produces,
-under src/test/resources/pdf/:
+and 32000-2 standard security handlers, so the Scala decryptor is
+verified against a SECOND implementation of the spec rather than
+against itself. Produces, under src/test/resources/pdf/:
 
-  plain.pdf    — the unencrypted twin (two pages, page 2 FlateDecode)
-  rc4_40.pdf   — V1 R2, RC4 40-bit
-  rc4_128.pdf  — V2 R3, RC4 128-bit
-  aesv2.pdf    — V4 R4, AES-128-CBC (/CF /StdCF /CFM /AESV2)
+  plain.pdf      — the unencrypted twin (two pages, page 2 FlateDecode)
+  rc4_40.pdf     — V1 R2, RC4 40-bit
+  rc4_128.pdf    — V2 R3, RC4 128-bit
+  aesv2.pdf      — V4 R4, AES-128-CBC (/CF /StdCF /CFM /AESV2)
+  aes256_r5.pdf  — V5 R5, AES-256 (/CFM /AESV3, plain-SHA-256 /U hash)
+  aes256.pdf     — V5 R6, AES-256 (/CFM /AESV3, hardened 2.B /U hash)
 
 All use the EMPTY user password (owner password "owner") — the
 transparent-open case pdfminer handles for the reference corpus.

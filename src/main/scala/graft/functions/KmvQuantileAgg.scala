@@ -78,11 +78,7 @@ case class KmvQuantileAgg(
 
   override def update(buf: java.util.TreeMap[String, Array[Long]], input: InternalRow): java.util.TreeMap[String, Array[Long]] = {
     val raw = child.eval(input)
-    if (raw != null) {
-      val v = raw.asInstanceOf[Long]
-      QuantileSynopsis.add(buf, k,
-        KmvDistinctAgg.md5Hex(v.toString.getBytes(StandardCharsets.US_ASCII)), v, 1L)
-    }
+    if (raw != null) QuantileSynopsis.addLong(buf, k, raw.asInstanceOf[Long])
     buf
   }
 
@@ -120,6 +116,25 @@ private[functions] object QuantileSynopsis {
     if (hit != null) hit(1) += n
     else if (buf.size < k) { buf.put(h, Array(v, n)); () }
     else if (h < buf.lastKey) { buf.put(h, Array(v, n)); buf.remove(buf.lastKey); () }
+  }
+
+  /** The raw-value insert shared by the direct and sketch forms — one
+    * definition so their hashing can never desynchronize (the
+    * merge ≡ direct law depends on it).
+    */
+  def addLong(buf: java.util.TreeMap[String, Array[Long]], k: Int, v: Long): Unit =
+    add(buf, k, KmvDistinctAgg.md5Hex(v.toString.getBytes(StandardCharsets.US_ASCII)), v, 1L)
+
+  /** Parse one `hash:value:count` wire entry; None for anything
+    * malformed (a merge over arbitrary strings must degrade per-entry,
+    * not throw on an executor).
+    */
+  def parseEntry(s: String): Option[(String, Long, Long)] = {
+    val parts = s.split(":")
+    if (parts.length != 3) None
+    else
+      try Some((parts(0), parts(1).toLong, parts(2).toLong))
+      catch { case _: NumberFormatException => None }
   }
 
   def merge(buf: java.util.TreeMap[String, Array[Long]], k: Int,
@@ -210,11 +225,7 @@ case class KmvQuantileSketchAgg(
 
   override def update(buf: java.util.TreeMap[String, Array[Long]], input: InternalRow): java.util.TreeMap[String, Array[Long]] = {
     val raw = child.eval(input)
-    if (raw != null) {
-      val v = raw.asInstanceOf[Long]
-      QuantileSynopsis.add(buf, k,
-        KmvDistinctAgg.md5Hex(v.toString.getBytes(StandardCharsets.US_ASCII)), v, 1L)
-    }
+    if (raw != null) QuantileSynopsis.addLong(buf, k, raw.asInstanceOf[Long])
     buf
   }
 
@@ -276,12 +287,14 @@ case class KmvQuantileMergeAgg(
   override def createAggregationBuffer(): java.util.TreeMap[String, Array[Long]] =
     new java.util.TreeMap[String, Array[Long]]()
 
+  // malformed entries are SKIPPED, not thrown: this is a public SQL
+  // function, and one bad string must not fail the job
   override def update(buf: java.util.TreeMap[String, Array[Long]], input: InternalRow): java.util.TreeMap[String, Array[Long]] = {
     val raw = child.eval(input)
-    if (raw != null) {
-      val parts = raw.toString.split(":")
-      QuantileSynopsis.add(buf, k, parts(0), parts(1).toLong, parts(2).toLong)
-    }
+    if (raw != null)
+      QuantileSynopsis.parseEntry(raw.toString).foreach { case (h, v, n) =>
+        QuantileSynopsis.add(buf, k, h, v, n)
+      }
     buf
   }
 

@@ -39,15 +39,9 @@ object EventAnalytics {
       usCol: String,
       steps: Seq[String],
       windowUs: Long
-  ): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    val stepIdx = (c: Column) =>
-      steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
-        when(c === s, lit(i)).otherwise(acc)
-      }
-    foldedState(events, userCol, typeCol, usCol, stepIdx, steps.length, windowUs)
+  ): DataFrame =
+    foldedState(events, userCol, typeCol, usCol, steps, windowUs)
       .select(col("user"), col("st.depth").as("funnel_depth"))
-  }
 
   /** Per-user funnel state incl. conversion timing: `(user,
     * funnel_depth, convert_us)` where `convert_us` = chain-completion
@@ -63,16 +57,10 @@ object EventAnalytics {
       usCol: String,
       steps: Seq[String],
       windowUs: Long
-  ): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    val stepIdx = (c: Column) =>
-      steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
-        when(c === s, lit(i)).otherwise(acc)
-      }
-    foldedState(events, userCol, typeCol, usCol, stepIdx, steps.length, windowUs)
+  ): DataFrame =
+    foldedState(events, userCol, typeCol, usCol, steps, windowUs)
       .select(col("user"), col("st.depth").as("funnel_depth"),
         when(col("st.depth") === steps.length, col("st.tp") - col("st.t1")).as("convert_us"))
-  }
 
   // (ts, step) pairs for funnel-relevant events only, folded in
   // (ts, step) order: state = (depth, t1, tprev)
@@ -81,10 +69,15 @@ object EventAnalytics {
       userCol: String,
       typeCol: String,
       usCol: String,
-      stepIdx: Column => Column,
-      nSteps: Int,
+      steps: Seq[String],
       windowUs: Long
   ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val nSteps = steps.length
+    val stepIdx = (c: Column) =>
+      steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(c === s, lit(i)).otherwise(acc)
+      }
     val fold =
       s"""aggregate(
          |  array_sort(evts),

@@ -139,6 +139,17 @@ class SketchSpec extends SparkSpecBase {
     assert(merged == direct, s"merge path $merged != direct $direct")
   }
 
+  test("kmv_quantile_merge skips malformed entries instead of failing the job") {
+    // a public SQL function over arbitrary strings must degrade
+    // per-entry; only the two well-formed entries count
+    val h5 = graft.functions.KmvDistinctAgg.md5Hex("5".getBytes("US-ASCII"))
+    val h9 = graft.functions.KmvDistinctAgg.md5Hex("9".getBytes("US-ASCII"))
+    val df = Seq(s"$h5:5:3", "garbage", "a:b:c", "x:1", s"$h9:9:1", null)
+      .toDF("e")
+    val est = df.agg(expr("kmv_quantile_merge(e, 16, 50)")).head.getLong(0)
+    assert(est === 5L) // cum 3 of 4 at v=5 crosses the median
+  }
+
   test("kmv_distinct matches the closed-form estimator on a known set") {
     // recompute (k-1)/u_k by hand from the same md5 ordering
     val vals = (1 to 1000).map(_.toString)
