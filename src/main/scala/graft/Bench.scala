@@ -57,6 +57,7 @@ object Bench {
     "x_sketch_quantiles",
     "x_pagerank_hosts",
     "x_funnel_steps",
+    "c5_authority_curation",
     "s9_stream_window",
     "s9_stream_sessions",
     "s9_stream_neardup",
