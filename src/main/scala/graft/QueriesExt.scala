@@ -227,6 +227,24 @@ object QueriesExt {
     // independent python-generated aes256 fixtures in SimplePdfSpec.
     "s1_pdf_aes256" -> ((s, dir) => nationPdfQuery(s, dir, encrypted = true, v5 = true)),
 
+    // S12: XML scan/sink (Spark 4 built-in xml source — the format
+    // ESG/XBRL disclosures actually arrive in): nation → XML document
+    // → schema-inferred read-back, hash vs the parquet table. The
+    // sf-keyed fixed path is overwritten per run (no temp-dir leak,
+    // the j12 lesson).
+    "s12_xml_roundtrip" -> ((s, dir) => {
+      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-xml-gate-" + Integer.toHexString(dir.hashCode)).toString
+      nat(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1)
+        .write.mode("overwrite").format("xml")
+        .option("rootTag", "nations").option("rowTag", "nation").save(wh)
+      s.read.format("xml").option("rowTag", "nation").load(wh)
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // S5 hardened: PERMISSIVE CSV ingest with corrupt-record
     // quarantine — production files carry broken lines, and silently
     // dropping them (DROPMALFORMED) loses data while failing the job
@@ -661,6 +679,11 @@ object QueriesExt {
         |FROM nation
         |ORDER BY page, para_idx""".stripMargin,
     "s4_xlsx_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // XML round-trip must land the identical table
+    "s12_xml_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
