@@ -63,7 +63,8 @@ object Bench {
     "s9_stream_neardup",
     "s9_stream_semantic",
     "s9_stream_substring",
-    "s9_stream_funnel"
+    "s9_stream_funnel",
+    "s9_stream_sketch"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

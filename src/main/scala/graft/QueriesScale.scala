@@ -509,6 +509,20 @@ object QueriesScale {
       q.awaitTermination()
       s.table(name).orderBy(col("window_start"), col("event_type"))
     }),
+    // ---- SKETCHES on the stream: the kmv_quantile synopsis is a
+    // TypedImperativeAggregate, so the state store carries its ≤16-
+    // entry buffer per open window — constant-size windowed medians
+    // at any rate; the oracle replays the estimator per window group
+    "s9_stream_sketch" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name   = s"stream_sketch_${streamN.incrementAndGet()}"
+      val q = EventsStream.streamWindowedQuantiles(s, dir, schema, name,
+        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        globFilter = Some("events.parquet"))
+      q.awaitTermination()
+      s.table(name).orderBy(col("window_start"), col("event_type"))
+    }),
+
     "s9_stream_dedup" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name   = s"stream_dedup_${streamN.incrementAndGet()}"
@@ -1648,6 +1662,25 @@ object QueriesScale {
         | count(*) AS n_events,
         | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-window replay of the distinct-sampling median estimator
+    // over integer cents — same algebra as x_sketch_quantiles, keyed
+    // by the hour window
+    "s9_stream_sketch" ->
+      """WITH e AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |d AS (SELECT window_start, event_type, v, count(*) AS c
+        | FROM e GROUP BY 1, 2, 3),
+        |r AS (SELECT window_start, event_type, v, c,
+        |  row_number() OVER (PARTITION BY window_start, event_type
+        |    ORDER BY md5(CAST(v AS VARCHAR))) AS rk
+        | FROM d),
+        |w AS (SELECT window_start, event_type, v,
+        |  sum(c) OVER (PARTITION BY window_start, event_type ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY window_start, event_type) AS tot
+        | FROM r WHERE rk <= 16)
+        |SELECT window_start, event_type,
+        | min(v) FILTER (WHERE 100 * cum >= 50 * tot) AS p50_cents_est
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s9_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, value FROM events
         |ORDER BY user_id, event_type, value""".stripMargin,

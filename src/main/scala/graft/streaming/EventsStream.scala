@@ -266,6 +266,47 @@ object EventsStream {
       .start()
   }
 
+  /** Windowed quantile SKETCH on the stream (batch form): per
+    * (hour, event_type) median of the value in integer cents via the
+    * `kmv_quantile` distinct-sampling synopsis. The point: the sketch
+    * is a `TypedImperativeAggregate`, so its ≤ k-entry buffer is what
+    * the state store carries per open window — constant-size windowed
+    * quantiles at any stream rate, and the same semilattice merge
+    * that makes it partition-proof makes it micro-batch-proof.
+    */
+  def windowedQuantiles(events: DataFrame, windowExpr: String = "1 hour"): DataFrame =
+    events
+      .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+      .groupBy(window(col("ts"), windowExpr).as("w"), col("event_type"))
+      .agg(expr("kmv_quantile(cents, 16, 50)").as("p50_cents_est"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("p50_cents_est"))
+
+  /** [[windowedQuantiles]] as a stream with watermarked event time —
+    * the batch form over the same data is the oracle.
+    */
+  def streamWindowedQuantiles(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      watermark: String = "2 hours",
+      prep: DataFrame => DataFrame = identity,
+      globFilter: Option[String] = None
+  ): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val src     = prep(reader.parquet(dir))
+    windowedQuantiles(src.withWatermark("ts", watermark))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Session-window rollup (batch form): per-user events within `gap`
     * of each other coalesce into one session
     * (`functions.session_window` — window end = last event + gap).
