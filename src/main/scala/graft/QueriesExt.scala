@@ -245,6 +245,22 @@ object QueriesExt {
         .orderBy(col("n_nationkey"))
     }),
 
+    // S8 through the gate: ORC write → read → aggregate against the
+    // raw-table oracle (the layout is semantics-free, same contract
+    // as j12/s12); sf-keyed fixed path, overwritten per run.
+    "s8_orc_roundtrip" -> ((s, dir) => {
+      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-orc-gate-" + Integer.toHexString(dir.hashCode)).toString
+      ord(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").format("orc").save(wh)
+      s.read.format("orc").load(wh)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S5 hardened: PERMISSIVE CSV ingest with corrupt-record
     // quarantine — production files carry broken lines, and silently
     // dropping them (DROPMALFORMED) loses data while failing the job
@@ -682,6 +698,11 @@ object QueriesExt {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // ORC round-trip must land the identical aggregate
+    "s8_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // XML round-trip must land the identical table
     "s12_xml_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
