@@ -38,6 +38,17 @@ object GraftSession {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** A fixed scratch path for gate queries that write a layout before
+    * reading it back: keyed by sf dir (overwritten per run, so
+    * repeated invocations don't leak a copy each) AND by pid (so two
+    * JVMs gating concurrently — Verify next to Bench — never
+    * overwrite each other mid-read).
+    */
+  def gatePath(tag: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-gate-${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
+    ).toString
+
   /** Epoch-nanos long (see nanosAsLong above) → timestamp, truncated
     * to Spark's microsecond precision via TRUE integer division
     * (`IntegralDivide`). `(c / 1000).cast("long")` is subtly wrong:

@@ -233,8 +233,7 @@ object QueriesExt {
     // sf-keyed fixed path is overwritten per run (no temp-dir leak,
     // the j12 lesson).
     "s12_xml_roundtrip" -> ((s, dir) => {
-      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-xml-gate-" + Integer.toHexString(dir.hashCode)).toString
+      val wh = GraftSession.gatePath("xml", dir)
       nat(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .coalesce(1)
         .write.mode("overwrite").format("xml")
@@ -249,10 +248,8 @@ object QueriesExt {
     // raw-table oracle (the layout is semantics-free, same contract
     // as j12/s12); sf-keyed fixed path, overwritten per run.
     "s8_orc_roundtrip" -> ((s, dir) => {
-      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-orc-gate-" + Integer.toHexString(dir.hashCode)).toString
-      ord(s, dir).select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderstatus"))
+      val wh = GraftSession.gatePath("orc", dir)
+      ord(s, dir).select(col("o_totalprice"), col("o_orderstatus"))
         .write.mode("overwrite").format("orc").save(wh)
       s.read.format("orc").load(wh)
         .groupBy(col("o_orderstatus"))

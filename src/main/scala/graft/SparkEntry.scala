@@ -340,8 +340,7 @@ object SparkEntry {
       // fixed, sf-keyed path (overwritten per run): the gate/bench can
       // invoke query lambdas repeatedly, and a fresh temp dir per call
       // would leak one table copy per invocation
-      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft-compact-gate-" + Integer.toHexString(dir.hashCode)).toString
+      val wh = GraftSession.gatePath("compact", dir)
       docs(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
         .repartition(24)
         .write.mode("overwrite").partitionBy("lang").parquet(wh)

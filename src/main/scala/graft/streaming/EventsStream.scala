@@ -77,11 +77,28 @@ object EventsStream {
       dim: DataFrame,
       prep: DataFrame => DataFrame = identity,
       globFilter: Option[String] = None
-  ): StreamingQuery = {
+  ): StreamingQuery =
+    completeToMemory(spark, dir, schema, queryName, prep, globFilter)(
+      src => enrichedCounts(src, dim))
+
+  /** The file-reader → complete-mode memory-sink scaffold every
+    * "batch form IS the oracle" windowed stream shares — ONE
+    * definition of the reader options and sink/trigger contract.
+    */
+  private def completeToMemory(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      queryName: String,
+      prep: DataFrame => DataFrame,
+      globFilter: Option[String],
+      maxFilesPerTrigger: Option[Int] = None
+  )(body: DataFrame => DataFrame): StreamingQuery = {
     val reader0 = spark.readStream.schema(schema)
-    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
-    val src     = prep(reader.parquet(dir))
-    enrichedCounts(src, dim).writeStream
+    val reader1 = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val reader  = maxFilesPerTrigger.fold(reader1)(n => reader1.option("maxFilesPerTrigger", n))
+    body(prep(reader.parquet(dir)))
+      .writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
@@ -251,20 +268,11 @@ object EventsStream {
       watermark: String = "2 hours",
       prep: DataFrame => DataFrame = identity,
       globFilter: Option[String] = None
-  ): StreamingQuery = {
-    val reader0 = spark.readStream.schema(schema)
-    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
-    val src     = prep(reader.parquet(dir))
+  ): StreamingQuery =
     // the batch form IS the oracle — share the aggregation body so the
     // two can't desynchronize
-    val agg = windowedCounts(src.withWatermark("ts", watermark), windowExpr)
-    agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+    completeToMemory(spark, dir, schema, queryName, prep, globFilter)(
+      src => windowedCounts(src.withWatermark("ts", watermark), windowExpr))
 
   /** Windowed quantile SKETCH on the stream (batch form): per
     * (hour, event_type) median of the value in integer cents via the
@@ -293,19 +301,11 @@ object EventsStream {
       queryName: String,
       watermark: String = "2 hours",
       prep: DataFrame => DataFrame = identity,
-      globFilter: Option[String] = None
-  ): StreamingQuery = {
-    val reader0 = spark.readStream.schema(schema)
-    val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
-    val src     = prep(reader.parquet(dir))
-    windowedQuantiles(src.withWatermark("ts", watermark))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+      globFilter: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None // spec hook: multi-batch state restore
+  ): StreamingQuery =
+    completeToMemory(spark, dir, schema, queryName, prep, globFilter, maxFilesPerTrigger)(
+      src => windowedQuantiles(src.withWatermark("ts", watermark)))
 
   /** Session-window rollup (batch form): per-user events within `gap`
     * of each other coalesce into one session

@@ -169,6 +169,44 @@ class StreamFunnelSpec extends SparkSpecBase {
   }
 }
 
+class StreamSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("windowed kmv_quantile state survives micro-batch boundaries (restore + merge)") {
+    // split the events across two single-file batches: the second
+    // batch must deserialize the first's synopsis from the state
+    // store and merge — the path a single-batch gate never exercises
+    val HourNs = 3600L * 1000000000L
+    val base   = 1700000000L * 1000000000L
+    def ev(id: Long, tNs: Long, v: Double) = EventRow(id, tNs, id % 5, "view", v, "{}")
+    // split at 45 so the file boundary falls INSIDE an hour window —
+    // that window's synopsis must restore from batch 1 and merge
+    // batch 2's contributions
+    val early = (0 until 45).map(i => ev(i.toLong, base + i * 60L * 1000000000L, (i % 13) * 1.25))
+    val late  = (45 until 120).map(i => ev(i.toLong, base + i * 60L * 1000000000L, (i % 17) * 0.75))
+    val src = Files.createTempDirectory("sketchsrc").toString
+    early.toDF().coalesce(1).write.parquet(s"$src/f1")
+    late.toDF().coalesce(1).write.parquet(s"$src/f2")
+    new java.io.File(s"$src/f1").listFiles().foreach(_.setLastModified(1000000L))
+    new java.io.File(s"$src/f2").listFiles().foreach(_.setLastModified(2000000L))
+
+    val schema = spark.read.parquet(s"$src/f1").schema
+    val q = EventsStream.streamWindowedQuantiles(
+      spark, s"$src/*", schema, "sketch_xbatch",
+      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val got = spark.table("sketch_xbatch")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = EventsStream.windowedQuantiles(
+      (early ++ late).toDF().withColumn("ts", GraftSession.nanosToTs(col("ts"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+    assert(batch.size >= 2, s"fixture must span 2+ hour windows, got ${batch.keySet}")
+  }
+}
+
 class StreamSessionSinkSpec extends SparkSpecBase {
   import org.apache.spark.sql.functions._
 
