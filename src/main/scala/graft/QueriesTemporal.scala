@@ -340,6 +340,20 @@ object QueriesTemporal {
           round(col("sum_us").cast("double") / col("n_converted").cast("double"), 4).as("avg_us"))
     }),
 
+    // ---- recency-weighted (EWMA α=1/2) per-user value score in
+    // fixed-point integers — time-decayed scoring with a truncating
+    // recurrence instead of float pow/sums (which can't hash-match),
+    // replayed by the oracle as a recursive CTE. Fold shape = funnel.
+    "x_ewma_decay" -> ((s, dir) => {
+      import graft.ops.EventAnalytics
+      val e = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      EventAnalytics.ewmaByKey(e, "user_id", "us", "cents")
+        .select(col("key").as("user_id"), col("ewma").as("ewma_millicents"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- retention cohorts: signup-week cohort × week offset,
     // distinct returning users — two map-side-combinable aggregations
     // and one user-keyed join, µs-integer week buckets shared with
@@ -671,6 +685,23 @@ object QueriesTemporal {
         | FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
         |SELECT funnel_depth, count(*) AS n_users
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the truncating recurrence replayed step-by-step: rn-ordered
+    // recursive CTE, integer floor-div each round — bit-identical to
+    // the fold's fixed-point algebra
+    "x_ewma_decay" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |o AS (SELECT user_id, cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us, cents) AS rn FROM e),
+        |m AS (SELECT user_id, max(rn) AS mx FROM o GROUP BY 1),
+        |s AS (
+        | SELECT user_id, rn, cents * 1000 AS acc FROM o WHERE rn = 1
+        | UNION ALL
+        | SELECT o.user_id, o.rn, (s.acc + o.cents * 1000) // 2
+        | FROM s JOIN o ON o.user_id = s.user_id AND o.rn = s.rn + 1)
+        |SELECT s.user_id, CAST(s.acc AS BIGINT) AS ewma_millicents
+        |FROM s JOIN m ON m.user_id = s.user_id AND s.rn = m.mx
+        |ORDER BY s.user_id""".stripMargin,
     "x_funnel_timing" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |t1 AS (SELECT user_id, min(us) AS t1 FROM e

@@ -62,6 +62,37 @@ object EventAnalytics {
       .select(col("user"), col("st.depth").as("funnel_depth"),
         when(col("st.depth") === steps.length, col("st.tp") - col("st.t1")).as("convert_us"))
 
+  /** Per-key EWMA with α = 1/2 in FIXED-POINT integers: acc₁ =
+    * v₁·scale; accₜ = (accₜ₋₁ + vₜ·scale) div 2, folded over the
+    * key's time-ordered values — the time-decayed score every
+    * recency-weighted ranking uses. Fixed-point with truncation at
+    * each step exists for checkability: float `pow` weights aren't
+    * correctly rounded cross-engine and float sums don't commute,
+    * while this recurrence replays exactly as a recursive CTE. One
+    * user-keyed shuffle + a codegen'd fold, same shape as the funnel.
+    */
+  def ewmaByKey(
+      events: DataFrame,
+      keyCol: String,
+      usCol: String,
+      valCol: String,
+      scale: Long = 1000L
+  ): DataFrame = {
+    val fold =
+      s"""aggregate(
+         |  array_sort(evts),
+         |  CAST(-1 AS BIGINT),
+         |  (acc, e) -> CASE WHEN acc < 0 THEN e.v * ${scale}L
+         |                   ELSE (acc + e.v * ${scale}L) div 2 END,
+         |  acc -> acc)""".stripMargin
+    events
+      .select(col(keyCol).as("key"), col(usCol).as("us"), col(valCol).as("v"))
+      .filter(col("us").isNotNull && col("v").isNotNull && col("v") >= 0)
+      .groupBy(col("key"))
+      .agg(collect_list(struct(col("us"), col("v"))).as("evts"))
+      .select(col("key"), expr(fold).as("ewma"))
+  }
+
   // (ts, step) pairs for funnel-relevant events only, folded in
   // (ts, step) order: state = (depth, t1, tprev)
   private def foldedState(

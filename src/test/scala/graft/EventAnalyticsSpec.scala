@@ -88,6 +88,17 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out === Map(1L -> ((3, 65L)), 2L -> ((2, -1L))))
   }
 
+  test("ewmaByKey: fixed-point recurrence, order by time, null/negative skip") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 30L, 10L), (1L, 10L, 4L), (1L, 20L, 6L), // out-of-order input
+      (2L, 10L, 8L), (2L, null, 99L), (2L, 20L, -5L)) // null ts + negative skipped
+      .toDF("user_id", "us", "cents")
+    val out = graft.ops.EventAnalytics.ewmaByKey(rows, "user_id", "us", "cents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 1 sorted values 4,6,10: 4000 → (4000+6000)/2=5000 → (5000+10000)/2=7500
+    assert(out === Map(1L -> 7500L, 2L -> 8000L))
+  }
+
   test("retention cohorts: hand matrix") {
     val Week = 7L * 86400L * 1000000L
     val rows = Seq(
