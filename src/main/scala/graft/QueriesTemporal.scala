@@ -414,6 +414,28 @@ object QueriesTemporal {
       merged.crossJoin(direct)
     }),
 
+    // ---- range-partition SPLIT POINTS from the quantile synopsis —
+    // the operational use of the sketch at warehouse scale: one
+    // synopsis pass picks near-balanced repartitionByRange boundaries
+    // without a sort, and the bucket counts audit the balance. The
+    // breakpoint frame is one broadcast row; the whole derivation is
+    // deterministic, so the oracle replays it end to end.
+    "x_sketch_splits" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val bp = li.agg(
+        expr("kmv_quantile(cents, 64, 25)").as("b1"),
+        expr("kmv_quantile(cents, 64, 50)").as("b2"),
+        expr("kmv_quantile(cents, 64, 75)").as("b3"))
+      li.crossJoin(broadcast(bp))
+        .select(when(col("cents") <= col("b1"), 0)
+          .when(col("cents") <= col("b2"), 1)
+          .when(col("cents") <= col("b3"), 2)
+          .otherwise(3).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- exact group percentiles (linear interpolation, the R-7 /
     // quantile_cont convention both engines share). Exact percentile
     // sorts each group; the 100 TB path is approx_percentile (t-digest
@@ -727,6 +749,26 @@ object QueriesTemporal {
         | count(DISTINCT user_id) AS n_users
         |FROM w WHERE week >= cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // estimator replay for the three breakpoints, then the same CASE
+    // bucketing and counts
+    "x_sketch_splits" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem),
+        |d AS (SELECT cents AS x, count(*) AS c FROM v GROUP BY 1),
+        |r AS (SELECT x, c, row_number() OVER (ORDER BY md5(CAST(x AS VARCHAR))) AS rk
+        | FROM d),
+        |w AS (SELECT x, sum(c) OVER (ORDER BY x) AS cum, sum(c) OVER () AS tot
+        | FROM r WHERE rk <= 64),
+        |bp AS (SELECT
+        |  min(x) FILTER (WHERE 100 * cum >= 25 * tot) AS b1,
+        |  min(x) FILTER (WHERE 100 * cum >= 50 * tot) AS b2,
+        |  min(x) FILTER (WHERE 100 * cum >= 75 * tot) AS b3
+        | FROM w)
+        |SELECT CASE WHEN cents <= b1 THEN 0 WHEN cents <= b2 THEN 1
+        |            WHEN cents <= b3 THEN 2 ELSE 3 END AS bucket,
+        | count(*) AS n_rows
+        |FROM v CROSS JOIN bp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // ONE direct global replay serves all four columns: the
     // semilattice law says merge(per-flag sketches) ≡ direct global
     // sketch, so a law violation shows as a hash mismatch
