@@ -393,6 +393,29 @@ object QueriesTemporal {
       est.join(exact, Seq("l_returnflag")).orderBy(col("l_returnflag"))
     }),
 
+    // ---- incremental ROLLUP maintenance: a per-group stats table
+    // (count/sum/min/max/quantile synopsis) built from a base slice,
+    // then an increment FOLDED IN without re-reading the base —
+    // sums/counts add, min/max lattice, the synopsis merges exactly
+    // by the semilattice law. The oracle recomputes everything from
+    // the FULL table directly, so the hash verifies maintained ≡
+    // recomputed end to end.
+    "x_stats_incremental" -> ((s, dir) => {
+      import graft.ops.StatsTable
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val path = GraftSession.gatePath("stats", dir)
+      StatsTable.write(li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0),
+        "l_returnflag", "cents", path)
+      StatsTable.append(li.filter(pmod(col("l_orderkey"), lit(4)) === 0),
+        "l_returnflag", "cents", path)
+      StatsTable.read(s, path)
+        .select(col("key").as("l_returnflag"), col("n"), col("s").as("sum_cents"),
+          col("mn").as("min_cents"), col("mx").as("max_cents"), col("p50_est"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- quantile-sketch ALGEBRA: per-group synopses (string
     // arrays) re-aggregate to the GLOBAL quantile without touching
     // the rows again — and because the summary is a semilattice,
@@ -749,6 +772,27 @@ object QueriesTemporal {
         | count(DISTINCT user_id) AS n_users
         |FROM w WHERE week >= cohort_week
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // recompute-from-scratch replay: scalar stats + the estimator over
+    // the FULL table — equality proves the incremental fold lost
+    // nothing
+    "x_stats_incremental" ->
+      """WITH v AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |sc AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        | FROM v GROUP BY 1),
+        |d AS (SELECT l_returnflag, cents AS x, count(*) AS c FROM v GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, x, c, row_number() OVER (
+        |  PARTITION BY l_returnflag ORDER BY md5(CAST(x AS VARCHAR))) AS rk FROM d),
+        |w AS (SELECT l_returnflag, x,
+        |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum,
+        |  sum(c) OVER (PARTITION BY l_returnflag) AS tot
+        | FROM r WHERE rk <= 64),
+        |q AS (SELECT l_returnflag,
+        |  min(x) FILTER (WHERE 100 * cum >= 50 * tot) AS p50_est FROM w GROUP BY 1)
+        |SELECT sc.l_returnflag, n, sum_cents, min_cents, max_cents, p50_est
+        |FROM sc JOIN q USING (l_returnflag) ORDER BY sc.l_returnflag""".stripMargin,
     // estimator replay for the three breakpoints, then the same CASE
     // bucketing and counts
     "x_sketch_splits" ->
