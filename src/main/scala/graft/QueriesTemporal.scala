@@ -738,7 +738,7 @@ object QueriesTemporal {
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
         |o AS (SELECT user_id, cents,
         |  row_number() OVER (PARTITION BY user_id ORDER BY us, cents) AS rn
-        | FROM e WHERE cents >= 0),
+        | FROM e WHERE cents >= 0 AND us IS NOT NULL),
         |m AS (SELECT user_id, max(rn) AS mx FROM o GROUP BY 1),
         |s AS (
         | SELECT user_id, rn, cents * 1000 AS acc FROM o WHERE rn = 1

@@ -87,7 +87,8 @@ object EventAnalytics {
          |  acc -> acc)""".stripMargin
     events
       .select(col(keyCol).as("key"), col(usCol).as("us"), col(valCol).as("v"))
-      .filter(col("us").isNotNull && col("v").isNotNull && col("v") >= 0)
+      // (v >= 0 already rejects null v; the us check is load-bearing)
+      .filter(col("us").isNotNull && col("v") >= 0)
       .groupBy(col("key"))
       .agg(collect_list(struct(col("us"), col("v"))).as("evts"))
       .select(col("key"), expr(fold).as("ewma"))

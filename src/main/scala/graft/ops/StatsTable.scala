@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object StatsTable {
 
+  // stats are over NON-NULL values: n counts the same population the
+  // sum/synopsis cover (a key with no non-null values has no stats
+  // row — mixed semantics where n disagrees with the synopsis total
+  // would poison every later fold)
   private def summarize(df: DataFrame, keyCol: String, valCol: String, k: Int): DataFrame =
     df
+      .filter(col(valCol).isNotNull)
       .groupBy(col(keyCol).as("key"))
       .agg(
         count(lit(1)).as("n"), sum(col(valCol)).as("s"),
@@ -44,9 +49,12 @@ object StatsTable {
     * same algebra the aggregate's own merge runs, in column form.
     */
   def append(increment: DataFrame, keyCol: String, valCol: String, path: String, k: Int = 64): Unit = {
-    val spark  = increment.sparkSession
-    val stored = spark.read.parquet(path)
-    val inc    = summarize(increment, keyCol, valCol, k)
+    val spark = increment.sparkSession
+    // both sides feed TWO plan branches (scalars + entries); checkpoint
+    // the group-sized frames so neither the increment aggregation nor
+    // the stored scan runs twice
+    val stored = spark.read.parquet(path).localCheckpoint()
+    val inc    = summarize(increment, keyCol, valCol, k).localCheckpoint()
     // per (key, row-group) scalar stats are constant on entry rows;
     // reduce each side to one scalar row per key + its entry rows
     def scalars(t: DataFrame) = t.groupBy(col("key"))
@@ -63,11 +71,12 @@ object StatsTable {
       .withColumn("__rk", row_number().over(Window.partitionBy(col("key")).orderBy(col("h"))))
       .filter(col("__rk") <= k)
       .drop("__rk")
-    val merged = mergedEntries.join(mergedScalars, Seq("key"))
+    // stored's checkpoint above already severed the lineage from the
+    // files this overwrite replaces
+    mergedEntries.join(mergedScalars, Seq("key"))
       .select(col("key"), col("n"), col("s"), col("mn"), col("mx"),
         col("h"), col("v"), col("c"))
-      .localCheckpoint() // sever lineage from the files about to be replaced
-    merged.write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Read the table back as one row per key: scalar stats + the p-th
