@@ -59,13 +59,23 @@ def lzw_decode(data: bytes) -> bytes:
 
 def lzw_encode(data: bytes) -> bytes:
     bits: list[tuple[int, int]] = []
-    emitted = 0
+    # explicit model of the DECODER's table: length (drives the width
+    # chosen before each code) and whether it holds a prev string (the
+    # first code after a CLEAR appends nothing)
+    dec_len = 258
+    dec_prev = False
 
-    def cur_width() -> int:
-        # the decoder's table size before reading the NEXT code
-        return _width(258 + max(0, emitted - 1))
+    def emit(code: int) -> None:
+        nonlocal dec_len, dec_prev
+        bits.append((code, _width(dec_len)))
+        if code == CLEAR:
+            dec_len, dec_prev = 258, False
+        elif code != EOD:
+            if dec_prev:
+                dec_len += 1
+            dec_prev = True
 
-    bits.append((CLEAR, 9))
+    emit(CLEAR)
     d = {bytes([i]): i for i in range(256)}
     next_code = 258
     w = b""
@@ -74,16 +84,21 @@ def lzw_encode(data: bytes) -> bytes:
         if wc in d:
             w = wc
         else:
-            bits.append((d[w], cur_width()))
-            emitted += 1
+            emit(d[w])
             if next_code < 4096:
                 d[wc] = next_code
                 next_code += 1
+            else:
+                # table full: emit a mid-stream CLEAR and reset, as
+                # conforming PDF writers do — without it the decoder
+                # keeps appending per code and the widths desync
+                emit(CLEAR)
+                d = {bytes([i]): i for i in range(256)}
+                next_code = 258
             w = bytes([ch])
     if w:
-        bits.append((d[w], cur_width()))
-        emitted += 1
-    bits.append((EOD, cur_width()))
+        emit(d[w])
+    emit(EOD)
     # pack MSB-first
     buf = bytearray()
     acc = nacc = 0
@@ -104,8 +119,11 @@ CONTENT = (
 
 
 def main() -> None:
-    # self-check on the fixture payload and on adversarial inputs
-    for probe in (CONTENT, b"", b"a", b"ab" * 2000, bytes(range(256)) * 20):
+    # self-check on the fixture payload and on adversarial inputs,
+    # including a deterministic high-entropy payload large enough to
+    # fill the 4096-entry table and force mid-stream CLEARs
+    noisy = bytes(((i * 1103515245 + 12345) >> 16) & 0xFF for i in range(20000))
+    for probe in (CONTENT, b"", b"a", b"ab" * 2000, bytes(range(256)) * 20, noisy):
         assert lzw_decode(lzw_encode(probe)) == probe, "round-trip failed"
     os.makedirs(OUT, exist_ok=True)
     enc = lzw_encode(CONTENT)

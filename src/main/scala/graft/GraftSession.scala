@@ -49,6 +49,23 @@ object GraftSession {
       s"graft-$tag-gate-${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
     ).toString
 
+  /** [[gatePath]] + recursive delete: for gate queries whose write
+    * path has APPEND or CHECKPOINT semantics (streaming checkpoints,
+    * partitionBy index layouts) where `mode("overwrite")` never runs
+    * and a stale dir from a previous invocation would either leak a
+    * copy (the round-5 j12 lesson) or make a restarted stream think
+    * its batches already committed.
+    */
+  def freshGatePath(tag: String, dir: String): String = {
+    val p = gatePath(tag, dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+    p
+  }
+
   /** Epoch-nanos long (see nanosAsLong above) → timestamp, truncated
     * to Spark's microsecond precision via TRUE integer division
     * (`IntegralDivide`). `(c / 1000).cast("long")` is subtly wrong:

@@ -173,7 +173,7 @@ object QueriesScale {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
       val fresh = base.filter(col("id") < 25)
         .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
-      val path = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      val path = GraftSession.freshGatePath("lshidx", dir)
       Dedup.writeMinhashIndexMd5(base, "id", "text", path)
       Dedup.probeMinhashIndexMd5(s, path, fresh, "id", "text")
         .orderBy(col("id_a"), col("id_b"))
@@ -188,9 +188,9 @@ object QueriesScale {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
       val fresh = base.filter(col("id") < 25)
         .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
-      val indexPath = java.nio.file.Files.createTempDirectory("graft-lsh-sindex").toString
+      val indexPath = GraftSession.freshGatePath("lshsidx", dir)
       Dedup.writeMinhashIndexMd5(base, "id", "text", indexPath)
-      val freshDir = java.nio.file.Files.createTempDirectory("graft-lsh-stream").toString
+      val freshDir = GraftSession.freshGatePath("lshstream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
       val name = s"stream_neardup_${streamN.incrementAndGet()}"
       val q = EventsStream.streamIncrementalDedup(
@@ -210,7 +210,7 @@ object QueriesScale {
       val fresh = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
-      val path = java.nio.file.Files.createTempDirectory("graft-sp-index").toString
+      val path = GraftSession.freshGatePath("spidx", dir)
       Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
       Dedup.probeSignPlaneIndex(s, path, fresh, "vec_id", "embedding", 0.99)
         .orderBy(col("id_a"), col("id_b"))
@@ -227,9 +227,9 @@ object QueriesScale {
       val fresh = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
-      val indexPath = java.nio.file.Files.createTempDirectory("graft-sp-sindex").toString
+      val indexPath = GraftSession.freshGatePath("spsidx", dir)
       Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", indexPath)
-      val freshDir = java.nio.file.Files.createTempDirectory("graft-sp-stream").toString
+      val freshDir = GraftSession.freshGatePath("spstream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
       val name = s"stream_semantic_${streamN.incrementAndGet()}"
       val q = EventsStream.streamSemanticDedup(s, indexPath, freshDir, fresh.schema, name)
@@ -399,7 +399,7 @@ object QueriesScale {
     // text never re-read.
     "x_dedup_substring_inc" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
-      val path = java.nio.file.Files.createTempDirectory("graft-sub-index").toString
+      val path = GraftSession.freshGatePath("subidx", dir)
       CorpusOps.writeSubstringIndex(base, "id", "text", path, window = 8)
       CorpusOps.probeSubstringIndex(s, path, substringIncrement(s, dir), "id", "text", window = 8)
         .orderBy(col("id"))
@@ -413,13 +413,13 @@ object QueriesScale {
     // semantics; the same SQL gates both.
     "s9_stream_substring" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
-      val indexPath = java.nio.file.Files.createTempDirectory("graft-sub-sindex").toString
+      val indexPath = GraftSession.freshGatePath("subsidx", dir)
       CorpusOps.writeSubstringIndex(base, "id", "text", indexPath, window = 8)
       val fresh    = substringIncrement(s, dir)
-      val freshDir = java.nio.file.Files.createTempDirectory("graft-sub-stream").toString
+      val freshDir = GraftSession.freshGatePath("substream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
-      val outDir = java.nio.file.Files.createTempDirectory("graft-sub-out").toString
-      val ckpt   = java.nio.file.Files.createTempDirectory("graft-sub-ckpt").toString
+      val outDir = GraftSession.freshGatePath("subout", dir)
+      val ckpt   = GraftSession.freshGatePath("subckpt", dir)
       val q = EventsStream.streamSubstringDedup(
         s, indexPath, freshDir, fresh.schema, outDir, ckpt, window = 8)
       q.awaitTermination()
@@ -634,7 +634,7 @@ object QueriesScale {
     // replays assignment + quantization in plain SQL.
     "x_ann_index_q" -> ((s, dir) => {
       val e    = emb(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft-qivf-gate").toString
+      val path = GraftSession.freshGatePath("qivf", dir)
       Similarity.writeIvfIndexQuantized(e, "vec_id", "embedding", path, nCells = 16)
       Similarity.probeIvfIndexQuantized(s, path, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nProbe = 4)

@@ -303,7 +303,7 @@ object SparkEntry {
         call_function("div", c.cast("long"), lit(1000L)), lit(86400000000L)).cast("int")
       val base = ev(s, dir).select(
         col("event_type"), col("value"), dayOf(col("ts")).as("event_day"))
-      val wh = java.nio.file.Files.createTempDirectory("graft-dpp-gate").toString
+      val wh = GraftSession.freshGatePath("dpp", dir)
       val fact = graft.ops.Scale.publishPartitioned(base, wh, Seq("event_day"))
       val dayDim = base.select(col("event_day")).distinct()
         .withColumn("dow", pmod(col("event_day"), lit(7)))
@@ -320,7 +320,7 @@ object SparkEntry {
     // buys (2-D row-group pruning) is metric-asserted in ScaleSpec.
     "j11_zorder_scan" -> ((s, dir) => {
       val ev0  = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
-      val zdir = java.nio.file.Files.createTempDirectory("graft-zorder-gate").toString
+      val zdir = GraftSession.freshGatePath("zorder", dir)
       val z    = graft.ops.Scale.writeZOrdered(ev0, zdir, "user_id", "value")
       z.filter(col("user_id").between(100, 160) && col("value").between(50, 80))
         .agg(count(lit(1)).as("n_events"),
@@ -460,7 +460,8 @@ object SparkEntry {
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "j12_compact_scan" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | min(doc_id) AS min_doc
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "j11_zorder_scan" ->

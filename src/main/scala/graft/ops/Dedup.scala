@@ -893,8 +893,13 @@ object Dedup {
       threshold: Double,
       planes: Int = 4
   ): DataFrame = {
-    val index  = spark.read.parquet(path)
     val probes = signPlaneKeyed(newEmb, idCol, vecCol, planes)
+    // explicit schema (the probe side is keyed identically, so its
+    // schema IS the index schema): an index built from a corpus with
+    // no embeddings is an empty partitioned dir, and schema inference
+    // would throw where the correct semantics is "no history → no
+    // pairs" — same contract as probeSubstringIndex.
+    val index  = spark.read.schema(probes.schema).parquet(path)
     val cos    = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     index.as("a")
       .join(probes.as("b"), col("a.bucket") === col("b.bucket"))

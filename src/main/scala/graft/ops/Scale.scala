@@ -197,10 +197,18 @@ object Scale {
     * directory names, not the files, so the swapped files re-derive
     * them on read unchanged.
     *
-    * The leaf-dir loop is driver-side but METADATA-sized (one
-    * iteration per partition directory, each submitting a distributed
-    * job — the Lloyd/CC bounded-loop pattern, never row-sized); at
-    * production scale submit leaves concurrently from a small pool.
+    * The per-directory jobs submit CONCURRENTLY from a bounded thread
+    * pool (`parallelism`, default 8 — Spark's scheduler is made for
+    * multi-threaded submission): the driver-side walk is
+    * metadata-sized, and on a warehouse with 10⁴ fragmented partition
+    * dirs the wall-clock is bounded by pool-width batches of
+    * distributed jobs rather than one serial job per dir.
+    *
+    * Directories holding BOTH data files and partition subdirs (not a
+    * strict Hive layout, but real warehouses grow them) are compacted
+    * too: each target reads its explicit file list, never the
+    * directory path, so a mixed dir's loose files compact without
+    * touching — or double-reading — its children.
     *
     * Swap contract: new files rename in BEFORE originals are deleted
     * (a crash can duplicate a partition transiently, never lose it;
@@ -212,21 +220,31 @@ object Scale {
     * back with the mapped type, so compact those from a session
     * without the mapping.
     */
-  def compact(spark: SparkSession, path: String, targetBytes: Long): Seq[CompactStats] = {
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long,
+      parallelism: Int = 8
+  ): Seq[CompactStats] = {
     require(targetBytes > 0, "compact needs a positive target file size")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(parallelism > 0, "compact needs a positive pool size")
+    val raw  = new org.apache.hadoop.fs.Path(path)
+    val fs   = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualified so CompactStats.dir is uniform whether a dir came from
+    // the argument or from a listStatus walk
+    val root = fs.makeQualified(raw)
     def visible(s: org.apache.hadoop.fs.FileStatus): Boolean = {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val entries        = fs.listStatus(p).filter(visible)
-      val (dirs, files)  = entries.partition(_.isDirectory)
-      if (dirs.isEmpty) { if (files.nonEmpty) Seq(p) else Nil }
-      else dirs.toSeq.flatMap(d => leafDirs(d.getPath))
+    // every dir with data files is a target — leaves AND mixed dirs
+    def targetDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries       = fs.listStatus(p).filter(visible)
+      val (dirs, files) = entries.partition(_.isDirectory)
+      (if (files.nonEmpty) Seq(p) else Nil) ++
+        dirs.toSeq.flatMap(d => targetDirs(d.getPath))
     }
-    leafDirs(root).sortBy(_.toString).flatMap { dir =>
+    def compactDir(dir: org.apache.hadoop.fs.Path): Option[CompactStats] = {
       val files = fs.listStatus(dir).filter(s => s.isFile && visible(s))
       val bytes = files.map(_.getLen).sum
       val want  = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -234,7 +252,9 @@ object Scale {
       else {
         val tmp = new org.apache.hadoop.fs.Path(dir, "_compact_tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true)
-        spark.read.parquet(dir.toString).coalesce(want)
+        // explicit file list, not the dir path: identical for a leaf,
+        // and for a mixed dir it never recurses into child partitions
+        spark.read.parquet(files.map(_.getPath.toString).toSeq: _*).coalesce(want)
           .write.mode("overwrite").parquet(tmp.toString)
         // crash-safe swap order: the compacted files move IN first
         // (unique names — a rerun over a previously-compacted dir must
@@ -261,6 +281,18 @@ object Scale {
         }
       }
     }
+    val dirs = targetDirs(root).sortBy(_.toString)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, dirs.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = scala.concurrent.Future.sequence(
+        dirs.map(d => scala.concurrent.Future(compactDir(d))))
+      scala.concurrent.Await
+        .result(done, scala.concurrent.duration.Duration.Inf)
+        .flatten
+    } finally pool.shutdown()
   }
 
   def saltedJoin(

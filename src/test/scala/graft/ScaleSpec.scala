@@ -159,6 +159,82 @@ class ScaleSpec extends SparkSpecBase {
     assert(Scale.compact(spark, wh, targetBytes = 1L << 30).isEmpty)
   }
 
+  test("compact submits per-dir jobs concurrently from the bounded pool (32 dirs)") {
+    // 32 fragmented partition dirs — the shape where the old serial
+    // driver loop was the bottleneck
+    val src = spark.range(0, 3200)
+      .select(col("id"), pmod(col("id"), lit(32)).as("p"),
+        (col("id") * 7).as("val"))
+    val wh = java.nio.file.Files.createTempDirectory("compact-par-spec").toString
+    src.repartition(6).write.mode("overwrite").partitionBy("p").parquet(wh)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // concurrency proof via the scheduler, not wall-clock: count the
+    // max number of simultaneously-active jobs the pool achieved
+    val active    = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val a = active.incrementAndGet()
+        maxActive.updateAndGet(m => math.max(m, a)): Unit
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        active.decrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val stats =
+      try Scale.compact(spark, wh, targetBytes = 1L << 30, parallelism = 8)
+      finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(stats.length === 32, s"all 32 fragmented dirs compact: $stats")
+    assert(maxActive.get >= 2,
+      s"expected overlapping per-dir jobs from the pool, saw max ${maxActive.get}")
+    // swap protocol held per dir: compact-* files only, no tmp leftovers
+    stats.foreach { st =>
+      val dir   = new org.apache.hadoop.fs.Path(st.dir)
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+      assert(names.count(_.startsWith("compact-")) === st.filesAfter)
+      assert(!names.contains("_compact_tmp"), s"tmp dir leaked in ${st.dir}")
+    }
+    // rows identical after the concurrent swap
+    val back = spark.read.parquet(wh)
+    assert(back.select("id", "p", "val").collect().map(_.toString).sorted
+      === src.collect().map(_.toString).sorted)
+    assert(Scale.compact(spark, wh, targetBytes = 1L << 30, parallelism = 8).isEmpty)
+  }
+
+  test("compact packs loose files in a MIXED dir without touching child partitions") {
+    val wh = java.nio.file.Files.createTempDirectory("compact-mixed-spec").toString
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // loose data files at the root ALONGSIDE a partition subdir — not
+    // strict Hive, but compact must account for both, not skip either
+    val loose = spark.range(0, 300).select(col("id"), (col("id") * 3).as("val"))
+    loose.repartition(5).write.mode("overwrite").parquet(wh)
+    fs.delete(new org.apache.hadoop.fs.Path(wh, "_SUCCESS"), false)
+    val child    = spark.range(1000, 1300).select(col("id"), (col("id") * 3).as("val"))
+    val childDir = s"$wh/p=1"
+    child.repartition(5).write.mode("overwrite").parquet(childDir)
+    fs.delete(new org.apache.hadoop.fs.Path(childDir, "_SUCCESS"), false)
+
+    val stats = Scale.compact(spark, wh, targetBytes = 1L << 30)
+    assert(stats.map(_.dir).toSet ===
+      Set(wh, childDir).map(d =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(d)).toString),
+      s"both the mixed root and the child compact: $stats")
+    // per-dir contents preserved exactly (explicit file-list reads, so
+    // the mixed root's rewrite never absorbed the child's rows)
+    def rowsOf(d: String): Array[String] = {
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).toSeq
+      spark.read.parquet(files: _*).select("id", "val").collect().map(_.toString).sorted
+    }
+    assert(rowsOf(wh) === loose.collect().map(_.toString).sorted)
+    assert(rowsOf(childDir) === child.collect().map(_.toString).sorted)
+  }
+
   test("salted join equals the plain join") {
     val li = GraftSession.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
