@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftSession.table
 import graft.ops.{Dedup, KpiPost, MlPipelines, Relevance}
-import graft.scorer.{LogisticQaScorer, LogisticRelevanceScorer}
+import graft.scorer.{LogisticQaScorer, LogisticRelevanceScorer, MockRelevanceScorer, OnnxRelevanceScorer, OnnxScorer, RelevanceScorer, WordPieceVocab}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -96,6 +96,47 @@ object QueriesMl {
         // flaking on the known ~2% span noise
         .filter(col("n_correct") >= col("n") * lit(0.9))
         .orderBy("gold")
+    }),
+
+    // M1 through the PRODUCTION encode contract: a WordPiece vocab
+    // built from the corpus (deterministic top-k words + specials)
+    // feeds the OnnxRelevanceScorer's `encode` — so the full
+    // tokenizer → ids → scorer plumbing runs without site code. With
+    // onnxruntime + a model on the classpath the ONNX session scores;
+    // offline the seam swaps in the mock scorer (same operator shape,
+    // same row count — the rows-only check is env-independent).
+    // Self-validating: rows keep only docs the tokenizer encodes with
+    // a minority of [UNK] pieces — if the loader or the greedy match
+    // breaks, everything degrades to [UNK] and 0 rows survive.
+    "m1_relevance_onnx" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      // vocab-sized driver materialization (the BPE/Lloyd bound):
+      // top-2000 corpus words by (count desc, word asc)
+      val top = d.select(explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(2000)
+        .collect().map(_.getString(0)).toSeq
+      val vocab = WordPieceVocab.fromTokens(WordPieceVocab.Specials ++ top)
+      val enc: (String, String) => Array[Long] =
+        (q, p) => vocab.encodePair(q, p).take(128)
+      val scorer: RelevanceScorer =
+        sys.env.get("GRAFT_ONNX_RELEVANCE_MODEL").filter(_ => OnnxScorer.available)
+          .map(new OnnxRelevanceScorer(_, enc, maxLen = 128))
+          .getOrElse(new MockRelevanceScorer)
+      val unkId = vocab.unkId.toLong
+      val wpStats = udf { (q: String, p: String) =>
+        val ids = enc(q, p)
+        (ids.length, ids.count(_ == unkId))
+      }
+      val pairs = d.select(col("doc_id").as("key"),
+        lit(Question).as("text"), col("text").as("text_b"))
+      Relevance.scoreRelevance(pairs, scorer, "key")
+        .withColumn("wp", wpStats(col("text"), col("text_b")))
+        .select(col("key").as("doc_id"),
+          col("wp._1").as("n_wordpieces"), col("wp._2").as("n_unk"),
+          round(col("prob"), 4).as("prob"))
+        .filter(col("n_unk") * 2 < col("n_wordpieces"))
+        .orderBy(col("doc_id"))
     })
   )
 

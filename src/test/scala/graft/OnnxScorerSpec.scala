@@ -1,6 +1,6 @@
 package graft
 
-import graft.scorer.{OnnxRelevanceScorer, OnnxScorer}
+import graft.scorer.{OnnxQaScorer, OnnxRelevanceScorer, OnnxScorer, WordPieceVocab}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -38,5 +38,34 @@ class OnnxScorerSpec extends AnyFunSuite {
     // sites with a model wire modelPath to a --files-shipped .onnx.
     val scorer = new OnnxRelevanceScorer("/nonexistent/model.onnx", toyEncode)
     intercept[Exception] { scorer.scoreBatch(Iterator((1L, "q", "p"))).toList }
+  }
+
+  // ---- QA span head seam (decode itself is proven in QaSpanDecodeSpec
+  // with fixed logits; these pin the runtime-boundary contract)
+
+  private lazy val wp = WordPieceVocab.load(
+    getClass.getResource("/wordpiece/vocab.txt").getPath)
+
+  test("QA seam compiles and constructs with the WordPiece encoder, no runtime") {
+    val scorer = new OnnxQaScorer("/nonexistent/model.onnx", wp.encodeQa)
+    assert(scorer.isInstanceOf[graft.scorer.QaScorer])
+  }
+
+  test("QA seam fails fast offline with the documented, actionable error") {
+    assume(!OnnxScorer.available, "runtime present — covered by the live test instead")
+    val scorer = new OnnxQaScorer("/nonexistent/model.onnx", wp.encodeQa)
+    val e = intercept[IllegalStateException] {
+      scorer.scoreBatch(Iterator((1L, "the target", "net zero target"))).toList
+    }
+    assert(e.getMessage.contains("onnxruntime"))
+    assert(e.getMessage.contains("--jars"))
+  }
+
+  test("QA live path when the runtime is present (auto-skips offline)") {
+    assume(OnnxScorer.available, "onnxruntime not on the classpath")
+    val scorer = new OnnxQaScorer("/nonexistent/model.onnx", wp.encodeQa)
+    intercept[Exception] {
+      scorer.scoreBatch(Iterator((1L, "the target", "net zero target"))).toList
+    }
   }
 }
