@@ -155,9 +155,20 @@ object Bench {
         s""","sf2":"$sf2","queries_sf2":$qs2,"scale_ratio":$ratios"""
       case None => ""
     }
-    println(
+    // the scaling-slope detail goes to a SIDECAR file, never stdout:
+    // six rounds of the driver's tail capture truncating mid-object
+    // taught that the LAST stdout line must be the compact contract
+    // JSON and nothing may print after it (spark.stop() runs first for
+    // the same reason)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$slopeJson}"""
-    )
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] scale-slope detail written to $detailPath")
     spark.stop()
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    )
   }
 }

@@ -20,6 +20,29 @@ object QueriesTemporal {
 
   private val DayUs = 86400L * 1000000L
 
+  /** Recompute-from-scratch stats-table replay shared by the batch
+    * (`x_stats_incremental`) and streaming (`s9_stream_stats`)
+    * maintenance gates.
+    */
+  private val StatsRecomputeSql: String =
+    """WITH v AS (SELECT l_returnflag,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+      |sc AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(cents) AS min_cents, max(cents) AS max_cents
+      | FROM v GROUP BY 1),
+      |d AS (SELECT l_returnflag, cents AS x, count(*) AS c FROM v GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, x, c, row_number() OVER (
+      |  PARTITION BY l_returnflag ORDER BY md5(CAST(x AS VARCHAR))) AS rk FROM d),
+      |w AS (SELECT l_returnflag, x,
+      |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum,
+      |  sum(c) OVER (PARTITION BY l_returnflag) AS tot
+      | FROM r WHERE rk <= 64),
+      |q AS (SELECT l_returnflag,
+      |  min(x) FILTER (WHERE 100 * cum >= 50 * tot) AS p50_est FROM w GROUP BY 1)
+      |SELECT sc.l_returnflag, n, sum_cents, min_cents, max_cents, p50_est
+      |FROM sc JOIN q USING (l_returnflag) ORDER BY sc.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- as-of join: each 'view' event picks up the latest preceding
     // 'purchase' (value) of the same user. Right side pre-aggregated
@@ -416,6 +439,39 @@ object QueriesTemporal {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- the same rollup maintenance ONLINE: the increment arrives
+    // as a STREAM in two mtime-separate files and each micro-batch
+    // folds into the persistent stats table
+    // ([[graft.streaming.EventsStream.streamStatsAppend]],
+    // maxFilesPerTrigger=1 → the fold runs once PER FILE). The fold is
+    // the semilattice merge, so maintained ≡ recomputed regardless of
+    // batch order — batch x_stats_incremental is the oracle semantics
+    // and the same SQL gates both.
+    "s9_stream_stats" -> ((s, dir) => {
+      import graft.ops.StatsTable
+      import graft.streaming.EventsStream
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val path = GraftSession.freshGatePath("sstats", dir)
+      StatsTable.write(li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0),
+        "l_returnflag", "cents", path)
+      val inc    = li.filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      val incDir = GraftSession.freshGatePath("sstatsinc", dir)
+      inc.filter(pmod(col("l_orderkey"), lit(8)) === 0)
+        .coalesce(1).write.mode("append").parquet(incDir)
+      inc.filter(pmod(col("l_orderkey"), lit(8)) =!= 0)
+        .coalesce(1).write.mode("append").parquet(incDir)
+      val ckpt = GraftSession.freshGatePath("sstatsckpt", dir)
+      val q = EventsStream.streamStatsAppend(
+        s, path, incDir, inc.schema, ckpt, "l_returnflag", "cents")
+      q.awaitTermination()
+      StatsTable.read(s, path)
+        .select(col("key").as("l_returnflag"), col("n"), col("s").as("sum_cents"),
+          col("mn").as("min_cents"), col("mx").as("max_cents"), col("p50_est"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- quantile-sketch ALGEBRA: per-group synopses (string
     // arrays) re-aggregate to the GLOBAL quantile without touching
     // the rows again — and because the summary is a semilattice,
@@ -775,24 +831,11 @@ object QueriesTemporal {
     // recompute-from-scratch replay: scalar stats + the estimator over
     // the FULL table — equality proves the incremental fold lost
     // nothing
-    "x_stats_incremental" ->
-      """WITH v AS (SELECT l_returnflag,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
-        |sc AS (SELECT l_returnflag, count(*) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  min(cents) AS min_cents, max(cents) AS max_cents
-        | FROM v GROUP BY 1),
-        |d AS (SELECT l_returnflag, cents AS x, count(*) AS c FROM v GROUP BY 1, 2),
-        |r AS (SELECT l_returnflag, x, c, row_number() OVER (
-        |  PARTITION BY l_returnflag ORDER BY md5(CAST(x AS VARCHAR))) AS rk FROM d),
-        |w AS (SELECT l_returnflag, x,
-        |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY x) AS cum,
-        |  sum(c) OVER (PARTITION BY l_returnflag) AS tot
-        | FROM r WHERE rk <= 64),
-        |q AS (SELECT l_returnflag,
-        |  min(x) FILTER (WHERE 100 * cum >= 50 * tot) AS p50_est FROM w GROUP BY 1)
-        |SELECT sc.l_returnflag, n, sum_cents, min_cents, max_cents, p50_est
-        |FROM sc JOIN q USING (l_returnflag) ORDER BY sc.l_returnflag""".stripMargin,
+    "x_stats_incremental" -> StatsRecomputeSql,
+    // the streaming fold maintains the SAME table the batch append
+    // does (semilattice merge per micro-batch), so one recompute
+    // oracle gates both paths
+    "s9_stream_stats" -> StatsRecomputeSql,
     // estimator replay for the three breakpoints, then the same CASE
     // bucketing and counts
     "x_sketch_splits" ->

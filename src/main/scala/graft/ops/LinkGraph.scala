@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * integer sums commute exactly, and truncating division matches
   * DuckDB's `//` on non-negatives — so K unrolled iterations replay
   * hash-exact in the SQL oracle. Dangling nodes (no out-links) leak
-  * their damped mass by design — the simplification is documented
-  * rather than redistributing, keeping each iteration a single
-  * edges⋈ranks join.
+  * their damped mass in the DEFAULT variant — the checkable
+  * simplification, each iteration a single edges⋈ranks join.
+  * `redistributeDangling = true` adds the true-PageRank correction:
+  * the dangling ranks' damped mass spreads equally over all nodes,
+  * computed as ONE extra node-sized aggregate per iteration (a
+  * one-row frame cross-joined into the update — no extra driver
+  * action), restoring the sum-to-one invariant within integer
+  * truncation (spec-asserted bound).
   *
   * Scale shape: per iteration, one equi-join of the edge list with
   * the node-sized rank frame on `src` (ranks broadcast when small,
@@ -37,7 +42,12 @@ object LinkGraph {
     * `n_in` (distinct in-links). Self-loops and duplicate edges are
     * dropped; `iters` is the unrolled iteration count.
     */
-  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false
+  ): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -58,10 +68,23 @@ object LinkGraph {
         .join(outd, "src")
         .select(col("dst"), expr("(85 * rank) div (100 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      ranks = nodes
+      val updated = nodes
         .join(contribs, nodes("host") === contribs("dst"), "left")
         .select(col("host"), (lit(base) + coalesce(col("c"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      ranks =
+        (if (!redistributeDangling) updated
+         else {
+           // damped mass of rank sitting on dangling nodes (no
+           // out-edges), spread equally: one node-sized aggregate to a
+           // ONE-ROW frame, cross-joined into the update (broadcast
+           // nested loop over a single row — no driver action)
+           val dang = ranks
+             .join(outd, ranks("host") === outd("src"), "left_anti")
+             .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+           updated.crossJoin(dang)
+             .select(col("host"),
+               (col("rank") + expr(s"(85 * dmass) div (100 * ${n}L)")).as("rank"))
+         }).localCheckpoint()
     }
     val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
     ranks

@@ -212,6 +212,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING rollup maintenance — the stats-table twin of the three
+    * dedup-at-ingest streams: each arriving micro-batch FOLDS into the
+    * persistent per-group stats table
+    * ([[graft.ops.StatsTable.append]]) inside `foreachBatch`. The fold
+    * is the table's own semilattice merge (counts/sums add, min/max
+    * lattice, synopsis entries count-sum + k-min trim), so maintained
+    * ≡ recomputed holds after EVERY batch and in ANY batch order —
+    * which is why the same oracle that gates the batch append gates
+    * this stream. `maxFilesPerTrigger=1` forces one fold per arriving
+    * file so the gate exercises repeated folding, not one big batch.
+    */
+  def streamStatsAppend(
+      spark: SparkSession,
+      statsPath: String,
+      incDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      keyCol: String,
+      valCol: String,
+      k: Int = 64
+  ): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(incDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.StatsTable.append(batch, keyCol, valCol, statsPath, k)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream time-bounded join: every view event pairs with the
     * same user's purchases in the trailing hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

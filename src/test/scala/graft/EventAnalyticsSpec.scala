@@ -99,6 +99,44 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out === Map(1L -> 7500L, 2L -> 8000L))
   }
 
+  test("skew guard: a pathological hot user degrades loudly, not with an OOM") {
+    // user 1 is the bot: 40 views THEN the click+purchase land beyond
+    // the cap — uncapped the chain completes (depth 3); capped at 10
+    // only the earliest views survive, so depth 1 + the raised flag
+    val hot = (0 until 40).map(i => (1L, "view", 10L + i)) ++
+      Seq((1L, "click", 60L), (1L, "purchase", 70L))
+    val normal = Seq((2L, "view", 10L), (2L, "click", 20L), (2L, "purchase", 30L))
+    val rows = (hot ++ normal).toDF("user_id", "event_type", "us")
+    def run(cap: Int): Map[Long, (Int, Boolean)] =
+      EventAnalytics.funnelDepth(rows, "user_id", "event_type", "us", Steps, W,
+          maxEventsPerKey = cap)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(run(Int.MaxValue) === Map(1L -> ((3, false)), 2L -> ((3, false))))
+    val capped = run(10)
+    assert(capped(1L) === ((1, true)),
+      "hot user: result from the 10 EARLIEST events, flag raised")
+    assert(capped(2L) === ((3, false)), "normal users are untouched by the guard")
+  }
+
+  test("skew guard: ewma folds the earliest-cap prefix and flags the key") {
+    val rows = Seq((1L, 10L, 4L), (1L, 20L, 6L), (1L, 30L, 10L), (2L, 10L, 8L))
+      .toDF("user_id", "us", "cents")
+    val out = EventAnalytics.ewmaByKey(rows, "user_id", "us", "cents",
+        maxEventsPerKey = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // user 1 capped to (4, 6): 4000 → (4000+6000)/2 = 5000, flagged
+    assert(out === Map(1L -> ((5000L, true)), 2L -> ((8000L, false))))
+  }
+
+  test("skew guard: capped funnel plans ONE exchange (window rides the fold's shuffle)") {
+    val rows = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "us")
+    val df = EventAnalytics.funnelDepth(rows, "user_id", "event_type", "us", Steps, W,
+      maxEventsPerKey = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"row_number guard must not add a shuffle:\n$plan")
+  }
+
   test("retention cohorts: hand matrix") {
     val Week = 7L * 86400L * 1000000L
     val rows = Seq(

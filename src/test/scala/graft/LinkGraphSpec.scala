@@ -50,6 +50,42 @@ class LinkGraphSpec extends SparkSpecBase {
     assert(one === many)
   }
 
+  test("redistributeDangling conserves total mass within integer truncation") {
+    // b and d are dangling (no out-edges): the default variant leaks
+    // their damped rank every iteration; the redistributing variant
+    // must keep sum(rank) ≈ scale
+    val edges = Seq(("a", "b"), ("a", "c"), ("c", "d"), ("c", "a")).toDF("src", "dst")
+    val iters = 4
+    val n     = 4L
+    val eCnt  = 4L
+    def total(redistribute: Boolean): Long =
+      LinkGraph.pageRank(edges, iters, redistributeDangling = redistribute)
+        .agg(sum(col("rank"))).collect()(0).getLong(0)
+
+    val conserved = total(redistribute = true)
+    // truncating division only ever LOSES mass: per iteration at most
+    // one unit per edge contribution, one per node for the teleport
+    // base, one per node for the dangling share (+ the initial split)
+    val bound = (iters + 1) * (eCnt + 2 * n)
+    assert(conserved <= S, "truncation cannot create mass")
+    assert(S - conserved <= bound,
+      s"mass conserved within truncation: deficit ${S - conserved} > bound $bound")
+
+    // the leaking default loses real mass — orders beyond truncation
+    val leaky = total(redistribute = false)
+    assert(S - leaky > 100L * bound,
+      s"default variant should visibly leak (deficit ${S - leaky})")
+  }
+
+  test("redistributeDangling stays deterministic across partition layouts") {
+    val edges = (1 to 400).map(i => (s"h${i % 37}", s"h${(i * 13) % 41}")).toDF("src", "dst")
+    val one = LinkGraph.pageRank(edges.repartition(1), 3, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val many = LinkGraph.pageRank(edges.repartition(16), 3, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one === many)
+  }
+
   test("pageRank drops self-loops and duplicate edges") {
     val messy = Seq(("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")).toDF("src", "dst")
     val clean = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
