@@ -650,6 +650,23 @@ object QueriesScale {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // ---- BM25 top-k retrieval: the search primitive behind
+    // curation-by-retrieval (positive mining, decontamination
+    // lookups). All-integer num/den per term (k1=6/5, b=3/4, +1-floor
+    // idf), ONE double division, DECIMAL-space sum — hash-exact
+    // cross-engine. Query 5 carries an out-of-vocab term to prove
+    // missing terms contribute nothing.
+    "x_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.TextAnalysis
+      val qs = Seq(
+        (1L, "spark window agg"), (2L, "fast hash join"),
+        (3L, "customer query data"), (4L, "stream filter sort big"),
+        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text", qs, "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- PII redaction: synthetic emails/phones/IPs injected per
     // doc_id residue so every pattern and the ordering contract
     // (emails before IPs before phones) are live under the oracle
@@ -1866,6 +1883,30 @@ object QueriesScale {
         |  PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "x_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |           FROM documents),
+        |n AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tt FROM d),
+        |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dt GROUP BY 1, 2, 3),
+        |q AS (SELECT * FROM (VALUES (1, 'spark window agg'), (2, 'fast hash join'),
+        |       (3, 'customer query data'), (4, 'stream filter sort big'),
+        |       (5, 'vector nosuchterm merge')) AS v(query_id, qtext)),
+        |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |        unnest(list_filter(string_split(lower(qtext), ' '), x -> x <> '')) AS term FROM q),
+        |hits AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+        |dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+        |sc AS (SELECT qt.query_id, h.doc_id,
+        |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
+        |    CAST((2 * dfq.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
+        |    6) AS DECIMAL(28,6)) AS s
+        | FROM hits h JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN n),
+        |agg AS (SELECT query_id, doc_id, sum(s) AS sdec, count(*) AS n_terms
+        |        FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg)
+        |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x_pii_redact" -> {
       val email = CorpusOps.EmailRe
       val ip    = CorpusOps.IpRe

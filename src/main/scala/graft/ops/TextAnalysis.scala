@@ -162,6 +162,82 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** BM25 top-k retrieval: score every (query, document) pair that
+    * shares a term and keep the k best documents per query — the
+    * retrieval primitive behind search-based curation (mining
+    * positives, decontamination lookups, hard-negative selection).
+    * Okapi BM25 with k1 = 6/5 and b = 3/4 (the textbook 1.2/0.75 as
+    * exact rationals) and the Lucene-style +1 idf floor, folded into
+    * ALL-INTEGER numerators/denominators so the score is ONE
+    * correctly-rounded double division per (query, doc, term):
+    *
+    *   idf    = (2N+2)/(2df+1)            ((N−df+½)/(df+½)+1 ≥ 1 variant,
+    *                                       halves cleared)
+    *   tfpart = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+    *                                      (k1, b and avgdl = T/N cleared
+    *                                       against 10·T)
+    *   score  = Σ_terms round(idf·tfpart, 6)   — summed in DECIMAL space,
+    *                                       order-independent under partial
+    *                                       aggregation
+    *
+    * where N = corpus doc count, T = corpus token count, dl = doc
+    * length. Every product stays an exact BIGINT (exact while
+    * 22·(2N+2)·tf·T < 2⁶³; the double quotient is bit-identical
+    * cross-engine while num/den < 2⁵³ — holds through bench scale,
+    * and beyond it the score is a ranking signal, not an oracle).
+    * Query-side term frequency is ignored (short queries; the
+    * standard k3→0 simplification).
+    *
+    * Scale shape: the corpus explodes ONCE into a (doc, term, tf)
+    * posting frame which is immediately SEMI-JOINED against the
+    * broadcast query vocabulary — df, scoring, and the top-k window
+    * all run over matching postings only, so a 100-TB corpus probed
+    * by a 100-query set aggregates only the postings of ~a few
+    * hundred terms. df is computed on the pruned postings (identical
+    * to corpus-wide df for those terms), vocabulary-sized and
+    * broadcast back; top-k per query is a `WindowGroupLimit` partial.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    // two driver scalars (same class as tfidf's N): corpus doc and
+    // token counts, one aggregate job
+    val row = base.agg(count(lit(1)), sum(size(col("__t")))).collect()(0)
+    val n   = row.getLong(0)
+    val t   = row.getLong(1)
+    val postings = base
+      .select(col("doc_id"), size(col("__t")).as("dl"), explode(col("__t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val qTerms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    val hits  = postings.join(broadcast(qTerms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val num = (lit(22L * (2L * n + 2L)) * col("tf") * lit(t)).cast("double")
+    val den = ((lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tf") * lit(t) + lit(3L * t) + lit(9L) * col("dl") * lit(n)))
+      .cast("double")
+    val scored = hits
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        round(num / den, 6).cast("decimal(28,6)").as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("sdec"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sdec").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("sdec").cast("double").as("score"), col("n_terms"))
+  }
+
   /** Collocation extraction: consecutive-token bigram counts with a
     * rational association score — `assoc = n_ab·N / (n_a·n_b)`, the
     * PMI ratio WITHOUT the log (log is not correctly rounded

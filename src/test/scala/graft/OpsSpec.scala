@@ -558,6 +558,58 @@ class TfidfSpec extends SparkSpecBase {
   }
 }
 
+class Bm25Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry durian cherry cherry")
+  ).toDF("doc_id", "text")
+
+  private def run(q: String, k: Int = 5) =
+    graft.ops.TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        Seq((1L, q)).toDF("query_id", "qtext"), "query_id", "qtext", k)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getInt(1), r.getDouble(3), r.getLong(4)))
+
+  test("bm25TopK matches the hand-computed rational formula") {
+    // N=3, T=9; query 'apple cherry': df(apple)=1, df(cherry)=2
+    // d1: apple tf=2 dl=3 → 22·8·2·9 / (3·(180+27+81)) = 3168/864
+    // d3: cherry tf=3 dl=4 → 4752 / (5·405)
+    // d2: cherry tf=1 dl=2 → 1584 / (5·171)
+    val out = run("apple cherry")
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L), "rank order")
+    val score = out.map(t => t._1 -> t._3).toMap
+    assert(score(1L) === math.rint(3168.0 / 864 * 1e6) / 1e6)
+    assert(score(3L) === math.rint(4752.0 / 2025 * 1e6) / 1e6)
+    assert(score(2L) === math.rint(1584.0 / 855 * 1e6) / 1e6)
+  }
+
+  test("bm25TopK: out-of-vocab terms contribute nothing, n_terms counts matches") {
+    val out = run("apple zzz")
+    assert(out.map(_._1).toSeq === Seq(1L), "only d1 contains a query term")
+    assert(out.head._4 === 1L, "one matched term")
+    // identical to the apple-only query: zzz adds no postings
+    assert(out.head._3 === run("apple").head._3)
+  }
+
+  test("bm25TopK: repeated query terms count once; k truncates") {
+    assert(run("cherry cherry").map(_._3).toSeq === run("cherry").map(_._3).toSeq)
+    assert(run("apple banana cherry", k = 1).length === 1)
+  }
+
+  test("bm25TopK favors rare terms and saturates tf") {
+    // 'durian' (df 1) in d3 must outscore 'banana' (df 2) matches
+    val out = run("durian")
+    assert(out.map(_._1).toSeq === Seq(3L))
+    // tf saturation: tripled tf must NOT triple the score (k1 bound)
+    val one  = run("banana").find(_._1 == 2L).get._3
+    val thr  = run("cherry").find(_._1 == 3L).get._3
+    assert(thr < 3 * one)
+  }
+}
+
 class MultimodalSpec extends SparkSpecBase {
 
   test("fake codec helpers are deterministic and shape-correct") {
