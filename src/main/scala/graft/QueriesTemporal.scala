@@ -20,6 +20,24 @@ object QueriesTemporal {
 
   private val DayUs = 86400L * 1000000L
 
+  /** Deterministic CDC snapshot pair derived from orders: the "old"
+    * snapshot is missing every 7th key, the "new" one every 11th, and
+    * every 5th key's price moved — so the diff carries all three
+    * change types with no temp state.
+    */
+  private def cdcOld(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+
+  private def cdcNew(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        (expr("cast(round(o_totalprice * 100) as bigint)") +
+          when(col("o_orderkey") % 5 === 0, lit(500L)).otherwise(lit(0L))).as("cents"))
+
   /** Recompute-from-scratch stats-table replay shared by the batch
     * (`x_stats_incremental`) and streaming (`s9_stream_stats`)
     * maintenance gates.
@@ -213,6 +231,37 @@ object QueriesTemporal {
         .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(w), lit(-1L)))
         .withColumn("is_current", (col("valid_to") === -1L).cast("int"))
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
+    // ---- snapshot CDC: diff two keyed snapshots into an
+    // increment-sized change set — ONE full-outer key join, null-safe
+    // column compare in the projection, no row-hash pre-pass. The
+    // incremental-processing front door: the change set is what the
+    // dedup/ANN/stats incremental-maintenance paths take as input.
+    "x_snapshot_diff" -> ((s, dir) =>
+      graft.ops.ChangeCapture.snapshotDiff(
+          cdcOld(s, dir), cdcNew(s, dir), Seq("o_orderkey"), Seq("status", "cents"))
+        .select(col("o_orderkey"), col("change_type"),
+          coalesce(col("old_status"), lit("NA")).as("old_status"),
+          coalesce(col("new_status"), lit("NA")).as("new_status"),
+          coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+          coalesce(col("new_cents"), lit(-1L)).as("new_cents"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- CDC apply round-trip LAW: applyChanges(old, snapshotDiff
+    // (old, new)) must hold exactly the rows of new — the oracle
+    // recomputes the rollup from the new-snapshot definition alone,
+    // so the hash proves the law, not just row counts. Apply = one
+    // left-anti join (change set broadcast at increment size) + union.
+    "x_cdc_apply" -> ((s, dir) => {
+      val diff = graft.ops.ChangeCapture.snapshotDiff(
+        cdcOld(s, dir), cdcNew(s, dir), Seq("o_orderkey"), Seq("status", "cents"))
+      graft.ops.ChangeCapture.applyChanges(
+          cdcOld(s, dir), diff, Seq("o_orderkey"), Seq("status", "cents"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("status"))
     }),
 
     // ---- time-series regularization: 6-hour grid per user between
@@ -647,6 +696,32 @@ object QueriesTemporal {
         | CAST(coalesce(lead(valid_from) OVER (PARTITION BY user_id
         |   ORDER BY valid_from, event_id), -1) = -1 AS INT) AS is_current
         |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "x_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) +
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
+        | FROM orders WHERE o_orderkey % 11 <> 0),
+        |j AS (SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |  CASE WHEN o.k IS NULL THEN 'insert'
+        |       WHEN n.k IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+        |  o.st AS old_st, n.st AS new_st, o.cents AS old_cents, n.cents AS new_cents
+        | FROM o FULL OUTER JOIN n ON o.k = n.k
+        | WHERE o.k IS NULL OR n.k IS NULL
+        |    OR o.st IS DISTINCT FROM n.st OR o.cents IS DISTINCT FROM n.cents)
+        |SELECT o_orderkey, change_type,
+        | coalesce(old_st, 'NA') AS old_status, coalesce(new_st, 'NA') AS new_status,
+        | coalesce(old_cents, -1) AS old_cents, coalesce(new_cents, -1) AS new_cents
+        |FROM j ORDER BY o_orderkey""".stripMargin,
+    "x_cdc_apply" ->
+      """WITH n AS (SELECT o_orderstatus AS status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) +
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
+        | FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_gap_fill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
         |obs AS (SELECT user_id, (us // 21600000000) * 21600000000 AS b, max(value) AS v

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.ChangeCapture
+
+import org.apache.spark.sql.functions._
+
+class ChangeCaptureSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val oldSnap = Seq(
+    (1L, "a", Some(10L)),  // unchanged
+    (2L, "b", Some(20L)),  // value update
+    (3L, "c", None),       // null -> value update
+    (4L, "d", Some(40L)),  // deleted
+    (5L, "e", Some(50L))   // attr update
+  ).toDF("k", "attr", "v")
+
+  private val newSnap = Seq(
+    (1L, "a", Some(10L)),
+    (2L, "b", Some(21L)),
+    (3L, "c", Some(30L)),
+    (5L, "E", Some(50L)),
+    (6L, "f", None)        // insert with null value
+  ).toDF("k", "attr", "v")
+
+  private def diff() =
+    ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("attr", "v"))
+
+  test("snapshotDiff classifies insert/delete/update and skips unchanged rows") {
+    val out = diff().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((2L, "update"), (3L, "update"), (4L, "delete"),
+      (5L, "update"), (6L, "insert")))
+  }
+
+  test("snapshotDiff carries old and new values, null-safe compare") {
+    val byK = diff().collect().map(r => r.getLong(0) -> r).toMap
+    // null -> 30 is an update (null-safe compare), old side preserved as null
+    assert(byK(3L).isNullAt(byK(3L).fieldIndex("old_v")))
+    assert(byK(3L).getAs[Long]("new_v") === 30L)
+    // delete: new side null
+    assert(byK(4L).isNullAt(byK(4L).fieldIndex("new_attr")))
+    assert(byK(4L).getAs[Long]("old_v") === 40L)
+    // attr-only update keeps both values
+    assert(byK(5L).getAs[String]("old_attr") === "e" &&
+      byK(5L).getAs[String]("new_attr") === "E")
+  }
+
+  test("round-trip law: applyChanges(old, diff) equals the new snapshot") {
+    val applied = ChangeCapture.applyChanges(oldSnap, diff(), Seq("k"), Seq("attr", "v"))
+    val got  = applied.orderBy("k").collect().map(_.toSeq).toSeq
+    val want = newSnap.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("empty diff on identical snapshots; apply of empty diff is identity") {
+    val d = ChangeCapture.snapshotDiff(oldSnap, oldSnap, Seq("k"), Seq("attr", "v"))
+    assert(d.count() === 0L)
+    val applied = ChangeCapture.applyChanges(oldSnap, d, Seq("k"), Seq("attr", "v"))
+    assert(applied.orderBy("k").collect().map(_.toSeq).toSeq ===
+      oldSnap.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
+  test("composite keys diff on the full key tuple") {
+    val o = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("k1", "k2", "v")
+    val n = Seq((1L, 1L, 10L), (1L, 2L, 25L), (2L, 1L, 30L)).toDF("k1", "k2", "v")
+    val out = ChangeCapture.snapshotDiff(o, n, Seq("k1", "k2"), Seq("v"))
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out === Seq((1L, 2L, "update"), (2L, 1L, "insert")))
+  }
+}
