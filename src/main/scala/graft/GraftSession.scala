@@ -34,9 +34,47 @@ object GraftSession {
     spark
   }
 
-  /** Read one of the driver-provided testdata tables under `dir`. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one of the driver-provided testdata tables under `dir`.
+    * Frames carrying a `ts` column (events) are normalized to the
+    * epoch-nanos BIGINT layout via [[tsToNanos]].
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fieldNames.contains("ts")) tsToNanos(df) else df
+  }
+
+  /** The driver's events.ts layout changed across rounds:
+    * TIMESTAMP(NANOS) parquet (read as epoch-nanos long under
+    * nanosAsLong) through round 6, plain µs-precision timestamp since
+    * round 7. Every operator in the engine is written against the
+    * epoch-nanos BIGINT form, so normalize BOTH layouts to it at the
+    * read boundary: a timestamp ts becomes `unix_micros(ts) * 1000`
+    * (the NTZ→LTZ cast is value-preserving in this UTC-pinned
+    * session, and epoch-µs × 1000 ≈ 1.7e18 fits a long).
+    */
+  def tsToNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+  }
+
+  /** The same layout normalization landing on a Spark TimestampType
+    * column — what the watermarked streams consume. Long (nanos) goes
+    * through [[nanosToTs]]'s truncating divide; a timestamp column
+    * just casts (value-preserving under the UTC session).
+    */
+  def tsAsTimestamp(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", nanosToTs(col("ts")))
+      case _ => df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   /** A fixed scratch path for gate queries that write a layout before
     * reading it back: keyed by sf dir (overwritten per run, so

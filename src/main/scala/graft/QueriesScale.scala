@@ -504,7 +504,7 @@ object QueriesScale {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name   = s"stream_win_${streamN.incrementAndGet()}"
       val q = EventsStream.streamWindowedCounts(s, dir, schema, name,
-        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        prep = GraftSession.tsAsTimestamp,
         globFilter = Some("events.parquet"))
       q.awaitTermination()
       s.table(name).orderBy(col("window_start"), col("event_type"))
@@ -517,7 +517,7 @@ object QueriesScale {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name   = s"stream_sketch_${streamN.incrementAndGet()}"
       val q = EventsStream.streamWindowedQuantiles(s, dir, schema, name,
-        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        prep = GraftSession.tsAsTimestamp,
         globFilter = Some("events.parquet"))
       q.awaitTermination()
       s.table(name).orderBy(col("window_start"), col("event_type"))
@@ -527,7 +527,7 @@ object QueriesScale {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name   = s"stream_dedup_${streamN.incrementAndGet()}"
       val q = EventsStream.streamDedup(s, dir, schema, name,
-        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        prep = GraftSession.tsAsTimestamp,
         globFilter = Some("events.parquet"))
       q.awaitTermination()
       s.table(name)
@@ -574,7 +574,7 @@ object QueriesScale {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name   = s"stream_sessions_${streamN.incrementAndGet()}"
       val q = EventsStream.streamSessionCounts(s, dir, schema, name,
-        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        prep = GraftSession.tsAsTimestamp,
         globFilter = Some("events.parquet"))
       q.awaitTermination()
       s.table(name).orderBy(col("user_id"), col("session_start_us"))
@@ -987,7 +987,7 @@ object QueriesScale {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name   = s"stream_join_${streamN.incrementAndGet()}"
       val q = EventsStream.streamViewPurchaseJoin(s, dir, schema, name,
-        prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+        prep = GraftSession.tsAsTimestamp,
         globFilter = Some("events.parquet"))
       q.awaitTermination()
       s.table(name).orderBy(col("view_id"), col("pts_us"))

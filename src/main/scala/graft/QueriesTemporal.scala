@@ -42,6 +42,18 @@ object QueriesTemporal {
     * (`x_stats_incremental`) and streaming (`s9_stream_stats`)
     * maintenance gates.
     */
+  /** Recompute-from-the-new-snapshot rollup shared by the batch
+    * (`x_cdc_apply`) and streaming (`s9_stream_cdc`) MERGE gates —
+    * both must land exactly the rows of the new snapshot.
+    */
+  private val CdcApplySql: String =
+    """WITH n AS (SELECT o_orderstatus AS status,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) +
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
+      | FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val StatsRecomputeSql: String =
     """WITH v AS (SELECT l_returnflag,
       |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
@@ -258,6 +270,35 @@ object QueriesTemporal {
         cdcOld(s, dir), cdcNew(s, dir), Seq("o_orderkey"), Seq("status", "cents"))
       graft.ops.ChangeCapture.applyChanges(
           cdcOld(s, dir), diff, Seq("o_orderkey"), Seq("status", "cents"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("status"))
+    }),
+
+    // ---- the same MERGE law ONLINE: the change set arrives as a
+    // STREAM (key-disjoint chunks, one merge fold per file via
+    // maxFilesPerTrigger=1) and folds into a persistent snapshot per
+    // micro-batch. A snapshotDiff has one row per key, so chunk order
+    // can't move the final snapshot — batch x_cdc_apply IS the oracle
+    // semantics and the same SQL gates both.
+    "s9_stream_cdc" -> ((s, dir) => {
+      import graft.streaming.EventsStream
+      val old  = cdcOld(s, dir)
+      val diff = graft.ops.ChangeCapture.snapshotDiff(
+        old, cdcNew(s, dir), Seq("o_orderkey"), Seq("status", "cents"))
+      val snap = GraftSession.freshGatePath("cdcsnap", dir)
+      old.write.mode("overwrite").parquet(snap)
+      val feed = GraftSession.freshGatePath("cdcfeed", dir)
+      diff.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      diff.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+      val ckpt = GraftSession.freshGatePath("cdcckpt", dir)
+      val q = EventsStream.streamCdcApply(
+        s, snap, feed, diff.schema, ckpt, Seq("o_orderkey"), Seq("status", "cents"))
+      q.awaitTermination()
+      s.read.parquet(snap)
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).cast("long").as("sum_cents"))
@@ -715,13 +756,8 @@ object QueriesTemporal {
         | coalesce(old_st, 'NA') AS old_status, coalesce(new_st, 'NA') AS new_status,
         | coalesce(old_cents, -1) AS old_cents, coalesce(new_cents, -1) AS new_cents
         |FROM j ORDER BY o_orderkey""".stripMargin,
-    "x_cdc_apply" ->
-      """WITH n AS (SELECT o_orderstatus AS status,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) +
-        |    CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
-        | FROM orders WHERE o_orderkey % 11 <> 0)
-        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_cdc_apply" -> CdcApplySql,
+    "s9_stream_cdc" -> CdcApplySql,
     "x_gap_fill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
         |obs AS (SELECT user_id, (us // 21600000000) * 21600000000 AS b, max(value) AS v

@@ -246,6 +246,44 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC change feed folded into a persistent keyed snapshot: each
+    * arriving change file MERGEs via [[graft.ops.ChangeCapture
+    * .applyChanges]] (one left-anti join + union, change set
+    * broadcast at increment size) and overwrites the snapshot — the
+    * streaming half of the warehouse MERGE pipeline whose batch law
+    * `apply(old, diff(old, new)) ≡ new` gates `x_cdc_apply`. A
+    * snapshotDiff change set has exactly one row per key, so any
+    * key-disjoint chunking of the feed folds to the same snapshot in
+    * any arrival order — which is why the batch oracle gates this
+    * stream too. `maxFilesPerTrigger=1` forces one merge per arriving
+    * file so the gate exercises repeated folding. The snapshot read
+    * is localCheckpoint'd to sever lineage from the files the
+    * overwrite replaces (same protocol as StatsTable.append).
+    */
+  def streamCdcApply(
+      spark: SparkSession,
+      snapshotPath: String,
+      changesDir: String,
+      changesSchema: StructType,
+      checkpointDir: String,
+      keys: Seq[String],
+      compare: Seq[String]
+  ): StreamingQuery =
+    spark.readStream.schema(changesSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base = spark.read.parquet(snapshotPath).localCheckpoint()
+        graft.ops.ChangeCapture.applyChanges(base, batch, keys, compare)
+          .write.mode("overwrite").parquet(snapshotPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream time-bounded join: every view event pairs with the
     * same user's purchases in the trailing hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so
