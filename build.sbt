@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract is "the compact JSON is the LAST stdout line";
+// sbt's "[success] Total time: ..." epilogue printed after the forked
+// program's output broke that for seven straight rounds (the driver's
+// parse recorded null). Suppress the epilogue globally.
+Global / showSuccess := false
+Global / showTiming := false
+// ...and sbt's logger would still prefix every forwarded child line
+// with "[info] ": pass the forked program's stdio through verbatim so
+// the bench JSON line is parseable exactly as printed.
+run / connectInput := true
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,19 +85,23 @@ object Bench {
 
   /** Best-of-2 per query: first run pays JIT/codegen for operators the
     * warm-up didn't touch; steady-state is what a long-running cluster
-    * sees.
+    * sees. A query that throws reports as -1, NEVER as its
+    * time-to-throw — the round-7 bench recorded a crashed stream's
+    * 0.489 s as the round's best streaming "improvement".
     */
   private def timeAll(spark: SparkSession, names: Seq[String], sfDir: String): Seq[(String, Double)] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
       sessionHygiene(spark)
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); failed = true }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (failed) -1.0 else times.min)
     }
 
   /** One scale factor down from the primary dir (sf0.1 → sf0.01 →
@@ -122,20 +126,29 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
-    // warm the JVM + parquet footers once with the cheapest query
-    SparkEntry.queries(names.head)(spark, sfDir).count()
+    // warm the JVM + parquet footers once with the cheapest query —
+    // guarded: an uncaught warm-up failure would kill the whole bench
+    // with no JSON at all (timeAll re-reports the failure per-query)
+    try SparkEntry.queries(names.head)(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
 
     val results = timeAll(spark, names, sfDir)
+    val errors  = results.collect { case (k, v) if v < 0 => k }
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // totals span SUCCEEDED queries only (failures are already loud in
+    // "errors"; folding a -1 in would mask real time)
+    val total = results.map(_._2).filter(_ >= 0).sum
     // streaming entries pay a fixed micro-batch trigger-startup cost
     // that is harness-shaped, not engine throughput — report the two
     // families apart so relational regressions aren't masked by it
     val (streaming, relational) = results.partition(_._1.startsWith("s9_stream"))
-    val relTotal    = relational.map(_._2).sum
-    val streamTotal = streaming.map(_._2).sum
+    val relTotal    = relational.map(_._2).filter(_ >= 0).sum
+    val streamTotal = streaming.map(_._2).filter(_ >= 0).sum
     // scaling-slope pass: the same headline set one scale factor down
     // (10× less data). ratio ≈ time_primary / time_small per query —
     // ≲ 10 is at-worst-linear, ≫ 10 flags a super-linear operator
@@ -149,7 +162,7 @@ object Bench {
         val qs2 = small.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
         val byName = small.toMap
         val ratios = results.map { case (k, v) =>
-          val r = if (byName.getOrElse(k, 0.0) > 0) v / byName(k) else -1.0
+          val r = if (v >= 0 && byName.getOrElse(k, 0.0) > 0) v / byName(k) else -1.0
           "\"" + k + "\":" + f"$r%.2f"
         }.mkString("{", ",", "}")
         s""","sf2":"$sf2","queries_sf2":$qs2,"scale_ratio":$ratios"""
@@ -162,13 +175,13 @@ object Bench {
     // the same reason)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$slopeJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$errJson$slopeJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] scale-slope detail written to $detailPath")
     spark.stop()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$errJson}"""
     )
   }
 }

@@ -49,6 +49,26 @@ object QueriesScale {
 
   private val streamN = new AtomicInteger(0)
 
+  /** Build-once-per-JVM memo for the persistent gate indexes (LSH /
+    * sign-plane / substring fingerprint): the FIRST call per
+    * (tag, dir) builds into a fresh path, later calls in the same JVM
+    * reuse it. Production builds an index once and probes it many
+    * times, but the incremental gates rebuilt per invocation — so the
+    * bench's timed window was dominated by the index WRITE and could
+    * never surface a probe regression (round-7 verdict: sf0.01 ≈
+    * sf0.1 ≈ 7.5 s for x_dedup_substring_inc). Under best-of-2 the
+    * first run builds and the second probes, so the reported min is
+    * the probe alone. Verify still builds fresh on its single pass;
+    * the gate data under a dir never changes within a JVM.
+    */
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def buildOnce(tag: String, dir: String)(build: String => Unit): String =
+    builtIndexes.computeIfAbsent(s"$tag|$dir", { _ =>
+      val path = GraftSession.freshGatePath(tag, dir)
+      build(path)
+      path
+    })
+
   /** The planted crawl increment for the substring-index probes: every
     * doc_id<25 contributes a "new" doc (id+30000) whose first 12
     * tokens are lifted verbatim from the base doc (duplicated passage
@@ -173,8 +193,7 @@ object QueriesScale {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
       val fresh = base.filter(col("id") < 25)
         .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
-      val path = GraftSession.freshGatePath("lshidx", dir)
-      Dedup.writeMinhashIndexMd5(base, "id", "text", path)
+      val path = buildOnce("lshidx", dir)(p => Dedup.writeMinhashIndexMd5(base, "id", "text", p))
       Dedup.probeMinhashIndexMd5(s, path, fresh, "id", "text")
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -188,8 +207,7 @@ object QueriesScale {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
       val fresh = base.filter(col("id") < 25)
         .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
-      val indexPath = GraftSession.freshGatePath("lshsidx", dir)
-      Dedup.writeMinhashIndexMd5(base, "id", "text", indexPath)
+      val indexPath = buildOnce("lshsidx", dir)(p => Dedup.writeMinhashIndexMd5(base, "id", "text", p))
       val freshDir = GraftSession.freshGatePath("lshstream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
       val name = s"stream_neardup_${streamN.incrementAndGet()}"
@@ -210,8 +228,7 @@ object QueriesScale {
       val fresh = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
-      val path = GraftSession.freshGatePath("spidx", dir)
-      Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
+      val path = buildOnce("spidx", dir)(p => Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", p))
       Dedup.probeSignPlaneIndex(s, path, fresh, "vec_id", "embedding", 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -227,8 +244,7 @@ object QueriesScale {
       val fresh = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
-      val indexPath = GraftSession.freshGatePath("spsidx", dir)
-      Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", indexPath)
+      val indexPath = buildOnce("spsidx", dir)(p => Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", p))
       val freshDir = GraftSession.freshGatePath("spstream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
       val name = s"stream_semantic_${streamN.incrementAndGet()}"
@@ -399,8 +415,8 @@ object QueriesScale {
     // text never re-read.
     "x_dedup_substring_inc" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
-      val path = GraftSession.freshGatePath("subidx", dir)
-      CorpusOps.writeSubstringIndex(base, "id", "text", path, window = 8)
+      val path = buildOnce("subidx", dir)(p =>
+        CorpusOps.writeSubstringIndex(base, "id", "text", p, window = 8))
       CorpusOps.probeSubstringIndex(s, path, substringIncrement(s, dir), "id", "text", window = 8)
         .orderBy(col("id"))
     }),
@@ -413,8 +429,8 @@ object QueriesScale {
     // semantics; the same SQL gates both.
     "s9_stream_substring" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
-      val indexPath = GraftSession.freshGatePath("subsidx", dir)
-      CorpusOps.writeSubstringIndex(base, "id", "text", indexPath, window = 8)
+      val indexPath = buildOnce("subsidx", dir)(p =>
+        CorpusOps.writeSubstringIndex(base, "id", "text", p, window = 8))
       val fresh    = substringIncrement(s, dir)
       val freshDir = GraftSession.freshGatePath("substream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)

@@ -440,7 +440,10 @@ object EventsStream {
     import spark.implicits._
     val reader0 = spark.readStream.schema(schema)
     val reader  = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
-    reader.parquet(dir)
+    // EventRow.ts is epoch-nanos Long; the driver's events layout may
+    // carry ts as a µs timestamp instead (round-7 regeneration), so
+    // normalize at the stream boundary — identity on the long layout
+    graft.GraftSession.tsToNanos(reader.parquet(dir))
       .as[EventRow]
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
@@ -488,7 +491,9 @@ object EventsStream {
     val reader0 = spark.readStream.schema(schema)
     val reader1 = globFilter.fold(reader0)(g => reader0.option("pathGlobFilter", g))
     val reader  = maxFilesPerTrigger.fold(reader1)(n => reader1.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
+    // same ts-layout normalization as userStatsStream: EventRow needs
+    // epoch-nanos Long, the source may carry a µs timestamp
+    graft.GraftSession.tsToNanos(reader.parquet(dir))
       .as[EventRow]
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {

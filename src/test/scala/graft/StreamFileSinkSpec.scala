@@ -220,14 +220,14 @@ class StreamSessionSinkSpec extends SparkSpecBase {
     val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
     val q = graft.streaming.EventsStream.streamSessionCountsToParquet(
       spark, dir, schema, out, ckpt,
-      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      prep = GraftSession.tsAsTimestamp,
       globFilter = Some("events.parquet"))
     q.awaitTermination()
     val fromSink = spark.read.parquet(out)
       .orderBy("user_id", "session_start_us").collect().toSeq
     val qm = graft.streaming.EventsStream.streamSessionCounts(
       spark, dir, schema, "sess_sink_ref",
-      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      prep = GraftSession.tsAsTimestamp,
       globFilter = Some("events.parquet"))
     qm.awaitTermination()
     val fromMemory = spark.table("sess_sink_ref")
@@ -245,7 +245,7 @@ class StreamSessionSpec extends SparkSpecBase {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val q = graft.streaming.EventsStream.streamSessionCounts(
       spark, dir, schema, "sess_spec",
-      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      prep = GraftSession.tsAsTimestamp,
       globFilter = Some("events.parquet"))
     q.awaitTermination()
     val streamed = spark.table("sess_spec")
@@ -253,10 +253,9 @@ class StreamSessionSpec extends SparkSpecBase {
     // batch form on the same static frame, minus sessions the final
     // watermark (max event time - 2h) had not yet closed
     val batchAll = graft.streaming.EventsStream.sessionCounts(
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", GraftSession.nanosToTs(col("ts"))))
+      GraftSession.tsAsTimestamp(spark.read.parquet(s"$dir/events.parquet")))
     val mx = batchAll.agg(max(col("session_end_us"))).head().getLong(0)
-    val maxEvent = spark.read.parquet(s"$dir/events.parquet")
+    val maxEvent = GraftSession.tsToNanos(spark.read.parquet(s"$dir/events.parquet"))
       .select(max(call_function("div", col("ts"), lit(1000L)))).head().getLong(0)
     val finalized = batchAll
       .filter(col("session_end_us") <= maxEvent - 7200000000L)

@@ -18,7 +18,7 @@ object StreamSessionBench {
 
     val t0 = System.nanoTime()
     val q = EventsStream.streamSessionCounts(spark, dir, schema, "sess_bench",
-      prep = df => df.withColumn("ts", GraftSession.nanosToTs(col("ts"))),
+      prep = GraftSession.tsAsTimestamp,
       globFilter = Some("events.parquet"))
     q.awaitTermination()
     val total = (System.nanoTime() - t0) / 1e9
