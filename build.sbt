@@ -17,6 +17,9 @@ run / fork := true
 // parse recorded null). Suppress the epilogue globally.
 Global / showSuccess := false
 Global / showTiming := false
+// the two keys are read by sbt's command layer, not by settings —
+// exclude them from the unused-key lint so startup stays quiet
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // ...and sbt's logger would still prefix every forwarded child line
 // with "[info] ": pass the forked program's stdio through verbatim so
 // the bench JSON line is parseable exactly as printed.

@@ -119,6 +119,11 @@ object Bench {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
 
+    // layout-contract report (non-fatal here: a drifted table shows up
+    // as per-query errors in the JSON, which the bench now surfaces)
+    try GraftSession.layoutReport(spark, sfDir).foreach(System.err.println)
+    catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
+
     // SPARK_GRAFT_BENCH_ONLY=a,b,c — bisect subsets with the SAME
     // harness (session config, warm-up, best-of-2) as the full run,
     // so subset timings are comparable to official bench numbers

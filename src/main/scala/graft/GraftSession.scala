@@ -104,6 +104,39 @@ object GraftSession {
     p
   }
 
+  /** Gate-startup layout contract — the round-7 lesson: the driver
+    * regenerated the testdata mid-round with a new `events.ts` type
+    * and the breakage surfaced as four scattered failures instead of
+    * one clear line. Emits one fingerprint line per table (md5 of the
+    * schema JSON, so any drift changes the recorded line) and FAILS
+    * FAST with a named LAYOUT_DRIFT error if a column the engine
+    * normalizes (`ts`) drifts to a type no normalizer handles —
+    * before any query runs.
+    */
+  def layoutReport(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.toSeq.map { f =>
+      val name   = f.getName.stripSuffix(".parquet")
+      val schema = spark.read.parquet(f.toString).schema
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(schema.json.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val tsNote =
+        if (!schema.fieldNames.contains("ts")) ""
+        else schema("ts").dataType match {
+          case LongType        => " ts=bigint(nanos)"
+          case TimestampType   => " ts=timestamp(us) [normalized]"
+          case TimestampNTZType => " ts=timestamp_ntz(us) [normalized]"
+          case t => throw new IllegalStateException(
+            s"LAYOUT_DRIFT: $name.ts has type ${t.sql} — no normalizer handles it " +
+              "(GraftSession.tsToNanos/tsAsTimestamp cover BIGINT epoch-nanos and µs timestamps)")
+        }
+      s"[layout] $name fingerprint=$fp$tsNote"
+    }
+  }
+
   /** Epoch-nanos long (see nanosAsLong above) → timestamp, truncated
     * to Spark's microsecond precision via TRUE integer division
     * (`IntegralDivide`). `(c / 1000).cast("long")` is subtly wrong:

@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftSession.table
 import graft.ops.{Dedup, KpiPost, MlPipelines, Relevance}
-import graft.scorer.{LogisticQaScorer, LogisticRelevanceScorer, MockRelevanceScorer, OnnxRelevanceScorer, OnnxScorer, RelevanceScorer, WordPieceVocab}
+import graft.scorer.{LogisticQaScorer, LogisticRelevanceScorer, MockQaScorer, MockRelevanceScorer, OnnxQaScorer, OnnxRelevanceScorer, OnnxScorer, QaScorer, RelevanceScorer, WordPieceVocab}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -137,6 +137,64 @@ object QueriesMl {
           round(col("prob"), 4).as("prob"))
         .filter(col("n_unk") * 2 < col("n_wordpieces"))
         .orderBy(col("doc_id"))
+    }),
+
+    // M2 through the PRODUCTION QA encode contract — the span-head
+    // twin of m1_relevance_onnx: the corpus-built WordPiece vocab
+    // feeds `encodeQa` (ids + context-token char offsets), the scorer
+    // is the ONNX span head when a runtime + model are present
+    // (GRAFT_ONNX_QA_MODEL) and the mock-QA scorer offline (same
+    // operator shape either env), and the output runs the SAME
+    // kpiChain the oracle-gated m2 pipeline exercises (melt →
+    // no-answer agg → top-k → reverse kpi map;
+    // reference: src/models/text_kpi_infer.py:180-297).
+    // Self-validating: rows keep only contexts whose QA encoding
+    // (a) tokenizes with a minority of [UNK] pieces and (b) carries
+    // char offsets that slice the context back out cleanly — the
+    // exact map OnnxQaScorer uses to turn a winning token span into
+    // answer text. A broken loader/offset computation drops
+    // everything to 0 rows, so the driver's rows-only check cannot
+    // pass vacuously.
+    "m2_kpi_onnx" -> ((s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents")
+      val top = d.select(explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(2000)
+        .collect().map(_.getString(0)).toSeq
+      val vocab = WordPieceVocab.fromTokens(WordPieceVocab.Specials ++ top)
+      val qa: QaScorer =
+        sys.env.get("GRAFT_ONNX_QA_MODEL").filter(_ => OnnxScorer.available)
+          .map(p => new OnnxQaScorer(p, vocab.encodeQa(_, _), nBest = 2, maxLen = 256))
+          .getOrElse(new MockQaScorer(nBest = 2))
+      val unkId = vocab.unkId.toLong
+      val qaStats = udf { (q: String, c: String) =>
+        val e = vocab.encodeQa(q, c)
+        val offsetsOk = e.contextTokenOffsets.nonEmpty &&
+          e.contextTokenOffsets.forall { case (a, b) =>
+            a >= 0 && a < b && b <= c.length && !c.substring(a, b).contains(" ")
+          }
+        (e.ids.length, e.ids.count(_ == unkId), offsetsOk)
+      }
+      val pairs = d.select(
+          col("source").as("pdf_name"),
+          pmod(col("doc_id"), lit(20)).cast("long").as("page"),
+          col("doc_id"),
+          col("text").as("text_b"))
+        .withColumn("text", lit(Question))
+        .withColumn("source", lit("Text"))
+        .withColumn("key", col("doc_id"))
+        .withColumn("qs", qaStats(col("text"), col("text_b")))
+        .filter(col("qs._3") && col("qs._2") * 2 < col("qs._1"))
+        .drop("qs")
+      val questions = Seq((Question, 7.1)).toDF("question", "kpi_id")
+      KpiPost.kpiChain(pairs, qa, questions, "key", topK = 4)
+        .select(col("pdf_name"), col("kpi"), col("kpi_id"), col("answer"), col("page"),
+          col("paragraph"), col("source"), round(col("score"), 4).as("score"),
+          round(col("no_ans_score"), 4).as("no_ans_score"),
+          round(col("no_answer_score_plus_boost"), 4).as("no_answer_score_plus_boost"))
+        .orderBy(col("pdf_name"), col("kpi"), col("score").desc, col("answer"),
+          col("page").asc_nulls_first, col("paragraph").asc_nulls_first)
     })
   )
 

@@ -748,6 +748,27 @@ object QueriesScale {
         .orderBy(col("rank").desc, col("host"))
     }),
 
+    // ---- the TRUE-PageRank variant: dangling nodes' damped mass
+    // redistributed equally each iteration (one node-sized aggregate
+    // to a one-row frame, cross-joined into the update). Same integer
+    // fixed-point arithmetic, so the oracle unrolls the same three
+    // iterations plus the one-row correction term per round.
+    "x_pagerank_dangling" -> ((s, dir) => {
+      import graft.ops.LinkGraph
+      val linked = docs(s, dir).select(col("doc_id"), col("source"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)), lit(".com/path/a"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit(" and http://Data.org/x?q=1")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" ref https://src"), pmod(col("doc_id"), lit(20)), lit(".site/home"))).otherwise(lit(""))).as("text"))
+      val edges = CorpusOps.extractUrls(linked.select(col("doc_id"), col("text")), "doc_id", "text")
+        .join(linked.select(col("doc_id"), col("source")), "doc_id")
+        .select(concat(col("source"), lit(".site")).as("src"), col("domain").as("dst"))
+      LinkGraph.pageRank(edges, iters = 3, redistributeDangling = true)
+        .orderBy(col("rank").desc, col("host"))
+    }),
+
     // ---- accent-strip text normalization (the match-key prep step
     // before exact/fuzzy dedup on multilingual corpora): lower →
     // 1:1 accent fold via translate (both engines run the identical
@@ -2045,6 +2066,56 @@ object QueriesScale {
          | FROM e JOIN r2 ON r2.host = e.src JOIN outd USING (src) GROUP BY 1),
          |r3 AS (SELECT host, (15 * 1000000000000) // (100 * n) + coalesce(c, 0) AS rank
          | FROM nodes CROSS JOIN p LEFT JOIN c3 ON c3.dst = host),
+         |ind AS (SELECT dst, count(*) AS n_in FROM e GROUP BY 1)
+         |SELECT r3.host, CAST(r3.rank AS BIGINT) AS rank,
+         | coalesce(ind.n_in, 0) AS n_in
+         |FROM r3 LEFT JOIN ind ON ind.dst = r3.host
+         |ORDER BY rank DESC, r3.host""".stripMargin,
+    // the dangling-redistribution variant: per iteration the damped
+    // mass on nodes with no out-edges (computed from the INCOMING rank
+    // frame) spreads as one (85·dmass)//(100·n) term added to every
+    // node — same unrolled integer replay, one extra one-row CTE per
+    // round
+    "x_pagerank_dangling" ->
+      s"""WITH linked AS (
+         | SELECT doc_id, source, text ||
+         |  CASE WHEN doc_id % 4 = 0
+         |   THEN ' see https://example' || (doc_id % 7) || '.com/path/a' ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0
+         |   THEN ' and http://Data.org/x?q=1' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0
+         |   THEN ' ref https://src' || (doc_id % 20) || '.site/home' ELSE '' END AS t
+         | FROM documents),
+         |u AS (SELECT source, unnest(regexp_extract_all(t, '${CorpusOps.UrlRe}')) AS url
+         | FROM linked),
+         |e0 AS (SELECT DISTINCT source || '.site' AS src,
+         |  lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS dst FROM u),
+         |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         |p AS (SELECT count(*) AS n FROM nodes),
+         |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT host, 1000000000000 // n AS rank FROM nodes CROSS JOIN p),
+         |d1 AS (SELECT coalesce(sum(rank), 0) AS dmass FROM r0
+         | WHERE host NOT IN (SELECT src FROM outd)),
+         |c1 AS (SELECT dst, sum((85 * rank) // (100 * outdeg)) AS c
+         | FROM e JOIN r0 ON r0.host = e.src JOIN outd USING (src) GROUP BY 1),
+         |r1 AS (SELECT host,
+         |  (15 * 1000000000000) // (100 * n) + coalesce(c, 0) + (85 * dmass) // (100 * n) AS rank
+         | FROM nodes CROSS JOIN p LEFT JOIN c1 ON c1.dst = host CROSS JOIN d1),
+         |d2 AS (SELECT coalesce(sum(rank), 0) AS dmass FROM r1
+         | WHERE host NOT IN (SELECT src FROM outd)),
+         |c2 AS (SELECT dst, sum((85 * rank) // (100 * outdeg)) AS c
+         | FROM e JOIN r1 ON r1.host = e.src JOIN outd USING (src) GROUP BY 1),
+         |r2 AS (SELECT host,
+         |  (15 * 1000000000000) // (100 * n) + coalesce(c, 0) + (85 * dmass) // (100 * n) AS rank
+         | FROM nodes CROSS JOIN p LEFT JOIN c2 ON c2.dst = host CROSS JOIN d2),
+         |d3 AS (SELECT coalesce(sum(rank), 0) AS dmass FROM r2
+         | WHERE host NOT IN (SELECT src FROM outd)),
+         |c3 AS (SELECT dst, sum((85 * rank) // (100 * outdeg)) AS c
+         | FROM e JOIN r2 ON r2.host = e.src JOIN outd USING (src) GROUP BY 1),
+         |r3 AS (SELECT host,
+         |  (15 * 1000000000000) // (100 * n) + coalesce(c, 0) + (85 * dmass) // (100 * n) AS rank
+         | FROM nodes CROSS JOIN p LEFT JOIN c3 ON c3.dst = host CROSS JOIN d3),
          |ind AS (SELECT dst, count(*) AS n_in FROM e GROUP BY 1)
          |SELECT r3.host, CAST(r3.rank AS BIGINT) AS rank,
          | coalesce(ind.n_in, 0) AS n_in

@@ -9,6 +9,13 @@ object Verify {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // layout contract FIRST: a testdata-layout drift fails fast here
+    // with one named LAYOUT_DRIFT line instead of scattering analysis
+    // errors across the query map; the fingerprints land in the gate
+    // output for cross-round comparison
+    val layout = GraftSession.layoutReport(spark, sfDir)
+    layout.foreach(System.err.println)
+    Files.writeString(Paths.get(s"$outDir/layout.txt"), layout.mkString("", "\n", "\n"))
     // SPARK_GRAFT_VERIFY_ONLY=a,b,c — dump a subset (local dev loop;
     // the driver runs the full map)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -53,11 +53,18 @@ object ChangeCapture {
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
-  /** Fold a [[snapshotDiff]] change set into `base`: delete/update
-    * keys drop out of the base (one left-anti join), insert/update
-    * rows come in with their new values (one union). By construction
-    * `applyChanges(old, snapshotDiff(old, new), keys, compare)` holds
-    * exactly the rows of `new` projected to keys ++ compare.
+  /** Fold a [[snapshotDiff]] change set into `base`: EVERY change-set
+    * key drops out of the base (one left-anti join), then
+    * insert/update rows come in with their new values (one union).
+    * Anti-joining ALL keys — not just delete/update — makes the merge
+    * an idempotent UPSERT: against a base that already absorbed this
+    * change set (an at-least-once foreachBatch replay whose snapshot
+    * overwrite committed but whose checkpoint didn't), the insert
+    * keys are anti-joined away before being re-unioned, so re-apply
+    * yields the same snapshot instead of duplicating inserts. Against
+    * a clean base the extra keys match nothing, so the law
+    * `applyChanges(old, snapshotDiff(old, new), keys, compare)` ≡
+    * `new` (projected to keys ++ compare) is unchanged.
     */
   def applyChanges(
       base: DataFrame,
@@ -65,8 +72,7 @@ object ChangeCapture {
       keys: Seq[String],
       compare: Seq[String]
   ): DataFrame = {
-    val gone = changes.filter(col("change_type").isin("delete", "update"))
-      .select(keys.map(col): _*)
+    val gone = changes.select(keys.map(col): _*)
     val incoming = changes.filter(col("change_type").isin("insert", "update"))
       .select(keys.map(col) ++ compare.map(c => col(s"new_$c").as(c)): _*)
     base.select((keys ++ compare).map(col): _*)

@@ -73,7 +73,7 @@ object Dedup {
     * with id_a < id_b, jaccard rounded to 4dp.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int, threshold: Double,
-      dfCap: Int = Int.MaxValue): DataFrame = {
+      dfCap: Int = DefaultDfCap): DataFrame = {
     val shM = cappedShingleIndex(df, idCol, textCol, w, dfCap)
     val sizes = shM.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = shM.as("a")
@@ -196,16 +196,30 @@ object Dedup {
     * has bands−1 other chances to surface). Applied BELOW the
     * (band,bucket) exchange, before the join.
     */
-  def minhashLshPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      w: Int = 5,
-      numHashes: Int = 30,
-      bands: Int = 10,
-      threshold: Double = 0.5,
-      bucketCap: Int = Int.MaxValue
-  ): DataFrame = {
+  /** Engaged-by-default skew caps — the EventAnalytics discipline
+    * (DefaultMaxEventsPerKey + `truncated`): a pathological key
+    * degrades loudly instead of OOMing the stage, and the caller gets
+    * an audit surface rather than having to remember a knob. Sizing
+    * by [[lshCandidateStats]] arithmetic: a bucket of B members emits
+    * B(B−1)/2 candidate pairs, so 4096 bounds any single (band,
+    * bucket) at ≤ 8.4M join rows — one task-sized unit of work —
+    * while sitting orders of magnitude above any legitimate near-dup
+    * cluster (the sf0.1 gate's max bucket is < 30; a cluster larger
+    * than the cap is boilerplate that exact dedup collapses far
+    * cheaper). The same bound caps shingle document frequency in
+    * [[jaccardPairs]] (df² join rows per shingle ≤ 16.8M). The
+    * dropped mass is inspectable with [[lshDroppedBuckets]] /
+    * [[hotShingles]].
+    */
+  val DefaultBucketCap: Int = 1 << 12
+  val DefaultDfCap: Int     = 1 << 12
+
+  /** (id, sig, band, bucket) banded xxhash64 signatures — the shared
+    * stage behind the fast pair finder and its drop audit.
+    */
+  private def bandedSigsFast(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df
@@ -213,7 +227,7 @@ object Dedup {
       .select(col("id"), shingleHashesOf(col("hs"), w).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignatureFast(col("sh"), numHashes).as("sig"))
-    val banded = sig.select(
+    sig.select(
       col("id"),
       col("sig"),
       explode(
@@ -225,6 +239,19 @@ object Dedup {
         }: _*)
       ).as("bb")
     ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      numHashes: Int = 30,
+      bands: Int = 10,
+      threshold: Double = 0.5,
+      bucketCap: Int = DefaultBucketCap
+  ): DataFrame = {
+    val banded = bandedSigsFast(df, idCol, textCol, w, numHashes, bands)
       // materialize ONE banded-signature stage on the join keys: both
       // sides of the self-join below reuse it (AQE stage reuse), so
       // the numHashes min-passes run once per corpus, not twice
@@ -296,6 +323,32 @@ object Dedup {
         sum(col("bsz") * (col("bsz") - 1) / 2).cast("long").as("candidate_pairs"),
         max(col("bsz")).as("max_bucket"))
   }
+
+  /** The loud half of [[minhashLshPairs]]'s engaged `bucketCap`: the
+    * (band, bucket, bsz) groups candidate generation dropped. Run it
+    * whenever a capped corpus's pair count looks low — the frame is
+    * tiny by construction (only buckets above the cap) and shares the
+    * signature/banding plan with the pair finder.
+    */
+  def lshDroppedBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, numHashes: Int = 30, bands: Int = 10,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    bandedSigsFast(df, idCol, textCol, w, numHashes, bands)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > bucketCap)
+
+  /** The loud half of [[jaccardPairs]]'s engaged `dfCap`: the shingles
+    * (and their document frequencies) the capped inverted index
+    * dropped — boilerplate by construction.
+    */
+  def hotShingles(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, dfCap: Int = DefaultDfCap): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), explode(shinglesOf(col("ts"), w)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
 
   /** MinHash-blocked, exact-Jaccard-verified pairs: banding generates
     * candidates with the production xxhash64 machinery

@@ -258,7 +258,11 @@ object EventsStream {
     * stream too. `maxFilesPerTrigger=1` forces one merge per arriving
     * file so the gate exercises repeated folding. The snapshot read
     * is localCheckpoint'd to sever lineage from the files the
-    * overwrite replaces (same protocol as StatsTable.append).
+    * overwrite replaces (same protocol as StatsTable.append). Retry
+    * safety: applyChanges is an idempotent upsert (ALL change keys
+    * anti-joined before the union), so an at-least-once replay of a
+    * batch whose overwrite committed but whose checkpoint didn't
+    * re-produces the same snapshot rather than duplicating inserts.
     */
   def streamCdcApply(
       spark: SparkSession,

@@ -53,6 +53,16 @@ class ChangeCaptureSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("applyChanges is an idempotent upsert: re-applying the same diff is a no-op") {
+    // the at-least-once replay scenario: the snapshot overwrite
+    // committed but the checkpoint didn't, so the same change set
+    // folds into the ALREADY-merged base — inserts must not duplicate
+    val once  = ChangeCapture.applyChanges(oldSnap, diff(), Seq("k"), Seq("attr", "v"))
+    val twice = ChangeCapture.applyChanges(once, diff(), Seq("k"), Seq("attr", "v"))
+    assert(twice.orderBy("k").collect().map(_.toSeq).toSeq ===
+      once.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
   test("empty diff on identical snapshots; apply of empty diff is identity") {
     val d = ChangeCapture.snapshotDiff(oldSnap, oldSnap, Seq("k"), Seq("attr", "v"))
     assert(d.count() === 0L)

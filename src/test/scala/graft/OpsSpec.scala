@@ -86,6 +86,39 @@ class DedupSpec extends SparkSpecBase {
     // exchange)
   }
 
+  test("engaged default caps degrade a pathological bucket loudly, not quadratically") {
+    // 5000 identical docs = one giant mutual-dup cluster: with the
+    // DEFAULT arguments every LSH band bucket holds all 5000
+    // (> DefaultBucketCap = 4096), so candidate generation drops them
+    // — 12.5M·bands candidate pairs never reach the join (a cluster
+    // like this is boilerplate; exact dedup collapses it far cheaper)
+    // — while the genuine near-dup pair outside the cluster survives.
+    val boiler = (0L until 5000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val pairDocs = Seq(
+      (90001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (90002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+    val corpus = (boiler ++ pairDocs).toDF("id", "text")
+
+    val lsh = Dedup.minhashLshPairs(corpus, "id", "text", w = 3, numHashes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh === Array((90001L, 90002L)))
+    // the audit frame names what the cap dropped: one 5000-member
+    // bucket per band
+    val dropped = Dedup.lshDroppedBuckets(corpus, "id", "text", w = 3, numHashes = 12, bands = 4)
+      .collect().map(r => r.getLong(2))
+    assert(dropped.length === 4 && dropped.forall(_ === 5000L))
+
+    // same corpus through the shingle-index path: every boilerplate
+    // shingle has df=5000 > DefaultDfCap, so the cluster leaves the
+    // inverted index entirely under DEFAULT arguments
+    val jac = Dedup.jaccardPairs(corpus, "id", "text", w = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac === Array((90001L, 90002L)))
+    val hot = Dedup.hotShingles(corpus, "id", "text", w = 3).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(1) === 5000L))
+  }
+
   test("minhash est_jaccard approximates true jaccard for planted dup") {
     val out = Dedup.minhashLshPairsMd5(docs, "id", "text", w = 3, numHashes = 12, bands = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
