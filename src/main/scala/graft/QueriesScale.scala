@@ -110,6 +110,36 @@ object QueriesScale {
       |          '') AS cleaned
       |FROM f ORDER BY id""".stripMargin
 
+  /** Shared oracle for all three BM25 retrieval flavors (inline
+    * operator, persistent-index probe, streaming probe): the full
+    * all-integer Okapi algebra in SQL — the three are output-identical
+    * by construction (one scoring core).
+    */
+  private val Bm25OracleSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      |           FROM documents),
+      |n AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tt FROM d),
+      |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dt GROUP BY 1, 2, 3),
+      |q AS (SELECT * FROM (VALUES (1, 'spark window agg'), (2, 'fast hash join'),
+      |       (3, 'customer query data'), (4, 'stream filter sort big'),
+      |       (5, 'vector nosuchterm merge')) AS v(query_id, qtext)),
+      |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+      |        unnest(list_filter(string_split(lower(qtext), ' '), x -> x <> '')) AS term FROM q),
+      |hits AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+      |dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      |sc AS (SELECT qt.query_id, h.doc_id,
+      |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
+      |    CAST((2 * dfq.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
+      |    6) AS DECIMAL(28,6)) AS s
+      | FROM hits h JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN n),
+      |agg AS (SELECT query_id, doc_id, sum(s) AS sdec, count(*) AS n_terms
+      |        FROM sc GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg)
+      |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Shared oracle for the incremental semantic probe (batch AND
     * streaming flavors): cosine pairs between the base embeddings and
     * the planted colinear increment on matching sign buckets —
@@ -681,6 +711,79 @@ object QueriesScale {
         (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
       TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text", qs, "query_id", "qtext", k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the SAME retrieval against the PERSISTENT postings index:
+    // corpus exploded once into bucket-partitioned postings + one-row
+    // meta; the probe prunes to the query vocabulary's buckets and
+    // runs the shared scoring core — identical output to x_bm25_topk,
+    // so the same SQL gates both (build memoized per JVM like the
+    // other index gates).
+    "x_bm25_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.TextAnalysis
+      val qs = Seq(
+        (1L, "spark window agg"), (2L, "fast hash join"),
+        (3L, "customer query data"), (4L, "stream filter sort big"),
+        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+      val path = buildOnce("bm25idx", dir)(p =>
+        TextAnalysis.writeBm25Index(docs(s, dir), "doc_id", "text", p))
+      TextAnalysis.probeBm25Index(s, path, qs, "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the same probe ONLINE: queries arrive as a STREAM, each
+    // micro-batch probes the postings index inside foreachBatch and
+    // appends ranked results — retrieval-at-ingest. Batch bm25TopK is
+    // the oracle semantics; the same SQL gates all three flavors.
+    "s9_stream_bm25" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.TextAnalysis
+      val qs = Seq(
+        (1L, "spark window agg"), (2L, "fast hash join"),
+        (3L, "customer query data"), (4L, "stream filter sort big"),
+        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+      val indexPath = buildOnce("bm25sidx", dir)(p =>
+        TextAnalysis.writeBm25Index(docs(s, dir), "doc_id", "text", p))
+      val qDir = GraftSession.freshGatePath("bm25qstream", dir)
+      qs.coalesce(1).write.mode("overwrite").parquet(qDir)
+      val outDir = GraftSession.freshGatePath("bm25out", dir)
+      val ckpt   = GraftSession.freshGatePath("bm25ckpt", dir)
+      val q = EventsStream.streamBm25Probe(s, indexPath, qDir, qs.schema, outDir, ckpt, k = 5)
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- TWO-STAGE retrieval: BM25 lexical recall (top-20) → cross-
+    // encoder rerank through the Scorer seam → top-3 per query. The
+    // production curation-by-retrieval shape: the cheap lexical stage
+    // bounds the expensive model to k candidates per query (model
+    // cost k·|queries|, never |corpus|·|queries|). The mock scorer is
+    // DetHash-deterministic, so the WHOLE composition — recall set,
+    // rerank order, final cut — replays hash-exact in SQL.
+    "x_retrieval_rerank" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val qs = Seq(
+        (1L, "spark window agg"), (2L, "fast hash join"),
+        (3L, "customer query data"), (4L, "stream filter sort big"),
+        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+      val cand = TextAnalysis.bm25TopK(d, "doc_id", "text", qs, "query_id", "qtext", k = 20)
+      val pairs = cand
+        .join(qs, "query_id")
+        .join(d.select(col("doc_id"), col("text").as("text_b")), "doc_id")
+        .select(col("query_id"), col("rank").as("bm25_rank"), col("doc_id"),
+          col("qtext").as("text"), col("text_b"),
+          (col("query_id") * lit(1000000L) + col("doc_id")).as("key"))
+      val scored = graft.ops.Relevance.scoreRelevance(
+        pairs, new graft.scorer.MockRelevanceScorer, "key")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("prob").desc, col("doc_id").asc)
+      scored.withColumn("rerank", row_number().over(w)).filter(col("rerank") <= 3)
+        .select(col("query_id"), col("rerank"), col("doc_id"), col("bm25_rank"),
+          round(col("prob"), 4).as("ce_prob"))
+        .orderBy(col("query_id"), col("rerank"))
     }),
 
     // ---- PII redaction: synthetic emails/phones/IPs injected per
@@ -1920,30 +2023,41 @@ object QueriesScale {
         |  PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
-    "x_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-        |           FROM documents),
-        |n AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tt FROM d),
-        |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
-        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dt GROUP BY 1, 2, 3),
-        |q AS (SELECT * FROM (VALUES (1, 'spark window agg'), (2, 'fast hash join'),
-        |       (3, 'customer query data'), (4, 'stream filter sort big'),
-        |       (5, 'vector nosuchterm merge')) AS v(query_id, qtext)),
-        |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-        |        unnest(list_filter(string_split(lower(qtext), ' '), x -> x <> '')) AS term FROM q),
-        |hits AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
-        |dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
-        |sc AS (SELECT qt.query_id, h.doc_id,
-        |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
-        |    CAST((2 * dfq.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
-        |    6) AS DECIMAL(28,6)) AS s
-        | FROM hits h JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN n),
-        |agg AS (SELECT query_id, doc_id, sum(s) AS sdec, count(*) AS n_terms
-        |        FROM sc GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (
-        |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg)
-        |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x_bm25_topk" -> Bm25OracleSql,
+    // index probe and stream probe are output-identical to the inline
+    // operator by construction (shared scoring core) — same oracle
+    "x_bm25_index" -> Bm25OracleSql,
+    "s9_stream_bm25" -> Bm25OracleSql,
+    // the BM25 recall CTEs at k=20, then the mock cross-encoder
+    // replayed as detUnit(query_id·10⁶ + doc_id) and the rerank window
+    "x_retrieval_rerank" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+         |           FROM documents),
+         |n AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tt FROM d),
+         |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dt GROUP BY 1, 2, 3),
+         |q AS (SELECT * FROM (VALUES (1, 'spark window agg'), (2, 'fast hash join'),
+         |       (3, 'customer query data'), (4, 'stream filter sort big'),
+         |       (5, 'vector nosuchterm merge')) AS v(query_id, qtext)),
+         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         |        unnest(list_filter(string_split(lower(qtext), ' '), x -> x <> '')) AS term FROM q),
+         |hits AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+         |dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+         |sc AS (SELECT qt.query_id, h.doc_id,
+         |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
+         |    CAST((2 * dfq.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
+         |    6) AS DECIMAL(28,6)) AS s
+         | FROM hits h JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN n),
+         |agg AS (SELECT query_id, doc_id, sum(s) AS sdec FROM sc GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS bm25_rank FROM agg),
+         |cand AS (SELECT query_id, bm25_rank, doc_id,
+         |  ${graft.functions.DetHash.detUnitSql("query_id * 1000000 + doc_id")} AS prob
+         | FROM r WHERE bm25_rank <= 20),
+         |w AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY prob DESC, doc_id) AS rerank FROM cand)
+         |SELECT query_id, rerank, doc_id, bm25_rank, round(prob, 4) AS ce_prob
+         |FROM w WHERE rerank <= 3 ORDER BY query_id, rerank""".stripMargin,
     "x_pii_redact" -> {
       val email = CorpusOps.EmailRe
       val ip    = CorpusOps.IpRe

@@ -218,6 +218,18 @@ object TextAnalysis {
     val qTerms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    bm25Score(postings, qTerms, n, t, k)
+  }
+
+  /** The shared BM25 scoring core: postings (doc_id, dl, term, tf) ×
+    * query terms → top-k per query. Semi-join first, df on matched
+    * postings (identical to corpus-wide df for those terms), the
+    * all-integer num/den algebra of [[bm25TopK]]'s doc. One
+    * definition serves the inline operator AND the persistent-index
+    * probe, so the batch query stays the oracle for both.
+    */
+  private def bm25Score(
+      postings: DataFrame, qTerms: DataFrame, n: Long, t: Long, k: Int): DataFrame = {
     val hits  = postings.join(broadcast(qTerms.select(col("term")).distinct()),
       Seq("term"), "left_semi")
     val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -236,6 +248,58 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("sdec").cast("double").as("score"), col("n_terms"))
+  }
+
+  /** PERSISTENT BM25 postings index — the retrieval member of the
+    * build-once/probe-many family (LSH bands, sign-plane cells,
+    * substring fingerprints, IVF cells): the corpus explodes ONCE
+    * into (term, doc_id, dl, tf) postings written
+    * `partitionBy(bucket)` with bucket = pmod(xxhash64(term),
+    * buckets), plus a one-row meta frame carrying the corpus scalars
+    * the scoring algebra needs (N docs, T tokens, bucket count). At
+    * 100 TB the index is built once per corpus snapshot; every query
+    * batch afterwards reads only the buckets its vocabulary hashes
+    * into instead of re-exploding the corpus.
+    */
+  def writeBm25Index(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int = 64): Unit = {
+    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    base.agg(count(lit(1)).as("n"), sum(size(col("__t"))).as("t"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    base
+      .select(col("doc_id"), size(col("__t")).as("dl"), explode(col("__t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** Probe a [[writeBm25Index]] layout: the query vocabulary's bucket
+    * ids (a driver list bounded by the query vocab, same class as the
+    * IVF centroid pull) prune the postings scan to matching
+    * partitions, then the shared scoring core runs on the stored
+    * postings — identical output to [[bm25TopK]] over the same
+    * corpus, which is what the oracle checks.
+    */
+  def probeBm25Index(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int): DataFrame = {
+    val meta    = spark.read.parquet(s"$path/meta").collect()(0)
+    val n       = meta.getLong(meta.fieldIndex("n"))
+    val t       = meta.getLong(meta.fieldIndex("t"))
+    val buckets = meta.getInt(meta.fieldIndex("buckets"))
+    val qTerms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    val qBuckets = qTerms
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qBuckets: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25Score(postings, qTerms, n, t, k)
   }
 
   /** Collocation extraction: consecutive-token bigram counts with a

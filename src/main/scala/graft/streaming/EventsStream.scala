@@ -212,6 +212,37 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING retrieval: a QUERY stream probes the persistent BM25
+    * postings index ([[graft.ops.TextAnalysis.writeBm25Index]]) —
+    * each micro-batch runs the batch probe inside `foreachBatch`
+    * (the probe's bucket-pruning list is a driver collect over the
+    * batch's query vocabulary, legal on the materialized batch frame)
+    * and appends ranked results. The index carries the corpus; the
+    * stream never re-reads it. Batch `bm25TopK` is the oracle
+    * semantics, so the same SQL gates index probe and stream probe.
+    */
+  def streamBm25Probe(
+      spark: SparkSession,
+      indexPath: String,
+      queriesDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      k: Int
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(queriesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.TextAnalysis
+          .probeBm25Index(spark, indexPath, batch, "query_id", "qtext", k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING rollup maintenance — the stats-table twin of the three
     * dedup-at-ingest streams: each arriving micro-batch FOLDS into the
     * persistent per-group stats table

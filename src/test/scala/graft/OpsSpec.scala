@@ -641,6 +641,27 @@ class Bm25Spec extends SparkSpecBase {
     val thr  = run("cherry").find(_._1 == 3L).get._3
     assert(thr < 3 * one)
   }
+
+  test("persistent BM25 index probe ≡ inline bm25TopK, scan bucket-pruned") {
+    import graft.ops.TextAnalysis
+    val d = GraftSession.table(spark, sf, "documents")
+    val qs = Seq((1L, "spark window agg"), (2L, "vector nosuchterm merge"))
+      .toDF("query_id", "qtext")
+    val path = java.nio.file.Files.createTempDirectory("bm25-idx-spec").toString
+    TextAnalysis.writeBm25Index(d, "doc_id", "text", path, buckets = 16)
+    val probe  = TextAnalysis.probeBm25Index(spark, path, qs, "query_id", "qtext", k = 4)
+      .orderBy("query_id", "rank")
+    val inline = TextAnalysis.bm25TopK(d, "doc_id", "text", qs, "query_id", "qtext", k = 4)
+      .orderBy("query_id", "rank")
+    assert(probe.collect().map(_.toSeq).toSeq === inline.collect().map(_.toSeq).toSeq)
+    assert(probe.count() > 0)
+    // the probe scan must carry a partition filter on bucket — the
+    // whole point of the bucket-partitioned layout is that a query
+    // batch reads only its vocabulary's buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"probe scan lost its bucket partition filter:\n$plan")
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {
