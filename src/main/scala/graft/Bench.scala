@@ -64,7 +64,12 @@ object Bench {
     "s9_stream_semantic",
     "s9_stream_substring",
     "s9_stream_funnel",
-    "s9_stream_sketch"
+    "s9_stream_sketch",
+    // round-8 additions: the retrieval family
+    "x_bm25_topk",
+    "x_bm25_index",
+    "x_retrieval_rerank",
+    "s9_stream_bm25"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

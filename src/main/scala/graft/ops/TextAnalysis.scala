@@ -268,12 +268,48 @@ object TextAnalysis {
     base.agg(count(lit(1)).as("n"), sum(size(col("__t"))).as("t"))
       .withColumn("buckets", lit(buckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** ONE postings pipeline for build AND append — the
+    * probe-after-append ≡ rebuild guarantee depends on the two
+    * flavors staying byte-identical (the LSH-index discipline).
+    */
+  private def bm25PostingsLayout(
+      base: DataFrame, buckets: Int, path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit =
     base
       .select(col("doc_id"), size(col("__t")).as("dl"), explode(col("__t")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+
+  /** Fold a document increment INTO the persistent BM25 index without
+    * rebuilding it: the increment's postings append into the existing
+    * `bucket=` partitions (parquet partition append — base files
+    * untouched) and the one-row meta FOLDS (N and T add; bucket count
+    * is immutable). Postings land BEFORE the meta overwrite, so a
+    * crash between the two leaves a probe-consistent index whose
+    * scores briefly use the stale corpus scalars (a ranking signal,
+    * not a correctness surface) — the next append repairs it. df
+    * needs no maintenance at all: probes compute it from matched
+    * postings, which automatically include the increment. Each crawl
+    * pays O(increment), never O(corpus) — probe-after-append ≡
+    * rebuild is spec-proven (`Bm25Spec`).
+    */
+  def appendToBm25Index(
+      df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark   = df.sparkSession
+    val meta    = spark.read.parquet(s"$path/meta").collect()(0)
+    val n0      = meta.getLong(meta.fieldIndex("n"))
+    val t0      = meta.getLong(meta.fieldIndex("t"))
+    val buckets = meta.getInt(meta.fieldIndex("buckets"))
+    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Append)
+    base.agg((count(lit(1)) + lit(n0)).as("n"), (sum(size(col("__t"))) + lit(t0)).as("t"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Probe a [[writeBm25Index]] layout: the query vocabulary's bucket

@@ -662,6 +662,26 @@ class Bm25Spec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [bucket"),
       s"probe scan lost its bucket partition filter:\n$plan")
   }
+
+  test("BM25 index probe-after-append ≡ rebuilt-index probe (meta folds, df self-maintains)") {
+    import graft.ops.TextAnalysis
+    val d = GraftSession.table(spark, sf, "documents")
+    val half1 = d.filter(col("doc_id") % 2 === 0)
+    val half2 = d.filter(col("doc_id") % 2 === 1)
+    val qs = Seq((1L, "spark window agg"), (2L, "customer query data"))
+      .toDF("query_id", "qtext")
+    val inc = java.nio.file.Files.createTempDirectory("bm25-inc").toString
+    TextAnalysis.writeBm25Index(half1, "doc_id", "text", inc, buckets = 16)
+    TextAnalysis.appendToBm25Index(half2, "doc_id", "text", inc)
+    val full = java.nio.file.Files.createTempDirectory("bm25-full").toString
+    TextAnalysis.writeBm25Index(d, "doc_id", "text", full, buckets = 16)
+    def rows(path: String) =
+      TextAnalysis.probeBm25Index(spark, path, qs, "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val got = rows(inc)
+    assert(got === rows(full))
+    assert(got.nonEmpty)
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {
