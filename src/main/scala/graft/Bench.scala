@@ -144,9 +144,12 @@ object Bench {
 
     val results = timeAll(spark, names, sfDir)
     val errors  = results.collect { case (k, v) if v < 0 => k }
+    // n_failed rides NEXT TO the totals so a cross-round reader
+    // comparing `value` can't mistake a crashed query's missing time
+    // for a speedup without the discrepancy being in their face
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+      else errors.map("\"" + _ + "\"").mkString(s""","n_failed":${errors.size},"errors":[""", ",", "]")
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -28,6 +28,20 @@ object QueriesMl {
 
   private val Question = "does the document mention the vector primitive"
 
+  /** The corpus-built WordPiece vocab shared by both ONNX gate rows —
+    * vocab-sized driver materialization (the BPE/Lloyd bound):
+    * top-2000 corpus words by (count desc, word asc) + specials. ONE
+    * definition so the relevance and QA encode contracts cannot
+    * drift apart.
+    */
+  private def corpusVocab(d: DataFrame): WordPieceVocab = {
+    val top = d.select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(2000)
+      .collect().map(_.getString(0)).toSeq
+    WordPieceVocab.fromTokens(WordPieceVocab.Specials ++ top)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_relevance_trained" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -109,14 +123,8 @@ object QueriesMl {
     // a minority of [UNK] pieces — if the loader or the greedy match
     // breaks, everything degrades to [UNK] and 0 rows survive.
     "m1_relevance_onnx" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-      // vocab-sized driver materialization (the BPE/Lloyd bound):
-      // top-2000 corpus words by (count desc, word asc)
-      val top = d.select(explode(Dedup.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w")).limit(2000)
-        .collect().map(_.getString(0)).toSeq
-      val vocab = WordPieceVocab.fromTokens(WordPieceVocab.Specials ++ top)
+      val d     = table(s, dir, "documents")
+      val vocab = corpusVocab(d)
       val enc: (String, String) => Array[Long] =
         (q, p) => vocab.encodePair(q, p).take(128)
       val scorer: RelevanceScorer =
@@ -157,12 +165,8 @@ object QueriesMl {
     // pass vacuously.
     "m2_kpi_onnx" -> ((s, dir) => {
       import s.implicits._
-      val d = table(s, dir, "documents")
-      val top = d.select(explode(Dedup.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w")).limit(2000)
-        .collect().map(_.getString(0)).toSeq
-      val vocab = WordPieceVocab.fromTokens(WordPieceVocab.Specials ++ top)
+      val d     = table(s, dir, "documents")
+      val vocab = corpusVocab(d)
       val qa: QaScorer =
         sys.env.get("GRAFT_ONNX_QA_MODEL").filter(_ => OnnxScorer.available)
           .map(p => new OnnxQaScorer(p, vocab.encodeQa(_, _), nBest = 2, maxLen = 256))

@@ -69,6 +69,38 @@ object QueriesScale {
       path
     })
 
+  /** The five retrieval gate queries — ONE definition for the four
+    * Scala gates (inline, index, stream, rerank); `Bm25OracleSql`'s
+    * VALUES clause mirrors it. Query 5 carries an out-of-vocab term
+    * so missing-term behavior stays live under the oracle.
+    */
+  private def retrievalQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "spark window agg"), (2L, "fast hash join"),
+      (3L, "customer query data"), (4L, "stream filter sort big"),
+      (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+  }
+
+  /** The deterministically-injected host→host link graph shared by
+    * the two PageRank gates (leaking default and dangling-mass
+    * variants) — each doc's site is `<source>.site`, out-links go to
+    * the x_url_domains example/data.org domains plus cross-site
+    * srcK.site refs. Both oracles replay the same derivation.
+    */
+  private def hostEdges(s: SparkSession, dir: String): DataFrame = {
+    val linked = docs(s, dir).select(col("doc_id"), col("source"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)), lit(".com/path/a"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        lit(" and http://Data.org/x?q=1")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" ref https://src"), pmod(col("doc_id"), lit(20)), lit(".site/home"))).otherwise(lit(""))).as("text"))
+    CorpusOps.extractUrls(linked.select(col("doc_id"), col("text")), "doc_id", "text")
+      .join(linked.select(col("doc_id"), col("source")), "doc_id")
+      .select(concat(col("source"), lit(".site")).as("src"), col("domain").as("dst"))
+  }
+
   /** The planted crawl increment for the substring-index probes: every
     * doc_id<25 contributes a "new" doc (id+30000) whose first 12
     * tokens are lifted verbatim from the base doc (duplicated passage
@@ -703,13 +735,9 @@ object QueriesScale {
     // cross-engine. Query 5 carries an out-of-vocab term to prove
     // missing terms contribute nothing.
     "x_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
       import graft.ops.TextAnalysis
-      val qs = Seq(
-        (1L, "spark window agg"), (2L, "fast hash join"),
-        (3L, "customer query data"), (4L, "stream filter sort big"),
-        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
-      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text", qs, "query_id", "qtext", k = 5)
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+          retrievalQueries(s), "query_id", "qtext", k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -720,15 +748,10 @@ object QueriesScale {
     // so the same SQL gates both (build memoized per JVM like the
     // other index gates).
     "x_bm25_index" -> ((s, dir) => {
-      import s.implicits._
       import graft.ops.TextAnalysis
-      val qs = Seq(
-        (1L, "spark window agg"), (2L, "fast hash join"),
-        (3L, "customer query data"), (4L, "stream filter sort big"),
-        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
       val path = buildOnce("bm25idx", dir)(p =>
         TextAnalysis.writeBm25Index(docs(s, dir), "doc_id", "text", p))
-      TextAnalysis.probeBm25Index(s, path, qs, "query_id", "qtext", k = 5)
+      TextAnalysis.probeBm25Index(s, path, retrievalQueries(s), "query_id", "qtext", k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -737,12 +760,8 @@ object QueriesScale {
     // appends ranked results — retrieval-at-ingest. Batch bm25TopK is
     // the oracle semantics; the same SQL gates all three flavors.
     "s9_stream_bm25" -> ((s, dir) => {
-      import s.implicits._
       import graft.ops.TextAnalysis
-      val qs = Seq(
-        (1L, "spark window agg"), (2L, "fast hash join"),
-        (3L, "customer query data"), (4L, "stream filter sort big"),
-        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+      val qs = retrievalQueries(s)
       val indexPath = buildOnce("bm25sidx", dir)(p =>
         TextAnalysis.writeBm25Index(docs(s, dir), "doc_id", "text", p))
       val qDir = GraftSession.freshGatePath("bm25qstream", dir)
@@ -762,13 +781,9 @@ object QueriesScale {
     // DetHash-deterministic, so the WHOLE composition — recall set,
     // rerank order, final cut — replays hash-exact in SQL.
     "x_retrieval_rerank" -> ((s, dir) => {
-      import s.implicits._
       import graft.ops.TextAnalysis
       val d = docs(s, dir)
-      val qs = Seq(
-        (1L, "spark window agg"), (2L, "fast hash join"),
-        (3L, "customer query data"), (4L, "stream filter sort big"),
-        (5L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+      val qs = retrievalQueries(s)
       val cand = TextAnalysis.bm25TopK(d, "doc_id", "text", qs, "query_id", "qtext", k = 20)
       val pairs = cand
         .join(qs, "query_id")
@@ -837,17 +852,7 @@ object QueriesScale {
     // the oracle replays all three rounds exactly. See ops/LinkGraph.
     "x_pagerank_hosts" -> ((s, dir) => {
       import graft.ops.LinkGraph
-      val linked = docs(s, dir).select(col("doc_id"), col("source"), concat(col("text"),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)), lit(".com/path/a"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(6)) === 0,
-          lit(" and http://Data.org/x?q=1")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit(" ref https://src"), pmod(col("doc_id"), lit(20)), lit(".site/home"))).otherwise(lit(""))).as("text"))
-      val edges = CorpusOps.extractUrls(linked.select(col("doc_id"), col("text")), "doc_id", "text")
-        .join(linked.select(col("doc_id"), col("source")), "doc_id")
-        .select(concat(col("source"), lit(".site")).as("src"), col("domain").as("dst"))
-      LinkGraph.pageRank(edges, iters = 3)
+      LinkGraph.pageRank(hostEdges(s, dir), iters = 3)
         .orderBy(col("rank").desc, col("host"))
     }),
 
@@ -858,17 +863,7 @@ object QueriesScale {
     // iterations plus the one-row correction term per round.
     "x_pagerank_dangling" -> ((s, dir) => {
       import graft.ops.LinkGraph
-      val linked = docs(s, dir).select(col("doc_id"), col("source"), concat(col("text"),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)), lit(".com/path/a"))).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(6)) === 0,
-          lit(" and http://Data.org/x?q=1")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit(" ref https://src"), pmod(col("doc_id"), lit(20)), lit(".site/home"))).otherwise(lit(""))).as("text"))
-      val edges = CorpusOps.extractUrls(linked.select(col("doc_id"), col("text")), "doc_id", "text")
-        .join(linked.select(col("doc_id"), col("source")), "doc_id")
-        .select(concat(col("source"), lit(".site")).as("src"), col("domain").as("dst"))
-      LinkGraph.pageRank(edges, iters = 3, redistributeDangling = true)
+      LinkGraph.pageRank(hostEdges(s, dir), iters = 3, redistributeDangling = true)
         .orderBy(col("rank").desc, col("host"))
     }),
 

@@ -208,8 +208,9 @@ object TextAnalysis {
   ): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
     // two driver scalars (same class as tfidf's N): corpus doc and
-    // token counts, one aggregate job
-    val row = base.agg(count(lit(1)), sum(size(col("__t")))).collect()(0)
+    // token counts, one aggregate job (sum over zero rows is NULL —
+    // coalesce so an empty corpus scores empty instead of throwing)
+    val row = base.agg(count(lit(1)), coalesce(sum(size(col("__t"))), lit(0L))).collect()(0)
     val n   = row.getLong(0)
     val t   = row.getLong(1)
     val postings = base
@@ -264,11 +265,17 @@ object TextAnalysis {
   def writeBm25Index(
       df: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 64): Unit = {
-    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
-    base.agg(count(lit(1)).as("n"), sum(size(col("__t"))).as("t"))
-      .withColumn("buckets", lit(buckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+    // persisted: the tokenized corpus feeds TWO jobs (meta scalars +
+    // postings write) — without the pin the dominant scan+tokenize
+    // cost runs twice per build
+    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t")).persist()
+    try {
+      base.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("__t"))), lit(0L)).as("t"))
+        .withColumn("buckets", lit(buckets))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+    } finally { base.unpersist(): Unit }
   }
 
   /** ONE postings pipeline for build AND append — the
@@ -305,11 +312,17 @@ object TextAnalysis {
     val n0      = meta.getLong(meta.fieldIndex("n"))
     val t0      = meta.getLong(meta.fieldIndex("t"))
     val buckets = meta.getInt(meta.fieldIndex("buckets"))
-    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
-    bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Append)
-    base.agg((count(lit(1)) + lit(n0)).as("n"), (sum(size(col("__t"))) + lit(t0)).as("t"))
-      .withColumn("buckets", lit(buckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t")).persist()
+    try {
+      bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Append)
+      // sum over an EMPTY increment is NULL — coalesce, or a no-op
+      // crawl batch would overwrite meta.t with NULL and poison every
+      // later probe until a full rebuild
+      base.agg((count(lit(1)) + lit(n0)).as("n"),
+          (coalesce(sum(size(col("__t"))), lit(0L)) + lit(t0)).as("t"))
+        .withColumn("buckets", lit(buckets))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally { base.unpersist(): Unit }
   }
 
   /** Probe a [[writeBm25Index]] layout: the query vocabulary's bucket

@@ -663,6 +663,21 @@ class Bm25Spec extends SparkSpecBase {
       s"probe scan lost its bucket partition filter:\n$plan")
   }
 
+  test("appendToBm25Index with an EMPTY increment is a no-op, never meta corruption") {
+    // sum over zero rows is NULL in Spark: an unguarded meta fold
+    // would overwrite t with NULL and poison every later probe
+    import graft.ops.TextAnalysis
+    val qs   = Seq((1L, "apple cherry")).toDF("query_id", "qtext")
+    val path = java.nio.file.Files.createTempDirectory("bm25-empty").toString
+    TextAnalysis.writeBm25Index(corpus, "doc_id", "text", path, buckets = 4)
+    def probe() = TextAnalysis.probeBm25Index(spark, path, qs, "query_id", "qtext", k = 3)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    val before = probe()
+    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") < 0), "doc_id", "text", path)
+    assert(probe() === before)
+    assert(before.nonEmpty)
+  }
+
   test("BM25 index probe-after-append ≡ rebuilt-index probe (meta folds, df self-maintains)") {
     import graft.ops.TextAnalysis
     val d = GraftSession.table(spark, sf, "documents")
