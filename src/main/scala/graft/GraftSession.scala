@@ -82,10 +82,29 @@ object GraftSession {
     * JVMs gating concurrently — Verify next to Bench — never
     * overwrite each other mid-read).
     */
-  def gatePath(tag: String, dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+  def gatePath(tag: String, dir: String): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-$tag-gate-${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
     ).toString
+    // register for JVM-exit cleanup: pid keying stops cross-JVM
+    // collisions, but it also means no later JVM ever reuses (or
+    // removes) these dirs — a session of many gate JVMs was measured
+    // leaking hundreds of /tmp dirs without the hook
+    if (issuedGatePaths.add(p)) gateCleanupHook
+    p
+  }
+
+  private val issuedGatePaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val gateCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      issuedGatePaths.forEach(p => rmRecursive(new java.io.File(p)))
+    }))
+
+  private def rmRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRecursive)
+    f.delete(): Unit
+  }
 
   /** [[gatePath]] + recursive delete: for gate queries whose write
     * path has APPEND or CHECKPOINT semantics (streaming checkpoints,
@@ -96,11 +115,7 @@ object GraftSession {
     */
   def freshGatePath(tag: String, dir: String): String = {
     val p = gatePath(tag, dir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(p))
+    rmRecursive(new java.io.File(p))
     p
   }
 
