@@ -399,6 +399,27 @@ object QueriesScale {
         .orderBy(col("id"))
     }),
 
+    // ---- QUALITY-AWARE cluster resolution: the production dedup
+    // policy — keep the BEST member of each near-dup cluster (longest
+    // doc, id tie-break), not the smallest id. Same ground-truth pair
+    // generator and pointer-jumping CC as x_dedup_resolve; singleton
+    // docs are their own cluster. One extra window over the
+    // cluster-keyed frame — no new shuffle class.
+    "x_dedup_keep_best" -> ((s, dir) => {
+      val d = plantedDocs(s, dir)
+      val pairs = Dedup.minhashExactPairs(d, "id", "text",
+        w = 3, numHashes = 30, bands = 10, threshold = 0.9)
+      val cc = Dedup.connectedComponents(pairs)
+      val members = d.select(col("id"), size(Dedup.tokens(col("text"))).as("n_tokens"))
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"), col("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+        .orderBy(col("n_tokens").desc, col("id").asc)
+      members
+        .withColumn("kept", when(row_number().over(w) === 1, 1).otherwise(0))
+        .orderBy(col("id"))
+    }),
+
     // ---- the LLM-data pipeline END TO END as one declarative plan:
     // quality filter → near-dup resolution (pairs → components →
     // survivors, n_merged carried) → PII redaction → overlapping
@@ -1357,6 +1378,31 @@ object QueriesScale {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          |SELECT id, cluster, CASE WHEN id = cluster THEN 1 ELSE 0 END AS kept
          |FROM comp ORDER BY id""".stripMargin,
+    // the keep-best variant: same recursive closure, membership
+    // extended to singleton docs, winner = (n_tokens desc, id asc)
+    "x_dedup_keep_best" ->
+      s"""WITH RECURSIVE $CorpusSql,
+         |$ShinglesSql,
+         |nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+         |pairs AS (
+         | SELECT a.id AS id_a, b.id AS id_b
+         | FROM nz a JOIN nz b ON a.id < b.id
+         | WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |       CAST(len(list_distinct(a.shs || b.shs)) AS DOUBLE), 4) >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+         |tok AS (SELECT id, CAST(len(toks) AS INT) AS n_tokens FROM t),
+         |m AS (SELECT tok.id, coalesce(comp.cluster, tok.id) AS cluster, tok.n_tokens
+         |      FROM tok LEFT JOIN comp ON comp.id = tok.id),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY cluster ORDER BY n_tokens DESC, id) AS rn FROM m)
+         |SELECT id, cluster, n_tokens, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS kept
+         |FROM r ORDER BY id""".stripMargin,
     // the composed pipeline replay: quality keep → all-pairs true-
     // jaccard closure → survivors(n_merged) → pii inject+redact →
     // overlapping chunking of the REDACTED text
