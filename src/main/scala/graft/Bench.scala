@@ -90,23 +90,24 @@ object Bench {
 
   /** Best-of-2 per query: first run pays JIT/codegen for operators the
     * warm-up didn't touch; steady-state is what a long-running cluster
-    * sees. A query that throws reports as -1, NEVER as its
-    * time-to-throw — the round-7 bench recorded a crashed stream's
-    * 0.489 s as the round's best streaming "improvement".
+    * sees. A run that throws is excluded; the query reports the min
+    * over its SUCCEEDED runs and -1 only when both runs fail — a
+    * transient hiccup on run 1 must not discard run 2's valid
+    * measurement, and a crashed query must NEVER report its
+    * time-to-throw (the round-7 bench recorded a crashed stream's
+    * 0.489 s as the round's best streaming "improvement").
     */
   private def timeAll(spark: SparkSession, names: Seq[String], sfDir: String): Seq[(String, Double)] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
       sessionHygiene(spark)
-      var failed = false
-      val times = (1 to 2).map { _ =>
+      val succeeded = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); failed = true }
-        (System.nanoTime() - t0) / 1e9
+          System.err.println(s"[bench] $name failed: $e"); None }
       }
-      name -> (if (failed) -1.0 else times.min)
+      name -> (if (succeeded.isEmpty) -1.0 else succeeded.min)
     }
 
   /** One scale factor down from the primary dir (sf0.1 → sf0.01 →

@@ -482,6 +482,12 @@ object CorpusOps {
     * absorbs duplicates — spec-proven probe-after-append ≡ rebuilt);
     * periodic per-partition distinct-rewrite compaction reclaims the
     * space.
+    *
+    * Crash-consistency contract (spec-proven,
+    * `IndexMaintenanceSpec`): at-least-once storage, exactly-once
+    * probes — append(∅) ≡ id, a replayed increment (crash or
+    * duplicate delivery) changes no probe result, and concurrent
+    * appends are safe (pure partition append, no shared scalar).
     */
   def appendToSubstringIndex(
       df: DataFrame,

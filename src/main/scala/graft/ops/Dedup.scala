@@ -71,6 +71,17 @@ object Dedup {
     * is tiny by construction (only shingles above the cap), so the
     * anti-join broadcasts under AQE. Returns (id_a, id_b, jaccard)
     * with id_a < id_b, jaccard rounded to 4dp.
+    *
+    * ==SEMANTIC CONTRACT (capped by default)==
+    * Since round 8 `dfCap` defaults to [[DefaultDfCap]] (4096), NOT
+    * `Int.MaxValue`: with defaults this returns ''pairs with jaccard ≥
+    * threshold over the capped shingle space'', not over all shingles —
+    * a true near-dup pair whose every shared shingle has df > cap is
+    * silently absent, with no in-band signal. Run [[hotShingles]] with
+    * the same cap to see exactly which shingles were dropped (empty ⇒
+    * capped and uncapped results are identical), or pass
+    * `dfCap = Int.MaxValue` to recover the uncapped contract where the
+    * corpus is known skew-free.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int, threshold: Double,
       dfCap: Int = DefaultDfCap): DataFrame = {
@@ -241,6 +252,23 @@ object Dedup {
     ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Banded MinHash-LSH candidate pairs, verified against the
+    * signature estimate at `threshold` (see the banding-math scaladoc
+    * above [[DefaultBucketCap]] for config guidance).
+    *
+    * ==SEMANTIC CONTRACT (capped by default)==
+    * Since round 8 `bucketCap` defaults to [[DefaultBucketCap]]
+    * (4096), NOT `Int.MaxValue`: a (band, bucket) with more than cap
+    * members is dropped from candidate generation, so a true near-dup
+    * pair inside a > 4096-member mutual-dup cluster can be absent from
+    * the result with no in-band signal (each pair still has bands−1
+    * other chances, but a cluster that big usually floods EVERY band's
+    * bucket). Run [[lshDroppedBuckets]] with the same cap to audit the
+    * dropped mass (empty ⇒ capped and uncapped results are identical),
+    * collapse giant exact-dup clusters first (they are the usual
+    * cause), or pass `bucketCap = Int.MaxValue` to recover the
+    * uncapped contract where the corpus is known skew-free.
+    */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -583,6 +611,16 @@ object Dedup {
     * correctness — when a band partition accumulates many small
     * append files, rewrite that partition (read → sortWithinPartitions
     * → overwrite) during low-traffic windows (see SCALING.md).
+    *
+    * Crash-consistency contract (spec-proven,
+    * `IndexMaintenanceSpec`): the index is semantically a SET of
+    * (id, sig, band, bucket) rows and the probe ends in
+    * `dropDuplicates(id_a, id_b)`, so storage is AT-LEAST-ONCE but
+    * probes are exactly-once — append(∅) ≡ id, a replayed increment
+    * (after a crash or a duplicate delivery) changes no probe result,
+    * only disk footprint (reclaimed by compaction), and concurrent
+    * appends are safe (pure partition append, no shared scalar to
+    * race on).
     */
   def appendToMinhashIndex(
       df: DataFrame,
@@ -917,7 +955,11 @@ object Dedup {
     * [[appendToMinhashIndex]] — the keying is deterministic per
     * vector, so appended rows land in exactly the bucket partitions a
     * rebuild would put them in, and probe-after-append ≡
-    * probe-of-rebuilt (spec-proven).
+    * probe-of-rebuilt (spec-proven). Same crash-consistency contract
+    * too (`IndexMaintenanceSpec`): at-least-once storage,
+    * exactly-once probes — [[probeSignPlaneIndex]] dedupes pairs, so
+    * a replayed increment changes disk footprint only; append(∅) ≡
+    * id; concurrent appends safe.
     */
   def appendToSignPlaneIndex(
       df: DataFrame,
@@ -958,6 +1000,13 @@ object Dedup {
       .join(probes.as("b"), col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+      // the index is semantically a SET of (id, vector) rows: a
+      // replayed append duplicates rows on disk, and without this a
+      // duplicated index row emits its pair twice. Deduping here (on
+      // threshold survivors only — a skinny exchange) is what makes
+      // the whole layout replay-safe at probe level, the same
+      // discipline probeMinhashIndexMd5 already pays.
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact edit-distance similarity self-join for ed ≤ 1 — PassJoin

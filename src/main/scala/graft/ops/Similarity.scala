@@ -176,30 +176,47 @@ object Similarity {
         java.util.Arrays.asList(refined.collect(): _*), refined.schema))
     }
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    writeAssigned(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Overwrite)
+    writeAssigned(ivfAssign(c, centroids), path, inc = "base", dynamic = false)
   }
 
   /** ONE assigned-layout writer for build AND append — the
     * probe-after-append ≡ rebuild guarantee depends on the flavors
     * staying byte-identical.
+    *
+    * Layout is `inc=<id>/cell_id=<c>`: the `inc` partition level is
+    * the idempotency unit. `dynamic = true` (appends) overwrites ONLY
+    * the `inc=<id>` partitions present in the data, so a replayed
+    * increment replaces its own files instead of duplicating its
+    * vectors — a duplicated neighbor would otherwise burn a top-k
+    * slot twice at probe time. `dynamic = false` (build) keeps static
+    * overwrite so a rebuild clears every prior increment. Probes key
+    * on `cell_id` only; the extra level changes no probe plan.
     */
   private def writeAssigned(
       assigned: DataFrame,
       path: String,
-      mode: org.apache.spark.sql.SaveMode
+      inc: String,
+      dynamic: Boolean
   ): Unit =
-    assigned.write.mode(mode).partitionBy("cell_id").parquet(s"$path/assigned")
+    assigned.withColumn("inc", lit(inc))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy("inc", "cell_id").parquet(s"$path/assigned")
 
   /** Same, quantized flavor: int8 byte-pack before landing. */
   private def writeAssignedQuantized(
       assigned: DataFrame,
       path: String,
-      mode: org.apache.spark.sql.SaveMode
+      inc: String,
+      dynamic: Boolean
   ): Unit =
     assigned
       .select(col("neighbor_id"), call_function("quantize_i8b", col("cv")).as("__qz"), col("cell_id"))
       .select(col("neighbor_id"), col("__qz.qb").as("qb"), col("__qz.scale").as("scale"), col("cell_id"))
-      .write.mode(mode).partitionBy("cell_id").parquet(s"$path/assigned")
+      .withColumn("inc", lit(inc))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy("inc", "cell_id").parquet(s"$path/assigned")
 
   /** Build and persist the QUANTIZED IVF index — the actual 100 TB
     * layout: assignment runs on the full-precision vectors (build
@@ -230,7 +247,7 @@ object Similarity {
         java.util.Arrays.asList(refined.collect(): _*), refined.schema))
     }
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    writeAssignedQuantized(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Overwrite)
+    writeAssignedQuantized(ivfAssign(c, centroids), path, inc = "base", dynamic = false)
   }
 
   /** Fold a corpus increment INTO a persisted IVF index without
@@ -238,8 +255,21 @@ object Similarity {
     * (read back, broadcast — cell geometry frozen, so the probe's
     * cell selection is unchanged and probe-after-append ≡ probing an
     * index built over base ∪ increment with the same centroids,
-    * spec-proven) and append into the existing `cell_id=` partitions.
-    * Each increment pays one assignment pass over ITSELF only.
+    * spec-proven) and land under their own `inc=<incrementId>`
+    * partition via dynamic partition overwrite. Each increment pays
+    * one assignment pass over ITSELF only.
+    *
+    * Crash-consistency contract (spec-proven,
+    * `IndexMaintenanceSpec`): append(∅) ≡ id (no partition in the
+    * data ⇒ nothing overwritten); replaying an increment — after a
+    * crash OR after full success — overwrites its own `inc=`
+    * partitions and converges to the single-append state (append
+    * twice ≡ append once); concurrent appends with DISTINCT
+    * increment ids touch disjoint partitions and are safe (there is
+    * no meta fold in this layout — centroids are immutable between
+    * rebuilds). Callers must use a deterministic id per logical
+    * increment for replay safety to hold.
+    *
     * Centroid drift is an operational policy, not a correctness
     * issue: when accumulated increments shift the data distribution,
     * re-refine centroids and rewrite (a rebuild amortized over many
@@ -251,28 +281,35 @@ object Similarity {
       increment: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String
+      path: String,
+      incrementId: String
   ): Unit = {
+    require(incrementId.nonEmpty && incrementId != "base",
+      s"incrementId must be a non-empty id other than the reserved 'base' (got '$incrementId')")
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val c         = increment.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    writeAssigned(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Append)
+    writeAssigned(ivfAssign(c, centroids), path, incrementId, dynamic = true)
   }
 
   /** [[appendToIvfIndex]] for the quantized layout: assignment runs on
     * the increment's full-precision vectors (in hand at append time),
-    * what lands is the int8-packed form — same contract as
-    * [[writeIvfIndexQuantized]].
+    * what lands is the int8-packed form — same contract (including
+    * the crash-consistency laws) as [[writeIvfIndexQuantized]] /
+    * [[appendToIvfIndex]].
     */
   def appendToIvfIndexQuantized(
       spark: SparkSession,
       increment: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String
+      path: String,
+      incrementId: String
   ): Unit = {
+    require(incrementId.nonEmpty && incrementId != "base",
+      s"incrementId must be a non-empty id other than the reserved 'base' (got '$incrementId')")
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val c         = increment.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    writeAssignedQuantized(ivfAssign(c, centroids), path, org.apache.spark.sql.SaveMode.Append)
+    writeAssignedQuantized(ivfAssign(c, centroids), path, incrementId, dynamic = true)
   }
 
   /** Probe a quantized persistent index: cells are selected exactly as

@@ -262,6 +262,28 @@ object TextAnalysis {
     * batch afterwards reads only the buckets its vocabulary hashes
     * into instead of re-exploding the corpus.
     */
+  /** The one-row meta frame, decoded. `gen` names the live postings
+    * directory under the index path — the generation pointer that
+    * makes compaction an atomic flip (meta is the single source of
+    * truth; probe/append/compact all resolve through it). Pre-r9
+    * layouts lack the column and resolve to the original "postings"
+    * dir with an empty applied ledger (at-least-once appends).
+    */
+  private case class Bm25Meta(
+      n: Long, t: Long, buckets: Int, applied: Seq[String], gen: String)
+
+  private def readBm25Meta(
+      spark: org.apache.spark.sql.SparkSession, path: String): Bm25Meta = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    def has(f: String) = m.schema.fieldNames.contains(f)
+    Bm25Meta(
+      n = m.getLong(m.fieldIndex("n")),
+      t = m.getLong(m.fieldIndex("t")),
+      buckets = m.getInt(m.fieldIndex("buckets")),
+      applied = if (has("applied")) m.getSeq[String](m.fieldIndex("applied")) else Seq.empty,
+      gen = if (has("gen")) m.getString(m.fieldIndex("gen")) else "postings")
+  }
+
   def writeBm25Index(
       df: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 64): Unit = {
@@ -273,54 +295,88 @@ object TextAnalysis {
       base.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("__t"))), lit(0L)).as("t"))
         .withColumn("buckets", lit(buckets))
+        .withColumn("applied", array().cast("array<string>"))
+        .withColumn("gen", lit("postings"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+      bm25PostingsLayout(base, buckets, s"$path/postings", "base", dynamic = false)
     } finally { base.unpersist(): Unit }
   }
 
   /** ONE postings pipeline for build AND append — the
     * probe-after-append ≡ rebuild guarantee depends on the two
     * flavors staying byte-identical (the LSH-index discipline).
+    *
+    * Layout is `inc=<id>/bucket=<b>`: the extra `inc` partition level
+    * is the idempotency unit — `dynamic = true` (appends) overwrites
+    * ONLY the `inc=<id>` partitions present in the data, so replaying
+    * an increment replaces its own files instead of duplicating them,
+    * while the base and every other increment stay untouched.
+    * `dynamic = false` (build) keeps static overwrite: a rebuild
+    * clears ALL prior increments. Probes filter on `bucket` only, so
+    * partition pruning is unaffected by the extra level.
     */
   private def bm25PostingsLayout(
-      base: DataFrame, buckets: Int, path: String,
-      mode: org.apache.spark.sql.SaveMode): Unit =
+      base: DataFrame, buckets: Int, postingsDir: String,
+      inc: String, dynamic: Boolean): Unit =
     base
       .select(col("doc_id"), size(col("__t")).as("dl"), explode(col("__t")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("inc", lit(inc))
       .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy("inc", "bucket").parquet(postingsDir)
 
   /** Fold a document increment INTO the persistent BM25 index without
-    * rebuilding it: the increment's postings append into the existing
-    * `bucket=` partitions (parquet partition append — base files
+    * rebuilding it, exactly-once under replay. The increment's
+    * postings land under their own `inc=<incrementId>` partition
+    * (dynamic partition overwrite — base files and other increments
     * untouched) and the one-row meta FOLDS (N and T add; bucket count
-    * is immutable). Postings land BEFORE the meta overwrite, so a
-    * crash between the two leaves a probe-consistent index whose
-    * scores briefly use the stale corpus scalars (a ranking signal,
-    * not a correctness surface) — the next append repairs it. df
-    * needs no maintenance at all: probes compute it from matched
-    * postings, which automatically include the increment. Each crawl
-    * pays O(increment), never O(corpus) — probe-after-append ≡
-    * rebuild is spec-proven (`Bm25Spec`).
+    * is immutable) while recording `incrementId` in its `applied`
+    * ledger.
+    *
+    * Crash-consistency contract (spec-proven, `Bm25Spec` +
+    * `IndexMaintenanceSpec`):
+    *   - append(∅) ≡ id — an empty crawl batch changes nothing (the
+    *     NULL-sum fold is coalesced; no postings partition is
+    *     touched).
+    *   - probe-after-append ≡ rebuild — same postings pipeline as the
+    *     build.
+    *   - replay-safe: if `incrementId` is already in meta's `applied`
+    *     ledger the call is a complete no-op; if a crash hit between
+    *     the postings write and the meta overwrite, the replay
+    *     OVERWRITES the increment's own `inc=` partitions (no
+    *     double-counted tf/df) and then lands the meta fold. Callers
+    *     must use a deterministic id per logical increment (crawl
+    *     batch id, date) for this to hold.
+    *
+    * NOT concurrency-safe: meta is a read-modify-write scalar, so two
+    * simultaneous appends lose one fold — run index maintenance as a
+    * single writer (one job per index path), the normal shape for a
+    * nightly crawl fold. df needs no maintenance at all: probes
+    * compute it from matched postings, which automatically include
+    * the increment. Each crawl pays O(increment), never O(corpus).
     */
   def appendToBm25Index(
-      df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
-    val spark   = df.sparkSession
-    val meta    = spark.read.parquet(s"$path/meta").collect()(0)
-    val n0      = meta.getLong(meta.fieldIndex("n"))
-    val t0      = meta.getLong(meta.fieldIndex("t"))
-    val buckets = meta.getInt(meta.fieldIndex("buckets"))
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      incrementId: String): Unit = {
+    val spark = df.sparkSession
+    val meta  = readBm25Meta(spark, path)
+    require(incrementId.nonEmpty && incrementId != "base",
+      s"incrementId must be a non-empty id other than the reserved 'base' (got '$incrementId')")
+    if (meta.applied.contains(incrementId)) return // fully committed earlier — no-op
     val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t")).persist()
     try {
-      bm25PostingsLayout(base, buckets, path, org.apache.spark.sql.SaveMode.Append)
+      bm25PostingsLayout(base, meta.buckets, s"$path/${meta.gen}", incrementId, dynamic = true)
       // sum over an EMPTY increment is NULL — coalesce, or a no-op
       // crawl batch would overwrite meta.t with NULL and poison every
       // later probe until a full rebuild
-      base.agg((count(lit(1)) + lit(n0)).as("n"),
-          (coalesce(sum(size(col("__t"))), lit(0L)) + lit(t0)).as("t"))
-        .withColumn("buckets", lit(buckets))
+      base.agg((count(lit(1)) + lit(meta.n)).as("n"),
+          (coalesce(sum(size(col("__t"))), lit(0L)) + lit(meta.t)).as("t"))
+        .withColumn("buckets", lit(meta.buckets))
+        .withColumn("applied", typedLit[Seq[String]](meta.applied :+ incrementId))
+        .withColumn("gen", lit(meta.gen))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally { base.unpersist(): Unit }
   }
@@ -335,20 +391,89 @@ object TextAnalysis {
   def probeBm25Index(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int): DataFrame = {
-    val meta    = spark.read.parquet(s"$path/meta").collect()(0)
-    val n       = meta.getLong(meta.fieldIndex("n"))
-    val t       = meta.getLong(meta.fieldIndex("t"))
-    val buckets = meta.getInt(meta.fieldIndex("buckets"))
+    val meta = readBm25Meta(spark, path)
     val qTerms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(toks(col(qtextCol)))).as("term"))
     val qBuckets = qTerms
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"))
+      .select(pmod(xxhash64(col("term")), lit(meta.buckets.toLong)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = spark.read.parquet(s"$path/${meta.gen}")
       .filter(col("bucket").isin(qBuckets: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    bm25Score(postings, qTerms, n, t, k)
+    bm25Score(postings, qTerms, meta.n, meta.t, k)
+  }
+
+  /** Maintenance: fold every `inc=` subtree of a [[writeBm25Index]]
+    * layout back into one base generation. Each [[appendToBm25Index]]
+    * leaves one file per touched bucket under its own `inc=` level
+    * (the idempotency unit), so after many crawls a probe opens one
+    * small file per crawl per bucket. Postings rows are EXACTLY-ONCE
+    * data (tf/df double-count under duplication), so the in-place
+    * file swap of [[Scale.compact]] — whose crash window briefly
+    * duplicates rows — is not usable here. Instead compaction is a
+    * GENERATION FLIP through the meta pointer:
+    *
+    *   1. the whole live tree is rewritten (one file set per bucket,
+    *      all increments folded into `inc=base`) to a NEW postings
+    *      generation directory;
+    *   2. meta is overwritten with `gen` pointing at it (n/t/buckets
+    *      and the `applied` ledger carry over unchanged — a replayed
+    *      pre-compaction increment still short-circuits);
+    *   3. the old generation is deleted.
+    *
+    * A crash before (2) leaves the old generation live and a partial
+    * orphan the next compaction statically overwrites; a crash before
+    * (3) leaves a dead orphan swept at the next compaction's start.
+    * Probes and appends always resolve the directory through meta, so
+    * they see exactly one complete generation at every point. Same
+    * single-writer contract as the append (meta read-modify-write).
+    * Returns (filesBefore, filesAfter). Spec: `IndexMaintenanceSpec`;
+    * ops notes: SCALING.md §Round-9.
+    */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    val meta = readBm25Meta(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    // sweep orphans from crashed earlier compactions: every postings*
+    // dir except the live generation is dead by construction
+    fs.listStatus(root).foreach { s =>
+      val nm = s.getPath.getName
+      if (s.isDirectory && nm.startsWith("postings") && nm != meta.gen)
+        fs.delete(s.getPath, true)
+    }
+    val cur  = s"$path/${meta.gen}"
+    val next = "postings_g" + (meta.gen match {
+      case "postings" => 1
+      case g          => g.stripPrefix("postings_g").toInt + 1
+    })
+    val before = dataFiles(cur)
+    spark.read.parquet(cur)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("bucket"))
+      .withColumn("inc", lit("base"))
+      .repartition(col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("inc", "bucket").parquet(s"$path/$next")
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        meta.n, meta.t, meta.buckets, meta.applied, next)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("buckets", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("applied",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("gen", org.apache.spark.sql.types.StringType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+    (before, dataFiles(s"$path/$next"))
   }
 
   /** Collocation extraction: consecutive-token bigram counts with a

@@ -36,9 +36,22 @@ object XlsxSource {
     * (`s4_xlsx_roundtrip`). Driver-side single file by design:
     * annotation workbooks are hundreds of rows, and a zip is not
     * splittable anyway (see the reader's scale note).
+    *
+    * `maxRows` enforces that dim-only contract: the frame is
+    * materialized on the driver, so a caller mis-pointing this at a
+    * fact table would OOM the driver silently — instead the guard
+    * counts `maxRows + 1` rows (a cheap LIMIT, not a full count) and
+    * fails with a named error BEFORE collecting anything. Raise the
+    * parameter deliberately if a genuinely larger export is intended.
     */
-  def writeXlsx(df: DataFrame, path: String, sheetName: String): Unit = {
+  def writeXlsx(df: DataFrame, path: String, sheetName: String,
+      maxRows: Int = 100000): Unit = {
     val cols = df.columns
+    if (df.limit(maxRows + 1).count() > maxRows)
+      throw new IllegalArgumentException(
+        s"XLSX_EXPORT_TOO_LARGE: writeXlsx materializes the frame on the driver and is " +
+          s"contracted for dim-scale annotation tables; input exceeds maxRows=$maxRows. " +
+          "Write parquet/csv for fact-scale data, or raise maxRows deliberately.")
     val data = df.collect()
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

@@ -71,6 +71,36 @@ class ChangeCaptureSpec extends SparkSpecBase {
       oldSnap.orderBy("k").collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming CDC: the same change file re-delivered across a CHECKPOINT WIPE " +
+      "leaves the snapshot identical") {
+    // the adversarial at-least-once scenario end to end: run the
+    // stream to completion, then destroy the checkpoint — the next
+    // run re-delivers EVERY change file as if never seen. Because
+    // applyChanges is an idempotent upsert, the replayed merges must
+    // reproduce the same snapshot, row for row.
+    import graft.streaming.EventsStream
+    val base = java.nio.file.Files.createTempDirectory("cdc-replay").toString
+    val snap = s"$base/snap"; val feed = s"$base/feed"; val ckpt = s"$base/ckpt"
+    oldSnap.write.mode("overwrite").parquet(snap)
+    val changes = diff()
+    changes.filter(col("k") % 2 === 0).coalesce(1).write.mode("append").parquet(feed)
+    changes.filter(col("k") % 2 =!= 0).coalesce(1).write.mode("append").parquet(feed)
+    def runStream(): Unit =
+      EventsStream.streamCdcApply(spark, snap, feed, changes.schema, ckpt,
+        Seq("k"), Seq("attr", "v")).awaitTermination()
+    runStream()
+    val once = spark.read.parquet(snap).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(once === newSnap.orderBy("k").collect().map(_.toSeq).toSeq,
+      "first pass must land exactly the new snapshot")
+    // wipe the checkpoint: the source forgets all progress
+    val p = java.nio.file.Paths.get(ckpt)
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(java.nio.file.Files.delete(_))
+    runStream() // full re-delivery of both change files
+    assert(spark.read.parquet(snap).orderBy("k").collect().map(_.toSeq).toSeq === once,
+      "checkpoint-wipe replay changed the snapshot — merge not idempotent")
+  }
+
   test("composite keys diff on the full key tuple") {
     val o = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("k1", "k2", "v")
     val n = Seq((1L, 1L, 10L), (1L, 2L, 25L), (2L, 1L, 30L)).toDF("k1", "k2", "v")

@@ -390,8 +390,10 @@ class IvfIndexSpec extends SparkSpecBase {
       .orderBy("query_id", "rank").collect().toSeq
     assert(fromIndex === inMemory)
     assert(fromIndex.nonEmpty)
-    // layout: one directory per cell, so a probe can prune to its cells
-    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+    // layout: inc=<id>/cell_id=<c> — one directory per cell under the
+    // build's inc=base level, so a probe can prune to its cells and an
+    // increment replay can overwrite only its own inc subtree
+    val cellDirs = new java.io.File(s"$dir/assigned/inc=base").listFiles()
       .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
     assert(cellDirs.size > 1 && cellDirs.size <= 16)
     // refined flavor round-trips too
@@ -673,7 +675,8 @@ class Bm25Spec extends SparkSpecBase {
     def probe() = TextAnalysis.probeBm25Index(spark, path, qs, "query_id", "qtext", k = 3)
       .orderBy("rank").collect().map(_.toSeq).toSeq
     val before = probe()
-    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") < 0), "doc_id", "text", path)
+    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") < 0), "doc_id", "text", path,
+      incrementId = "empty-batch")
     assert(probe() === before)
     assert(before.nonEmpty)
   }
@@ -687,7 +690,7 @@ class Bm25Spec extends SparkSpecBase {
       .toDF("query_id", "qtext")
     val inc = java.nio.file.Files.createTempDirectory("bm25-inc").toString
     TextAnalysis.writeBm25Index(half1, "doc_id", "text", inc, buckets = 16)
-    TextAnalysis.appendToBm25Index(half2, "doc_id", "text", inc)
+    TextAnalysis.appendToBm25Index(half2, "doc_id", "text", inc, incrementId = "half2")
     val full = java.nio.file.Files.createTempDirectory("bm25-full").toString
     TextAnalysis.writeBm25Index(d, "doc_id", "text", full, buckets = 16)
     def rows(path: String) =

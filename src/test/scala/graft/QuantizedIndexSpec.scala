@@ -64,7 +64,7 @@ class QuantizedIndexSpec extends SparkSpecBase {
 
     val pathA = Files.createTempDirectory("ivf-append").toString
     Similarity.writeIvfIndex(base, "vec_id", "embedding", pathA, nCells = 8)
-    Similarity.appendToIvfIndex(spark, inc, "vec_id", "embedding", pathA)
+    Similarity.appendToIvfIndex(spark, inc, "vec_id", "embedding", pathA, incrementId = "inc1")
 
     val pathR = Files.createTempDirectory("ivf-rebuild").toString
     Similarity.writeIvfIndex(base.unionByName(inc), "vec_id", "embedding", pathR, nCells = 8)
@@ -81,7 +81,7 @@ class QuantizedIndexSpec extends SparkSpecBase {
     // quantized flavor: same contract
     val pathQA = Files.createTempDirectory("ivfq-append").toString
     Similarity.writeIvfIndexQuantized(base, "vec_id", "embedding", pathQA, nCells = 8)
-    Similarity.appendToIvfIndexQuantized(spark, inc, "vec_id", "embedding", pathQA)
+    Similarity.appendToIvfIndexQuantized(spark, inc, "vec_id", "embedding", pathQA, incrementId = "inc1")
     val pathQR = Files.createTempDirectory("ivfq-rebuild").toString
     Similarity.writeIvfIndexQuantized(base.unionByName(inc), "vec_id", "embedding", pathQR, nCells = 8)
     def probeQ(p: String) =

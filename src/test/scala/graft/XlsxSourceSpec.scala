@@ -168,4 +168,20 @@ class XlsxSourceSpec extends SparkSpecBase {
       assert(back.count() === 2)
     } finally zf.close()
   }
+
+  test("writeXlsx refuses a frame over maxRows with a named error, before collecting") {
+    // the guard is what turns a mis-pointed fact table into a loud
+    // failure instead of a silent driver OOM (r8 verdict note)
+    val dir  = java.nio.file.Files.createTempDirectory("xlsx-guard").toString
+    val wide = spark.range(0, 50).selectExpr("id", "cast(id as string) as s")
+    val e = intercept[IllegalArgumentException] {
+      XlsxSource.writeXlsx(wide, s"$dir/too-big.xlsx", "data_ex_in_xls", maxRows = 10)
+    }
+    assert(e.getMessage.contains("XLSX_EXPORT_TOO_LARGE"))
+    assert(!new java.io.File(s"$dir/too-big.xlsx").exists(),
+      "guard must fire before any bytes are written")
+    // at exactly the limit the write proceeds
+    XlsxSource.writeXlsx(wide.limit(10), s"$dir/ok.xlsx", "data_ex_in_xls", maxRows = 10)
+    assert(new java.io.File(s"$dir/ok.xlsx").exists())
+  }
 }
