@@ -69,7 +69,10 @@ object Bench {
     "x_bm25_topk",
     "x_bm25_index",
     "x_retrieval_rerank",
-    "s9_stream_bm25"
+    "s9_stream_bm25",
+    // round-9 additions: hybrid fusion + incremental cluster fold
+    "x_retrieval_fusion",
+    "x_dedup_resolve_inc"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

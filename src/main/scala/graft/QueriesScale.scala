@@ -399,6 +399,34 @@ object QueriesScale {
         .orderBy(col("id"))
     }),
 
+    // ---- INCREMENTAL cluster maintenance: the steady-state crawl
+    // loop at 100 TB — base corpus clustered once (md5-LSH pairs →
+    // CC), the increment probes the PERSISTENT band index for its
+    // base×new pairs, pairs itself for new×new, and the fold contracts
+    // existing clusters to super-nodes so pointer-jumping touches an
+    // increment-sized graph, never the corpus. Oracle = the full
+    // recompute: LSH pairs over the union corpus + recursive closure,
+    // membership extended to singletons — equivalence is the whole
+    // point (fold(base, increment) ≡ CC(union)).
+    "x_dedup_resolve_inc" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val fresh = base.filter(col("id") < 25)
+        .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
+      val path = buildOnce("lshresinc", dir)(p => Dedup.writeMinhashIndexMd5(base, "id", "text", p))
+      val baseClusters = Dedup.connectedComponents(
+        Dedup.minhashLshPairsMd5(base, "id", "text"))
+      val bridge = Dedup.probeMinhashIndexMd5(s, path, fresh, "id", "text")
+        .select(col("id_a"), col("id_b"))
+      val intra = Dedup.minhashLshPairsMd5(fresh, "id", "text")
+        .select(col("id_a"), col("id_b"))
+      val folded = Dedup.foldClusters(baseClusters, bridge.unionByName(intra))
+      base.select(col("id")).unionByName(fresh.select(col("id")))
+        .join(folded, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+        .withColumn("kept", when(col("id") === col("cluster"), 1).otherwise(0))
+        .orderBy(col("id"))
+    }),
+
     // ---- QUALITY-AWARE cluster resolution: the production dedup
     // policy — keep the BEST member of each near-dup cluster (longest
     // doc, id tie-break), not the smallest id. Same ground-truth pair
@@ -1426,6 +1454,36 @@ object QueriesScale {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          |SELECT id, cluster, CASE WHEN id = cluster THEN 1 ELSE 0 END AS kept
          |FROM comp ORDER BY id""".stripMargin,
+    // the FULL RECOMPUTE the incremental fold must equal: md5-LSH
+    // pairs over the union corpus (the same sig/band algebra as
+    // x_dedup_minhash / IncrementalLshSql, unrestricted by side),
+    // recursive closure, membership extended to singletons
+    "x_dedup_resolve_inc" ->
+      s"""WITH RECURSIVE $CorpusSql,
+         |$ShinglesSql,
+         |sig AS (SELECT id, list_transform(range(0, 12),
+         |  k -> list_min(list_transform(shs, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+         | FROM sh WHERE len(shs) > 0),
+         |banded AS (SELECT id, sig, tb.b AS band,
+         |  array_to_string(list_slice(sig, tb.b * 3 + 1, tb.b * 3 + 3), '|') AS bucket
+         | FROM sig, range(0, 4) tb(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         | FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         | WHERE a.id < b.id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         | WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+         |SELECT c0.id, coalesce(comp.cluster, c0.id) AS cluster,
+         |  CASE WHEN c0.id = coalesce(comp.cluster, c0.id) THEN 1 ELSE 0 END AS kept
+         |FROM corpus c0 LEFT JOIN comp ON comp.id = c0.id
+         |ORDER BY c0.id""".stripMargin,
     // the keep-best variant: same recursive closure, membership
     // extended to singleton docs, winner = (n_tokens desc, id asc)
     "x_dedup_keep_best" ->

@@ -872,6 +872,57 @@ object Dedup {
     labels
   }
 
+  /** Fold an increment's near-dup pairs into an EXISTING clustering
+    * without global connected components — the maintenance half of
+    * [[connectedComponents]] for the steady-state crawl loop (probe
+    * the persistent index → fold the results), where re-running CC
+    * over a 100 TB corpus's full pair set per day is the thing to
+    * avoid.
+    *
+    * `baseClusters` is a prior (id, cluster) labeling with cluster =
+    * min member id (what [[connectedComponents]] emits);
+    * `incrementPairs` is every new pair with at least one new
+    * endpoint — (base × new) from probing the persisted LSH/sign-plane
+    * index plus (new × new) from pairing the increment against itself.
+    * Base endpoints are CONTRACTED to their cluster's super-node, so
+    * the CC here runs on a graph whose size is bounded by the
+    * increment's pair count — never the corpus: existing clusters
+    * enter as single nodes, and pointer-jumping touches only the
+    * components the increment actually connects to. A new doc
+    * bridging two existing clusters merges them (both remap to the
+    * merged root); untouched clusters pass through unchanged.
+    *
+    * Returns (id, cluster) for every id in `baseClusters` or the new
+    * pairs — equivalent to [[connectedComponents]] over the UNION
+    * pair set (oracle-proven by `x_dedup_resolve_inc`: the DuckDB
+    * side replays the full recompute), because contracting a
+    * component to one node preserves connectivity and min-label
+    * canonicalization commutes with the contraction (a cluster's
+    * super-node id IS its min member id).
+    */
+  def foldClusters(baseClusters: DataFrame, incrementPairs: DataFrame): DataFrame = {
+    val ca = baseClusters.select(col("id").as("id_a"), col("cluster").as("__ca"))
+    val cb = baseClusters.select(col("id").as("id_b"), col("cluster").as("__cb"))
+    // base endpoints → their cluster super-node; unlabeled endpoints
+    // (base singletons, new docs) stay themselves. Contraction can
+    // collapse a pair entirely (both endpoints already co-clustered).
+    val contracted = incrementPairs
+      .join(ca, Seq("id_a"), "left").join(cb, Seq("id_b"), "left")
+      .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+        coalesce(col("__cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cc = connectedComponents(contracted) // increment-sized graph
+    // affected super-nodes remap every member of their old cluster
+    val remap = cc.select(col("id").as("cluster"), col("cluster").as("__root"))
+    val baseOut = baseClusters.join(remap, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("__root"), col("cluster")).as("cluster"))
+    // nodes of the increment graph that are NOT already-labeled base
+    // docs: new docs and previously-singleton base docs
+    val newOut = cc.join(baseClusters.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+    baseOut.unionByName(newOut)
+  }
+
   /** Keep-one-per-cluster resolution: the corpus minus every
     * non-canonical member of a near-dup component (the minimum id
     * survives — deterministic, rerun-stable). Extends what exact

@@ -34,6 +34,35 @@ class DedupResolveSpec extends SparkSpecBase {
     assert(kept.toSeq === Seq(1L, 4L, 5L))
   }
 
+  test("foldClusters ≡ connectedComponents on the union — bridge merge, " +
+      "singleton promotion, new-only chain, untouched cluster") {
+    // base: {1,2} and {5,6} clustered, 50 a singleton, {8,9} untouched
+    val basePairs = Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val baseClusters = Dedup.connectedComponents(basePairs)
+    // increment: 100 BRIDGES the two base clusters (they must merge to
+    // min id 1 everywhere, including old members of cluster 5), 300
+    // pairs with the previously-singleton 50, and {200, 201} is a
+    // purely-new chain
+    val incPairs = Seq((2L, 100L), (6L, 100L), (50L, 300L), (200L, 201L))
+      .toDF("id_a", "id_b")
+    val folded = Dedup.foldClusters(baseClusters, incPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(basePairs.unionByName(incPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded === full)
+    // and the law holds on the specifics, not just by comparison
+    assert(folded(6L) === 1L, "bridge merge must relabel the absorbed cluster's members")
+    assert(folded(8L) === 8L && folded(9L) === 8L, "untouched cluster must pass through")
+    assert(folded(300L) === 50L && folded(201L) === 200L)
+  }
+
+  test("foldClusters with a new id below every base id re-canonicalizes the merged cluster") {
+    val baseClusters = Dedup.connectedComponents(Seq((10L, 11L)).toDF("id_a", "id_b"))
+    val folded = Dedup.foldClusters(baseClusters, Seq((3L, 11L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded === Map(3L -> 3L, 10L -> 3L, 11L -> 3L))
+  }
+
   test("overlapping clusters merge rather than over-delete") {
     // two pair lists that share node 2: {1,2} and {2,3} must not both
     // elect a survivor independently — one cluster, one survivor
