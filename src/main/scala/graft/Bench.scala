@@ -70,9 +70,16 @@ object Bench {
     "x_bm25_index",
     "x_retrieval_rerank",
     "s9_stream_bm25",
-    // round-9 additions: hybrid fusion + incremental cluster fold
+    // round-9 additions: hybrid fusion + incremental cluster fold,
+    // index retraction maintenance, graph communities, DSIR-style
+    // selection, domain-mixture cut
     "x_retrieval_fusion",
-    "x_dedup_resolve_inc"
+    "x_dedup_resolve_inc",
+    "x_bm25_delete",
+    "x_bm25_cdc",
+    "x_label_prop",
+    "x_dsir_select",
+    "x_mix_domains"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -804,6 +804,92 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- index maintenance under RETRACTION: build the postings
+    // index, logically delete every doc_id % 7 == 3 through the
+    // tombstone path (before-image = the indexed rows, the shape a
+    // CDC retraction feed provides), probe. Meta N/T unfold at delete
+    // time and df/tf recompute from live postings only, so the probe
+    // is identical to rebuilding on the remaining corpus — exactly
+    // what the oracle computes. At 100 TB the retraction batch pays
+    // O(batch): tombstones + a one-row meta fold, never a postings
+    // rewrite (compaction folds them physically later).
+    "x_bm25_delete" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val path = buildOnce("bm25del", dir) { p =>
+        TextAnalysis.writeBm25Index(docs(s, dir), "doc_id", "text", p)
+        TextAnalysis.deleteFromBm25Index(
+          docs(s, dir).filter(pmod(col("doc_id"), lit(7)) === 3),
+          "doc_id", "text", p, deleteId = "retract-1")
+      }
+      TextAnalysis.probeBm25Index(s, path, retrievalQueries(s), "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the full CDC-maintained-search-index cycle: index the old
+    // snapshot, snapshotDiff old vs new (deletes %13==3, updates
+    // %11==5 get ' updated content v2', inserts doc_id+50000 for
+    // doc_id<5), fold the change set through the tombstone+revive
+    // maintenance path, probe. Probe-after-CDC ≡ rebuild on the NEW
+    // snapshot — the oracle computes BM25 over the post-CDC corpus
+    // directly. O(batch) per fold; the index is never rewritten.
+    "x_bm25_cdc" -> ((s, dir) => {
+      import graft.ops.{ChangeCapture, TextAnalysis}
+      val path = buildOnce("bm25cdc", dir) { p =>
+        val old = docs(s, dir).select(col("doc_id"), col("text"))
+        TextAnalysis.writeBm25Index(old, "doc_id", "text", p)
+        val newSnap = old.filter(pmod(col("doc_id"), lit(13)) =!= 3)
+          .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 5,
+            concat(col("text"), lit(" updated content v2"))).otherwise(col("text")))
+          .unionByName(old.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 50000).as("doc_id"),
+              concat(col("text"), lit(" fresh addendum")).as("text")))
+        val diff = ChangeCapture.snapshotDiff(old, newSnap, Seq("doc_id"), Seq("text"))
+        TextAnalysis.applyCdcToBm25Index(diff, "doc_id", "text", p, batchId = "b1")
+      }
+      TextAnalysis.probeBm25Index(s, path, retrievalQueries(s), "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- host-graph COMMUNITIES by deterministic label propagation
+    // (most-frequent neighbor label, ties to the lexicographic min;
+    // 3 synchronous rounds) — the mirror-farm/template-network signal
+    // next to the two PageRank authority gates; the oracle unrolls
+    // the same three rounds (count + row_number, no floats anywhere).
+    "x_label_prop" -> ((s, dir) => {
+      import graft.ops.LinkGraph
+      LinkGraph.labelPropagation(hostEdges(s, dir), iters = 3)
+        .orderBy(col("host"))
+    }),
+
+    // ---- DSIR-style data selection (hashed unigram+bigram
+    // importance weights, Xie et al. 2023): target = the German-
+    // language slice, raw = the whole corpus; two-stage integer
+    // probability-ratio weights at scale 10^6 so the oracle replays
+    // the entire selection bucket-for-bucket (md5-nibble feature
+    // hashing — the DuckDB-replayable flavor). Top-100 by affinity
+    // with deterministic tie-break; TakeOrdered, no global window.
+    "x_dsir_select" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      TextAnalysis.hashedAffinityScore(
+          d, "doc_id", "text", d.filter(col("lang") === "de"), "text",
+          buckets = 4096, scale = 1000000L)
+        .orderBy(col("affinity").desc, col("doc_id").asc)
+        .limit(100)
+    }),
+
+    // ---- deterministic domain-mixture cut: per-source token budgets
+    // (two tiers derived from the source name so both engines compute
+    // them), docs ranked inside their domain by the DetHash unit
+    // order, greedy prefix kept while the cumulative token count
+    // stays within budget — the Pile/Dolma mixing step as one window.
+    "x_mix_domains" -> ((s, dir) => {
+      val budgets = docs(s, dir).select(col("source").as("domain")).distinct()
+        .withColumn("budget", (lit(300) * (lit(1) + length(col("domain")) % 3)).cast("long"))
+      CorpusOps.mixDomains(docs(s, dir), "doc_id", "text", "source", budgets)
+        .orderBy(col("source"), col("cum_tokens"))
+    }),
+
     // ---- the same probe ONLINE: queries arrive as a STREAM, each
     // micro-batch probes the postings index inside foreachBatch and
     // appends ranked results — retrieval-at-ingest. Batch bm25TopK is
@@ -2175,6 +2261,111 @@ object QueriesScale {
     // operator by construction (shared scoring core) — same oracle
     "x_bm25_index" -> Bm25OracleSql,
     "s9_stream_bm25" -> Bm25OracleSql,
+    // retraction maintenance: probe-after-delete must equal a rebuild
+    // on the remaining corpus, so the oracle IS the shared BM25 SQL
+    // with the retracted docs filtered out of the corpus CTE
+    "x_bm25_delete" -> Bm25OracleSql.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 7 <> 3)"),
+    // CDC maintenance: probe-after-fold must equal a rebuild on the
+    // NEW snapshot, so the oracle is the shared BM25 SQL with the
+    // corpus CTE swapped for the post-CDC corpus (same delete/update/
+    // insert composition the Spark side diffs and folds)
+    "x_bm25_cdc" -> Bm25OracleSql.replace(
+      "d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t\n" +
+        "           FROM documents)",
+      """d0 AS (SELECT doc_id, text FROM documents),
+        |nc AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 5 THEN text || ' updated content v2' ELSE text END AS text
+        | FROM d0 WHERE doc_id % 13 <> 3
+        | UNION ALL
+        | SELECT doc_id + 50000 AS doc_id, text || ' fresh addendum' AS text
+        | FROM d0 WHERE doc_id < 5),
+        |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        | FROM nc)""".stripMargin),
+    // three unrolled synchronous label-propagation rounds over the
+    // symmetrized host graph — count + row_number per round, the same
+    // frequency-then-min argmax the Scala runs; no floats anywhere
+    "x_label_prop" ->
+      s"""WITH linked AS (
+         | SELECT doc_id, source, text ||
+         |  CASE WHEN doc_id % 4 = 0
+         |   THEN ' see https://example' || (doc_id % 7) || '.com/path/a' ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0
+         |   THEN ' and http://Data.org/x?q=1' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0
+         |   THEN ' ref https://src' || (doc_id % 20) || '.site/home' ELSE '' END AS t
+         | FROM documents),
+         |u AS (SELECT source, unnest(regexp_extract_all(t, '${CorpusOps.UrlRe}')) AS url
+         | FROM linked),
+         |e0 AS (SELECT DISTINCT source || '.site' AS src,
+         |  lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS dst FROM u),
+         |ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         |und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+         |l0 AS (SELECT DISTINCT src AS host, src AS label FROM und),
+         |f1 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         | FROM und e JOIN l0 l ON l.host = e.src GROUP BY 1, 2),
+         |l1 AS (SELECT node AS host, label FROM (
+         | SELECT node, label, row_number() OVER (
+         |  PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM f1) WHERE rn = 1),
+         |f2 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         | FROM und e JOIN l1 l ON l.host = e.src GROUP BY 1, 2),
+         |l2 AS (SELECT node AS host, label FROM (
+         | SELECT node, label, row_number() OVER (
+         |  PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM f2) WHERE rn = 1),
+         |f3 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         | FROM und e JOIN l2 l ON l.host = e.src GROUP BY 1, 2),
+         |l3 AS (SELECT node AS host, label FROM (
+         | SELECT node, label, row_number() OVER (
+         |  PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM f3) WHERE rn = 1),
+         |sz AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY 1)
+         |SELECT l3.host, l3.label AS community, sz.n_members
+         |FROM l3 JOIN sz USING (label) ORDER BY l3.host""".stripMargin,
+    // full replay of the hashed-affinity selection: same md5-nibble
+    // bucket assignment, same two-stage integer probability-ratio
+    // weights, same top-100 cut with the doc_id tie-break
+    "x_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM documents),
+        |f AS (
+        | SELECT doc_id, lang, unnest(tk) AS f FROM t
+        | UNION ALL
+        | SELECT doc_id, lang, tk[CAST(i.i AS INT)] || ' ' || tk[CAST(i.i + 1 AS INT)] AS f
+        | FROM t, unnest(range(1, len(tk))) AS i(i) WHERE len(tk) >= 2),
+        |fb AS (SELECT doc_id, lang,
+        |  ((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1)) % 4096 AS bucket FROM f),
+        |db AS (SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2),
+        |raw AS (SELECT bucket, sum(c) AS r FROM db GROUP BY 1),
+        |tgt AS (SELECT bucket, count(*) AS t FROM fb WHERE lang = 'de' GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(r) FROM raw) AS sr, (SELECT sum(t) FROM tgt) AS st),
+        |wgt AS (SELECT coalesce(raw.bucket, tgt.bucket) AS bucket,
+        |  (((coalesce(t, 0) + 1) * 1000000) // (st + 4096) * 1000000)
+        |   // greatest(((coalesce(r, 0) + 1) * 1000000) // (sr + 4096), 1) AS wgt
+        | FROM raw FULL OUTER JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
+        |sc AS (SELECT doc_id, sum(c) AS n_feats, sum(c * wgt) AS score
+        | FROM db JOIN wgt USING (bucket) GROUP BY 1)
+        |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, CAST(score AS BIGINT) AS score,
+        | CAST(score // n_feats AS BIGINT) AS affinity
+        |FROM sc ORDER BY affinity DESC, doc_id LIMIT 100""".stripMargin,
+    // same DetHash order, same per-domain running token sum, same
+    // hard-cap prefix cut
+    "x_mix_domains" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INT) AS n_tokens
+         | FROM documents),
+         |b AS (SELECT DISTINCT source AS domain,
+         |  CAST(300 * (1 + length(source) % 3) AS BIGINT) AS budget FROM documents),
+         |w AS (SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+         |  sum(CAST(d.n_tokens AS BIGINT)) OVER (PARTITION BY d.source
+         |   ORDER BY ${DetHash.detUnitSql("d.doc_id")}, d.doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         | FROM d JOIN b ON b.domain = d.source)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM w WHERE cum_tokens <= budget
+         |ORDER BY source, cum_tokens""".stripMargin,
     // the BM25 recall CTEs at k=20, then the mock cross-encoder
     // replayed as detUnit(query_id·10⁶ + doc_id) and the rerank window
     "x_retrieval_rerank" ->

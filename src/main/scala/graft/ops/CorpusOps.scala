@@ -113,6 +113,57 @@ object CorpusOps {
     df.filter(DetHash.detUnit(col(keyCol)) < rate)
   }
 
+  /** Deterministic DOMAIN-MIXTURE construction: cut each domain's
+    * corpus to a per-domain TOKEN budget (the Pile/Dolma mixing step
+    * — "this training run takes 200 B wiki tokens, 50 B forum
+    * tokens") with a reproducible, order-free document choice. Docs
+    * are ranked inside their domain by [[DetHash.detUnit]] of the key
+    * (a seeded shuffle that is a pure row function — stable under
+    * repartitioning, replayable in SQL, unlike `rand(seed)`), token
+    * counts accumulate in that order, and a doc survives iff its
+    * cumulative total stays within the domain's budget. Greedy
+    * prefix-cut semantics: the first doc to cross the budget line is
+    * dropped along with everything after it (budgets are hard caps,
+    * the usual mixing contract — a 1.01× overshoot at 100 TB is 1 TB
+    * of unbudgeted data).
+    *
+    * `budgets` is a (domain, budget) dim — broadcast. Domains absent
+    * from it are dropped entirely (explicit mixture lists are the
+    * contract; silently passing an unlisted domain through would un-
+    * budget the run).
+    *
+    * Scale shape: one corpus scan, one window sum partitioned by
+    * domain ordered by the hash. The per-domain sort is the exact-cut
+    * cost; when a single domain is shuffle-partition-sized-breaking
+    * huge, the standard two-pass refinement applies (pass 1 aggregates
+    * per-domain token totals, rate = budget/total bounds the detUnit
+    * threshold, pass 2 windows only the ~budget-sized prefix below
+    * threshold·(1+ε)) — same result, sort bounded by the budget not
+    * the domain. The gate runs the direct form; the refinement drops
+    * in above it without changing semantics.
+    *
+    * Returns surviving docs: key, domain, `n_tokens`, `cum_tokens`.
+    */
+  def mixDomains(
+      df: DataFrame,
+      keyCol: String,
+      textCol: String,
+      domainCol: String,
+      budgets: DataFrame // (domain, budget) — budget in tokens
+  ): DataFrame = {
+    val nTok = size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(DetHash.detUnit(col(keyCol)), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(keyCol), col(domainCol), nTok.as("n_tokens"))
+      .join(broadcast(budgets.select(col("domain").as(domainCol), col("budget"))),
+        Seq(domainCol))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col(keyCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** PII redaction: emails, then IPv4 addresses, then phone numbers
     * are replaced by placeholder tokens, with per-kind match counts
     * for the redaction audit (the aggregate a pipeline monitors — a

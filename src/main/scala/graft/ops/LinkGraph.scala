@@ -91,4 +91,59 @@ object LinkGraph {
       .join(indeg, ranks("host") === indeg("dst"), "left")
       .select(col("host"), col("rank"), coalesce(col("n_in"), lit(0L)).as("n_in"))
   }
+
+  /** Community detection by DETERMINISTIC synchronous label
+    * propagation (Raghavan et al. 2007's LPA, made cross-engine
+    * checkable): the graph is symmetrized (near-dup "same community"
+    * is an undirected notion), every node starts labeled with its own
+    * host string, and each of `iters` synchronous rounds relabels
+    * every node with its neighbors' MOST FREQUENT label — ties broken
+    * by the lexicographically smallest label. Classic LPA breaks ties
+    * randomly and updates asynchronously, which is irreproducible
+    * across partitionings, let alone engines; frequency-then-min is a
+    * pure function of the round's label frame, so K unrolled rounds
+    * replay exactly in the SQL oracle (count + row_number are both
+    * engines' native algebra — no floats anywhere).
+    *
+    * Curation use: communities over the host link graph group mirror
+    * farms / template networks the per-document near-dup passes can't
+    * see, the same authority-side signal family as [[pageRank]].
+    *
+    * Scale shape: per round, one equi-join of the edge list against
+    * the NODE-sized label frame on `src` (broadcast when the graph's
+    * node set is dim-sized, shuffle-on-src otherwise), one map-side-
+    * combinable (host, label) count, one node-partitioned window for
+    * the argmax — never anything corpus-sized; lineage truncated per
+    * round with localCheckpoint (the CC / Lloyd / pageRank pattern).
+    * Synchronous LPA on a symmetric graph can 2-cycle on bipartite
+    * islands instead of converging — callers pick `iters` as a fixed
+    * budget (the curation signal needs stable coarse communities, not
+    * a fixpoint proof).
+    *
+    * Returns one row per node: `host`, `community` (final label), and
+    * `n_members` (community size).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val dir = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("src").as("host")).distinct()
+      .withColumn("label", col("host"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val freq = e.join(labels, e("src") === labels("host"))
+        .groupBy(e("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("cnt").desc, col("label").asc)
+      labels = freq.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node").as("host"), col("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("host"), col("label").as("community"), col("n_members"))
+  }
 }

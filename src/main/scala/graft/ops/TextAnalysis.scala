@@ -363,12 +363,27 @@ object TextAnalysis {
       incrementId: String): Unit = {
     val spark = df.sparkSession
     val meta  = readBm25Meta(spark, path)
-    require(incrementId.nonEmpty && incrementId != "base",
-      s"incrementId must be a non-empty id other than the reserved 'base' (got '$incrementId')")
+    require(incrementId.nonEmpty && incrementId != "base" && !incrementId.startsWith("del:"),
+      s"incrementId must be a non-empty id other than the reserved 'base' and not " +
+        s"'del:'-prefixed (the delete ledger namespace) — got '$incrementId'")
     if (meta.applied.contains(incrementId)) return // fully committed earlier — no-op
     val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t")).persist()
     try {
       bm25PostingsLayout(base, meta.buckets, s"$path/${meta.gen}", incrementId, dynamic = true)
+      // revive markers: increment docs that are currently tombstoned
+      // are being RE-ADDED — record (doc_id, inc) so a later
+      // retraction of such a doc knows it is live again. Same
+      // idempotency unit as the postings (inc= dynamic overwrite,
+      // written before meta); the tombstone set is broadcast-sized.
+      bm25Tombstones(spark, path).foreach { ts =>
+        base.select(col("doc_id")).distinct()
+          .join(broadcast(ts.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+          .withColumn("inc", lit(incrementId))
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(s"$path/revives")
+      }
       // sum over an EMPTY increment is NULL — coalesce, or a no-op
       // crawl batch would overwrite meta.t with NULL and poison every
       // later probe until a full rebuild
@@ -398,10 +413,197 @@ object TextAnalysis {
     val qBuckets = qTerms
       .select(pmod(xxhash64(col("term")), lit(meta.buckets.toLong)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/${meta.gen}")
+    val raw = spark.read.parquet(s"$path/${meta.gen}")
       .filter(col("bucket").isin(qBuckets: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("inc"))
+    // tombstone filter, LEDGER-RANK-AWARE: a tombstone masks only
+    // postings from increments committed BEFORE it — an updated doc
+    // (delete old + append new, the CDC upsert) keeps its re-appended
+    // postings visible while its stale ones stay dead. df/tf then
+    // come only from LIVE rows — the same postings a rebuild on the
+    // current corpus would produce. The tombstone set is
+    // delete-batch-sized (compaction clears it), so the join
+    // broadcasts.
+    val postings = (bm25Tombstones(spark, path) match {
+      case Some(ts) =>
+        val ranks = ledgerRanks(meta)
+        val dead = ts.select(col("doc_id"), rankOf(col("del"), ranks.del).as("__r"))
+          .groupBy(col("doc_id")).agg(max(col("__r")).as("dead_rank"))
+        raw.join(broadcast(dead), Seq("doc_id"), "left")
+          .filter(col("dead_rank").isNull ||
+            rankOf(col("inc"), ranks.inc) > col("dead_rank"))
+          .drop("dead_rank")
+      case None => raw
+    }).select(col("doc_id"), col("dl"), col("term"), col("tf"))
     bm25Score(postings, qTerms, meta.n, meta.t, k)
+  }
+
+  /** Position of every maintenance event in meta's `applied` ledger —
+    * the ordering that makes tombstones and re-appends commute
+    * correctly. The base build is rank 0; applied(k) is rank k+1,
+    * split into the increment namespace (postings/revive `inc=`
+    * values) and the delete namespace (`del:`-prefixed entries,
+    * tombstone `del=` values). Events present on disk but absent from
+    * the ledger (the crash window between a data write and its meta
+    * commit) rank Int.MaxValue — "newer than everything": a
+    * half-committed append stays visible, a half-committed delete
+    * masks conservatively; both heal when the crashed call replays
+    * (the single-writer recovery protocol: replay the interrupted
+    * maintenance op before issuing new ones).
+    */
+  private case class LedgerRanks(inc: Map[String, Int], del: Map[String, Int])
+  private def ledgerRanks(meta: Bm25Meta): LedgerRanks = {
+    val inc = scala.collection.mutable.Map("base" -> 0)
+    val del = scala.collection.mutable.Map.empty[String, Int]
+    meta.applied.zipWithIndex.foreach { case (e, i) =>
+      if (e.startsWith("del:")) del(e.stripPrefix("del:")) = i + 1
+      else inc(e) = i + 1
+    }
+    LedgerRanks(inc.toMap, del.toMap)
+  }
+  /** Ledger rank of an event-id column — a map-literal lookup (one
+    * codegen'd expression, ledger-sized), missing ids → Int.MaxValue.
+    */
+  private def rankOf(c: Column, m: Map[String, Int]): Column =
+    coalesce(element_at(typedLit(m), c), lit(Int.MaxValue))
+
+  /** True iff a maintenance side-tree holds at least one data file —
+    * an all-empty tree (only _SUCCESS markers, e.g. after an empty
+    * retraction batch) has no schema to infer and must count as
+    * absent, not throw.
+    */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) return true }
+    false
+  }
+
+  /** Pending tombstones `(doc_id, del)`, None once compaction folded
+    * them in.
+    */
+  private def bm25Tombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasDataFiles(fs, p))
+      Some(spark.read.parquet(s"$path/deletes").select(col("doc_id"), col("del")))
+    else None
+  }
+
+  /** Re-append markers `(doc_id, inc)` — written by
+    * [[appendToBm25Index]] for increment docs that were tombstoned at
+    * append time, so a LATER retraction of the re-added doc knows it
+    * is live again (the delete's meta unfold must count it). Cleared
+    * with the tombstones at compaction.
+    */
+  private def bm25Revives(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(s"$path/revives")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasDataFiles(fs, p))
+      Some(spark.read.parquet(s"$path/revives").select(col("doc_id"), col("inc")))
+    else None
+  }
+
+  /** Delete documents from a persistent BM25 index WITHOUT rewriting
+    * postings — the inverse of [[appendToBm25Index]], completing the
+    * index maintenance algebra (build / append / delete / compact).
+    * `df` must carry the BEFORE-IMAGE of the deleted documents — id
+    * plus the text exactly as indexed (the shape a CDC delete feed
+    * provides: the snapshot row being retracted). Deletes are
+    * logical: the doc ids land as tombstones under
+    * `deletes/del=<deleteId>` and the one-row meta UNFOLDS (N and T
+    * subtract the increment's doc/token counts) while recording
+    * `del:<deleteId>` in the same `applied` ledger appends use.
+    * Probes anti-join the tombstone set (broadcast — it is bounded by
+    * deletes since the last compaction); [[compactBm25Index]]
+    * physically drops the dead postings and clears the tombstones.
+    *
+    * Crash-consistency contract (spec-proven, `IndexMaintenanceSpec`):
+    *   - delete(∅) ≡ id — an empty retraction batch changes nothing;
+    *   - probe-after-delete ≡ rebuild on the remaining corpus — meta
+    *     scalars unfold with the exact token counts the build folded
+    *     in, and df recomputes from live postings only;
+    *   - replay-safe: a `deleteId` already in the ledger is a no-op;
+    *     after a crash between the tombstone write and the meta
+    *     overwrite, the replay overwrites its OWN `del=` partition
+    *     (dynamic partition overwrite) and recomputes the meta delta
+    *     from the before-image — tombstoned-but-unfolded rows are
+    *     excluded by ignoring the current `deleteId`'s partition in
+    *     the already-dead check, so nothing double-subtracts;
+    *   - a doc retracted by TWO different deleteIds subtracts once
+    *     (the second batch anti-joins the first's tombstones) —
+    *     UNLESS a later increment re-added the doc in between (its
+    *     revive marker outranks the tombstone in the applied ledger),
+    *     in which case the new retraction correctly unfolds again:
+    *     the delete/re-add/delete cycle a CDC update feed produces.
+    *
+    * Same single-writer contract as the append (meta is a
+    * read-modify-write scalar). Deleting a document that was never
+    * indexed (a before-image the index has not seen) is a caller
+    * error the engine cannot detect in O(increment) — membership
+    * would cost a corpus-wide postings scan — and permanently skews
+    * the meta scalars until a rebuild; CDC feeds never produce it
+    * (retractions come from the indexed snapshot).
+    */
+  def deleteFromBm25Index(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      deleteId: String): Unit = {
+    val spark = df.sparkSession
+    val meta  = readBm25Meta(spark, path)
+    require(deleteId.nonEmpty, "deleteId must be non-empty")
+    val ledgerKey = s"del:$deleteId"
+    if (meta.applied.contains(ledgerKey)) return // fully committed earlier — no-op
+    // "already dead" is LEDGER-RANK-AWARE: a doc is dead iff its
+    // newest tombstone outranks its newest re-append (revive marker)
+    // — so retracting a doc that a later increment re-added DOES
+    // unfold meta again (the CDC repeated-update cycle), while a
+    // stray double-retraction still subtracts once. A replay must
+    // NOT see its own half-committed tombstones as "already dead" or
+    // the meta delta would fold to zero — the current deleteId's
+    // partition is excluded from the check.
+    val ranks = ledgerRanks(meta)
+    val deadBefore = bm25Tombstones(spark, path).map { ts =>
+      val dmax = ts.filter(col("del") =!= deleteId)
+        .select(col("doc_id"), rankOf(col("del"), ranks.del).as("__r"))
+        .groupBy(col("doc_id")).agg(max(col("__r")).as("dead_rank"))
+      val withRev = bm25Revives(spark, path) match {
+        case Some(rv) =>
+          val rmax = rv.select(col("doc_id"), rankOf(col("inc"), ranks.inc).as("__r"))
+            .groupBy(col("doc_id")).agg(max(col("__r")).as("rev_rank"))
+          dmax.join(rmax, Seq("doc_id"), "left")
+        case None => dmax.withColumn("rev_rank", lit(null).cast("int"))
+      }
+      withRev.filter(coalesce(col("rev_rank"), lit(-1)) < col("dead_rank"))
+        .select(col("doc_id"))
+    }
+    val victims0 = df
+      .select(col(idCol).as("doc_id"), size(toks(col(textCol))).as("dl"))
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    val victims = (deadBefore match {
+      case Some(dead) => victims0.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      case None       => victims0
+    }).persist()
+    try {
+      // tombstones first, meta second — the same ordering discipline
+      // as the append (postings before meta): a crash in between
+      // leaves extra tombstones that mask already-unfolded docs from
+      // probes (harmless: df drops, n/t still count them — scores
+      // shift conservatively) and the replay repairs meta exactly
+      victims.select(col("doc_id"), lit(deleteId).as("del"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("del").parquet(s"$path/deletes")
+      victims.agg((lit(meta.n) - count(lit(1))).as("n"),
+          (lit(meta.t) - coalesce(sum(col("dl")), lit(0L))).as("t"))
+        .withColumn("buckets", lit(meta.buckets))
+        .withColumn("applied", typedLit[Seq[String]](meta.applied :+ ledgerKey))
+        .withColumn("gen", lit(meta.gen))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally { victims.unpersist(): Unit }
   }
 
   /** Maintenance: fold every `inc=` subtree of a [[writeBm25Index]]
@@ -425,6 +627,10 @@ object TextAnalysis {
     * A crash before (2) leaves the old generation live and a partial
     * orphan the next compaction statically overwrites; a crash before
     * (3) leaves a dead orphan swept at the next compaction's start.
+    * Pending [[deleteFromBm25Index]] tombstones fold into the flip:
+    * the new generation is written without the dead docs' postings
+    * and the tombstone directory is cleared last (a crash in between
+    * leaves tombstones that anti-join nothing — harmless).
     * Probes and appends always resolve the directory through meta, so
     * they see exactly one complete generation at every point. Same
     * single-writer contract as the append (meta read-modify-write).
@@ -455,8 +661,29 @@ object TextAnalysis {
       case g          => g.stripPrefix("postings_g").toInt + 1
     })
     val before = dataFiles(cur)
-    spark.read.parquet(cur)
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("bucket"))
+    val live = spark.read.parquet(cur)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("bucket"), col("inc"))
+    // fold pending tombstones into the flip with the same ledger-rank
+    // rule probes use (a tombstone kills only postings from OLDER
+    // increments — a re-appended doc keeps its newest postings): the
+    // new generation is written WITHOUT the dead rows, so after the
+    // meta pointer lands the tombstone/revive trees are redundant and
+    // are cleared (a crash between the flip and the clear is harmless
+    // — a tombstone whose dead rows are already gone masks nothing,
+    // and rank(base)=0 keeps surviving rows visible only because
+    // their tombstones were dropped with the dirs)
+    val compacted = (bm25Tombstones(spark, path) match {
+      case Some(ts) =>
+        val ranks = ledgerRanks(meta)
+        val dead = ts.select(col("doc_id"), rankOf(col("del"), ranks.del).as("__r"))
+          .groupBy(col("doc_id")).agg(max(col("__r")).as("dead_rank"))
+        live.join(broadcast(dead), Seq("doc_id"), "left")
+          .filter(col("dead_rank").isNull ||
+            rankOf(col("inc"), ranks.inc) > col("dead_rank"))
+          .drop("dead_rank")
+      case None => live
+    }).drop("inc")
+    compacted
       .withColumn("inc", lit("base"))
       .repartition(col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -473,7 +700,123 @@ object TextAnalysis {
         org.apache.spark.sql.types.StructField("gen", org.apache.spark.sql.types.StringType))))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/revives"), true)
     (before, dataFiles(s"$path/$next"))
+  }
+
+  /** Fold a [[ChangeCapture.snapshotDiff]] change set into a
+    * persistent BM25 index — the CDC-maintained-search-index bridge:
+    * retractions (the before-image of deletes AND updates) go through
+    * [[deleteFromBm25Index]], additions (the after-image of inserts
+    * AND updates) through [[appendToBm25Index]], in that order so the
+    * append's revive markers land ON TOP of the batch's own
+    * tombstones (an updated doc ends live with exactly its new
+    * postings; n/t net out to the corpus delta). Each leg records its
+    * own ledger entry from `batchId` (`del:cdc-<id>` / `cdc-<id>`),
+    * so replaying the batch after ANY crash point is exactly-once:
+    * both legs committed → double no-op; delete committed only → the
+    * replayed delete short-circuits and the append lands. The change
+    * set must carry `change_type`, `old_<textCol>`, `new_<textCol>` —
+    * precisely [[ChangeCapture.snapshotDiff]]'s shape with
+    * `compare = Seq(textCol)`. Cost per batch: O(batch) — tombstones,
+    * revive markers, the increment's postings, two one-row meta
+    * folds; the index is never rewritten (compaction amortizes that
+    * separately).
+    */
+  def applyCdcToBm25Index(
+      changes: DataFrame, keyCol: String, textCol: String,
+      path: String, batchId: String): Unit = {
+    require(batchId.nonEmpty, "batchId must be non-empty")
+    val before = changes.filter(col("change_type").isin("delete", "update"))
+      .select(col(keyCol), col(s"old_$textCol").as(textCol))
+    val after = changes.filter(col("change_type").isin("insert", "update"))
+      .select(col(keyCol), col(s"new_$textCol").as(textCol))
+    deleteFromBm25Index(before, keyCol, textCol, path, deleteId = s"cdc-$batchId")
+    appendToBm25Index(after, keyCol, textCol, path, incrementId = s"cdc-$batchId")
+  }
+
+  /** Data-selection affinity via HASHED n-gram importance weights —
+    * the DSIR family (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling") re-expressed in exact integer
+    * arithmetic. DSIR scores every raw document by the likelihood
+    * ratio of its hashed n-gram features under a target-domain
+    * distribution vs the raw distribution, then keeps the top mass;
+    * the log-likelihood sum is not cross-engine checkable (log is not
+    * correctly rounded and float sums don't commute), so the engine
+    * scores with the SCALED PROBABILITY RATIO itself: per feature
+    * bucket `b`,
+    *
+    *   pt_b  = ((t_b + 1) · scale) div (S_t + B)     — target prob
+    *   pr_b  = ((r_b + 1) · scale) div (S_r + B)     — raw prob
+    *   wgt_b = (pt_b · scale) div max(pr_b, 1)       — their ratio
+    *
+    * (add-one smoothing over `B` buckets; `t`/`r` = target/raw bucket
+    * counts, `S` their totals) and per document
+    * `score = Σ_b c_b · wgt_b`, `affinity = score div n_feats` —
+    * integer sums commute, truncating div matches DuckDB `//`, so the
+    * whole selection replays hash-exact. The two-stage quantized form
+    * (probabilities first, then the ratio) keeps every intermediate
+    * ≤ scale² regardless of corpus size — the single-expression cross-
+    * multiplied ratio overflows int64 once bucket counts reach ~10⁵ —
+    * at the cost of probability quantization at 1/scale, noise-level
+    * for a selection score. Ratio and log-ratio order identically per
+    * bucket; summing ratios instead of logs weights high-affinity
+    * features more aggressively — fine for a selection score (DSIR
+    * itself notes the hashed proxy is what matters, not the exact
+    * estimator).
+    *
+    * Features are unigrams + consecutive bigrams, hashed to `buckets`
+    * cells by the first 16 bits of md5 (md5 so the DuckDB oracle can
+    * replay the bucket assignment nibble-for-nibble; xxhash64 exists
+    * only on the Spark side).
+    *
+    * Scale shape: ONE explode of the corpus into (doc, bucket, c)
+    * counts feeds both the raw distribution (map-side-combinable
+    * re-aggregate) and the scoring join; the weight table is
+    * `buckets`-sized (a dim — broadcast), the target sample is
+    * seed-corpus-sized and aggregates to the same dim. The corpus
+    * scans once; nothing driver-side.
+    *
+    * Returns one row per corpus doc: `doc_id`, `n_feats`, `score`,
+    * `affinity` (both integer at `scale`).
+    */
+  def hashedAffinityScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
+    def bucketCounts(df: DataFrame, id: Column, text: Column): DataFrame = {
+      df.select(id.as("doc_id"), toks(text).as("__t"))
+        .select(col("doc_id"), concat(col("__t"),
+          when(size(col("__t")) >= 2, expr(
+            "transform(sequence(0, size(__t) - 2), " +
+              "i -> concat(element_at(__t, i + 1), ' ', element_at(__t, i + 2)))"))
+            .otherwise(array().cast("array<string>"))).as("__f"))
+        .select(col("doc_id"), explode(col("__f")).as("f"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long"),
+            lit(buckets.toLong)).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    }
+    val docB = bucketCounts(corpus, col(idCol), col(textCol)).persist()
+    try {
+      val rawB = docB.groupBy(col("bucket")).agg(sum(col("c")).as("r"))
+      val tgtB = bucketCounts(target, lit(0L), col(targetTextCol))
+        .groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+      val totals = rawB.agg(sum(col("r")).as("sr"))
+        .crossJoin(tgtB.agg(sum(col("t")).as("st")))
+      val wgt = rawB.join(tgtB, Seq("bucket"), "full_outer")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          expr(s"((coalesce(t, 0L) + 1L) * ${scale}L) div (st + ${buckets}L)").as("pt"),
+          expr(s"((coalesce(r, 0L) + 1L) * ${scale}L) div (sr + ${buckets}L)").as("pr"))
+        .select(col("bucket"), expr(s"(pt * ${scale}L) div greatest(pr, 1L)").as("wgt"))
+      docB.join(broadcast(wgt), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("wgt")).as("score"))
+        .select(col("doc_id"), col("n_feats"), col("score"),
+          expr("score div n_feats").as("affinity"))
+    } finally { docB.unpersist(): Unit }
   }
 
   /** Collocation extraction: consecutive-token bigram counts with a

@@ -56,6 +56,37 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(byStratum("s2") > 420)                           // ~475 of 500
   }
 
+  test("mixDomains cuts each domain to its token budget by the DetHash prefix, exactly") {
+    import graft.functions.DetHash
+    // 40 docs across two domains, 5 tokens each ("w w w w w") so the
+    // cut arithmetic is trivial to replay: budget 12 keeps the first
+    // 2 docs of the hash order (cum 5, 10 — the 3rd crosses at 15)
+    val docs = (0L until 40L).map(i => (i, s"d${i % 2}", "w w w w w"))
+      .toDF("doc_id", "domain", "text")
+    val budgets = Seq(("d0", 12L), ("d1", 25L)).toDF("domain", "budget")
+    val out = CorpusOps.mixDomains(docs, "doc_id", "text", "domain", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val byDomain = out.groupBy(_._2)
+    assert(byDomain("d0").length === 2, "budget 12 over 5-token docs must keep 2")
+    assert(byDomain("d1").length === 5, "budget 25 over 5-token docs must keep 5")
+    // the kept set is the detUnit-order prefix, not an arbitrary subset
+    def prefix(dom: String, k: Int) = (0L until 40L).filter(i => s"d${i % 2}" == dom)
+      .sortBy(i => (DetHash.Mult * (i % DetHash.KeyMod)) % DetHash.Mod)
+      .take(k).toSet
+    assert(byDomain("d0").map(_._1).toSet === prefix("d0", 2))
+    assert(byDomain("d1").map(_._1).toSet === prefix("d1", 5))
+    assert(out.forall(_._3 === 5) && byDomain("d1").map(_._4).max === 25L)
+  }
+
+  test("mixDomains drops domains absent from the budget list and is layout-invariant") {
+    val docs = (0L until 60L).map(i => (i, s"d${i % 3}", "a b c")).toDF("doc_id", "domain", "text")
+    val budgets = Seq(("d0", 30L), ("d1", 9L)).toDF("domain", "budget")
+    val a = CorpusOps.mixDomains(docs, "doc_id", "text", "domain", budgets)
+    assert(a.filter(col("domain") === "d2").count() === 0, "unbudgeted domain leaked through")
+    val b = CorpusOps.mixDomains(docs.repartition(17), "doc_id", "text", "domain", budgets)
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+  }
+
   test("temperatureResample hits the target size with sqrt-flattened source shares, deterministically") {
     // 900 docs in a 8:1 source imbalance; sqrt weights flatten it to 3:1
     val df = (0L until 900L).map(i => (i, if (i < 800) "big" else "small")).toDF("k", "src")

@@ -27,6 +27,12 @@ import graft.ops.{CorpusOps, Dedup, Similarity, TextAnalysis}
   *      ordered writes): a replay after "postings landed, meta did
   *      not" must double-count nothing.
   *
+  *   4. deletes (BM25 — the one path with retraction support): the
+  *      same laws in reverse — delete(∅) ≡ id, probe-after-delete ≡
+  *      rebuild on the remaining corpus, replay-after-crash
+  *      double-subtracts nothing, and compaction folds tombstones
+  *      physically without changing probes.
+  *
   * Concurrency is NOT law-tested: BM25's meta fold is documented
   * single-writer; the other paths are pure partition appends with no
   * shared scalar.
@@ -157,6 +163,171 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     val (_, _) = TextAnalysis.compactBm25Index(spark, path)
     assert(rows(bm25Probe(path)) === after3, "second flip changed probe results")
     assert(new java.io.File(s"$path/postings_g2").exists())
+  }
+
+  test("law: BM25 delete(∅) ≡ id; probe-after-delete ≡ rebuild on the remaining corpus") {
+    val gone = docsAll.filter(col("id") % 5 === 2)
+    val kept = docsAll.filter(col("id") % 5 =!= 2)
+    val path = tmp("bm25-del")
+    TextAnalysis.writeBm25Index(docsAll, "id", "text", path, buckets = 8)
+    val before = rows(bm25Probe(path))
+    // empty retraction batch: nothing changes, not even meta
+    TextAnalysis.deleteFromBm25Index(docsAll.filter(col("id") < 0), "id", "text", path,
+      deleteId = "noop")
+    assert(rows(bm25Probe(path)) === before, "empty delete changed probe results")
+    // the real retraction, before-image = the indexed rows
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-1")
+    val remaining = tmp("bm25-del-rebuild")
+    TextAnalysis.writeBm25Index(kept, "id", "text", remaining, buckets = 8)
+    assert(rows(bm25Probe(path)) === rows(bm25Probe(remaining)),
+      "probe after delete diverges from rebuild on the remaining corpus")
+    // ledger short-circuit: replaying the committed retraction is a no-op
+    val metaAfter = spark.read.parquet(s"$path/meta").collect()(0)
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-1")
+    val metaReplay = spark.read.parquet(s"$path/meta").collect()(0)
+    assert(metaReplay.getLong(metaReplay.fieldIndex("n")) ===
+      metaAfter.getLong(metaAfter.fieldIndex("n")), "replayed delete re-folded meta.n")
+    assert(metaReplay.getLong(metaReplay.fieldIndex("t")) ===
+      metaAfter.getLong(metaAfter.fieldIndex("t")), "replayed delete re-folded meta.t")
+    // a doc retracted AGAIN under a different deleteId subtracts nothing
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-2")
+    val meta2 = spark.read.parquet(s"$path/meta").collect()(0)
+    assert(meta2.getLong(meta2.fieldIndex("n")) ===
+      metaAfter.getLong(metaAfter.fieldIndex("n")),
+      "double retraction under a new id double-subtracted meta.n")
+    assert(rows(bm25Probe(path)) === rows(bm25Probe(remaining)))
+  }
+
+  test("law: BM25 delete replay AFTER a crash between tombstones and meta double-subtracts nothing") {
+    val gone = docsAll.filter(col("id") % 4 === 1)
+    val path = tmp("bm25-del-crash")
+    TextAnalysis.writeBm25Index(docsAll, "id", "text", path, buckets = 8)
+    // crash simulator: full delete, then restore meta — on disk this
+    // is "tombstones committed, meta unfold never happened"
+    val metaSnap = tmp("bm25-del-metasnap")
+    deleteDir(metaSnap); copyDir(s"$path/meta", metaSnap)
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-1")
+    deleteDir(s"$path/meta"); copyDir(metaSnap, s"$path/meta")
+    // recovery replay: the ledger lacks retract-1, so the victims are
+    // recomputed IGNORING retract-1's own half-committed tombstones,
+    // its del= partition is overwritten, and the meta unfold commits
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-1")
+    val remaining = tmp("bm25-del-crash-rebuild")
+    TextAnalysis.writeBm25Index(docsAll.filter(col("id") % 4 =!= 1), "id", "text",
+      remaining, buckets = 8)
+    assert(rows(bm25Probe(path)) === rows(bm25Probe(remaining)),
+      "recovered delete diverges from rebuild — meta double-subtracted or victims lost")
+  }
+
+  test("maintenance: BM25 compaction folds pending tombstones — dead postings dropped, " +
+      "tombstone dir cleared, probes unchanged") {
+    val gone = docsAll.filter(col("id") % 5 === 0)
+    val path = tmp("bm25-del-compact")
+    TextAnalysis.writeBm25Index(docsAll, "id", "text", path, buckets = 4)
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-1")
+    val before = rows(bm25Probe(path))
+    val deadIds = gone.select(col("id")).collect().map(_.getLong(0)).toSet
+    TextAnalysis.compactBm25Index(spark, path)
+    assert(rows(bm25Probe(path)) === before, "tombstone fold changed probe results")
+    assert(!new java.io.File(s"$path/deletes").exists(),
+      "tombstone dir not cleared after the flip")
+    val live = spark.read.parquet(s"$path/postings_g1")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(live.intersect(deadIds).isEmpty,
+      "dead docs' postings survived compaction physically")
+    // the delete ledger survives the flip: a replayed pre-compaction
+    // retraction must still short-circuit (its docs are gone already)
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-1")
+    assert(rows(bm25Probe(path)) === before,
+      "replay of a folded retraction escaped the ledger after compaction")
+  }
+
+  test("maintenance: BM25 CDC fold — update/insert/delete cycle ≡ rebuild on the new snapshot, " +
+      "repeated updates net out, replay exactly-once, compaction clears both side-trees") {
+    import graft.ops.ChangeCapture
+    def mutate(df: DataFrame, tag: String): DataFrame = df
+      .filter(col("id") % 13 =!= 3)
+      .withColumn("text", when(col("id") % 11 === 5,
+        concat(col("text"), lit(s" updated $tag"))).otherwise(col("text")))
+    val old  = docsAll
+    val snap1 = mutate(old, "v2")
+      .unionByName(old.filter(col("id") < 5)
+        .select((col("id") + 50000).as("id"), concat(col("text"), lit(" fresh")).as("text")))
+    val path = tmp("bm25-cdc")
+    TextAnalysis.writeBm25Index(old, "id", "text", path, buckets = 8)
+    val diff1 = ChangeCapture.snapshotDiff(old, snap1, Seq("id"), Seq("text"))
+    TextAnalysis.applyCdcToBm25Index(diff1, "id", "text", path, batchId = "b1")
+    def rebuildProbe(snap: DataFrame, tag: String) = {
+      val p = tmp(s"bm25-cdc-rebuild-$tag")
+      TextAnalysis.writeBm25Index(snap, "id", "text", p, buckets = 8)
+      rows(bm25Probe(p))
+    }
+    assert(rows(bm25Probe(path)) === rebuildProbe(snap1, "s1"),
+      "CDC fold diverges from rebuild on the new snapshot")
+    val metaN = spark.read.parquet(s"$path/meta").collect()(0)
+    assert(metaN.getLong(metaN.fieldIndex("n")) === snap1.count(),
+      "meta.n did not net out to the new snapshot's doc count")
+    // replay the whole batch — both ledger entries short-circuit
+    TextAnalysis.applyCdcToBm25Index(diff1, "id", "text", path, batchId = "b1")
+    assert(rows(bm25Probe(path)) === rebuildProbe(snap1, "s1b"),
+      "replayed CDC batch changed the index")
+    // the repeated-update cycle: the SAME docs update again — their
+    // earlier revive markers must outrank the b1 tombstones so the b2
+    // retraction unfolds meta again instead of anti-joining to zero
+    val snap2 = snap1.withColumn("text", when(col("id") % 11 === 5,
+      concat(col("text"), lit(" again v3"))).otherwise(col("text")))
+    val diff2 = ChangeCapture.snapshotDiff(snap1, snap2, Seq("id"), Seq("text"))
+    TextAnalysis.applyCdcToBm25Index(diff2, "id", "text", path, batchId = "b2")
+    assert(rows(bm25Probe(path)) === rebuildProbe(snap2, "s2"),
+      "second update cycle diverges from rebuild — tombstone/revive ranks broken")
+    val meta2 = spark.read.parquet(s"$path/meta").collect()(0)
+    assert(meta2.getLong(meta2.fieldIndex("n")) === snap2.count(),
+      "meta.n drifted across the repeated-update cycle")
+    // compaction folds postings, tombstones AND revive markers
+    val before = rows(bm25Probe(path))
+    TextAnalysis.compactBm25Index(spark, path)
+    assert(rows(bm25Probe(path)) === before, "compaction changed post-CDC probes")
+    assert(!new java.io.File(s"$path/deletes").exists(), "tombstones not cleared")
+    assert(!new java.io.File(s"$path/revives").exists(), "revive markers not cleared")
+  }
+
+  test("law: BM25 CDC replay after a crash BETWEEN the delete and append legs lands exactly-once") {
+    import graft.ops.ChangeCapture
+    val old = docsAll
+    val snap = old.withColumn("text", when(col("id") % 2 === 0,
+      concat(col("text"), lit(" changed"))).otherwise(col("text")))
+    val path = tmp("bm25-cdc-crash")
+    TextAnalysis.writeBm25Index(old, "id", "text", path, buckets = 8)
+    val diff = ChangeCapture.snapshotDiff(old, snap, Seq("id"), Seq("text"))
+    // the crash: only the delete leg committed (exactly what the
+    // bridge runs first)
+    TextAnalysis.deleteFromBm25Index(
+      diff.filter(col("change_type").isin("delete", "update"))
+        .select(col("id"), col("old_text").as("text")),
+      "id", "text", path, deleteId = "cdc-b1")
+    // recovery: replay the WHOLE batch — delete short-circuits on its
+    // ledger entry, append lands
+    TextAnalysis.applyCdcToBm25Index(diff, "id", "text", path, batchId = "b1")
+    val rebuilt = tmp("bm25-cdc-crash-rebuild")
+    TextAnalysis.writeBm25Index(snap, "id", "text", rebuilt, buckets = 8)
+    assert(rows(bm25Probe(path)) === rows(bm25Probe(rebuilt)),
+      "replay after a between-legs crash diverges from rebuild")
+  }
+
+  test("maintenance: BM25 delete composes with append — probe ≡ rebuild on (remaining ∪ increment)") {
+    val gone = docsAll.filter(col("id") % 3 === 0)
+    val inc  = docsAll.filter(col("id") % 3 === 0)
+      .select((col("id") + 70000).as("id"), col("text"))
+    val path = tmp("bm25-del-append")
+    TextAnalysis.writeBm25Index(docsAll, "id", "text", path, buckets = 8)
+    TextAnalysis.deleteFromBm25Index(gone, "id", "text", path, deleteId = "retract-1")
+    TextAnalysis.appendToBm25Index(inc, "id", "text", path, incrementId = "crawl-1")
+    val expect = tmp("bm25-del-append-rebuild")
+    TextAnalysis.writeBm25Index(
+      docsAll.filter(col("id") % 3 =!= 0).unionByName(inc), "id", "text",
+      expect, buckets = 8)
+    assert(rows(bm25Probe(path)) === rows(bm25Probe(expect)),
+      "delete+append maintenance diverges from rebuild on the updated corpus")
   }
 
   // ------------------------------------------------------------------

@@ -93,4 +93,60 @@ class LinkGraphSpec extends SparkSpecBase {
     val rc = LinkGraph.pageRank(clean, 2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rm === rc)
   }
+
+  // ------------------------------------------------------------------
+  // label propagation
+  // ------------------------------------------------------------------
+
+  test("labelPropagation separates two planted 4-cliques joined by one bridge edge") {
+    // clique A {a1..a4}, clique B {b1..b4}, one bridge a1->b1;
+    // directed input — symmetrization is the operator's job. (With
+    // 3-cliques the deterministic min-label tie-break floods label a1
+    // across the bridge — a known LPA dynamic; 4-cliques give every
+    // node a strict in-clique majority and the communities hold.)
+    val cl = for {
+      g <- Seq("a", "b"); i <- 1 to 4; j <- 1 to 4 if i < j
+    } yield (s"$g$i", s"$g$j")
+    val edges = (cl :+ ("a1", "b1")).toDF("src", "dst")
+    val out = LinkGraph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet === (1 to 4).flatMap(i => Seq(s"a$i", s"b$i")).toSet)
+    val aComm = (1 to 4).map(i => out(s"a$i")._1).toSet
+    val bComm = (1 to 4).map(i => out(s"b$i")._1).toSet
+    assert(aComm.size === 1, s"clique A split: $out")
+    assert(bComm.size === 1, s"clique B split: $out")
+    assert(aComm.head !== bComm.head, "bridge edge merged the two cliques")
+    out.foreach { case (h, (c, n)) =>
+      assert(n === out.count(_._2._1 == c), s"n_members wrong for $h") }
+  }
+
+  test("labelPropagation replays by hand on a 4-node path (frequency argmax, min-label ties)") {
+    // path a - b - c - d; after symmetrization every neighbor multiset
+    // has distinct labels, so round 1 is pure min-label: a->b? a's
+    // only neighbor is b => label b; b's neighbors {a,c} tie at 1 =>
+    // min "a"; c: {b,d} => "b"; d: {c} => "c". Replay 3 rounds.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val und = Map(
+      "a" -> Seq("b"), "b" -> Seq("a", "c"), "c" -> Seq("b", "d"), "d" -> Seq("c"))
+    var lab = Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "d")
+    for (_ <- 1 to 3) {
+      lab = und.map { case (n, nbrs) =>
+        val freq = nbrs.map(lab).groupBy(identity).view.mapValues(_.size).toMap
+        val best = freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        n -> best
+      }
+    }
+    val out = LinkGraph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === lab)
+  }
+
+  test("labelPropagation is partition-layout invariant (deterministic tie-breaks)") {
+    val edges = (1 to 400).map(i => (s"h${i % 37}", s"h${(i * 13) % 41}")).toDF("src", "dst")
+    val one = LinkGraph.labelPropagation(edges.repartition(1), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val many = LinkGraph.labelPropagation(edges.repartition(16), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(one === many)
+  }
 }

@@ -700,6 +700,36 @@ class Bm25Spec extends SparkSpecBase {
     assert(got === rows(full))
     assert(got.nonEmpty)
   }
+
+  test("hashedAffinityScore ranks target-like docs above off-domain docs") {
+    import graft.ops.TextAnalysis
+    // two vocabularies that share nothing: "legal" docs vs "cooking"
+    // docs; target = a legal seed sample → legal corpus docs must all
+    // out-score cooking ones
+    val legal = (1L to 6L).map(i =>
+      (i, s"the court holds that clause $i of the agreement is void"))
+    val cook = (11L to 16L).map(i =>
+      (i, s"simmer the onions then add garlic and stir pan $i gently"))
+    val corpus = (legal ++ cook).toDF("doc_id", "text")
+    val target = Seq((0L, "the court finds the agreement clause enforceable"),
+      (0L, "this agreement is void where the court so holds")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedAffinityScore(corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val worstLegal = legal.map(l => out(l._1)).min
+    val bestCook   = cook.map(c => out(c._1)).max
+    assert(worstLegal > bestCook,
+      s"affinity failed to separate domains: legal min $worstLegal vs cooking max $bestCook")
+  }
+
+  test("hashedAffinityScore is partition-layout invariant (pure integer algebra)") {
+    import graft.ops.TextAnalysis
+    val d = GraftSession.table(spark, sf, "documents").limit(120)
+    val t = d.filter(col("lang") === "de")
+    def run(parts: Int) =
+      TextAnalysis.hashedAffinityScore(d.repartition(parts), "doc_id", "text", t, "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(1) === run(16))
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {
