@@ -172,6 +172,25 @@ object QueriesScale {
       |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** CDC-maintenance oracle (batch AND streaming flavors): the shared
+    * BM25 SQL with the corpus CTE swapped for the post-CDC corpus —
+    * probe-after-fold must equal a rebuild on the NEW snapshot (same
+    * delete/update/insert composition the Spark gates diff and fold).
+    */
+  private val CdcBm25OracleSql: String = Bm25OracleSql.replace(
+    "d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t\n" +
+      "           FROM documents)",
+    """d0 AS (SELECT doc_id, text FROM documents),
+      |nc AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 11 = 5 THEN text || ' updated content v2' ELSE text END AS text
+      | FROM d0 WHERE doc_id % 13 <> 3
+      | UNION ALL
+      | SELECT doc_id + 50000 AS doc_id, text || ' fresh addendum' AS text
+      | FROM d0 WHERE doc_id < 5),
+      |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      | FROM nc)""".stripMargin)
+
   /** Shared oracle for the incremental semantic probe (batch AND
     * streaming flavors): cosine pairs between the base embeddings and
     * the planted colinear increment on matching sign buckets —
@@ -845,6 +864,35 @@ object QueriesScale {
               concat(col("text"), lit(" fresh addendum")).as("text")))
         val diff = ChangeCapture.snapshotDiff(old, newSnap, Seq("doc_id"), Seq("text"))
         TextAnalysis.applyCdcToBm25Index(diff, "doc_id", "text", p, batchId = "b1")
+      }
+      TextAnalysis.probeBm25Index(s, path, retrievalQueries(s), "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the SAME CDC fold, ONLINE: the change set arrives as a
+    // stream and folds inside foreachBatch keyed by the streaming
+    // batchId — checkpoint replay re-delivers the same batchId and
+    // the index ledger short-circuits, so at-least-once delivery
+    // composes to exactly-once index maintenance. Probe afterwards ≡
+    // rebuild on the new snapshot; same oracle SQL as x_bm25_cdc.
+    "s9_stream_cdc_index" -> ((s, dir) => {
+      import graft.ops.{ChangeCapture, TextAnalysis}
+      val path = buildOnce("bm25cdcstream", dir) { p =>
+        val old = docs(s, dir).select(col("doc_id"), col("text"))
+        TextAnalysis.writeBm25Index(old, "doc_id", "text", p)
+        val newSnap = old.filter(pmod(col("doc_id"), lit(13)) =!= 3)
+          .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 5,
+            concat(col("text"), lit(" updated content v2"))).otherwise(col("text")))
+          .unionByName(old.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 50000).as("doc_id"),
+              concat(col("text"), lit(" fresh addendum")).as("text")))
+        val diff = ChangeCapture.snapshotDiff(old, newSnap, Seq("doc_id"), Seq("text"))
+        val chDir = GraftSession.freshGatePath("cdcchanges", dir)
+        diff.coalesce(1).write.mode("overwrite").parquet(chDir)
+        val ckpt = GraftSession.freshGatePath("cdcckpt", dir)
+        val q = EventsStream.streamCdcIndexMaintenance(
+          s, p, chDir, diff.schema, ckpt)
+        q.awaitTermination()
       }
       TextAnalysis.probeBm25Index(s, path, retrievalQueries(s), "query_id", "qtext", k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -2266,23 +2314,8 @@ object QueriesScale {
     // with the retracted docs filtered out of the corpus CTE
     "x_bm25_delete" -> Bm25OracleSql.replace(
       "FROM documents)", "FROM documents WHERE doc_id % 7 <> 3)"),
-    // CDC maintenance: probe-after-fold must equal a rebuild on the
-    // NEW snapshot, so the oracle is the shared BM25 SQL with the
-    // corpus CTE swapped for the post-CDC corpus (same delete/update/
-    // insert composition the Spark side diffs and folds)
-    "x_bm25_cdc" -> Bm25OracleSql.replace(
-      "d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t\n" +
-        "           FROM documents)",
-      """d0 AS (SELECT doc_id, text FROM documents),
-        |nc AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 11 = 5 THEN text || ' updated content v2' ELSE text END AS text
-        | FROM d0 WHERE doc_id % 13 <> 3
-        | UNION ALL
-        | SELECT doc_id + 50000 AS doc_id, text || ' fresh addendum' AS text
-        | FROM d0 WHERE doc_id < 5),
-        |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-        | FROM nc)""".stripMargin),
+    "x_bm25_cdc" -> CdcBm25OracleSql,
+    "s9_stream_cdc_index" -> CdcBm25OracleSql,
     // three unrolled synchronous label-propagation rounds over the
     // symmetrized host graph — count + row_number per round, the same
     // frequency-then-min argmax the Scala runs; no floats anywhere

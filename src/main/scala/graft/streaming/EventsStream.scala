@@ -243,6 +243,38 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING CDC index maintenance — the online form of the
+    * nightly-crawl loop: a change-set stream
+    * ([[graft.ops.ChangeCapture.snapshotDiff]] rows) folds into the
+    * persistent BM25 index inside `foreachBatch` via
+    * [[graft.ops.TextAnalysis.applyCdcToBm25Index]], keyed by the
+    * streaming batchId. Structured Streaming replays a
+    * checkpoint-recovered micro-batch with the SAME batchId, and the
+    * index's applied ledger short-circuits committed legs — so the
+    * pipeline is end-to-end exactly-once with no sink-side dedup: the
+    * stream's at-least-once delivery composes with the index's
+    * replay-idempotent maintenance ops. Batch probe semantics are the
+    * oracle (same SQL as `x_bm25_cdc`).
+    */
+  def streamCdcIndexMaintenance(
+      spark: SparkSession,
+      indexPath: String,
+      changesDir: String,
+      schema: StructType,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(changesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis.applyCdcToBm25Index(
+          batch, "doc_id", "text", indexPath, batchId = s"sb$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING rollup maintenance — the stats-table twin of the three
     * dedup-at-ingest streams: each arriving micro-batch FOLDS into the
     * persistent per-group stats table

@@ -164,4 +164,22 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"PassJoin blocking degraded to all-pairs:\n$plan")
   }
+
+  test("x_dsir_select: dim-sized weight table joins broadcast, selection is TakeOrdered") {
+    val plan = planOf(q("x_dsir_select"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-weight dim fell off broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 selection regressed to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"totals cross-join must stay broadcast-nested-loop over one row:\n$plan")
+  }
+
+  test("x_mix_domains: the budget dim joins broadcast; one window per domain") {
+    val plan = planOf(q("x_mix_domains"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"budget dim fell off broadcast:\n$plan")
+    assert(plan.linesIterator.count(_.contains("- Window [")) === 1,
+      s"mixture cut should be exactly one window pass:\n$plan")
+  }
 }
