@@ -78,6 +78,7 @@ object Bench {
     "x_bm25_delete",
     "x_bm25_cdc",
     "s9_stream_cdc_index",
+    "x_ann_cdc",
     "x_label_prop",
     "x_dsir_select",
     "x_mix_domains"

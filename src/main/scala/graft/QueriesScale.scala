@@ -788,6 +788,37 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- IVF index CDC maintenance — the embedding-store twin of
+    // x_bm25_cdc (a re-crawl re-embeds changed docs): index the old
+    // corpus, snapshotDiff old vs new (deletes %13==3, updates %11==5
+    // re-embedded with first-dim +0.5, inserts vec_id+100000 = 2× of
+    // vec_id<5), fold through the (neighbor_id, inc) tombstone path —
+    // no ledger needed, both legs partition-overwrite idempotent —
+    // then probe the ORIGINAL query set against the FROZEN centroids.
+    // Probe-after-fold ≡ rebuild on the new snapshot with the same
+    // centroids, which is exactly what the oracle computes.
+    "x_ann_cdc" -> ((s, dir) => {
+      import graft.ops.ChangeCapture
+      val path = buildOnce("ivfcdc", dir) { p =>
+        val old = emb(s, dir).select(col("vec_id"), col("embedding"))
+        Similarity.writeIvfIndex(old, "vec_id", "embedding", p, nCells = 16)
+        val newSnap = old.filter(pmod(col("vec_id"), lit(13)) =!= 3)
+          .withColumn("embedding", when(pmod(col("vec_id"), lit(11)) === 5,
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x)))
+            .otherwise(col("embedding")))
+          .unionByName(old.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding")))
+        val diff = ChangeCapture.snapshotDiff(old, newSnap, Seq("vec_id"), Seq("embedding"))
+        Similarity.applyCdcToIvfIndex(diff, "vec_id", "embedding", p, batchId = "b1")
+      }
+      Similarity.probeIvfIndex(s, path, emb(s, dir).filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- rarity-weighted top terms per doc (tf-idf family; rational
     // idf keeps ranks bit-reproducible cross-engine)
     "x_tfidf_topterms" -> ((s, dir) => {
@@ -1998,6 +2029,43 @@ object QueriesScale {
     },
     "x_ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT query_id, qv, cell_id FROM (
+         |  SELECT q.query_id, q.qv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM q CROSS JOIN cent) WHERE rn <= 4),
+         |scored AS (SELECT p.query_id, a.neighbor_id,
+         |  round(${cosSql("a.cv", "p.qv")}, 4) AS cosine
+         | FROM probes p JOIN assigned a USING (cell_id)
+         | WHERE p.query_id <> a.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         | FROM scored) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    // the CDC fold replayed directly: post-CDC corpus (same delete/
+    // update/insert composition), FROZEN centroids from the ORIGINAL
+    // corpus (vec_id < 16 — deletions/updates never touch stored
+    // centroids), original query set — the probe the maintained index
+    // must reproduce vector-for-vector
+    "x_ann_cdc" ->
+      s"""WITH c AS (
+         | SELECT vec_id AS neighbor_id,
+         |  CASE WHEN vec_id % 11 = 5 THEN list_transform(embedding, (x, i) ->
+         |   CAST(CASE WHEN i = 1 THEN CAST(x AS DOUBLE) + 0.5 ELSE CAST(x AS DOUBLE) END AS REAL))
+         |  ELSE embedding END AS cv
+         | FROM embeddings WHERE vec_id % 13 <> 3
+         | UNION ALL
+         | SELECT vec_id + 100000 AS neighbor_id,
+         |  list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS cv
+         | FROM embeddings WHERE vec_id < 5),
          |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
          |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
          |  SELECT c.neighbor_id, c.cv, cent.cell_id,

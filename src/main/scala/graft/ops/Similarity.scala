@@ -177,6 +177,7 @@ object Similarity {
     }
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     writeAssigned(ivfAssign(c, centroids), path, inc = "base", dynamic = false)
+    clearIvfTombstones(corpus.sparkSession, path) // rebuild = fresh index
   }
 
   /** ONE assigned-layout writer for build AND append — the
@@ -248,6 +249,125 @@ object Similarity {
     }
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     writeAssignedQuantized(ivfAssign(c, centroids), path, inc = "base", dynamic = false)
+    clearIvfTombstones(corpus.sparkSession, path) // rebuild = fresh index
+  }
+
+  /** Pending IVF tombstones `(neighbor_id, inc, del)`, None when the
+    * tree is absent or holds no data files (an empty retraction batch
+    * leaves only _SUCCESS markers — nothing to infer a schema from).
+    */
+  private def ivfTombstones(
+      spark: SparkSession, path: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var any = false
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (!any && it.hasNext) { any = it.next().getPath.getName.endsWith(".parquet") }
+    }
+    if (any) Some(spark.read.parquet(s"$path/deletes")
+      .select(col("neighbor_id"), col("inc"), col("del")))
+    else None
+  }
+
+  private def clearIvfTombstones(spark: SparkSession, path: String): Unit = {
+    val p  = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
+  }
+
+  /** Mask retracted vectors out of an assigned frame — shared by both
+    * probe flavors. The anti-join key is (neighbor_id, inc): a
+    * tombstone kills a vector only in the increments it SAW when it
+    * was written, so a later re-append (new `inc=`) stays visible.
+    */
+  private def maskDeleted(spark: SparkSession, path: String, assigned: DataFrame): DataFrame =
+    ivfTombstones(spark, path) match {
+      case Some(ts) => assigned.join(
+        broadcast(ts.select(col("neighbor_id"), col("inc")).distinct()),
+        Seq("neighbor_id", "inc"), "left_anti")
+      case None => assigned
+    }
+
+  /** Retract vectors from a persisted IVF index (both layouts share
+    * the tree) WITHOUT a meta ledger — the design that keeps IVF
+    * appends concurrency-safe stays intact. A tombstone row is
+    * `(neighbor_id, inc)` for EVERY `inc=` generation live at delete
+    * time: it kills the id's vectors in those increments and ONLY
+    * those, so re-appending the id later (a new increment the
+    * tombstone never saw — the CDC update cycle) is visible again
+    * without any ordering metadata. Tombstones land under their own
+    * `del=<deleteId>` partition via dynamic overwrite, so replaying a
+    * retraction converges (same idempotency unit as appends); cost is
+    * |batch| × |live increments| rows — bounded, broadcast at probe
+    * time; a rebuild clears the tree.
+    *
+    * `excludeInc` exempts one increment id from the kill set — the
+    * CDC bridge passes its own batch's increment so that a replay
+    * AFTER the append leg committed cannot tombstone the vectors it
+    * just (re-)added.
+    *
+    * Unlike BM25 there are no corpus scalars to unfold (the probe
+    * algebra uses no N/T), so delete(∅) ≡ id holds trivially and
+    * retracting a never-indexed id is harmless (its tombstones match
+    * nothing). Single-writer per logical delete id, same as appends.
+    */
+  def deleteFromIvfIndex(
+      spark: SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      path: String,
+      deleteId: String,
+      excludeInc: Option[String] = None
+  ): Unit = {
+    require(deleteId.nonEmpty, "deleteId must be non-empty")
+    val aRoot = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    val fs    = aRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveIncs = fs.listStatus(aRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
+      .map(_.getPath.getName.stripPrefix("inc="))
+      .filterNot(excludeInc.contains)
+    if (liveIncs.isEmpty) return
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .withColumn("inc", explode(typedLit(liveIncs)))
+      .withColumn("del", lit(deleteId))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("del").parquet(s"$path/deletes")
+  }
+
+  /** Fold a [[graft.ops.ChangeCapture.snapshotDiff]] change set into a
+    * persisted IVF index — the embedding-store twin of the BM25 CDC
+    * bridge (a re-crawled corpus re-embeds changed docs): retractions
+    * (deletes + updates, ids only — no vectors needed) tombstone the
+    * old versions, additions (inserts + updates, the new vectors)
+    * append under `inc=cdc-<batchId>` against the frozen centroids.
+    * Both legs are partition-overwrite idempotent and the delete leg
+    * excludes its own batch's increment from the kill set, so
+    * replaying the batch from ANY crash point converges with no
+    * ledger at all. Probe-after-fold ≡ rebuild on the new snapshot
+    * with the same centroids (law-tested; oracle-gated `x_ann_cdc`).
+    */
+  def applyCdcToIvfIndex(
+      changes: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      path: String,
+      batchId: String,
+      quantized: Boolean = false
+  ): Unit = {
+    require(batchId.nonEmpty, "batchId must be non-empty")
+    val spark = changes.sparkSession
+    val inc   = s"cdc-$batchId"
+    val before = changes.filter(col("change_type").isin("delete", "update"))
+      .select(col(keyCol))
+    val after = changes.filter(col("change_type").isin("insert", "update"))
+      .select(col(keyCol), col(s"new_$vecCol").as(vecCol))
+    deleteFromIvfIndex(spark, before, keyCol, path, deleteId = inc,
+      excludeInc = Some(inc))
+    if (quantized) appendToIvfIndexQuantized(spark, after, keyCol, vecCol, path, inc)
+    else appendToIvfIndex(spark, after, keyCol, vecCol, path, inc)
   }
 
   /** Fold a corpus increment INTO a persisted IVF index without
@@ -331,7 +451,7 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val assigned  = spark.read.parquet(s"$path/assigned")
+    val assigned  = maskDeleted(spark, path, spark.read.parquet(s"$path/assigned"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       call_function("quantize_i8b", col(vecCol)).getField("qb").as("qqb"))
@@ -365,7 +485,7 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val assigned  = spark.read.parquet(s"$path/assigned")
+    val assigned  = maskDeleted(spark, path, spark.read.parquet(s"$path/assigned"))
     probeTopK(assigned, centroids, queries, idCol, vecCol, k, nProbe)
   }
 

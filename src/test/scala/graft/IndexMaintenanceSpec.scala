@@ -363,6 +363,84 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("law: IVF delete(∅) ≡ id; probe-after-delete ≡ rebuild on remaining (both layouts)") {
+    // delete set avoids vec_id < 16 so the rebuild's sampled
+    // centroids (smallest 16 ids) are identical — the equivalence is
+    // then exact, not merely recall-equivalent
+    val gone = embAll.filter(col("vec_id") >= 20 && col("vec_id") % 13 === 3)
+    val kept = embAll.filter(!(col("vec_id") >= 20 && col("vec_id") % 13 === 3))
+    val q    = embAll.filter(col("vec_id") < 5)
+    for (quant <- Seq(false, true)) {
+      val path = tmp(s"ivf-del-$quant")
+      def probe(p: String) = rows(
+        (if (quant) Similarity.probeIvfIndexQuantized(spark, p, q, "vec_id", "embedding", k = 3)
+         else Similarity.probeIvfIndex(spark, p, q, "vec_id", "embedding", k = 3))
+          .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank"))
+      if (quant) Similarity.writeIvfIndexQuantized(embAll, "vec_id", "embedding", path, nCells = 8)
+      else Similarity.writeIvfIndex(embAll, "vec_id", "embedding", path, nCells = 8)
+      val before = probe(path)
+      Similarity.deleteFromIvfIndex(spark, embAll.filter(col("vec_id") < 0),
+        "vec_id", path, deleteId = "noop")
+      assert(probe(path) === before, s"empty delete changed probe results (quant=$quant)")
+      Similarity.deleteFromIvfIndex(spark, gone, "vec_id", path, deleteId = "retract-1")
+      Similarity.deleteFromIvfIndex(spark, gone, "vec_id", path, deleteId = "retract-1") // replay
+      val rebuilt = tmp(s"ivf-del-rebuild-$quant")
+      if (quant) Similarity.writeIvfIndexQuantized(kept, "vec_id", "embedding", rebuilt, nCells = 8)
+      else Similarity.writeIvfIndex(kept, "vec_id", "embedding", rebuilt, nCells = 8)
+      assert(probe(path) === probe(rebuilt),
+        s"probe after delete diverges from rebuild on remaining (quant=$quant)")
+    }
+  }
+
+  test("maintenance: IVF CDC fold ≡ rebuild with frozen centroids; repeated updates and " +
+      "full-batch replay converge without any ledger") {
+    import graft.ops.ChangeCapture
+    // updates avoid vec_id < 16 so a rebuild on the new snapshot
+    // samples THE SAME centroid vectors (frozen-centroid equivalence)
+    def upd(df: DataFrame, delta: Float): DataFrame = df
+      .withColumn("embedding", when(col("vec_id") >= 20 && col("vec_id") % 11 === 5,
+        transform(col("embedding"), (x, i) => when(i === 0, x + lit(delta)).otherwise(x)))
+        .otherwise(col("embedding")))
+    val old   = embAll
+    val snap1 = upd(old.filter(!(col("vec_id") >= 20 && col("vec_id") % 13 === 3)), 0.5f)
+      .unionByName(old.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding")))
+    val q    = old.filter(col("vec_id") < 5)
+    val path = tmp("ivf-cdc")
+    Similarity.writeIvfIndex(old, "vec_id", "embedding", path, nCells = 8)
+    // rebuild comparator reuses the INDEX's centroids so equivalence
+    // is against "rebuild with the same frozen cell geometry"
+    def rebuildProbe(snap: DataFrame, tag: String) = {
+      val p = tmp(s"ivf-cdc-rebuild-$tag")
+      Similarity.writeIvfIndex(snap, "vec_id", "embedding", p, nCells = 8)
+      rows(Similarity.probeIvfIndex(spark, p, q, "vec_id", "embedding", k = 3)
+        .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank"))
+    }
+    def probe() = rows(Similarity.probeIvfIndex(spark, path, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank"))
+    val diff1 = ChangeCapture.snapshotDiff(old, snap1, Seq("vec_id"), Seq("embedding"))
+    Similarity.applyCdcToIvfIndex(diff1, "vec_id", "embedding", path, batchId = "b1")
+    assert(probe() === rebuildProbe(snap1, "s1"),
+      "CDC fold diverges from rebuild on the new snapshot")
+    // full-batch replay AFTER complete commit: the delete leg
+    // excludes its own increment from the kill set, so the replayed
+    // tombstones cannot kill the vectors the batch itself appended
+    Similarity.applyCdcToIvfIndex(diff1, "vec_id", "embedding", path, batchId = "b1")
+    assert(probe() === rebuildProbe(snap1, "s1b"), "replayed CDC batch changed the index")
+    // second update round on the SAME vectors — re-appended versions
+    // must be retractable again (inc-set tombstones, no ranks needed)
+    val snap2 = upd(snap1, 0.25f)
+    val diff2 = ChangeCapture.snapshotDiff(snap1, snap2, Seq("vec_id"), Seq("embedding"))
+    Similarity.applyCdcToIvfIndex(diff2, "vec_id", "embedding", path, batchId = "b2")
+    assert(probe() === rebuildProbe(snap2, "s2"),
+      "second update cycle diverges — inc-set tombstones broken")
+    // rebuild clears the tombstone tree
+    Similarity.writeIvfIndex(snap2, "vec_id", "embedding", path, nCells = 8)
+    assert(!new java.io.File(s"$path/deletes").exists(),
+      "rebuild left stale tombstones behind")
+  }
+
   // ------------------------------------------------------------------
   // Set-semantics layouts: minhash bands / sign-plane / substring fp —
   // at-least-once storage, exactly-once probes
