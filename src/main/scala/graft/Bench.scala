@@ -79,6 +79,7 @@ object Bench {
     "x_bm25_cdc",
     "s9_stream_cdc_index",
     "x_ann_cdc",
+    "x_dedup_semantic_del",
     "x_label_prop",
     "x_dsir_select",
     "x_mix_domains"

@@ -314,6 +314,27 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- TAKEDOWN on the dedup surface: ids retired from the
+    // sign-plane index must stop matching new content (the corpus no
+    // longer carries them, so flagging an arrival as their near-dup
+    // would be wrong — and, for a right-to-be-forgotten retraction,
+    // a leak). Sources 0-9 are retired; the colinear increment copies
+    // of 0-19 then pair ONLY with the surviving 10-19. Oracle = the
+    // incremental-probe SQL with the base restricted to survivors.
+    "x_dedup_semantic_del" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val fresh = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val path = buildOnce("spdel", dir) { p =>
+        Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", p)
+        Dedup.deleteFromSignPlaneIndex(s, base.filter(col("vec_id") < 10),
+          "vec_id", p, deleteId = "takedown-1")
+      }
+      Dedup.probeSignPlaneIndex(s, path, fresh, "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- the same semantic probe ONLINE: the embedding increment
     // arrives as a STREAM and probes the persistent sign-plane index
     // per micro-batch (stateless keying + stream-static join, zero
@@ -1994,6 +2015,11 @@ object QueriesScale {
     // BOTH the batch index probe and its streaming twin
     "x_dedup_semantic_inc" -> semanticIncOracle,
     "s9_stream_semantic" -> semanticIncOracle,
+    // takedown: the same incremental-probe replay with the base
+    // restricted to the surviving (non-retired) ids
+    "x_dedup_semantic_del" -> semanticIncOracle.replace(
+      "base AS (SELECT vec_id AS id, embedding FROM embeddings)",
+      "base AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id >= 10)"),
     // increment windows joined to the base fingerprint set, covered
     // positions cut — gates BOTH the batch probe and its stream twin
     "x_dedup_substring_inc" -> substringIncOracle,

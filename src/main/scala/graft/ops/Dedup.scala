@@ -984,9 +984,66 @@ object Dedup {
       vecCol: String,
       path: String,
       planes: Int = 4
-  ): Unit =
+  ): Unit = {
     signPlaneIndexLayout(df, idCol, vecCol, path, planes,
       org.apache.spark.sql.SaveMode.Overwrite)
+    // rebuild = fresh index: stale takedown tombstones die with it
+    val p  = new org.apache.hadoop.fs.Path(s"${path}_deletes")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
+  }
+
+  /** RETIRE ids from the persistent sign-plane index — the takedown /
+    * right-to-be-forgotten path for the dedup surface: after a
+    * retraction, new content must no longer be flagged as a near-dup
+    * of the removed embeddings (the index would otherwise keep
+    * matching against content the corpus no longer carries).
+    * Tombstones land under `del=<deleteId>` in a SIBLING directory
+    * `<path>_deletes` (the index root itself is the bucket-partitioned
+    * parquet — a subdir inside it would pollute partition discovery);
+    * dynamic partition overwrite makes replaying a retraction
+    * converge, and a rebuild clears the tree. Probes mask retired ids
+    * with one broadcast anti-join.
+    *
+    * Retirement is PERMANENT for the id: every stored row of the id
+    * is masked, whenever appended. Re-embedding cycles (retract +
+    * re-add the SAME id) are the IVF/CDC path's contract (inc-set
+    * tombstones); this dedup index's update path is append-only
+    * increments with fresh ids, where permanent retirement is exactly
+    * the takedown semantics wanted.
+    */
+  def deleteFromSignPlaneIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      idCol: String,
+      path: String,
+      deleteId: String
+  ): Unit = {
+    require(deleteId.nonEmpty, "deleteId must be non-empty")
+    ids.select(col(idCol).as("id")).distinct()
+      .withColumn("del", lit(deleteId))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("del").parquet(s"${path}_deletes")
+  }
+
+  /** Retired-id set of a sign-plane index, None when no takedowns are
+    * pending (or the tree holds only _SUCCESS markers — an empty
+    * retraction batch has no schema to infer).
+    */
+  private def signPlaneTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(s"${path}_deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var any = false
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (!any && it.hasNext) { any = it.next().getPath.getName.endsWith(".parquet") }
+    }
+    if (any) Some(spark.read.parquet(s"${path}_deletes").select(col("id")))
+    else None
+  }
 
   /** Shared build/append layout pipeline — see [[minhashIndexLayout]]. */
   private def signPlaneIndexLayout(
@@ -1045,7 +1102,12 @@ object Dedup {
     // no embeddings is an empty partitioned dir, and schema inference
     // would throw where the correct semantics is "no history → no
     // pairs" — same contract as probeSubstringIndex.
-    val index  = spark.read.schema(probes.schema).parquet(path)
+    val index0 = spark.read.schema(probes.schema).parquet(path)
+    // takedown mask: retired ids must stop matching new content
+    val index = signPlaneTombstones(spark, path) match {
+      case Some(dead) => index0.join(broadcast(dead), Seq("id"), "left_anti")
+      case None       => index0
+    }
     val cos    = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     index.as("a")
       .join(probes.as("b"), col("a.bucket") === col("b.bucket"))

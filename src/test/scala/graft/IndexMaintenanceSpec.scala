@@ -485,6 +485,38 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     assert(probe() === once, "empty append changed probe results")
   }
 
+  test("law: sign-plane takedown — delete(∅) ≡ id, probe ≡ rebuild on survivors, " +
+      "replay converges, rebuild clears tombstones") {
+    val base = embAll
+    val fresh = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val gone = base.filter(col("vec_id") < 10)
+    val path = tmp("sp-del")
+    Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
+    def probe(p: String) = rows(
+      Dedup.probeSignPlaneIndex(spark, p, fresh, "vec_id", "embedding", 0.99)
+        .orderBy("id_a", "id_b"))
+    val before = probe(path)
+    Dedup.deleteFromSignPlaneIndex(spark, base.filter(col("vec_id") < 0),
+      "vec_id", path, deleteId = "noop")
+    assert(probe(path) === before, "empty takedown changed probe results")
+    Dedup.deleteFromSignPlaneIndex(spark, gone, "vec_id", path, deleteId = "takedown-1")
+    Dedup.deleteFromSignPlaneIndex(spark, gone, "vec_id", path, deleteId = "takedown-1") // replay
+    val rebuilt = tmp("sp-del-rebuild")
+    Dedup.writeSignPlaneIndex(base.filter(col("vec_id") >= 10), "vec_id", "embedding", rebuilt)
+    val after = probe(path)
+    assert(after === probe(rebuilt),
+      "probe after takedown diverges from rebuild on survivors")
+    assert(after.nonEmpty && after.size < before.size,
+      "takedown law is vacuous — retired ids never matched anything")
+    // rebuild clears the tombstone tree
+    Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
+    assert(!new java.io.File(s"${path}_deletes").exists(),
+      "rebuild left stale takedown tombstones behind")
+    assert(probe(path) === before, "rebuild did not restore the full index")
+  }
+
   test("law: substring-fingerprint index — append(∅) ≡ id, replay invisible to probes") {
     val base = docsAll.filter(col("id") < 400)
     val inc  = docsAll.filter(col("id") >= 400 && col("id") < 450)
