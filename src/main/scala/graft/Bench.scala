@@ -82,6 +82,8 @@ object Bench {
     "x_dedup_semantic_del",
     "x_label_prop",
     "x_dsir_select",
+    "x_dsir_apply",
+    "s9_stream_dsir",
     "x_mix_domains"
   )
 

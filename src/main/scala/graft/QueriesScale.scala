@@ -191,6 +191,41 @@ object QueriesScale {
       |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       | FROM nc)""".stripMargin)
 
+  /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
+    * raw/target distributions, two-stage integer probability-ratio
+    * weights, per-doc scores — shared by the one-shot selection and
+    * the persisted-weights increment scorers (batch + streaming).
+    */
+  private val DsirOracleCore: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM documents),
+      |f AS (
+      | SELECT doc_id, lang, unnest(tk) AS f FROM t
+      | UNION ALL
+      | SELECT doc_id, lang, tk[CAST(i.i AS INT)] || ' ' || tk[CAST(i.i + 1 AS INT)] AS f
+      | FROM t, unnest(range(1, len(tk))) AS i(i) WHERE len(tk) >= 2),
+      |fb AS (SELECT doc_id, lang,
+      |  ((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096
+      | + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256
+      | + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16
+      | + (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1)) % 4096 AS bucket FROM f),
+      |db AS (SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2),
+      |raw AS (SELECT bucket, sum(c) AS r FROM db GROUP BY 1),
+      |tgt AS (SELECT bucket, count(*) AS t FROM fb WHERE lang = 'de' GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(r) FROM raw) AS sr, (SELECT sum(t) FROM tgt) AS st),
+      |wgt AS (SELECT coalesce(raw.bucket, tgt.bucket) AS bucket,
+      |  (((coalesce(t, 0) + 1) * 1000000) // (st + 4096) * 1000000)
+      |   // greatest(((coalesce(r, 0) + 1) * 1000000) // (sr + 4096), 1) AS wgt
+      | FROM raw FULL OUTER JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
+      |sc AS (SELECT doc_id, sum(c) AS n_feats, sum(c * wgt) AS score
+      | FROM db JOIN wgt USING (bucket) GROUP BY 1)""".stripMargin
+
+  private val DsirApplyOracleSql: String =
+    s"""$DsirOracleCore
+       |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, CAST(score AS BIGINT) AS score,
+       | CAST(score // n_feats AS BIGINT) AS affinity
+       |FROM sc WHERE doc_id % 9 = 4 ORDER BY doc_id""".stripMargin
+
   /** Shared oracle for the incremental semantic probe (batch AND
     * streaming flavors): cosine pairs between the base embeddings and
     * the planted colinear increment on matching sign buckets —
@@ -976,6 +1011,42 @@ object QueriesScale {
           buckets = 4096, scale = 1000000L)
         .orderBy(col("affinity").desc, col("doc_id").asc)
         .limit(100)
+    }),
+
+    // ---- the same selection INCREMENTALLY: the weight dim is fit
+    // ONCE from the corpus snapshot and persisted; a crawl increment
+    // (doc_id % 9 == 4 here) scores against the stored weights in
+    // O(increment) — one feature explode over itself, one broadcast
+    // join. DSIR's actual deployment shape.
+    "x_dsir_apply" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("dsirw", dir)(p =>
+        TextAnalysis.writeAffinityWeights(
+          d, "doc_id", "text", d.filter(col("lang") === "de"), "text", p))
+      TextAnalysis.scoreWithAffinityWeights(
+          s, path, d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- and ONLINE: documents arrive as a stream, each micro-batch
+    // scores against the persisted weight dim inside foreachBatch —
+    // selection-at-ingest. Batch scoring is the oracle semantics.
+    "s9_stream_dsir" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val wPath = buildOnce("dsirw", dir)(p =>
+        TextAnalysis.writeAffinityWeights(
+          d, "doc_id", "text", d.filter(col("lang") === "de"), "text", p))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("dsirstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("dsirout", dir)
+      val ckpt   = GraftSession.freshGatePath("dsirckpt", dir)
+      val q = EventsStream.streamAffinityScore(s, wPath, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("doc_id"))
     }),
 
     // ---- deterministic domain-mixture cut: per-source token budgets
@@ -2452,31 +2523,15 @@ object QueriesScale {
     // bucket assignment, same two-stage integer probability-ratio
     // weights, same top-100 cut with the doc_id tie-break
     "x_dsir_select" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM documents),
-        |f AS (
-        | SELECT doc_id, lang, unnest(tk) AS f FROM t
-        | UNION ALL
-        | SELECT doc_id, lang, tk[CAST(i.i AS INT)] || ' ' || tk[CAST(i.i + 1 AS INT)] AS f
-        | FROM t, unnest(range(1, len(tk))) AS i(i) WHERE len(tk) >= 2),
-        |fb AS (SELECT doc_id, lang,
-        |  ((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096
-        | + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256
-        | + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16
-        | + (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1)) % 4096 AS bucket FROM f),
-        |db AS (SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2),
-        |raw AS (SELECT bucket, sum(c) AS r FROM db GROUP BY 1),
-        |tgt AS (SELECT bucket, count(*) AS t FROM fb WHERE lang = 'de' GROUP BY 1),
-        |tot AS (SELECT (SELECT sum(r) FROM raw) AS sr, (SELECT sum(t) FROM tgt) AS st),
-        |wgt AS (SELECT coalesce(raw.bucket, tgt.bucket) AS bucket,
-        |  (((coalesce(t, 0) + 1) * 1000000) // (st + 4096) * 1000000)
-        |   // greatest(((coalesce(r, 0) + 1) * 1000000) // (sr + 4096), 1) AS wgt
-        | FROM raw FULL OUTER JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
-        |sc AS (SELECT doc_id, sum(c) AS n_feats, sum(c * wgt) AS score
-        | FROM db JOIN wgt USING (bucket) GROUP BY 1)
+      s"""$DsirOracleCore
         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, CAST(score AS BIGINT) AS score,
         | CAST(score // n_feats AS BIGINT) AS affinity
         |FROM sc ORDER BY affinity DESC, doc_id LIMIT 100""".stripMargin,
+    // incremental scoring against the persisted weight dim: same
+    // algebra, increment slice only — batch and streaming flavors
+    // share it verbatim
+    "x_dsir_apply" -> DsirApplyOracleSql,
+    "s9_stream_dsir" -> DsirApplyOracleSql,
     // same DetHash order, same per-domain running token sum, same
     // hard-cap prefix cut
     "x_mix_domains" ->

@@ -785,38 +785,90 @@ object TextAnalysis {
       corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
-    def bucketCounts(df: DataFrame, id: Column, text: Column): DataFrame = {
-      df.select(id.as("doc_id"), toks(text).as("__t"))
-        .select(col("doc_id"), concat(col("__t"),
-          when(size(col("__t")) >= 2, expr(
-            "transform(sequence(0, size(__t) - 2), " +
-              "i -> concat(element_at(__t, i + 1), ' ', element_at(__t, i + 2)))"))
-            .otherwise(array().cast("array<string>"))).as("__f"))
-        .select(col("doc_id"), explode(col("__f")).as("f"))
-        .select(col("doc_id"),
-          pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long"),
-            lit(buckets.toLong)).as("bucket"))
-        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
-    }
-    val docB = bucketCounts(corpus, col(idCol), col(textCol)).persist()
+    val docB = affinityBucketCounts(corpus, col(idCol), col(textCol), buckets).persist()
     try {
-      val rawB = docB.groupBy(col("bucket")).agg(sum(col("c")).as("r"))
-      val tgtB = bucketCounts(target, lit(0L), col(targetTextCol))
-        .groupBy(col("bucket")).agg(sum(col("c")).as("t"))
-      val totals = rawB.agg(sum(col("r")).as("sr"))
-        .crossJoin(tgtB.agg(sum(col("t")).as("st")))
-      val wgt = rawB.join(tgtB, Seq("bucket"), "full_outer")
-        .crossJoin(broadcast(totals))
-        .select(col("bucket"),
-          expr(s"((coalesce(t, 0L) + 1L) * ${scale}L) div (st + ${buckets}L)").as("pt"),
-          expr(s"((coalesce(r, 0L) + 1L) * ${scale}L) div (sr + ${buckets}L)").as("pr"))
-        .select(col("bucket"), expr(s"(pt * ${scale}L) div greatest(pr, 1L)").as("wgt"))
-      docB.join(broadcast(wgt), Seq("bucket"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("wgt")).as("score"))
-        .select(col("doc_id"), col("n_feats"), col("score"),
-          expr("score div n_feats").as("affinity"))
+      val wgt = affinityWeights(docB, target, targetTextCol, buckets, scale)
+      scoreBuckets(docB, wgt)
     } finally { docB.unpersist(): Unit }
+  }
+
+  /** (doc_id, bucket, c) hashed-feature counts — the shared stage of
+    * the one-shot scorer, the weight build, and the increment scorer.
+    */
+  private def affinityBucketCounts(
+      df: DataFrame, id: Column, text: Column, buckets: Int): DataFrame =
+    df.select(id.as("doc_id"), toks(text).as("__t"))
+      .select(col("doc_id"), concat(col("__t"),
+        when(size(col("__t")) >= 2, expr(
+          "transform(sequence(0, size(__t) - 2), " +
+            "i -> concat(element_at(__t, i + 1), ' ', element_at(__t, i + 2)))"))
+          .otherwise(array().cast("array<string>"))).as("__f"))
+      .select(col("doc_id"), explode(col("__f")).as("f"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** The (bucket, wgt) importance-weight dim from raw bucket counts +
+    * a target sample — buckets-sized, broadcastable.
+    */
+  private def affinityWeights(
+      docB: DataFrame, target: DataFrame, targetTextCol: String,
+      buckets: Int, scale: Long): DataFrame = {
+    val rawB = docB.groupBy(col("bucket")).agg(sum(col("c")).as("r"))
+    val tgtB = affinityBucketCounts(target, lit(0L), col(targetTextCol), buckets)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+    val totals = rawB.agg(sum(col("r")).as("sr"))
+      .crossJoin(tgtB.agg(sum(col("t")).as("st")))
+    rawB.join(tgtB, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"((coalesce(t, 0L) + 1L) * ${scale}L) div (st + ${buckets}L)").as("pt"),
+        expr(s"((coalesce(r, 0L) + 1L) * ${scale}L) div (sr + ${buckets}L)").as("pr"))
+      .select(col("bucket"), expr(s"(pt * ${scale}L) div greatest(pr, 1L)").as("wgt"))
+  }
+
+  private def scoreBuckets(docB: DataFrame, wgt: DataFrame): DataFrame =
+    docB.join(broadcast(wgt), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("wgt")).as("score"))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        expr("score div n_feats").as("affinity"))
+
+  /** PERSIST the affinity-weight dim — the selection member of the
+    * build-once/probe-many family: at 100 TB the raw/target
+    * distributions are estimated ONCE per (corpus snapshot, target
+    * domain) and every crawl increment afterwards scores against the
+    * stored weights in O(increment), never re-reading the corpus
+    * (exactly DSIR's deployment shape: fit the hashed importance
+    * estimator offline, stream the raw pool through it). The weight
+    * table is `buckets` rows + a one-row meta (bucket count — the
+    * scorer must hash with the SAME modulus).
+    */
+  def writeAffinityWeights(
+      corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, path: String,
+      buckets: Int = 4096, scale: Long = 1000000L): Unit = {
+    val docB = affinityBucketCounts(corpus, col(idCol), col(textCol), buckets)
+    affinityWeights(docB, target, targetTextCol, buckets, scale)
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Score an increment against a [[writeAffinityWeights]] table:
+    * one feature explode over the INCREMENT only, one broadcast join
+    * against the stored dim — identical output to
+    * [[hashedAffinityScore]] restricted to the increment's docs
+    * (oracle-gated `x_dsir_apply`; streaming twin `s9_stream_dsir`).
+    */
+  def scoreWithAffinityWeights(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wgt = spark.read.parquet(path)
+    val buckets = wgt.select(col("buckets")).limit(1).collect()(0).getInt(0)
+    scoreBuckets(
+      affinityBucketCounts(df, col(idCol), col(textCol), buckets),
+      wgt.select(col("bucket"), col("wgt")))
   }
 
   /** Collocation extraction: consecutive-token bigram counts with a

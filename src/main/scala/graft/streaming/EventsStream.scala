@@ -243,6 +243,37 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING data selection at ingest: arriving documents score
+    * against the persisted DSIR-style affinity-weight dim
+    * ([[graft.ops.TextAnalysis.writeAffinityWeights]]) inside
+    * `foreachBatch` — each micro-batch pays one feature explode over
+    * itself plus a broadcast join against the buckets-sized dim, the
+    * exact deployment shape of hashed importance resampling (fit
+    * offline, stream the raw pool through the estimator). Batch
+    * [[graft.ops.TextAnalysis.scoreWithAffinityWeights]] is the
+    * oracle semantics; the same SQL gates both flavors.
+    */
+  def streamAffinityScore(
+      spark: SparkSession,
+      weightsPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.TextAnalysis
+          .scoreWithAffinityWeights(spark, weightsPath, batch, "doc_id", "text")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING CDC index maintenance — the online form of the
     * nightly-crawl loop: a change-set stream
     * ([[graft.ops.ChangeCapture.snapshotDiff]] rows) folds into the

@@ -730,6 +730,22 @@ class Bm25Spec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(run(1) === run(16))
   }
+
+  test("scoreWithAffinityWeights(increment) ≡ one-shot scorer restricted to the increment") {
+    import graft.ops.TextAnalysis
+    val d = GraftSession.table(spark, sf, "documents")
+    val t = d.filter(col("lang") === "de")
+    val path = java.nio.file.Files.createTempDirectory("dsir-w").toString
+    TextAnalysis.writeAffinityWeights(d, "doc_id", "text", t, "text", path)
+    val inc = d.filter(col("doc_id") % 7 === 2)
+    val got = TextAnalysis.scoreWithAffinityWeights(spark, path, inc, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = TextAnalysis.hashedAffinityScore(d, "doc_id", "text", t, "text")
+      .filter(col("doc_id") % 7 === 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want, "persisted-weights scoring diverges from the one-shot scorer")
+    assert(got.nonEmpty)
+  }
 }
 
 class MultimodalSpec extends SparkSpecBase {
