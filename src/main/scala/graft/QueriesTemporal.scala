@@ -384,6 +384,38 @@ object QueriesTemporal {
           col("t.item").as("partkey"), col("t.cnt").as("n"))
         .orderBy(col("l_returnflag"), col("rank"))),
 
+    // ---- Bloom filter membership: the anti-join/semi-join PRUNE
+    // synopsis (m bits ↞ n keys; no false negatives, bounded false
+    // positives). The "has ordered" custkey set is built as TWO
+    // half-filters (urgent-ish vs rest priorities) OR-merged — the
+    // per-partition-build / merge-at-coordinator shape a 100 TB build
+    // uses — then every customer probes the merged filter with a
+    // broadcast map lookup (zero probe-side shuffle). Exact membership
+    // rides along so the false-positive count is driver-visible; md5
+    // positions make the bit array SQL-replayable, so the oracle
+    // checks the filter bit-for-bit, not just statistically.
+    "x_sketch_bloom" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val (m, kh) = (32768, 3)
+      val orders = table(s, dir, "orders")
+      val bloomA = Sketches.bloomBuild(
+        orders.filter(col("o_orderpriority") < "3").select(col("o_custkey")), "o_custkey", m, kh)
+      val bloomB = Sketches.bloomBuild(
+        orders.filter(col("o_orderpriority") >= "3").select(col("o_custkey")), "o_custkey", m, kh)
+      val merged = Sketches.bloomMerge(bloomA, bloomB)
+      val buyers = orders.select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("has_order", lit(true))
+      val probed = Sketches.bloomMaybeContains(merged,
+        table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", m, kh)
+      probed.join(buyers, Seq("c_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_probed"),
+          count(when(col("maybe"), 1)).as("n_maybe"),
+          count(when(col("has_order"), 1)).as("n_true"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- KMV sketch ALGEBRA: per-group synopses answer pairwise
     // overlap (Jaccard / intersection size) without re-scanning the
     // corpus — union sketch = k smallest of the merged synopses,
@@ -859,6 +891,35 @@ object QueriesTemporal {
         | FROM c)
         |SELECT l_returnflag, CAST(rn AS INT) AS rank, partkey, n
         |FROM r WHERE rn <= 10 ORDER BY l_returnflag, rank""".stripMargin,
+    // bit-for-bit Bloom replay: md5-nibble positions → sparse 32-bit
+    // words via bit_or → per-customer k-bit probe. The two-half merge
+    // collapses to one build over ALL orders (bit_or is associative —
+    // the merge law the Scala side exercises), so the SQL stays flat.
+    "x_sketch_bloom" ->
+      """WITH j AS (SELECT unnest(range(0, 3)) AS j),
+        |seen AS (SELECT DISTINCT o_custkey AS v FROM orders),
+        |pos AS (SELECT CAST(list_sum(list_transform(range(1, 9), i ->
+        |    (strpos('0123456789abcdef',
+        |      substr(md5(CAST(v AS VARCHAR) || ':' || CAST(j AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * power(16, CAST(8 - i AS INT)))) AS BIGINT) % 32768 AS p
+        |  FROM seen CROSS JOIN j),
+        |words AS (SELECT p // 32 AS word,
+        |   bit_or(CAST(power(2, p % 32) AS BIGINT)) AS bits FROM pos GROUP BY 1),
+        |pp AS (SELECT c.c_custkey, c.c_mktsegment,
+        |   CAST(list_sum(list_transform(range(1, 9), i ->
+        |    (strpos('0123456789abcdef',
+        |      substr(md5(CAST(c.c_custkey AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * power(16, CAST(8 - i AS INT)))) AS BIGINT) % 32768 AS p
+        |  FROM customer c CROSS JOIN j),
+        |probed AS (SELECT c_custkey, c_mktsegment,
+        |   bool_and((COALESCE(w.bits, 0) & CAST(power(2, pp.p % 32) AS BIGINT))
+        |     = CAST(power(2, pp.p % 32) AS BIGINT)) AS maybe
+        |  FROM pp LEFT JOIN words w ON w.word = pp.p // 32 GROUP BY 1, 2)
+        |SELECT pr.c_mktsegment, count(*) AS n_probed,
+        | count(CASE WHEN pr.maybe THEN 1 END) AS n_maybe,
+        | count(CASE WHEN s.v IS NOT NULL THEN 1 END) AS n_true
+        |FROM probed pr LEFT JOIN seen s ON s.v = pr.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical exact-integer closed form: same sums, same double ops
     "x_regr_group" ->
       """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,

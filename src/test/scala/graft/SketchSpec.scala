@@ -162,4 +162,46 @@ class SketchSpec extends SparkSpecBase {
     val est = vals.toDF("s").agg(expr(s"kmv_distinct(s, $k)")).head.getDouble(0)
     assert(est == expected)
   }
+
+  // ---- Bloom filter laws (Sketches.bloomBuild/Merge/MaybeContains) ----
+
+  test("bloom: no false negatives — every built value probes true") {
+    import graft.ops.Sketches
+    val vals = (1 to 2000).map(i => s"key$i").toDF("v")
+    val sk = Sketches.bloomBuild(vals, "v", mBits = 1 << 14, kHash = 3)
+    val probed = Sketches.bloomMaybeContains(sk, vals, "v", 1 << 14, 3)
+    assert(probed.filter(!col("maybe")).count() === 0L)
+  }
+
+  test("bloom: false-positive rate is in the configured envelope") {
+    import graft.ops.Sketches
+    // n=2000, m=2^14, k=3 → theoretical fpr ≈ (1-e^{-kn/m})^k ≈ 2.7%
+    val seen  = (1 to 2000).map(i => s"key$i").toDF("v")
+    val other = (1 to 4000).map(i => s"absent$i").toDF("v")
+    val sk = Sketches.bloomBuild(seen, "v", 1 << 14, 3)
+    val fp = Sketches.bloomMaybeContains(sk, other, "v", 1 << 14, 3)
+      .filter(col("maybe")).count()
+    assert(fp.toDouble / 4000 < 0.08, s"fp rate ${fp / 4000.0} beyond 3x theory")
+    assert(fp > 0, "planted sizing should produce SOME false positives")
+  }
+
+  test("bloom: merge of split builds ≡ one build over the union") {
+    import graft.ops.Sketches
+    val all = (1 to 3000).map(i => s"u$i")
+    val (a, b) = all.splitAt(1300)
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomBuild(a.toDF("v"), "v", 4096, 4),
+      Sketches.bloomBuild(b.toDF("v"), "v", 4096, 4))
+    val direct = Sketches.bloomBuild(all.toDF("v"), "v", 4096, 4)
+    assert(merged.exceptAll(direct).count() === 0L &&
+      direct.exceptAll(merged).count() === 0L, "merged word set diverged from direct build")
+  }
+
+  test("bloom: build is partition-layout invariant and duplicate-blind") {
+    import graft.ops.Sketches
+    val vals = (1 to 500).map(i => s"d${i % 200}")
+    val one  = Sketches.bloomBuild(vals.toDF("v").repartition(1), "v", 2048, 3)
+    val many = Sketches.bloomBuild(vals.toDF("v").repartition(16), "v", 2048, 3)
+    assert(one.exceptAll(many).count() === 0L && many.exceptAll(one).count() === 0L)
+  }
 }
