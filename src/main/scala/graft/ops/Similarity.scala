@@ -151,6 +151,94 @@ object Similarity {
     probeTopK(ivfAssign(c, centroids), centroids, queries, idCol, vecCol, k, nProbe)
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI'11): each vector is
+    * cut into `nSub` subvectors, each subvector replaced by the id of
+    * its nearest codeword from a per-subspace codebook of `ks`
+    * entries — the corpus compresses from dim×4 bytes to nSub code
+    * bytes (64-dim float → 4 bytes at nSub=4: 64×), which is what lets
+    * a 100 TB embedding store live in cluster memory for scoring.
+    * Scoring is ADC (asymmetric distance computation): the query stays
+    * full-precision and its inner product with a quantized vector is
+    * the SUM OF nSub TABLE LOOKUPS — here computed against the
+    * broadcast codebook inside codegen, never materializing a
+    * reconstructed vector.
+    *
+    * Scale shape mirrors [[ivfAssign]]: the codebook (nSub×ks
+    * subvectors — KB-scale) collapses into a one-row broadcast array;
+    * encoding is a per-row argmin fold inside codegen with ZERO
+    * corpus-side shuffle; probing crossJoins the broadcast query set
+    * and folds nSub lookup dot-products per pair. The only shuffle in
+    * the whole operator is the final skinny top-k window over
+    * (query_id, cos_adc) pairs.
+    *
+    * Codebook determinism (the gateability contract of the whole ANN
+    * family): subspace m's codewords are the m-th subvectors of the
+    * `ks` smallest-id corpus vectors, code = position in id order —
+    * the oracle replays codebook, encoding argmin (ties to the
+    * smaller position, strict `<` in the fold ≡ `row_number` ORDER BY
+    * dist ASC, pos ASC) and ADC bit-for-bit. `cos_adc` is the ADC
+    * inner product normalized by ||q|| and the RECONSTRUCTED corpus
+    * norm √Σₘ‖c_m‖² — exact cosine under quantization, approximate
+    * cosine of the original vector.
+    *
+    * A production swap-in keeps every plan shape and replaces only the
+    * codebook source with k-means-refined codewords per subspace (the
+    * [[refineCentroids]] machinery applied to subvector slices).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nSub: Int = 4,
+      ks: Int = 16
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // codebook: ks smallest-id vectors, position = rank in id order;
+    // one row of (m, pos)-sorted entries — same one-row broadcast
+    // trick as ivfAssign (ks rows, driver-safe by construction)
+    val wPos = Window.orderBy(col("neighbor_id"))
+    val cbArr = broadcast(
+      c.orderBy(col("neighbor_id")).limit(ks)
+        .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
+        .select(explode(sequence(lit(0), lit(nSub - 1))).as("m"), col("pos"), col("cv"))
+        .withColumn("sd", (size(col("cv")) / nSub).cast("int"))
+        .withColumn("sub", slice(col("cv"), col("m") * col("sd") + 1, col("sd")))
+        .withColumn("cn2", dot(col("sub"), col("sub")))
+        .agg(array_sort(collect_list(struct(
+          col("m").cast("long").as("m"), col("pos"), col("sub"), col("cn2")))).as("cents")))
+    // encode: per subspace, argmin_{pos} ‖x_m − c‖² — x_m² is constant
+    // within the argmin, so the fold minimizes cn2 − 2·⟨x_m, c⟩
+    val enc = c.crossJoin(cbArr)
+      .withColumn("sd", (size(col("cv")) / nSub).cast("int"))
+      .withColumn("codes", transform(sequence(lit(0), lit(nSub - 1)), m =>
+        aggregate(sequence(lit(0), lit(ks - 1)),
+          struct(lit(Double.MaxValue).as("best"), lit(-1L).as("pos")),
+          (acc, j) => {
+            val ct = element_at(col("cents"), (m * ks + j + 1).cast("int"))
+            val d = ct.getField("cn2") -
+              lit(2.0) * dot(slice(col("cv"), m * col("sd") + 1, col("sd")), ct.getField("sub"))
+            when(d < acc.getField("best"),
+              struct(d.as("best"), j.cast("long").as("pos"))).otherwise(acc)
+          },
+          acc => acc.getField("pos"))))
+      .withColumn("vn2_hat", aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, m) =>
+        acc + element_at(col("cents"),
+          (m * ks + element_at(col("codes"), m + 1) + 1).cast("int")).getField("cn2")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, m) =>
+        acc + dot(slice(col("qv"), m * col("sd") + 1, col("sd")),
+          element_at(col("cents"),
+            (m * ks + element_at(col("codes"), m + 1) + 1).cast("int")).getField("sub"))))
+      .withColumn("cos_adc", round(col("adc") / (norm(col("qv")) * sqrt(col("vn2_hat"))), 4))
+      .select(col("query_id"), col("neighbor_id"), col("cos_adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_adc").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Build and persist an IVF index: the centroid set plus the
     * assigned corpus laid out `partitionBy(cell_id)`. Build once,
     * probe many times — the full-corpus assignment scan is the
