@@ -1091,6 +1091,28 @@ object QueriesScale {
       s.read.parquet(outDir).orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- the DENSE leg online: query VECTORS arrive as a stream and
+    // probe the persistent quantized IVF index per micro-batch
+    // (retrieval-at-ingest for embeddings — the pair to
+    // s9_stream_bm25's lexical leg). Batch probeIvfIndexQuantized is
+    // the oracle semantics; the same SQL gates index probe and stream.
+    "s9_stream_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val indexPath = buildOnce("qivfs", dir)(p =>
+        Similarity.writeIvfIndexQuantized(e, "vec_id", "embedding", p, nCells = 16))
+      val qs = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      val qDir = GraftSession.freshGatePath("annqstream", dir)
+      qs.coalesce(1).write.mode("overwrite").parquet(qDir)
+      val outDir = GraftSession.freshGatePath("annout", dir)
+      val ckpt   = GraftSession.freshGatePath("annckpt", dir)
+      val q = EventsStream.streamAnnProbe(s, indexPath, qDir, qs.schema, outDir, ckpt,
+        k = 3, nProbe = 4)
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("qcosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- TWO-STAGE retrieval: BM25 lexical recall (top-20) → cross-
     // encoder rerank through the Scorer seam → top-3 per query. The
     // production curation-by-retrieval shape: the cheap lexical stage
@@ -1563,6 +1585,44 @@ object QueriesScale {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** In-order cosine of two list columns, all-double. */
+  /** Persisted quantized-IVF probe replay — shared by the index gate
+    * (`x_ann_index_q`) and its streaming twin (`s9_stream_ann`): the
+    * stream runs the identical batch probe per micro-batch.
+    */
+  private lazy val QuantizedIvfProbeSql: String =
+    s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+             |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+             |assigned AS (SELECT neighbor_id, cell_id FROM (
+             |  SELECT c.neighbor_id, cent.cell_id,
+             |   row_number() OVER (PARTITION BY c.neighbor_id
+             |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+             |  FROM c CROSS JOIN cent) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+             |probes AS (SELECT query_id, cell_id FROM (
+             |  SELECT q.query_id, cent.cell_id,
+             |   row_number() OVER (PARTITION BY q.query_id
+             |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+             |  FROM q CROSS JOIN cent) WHERE rn <= 4),
+             |s0 AS (
+             | SELECT vec_id, embedding,
+             |  greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0 AS sc
+             | FROM embeddings),
+             |qz AS (
+             | SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT)) AS qv8
+             | FROM s0),
+             |scored AS (SELECT p.query_id, a.neighbor_id,
+             |  round(${cosSql("qza.qv8", "qzq.qv8")}, 4) AS qcosine
+             | FROM probes p JOIN assigned a USING (cell_id)
+             | JOIN qz qza ON qza.vec_id = a.neighbor_id
+             | JOIN qz qzq ON qzq.vec_id = p.query_id
+             | WHERE p.query_id <> a.neighbor_id)
+             |SELECT query_id, rank, neighbor_id, qcosine FROM (
+             | SELECT *, row_number() OVER (PARTITION BY query_id
+             |   ORDER BY qcosine DESC, neighbor_id ASC) AS rank
+             | FROM scored) WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))" +
       s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
@@ -2457,39 +2517,10 @@ object QueriesScale {
     // but the member scoring runs on int8-quantized vectors (the
     // persisted layout) — integer sums are exact in double, so the
     // quantized ranking is plain SQL
-    "x_ann_index_q" ->
-      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
-         |assigned AS (SELECT neighbor_id, cell_id FROM (
-         |  SELECT c.neighbor_id, cent.cell_id,
-         |   row_number() OVER (PARTITION BY c.neighbor_id
-         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
-         |  FROM c CROSS JOIN cent) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |probes AS (SELECT query_id, cell_id FROM (
-         |  SELECT q.query_id, cent.cell_id,
-         |   row_number() OVER (PARTITION BY q.query_id
-         |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
-         |  FROM q CROSS JOIN cent) WHERE rn <= 4),
-         |s0 AS (
-         | SELECT vec_id, embedding,
-         |  greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0 AS sc
-         | FROM embeddings),
-         |qz AS (
-         | SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT)) AS qv8
-         | FROM s0),
-         |scored AS (SELECT p.query_id, a.neighbor_id,
-         |  round(${cosSql("qza.qv8", "qzq.qv8")}, 4) AS qcosine
-         | FROM probes p JOIN assigned a USING (cell_id)
-         | JOIN qz qza ON qza.vec_id = a.neighbor_id
-         | JOIN qz qzq ON qzq.vec_id = p.query_id
-         | WHERE p.query_id <> a.neighbor_id)
-         |SELECT query_id, rank, neighbor_id, qcosine FROM (
-         | SELECT *, row_number() OVER (PARTITION BY query_id
-         |   ORDER BY qcosine DESC, neighbor_id ASC) AS rank
-         | FROM scored) WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin,
+    "x_ann_index_q" -> QuantizedIvfProbeSql,
+    // the SAME probe arriving as a stream: foreachBatch runs the batch
+    // probe, so the persisted-quantized-IVF SQL gates both flavors
+    "s9_stream_ann" -> QuantizedIvfProbeSql,
     "x_ann_int8_topk" ->
       s"""WITH s0 AS (
          | SELECT vec_id, embedding,

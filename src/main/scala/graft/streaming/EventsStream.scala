@@ -243,6 +243,41 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING dense retrieval: a query-VECTOR stream probes the
+    * persistent quantized IVF index
+    * ([[graft.ops.Similarity.writeIvfIndexQuantized]]) — each
+    * micro-batch runs the batch probe inside `foreachBatch` (the
+    * probe's top-k window is legal on the materialized batch frame;
+    * the cell-partitioned index is read only at the probed cells) and
+    * appends ranked neighbors. With [[streamBm25Probe]] this closes
+    * the retrieval-at-ingest story for BOTH legs the fusion operator
+    * serves: lexical and dense queries can each arrive online against
+    * indexes built offline. Batch `probeIvfIndexQuantized` is the
+    * oracle semantics, so the same SQL gates index probe and stream.
+    */
+  def streamAnnProbe(
+      spark: SparkSession,
+      indexPath: String,
+      queriesDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      k: Int,
+      nProbe: Int = 4
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(queriesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity
+          .probeIvfIndexQuantized(spark, indexPath, batch, "vec_id", "embedding", k, nProbe)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING data selection at ingest: arriving documents score
     * against the persisted DSIR-style affinity-weight dim
     * ([[graft.ops.TextAnalysis.writeAffinityWeights]]) inside
