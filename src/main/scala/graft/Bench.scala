@@ -84,7 +84,12 @@ object Bench {
     "x_dsir_select",
     "x_dsir_apply",
     "s9_stream_dsir",
-    "x_mix_domains"
+    "x_mix_domains",
+    // round-9 late additions: PQ/ADC compression path, Bloom prune
+    // synopsis, dense-leg streaming probe
+    "x_ann_pq_topk",
+    "x_sketch_bloom",
+    "s9_stream_ann"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

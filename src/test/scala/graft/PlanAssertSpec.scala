@@ -182,4 +182,35 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(plan.linesIterator.count(_.contains("- Window [")) === 1,
       s"mixture cut should be exactly one window pass:\n$plan")
   }
+
+  test("x_ann_pq_topk: corpus never shuffles — only the skinny top-k window exchanges") {
+    val df = q("x_ann_pq_topk")
+    df.collect()
+    val plan = planOf(df)
+    // the codebook and query set ride broadcast nested-loop joins
+    // (one-row / 5-row frames); the encode+ADC stage must not
+    // repartition the corpus
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"PQ corpus side shuffled or went cartesian:\n$plan")
+    // exactly one hash exchange: the (query_id, score) pairs feeding
+    // the rank window (count the FINAL plan only — the AQE string
+    // repeats the tree under "== Initial Plan ==")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n$finalPlan")
+    assert(plan.contains("dot_f32"), s"PQ lost the native dot kernel:\n$plan")
+  }
+
+  test("x_sketch_bloom: probe side carries a broadcast map, never an explode-regroup") {
+    val plan = planOf(q("x_sketch_bloom"))
+    // probe = crossJoin against the one-row word map → BNLJ; the only
+    // explode (positions) is on the BUILD side before its bit_or agg
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom word map fell off broadcast:\n$plan")
+    // customer never partitions by a generated column: every exchange
+    // is either the build-side word groupBy or the final segment agg
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(pos"))
+    assert(!badExchange, s"probe side exploded positions into a shuffle:\n$plan")
+  }
 }
