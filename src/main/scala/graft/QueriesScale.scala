@@ -430,6 +430,22 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- the PERSISTED composition: IVF cells prune which partitions
+    // a probe reads, PQ codes shrink what they store (the FAISS-IVFPQ
+    // layout). Probe scores only probed cells' code rows via broadcast
+    // codebook lookups; the oracle chains the IVF assignment replay
+    // into the PQ replay.
+    "x_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("ivfpq", dir)(p =>
+        Similarity.writeIvfPqIndex(e, "vec_id", "embedding", p,
+          nCells = 16, nSub = 4, ks = 16))
+      Similarity.probeIvfPqIndex(s, path, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
     // 30 hashes / 10 bands (r=3, S-curve midpoint (1/10)^(1/3) ≈ 0.46):
     // banding miss at true j = 0.8 is (1-0.8³)^10 ≈ 8e-4 and the
@@ -2334,6 +2350,60 @@ object QueriesScale {
         |    ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // IVFPQ replay = the IVF assignment/probes CTEs (x_ann_index_q)
+    // chained into the PQ codes/ADC CTEs (x_ann_pq_topk): scored
+    // pairs restricted to each query's probed cells
+    "x_ann_ivfpq" ->
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT neighbor_id, cell_id FROM (
+         |  SELECT c.neighbor_id, cent.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+         |  FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT query_id, cell_id FROM (
+         |  SELECT q.query_id, cent.cell_id,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM q CROSS JOIN cent) WHERE rn <= 4),
+         |ms AS (SELECT unnest(range(0, 4)) AS m),
+         |cb AS (SELECT ms.m, e.vec_id AS pos,
+         |   e.embedding[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS sub
+         |  FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16),
+         |cb2 AS (SELECT m, pos, sub,
+         |   list_sum(list_transform(sub, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+         |  FROM cb),
+         |sc AS (SELECT c.neighbor_id, ms.m,
+         |   c.cv[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS xsub
+         |  FROM c CROSS JOIN ms),
+         |codes AS (SELECT neighbor_id, m, pos, sub, cn2 FROM (
+         |  SELECT s.neighbor_id, s.m, b.pos, b.sub, b.cn2,
+         |    row_number() OVER (PARTITION BY s.neighbor_id, s.m
+         |      ORDER BY b.cn2 - 2 * list_sum(list_transform(list_zip(s.xsub, b.sub),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ASC, b.pos ASC) AS rn
+         |  FROM sc s JOIN cb2 b USING (m)) WHERE rn = 1),
+         |vhat AS (SELECT neighbor_id, sqrt(list_sum(list(cn2 ORDER BY m))) AS vn
+         |  FROM codes GROUP BY neighbor_id),
+         |ip AS (SELECT p.query_id, a.neighbor_id, any_value(q.qn) AS qn,
+         |   list_sum(list(list_sum(list_transform(
+         |     list_zip(q.qv[CAST(k.m*16+1 AS INT) : CAST(k.m*16+16 AS INT)], k.sub),
+         |     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ORDER BY k.m)) AS adc
+         |  FROM probes p
+         |  JOIN assigned a USING (cell_id)
+         |  JOIN q ON q.query_id = p.query_id
+         |  JOIN codes k ON k.neighbor_id = a.neighbor_id
+         |  WHERE q.query_id <> a.neighbor_id GROUP BY 1, 2),
+         |scored AS (SELECT i.query_id, i.neighbor_id,
+         |   round(i.adc / (i.qn * v.vn), 4) AS cos_adc
+         |  FROM ip i JOIN vhat v USING (neighbor_id))
+         |SELECT query_id, rank, neighbor_id, cos_adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
     "f3_answer_start" -> {
       val par = "(text || ' 2016 in 2016, total 16')"
       s"""SELECT doc_id, ${toksSql("text")}[4] AS answer,

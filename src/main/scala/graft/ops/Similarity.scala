@@ -194,24 +194,57 @@ object Similarity {
       nSub: Int = 4,
       ks: Int = 16
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // codebook: ks smallest-id vectors, position = rank in id order;
-    // one row of (m, pos)-sorted entries — same one-row broadcast
-    // trick as ivfAssign (ks rows, driver-safe by construction)
+    val c   = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val enc = pqEncode(c, pqCollapse(pqCodebookRows(c, nSub, ks)), nSub, ks)
+    val q   = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_adc", pqCosAdc(nSub, ks))
+      .select(col("query_id"), col("neighbor_id"), col("cos_adc"))
+    pqRank(scored, k)
+  }
+
+  /** Codebook rows `(m, pos, sub, cn2)`: subspace m's codewords are
+    * the m-th subvectors of the ks smallest-id vectors, `pos` their
+    * rank in id order — the persisted form ([[writeIvfPqIndex]]) and
+    * the collapse input. ks rows × nSub subspaces: KB-scale.
+    */
+  private def pqCodebookRows(c: DataFrame, nSub: Int, ks: Int): DataFrame = {
     val wPos = Window.orderBy(col("neighbor_id"))
-    val cbArr = broadcast(
-      c.orderBy(col("neighbor_id")).limit(ks)
-        .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
-        .select(explode(sequence(lit(0), lit(nSub - 1))).as("m"), col("pos"), col("cv"))
-        .withColumn("sd", (size(col("cv")) / nSub).cast("int"))
-        .withColumn("sub", slice(col("cv"), col("m") * col("sd") + 1, col("sd")))
-        .withColumn("cn2", dot(col("sub"), col("sub")))
-        .agg(array_sort(collect_list(struct(
-          col("m").cast("long").as("m"), col("pos"), col("sub"), col("cn2")))).as("cents")))
-    // encode: per subspace, argmin_{pos} ‖x_m − c‖² — x_m² is constant
-    // within the argmin, so the fold minimizes cn2 − 2·⟨x_m, c⟩
-    val enc = c.crossJoin(cbArr)
+    c.orderBy(col("neighbor_id")).limit(ks)
+      .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
+      .select(explode(sequence(lit(0), lit(nSub - 1))).as("m"), col("pos"), col("cv"))
       .withColumn("sd", (size(col("cv")) / nSub).cast("int"))
+      .withColumn("sub", slice(col("cv"), col("m") * col("sd") + 1, col("sd")))
+      .withColumn("cn2", dot(col("sub"), col("sub")))
+      .select(col("m").cast("long").as("m"), col("pos"), col("sub"), col("cn2"))
+  }
+
+  /** One-row broadcast codebook array sorted by (m, pos) — the same
+    * single-row trick as [[ivfAssign]]: entry (m, pos) lives at index
+    * m·ks + pos + 1, so encode and ADC look codewords up inside
+    * codegen with no join.
+    */
+  private def pqCollapse(cbRows: DataFrame): DataFrame =
+    broadcast(cbRows.agg(array_sort(collect_list(struct(
+      col("m"), col("pos"), col("sub"), col("cn2")))).as("cents")))
+
+  /** Subvector width, derived from the codebook itself (all entries
+    * share it) — valid on both the encode side (where `cv` is present)
+    * and the probe side (where only codes are).
+    */
+  private def pqSubDim: Column =
+    size(element_at(col("cents"), 1).getField("sub"))
+
+  /** Encode: per subspace, argmin_pos ‖x_m − c‖² — x_m² is constant
+    * within the argmin, so the fold minimizes cn2 − 2·⟨x_m, c⟩; strict
+    * `<` over ascending pos reproduces the oracle's (dist ASC, pos
+    * ASC) row_number. Adds `sd`, `codes` (nSub longs) and `vn2_hat`
+    * (the reconstructed ‖v̂‖² = Σₘ cn2) per row; zero shuffle.
+    */
+  private def pqEncode(withCv: DataFrame, cbArr: DataFrame, nSub: Int, ks: Int): DataFrame =
+    withCv.crossJoin(cbArr)
+      .withColumn("sd", pqSubDim)
       .withColumn("codes", transform(sequence(lit(0), lit(nSub - 1)), m =>
         aggregate(sequence(lit(0), lit(ks - 1)),
           struct(lit(Double.MaxValue).as("best"), lit(-1L).as("pos")),
@@ -226,17 +259,93 @@ object Similarity {
       .withColumn("vn2_hat", aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, m) =>
         acc + element_at(col("cents"),
           (m * ks + element_at(col("codes"), m + 1) + 1).cast("int")).getField("cn2")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = enc.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, m) =>
-        acc + dot(slice(col("qv"), m * col("sd") + 1, col("sd")),
-          element_at(col("cents"),
-            (m * ks + element_at(col("codes"), m + 1) + 1).cast("int")).getField("sub"))))
-      .withColumn("cos_adc", round(col("adc") / (norm(col("qv")) * sqrt(col("vn2_hat"))), 4))
-      .select(col("query_id"), col("neighbor_id"), col("cos_adc"))
+
+  /** ADC cosine of a (qv, codes) row pair: Σₘ ⟨q_m, c_m,code⟩ — nSub
+    * codebook lookups, the vector is never reconstructed — normalized
+    * by ‖q‖·√vn2_hat. Requires `qv`, `sd`, `codes`, `vn2_hat`,
+    * `cents` on the row.
+    */
+  private def pqCosAdc(nSub: Int, ks: Int): Column = {
+    val adc = aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, m) =>
+      acc + dot(slice(col("qv"), m * col("sd") + 1, col("sd")),
+        element_at(col("cents"),
+          (m * ks + element_at(col("codes"), m + 1) + 1).cast("int")).getField("sub")))
+    round(adc / (norm(col("qv")) * sqrt(col("vn2_hat"))), 4)
+  }
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_adc").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Build and persist an IVF+PQ index (the FAISS-IVFPQ layout,
+    * non-residual): coarse IVF cells prune WHICH partitions a probe
+    * reads, PQ codes shrink WHAT each partition stores — (nSub longs +
+    * one double) per vector instead of dim floats, which is the
+    * difference between a 100 TB embedding store and a ~2 TB code
+    * store. `$path/centroids` (nCells rows), `$path/codebook`
+    * (nSub×ks rows), `$path/codes` partitioned by cell_id.
+    *
+    * Maintenance contract: REBUILD-ONLY in this layout (codes are
+    * meaningless under a changed codebook, so append/delete follow the
+    * quantized-IVF index family — use [[writeIvfIndexQuantized]] when
+    * incremental maintenance dominates; this layout wins when storage
+    * footprint does).
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16,
+      nSub: Int = 4,
+      ks: Int = 16
+  ): Unit = {
+    val c         = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val centroids = sampleCentroids(c, nCells)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val cbRows = pqCodebookRows(c, nSub, ks)
+    cbRows.write.mode("overwrite").parquet(s"$path/codebook")
+    pqEncode(ivfAssign(c, centroids), pqCollapse(cbRows), nSub, ks)
+      .select(col("neighbor_id"), col("codes"), col("vn2_hat"), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/codes")
+  }
+
+  /** Probe a persisted IVF+PQ index: each query scores ONLY its
+    * nProbe nearest cells' code rows (partition pruning on cell_id
+    * against the broadcast probe set — the scan never touches
+    * unprobed cells) with ADC lookups against the broadcast codebook.
+    * With nProbe = nCells this is exactly [[pqTopK]] over the indexed
+    * corpus (spec-proven), so the cell cut is the ONLY approximation
+    * added on top of PQ itself.
+    */
+  def probeIvfPqIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cbRows    = spark.read.parquet(s"$path/codebook")
+    // envelope-sized meta fetch (one row of two ints) — the codebook
+    // geometry travels with the index, not the call site
+    val geo  = cbRows.agg(max(col("m")).as("m"), max(col("pos")).as("p")).head()
+    val nSub = geo.getLong(0).toInt + 1
+    val ks   = geo.getLong(1).toInt + 1
+    val cbArr  = pqCollapse(cbRows)
+    val probes = probeSelection(queries, centroids, idCol, vecCol, nProbe)
+    val codes  = spark.read.parquet(s"$path/codes")
+      .filter(col("cell_id").isin(probedCellList(probes): _*))
+    val scored = broadcast(probes).join(codes, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .crossJoin(cbArr)
+      .withColumn("sd", pqSubDim)
+      .withColumn("cos_adc", pqCosAdc(nSub, ks))
+      .select(col("query_id"), col("neighbor_id"), col("cos_adc"))
+    pqRank(scored, k)
   }
 
   /** Build and persist an IVF index: the centroid set plus the
@@ -539,7 +648,6 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val assigned  = maskDeleted(spark, path, spark.read.parquet(s"$path/assigned"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       call_function("quantize_i8b", col(vecCol)).getField("qb").as("qqb"))
@@ -549,6 +657,9 @@ object Similarity {
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("qqb"), col("cell_id"))
+    val cells = probedCellList(probes)
+    val assigned = maskDeleted(spark,
+      path, spark.read.parquet(s"$path/assigned").filter(col("cell_id").isin(cells: _*)))
     val qcos = call_function("dot_i8", col("qb"), col("qqb")) /
       (sqrt(call_function("dot_i8", col("qb"), col("qb"))) *
         sqrt(call_function("dot_i8", col("qqb"), col("qqb"))))
@@ -573,7 +684,9 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val assigned  = maskDeleted(spark, path, spark.read.parquet(s"$path/assigned"))
+    val cells = probedCellList(probeSelection(queries, centroids, idCol, vecCol, nProbe))
+    val assigned = maskDeleted(spark,
+      path, spark.read.parquet(s"$path/assigned").filter(col("cell_id").isin(cells: _*)))
     probeTopK(assigned, centroids, queries, idCol, vecCol, k, nProbe)
   }
 
@@ -606,6 +719,39 @@ object Similarity {
     * freshly computed or read back from a written index), partial
     * top-k per query.
     */
+  /** Each query's nProbe nearest cells: (query_id, qv, cell_id) —
+    * queries × nProbe rows. One definition shared by scoring joins and
+    * the static cell-prune collect, so the two can never disagree on
+    * which cells a query probes.
+    */
+  private def probeSelection(
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
+    q.join(centroids)
+      .withColumn("qdist", cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+  }
+
+  /** The probed cell ids as a driver-side IN-list — envelope-sized
+    * (≤ |queries| × nProbe values; the query batch is broadcast-small
+    * by the family's contract). Filtering a cell-partitioned read by
+    * this list is STATIC partition pruning: the scan provably reads
+    * only probed cells. The DPP alternative (broadcast-probe join on
+    * cell_id) is planner-dependent — under AQE the pruning subquery
+    * falls back to `dynamicpruningexpression(true)` whenever the
+    * probe-side broadcast can't be reused, silently rescanning every
+    * cell; measured on this exact plan shape, which is why the index
+    * probes pin the IN-list instead of trusting the optimizer
+    * (spec-enforced via the partitions-read metric, PqSpec /
+    * QuantizedIndexSpec).
+    */
+  private def probedCellList(probes: DataFrame): Seq[Any] =
+    probes.select(col("cell_id")).distinct().collect().map(_.get(0)).toSeq
+
   private def probeTopK(
       assigned: DataFrame,
       centroids: DataFrame,
@@ -615,13 +761,7 @@ object Similarity {
       k: Int,
       nProbe: Int
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
-    val probes = q.join(centroids)
-      .withColumn("qdist", cosine(col("qv"), col("centroid")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell_id"))
+    val probes = probeSelection(queries, centroids, idCol, vecCol, nProbe)
     val scored = broadcast(probes).join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

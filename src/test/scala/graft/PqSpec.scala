@@ -55,6 +55,39 @@ class PqSpec extends SparkSpecBase {
     assert(one.exceptAll(many).count() === 0L && many.exceptAll(one).count() === 0L)
   }
 
+  test("IVFPQ index probe with nProbe = nCells ≡ inline pqTopK (cell cut is the only approximation)") {
+    val e = embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-law").toString
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
+      nCells = 8, nSub = 4, ks = 16)
+    val queries = e.filter(col("vec_id") < 4)
+    val probed = Similarity.probeIvfPqIndex(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_adc"))
+    val inline = Similarity.pqTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_adc"))
+    assert(probed.exceptAll(inline).count() === 0L && inline.exceptAll(probed).count() === 0L,
+      "full-probe IVFPQ diverged from inline PQ")
+  }
+
+  test("IVFPQ probe reads ONLY the probed cells' partitions") {
+    val e = embeddings
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-prune").toString
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
+      nCells = 16, nSub = 4, ks = 16)
+    val df = Similarity.probeIvfPqIndex(spark, path,
+      e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3, nProbe = 2)
+    df.collect()
+    val partitioned = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partitioned.nonEmpty, "no partitioned scan in the probe plan")
+    val scan  = partitioned.head
+    val read  = scan.metrics("numPartitions").value
+    val total = scan.relation.location.listFiles(Nil, Nil).size
+    assert(read > 0 && read <= 2 && read < total,
+      s"probe read $read of $total cell partitions — cell pruning did not bite")
+  }
+
   test("PQ recall against exact top-k is usable on the gate corpus") {
     val corpus = embeddings
     val queries = embeddings.filter(col("vec_id") < 5)

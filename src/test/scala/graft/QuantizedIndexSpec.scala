@@ -36,6 +36,27 @@ class QuantizedIndexSpec extends SparkSpecBase {
     assert(probed.count() === brute.count())
   }
 
+  test("quantized probe reads ONLY the probed cells' partitions (metric-proven)") {
+    // the round-9 finding: the DPP route this probe used to rely on
+    // falls back to dynamicpruningexpression(true) under AQE when the
+    // probe-side broadcast can't be reused — the scan silently read
+    // every cell. The probes now pin a static IN-list of probed cell
+    // ids (envelope-sized driver fetch); this metric assert is the
+    // regression gate.
+    val path = Files.createTempDirectory("graft-qivf-prune").toString
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", path, nCells = 16)
+    val df = Similarity.probeIvfIndexQuantized(spark, path,
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3, nProbe = 2)
+    df.collect()
+    val partitioned = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partitioned.nonEmpty, "no partitioned scan in the probe plan")
+    val read  = partitioned.head.metrics("numPartitions").value
+    val total = partitioned.head.relation.location.listFiles(Nil, Nil).size
+    assert(read > 0 && read <= 2 && read < total,
+      s"probe read $read of $total cell partitions — static cell pruning lost")
+  }
+
   test("probing every cell of a multi-cell quantized index == int8 brute force") {
     // nProbe = nCells ⇒ the probe scores the whole corpus, so the
     // multi-cell layout (partition columns, per-cell files, byte
