@@ -1102,7 +1102,19 @@ object Dedup {
     // no embeddings is an empty partitioned dir, and schema inference
     // would throw where the correct semantics is "no history → no
     // pairs" — same contract as probeSubstringIndex.
-    val index0 = spark.read.schema(probes.schema).parquet(path)
+    val indexAll = spark.read.schema(probes.schema).parquet(path)
+    // static bucket pruning on BATCH probes: each probe vector keys to
+    // ONE bucket, so a small increment touches few of the 2^planes
+    // partitions — but the DPP route this join relies on falls back to
+    // dynamicpruningexpression(true) under AQE when the probe-side
+    // broadcast isn't reused (measured: 16/16 buckets scanned). Batch
+    // probes pin an envelope-sized IN-list (≤ |increment| bucket ids)
+    // instead; STREAMING probes can't collect and keep the join-side
+    // pruning as best-effort — spec'd in OpsSpec (metric) either way.
+    val index0 =
+      if (newEmb.isStreaming) indexAll
+      else indexAll.filter(col("bucket").isin(
+        probes.select(col("bucket")).distinct().collect().map(_.get(0)).toSeq: _*))
     // takedown mask: retired ids must stop matching new content
     val index = signPlaneTombstones(spark, path) match {
       case Some(dead) => index0.join(broadcast(dead), Seq("id"), "left_anti")

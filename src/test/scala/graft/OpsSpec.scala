@@ -236,10 +236,20 @@ class DedupSpec extends SparkSpecBase {
     val probeDf = Dedup.probeSignPlaneIndex(spark, path, fresh, "vec_id", "embedding", 0.99)
     val probed = probeDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // the probe must partition-prune the index by bucket (DPP fires
-    // against the small probe side) — the layout's whole point
-    assert(probeDf.queryExecution.executedPlan.toString.contains("dynamicpruning"),
-      "sign-plane probe lost dynamic partition pruning on the index scan")
+    // the probe must partition-prune the index by bucket — the
+    // layout's whole point. METRIC-proven, not string-proven: the
+    // round-9 finding was that asserting "dynamicpruning" in the plan
+    // also matches the DISABLED dynamicpruningexpression(true)
+    // fallback AQE leaves behind when it can't reuse the probe-side
+    // broadcast (measured: 16/16 buckets scanned). Batch probes now
+    // pin a static IN-list of probed buckets.
+    val partitioned = fileScans(probeDf.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partitioned.nonEmpty, "no partitioned scan in the sign-plane probe plan")
+    val bucketsRead  = partitioned.head.metrics("numPartitions").value
+    val bucketsTotal = partitioned.head.relation.location.listFiles(Nil, Nil).size
+    assert(bucketsRead > 0 && bucketsRead < bucketsTotal,
+      s"probe read $bucketsRead of $bucketsTotal buckets — static bucket pruning lost")
     // ground truth: batch sign-plane pairs over base ∪ new, cross-side only
     val batch = Dedup.embeddingNearDupPairs(base.unionByName(fresh), "vec_id", "embedding", 0.99)
       .filter(col("id_a") < 5000 && col("id_b") >= 5000)
