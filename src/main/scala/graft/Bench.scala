@@ -88,8 +88,10 @@ object Bench {
     // round-9 late additions: PQ/ADC compression path, Bloom prune
     // synopsis, dense-leg streaming probe
     "x_ann_pq_topk",
+    "x_ann_ivfpq",
     "x_sketch_bloom",
-    "s9_stream_ann"
+    "s9_stream_ann",
+    "s9_stream_bloom"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -416,6 +416,36 @@ object QueriesTemporal {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- the same membership screen ONLINE: the filter persists as
+    // word rows, customers arrive as a stream and probe it per
+    // micro-batch (seen-before? at crawler ingest). The batch query is
+    // the oracle semantics, so one SQL gates both flavors.
+    "s9_stream_bloom" -> ((s, dir) => {
+      import graft.ops.Sketches
+      import graft.streaming.EventsStream
+      val (m, kh) = (32768, 3)
+      val orders = table(s, dir, "orders")
+      val sketchPath = GraftSession.freshGatePath("bloomidx", dir)
+      Sketches.bloomBuild(orders.select(col("o_custkey")), "o_custkey", m, kh)
+        .write.mode("overwrite").parquet(sketchPath)
+      val probe = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val probeDir = GraftSession.freshGatePath("bloomstream", dir)
+      probe.coalesce(2).write.mode("overwrite").parquet(probeDir)
+      val outDir = GraftSession.freshGatePath("bloomout", dir)
+      val ckpt   = GraftSession.freshGatePath("bloomckpt", dir)
+      val q = EventsStream.streamBloomProbe(s, sketchPath, probeDir, probe.schema,
+        "c_custkey", outDir, ckpt, m, kh)
+      q.awaitTermination()
+      val buyers = orders.select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("has_order", lit(true))
+      s.read.parquet(outDir).join(buyers, Seq("c_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_probed"),
+          count(when(col("maybe"), 1)).as("n_maybe"),
+          count(when(col("has_order"), 1)).as("n_true"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- KMV sketch ALGEBRA: per-group synopses answer pairwise
     // overlap (Jaccard / intersection size) without re-scanning the
     // corpus — union sketch = k smallest of the merged synopses,
@@ -679,6 +709,39 @@ object QueriesTemporal {
         .orderBy(col("l_returnflag")))
   )
 
+  /** Bit-for-bit Bloom replay shared by the batch gate and its
+    * streaming twin (the stream runs the identical batch probe per
+    * micro-batch): md5-nibble positions -> sparse 32-bit words via
+    * bit_or -> per-customer k-bit probe. The two-half merge collapses
+    * to one build over ALL orders (bit_or is associative - the merge
+    * law the Scala side exercises), so the SQL stays flat.
+    */
+  private val BloomOracleSql: String =
+    """WITH j AS (SELECT unnest(range(0, 3)) AS j),
+            |seen AS (SELECT DISTINCT o_custkey AS v FROM orders),
+            |pos AS (SELECT CAST(list_sum(list_transform(range(1, 9), i ->
+            |    (strpos('0123456789abcdef',
+            |      substr(md5(CAST(v AS VARCHAR) || ':' || CAST(j AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+            |      * power(16, CAST(8 - i AS INT)))) AS BIGINT) % 32768 AS p
+            |  FROM seen CROSS JOIN j),
+            |words AS (SELECT p // 32 AS word,
+            |   bit_or(CAST(power(2, p % 32) AS BIGINT)) AS bits FROM pos GROUP BY 1),
+            |pp AS (SELECT c.c_custkey, c.c_mktsegment,
+            |   CAST(list_sum(list_transform(range(1, 9), i ->
+            |    (strpos('0123456789abcdef',
+            |      substr(md5(CAST(c.c_custkey AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+            |      * power(16, CAST(8 - i AS INT)))) AS BIGINT) % 32768 AS p
+            |  FROM customer c CROSS JOIN j),
+            |probed AS (SELECT c_custkey, c_mktsegment,
+            |   bool_and((COALESCE(w.bits, 0) & CAST(power(2, pp.p % 32) AS BIGINT))
+            |     = CAST(power(2, pp.p % 32) AS BIGINT)) AS maybe
+            |  FROM pp LEFT JOIN words w ON w.word = pp.p // 32 GROUP BY 1, 2)
+            |SELECT pr.c_mktsegment, count(*) AS n_probed,
+            | count(CASE WHEN pr.maybe THEN 1 END) AS n_maybe,
+            | count(CASE WHEN s.v IS NOT NULL THEN 1 END) AS n_true
+            |FROM probed pr LEFT JOIN seen s ON s.v = pr.c_custkey
+            |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x_asof_join" ->
       """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
@@ -895,31 +958,10 @@ object QueriesTemporal {
     // words via bit_or → per-customer k-bit probe. The two-half merge
     // collapses to one build over ALL orders (bit_or is associative —
     // the merge law the Scala side exercises), so the SQL stays flat.
-    "x_sketch_bloom" ->
-      """WITH j AS (SELECT unnest(range(0, 3)) AS j),
-        |seen AS (SELECT DISTINCT o_custkey AS v FROM orders),
-        |pos AS (SELECT CAST(list_sum(list_transform(range(1, 9), i ->
-        |    (strpos('0123456789abcdef',
-        |      substr(md5(CAST(v AS VARCHAR) || ':' || CAST(j AS VARCHAR)), CAST(i AS INT), 1)) - 1)
-        |      * power(16, CAST(8 - i AS INT)))) AS BIGINT) % 32768 AS p
-        |  FROM seen CROSS JOIN j),
-        |words AS (SELECT p // 32 AS word,
-        |   bit_or(CAST(power(2, p % 32) AS BIGINT)) AS bits FROM pos GROUP BY 1),
-        |pp AS (SELECT c.c_custkey, c.c_mktsegment,
-        |   CAST(list_sum(list_transform(range(1, 9), i ->
-        |    (strpos('0123456789abcdef',
-        |      substr(md5(CAST(c.c_custkey AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), CAST(i AS INT), 1)) - 1)
-        |      * power(16, CAST(8 - i AS INT)))) AS BIGINT) % 32768 AS p
-        |  FROM customer c CROSS JOIN j),
-        |probed AS (SELECT c_custkey, c_mktsegment,
-        |   bool_and((COALESCE(w.bits, 0) & CAST(power(2, pp.p % 32) AS BIGINT))
-        |     = CAST(power(2, pp.p % 32) AS BIGINT)) AS maybe
-        |  FROM pp LEFT JOIN words w ON w.word = pp.p // 32 GROUP BY 1, 2)
-        |SELECT pr.c_mktsegment, count(*) AS n_probed,
-        | count(CASE WHEN pr.maybe THEN 1 END) AS n_maybe,
-        | count(CASE WHEN s.v IS NOT NULL THEN 1 END) AS n_true
-        |FROM probed pr LEFT JOIN seen s ON s.v = pr.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_sketch_bloom" -> BloomOracleSql,
+    // the streamed flavor runs the identical batch probe per
+    // micro-batch - one SQL gates both
+    "s9_stream_bloom" -> BloomOracleSql,
     // identical exact-integer closed form: same sums, same double ops
     "x_regr_group" ->
       """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,

@@ -278,6 +278,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING membership screen at ingest: arriving rows probe a
+    * PERSISTED Bloom filter ([[graft.ops.Sketches.bloomBuild]] word
+    * rows as parquet) inside `foreachBatch` — each micro-batch pays
+    * one broadcast-map lookup per row, zero stream state, and lands
+    * with a `maybe` column. The at-ingest form of the Bloom prune: a
+    * crawler checks "seen before?" against a filter built offline
+    * over the historical corpus, and only `maybe` rows proceed to the
+    * exact (expensive) membership join. Batch `bloomMaybeContains` is
+    * the oracle semantics; the same SQL gates both flavors.
+    */
+  def streamBloomProbe(
+      spark: SparkSession,
+      sketchPath: String,
+      probeDir: String,
+      schema: StructType,
+      valueCol: String,
+      outDir: String,
+      checkpointDir: String,
+      mBits: Int,
+      kHash: Int
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(probeDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Sketches
+          .bloomMaybeContains(spark.read.parquet(sketchPath), batch, valueCol, mBits, kHash)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING data selection at ingest: arriving documents score
     * against the persisted DSIR-style affinity-weight dim
     * ([[graft.ops.TextAnalysis.writeAffinityWeights]]) inside
