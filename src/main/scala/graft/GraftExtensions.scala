@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvQuantileAgg, KmvQuantileMergeAgg, KmvQuantileSketchAgg, KmvSketchAgg, LevAtMostExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvQuantileAgg, KmvQuantileMergeAgg, KmvQuantileSketchAgg, KmvSketchAgg, LevAtMostExpr, Md5FeatureCountsExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_md5_sigs"),
       new ExpressionInfo(classOf[MinhashMd5SigsExpr].getName, "minhash_md5_sigs"),
       (children: Seq[Expression]) => MinhashMd5SigsExpr(children(0), children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("md5_feature_counts"),
+      new ExpressionInfo(classOf[Md5FeatureCountsExpr].getName, "md5_feature_counts"),
+      (children: Seq[Expression]) => Md5FeatureCountsExpr(children(0), children(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("quantize_i8"),

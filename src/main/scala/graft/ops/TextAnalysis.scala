@@ -794,8 +794,34 @@ object TextAnalysis {
 
   /** (doc_id, bucket, c) hashed-feature counts — the shared stage of
     * the one-shot scorer, the weight build, and the increment scorer.
+    *
+    * The per-doc aggregation runs INSIDE the fused
+    * `md5_feature_counts` kernel
+    * ([[graft.functions.Md5FeatureCountsExpr]]): one pass over the
+    * token array emits pre-counted (bucket, c) structs, so this stage
+    * explodes distinct-buckets-per-doc rows (≤ buckets) instead of
+    * one row per feature occurrence and plans NO Exchange at all —
+    * the groupBy(doc, bucket) shuffle the column formulation needed
+    * to collapse repeated features is gone. Bucket semantics are
+    * bit-identical to the DuckDB-replayable
+    * `pmod(conv(substring(md5(f), 1, 4), 16, 10), buckets)` column
+    * algebra (spec-asserted against
+    * [[affinityBucketCountsColumnOracle]]), so the `x_dsir_*` oracles
+    * are untouched.
     */
-  private def affinityBucketCounts(
+  private[graft] def affinityBucketCounts(
+      df: DataFrame, id: Column, text: Column, buckets: Int): DataFrame =
+    df.select(id.as("doc_id"), toks(text).as("__t"))
+      .select(col("doc_id"),
+        explode(call_function("md5_feature_counts", col("__t"), lit(buckets))).as("fc"))
+      .select(col("doc_id"), col("fc.bucket").as("bucket"), col("fc.c").as("c"))
+
+  /** The pure-column twin of [[affinityBucketCounts]] — the reference
+    * formulation the fused kernel must reproduce bit-for-bit (it IS
+    * the algebra the DuckDB oracle replays). Not on any hot path;
+    * exists so the equivalence stays a standing spec assertion.
+    */
+  private[graft] def affinityBucketCountsColumnOracle(
       df: DataFrame, id: Column, text: Column, buckets: Int): DataFrame =
     df.select(id.as("doc_id"), toks(text).as("__t"))
       .select(col("doc_id"), concat(col("__t"),

@@ -711,6 +711,32 @@ class Bm25Spec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("md5_feature_counts fused kernel ≡ the column formulation (the oracle algebra)") {
+    import graft.ops.TextAnalysis
+    // the driver corpus plus adversarial rows: empty text, a single
+    // token (no bigram), heavy repeats (run-length encoding), multi-
+    // byte UTF-8 (digest must see UTF-8 bytes), and double spaces
+    // (the tokenizer drops empties — the kernel sees the same array)
+    val extra = Seq((9001L, ""), (9002L, "solo"), (9003L, "a a a b b a"),
+      (9004L, "héllo wörld héllo wörld héllo"), (9005L, "  double  spaces  x "))
+      .toDF("doc_id", "text")
+    val all = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionByName(extra)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bucket").collect().map(_.toSeq).toSeq
+    val fused = canon(TextAnalysis.affinityBucketCounts(all, col("doc_id"), col("text"), 4096))
+    val ref   = canon(TextAnalysis.affinityBucketCountsColumnOracle(all, col("doc_id"), col("text"), 4096))
+    assert(fused.nonEmpty)
+    assert(fused === ref, "fused md5_feature_counts diverges from the md5/conv column algebra")
+    // and the fused stage plans no Exchange at all — the per-doc
+    // aggregation happens inside the kernel, so the docB build is
+    // shuffle-free (the groupBy(doc, bucket) Exchange is gone)
+    val plan = TextAnalysis.affinityBucketCounts(all, col("doc_id"), col("text"), 4096)
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      s"fused bucket-count stage should be shuffle-free:\n$plan")
+  }
+
   test("hashedAffinityScore ranks target-like docs above off-domain docs") {
     import graft.ops.TextAnalysis
     // two vocabularies that share nothing: "legal" docs vs "cooking"
