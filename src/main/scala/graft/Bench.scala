@@ -91,7 +91,8 @@ object Bench {
     "x_ann_ivfpq",
     "x_sketch_bloom",
     "s9_stream_ann",
-    "s9_stream_bloom"
+    "s9_stream_bloom",
+    "x_shard_shuffle"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

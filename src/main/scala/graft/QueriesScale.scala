@@ -1399,6 +1399,15 @@ object QueriesScale {
         .select(col("source"), col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_offset"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // ---- deterministic shuffled shard layout + resume manifest: the
+    // final write step — hash-assigned shard, decorrelated pseudo-
+    // random within-shard order, per-doc starting token offset. The
+    // oracle replays the DetHash algebra and both windows verbatim.
+    "x_shard_shuffle" -> ((s, dir) =>
+      CorpusOps.shardShuffle(docs(s, dir), "doc_id", "text", shards = 8)
+        .select(col("shard"), col("position"), col("doc_id"), col("n_tokens"), col("shard_offset"))
+        .orderBy(col("shard"), col("position"))),
+
     // ---- temperature (alpha=0.5) mixture resampling with replication
     "x_resample_temperature" -> ((s, dir) =>
       CorpusOps.temperatureResample(docs(s, dir), "doc_id", "source", targetTotal = 600)
@@ -2991,6 +3000,20 @@ object QueriesScale {
          | FROM t)
          |SELECT source, doc_id, n_tokens, strt // 512 AS bin_id, strt % 512 AS bin_offset
          |FROM c ORDER BY source, doc_id""".stripMargin,
+    "x_shard_shuffle" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) % 8 AS shard,
+         |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
+         | FROM documents)
+         |SELECT shard, CAST(row_number() OVER w AS BIGINT) - 1 AS position,
+         |  doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS shard_offset
+         |FROM t
+         |WINDOW w AS (PARTITION BY shard ORDER BY u, doc_id)
+         |ORDER BY shard, position""".stripMargin,
     "x_quality_filter" -> QualityOracleSql,
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->

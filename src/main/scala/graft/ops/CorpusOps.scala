@@ -257,6 +257,51 @@ object CorpusOps {
       .drop("__cum", "__start")
   }
 
+  /** Deterministic shuffled shard layout — the FINAL write step of a
+    * training-data pipeline: every curated doc gets
+    * `(shard, position, shard_offset)` where `shard` spreads docs
+    * uniformly by keyed hash, `position` is a pseudo-random but fully
+    * deterministic within-shard order (a training run reading shards
+    * sequentially sees a shuffled doc order with NO separate global
+    * sort), and `shard_offset` is the doc's starting token offset
+    * inside its shard — the manifest a data loader needs for exact
+    * mid-shard resume. [[DetHash]] on the id keeps the whole layout
+    * identical under any partitioning or cluster size (unlike
+    * `rand()`/`repartition`-based shuffles, whose order depends on
+    * partition layout and so is unreproducible across runs); the
+    * within-shard order key is an affine remix of the id
+    * (`id·31 + 17`) so it decorrelates from the shard-assignment
+    * hash — without the remix, docs would sort by the same value that
+    * chose their shard and the "shuffle" inside each shard would be
+    * ordered by residue class.
+    *
+    * Scale shape: ONE hash Exchange on `shard` (the write shuffle any
+    * sharded output pays) and one window per shard for
+    * position+offset — no global sort, no driver state. Shard count
+    * is the write parallelism: at 100 TB pick `shards` ≈ a small
+    * multiple of cluster cores so each shard's window sorts an
+    * executor-sized slice.
+    */
+  def shardShuffle(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shards: Int
+  ): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val nToks = size(filter(split(col(textCol), " "), x => x =!= "")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__u").asc, col(idCol).asc)
+    df
+      .withColumn("n_tokens", nToks)
+      .withColumn("shard", DetHash.detBucket(col(idCol), shards))
+      .withColumn("__u", DetHash.detUnit(col(idCol) * lit(31L) + lit(17L)))
+      .withColumn("position", row_number().over(w).cast("long") - 1L)
+      .withColumn("shard_offset",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long") - col("n_tokens"))
+      .drop("__u")
+  }
+
   /** Temperature (α-weighted) source resampling with replication — the
     * data-mixture step that upsamples small sources and downsamples
     * dominant ones: source weights `w_s = weight(n_s)` (α=0.5 ⇒

@@ -316,6 +316,31 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(appended.forall(_._3 > 0), "every probe doc carries planted passages")
   }
 
+  test("shardShuffle: dense positions, exact resume offsets, layout-invariant, actually shuffled") {
+    val d = GraftSession.table(spark, sf, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.shardShuffle(df, "doc_id", "text", shards = 8)
+        .select("shard", "position", "doc_id", "n_tokens", "shard_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2))
+    val out = run(d)
+    assert(out.map(_._3).distinct.length === out.length, "every doc appears exactly once")
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 8)
+      // positions are dense 0..n-1 and offsets are the running token
+      // sum of everything before — the exact-resume contract
+      assert(rows.map(_._2).toSeq === rows.indices.map(_.toLong))
+      var cum = 0L
+      rows.foreach { r => assert(r._5 === cum, s"offset gap at $r"); cum += r._4 }
+    }
+    // deterministic under any partition layout (the DetHash guarantee)
+    assert(run(d.repartition(13)).toSeq === out.toSeq)
+    // and genuinely shuffled: within-shard order must not be id order
+    val firstShard = out.filter(_._1 == out.head._1).map(_._3)
+    assert(firstShard.toSeq !== firstShard.sorted.toSeq,
+      "within-shard order is id-sorted — the shuffle is not shuffling")
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
