@@ -92,7 +92,8 @@ object Bench {
     "x_sketch_bloom",
     "s9_stream_ann",
     "s9_stream_bloom",
-    "x_shard_shuffle"
+    "x_shard_shuffle",
+    "x_shard_append"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

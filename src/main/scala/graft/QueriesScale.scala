@@ -1408,6 +1408,22 @@ object QueriesScale {
         .select(col("shard"), col("position"), col("doc_id"), col("n_tokens"), col("shard_offset"))
         .orderBy(col("shard"), col("position"))),
 
+    // ---- the APPEND-ONLY steady state of the shard layout: base
+    // corpus laid out once (persisted manifest), a crawl increment
+    // takes positions after each shard's committed tail in
+    // O(increment) — committed shards never move (the loader's
+    // resume-offset contract). Oracle replays base counts + the
+    // increment windows.
+    "x_shard_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+      val path = buildOnce("shardman", dir)(p =>
+        CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, p))
+      CorpusOps.appendToShards(s, path, inc, "doc_id", "text", incrementId = "gate")
+        .orderBy(col("shard"), col("position"))
+    }),
+
     // ---- temperature (alpha=0.5) mixture resampling with replication
     "x_resample_temperature" -> ((s, dir) =>
       CorpusOps.temperatureResample(docs(s, dir), "doc_id", "source", targetTotal = 600)
@@ -3014,6 +3030,26 @@ object QueriesScale {
          |FROM t
          |WINDOW w AS (PARTITION BY shard ORDER BY u, doc_id)
          |ORDER BY shard, position""".stripMargin,
+    "x_shard_append" ->
+      s"""WITH t AS (
+         | SELECT doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) % 8 AS shard,
+         |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
+         | FROM documents),
+         |b AS (
+         | SELECT shard, count(*) AS ndocs, sum(n_tokens) AS ntok
+         | FROM t WHERE doc_id % 9 <> 4 GROUP BY shard),
+         |i AS (SELECT * FROM t WHERE doc_id % 9 = 4)
+         |SELECT i.shard,
+         |  CAST(row_number() OVER w AS BIGINT) - 1 + COALESCE(b.ndocs, 0) AS position,
+         |  i.doc_id, i.n_tokens,
+         |  CAST(sum(i.n_tokens) OVER (PARTITION BY i.shard ORDER BY i.u, i.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    - i.n_tokens + COALESCE(b.ntok, 0) AS shard_offset
+         |FROM i LEFT JOIN b ON i.shard = b.shard
+         |WINDOW w AS (PARTITION BY i.shard ORDER BY i.u, i.doc_id)
+         |ORDER BY i.shard, position""".stripMargin,
     "x_quality_filter" -> QualityOracleSql,
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->

@@ -302,6 +302,97 @@ object CorpusOps {
       .drop("__u")
   }
 
+  /** PERSIST the shard manifest — the maintenance seam of
+    * [[shardShuffle]]: one row per shard (doc and token counts), the
+    * state a crawl increment needs to take its APPENDED positions
+    * without touching committed shards. Layout is the fold-on-read
+    * ledger shape: per-increment partitions `parts/inc=<id>` whose
+    * per-shard counts SUM to the manifest, plus a one-row immutable
+    * `meta` (shard count). Nothing is ever read-modify-written —
+    * an append only adds its own `inc=` partition, so replaying an
+    * increment overwrites its own files (idempotent by construction)
+    * and two concurrent appends of DIFFERENT increments cannot lose
+    * each other's fold (no shared row to race on; contrast the BM25
+    * meta scalar, which documents single-writer for exactly this
+    * reason). Every shard gets a row even when empty, so assignment
+    * joins need no existence probe.
+    */
+  def writeShardManifest(
+      df: DataFrame, idCol: String, textCol: String,
+      shards: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.range(1).select(lit(shards).as("shards"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // static overwrite on the SAME inc-partitioned layout the appends
+    // use: a rebuild clears every prior increment partition
+    shardManifestPart(
+      shardShuffle(df, idCol, textCol, shards), shards, "base")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("inc").parquet(s"$path/parts")
+  }
+
+  /** The per-shard count rows of one increment, densified to every
+    * shard id (empty shards carry zeros) under its `inc` partition
+    * value — ONE pipeline for build and append, so fold-on-read sums
+    * stay exact whichever path wrote them.
+    */
+  private def shardManifestPart(
+      assigned: DataFrame, shards: Int, inc: String): DataFrame =
+    assigned.sparkSession.range(shards.toLong).select(col("id").as("shard"))
+      .join(assigned.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")),
+        Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("inc", lit(inc))
+      .repartition(1)
+
+  /** Fold a document increment into the persisted shard layout —
+    * append-only: committed shards NEVER move (the loader contract —
+    * a resume offset handed out yesterday is valid forever), so this
+    * is NOT `shardShuffle(base ∪ inc)` re-run: the increment's docs
+    * get the same deterministic hash shard and within-shard order as
+    * the one-shot layout, but their positions/offsets start AFTER the
+    * shard's committed tail. Cost is O(increment): one pass over the
+    * increment, one broadcast join against the shard-count manifest —
+    * the base corpus is never read.
+    *
+    * Crash-consistency contract (spec-proven, `CorpusOpsSpec`):
+    * append(∅) ≡ id; replaying `incrementId` returns the identical
+    * assignment and leaves the manifest byte-identical (the fold
+    * EXCLUDES the increment's own prior partition when computing the
+    * committed tail, then dynamic-overwrites it); appends of distinct
+    * increments compose (the second sees the first's counts).
+    */
+  def appendToShards(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String,
+      incrementId: String): DataFrame = {
+    require(incrementId.nonEmpty && incrementId != "base",
+      s"incrementId must be non-empty and not 'base', got '$incrementId'")
+    val shards = spark.read.parquet(s"$path/meta")
+      .select(col("shards")).limit(1).collect()(0).getInt(0)
+    // committed tail per shard = every partition EXCEPT this
+    // increment's own (replay reads the same tail it saw first)
+    val tail = broadcast(spark.read.parquet(s"$path/parts")
+      .filter(col("inc") =!= incrementId)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("base_docs"), sum(col("n_tokens")).as("base_tokens")))
+    val assigned = shardShuffle(inc, idCol, textCol, shards)
+      .join(tail, Seq("shard"), "left")
+      .select(col("shard"),
+        (col("position") + coalesce(col("base_docs"), lit(0L))).as("position"),
+        col(idCol), col("n_tokens"),
+        (col("shard_offset") + coalesce(col("base_tokens"), lit(0L))).as("shard_offset"))
+    shardManifestPart(assigned, shards, incrementId)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("inc").parquet(s"$path/parts")
+    assigned
+  }
+
   /** Temperature (α-weighted) source resampling with replication — the
     * data-mixture step that upsamples small sources and downsamples
     * dominant ones: source weights `w_s = weight(n_s)` (α=0.5 ⇒

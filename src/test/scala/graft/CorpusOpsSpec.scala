@@ -341,6 +341,50 @@ class CorpusOpsSpec extends SparkSpecBase {
       "within-shard order is id-sorted — the shuffle is not shuffling")
   }
 
+  test("shard manifest append laws: append(∅) ≡ id, replay ≡ once, appends compose, base frozen") {
+    val d = GraftSession.table(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 9 =!= 4)
+    val inc1 = d.filter(col("doc_id") % 9 === 4)
+    val inc2 = d.filter(col("doc_id") % 9 === 2)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("shardman").toString
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, path)
+    def manifest() = spark.read.parquet(s"$path/parts")
+      .groupBy("shard").agg(sum("n_docs").as("d"), sum("n_tokens").as("t"))
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shard", "position").collect().map(_.toSeq).toSeq
+    val m0 = manifest()
+    // law 1: the empty increment changes nothing and assigns nothing
+    val empty = CorpusOps.appendToShards(spark, path, inc1.limit(0), "doc_id", "text", "e0")
+    assert(empty.count() === 0L)
+    assert(manifest() === m0, "append(∅) must leave the manifest counts unchanged")
+    val a1 = canon(CorpusOps.appendToShards(spark, path, inc1, "doc_id", "text", "day1"))
+    val m1 = manifest()
+    // law 2: replaying the same increment id returns the identical
+    // assignment and leaves the manifest counts identical (the fold
+    // excludes its own prior partition, then overwrites it)
+    assert(canon(CorpusOps.appendToShards(spark, path, inc1, "doc_id", "text", "day1")) === a1)
+    assert(manifest() === m1, "replay must not double-count the increment")
+    // law 3: a second, distinct increment starts after the first's tail
+    val a2 = canon(CorpusOps.appendToShards(spark, path, inc2, "doc_id", "text", "day2"))
+    val tail1 = a1.groupBy(_.head).map { case (s, rows) => s -> rows.size }
+    a2.groupBy(_.head).foreach { case (shard, rows) =>
+      val minPos = rows.map(_(1).asInstanceOf[Long]).min
+      val baseN = m1.find(_.head == shard).get(1).asInstanceOf[Long]
+      assert(minPos === baseN, s"day2 must start at day1's committed tail in shard $shard")
+    }
+    assert(tail1.nonEmpty)
+    // law 4: base positions are frozen — the one-shot layout of base
+    // alone is exactly what a loader saw before any append
+    val baseLayout = canon(CorpusOps.shardShuffle(base, "doc_id", "text", 8)
+      .select(col("shard"), col("position"), col("doc_id"), col("n_tokens"), col("shard_offset")))
+    assert(baseLayout.map(_(2)).toSet.intersect(a1.map(_(2)).toSet).isEmpty)
+    assert((a1 ++ a2).forall { r =>
+      !baseLayout.exists(b => b.head == r.head && b(1) == r(1))
+    }, "appended positions must never collide with committed base positions")
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
