@@ -93,7 +93,8 @@ object Bench {
     "s9_stream_ann",
     "s9_stream_bloom",
     "x_shard_shuffle",
-    "x_shard_append"
+    "x_shard_append",
+    "s9_stream_shard"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

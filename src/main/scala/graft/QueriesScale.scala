@@ -226,6 +226,31 @@ object QueriesScale {
        | CAST(score // n_feats AS BIGINT) AS affinity
        |FROM sc WHERE doc_id % 9 = 4 ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for the append-only shard fold (batch AND
+    * streaming flavors): base per-shard counts + the increment's
+    * within-shard windows, positions offset by the committed tail.
+    */
+  private val ShardAppendOracleSql: String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |  CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) % 8 AS shard,
+       |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
+       | FROM documents),
+       |b AS (
+       | SELECT shard, count(*) AS ndocs, sum(n_tokens) AS ntok
+       | FROM t WHERE doc_id % 9 <> 4 GROUP BY shard),
+       |i AS (SELECT * FROM t WHERE doc_id % 9 = 4)
+       |SELECT i.shard,
+       |  CAST(row_number() OVER w AS BIGINT) - 1 + COALESCE(b.ndocs, 0) AS position,
+       |  i.doc_id, i.n_tokens,
+       |  CAST(sum(i.n_tokens) OVER (PARTITION BY i.shard ORDER BY i.u, i.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - i.n_tokens + COALESCE(b.ntok, 0) AS shard_offset
+       |FROM i LEFT JOIN b ON i.shard = b.shard
+       |WINDOW w AS (PARTITION BY i.shard ORDER BY i.u, i.doc_id)
+       |ORDER BY i.shard, position""".stripMargin
+
   /** Shared oracle for the incremental semantic probe (batch AND
     * streaming flavors): cosine pairs between the base embeddings and
     * the planted colinear increment on matching sign buckets —
@@ -1421,6 +1446,29 @@ object QueriesScale {
       val path = buildOnce("shardman", dir)(p =>
         CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, p))
       CorpusOps.appendToShards(s, path, inc, "doc_id", "text", incrementId = "gate")
+        .orderBy(col("shard"), col("position"))
+    }),
+
+    // ---- and ONLINE: docs arrive as a stream, each micro-batch folds
+    // into the persisted shard layout inside foreachBatch, batchId as
+    // the increment id — the manifest's per-increment ledger makes a
+    // checkpoint-recovered replay exactly-once. Batch append is the
+    // oracle semantics.
+    "s9_stream_shard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val mPath = buildOnce("shardmanstream", dir)(p =>
+        CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, p))
+      val incDir = GraftSession.freshGatePath("shardstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("shardout", dir)
+      val ckpt   = GraftSession.freshGatePath("shardckpt", dir)
+      val q = EventsStream.streamShardAppend(s, mPath, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("shard"), col("position"), col("doc_id"), col("n_tokens"), col("shard_offset"))
         .orderBy(col("shard"), col("position"))
     }),
 
@@ -3030,26 +3078,8 @@ object QueriesScale {
          |FROM t
          |WINDOW w AS (PARTITION BY shard ORDER BY u, doc_id)
          |ORDER BY shard, position""".stripMargin,
-    "x_shard_append" ->
-      s"""WITH t AS (
-         | SELECT doc_id,
-         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
-         |  CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) % 8 AS shard,
-         |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
-         | FROM documents),
-         |b AS (
-         | SELECT shard, count(*) AS ndocs, sum(n_tokens) AS ntok
-         | FROM t WHERE doc_id % 9 <> 4 GROUP BY shard),
-         |i AS (SELECT * FROM t WHERE doc_id % 9 = 4)
-         |SELECT i.shard,
-         |  CAST(row_number() OVER w AS BIGINT) - 1 + COALESCE(b.ndocs, 0) AS position,
-         |  i.doc_id, i.n_tokens,
-         |  CAST(sum(i.n_tokens) OVER (PARTITION BY i.shard ORDER BY i.u, i.doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    - i.n_tokens + COALESCE(b.ntok, 0) AS shard_offset
-         |FROM i LEFT JOIN b ON i.shard = b.shard
-         |WINDOW w AS (PARTITION BY i.shard ORDER BY i.u, i.doc_id)
-         |ORDER BY i.shard, position""".stripMargin,
+    "x_shard_append" -> ShardAppendOracleSql,
+    "s9_stream_shard" -> ShardAppendOracleSql,
     "x_quality_filter" -> QualityOracleSql,
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->

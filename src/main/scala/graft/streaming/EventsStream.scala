@@ -343,6 +343,44 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING shard assignment at ingest — arriving docs fold into
+    * the persisted shard layout inside `foreachBatch` via
+    * [[graft.ops.CorpusOps.appendToShards]], keyed by the streaming
+    * batchId. Both sides of the fold are replay-idempotent per-
+    * increment partition overwrites (the manifest's `parts/inc=` and
+    * the assignment rows under `outDir/inc=`), so a checkpoint-
+    * recovered micro-batch rewrites exactly its own output and reads
+    * the same committed tail it saw first — end-to-end exactly-once
+    * with no sink-side dedup, the same at-least-once ∘ idempotent
+    * composition as [[streamCdcIndexMaintenance]]. Batch
+    * [[graft.ops.CorpusOps.appendToShards]] semantics are the oracle
+    * (same SQL as `x_shard_append`).
+    */
+  def streamShardAppend(
+      spark: SparkSession,
+      manifestPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.CorpusOps
+          .appendToShards(spark, manifestPath, batch, "doc_id", "text",
+            incrementId = s"sb$bid")
+          .withColumn("inc", lit(s"sb$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING CDC index maintenance — the online form of the
     * nightly-crawl loop: a change-set stream
     * ([[graft.ops.ChangeCapture.snapshotDiff]] rows) folds into the

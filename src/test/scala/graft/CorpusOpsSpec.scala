@@ -385,6 +385,36 @@ class CorpusOpsSpec extends SparkSpecBase {
     }, "appended positions must never collide with committed base positions")
   }
 
+  test("streamed shard fold survives a checkpoint wipe: replayed batch is exactly-once") {
+    import graft.streaming.EventsStream
+    val d = GraftSession.table(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 9 =!= 4)
+    val inc = d.filter(col("doc_id") % 9 === 4).select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("shard-stream").toString
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, s"$tmp/man")
+    inc.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    def stream(): Unit =
+      EventsStream.streamShardAppend(spark, s"$tmp/man", s"$tmp/in",
+        inc.schema, s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    def state() = (
+      spark.read.parquet(s"$tmp/out").orderBy("shard", "position")
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(s"$tmp/man/parts").groupBy("shard")
+        .agg(sum("n_docs"), sum("n_tokens")).orderBy("shard")
+        .collect().map(_.toSeq).toSeq)
+    stream()
+    val once = state()
+    // wipe the checkpoint: the source forgets all progress and
+    // re-delivers the same file as batch 0 — both the assignment
+    // partition and the manifest partition must be overwritten with
+    // identical content, not appended a second time
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/ckpt"))
+    stream()
+    assert(state() === once,
+      "checkpoint-wipe replay changed the shard layout — fold not idempotent")
+    assert(once._1.nonEmpty)
+  }
+
   test("sessionize splits on gaps and is stable under event-order ties") {
     val h = 3600L * 1000000000L // one hour in nanos
     val events = Seq(
