@@ -201,6 +201,32 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(plan.contains("dot_f32"), s"PQ lost the native dot kernel:\n$plan")
   }
 
+  test("x_shard_shuffle: exactly one shard Exchange, no global sort before the windows") {
+    val plan = planOf(q("x_shard_shuffle"))
+    // the only shuffle the layout pays is the write shuffle any
+    // sharded output needs — hash on shard; position/offset ride the
+    // per-shard windows behind it
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning(shard")) === 1,
+      s"expected the single shard write shuffle:\n$finalPlan")
+    // the trailing orderBy is the GATE's canonical presentation, not
+    // the operator: the operator itself must not range-exchange
+    assert(exchanges.count(_.contains("hashpartitioning")) === 1,
+      s"layout grew an extra hash shuffle:\n$finalPlan")
+  }
+
+  test("x_shard_append: committed tail joins broadcast — the base corpus is never read") {
+    val plan = planOf(q("x_shard_append"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard-count manifest fell off broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      s"tail join shuffled — increment cost is no longer O(increment):\n$plan")
+    // the increment slice reaches the scan as a pushed filter — the
+    // base corpus is only ever read through the tiny manifest counts
+    assert(plan.contains("PushedFilters"), s"increment filter not pushed:\n$plan")
+  }
+
   test("x_sketch_bloom: probe side carries a broadcast map, never an explode-regroup") {
     val plan = planOf(q("x_sketch_bloom"))
     // probe = crossJoin against the one-row word map → BNLJ; the only
