@@ -325,6 +325,16 @@ object QueriesScale {
       Dedup.embeddingNearDupPairs(plantedEmb(s, dir), "vec_id", "embedding", 0.99, planes = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- banded (OR-amplified) sign-plane blocking: 3 independent
+    // 4-plane bands over disjoint component slices, candidate where
+    // ANY band matches — recall ~0.995 at cosine 0.99 vs ~0.83 for
+    // the single bucket, volume still bucketed per band. The oracle
+    // replays the OR of the three band-bucket equalities.
+    "x_neardup_cosine_banded" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsBanded(plantedEmb(s, dir), "vec_id", "embedding", 0.99,
+          planes = 4, bands = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- INCREMENTAL dedup against a persistent LSH index: the base
     // corpus is signed+banded once into a partitioned index; the
     // "new crawl" (the planted variants) probes it — base text is
@@ -2247,6 +2257,23 @@ object QueriesScale {
          | FROM corpus)
          |SELECT a.id AS id_a, b.id AS id_b, round($cos, 4) AS cosine
          |FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE round($cos, 4) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "x_neardup_cosine_banded" -> {
+      val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"
+      def bucket(k: Int) = (0 until 4)
+        .map(i => s"CASE WHEN embedding[${k * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding FROM embeddings
+         | UNION ALL SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x * 2 AS REAL))
+         |  FROM embeddings WHERE vec_id < 20),
+         |k AS (SELECT id, embedding AS v,
+         |  sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
+         |  ${bucket(0)} AS b0, ${bucket(1)} AS b1, ${bucket(2)} AS b2
+         | FROM corpus)
+         |SELECT a.id AS id_a, b.id AS id_b, round($cos, 4) AS cosine
+         |FROM k a JOIN k b ON a.id < b.id AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
          |WHERE round($cos, 4) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin
     },

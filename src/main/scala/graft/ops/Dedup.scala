@@ -970,6 +970,61 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Banded (OR-amplified) sign-plane blocking — the recall
+    * configuration for semantic dedup at scale: `bands` INDEPENDENT
+    * sign buckets, band k reading components k·planes+1 ..
+    * (k+1)·planes, a pair a candidate when ANY band matches (the
+    * LSH OR-amplification [[minhashLshPairs]] applies to shingles,
+    * here over random-projection signs). Per-band recall for a
+    * θ-angle pair is (1−θ/π)^planes — at cosine 0.99 (θ ≈ 0.141 rad)
+    * and planes = 4, one band catches ≈ 83% of true pairs and the
+    * single-bucket [[embeddingNearDupPairs]] stops there; 3 bands
+    * lift recall to ≈ 99.5% while candidate volume stays bucketed
+    * (≈ n²/2^planes per band, never all-pairs — total cost `bands`×
+    * the single-band miner, each band independently skew-bounded by
+    * its 2^planes buckets). Band 0 IS the single-band blocking, so
+    * banded ⊇ single at equal planes (spec-asserted). A pair matching
+    * in several bands computes the identical rounded cosine in each;
+    * the final distinct collapses the copies. Vectors must carry at
+    * least planes·bands components (missing components read as sign
+    * 0 via null comparison — degrades recall, never correctness).
+    */
+  def embeddingNearDupPairsBanded(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 4, bands: Int = 3): DataFrame = {
+    val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    val keyed = signPlaneKeyedBanded(df, idCol, vecCol, planes, bands)
+      .repartition(col("band"), col("bucket"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** One row per (vector, band): the banded twin of
+    * [[signPlaneKeyed]], each band bucketing a disjoint slice of
+    * leading components.
+    */
+  private[graft] def signPlaneKeyedBanded(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bands: Int): DataFrame = {
+    def bucketOf(k: Int): Column = (0 until planes)
+      .map(i => when(element_at(col(vecCol), k * planes + i + 1) >= 0, 1 << i).otherwise(0))
+      .reduce((a: Column, b: Column) => a + b)
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        sqrt(aggregate(col(vecCol), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("band"), bucketOf(k).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** PERSISTENT sign-plane index — the semantic (embedding) analog of
     * [[writeMinhashIndexMd5]]: the base corpus is keyed ONCE (vector,
     * norm, sign bucket) and written `partitionBy(bucket)`, so an

@@ -262,6 +262,29 @@ class DedupSpec extends SparkSpecBase {
     assert(dirs.nonEmpty)
   }
 
+  test("banded sign-plane blocking: superset of single-band recall, all planted pairs, no false scores") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.unionByName(e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = pairs(Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding", 0.99, planes = 4))
+    val banded = pairs(Dedup.embeddingNearDupPairsBanded(planted, "vec_id", "embedding", 0.99,
+      planes = 4, bands = 3))
+    // band 0 IS the single-band blocking → OR-amplification can only add
+    assert(single.subsetOf(banded),
+      s"banded lost single-band pairs: ${single.diff(banded).take(3)}")
+    // colinear planted copies agree on every sign → found by every band
+    for (i <- 0L until 20L)
+      assert(banded.exists(p => p._1 == i && p._2 == i + 100000),
+        s"planted colinear pair $i missing from banded candidates")
+    // every emitted pair clears the threshold and appears exactly once
+    assert(banded.forall(_._3 >= 0.99))
+    val keys = banded.toSeq.map(p => (p._1, p._2))
+    assert(keys.distinct.size === keys.size, "multi-band match not collapsed by distinct")
+  }
+
   test("xxhash64 minhash flavor agrees on the exact-dup pair") {
     val out = Dedup.minhashLshPairs(docs, "id", "text", w = 3, numHashes = 16, bands = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
