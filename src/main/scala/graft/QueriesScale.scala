@@ -384,6 +384,19 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- the banded index probe: same increment, recall-amplified
+    // candidates from the (band, bucket) cells, statically pruned.
+    "x_dedup_semantic_inc_banded" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val fresh = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val path = buildOnce("spbidx", dir)(p =>
+        Dedup.writeSignPlaneIndexBanded(base, "vec_id", "embedding", p))
+      Dedup.probeSignPlaneIndexBanded(s, path, fresh, "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- TAKEDOWN on the dedup surface: ids retired from the
     // sign-plane index must stop matching new content (the corpus no
     // longer carries them, so flagging an arrival as their near-dup
@@ -2281,6 +2294,27 @@ object QueriesScale {
     // BOTH the batch index probe and its streaming twin
     "x_dedup_semantic_inc" -> semanticIncOracle,
     "s9_stream_semantic" -> semanticIncOracle,
+    // banded probe: base × increment on ANY of the three band buckets
+    "x_dedup_semantic_inc_banded" -> {
+      val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"
+      def bucket(k: Int) = (0 until 4)
+        .map(i => s"CASE WHEN embedding[${k * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      def keyed(src: String) =
+        s"""SELECT id, embedding AS v,
+           |  sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
+           |  ${bucket(0)} AS b0, ${bucket(1)} AS b1, ${bucket(2)} AS b2
+           | FROM $src""".stripMargin
+      s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings),
+         |fresh AS (SELECT vec_id + 100000 AS id, list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+         |  FROM embeddings WHERE vec_id < 20),
+         |ka AS (${keyed("base")}),
+         |kb AS (${keyed("fresh")})
+         |SELECT a.id AS id_a, b.id AS id_b, round($cos, 4) AS cosine
+         |FROM ka a JOIN kb b ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+         |WHERE round($cos, 4) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // takedown: the same incremental-probe replay with the base
     // restricted to the surviving (non-retired) ids
     "x_dedup_semantic_del" -> semanticIncOracle.replace(

@@ -1025,6 +1025,79 @@ object Dedup {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** PERSISTENT banded sign-plane index — the build-once/probe-many
+    * twin of [[embeddingNearDupPairsBanded]], and the recall-amplified
+    * sibling of [[writeSignPlaneIndex]]: each vector is stored once
+    * per band under `band=<k>/bucket=<b>` partitions, so an increment
+    * probes only the (band, bucket) cells its own keys hash into —
+    * `bands`× the storage of the single-band index buys
+    * OR-amplified recall at the same probe-pruning discipline.
+    * Same maintenance contracts as the single-band index:
+    * at-least-once appends (probes dedup pairs), takedown tombstones
+    * shared via the `_deletes` sibling tree, rebuild clears them.
+    */
+  def writeSignPlaneIndexBanded(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      planes: Int = 4, bands: Int = 3): Unit = {
+    signPlaneBandedLayout(df, idCol, vecCol, path, planes, bands,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val p  = new org.apache.hadoop.fs.Path(s"${path}_deletes")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
+  }
+
+  /** Fold an embedding increment into the banded index — same
+    * append-into-partitions contract as [[appendToSignPlaneIndex]]:
+    * deterministic keying lands appended rows exactly where a rebuild
+    * would; probe-after-append ≡ probe-of-rebuilt; append(∅) ≡ id;
+    * replays change disk footprint only (probes dedup).
+    */
+  def appendToSignPlaneIndexBanded(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      planes: Int = 4, bands: Int = 3): Unit =
+    signPlaneBandedLayout(df, idCol, vecCol, path, planes, bands,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def signPlaneBandedLayout(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      planes: Int, bands: Int, mode: org.apache.spark.sql.SaveMode): Unit =
+    signPlaneKeyedBanded(df, idCol, vecCol, planes, bands)
+      .repartition(col("band"), col("bucket"))
+      .write.mode(mode).partitionBy("band", "bucket").parquet(path)
+
+  /** Probe the banded index with new embeddings: candidates from the
+    * (band, bucket) equi-join — statically pruned to the increment's
+    * own cells via an IN-list over the composite band·2^planes +
+    * bucket key (envelope-sized: ≤ bands × |increment| cells; the
+    * same AQE-fallback lesson as [[probeSignPlaneIndex]]) — cosine
+    * verified on stored vectors, pairs deduped across bands (a pair
+    * agreeing in several bands scores identically in each). Takedown
+    * tombstones mask exactly as in the single-band probe.
+    */
+  def probeSignPlaneIndexBanded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newEmb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 4, bands: Int = 3): DataFrame = {
+    val probes = signPlaneKeyedBanded(newEmb, idCol, vecCol, planes, bands)
+    val indexAll = spark.read.schema(probes.schema).parquet(path)
+    val cell = col("band") * lit(1 << planes) + col("bucket")
+    val index0 =
+      if (newEmb.isStreaming) indexAll
+      else indexAll.filter(cell.isin(
+        probes.select(cell.as("c")).distinct().collect().map(_.get(0)).toSeq: _*))
+    val index = signPlaneTombstones(spark, path) match {
+      case Some(dead) => index0.join(broadcast(dead), Seq("id"), "left_anti")
+      case None       => index0
+    }
+    val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    index.as("a")
+      .join(probes.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(cos, 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** PERSISTENT sign-plane index — the semantic (embedding) analog of
     * [[writeMinhashIndexMd5]]: the base corpus is keyed ONCE (vector,
     * norm, sign bucket) and written `partitionBy(bucket)`, so an

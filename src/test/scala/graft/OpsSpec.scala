@@ -262,6 +262,34 @@ class DedupSpec extends SparkSpecBase {
     assert(dirs.nonEmpty)
   }
 
+  test("banded sign-plane index: probe ≡ batch banded pairs cross-side, cells pruned, append law") {
+    val base = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val fresh = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("spb-idx").toString
+    // build from one half, append the other — probe must equal a
+    // rebuilt-index probe, i.e. batch banded pairs restricted cross-side
+    Dedup.writeSignPlaneIndexBanded(base.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
+    Dedup.appendToSignPlaneIndexBanded(base.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+    val probeDf = Dedup.probeSignPlaneIndexBanded(spark, path, fresh, "vec_id", "embedding", 0.99)
+    val probed = probeDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // metric-proven cell pruning (populated by the execution above)
+    val partitioned = fileScans(probeDf.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partitioned.nonEmpty, "no partitioned scan in the banded probe plan")
+    val cellsRead  = partitioned.head.metrics("numPartitions").value
+    val cellsTotal = partitioned.head.relation.location.listFiles(Nil, Nil).size
+    assert(cellsRead > 0 && cellsRead < cellsTotal,
+      s"probe read $cellsRead of $cellsTotal (band, bucket) cells — static cell pruning lost")
+    val batch = Dedup.embeddingNearDupPairsBanded(
+        base.unionByName(fresh), "vec_id", "embedding", 0.99)
+      .filter(col("id_a") < 100000 && col("id_b") >= 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed === batch)
+    assert(probed.nonEmpty, "planted colinear copies must probe-hit or the test is vacuous")
+  }
+
   test("banded sign-plane blocking: superset of single-band recall, all planted pairs, no false scores") {
     val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = e.unionByName(e.filter(col("vec_id") < 20)
