@@ -365,6 +365,13 @@ object CorpusOps {
     * EXCLUDES the increment's own prior partition when computing the
     * committed tail, then dynamic-overwrites it); appends of distinct
     * increments compose (the second sees the first's counts).
+    *
+    * Run ONE fold at a time per manifest (the nightly single-writer
+    * shape): the ledger layout keeps the manifest COUNTS correct
+    * under concurrent distinct-increment appends (each writes only
+    * its own partition), but two concurrent folds would read the
+    * same committed tail and hand out COLLIDING positions — the
+    * assignment, not the fold, is what needs the serialization.
     */
   def appendToShards(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -374,23 +381,40 @@ object CorpusOps {
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
     val shards = spark.read.parquet(s"$path/meta")
       .select(col("shards")).limit(1).collect()(0).getInt(0)
+    // materialized ONCE (eager, increment-sized): the frame feeds the
+    // manifest-part write AND the caller — a lazy return would re-read
+    // meta+parts and re-run both windows on the caller's first action
+    val assigned =
+      shardAppendAssignment(spark, path, inc, idCol, textCol, incrementId, shards)
+        .localCheckpoint()
+    shardManifestPart(assigned, shards, incrementId)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("inc").parquet(s"$path/parts")
+    assigned
+  }
+
+  /** The LAZY assignment plan of [[appendToShards]] — split out so
+    * the plan-shape asserts (broadcast tail join, single documents
+    * scan) can see it: the public method checkpoints the result
+    * eagerly, which truncates the visible plan to a Scan ExistingRDD.
+    */
+  private[graft] def shardAppendAssignment(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String,
+      incrementId: String, shards: Int): DataFrame = {
     // committed tail per shard = every partition EXCEPT this
     // increment's own (replay reads the same tail it saw first)
     val tail = broadcast(spark.read.parquet(s"$path/parts")
       .filter(col("inc") =!= incrementId)
       .groupBy(col("shard"))
       .agg(sum(col("n_docs")).as("base_docs"), sum(col("n_tokens")).as("base_tokens")))
-    val assigned = shardShuffle(inc, idCol, textCol, shards)
+    shardShuffle(inc, idCol, textCol, shards)
       .join(tail, Seq("shard"), "left")
       .select(col("shard"),
         (col("position") + coalesce(col("base_docs"), lit(0L))).as("position"),
         col(idCol), col("n_tokens"),
         (col("shard_offset") + coalesce(col("base_tokens"), lit(0L))).as("shard_offset"))
-    shardManifestPart(assigned, shards, incrementId)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("inc").parquet(s"$path/parts")
-    assigned
   }
 
   /** Temperature (α-weighted) source resampling with replication — the

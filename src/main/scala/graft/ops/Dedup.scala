@@ -1011,8 +1011,15 @@ object Dedup {
   private[graft] def signPlaneKeyedBanded(
       df: DataFrame, idCol: String, vecCol: String,
       planes: Int, bands: Int): DataFrame = {
+    // try_element_at, not element_at: under Spark 4's default ANSI
+    // mode a plain element_at past the array end THROWS, which would
+    // kill the job on any corpus with vectors shorter than
+    // planes·bands — try_element_at yields NULL there, NULL >= 0 is
+    // NULL, and the when() falls to 0: exactly the DuckDB oracle's
+    // embedding[i] → NULL → ELSE 0 semantics (spec-asserted on
+    // short vectors).
     def bucketOf(k: Int): Column = (0 until planes)
-      .map(i => when(element_at(col(vecCol), k * planes + i + 1) >= 0, 1 << i).otherwise(0))
+      .map(i => when(try_element_at(col(vecCol), lit(k * planes + i + 1)) >= 0, 1 << i).otherwise(0))
       .reduce((a: Column, b: Column) => a + b)
     df.select(
         col(idCol).as("id"),

@@ -785,11 +785,17 @@ object TextAnalysis {
       corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
-    val docB = affinityBucketCounts(corpus, col(idCol), col(textCol), buckets).persist()
-    try {
-      val wgt = affinityWeights(docB, target, targetTextCol, buckets, scale)
-      scoreBuckets(docB, wgt)
-    } finally { docB.unpersist(): Unit }
+    // localCheckpoint (eager), NOT persist-try-unpersist: the result
+    // is returned LAZY, so an unpersist in a finally block would drop
+    // the cache entry before the caller's first action ever populated
+    // it — the corpus feature pass would silently run twice (once for
+    // the raw distribution, once for scoring). The eager checkpoint
+    // materializes the (doc, bucket, c) stage exactly once and both
+    // consumers read the pinned blocks.
+    val docB = affinityBucketCounts(corpus, col(idCol), col(textCol), buckets)
+      .localCheckpoint()
+    val wgt = affinityWeights(docB, target, targetTextCol, buckets, scale)
+    scoreBuckets(docB, wgt)
   }
 
   /** (doc_id, bucket, c) hashed-feature counts — the shared stage of

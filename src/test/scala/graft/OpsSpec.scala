@@ -311,6 +311,17 @@ class DedupSpec extends SparkSpecBase {
     assert(banded.forall(_._3 >= 0.99))
     val keys = banded.toSeq.map(p => (p._1, p._2))
     assert(keys.distinct.size === keys.size, "multi-band match not collapsed by distinct")
+    // short vectors (dim < planes·bands) must DEGRADE, not throw: the
+    // out-of-range components read as sign 0 (try_element_at → NULL →
+    // otherwise 0) — ANSI element_at would kill the job here, and the
+    // DuckDB oracle's embedding[i] → NULL → ELSE 0 matches
+    val short = Seq((1L, Array(1.0f, -1.0f, 1.0f, 1.0f, 2.0f, 2.0f, 2.0f, 2.0f)),
+        (2L, Array(2.0f, -2.0f, 2.0f, 2.0f, 4.0f, 4.0f, 4.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val shortPairs = Dedup.embeddingNearDupPairsBanded(short, "vec_id", "embedding", 0.99,
+        planes = 4, bands = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shortPairs === Set((1L, 2L)), "8-dim colinear pair must survive 4×3 banding")
   }
 
   test("xxhash64 minhash flavor agrees on the exact-dup pair") {

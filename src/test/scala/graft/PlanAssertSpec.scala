@@ -217,14 +217,29 @@ class PlanAssertSpec extends SparkSpecBase {
   }
 
   test("x_shard_append: committed tail joins broadcast — the base corpus is never read") {
-    val plan = planOf(q("x_shard_append"))
+    // the gate query checkpoints its result (the one-materialization
+    // contract), which truncates ITS visible plan to a Scan
+    // ExistingRDD — so assert on the lazy assignment plan directly,
+    // against a manifest built the same way the gate builds one
+    import graft.ops.CorpusOps
+    import org.apache.spark.sql.functions.col
+    val d = GraftSession.table(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("shard-plan").toString
+    CorpusOps.writeShardManifest(d.filter(col("doc_id") % 9 =!= 4), "doc_id", "text", 8, path)
+    val assignment = CorpusOps.shardAppendAssignment(spark, path,
+      d.filter(col("doc_id") % 9 === 4), "doc_id", "text", "gate", 8)
+    val plan = planOf(assignment)
     assert(plan.contains("BroadcastHashJoin"),
       s"shard-count manifest fell off broadcast:\n$plan")
     assert(!plan.toLowerCase.contains("sortmergejoin"),
       s"tail join shuffled — increment cost is no longer O(increment):\n$plan")
-    // the increment slice reaches the scan as a pushed filter — the
-    // base corpus is only ever read through the tiny manifest counts
-    assert(plan.contains("PushedFilters"), s"increment filter not pushed:\n$plan")
+    // the base corpus is only ever read through the tiny manifest
+    // counts: EXACTLY ONE scan of the documents table may appear (the
+    // increment slice) — a second one means the fold re-read the base
+    val docScans = fileScans(assignment.queryExecution.executedPlan)
+      .count(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(docScans === 1,
+      s"expected exactly one documents scan (the increment), got $docScans:\n$plan")
   }
 
   test("x_sketch_bloom: probe side carries a broadcast map, never an explode-regroup") {
