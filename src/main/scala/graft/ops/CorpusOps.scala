@@ -316,6 +316,14 @@ object CorpusOps {
     * meta scalar, which documents single-writer for exactly this
     * reason). Every shard gets a row even when empty, so assignment
     * joins need no existence probe.
+    *
+    * No compaction op on purpose: each increment adds ONE
+    * `shards`-row file, so the fold-on-read stays trivial at any
+    * realistic increment count (10³ daily folds ≈ 10⁴ rows); a safe
+    * multi-partition compaction would need a generation pointer (the
+    * [[graft.ops.TextAnalysis.compactBm25Index]] machinery) for no
+    * measurable win. If the tree ever degenerates, rebuild with
+    * [[writeShardManifest]] over the full corpus.
     */
   def writeShardManifest(
       df: DataFrame, idCol: String, textCol: String,

@@ -52,6 +52,34 @@ class KernelPropertySpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("md5_feature_counts ≡ explode+md5/conv+groupBy on 200 random token arrays") {
+    // arbitrary token arrays: unicode, repeats, single-token (no
+    // bigram), empty — the full input space of the DSIR feature stage
+    val words = Vector("alpha", "beta", "γάμμα", "δ", "x1", "xx", "a b", "héllo", "日本", "z")
+    val data = Seq.fill(198)(Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.size)))) ++
+      Seq(Seq.empty[String], Seq("solo"))
+    val df = data.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }.toDF("doc_id", "__t")
+    val buckets = 4096
+    val fused = df
+      .select(col("doc_id"), explode(call_function("md5_feature_counts", col("__t"), lit(buckets))).as("fc"))
+      .select(col("doc_id"), col("fc.bucket").as("bucket"), col("fc.c").as("c"))
+    val ref = df
+      .select(col("doc_id"), concat(col("__t"),
+        when(size(col("__t")) >= 2, expr(
+          "transform(sequence(0, size(__t) - 2), " +
+            "i -> concat(element_at(__t, i + 1), ' ', element_at(__t, i + 2)))"))
+          .otherwise(array().cast("array<string>"))).as("__f"))
+      .select(col("doc_id"), explode(col("__f")).as("f"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.orderBy("doc_id", "bucket").collect().map(_.toSeq).toSeq
+    assert(canon(fused) === canon(ref))
+    assert(canon(fused).nonEmpty)
+  }
+
   test("dot_f32 ≡ aggregate(zip_with) bit-for-bit on 200 random float pairs") {
     val data = Seq.fill(200) {
       val n = 1 + rnd.nextInt(80)
