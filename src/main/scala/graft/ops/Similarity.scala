@@ -211,6 +211,15 @@ object Similarity {
     */
   private def pqCodebookRows(c: DataFrame, nSub: Int, ks: Int): DataFrame = {
     val wPos = Window.orderBy(col("neighbor_id"))
+    // stride guard: encode/ADC index the collapsed array at m·ks+pos,
+    // so an UNDERFULL codebook (corpus smaller than ks) would silently
+    // read subspace m's lookups from subspace m+1's codewords — wrong
+    // codes and scores with no exception. Fail loudly instead (the
+    // count is a LIMIT-ks scan, trivially cheap).
+    val have = c.orderBy(col("neighbor_id")).limit(ks).count()
+    require(have == ks.toLong,
+      s"PQ_CODEBOOK_UNDERFULL: corpus has only $have vectors but ks=$ks codewords " +
+        "per subspace are required — lower ks (power of the stride algebra) or grow the corpus")
     c.orderBy(col("neighbor_id")).limit(ks)
       .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
       .select(explode(sequence(lit(0), lit(nSub - 1))).as("m"), col("pos"), col("cv"))
@@ -520,10 +529,23 @@ object Similarity {
     require(deleteId.nonEmpty, "deleteId must be non-empty")
     val aRoot = new org.apache.hadoop.fs.Path(s"$path/assigned")
     val fs    = aRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val liveIncs = fs.listStatus(aRoot).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
-      .map(_.getPath.getName.stripPrefix("inc="))
-      .filterNot(excludeInc.contains)
+    // a retraction is a right-to-be-forgotten op — it must never be
+    // DROPPED silently, so both degenerate trees fail loudly instead:
+    // no index at all, and a pre-inc-layout tree (cell_id-only
+    // partitions) whose rows an inc-set tombstone could never mask
+    if (!fs.exists(aRoot))
+      throw new IllegalStateException(
+        s"IVF_DELETE_NO_INDEX: no IVF index at $path — build one before retracting from it")
+    val subdirs = fs.listStatus(aRoot).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val allIncs = subdirs.filter(_.startsWith("inc=")).map(_.stripPrefix("inc="))
+    if (allIncs.isEmpty)
+      throw new IllegalStateException(
+        s"IVF_DELETE_LEGACY_LAYOUT: $path/assigned has no inc= partitions (pre-inc-set " +
+          "layout) — inc-set tombstones cannot mask its rows; rebuild the index " +
+          "(writeIvfIndex) before retracting")
+    val liveIncs = allIncs.filterNot(excludeInc.contains)
+    // every live increment excluded (a CDC batch retracting into the
+    // index it is itself creating): nothing can match — a no-op
     if (liveIncs.isEmpty) return
     ids.select(col(idCol).as("neighbor_id")).distinct()
       .withColumn("inc", explode(typedLit(liveIncs)))
@@ -657,6 +679,9 @@ object Similarity {
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("qqb"), col("cell_id"))
+      // same one-materialization contract as probeIvfIndex (the
+      // quantize_i8b per query would otherwise run in both jobs)
+      .localCheckpoint()
     val cells = probedCellList(probes)
     val assigned = maskDeleted(spark,
       path, spark.read.parquet(s"$path/assigned").filter(col("cell_id").isin(cells: _*)))
@@ -684,10 +709,14 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val cells = probedCellList(probeSelection(queries, centroids, idCol, vecCol, nProbe))
+    // materialized ONCE (eager, queries×nProbe rows): the selection
+    // feeds the IN-list collect AND the scoring join — without the
+    // pin the whole query-to-cell join would execute twice per probe
+    val probes = probeSelection(queries, centroids, idCol, vecCol, nProbe).localCheckpoint()
+    val cells = probedCellList(probes)
     val assigned = maskDeleted(spark,
       path, spark.read.parquet(s"$path/assigned").filter(col("cell_id").isin(cells: _*)))
-    probeTopK(assigned, centroids, queries, idCol, vecCol, k, nProbe)
+    probeTopKWith(probes, assigned, k)
   }
 
   /** Deterministic centroid sample: smallest nCells ids — plans as a
@@ -760,8 +789,14 @@ object Similarity {
       vecCol: String,
       k: Int,
       nProbe: Int
-  ): DataFrame = {
-    val probes = probeSelection(queries, centroids, idCol, vecCol, nProbe)
+  ): DataFrame =
+    probeTopKWith(probeSelection(queries, centroids, idCol, vecCol, nProbe), assigned, k)
+
+  /** The scoring stage of [[probeTopK]] over an ALREADY-BUILT probe
+    * selection — the persisted-index probes pass a checkpointed
+    * frame here so the selection is not recomputed for the join.
+    */
+  private def probeTopKWith(probes: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(probes).join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

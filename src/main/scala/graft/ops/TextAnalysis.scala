@@ -375,10 +375,11 @@ object TextAnalysis {
       // retraction of such a doc knows it is live again. Same
       // idempotency unit as the postings (inc= dynamic overwrite,
       // written before meta); the tombstone set is broadcast-sized.
-      bm25Tombstones(spark, path).foreach { ts =>
+      bm25Tombstones(spark, path, meta.gen).foreach { ts =>
         base.select(col("doc_id")).distinct()
           .join(broadcast(ts.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
           .withColumn("inc", lit(incrementId))
+          .withColumn("gen", lit(meta.gen))
           .coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -413,7 +414,13 @@ object TextAnalysis {
     val qBuckets = qTerms
       .select(pmod(xxhash64(col("term")), lit(meta.buckets.toLong)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val raw = spark.read.parquet(s"$path/${meta.gen}")
+    val scan = spark.read.parquet(s"$path/${meta.gen}")
+    // pre-round-9 layouts partition by bucket only (no `inc` level);
+    // readBm25Meta's fallback promises they stay readable, so resolve
+    // the missing column to the base rank instead of throwing
+    val scanInc =
+      if (scan.columns.contains("inc")) scan else scan.withColumn("inc", lit("base"))
+    val raw = scanInc
       .filter(col("bucket").isin(qBuckets: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("inc"))
     // tombstone filter, LEDGER-RANK-AWARE: a tombstone masks only
@@ -424,15 +431,15 @@ object TextAnalysis {
     // current corpus would produce. The tombstone set is
     // delete-batch-sized (compaction clears it), so the join
     // broadcasts.
-    val postings = (bm25Tombstones(spark, path) match {
+    val postings = (bm25Tombstones(spark, path, meta.gen) match {
       case Some(ts) =>
         val ranks = ledgerRanks(meta)
-        val dead = ts.select(col("doc_id"), rankOf(col("del"), ranks.del).as("__r"))
+        val dead = withLedgerRank(ts, ranks.del, "del", "__r")
           .groupBy(col("doc_id")).agg(max(col("__r")).as("dead_rank"))
-        raw.join(broadcast(dead), Seq("doc_id"), "left")
-          .filter(col("dead_rank").isNull ||
-            rankOf(col("inc"), ranks.inc) > col("dead_rank"))
-          .drop("dead_rank")
+        withLedgerRank(raw.join(broadcast(dead), Seq("doc_id"), "left"),
+            ranks.inc, "inc", "__ir")
+          .filter(col("dead_rank").isNull || col("__ir") > col("dead_rank"))
+          .drop("dead_rank", "__ir")
       case None => raw
     }).select(col("doc_id"), col("dl"), col("term"), col("tf"))
     bm25Score(postings, qTerms, meta.n, meta.t, k)
@@ -461,11 +468,31 @@ object TextAnalysis {
     }
     LedgerRanks(inc.toMap, del.toMap)
   }
-  /** Ledger rank of an event-id column — a map-literal lookup (one
-    * codegen'd expression, ledger-sized), missing ids → Int.MaxValue.
+
+  /** Attach the ledger rank of `keyCol` as `outCol` via a BROADCAST
+    * DIM JOIN, never a literal-map expression: the ledger grows with
+    * maintenance history (two entries per CDC batch, carried across
+    * compactions because a checkpoint-wipe stream recovery may
+    * legitimately replay any past batch), and a `typedLit(map)`
+    * lookup is O(ledger) per row inside an expression whose SIZE also
+    * grows with the ledger — on the postings scan that is a per-row
+    * cost scaling with index age. A broadcast hash join against the
+    * ledger-sized dim stays O(1) per row at any age. Missing ids →
+    * Int.MaxValue ("newer than everything" — the crash-window
+    * conservative rank).
     */
-  private def rankOf(c: Column, m: Map[String, Int]): Column =
-    coalesce(element_at(typedLit(m), c), lit(Int.MaxValue))
+  private def withLedgerRank(
+      df: DataFrame, ranks: Map[String, Int],
+      keyCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // max-index on duplicates mirrors the map's last-entry-wins
+    val dim = ranks.toSeq.toDF(keyCol, "__lr")
+      .groupBy(col(keyCol)).agg(max(col("__lr")).as("__lr"))
+    df.join(broadcast(dim), Seq(keyCol), "left")
+      .withColumn(outCol, coalesce(col("__lr"), lit(Int.MaxValue)))
+      .drop("__lr")
+  }
 
   /** True iff a maintenance side-tree holds at least one data file —
     * an all-empty tree (only _SUCCESS markers, e.g. after an empty
@@ -483,13 +510,28 @@ object TextAnalysis {
   /** Pending tombstones `(doc_id, del)`, None once compaction folded
     * them in.
     */
+  /** GEN-SCOPED: a tombstone targets the postings generation it was
+    * written against ([[deleteFromBm25Index]] stamps `gen`); once a
+    * compaction folds it into the data, a stale tree surviving the
+    * flip→clear crash window must be IGNORED — the new generation's
+    * rows carry `inc=base` (ledger rank 0), so any ranked tombstone
+    * would wrongly mask docs whose re-append justified their
+    * survival, and a replayed compaction would then drop them
+    * permanently. Filtering to the CURRENT generation makes the
+    * stale window inert and the compaction replay a no-op fold.
+    * Trees written before gen-stamping carry no `gen` column and are
+    * treated as current (the pre-fix behavior, conservative).
+    */
   private def bm25Tombstones(
-      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: String): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (hasDataFiles(fs, p))
-      Some(spark.read.parquet(s"$path/deletes").select(col("doc_id"), col("del")))
-    else None
+    if (hasDataFiles(fs, p)) {
+      val raw = spark.read.parquet(s"$path/deletes")
+      val scoped = if (raw.columns.contains("gen")) raw.filter(col("gen") === gen) else raw
+      Some(scoped.select(col("doc_id"), col("del")))
+    } else None
   }
 
   /** Re-append markers `(doc_id, inc)` — written by
@@ -499,12 +541,18 @@ object TextAnalysis {
     * with the tombstones at compaction.
     */
   private def bm25Revives(
-      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: String): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(s"$path/revives")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (hasDataFiles(fs, p))
-      Some(spark.read.parquet(s"$path/revives").select(col("doc_id"), col("inc")))
-    else None
+    if (hasDataFiles(fs, p)) {
+      // same gen scoping (and legacy fallback) as the tombstones —
+      // a stale revive marker surviving the compaction crash window
+      // could suppress a legitimate post-compaction retraction unfold
+      val raw = spark.read.parquet(s"$path/revives")
+      val scoped = if (raw.columns.contains("gen")) raw.filter(col("gen") === gen) else raw
+      Some(scoped.select(col("doc_id"), col("inc")))
+    } else None
   }
 
   /** Delete documents from a persistent BM25 index WITHOUT rewriting
@@ -565,13 +613,12 @@ object TextAnalysis {
     // the meta delta would fold to zero — the current deleteId's
     // partition is excluded from the check.
     val ranks = ledgerRanks(meta)
-    val deadBefore = bm25Tombstones(spark, path).map { ts =>
-      val dmax = ts.filter(col("del") =!= deleteId)
-        .select(col("doc_id"), rankOf(col("del"), ranks.del).as("__r"))
+    val deadBefore = bm25Tombstones(spark, path, meta.gen).map { ts =>
+      val dmax = withLedgerRank(ts.filter(col("del") =!= deleteId), ranks.del, "del", "__r")
         .groupBy(col("doc_id")).agg(max(col("__r")).as("dead_rank"))
-      val withRev = bm25Revives(spark, path) match {
+      val withRev = bm25Revives(spark, path, meta.gen) match {
         case Some(rv) =>
-          val rmax = rv.select(col("doc_id"), rankOf(col("inc"), ranks.inc).as("__r"))
+          val rmax = withLedgerRank(rv, ranks.inc, "inc", "__r")
             .groupBy(col("doc_id")).agg(max(col("__r")).as("rev_rank"))
           dmax.join(rmax, Seq("doc_id"), "left")
         case None => dmax.withColumn("rev_rank", lit(null).cast("int"))
@@ -592,7 +639,7 @@ object TextAnalysis {
       // leaves extra tombstones that mask already-unfolded docs from
       // probes (harmless: df drops, n/t still count them — scores
       // shift conservatively) and the replay repairs meta exactly
-      victims.select(col("doc_id"), lit(deleteId).as("del"))
+      victims.select(col("doc_id"), lit(deleteId).as("del"), lit(meta.gen).as("gen"))
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -668,19 +715,23 @@ object TextAnalysis {
     // increments — a re-appended doc keeps its newest postings): the
     // new generation is written WITHOUT the dead rows, so after the
     // meta pointer lands the tombstone/revive trees are redundant and
-    // are cleared (a crash between the flip and the clear is harmless
-    // — a tombstone whose dead rows are already gone masks nothing,
-    // and rank(base)=0 keeps surviving rows visible only because
-    // their tombstones were dropped with the dirs)
-    val compacted = (bm25Tombstones(spark, path) match {
+    // are cleared. A crash between the flip and the clear leaves the
+    // stale trees on disk, but they are GEN-SCOPED (see
+    // bm25Tombstones): probes on the new generation ignore them, and
+    // a replayed compaction folds nothing — without the scoping, the
+    // relabeled inc=base rows (rank 0) would be masked by every
+    // ledger-ranked stale tombstone and a replay would drop
+    // re-appended docs permanently (IndexMaintenanceSpec pins the
+    // crash window).
+    val compacted = (bm25Tombstones(spark, path, meta.gen) match {
       case Some(ts) =>
         val ranks = ledgerRanks(meta)
-        val dead = ts.select(col("doc_id"), rankOf(col("del"), ranks.del).as("__r"))
+        val dead = withLedgerRank(ts, ranks.del, "del", "__r")
           .groupBy(col("doc_id")).agg(max(col("__r")).as("dead_rank"))
-        live.join(broadcast(dead), Seq("doc_id"), "left")
-          .filter(col("dead_rank").isNull ||
-            rankOf(col("inc"), ranks.inc) > col("dead_rank"))
-          .drop("dead_rank")
+        withLedgerRank(live.join(broadcast(dead), Seq("doc_id"), "left"),
+            ranks.inc, "inc", "__ir")
+          .filter(col("dead_rank").isNull || col("__ir") > col("dead_rank"))
+          .drop("dead_rank", "__ir")
       case None => live
     }).drop("inc")
     compacted
@@ -856,8 +907,19 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         expr(s"((coalesce(t, 0L) + 1L) * ${scale}L) div (st + ${buckets}L)").as("pt"),
-        expr(s"((coalesce(r, 0L) + 1L) * ${scale}L) div (sr + ${buckets}L)").as("pr"))
-      .select(col("bucket"), expr(s"(pt * ${scale}L) div greatest(pr, 1L)").as("wgt"))
+        expr(s"((coalesce(r, 0L) + 1L) * ${scale}L) div (sr + ${buckets}L)").as("pr"),
+        // the ZERO-COUNT weight — what add-one smoothing assigns a
+        // bucket neither corpus ever hit: the persisted-weights
+        // scorer applies it to increment features that hash to
+        // buckets absent from the fit-time table (a crawl increment
+        // is NOT guaranteed to be a vocabulary subset of the fit
+        // corpus; silently dropping such features from score AND
+        // n_feats would skew affinity)
+        expr(s"${scale}L div (st + ${buckets}L)").as("pt0"),
+        expr(s"${scale}L div (sr + ${buckets}L)").as("pr0"))
+      .select(col("bucket"),
+        expr(s"(pt * ${scale}L) div greatest(pr, 1L)").as("wgt"),
+        expr(s"(pt0 * ${scale}L) div greatest(pr0, 1L)").as("wgt0"))
   }
 
   private def scoreBuckets(docB: DataFrame, wgt: DataFrame): DataFrame =
@@ -896,11 +958,28 @@ object TextAnalysis {
   def scoreWithAffinityWeights(
       spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wgt = spark.read.parquet(path)
-    val buckets = wgt.select(col("buckets")).limit(1).collect()(0).getInt(0)
-    scoreBuckets(
-      affinityBucketCounts(df, col(idCol), col(textCol), buckets),
-      wgt.select(col("bucket"), col("wgt")))
+    val wgt  = spark.read.parquet(path)
+    val head = wgt.limit(1).collect()(0)
+    val buckets = head.getInt(head.fieldIndex("buckets"))
+    val docB = affinityBucketCounts(df, col(idCol), col(textCol), buckets)
+    if (!wgt.columns.contains("wgt0"))
+      // weight table from before the smoothed-default column: keep
+      // the inner-join semantics it was written under
+      scoreBuckets(docB, wgt.select(col("bucket"), col("wgt")))
+    else {
+      // increment features hashing to buckets the fit corpus never
+      // saw take the fit-time ZERO-COUNT smoothed weight (wgt0 — a
+      // table-wide scalar) instead of silently vanishing from both
+      // score and the n_feats denominator: the increment is not
+      // guaranteed to be a vocabulary subset of the fit corpus
+      val w0 = head.getLong(head.fieldIndex("wgt0"))
+      docB.join(broadcast(wgt.select(col("bucket"), col("wgt"))), Seq("bucket"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_feats"),
+          sum(col("c") * coalesce(col("wgt"), lit(w0))).as("score"))
+        .select(col("doc_id"), col("n_feats"), col("score"),
+          expr("score div n_feats").as("affinity"))
+    }
   }
 
   /** Collocation extraction: consecutive-token bigram counts with a

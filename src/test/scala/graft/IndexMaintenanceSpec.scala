@@ -291,6 +291,44 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$path/revives").exists(), "revive markers not cleared")
   }
 
+  test("law: BM25 compaction crash between the meta flip and the side-tree clear is inert and replay-safe") {
+    import graft.ops.ChangeCapture
+    val old = docsAll
+    // an UPDATE cycle so the index holds tombstoned + re-appended docs
+    // — the population a stale tombstone would wrongly re-kill
+    val snap = old.withColumn("text", when(col("id") % 11 === 5,
+      concat(col("text"), lit(" updated"))).otherwise(col("text")))
+    val path = tmp("bm25-crash-compact")
+    TextAnalysis.writeBm25Index(old, "id", "text", path, buckets = 8)
+    TextAnalysis.applyCdcToBm25Index(
+      ChangeCapture.snapshotDiff(old, snap, Seq("id"), Seq("text")),
+      "id", "text", path, batchId = "b1")
+    val before = rows(bm25Probe(path))
+    // snapshot the pending maintenance trees, compact, then restore
+    // them — exactly the state a crash between the meta flip and the
+    // tombstone/revive clear leaves behind
+    val save = tmp("bm25-crash-save")
+    copyDir(s"$path/deletes", s"$save/deletes")
+    copyDir(s"$path/revives", s"$save/revives")
+    TextAnalysis.compactBm25Index(spark, path)
+    copyDir(s"$save/deletes", s"$path/deletes")
+    copyDir(s"$save/revives", s"$path/revives")
+    // the stale trees target the RETIRED generation: probes on the
+    // new generation must ignore them (without gen scoping, every
+    // re-appended doc's inc=base rows rank 0 and the stale b1
+    // tombstones mask them)
+    assert(rows(bm25Probe(path)) === before,
+      "stale tombstones from the crash window masked re-appended docs")
+    // the recovery protocol says: replay the interrupted op — the
+    // replayed compaction must fold NOTHING from the stale trees
+    // (without gen scoping it would permanently drop the re-appended
+    // docs from the index)
+    TextAnalysis.compactBm25Index(spark, path)
+    assert(rows(bm25Probe(path)) === before,
+      "replayed compaction dropped re-appended docs")
+    assert(!new java.io.File(s"$path/deletes").exists, "replay did not clear the stale trees")
+  }
+
   test("law: BM25 CDC replay after a crash BETWEEN the delete and append legs lands exactly-once") {
     import graft.ops.ChangeCapture
     val old = docsAll

@@ -829,6 +829,33 @@ class Bm25Spec extends SparkSpecBase {
     assert(run(1) === run(16))
   }
 
+  test("scoreWithAffinityWeights: unseen buckets take the fit-time smoothed zero-count weight") {
+    import graft.ops.TextAnalysis
+    val fit    = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val target = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("dsir-oov").toString
+    TextAnalysis.writeAffinityWeights(fit, "doc_id", "text", target, "text", path)
+    // an increment whose vocabulary the fit corpus never saw — a
+    // crawl increment is NOT guaranteed to be a vocab subset
+    val inc = Seq((9L, "zzqx wwvk")).toDF("doc_id", "text")
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.affinityBucketCountsColumnOracle(df, col("doc_id"), col("text"), 4096)
+        .select("bucket").collect().map(_.getLong(0)).toSet
+    val fitB = buckets(fit) ++ buckets(target)
+    val incB = buckets(inc)
+    assert(incB.intersect(fitB).isEmpty,
+      "hash collision between the OOV tokens and the fit corpus — pick different tokens")
+    val out = TextAnalysis.scoreWithAffinityWeights(spark, path, inc, "doc_id", "text")
+      .collect()(0)
+    val head = spark.read.parquet(path).limit(1).collect()(0)
+    val w0 = head.getLong(head.fieldIndex("wgt0"))
+    // every feature unseen → score = n·w0 → affinity = w0 exactly;
+    // n_feats must COUNT the unseen features (2 unigrams + 1 bigram),
+    // not drop them
+    assert(out.getLong(1) === 3L, s"n_feats dropped unseen features: $out")
+    assert(out.getLong(3) === w0, s"affinity must equal the smoothed zero-count weight: $out vs $w0")
+  }
+
   test("scoreWithAffinityWeights(increment) ≡ one-shot scorer restricted to the increment") {
     import graft.ops.TextAnalysis
     val d = GraftSession.table(spark, sf, "documents")
