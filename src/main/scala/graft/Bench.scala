@@ -94,7 +94,12 @@ object Bench {
     "s9_stream_bloom",
     "x_shard_shuffle",
     "x_shard_append",
-    "s9_stream_shard"
+    "s9_stream_shard",
+    // retrieval/ANN evaluation harness: MRR+recall vs deterministic
+    // labels, IVF recall vs the exact ranking
+    "x_retrieval_metrics",
+    "x_ann_recall",
+    "x_ann_recall_curve"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

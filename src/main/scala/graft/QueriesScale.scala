@@ -147,7 +147,12 @@ object QueriesScale {
     * all-integer Okapi algebra in SQL — the three are output-identical
     * by construction (one scoring core).
     */
-  private val Bm25OracleSql: String =
+  /** The CTE chain of the BM25 oracle up to and including the ranked
+    * candidate list `r` — the shared prefix the top-5 retrieval
+    * oracle AND the retrieval-metrics oracle both build on (one
+    * scoring core in SQL, mirroring the one scoring core in Scala).
+    */
+  private val Bm25RankedCtes: String =
     """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       |           FROM documents),
       |n AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tt FROM d),
@@ -168,9 +173,13 @@ object QueriesScale {
       |agg AS (SELECT query_id, doc_id, sum(s) AS sdec, count(*) AS n_terms
       |        FROM sc GROUP BY 1, 2),
       |r AS (SELECT *, row_number() OVER (
-      |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg)
-      |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
-      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg)""".stripMargin
+
+  private val Bm25OracleSql: String =
+    Bm25RankedCtes +
+      """
+        |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** CDC-maintenance oracle (batch AND streaming flavors): the shared
     * BM25 SQL with the corpus CTE swapped for the post-CDC corpus —
@@ -190,6 +199,36 @@ object QueriesScale {
       | FROM d0 WHERE doc_id < 5),
       |d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       | FROM nc)""".stripMargin)
+
+  /** Retrieval-eval oracle: the BM25 ranked list (same scoring core as
+    * [[Bm25RankedCtes]], cut at top-10) judged against deterministic
+    * relevance labels — a doc is relevant to a query when its token
+    * set shares ≥ 2 DISTINCT terms with the query (pure set algebra,
+    * no model, so the label is engine-independent). Per-query MRR
+    * (reciprocal rank of the first relevant hit, 0 when none) and
+    * recall@10 in integer/rounded-double algebra.
+    */
+  private val RetrievalMetricsOracleSql: String =
+    Bm25RankedCtes +
+      """,
+        |top10 AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+        |dd AS (SELECT DISTINCT doc_id, term FROM dt),
+        |rel AS (SELECT qt.query_id, dd.doc_id
+        |        FROM qt JOIN dd USING (term)
+        |        GROUP BY 1, 2 HAVING count(DISTINCT term) >= 2),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |hit AS (SELECT t.query_id, t.rank
+        |        FROM top10 t JOIN rel ON t.query_id = rel.query_id AND t.doc_id = rel.doc_id),
+        |ha AS (SELECT query_id, count(*) AS hits_at_10, min(rank) AS fr FROM hit GROUP BY 1)
+        |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        |  CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(coalesce(ha.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+        |  round(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+        |        ELSE CAST(coalesce(ha.hits_at_10, 0) AS DOUBLE) / n.n_rel END, 4) AS recall_at_10,
+        |  round(CASE WHEN ha.fr IS NULL THEN 0.0 ELSE 1.0 / ha.fr END, 6) AS rr
+        |FROM q LEFT JOIN nrel n ON q.query_id = n.query_id
+        |LEFT JOIN ha ON q.query_id = ha.query_id
+        |ORDER BY query_id""".stripMargin
 
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
@@ -1258,6 +1297,98 @@ object QueriesScale {
           col("lex_rank"), col("dense_rank"), round(col("rrf"), 6).as("rrf"),
           round(col("prob"), 4).as("ce_prob"))
         .orderBy(col("query_id"), col("rerank"))
+    }),
+
+    // ---- retrieval EVAL: MRR + recall@10 of the BM25 retriever
+    // against deterministic relevance labels (a doc is relevant when
+    // its token set shares ≥ 2 distinct terms with the query — pure
+    // set algebra, engine-independent). The eval-harness shape every
+    // production retriever ships with: metrics aggregate over
+    // k·|queries| ranked rows after the retriever's own bounded
+    // recall, and the label join broadcasts the query-term list —
+    // corpus-scan cost is the one bm25 pass, never |corpus|·|queries|.
+    // Query 5's OOV term keeps the zero-hit path live.
+    "x_retrieval_metrics" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d  = docs(s, dir)
+      val qs = retrievalQueries(s)
+      val top = TextAnalysis.bm25TopK(d, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val docTerms = d.select(col("doc_id"),
+        explode(array_distinct(filter(split(lower(col("text")), " "), x => x =!= ""))).as("term"))
+      val qTerms = broadcast(qs.select(col("query_id"),
+        explode(array_distinct(filter(split(lower(col("qtext")), " "), x => x =!= ""))).as("term")))
+      val rel = docTerms.join(qTerms, "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(countDistinct(col("term")).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("query_id"), col("doc_id"))
+      val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      val hitAgg = top.join(rel, Seq("query_id", "doc_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("hits_at_10"), min(col("rank")).as("fr"))
+      qs.select(col("query_id"))
+        .join(nRel, Seq("query_id"), "left")
+        .join(hitAgg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
+          round(when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0.0))
+            .otherwise(coalesce(col("hits_at_10"), lit(0L)).cast("double") / col("n_rel")), 4)
+            .as("recall_at_10"),
+          round(when(col("fr").isNull, lit(0.0)).otherwise(lit(1.0) / col("fr")), 6).as("rr"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- ANN EVAL: recall@10 of the IVF approximate path measured
+    // against the exact brute-force ranking — the quality dial every
+    // approximate index ships with (recall vs nProbe is THE tuning
+    // curve). Both legs already run bounded-recall plans (broadcast
+    // queries; cell-pruned probe); the comparison itself touches
+    // 10·|queries| rows per leg. Ranked lists compare on the rounded
+    // cosine with id tie-break, so the hit set is engine-exact.
+    "x_ann_recall" -> ((s, dir) => {
+      val e  = emb(s, dir)
+      val qv = e.filter(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, qv, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, qv, "vec_id", "embedding",
+          k = 10, nCells = 16, nProbe = 4)
+        .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+      exact.join(approx,
+          col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("a_nid")).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- the full recall-vs-nProbe TUNING CURVE in one pass: the
+    // artifact an operator actually reads when sizing an IVF probe.
+    // One corpus assignment + one candidate-scoring join serve every
+    // cutoff (Similarity.ivfTopKCurve keeps the cell's per-query rank
+    // and re-windows the bounded candidate set per cutoff); the top
+    // cutoff equals nCells, so the curve provably ends at recall 1.
+    "x_ann_recall_curve" -> ((s, dir) => {
+      val cuts = Seq(1, 2, 4, 8, 16)
+      val e    = emb(s, dir)
+      val qv   = e.filter(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, qv, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("n_probe", explode(array(cuts.map(lit(_)): _*)))
+      val curve = Similarity.ivfTopKCurve(e, qv, "vec_id", "embedding",
+          k = 10, nCells = 16, probes = cuts)
+        .select(col("n_probe").as("a_np"), col("query_id").as("a_qid"),
+          col("neighbor_id").as("a_nid"))
+      exact.join(curve,
+          col("n_probe") === col("a_np") && col("query_id") === col("a_qid") &&
+            col("neighbor_id") === col("a_nid"), "left")
+        .groupBy(col("n_probe"), col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("a_nid")).as("n_hit"))
+        .select(col("n_probe"), col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_at_10"))
+        .orderBy(col("n_probe"), col("query_id"))
     }),
 
     // ---- PII redaction: synthetic emails/phones/IPs injected per
@@ -2376,6 +2507,86 @@ object QueriesScale {
          |   ORDER BY cosine DESC, neighbor_id ASC) AS rank
          | FROM scored) WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    // recall@10 of the IVF probe vs the exact ranking: both legs are
+    // the existing ANN oracle algebra (same rounding + id tie-break,
+    // so the two hit sets are engine-exact); the metric itself is a
+    // left-join count over 10·|queries| rows
+    "x_ann_recall" ->
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT query_id, qv, cell_id FROM (
+         |  SELECT q.query_id, q.qv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM q CROSS JOIN cent) WHERE rn <= 4),
+         |ivfs AS (SELECT p.query_id, a.neighbor_id,
+         |  round(${cosSql("a.cv", "p.qv")}, 4) AS cosine
+         | FROM probes p JOIN assigned a USING (cell_id)
+         | WHERE p.query_id <> a.neighbor_id),
+         |ivf10 AS (SELECT query_id, neighbor_id FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ivfs) WHERE rank <= 10),
+         |ex AS (SELECT q.query_id, c.neighbor_id,
+         |  round(${cosSql("c.cv", "q.qv")}, 4) AS cosine
+         | FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+         |ex10 AS (SELECT query_id, neighbor_id FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ex) WHERE rank <= 10)
+         |SELECT e.query_id,
+         |  count(*) AS n_exact,
+         |  count(i.query_id) AS n_hit,
+         |  round(CAST(count(i.query_id) AS DOUBLE) / count(*), 4) AS recall_at_10
+         |FROM ex10 e LEFT JOIN ivf10 i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same recall algebra swept over every probe cutoff: the probe
+    // CTE keeps the cell rank (≤ 16 = nCells), candidates score once,
+    // each cutoff re-windows the bounded candidate rows
+    "x_ann_recall_curve" ->
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN cent) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT query_id, qv, cell_id, rn AS cell_rn FROM (
+         |  SELECT q.query_id, q.qv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM q CROSS JOIN cent) WHERE rn <= 16),
+         |ivfs AS (SELECT p.query_id, p.cell_rn, a.neighbor_id,
+         |  round(${cosSql("a.cv", "p.qv")}, 4) AS cosine
+         | FROM probes p JOIN assigned a USING (cell_id)
+         | WHERE p.query_id <> a.neighbor_id),
+         |pv AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) v(n_probe)),
+         |cut AS (SELECT pv.n_probe, i.query_id, i.neighbor_id, i.cosine
+         |        FROM ivfs i JOIN pv ON i.cell_rn <= pv.n_probe),
+         |ivfk AS (SELECT n_probe, query_id, neighbor_id FROM (
+         | SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM cut) WHERE rank <= 10),
+         |ex AS (SELECT q.query_id, c.neighbor_id,
+         |  round(${cosSql("c.cv", "q.qv")}, 4) AS cosine
+         | FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+         |ex10 AS (SELECT query_id, neighbor_id FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ex) WHERE rank <= 10),
+         |exp AS (SELECT pv.n_probe, e.query_id, e.neighbor_id FROM ex10 e CROSS JOIN pv)
+         |SELECT exp.n_probe, exp.query_id,
+         |  count(*) AS n_exact,
+         |  count(i.query_id) AS n_hit,
+         |  round(CAST(count(i.query_id) AS DOUBLE) / count(*), 4) AS recall_at_10
+         |FROM exp LEFT JOIN ivfk i
+         |  ON exp.n_probe = i.n_probe AND exp.query_id = i.query_id
+         |  AND exp.neighbor_id = i.neighbor_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the CDC fold replayed directly: post-CDC corpus (same delete/
     // update/insert composition), FROZEN centroids from the ORIGINAL
     // corpus (vec_id < 16 — deletions/updates never touch stored
@@ -2770,6 +2981,8 @@ object QueriesScale {
     // operator by construction (shared scoring core) — same oracle
     "x_bm25_index" -> Bm25OracleSql,
     "s9_stream_bm25" -> Bm25OracleSql,
+    // the ranked-CTE prefix judged against ≥2-shared-term labels
+    "x_retrieval_metrics" -> RetrievalMetricsOracleSql,
     // retraction maintenance: probe-after-delete must equal a rebuild
     // on the remaining corpus, so the oracle IS the shared BM25 SQL
     // with the retracted docs filtered out of the corpus CTE

@@ -115,6 +115,54 @@ object Similarity {
     probeTopK(ivfAssign(c, centroids), centroids, queries, idCol, vecCol, k, nProbe)
   }
 
+  /** The IVF tuning curve in ONE pass: per-query top-k at EVERY probe
+    * cutoff in `probes`, sharing a single corpus assignment and a
+    * single candidate-scoring join. The probe selection keeps each
+    * cell's per-query rank (`cell_rn` ≤ max(probes)); candidates are
+    * scored once against the widest selection, then every cutoff is
+    * derived by replicating only the bounded candidate rows
+    * (explode over `probes`, filter `cell_rn` ≤ cutoff) and
+    * re-windowing — corpus-scale work is paid once regardless of how
+    * many cutoffs the curve sweeps. Each neighbor lives in exactly
+    * one cell, so no cutoff ever sees a duplicate candidate.
+    *
+    * Output: `(n_probe, query_id, rank, neighbor_id, cosine)` — the
+    * per-cutoff analog of [[ivfTopK]]'s ranking (same rounding and
+    * tie-break; the `probes.max` slice is the [[ivfTopK]] result at
+    * that nProbe by construction).
+    */
+  def ivfTopKCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      probes: Seq[Int]
+  ): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), s"probe cutoffs must be ≥ 1 (got $probes)")
+    val c         = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val centroids = sampleCentroids(c, nCells)
+    val q         = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").desc, col("cell_id").asc)
+    val sel = q.join(centroids)
+      .withColumn("qdist", cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rn", row_number().over(wProbe))
+      .filter(col("cell_rn") <= probes.max)
+      .select(col("query_id"), col("qv"), col("cell_id"), col("cell_rn"))
+    val scored = broadcast(sel).join(ivfAssign(c, centroids), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("cell_rn"), col("neighbor_id"),
+        round(cosine(col("cv"), col("qv")), 4).as("cosine"))
+    val cut = scored
+      .withColumn("n_probe", explode(array(probes.map(lit(_)): _*)))
+      .filter(col("cell_rn") <= col("n_probe"))
+    val w = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cut.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF with `refineIters` k-means-style refinement passes before the
     * final assignment: each pass re-centers every cell on the exact
     * decimal SUM of its member vectors. Cosine is scale-invariant, so
