@@ -99,7 +99,8 @@ object Bench {
     // labels, IVF recall vs the exact ranking
     "x_retrieval_metrics",
     "x_ann_recall",
-    "x_ann_recall_curve"
+    "x_ann_recall_curve",
+    "x_ann_recall_pq"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

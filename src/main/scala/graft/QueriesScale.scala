@@ -230,6 +230,46 @@ object QueriesScale {
         |LEFT JOIN ha ON q.query_id = ha.query_id
         |ORDER BY query_id""".stripMargin
 
+  /** The PQ-replay CTE chain up to and including the ADC-scored pair
+    * list `scored` — shared by the top-3 retrieval oracle and the
+    * PQ recall oracle (one encode/ADC core in SQL, mirroring the one
+    * core in Scala). Codebook = subvectors of vec_id < 16 (pos = id);
+    * encode argmin on cn2 − 2⟨x_m,c⟩ with smaller-pos tie-break; ADC
+    * sums per-subspace lookup dots in m order; cosine normalizes by
+    * ‖q‖ and the reconstructed norm.
+    */
+  private val PqScoredCtes: String =
+    """WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |cb AS (SELECT ms.m, e.vec_id AS pos,
+      |   e.embedding[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS sub
+      |  FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16),
+      |cb2 AS (SELECT m, pos, sub,
+      |   list_sum(list_transform(sub, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+      |  FROM cb),
+      |sc AS (SELECT c.neighbor_id, ms.m,
+      |   c.cv[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS xsub
+      |  FROM c CROSS JOIN ms),
+      |codes AS (SELECT neighbor_id, m, pos, sub, cn2 FROM (
+      |  SELECT s.neighbor_id, s.m, b.pos, b.sub, b.cn2,
+      |    row_number() OVER (PARTITION BY s.neighbor_id, s.m
+      |      ORDER BY b.cn2 - 2 * list_sum(list_transform(list_zip(s.xsub, b.sub),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ASC, b.pos ASC) AS rn
+      |  FROM sc s JOIN cb2 b USING (m)) WHERE rn = 1),
+      |vhat AS (SELECT neighbor_id, sqrt(list_sum(list(cn2 ORDER BY m))) AS vn
+      |  FROM codes GROUP BY neighbor_id),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv,
+      |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      |  FROM embeddings WHERE vec_id < 5),
+      |ip AS (SELECT q.query_id, k.neighbor_id, any_value(q.qn) AS qn,
+      |   list_sum(list(list_sum(list_transform(
+      |     list_zip(q.qv[CAST(k.m*16+1 AS INT) : CAST(k.m*16+16 AS INT)], k.sub),
+      |     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ORDER BY k.m)) AS adc
+      |  FROM q CROSS JOIN codes k WHERE q.query_id <> k.neighbor_id GROUP BY 1, 2),
+      |scored AS (SELECT i.query_id, i.neighbor_id,
+      |   round(i.adc / (i.qn * v.vn), 4) AS cos_adc
+      |  FROM ip i JOIN vhat v USING (neighbor_id))""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -1389,6 +1429,26 @@ object QueriesScale {
         .select(col("n_probe"), col("query_id"), col("n_exact"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_at_10"))
         .orderBy(col("n_probe"), col("query_id"))
+    }),
+
+    // ---- the PQ flavor of x_ann_recall: ADC ranking cut at 10 vs the
+    // exact ranking — the compression-loss dial (what 64×-smaller
+    // code storage cost in ranking fidelity, measured not guessed)
+    "x_ann_recall_pq" -> ((s, dir) => {
+      val e  = emb(s, dir)
+      val qv = e.filter(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, qv, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.pqTopK(e, qv, "vec_id", "embedding",
+          k = 10, nSub = 4, ks = 16)
+        .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+      exact.join(approx,
+          col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("a_nid")).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_at_10"))
+        .orderBy(col("query_id"))
     }),
 
     // ---- PII redaction: synthetic emails/phones/IPs injected per
@@ -2667,41 +2727,36 @@ object QueriesScale {
     // dots in m order (list ORDER BY m — the fold's accumulation
     // order), cosine normalized by ||q|| and the reconstructed norm.
     "x_ann_pq_topk" ->
-      """WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-        |ms AS (SELECT unnest(range(0, 4)) AS m),
-        |cb AS (SELECT ms.m, e.vec_id AS pos,
-        |   e.embedding[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS sub
-        |  FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16),
-        |cb2 AS (SELECT m, pos, sub,
-        |   list_sum(list_transform(sub, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
-        |  FROM cb),
-        |sc AS (SELECT c.neighbor_id, ms.m,
-        |   c.cv[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS xsub
-        |  FROM c CROSS JOIN ms),
-        |codes AS (SELECT neighbor_id, m, pos, sub, cn2 FROM (
-        |  SELECT s.neighbor_id, s.m, b.pos, b.sub, b.cn2,
-        |    row_number() OVER (PARTITION BY s.neighbor_id, s.m
-        |      ORDER BY b.cn2 - 2 * list_sum(list_transform(list_zip(s.xsub, b.sub),
-        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ASC, b.pos ASC) AS rn
-        |  FROM sc s JOIN cb2 b USING (m)) WHERE rn = 1),
-        |vhat AS (SELECT neighbor_id, sqrt(list_sum(list(cn2 ORDER BY m))) AS vn
-        |  FROM codes GROUP BY neighbor_id),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv,
-        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
-        |  FROM embeddings WHERE vec_id < 5),
-        |ip AS (SELECT q.query_id, k.neighbor_id, any_value(q.qn) AS qn,
-        |   list_sum(list(list_sum(list_transform(
-        |     list_zip(q.qv[CAST(k.m*16+1 AS INT) : CAST(k.m*16+16 AS INT)], k.sub),
-        |     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ORDER BY k.m)) AS adc
-        |  FROM q CROSS JOIN codes k WHERE q.query_id <> k.neighbor_id GROUP BY 1, 2),
-        |scored AS (SELECT i.query_id, i.neighbor_id,
-        |   round(i.adc / (i.qn * v.vn), 4) AS cos_adc
-        |  FROM ip i JOIN vhat v USING (neighbor_id))
-        |SELECT query_id, rank, neighbor_id, cos_adc FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+      (PqScoredCtes +
+        """
+          |SELECT query_id, rank, neighbor_id, cos_adc FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin),
+    // the PQ flavor of x_ann_recall: the ADC ranking cut at 10 judged
+    // against the exact ranking — the compression-loss dial (what did
+    // 64× smaller vectors cost in ranking fidelity)
+    "x_ann_recall_pq" ->
+      (PqScoredCtes +
+        s""",
+           |pq10 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
+           |  FROM scored) WHERE rank <= 10),
+           |ex AS (SELECT q.query_id, c.neighbor_id,
+           |  round(${cosSql("c.cv", "q.qv")}, 4) AS cosine
+           | FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+           |ex10 AS (SELECT query_id, neighbor_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY query_id
+           |   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ex) WHERE rank <= 10)
+           |SELECT e.query_id,
+           |  count(*) AS n_exact,
+           |  count(i.query_id) AS n_hit,
+           |  round(CAST(count(i.query_id) AS DOUBLE) / count(*), 4) AS recall_at_10
+           |FROM ex10 e LEFT JOIN pq10 i
+           |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
     // IVFPQ replay = the IVF assignment/probes CTEs (x_ann_index_q)
     // chained into the PQ codes/ADC CTEs (x_ann_pq_topk): scored
     // pairs restricted to each query's probed cells

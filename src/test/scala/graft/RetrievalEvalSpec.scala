@@ -87,6 +87,21 @@ class RetrievalEvalSpec extends SparkSpecBase {
     assert(slice.exceptAll(direct).isEmpty && direct.exceptAll(slice).isEmpty)
   }
 
+  test("x_ann_recall_pq: bounds and arithmetic") {
+    val rows = run("x_ann_recall_pq").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nExact = r.getAs[Long]("n_exact")
+      val nHit   = r.getAs[Long]("n_hit")
+      assert(nExact > 0L && nExact <= 10L)
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(r.getAs[Double]("recall_at_10") == round4(nHit.toDouble / nExact))
+    }
+    // the codes are lossy but not garbage: ADC keeps at least one
+    // true top-10 neighbor per query on the gate corpus
+    assert(rows.forall(_.getAs[Long]("n_hit") > 0L))
+  }
+
   test("x_ann_recall: probing every cell recovers the exact ranking") {
     val e  = spark.read.parquet(s"$sf/embeddings.parquet")
     val qv = e.filter(col("vec_id") < 5)
