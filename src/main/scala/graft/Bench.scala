@@ -100,7 +100,8 @@ object Bench {
     "x_retrieval_metrics",
     "x_ann_recall",
     "x_ann_recall_curve",
-    "x_ann_recall_pq"
+    "x_ann_recall_pq",
+    "s9_stream_metrics"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

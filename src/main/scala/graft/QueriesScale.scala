@@ -1354,30 +1354,28 @@ object QueriesScale {
       val qs = retrievalQueries(s)
       val top = TextAnalysis.bm25TopK(d, "doc_id", "text", qs, "query_id", "qtext", k = 10)
         .select(col("query_id"), col("doc_id"), col("rank"))
-      val docTerms = d.select(col("doc_id"),
-        explode(array_distinct(filter(split(lower(col("text")), " "), x => x =!= ""))).as("term"))
-      val qTerms = broadcast(qs.select(col("query_id"),
-        explode(array_distinct(filter(split(lower(col("qtext")), " "), x => x =!= ""))).as("term")))
-      val rel = docTerms.join(qTerms, "term")
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(countDistinct(col("term")).as("shared"))
-        .filter(col("shared") >= 2)
-        .select(col("query_id"), col("doc_id"))
-      val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
-      val hitAgg = top.join(rel, Seq("query_id", "doc_id"))
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("hits_at_10"), min(col("rank")).as("fr"))
-      qs.select(col("query_id"))
-        .join(nRel, Seq("query_id"), "left")
-        .join(hitAgg, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-          coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
-          round(when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0.0))
-            .otherwise(coalesce(col("hits_at_10"), lit(0L)).cast("double") / col("n_rel")), 4)
-            .as("recall_at_10"),
-          round(when(col("fr").isNull, lit(0.0)).otherwise(lit(1.0) / col("fr")), 6).as("rr"))
+      TextAnalysis.retrievalMetrics(top, d, "doc_id", "text", qs, "query_id", "qtext")
         .orderBy(col("query_id"))
+    }),
+
+    // ---- the same judge ONLINE: query batches stream in, each
+    // micro-batch probes the persistent BM25 index AND is judged
+    // against the static labels inside foreachBatch — evaluation at
+    // ingest (per-query metrics are batch-local by construction, so
+    // stream ≡ batch and the one oracle gates both surfaces).
+    "s9_stream_metrics" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d  = docs(s, dir)
+      val qs = retrievalQueries(s)
+      val indexPath = buildOnce("bm25sidx", dir)(p =>
+        TextAnalysis.writeBm25Index(d, "doc_id", "text", p))
+      val qDir = GraftSession.freshGatePath("bm25mstream", dir)
+      qs.coalesce(1).write.mode("overwrite").parquet(qDir)
+      val outDir = GraftSession.freshGatePath("bm25mout", dir)
+      val ckpt   = GraftSession.freshGatePath("bm25mckpt", dir)
+      val q = EventsStream.streamRetrievalEval(s, indexPath, qDir, qs.schema, d, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("query_id"))
     }),
 
     // ---- ANN EVAL: recall@10 of the IVF approximate path measured
@@ -3036,8 +3034,11 @@ object QueriesScale {
     // operator by construction (shared scoring core) — same oracle
     "x_bm25_index" -> Bm25OracleSql,
     "s9_stream_bm25" -> Bm25OracleSql,
-    // the ranked-CTE prefix judged against ≥2-shared-term labels
+    // the ranked-CTE prefix judged against ≥2-shared-term labels;
+    // the streaming twin is metrics-at-ingest over the SAME judge
+    // (per-query metrics are batch-local), so one SQL gates both
     "x_retrieval_metrics" -> RetrievalMetricsOracleSql,
+    "s9_stream_metrics" -> RetrievalMetricsOracleSql,
     // retraction maintenance: probe-after-delete must equal a rebuild
     // on the remaining corpus, so the oracle IS the shared BM25 SQL
     // with the retracted docs filtered out of the corpus CTE

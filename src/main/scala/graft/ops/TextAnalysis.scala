@@ -251,6 +251,56 @@ object TextAnalysis {
         col("sdec").cast("double").as("score"), col("n_terms"))
   }
 
+  /** Judge a ranked retrieval list against deterministic relevance
+    * labels: a doc is relevant to a query when its token set shares
+    * at least `minShared` DISTINCT terms with the query — pure set
+    * algebra over the same whitespace tokenizer as the retriever, so
+    * the label (and therefore the metric) is engine-independent and
+    * SQL-replayable. Per query: `n_rel` (corpus-wide relevant count),
+    * `hits_at_10` (relevant docs retrieved), `recall_at_10` (rounded
+    * 4; 0 when the label set is empty) and `rr` (reciprocal rank of
+    * the first relevant hit, rounded 6; 0 when none retrieved — the
+    * per-query MRR term). `ranked` must carry (query_id, doc_id,
+    * rank) cut at 10 — the shared judge behind the inline
+    * (`x_retrieval_metrics`) and streaming (`s9_stream_metrics`)
+    * evaluation surfaces.
+    *
+    * Scale shape: the label join broadcasts the query-term list and
+    * the metric aggregation touches only the k·|queries| ranked rows
+    * — the one corpus-scale pass is the doc tokenize, the same pass
+    * the retriever itself pays.
+    */
+  def retrievalMetrics(
+      ranked: DataFrame,
+      corpus: DataFrame, docIdCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      minShared: Int = 2): DataFrame = {
+    def terms(c: Column) = array_distinct(filter(split(lower(c), " "), x => x =!= ""))
+    val docTerms = corpus.select(col(docIdCol).as("doc_id"), explode(terms(col(textCol))).as("term"))
+    val qTerms = broadcast(
+      queries.select(col(qIdCol).as("query_id"), explode(terms(col(qTextCol))).as("term")))
+    val rel = docTerms.join(qTerms, "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("query_id"), col("doc_id"))
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val hitAgg = ranked.select(col("query_id"), col("doc_id"), col("rank"))
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits_at_10"), min(col("rank")).as("fr"))
+    queries.select(col(qIdCol).as("query_id"))
+      .join(nRel, Seq("query_id"), "left")
+      .join(hitAgg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
+        round(when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("hits_at_10"), lit(0L)).cast("double") / col("n_rel")), 4)
+          .as("recall_at_10"),
+        round(when(col("fr").isNull, lit(0.0)).otherwise(lit(1.0) / col("fr")), 6).as("rr"))
+  }
+
   /** PERSISTENT BM25 postings index — the retrieval member of the
     * build-once/probe-many family (LSH bands, sign-plane cells,
     * substring fingerprints, IVF cells): the corpus explodes ONCE

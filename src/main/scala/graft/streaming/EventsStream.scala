@@ -243,6 +243,44 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING retrieval EVALUATION: each arriving query batch probes
+    * the persistent BM25 index (top-10) and is immediately judged
+    * against the deterministic shared-term labels
+    * ([[graft.ops.TextAnalysis.retrievalMetrics]]) inside
+    * `foreachBatch` — metrics at ingest. Per-query metrics are
+    * batch-local by construction (a query is one row, so its whole
+    * ranked list and label set live in its batch), which is what
+    * makes stream ≡ batch and lets the one metrics oracle gate both
+    * surfaces. The static corpus frame supplies the labels; the
+    * index carries the postings — neither is re-derived per batch
+    * beyond the label tokenize, which a production deployment would
+    * persist alongside the index.
+    */
+  def streamRetrievalEval(
+      spark: SparkSession,
+      indexPath: String,
+      queriesDir: String,
+      schema: StructType,
+      corpus: DataFrame,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(queriesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val top = graft.ops.TextAnalysis
+          .probeBm25Index(spark, indexPath, batch, "query_id", "qtext", k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        graft.ops.TextAnalysis
+          .retrievalMetrics(top, corpus, "doc_id", "text", batch, "query_id", "qtext")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING dense retrieval: a query-VECTOR stream probes the
     * persistent quantized IVF index
     * ([[graft.ops.Similarity.writeIvfIndexQuantized]]) — each

@@ -87,6 +87,13 @@ class RetrievalEvalSpec extends SparkSpecBase {
     assert(slice.exceptAll(direct).isEmpty && direct.exceptAll(slice).isEmpty)
   }
 
+  test("s9_stream_metrics: metrics-at-ingest equals the batch judge") {
+    val batch  = run("x_retrieval_metrics").collect().toSeq
+    val stream = run("s9_stream_metrics").collect().toSeq
+    assert(stream.map(_.toSeq) == batch.map(_.toSeq),
+      s"stream metrics diverge from batch:\n  stream=$stream\n  batch=$batch")
+  }
+
   test("x_ann_recall_pq: bounds and arithmetic") {
     val rows = run("x_ann_recall_pq").collect()
     assert(rows.length == 5)
