@@ -254,4 +254,31 @@ class PlanAssertSpec extends SparkSpecBase {
       l.contains("Exchange hashpartitioning(pos"))
     assert(!badExchange, s"probe side exploded positions into a shuffle:\n$plan")
   }
+
+  test("x_retrieval_metrics: label join broadcasts query terms, no cartesian") {
+    val plan = planOf(q("x_retrieval_metrics"))
+    // the only corpus-scale pass is the tokenize feeding the retriever
+    // and the label build; the query-term side must ride a broadcast —
+    // a shuffled label join would re-partition the whole exploded
+    // corpus on `term` just to meet 5 queries' vocabulary
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term label join fell off broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the judge:\n$plan")
+  }
+
+  test("x_ann_recall_curve: one corpus scan feeds every probe cutoff") {
+    val curve = q("x_ann_recall_curve")
+    val plan  = planOf(curve)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the curve:\n$plan")
+    // the exact leg and the IVF leg each scan the embeddings corpus
+    // once, plus the centroid/query dims (limit-16 / filter-5 slices).
+    // The cutoff sweep must NOT multiply corpus scans — 5 cutoffs
+    // ride one scored set. Allow the envelope: corpus-scale scans are
+    // bounded by the number of LEGS (2) + dim slices, never by the
+    // number of cutoffs (5).
+    val embScans = fileScans(curve.queryExecution.executedPlan)
+      .count(_.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+    assert(embScans <= 6,
+      s"curve multiplies corpus scans with cutoffs ($embScans embeddings scans):\n$plan")
+  }
 }
