@@ -101,7 +101,12 @@ object Bench {
     "x_ann_recall",
     "x_ann_recall_curve",
     "x_ann_recall_pq",
-    "s9_stream_metrics"
+    "s9_stream_metrics",
+    // round-10: the SCALE-SAFE banded semantic-dedup flavors join the
+    // headline (round-9 verdict: the single-bucket flavor's 3.65
+    // slope was the round max while the banded answer went untracked)
+    "x_neardup_cosine_banded",
+    "x_dedup_semantic_inc_banded"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
@@ -152,6 +157,29 @@ object Bench {
       .filter(p => new java.io.File(p).isDirectory)
   }
 
+  /** Host-load canary — the round-9 lesson: twice (r7: 176 s, r9:
+    * +18% on overlapping queries, both contradicted by same-HEAD
+    * reruns) an official artifact was contaminated by concurrent
+    * host load and the harness could not tell. The canary is a
+    * fixed, data-independent CPU kernel (integer hash fold over
+    * `spark.range`, all 32 threads busy, no IO, no shuffle) timed
+    * best-of-3 BEFORE the measured queries; on a quiet host it runs
+    * in a stable band (measured ≈0.15-0.35 s across this container's
+    * quiet passes — [[CanaryBandSec]] is 3× the quiet ceiling). A
+    * reading above band does not abort — the artifact is still
+    * useful — but it self-labels with `"load_contaminated":true`, so
+    * a cross-round reader never mistakes host noise for a
+    * regression.
+    */
+  private val CanaryBandSec = 1.0
+  private def canary(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 64000000L, 1, 32)
+        .selectExpr("sum(id * 2654435761 % 1000003) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -174,6 +202,15 @@ object Bench {
     // with no JSON at all (timeAll re-reports the failure per-query)
     try SparkEntry.queries(names.head)(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
+
+    // canary AFTER warm-up (codegen/JIT paid) so it measures host
+    // load, not first-use compilation
+    val canarySec = canary(spark)
+    val contaminated = canarySec > CanaryBandSec
+    if (contaminated) System.err.println(
+      f"[bench] CANARY OVER BAND: $canarySec%.3f s > $CanaryBandSec%.1f s — host is loaded, artifact self-labeled load_contaminated")
+    val canaryJson =
+      f""","canary_sec":$canarySec%.3f,"canary_band_sec":$CanaryBandSec%.1f,"load_contaminated":$contaminated"""
 
     val results = timeAll(spark, names, sfDir)
     val errors  = results.collect { case (k, v) if v < 0 => k }
@@ -221,13 +258,13 @@ object Bench {
     // the same reason)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$errJson$slopeJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$canaryJson$errJson$slopeJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] scale-slope detail written to $detailPath")
     spark.stop()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$canaryJson$errJson}"""
     )
   }
 }

@@ -63,7 +63,17 @@ object QueriesScale {
     */
   private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def buildOnce(tag: String, dir: String)(build: String => Unit): String =
-    builtIndexes.computeIfAbsent(s"$tag|$dir", { _ =>
+    // Verify sets graft.gate.fresh: correctness rows always build
+    // their gate artifact from scratch (freshGatePath wipes the dir
+    // first), so no memoized — or worse, stale-on-disk — state can
+    // leak into an oracled result. Each build lambda is
+    // self-sufficient by construction (it writes the full artifact
+    // its query probes), so fresh mode only costs the rebuild.
+    if (sys.props.get("graft.gate.fresh").contains("1")) {
+      val path = GraftSession.freshGatePath(tag, dir)
+      build(path)
+      path
+    } else builtIndexes.computeIfAbsent(s"$tag|$dir", { _ =>
       val path = GraftSession.freshGatePath(tag, dir)
       build(path)
       path
@@ -1208,7 +1218,9 @@ object QueriesScale {
       val ckpt   = GraftSession.freshGatePath("dsirckpt", dir)
       val q = EventsStream.streamAffinityScore(s, wPath, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy(col("doc_id"))
+      // drop the sink's exactly-once batch-partition key — oracle
+      // compares the score columns only
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
 
     // ---- deterministic domain-mixture cut: per-source token budgets
@@ -1238,7 +1250,7 @@ object QueriesScale {
       val ckpt   = GraftSession.freshGatePath("bm25ckpt", dir)
       val q = EventsStream.streamBm25Probe(s, indexPath, qDir, qs.schema, outDir, ckpt, k = 5)
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy(col("query_id"), col("rank"))
+      s.read.parquet(outDir).drop("inc").orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- the DENSE leg online: query VECTORS arrive as a stream and
@@ -1375,7 +1387,7 @@ object QueriesScale {
       val ckpt   = GraftSession.freshGatePath("bm25mckpt", dir)
       val q = EventsStream.streamRetrievalEval(s, indexPath, qDir, qs.schema, d, outDir, ckpt)
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy(col("query_id"))
+      s.read.parquet(outDir).drop("inc").orderBy(col("query_id"))
     }),
 
     // ---- ANN EVAL: recall@10 of the IVF approximate path measured

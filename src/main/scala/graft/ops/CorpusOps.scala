@@ -324,29 +324,56 @@ object CorpusOps {
     * [[graft.ops.TextAnalysis.compactBm25Index]] machinery) for no
     * measurable win. If the tree ever degenerates, rebuild with
     * [[writeShardManifest]] over the full corpus.
+    *
+    * ATOMIC publish (the round-9 driver-red lesson): the whole
+    * manifest is built under a `.inprogress` sibling and renamed into
+    * place in one move, so a killed build can never leave a
+    * half-manifest (meta without parts, or a truncated parts tree)
+    * that a later process mistakes for committed state — the exact
+    * failure signature of the round-9 `x_shard_append` driver red
+    * (right rows, shifted offsets). Every parts row additionally
+    * carries the build's `build_id` nonce (also in meta), so
+    * [[appendToShards]]'s fold-on-read audit can detect partitions
+    * left behind by a DIFFERENT build (a recycled scratch dir) and
+    * fail with a named error instead of silently folding a foreign
+    * tail into the positions.
     */
   def writeShardManifest(
       df: DataFrame, idCol: String, textCol: String,
       shards: Int, path: String): Unit = {
     val spark = df.sparkSession
-    spark.range(1).select(lit(shards).as("shards"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val buildId = java.util.UUID.randomUUID().toString
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    spark.range(1).select(lit(shards).as("shards"), lit(buildId).as("build_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     // static overwrite on the SAME inc-partitioned layout the appends
     // use: a rebuild clears every prior increment partition
     shardManifestPart(
-      shardShuffle(df, idCol, textCol, shards), shards, "base")
+      shardShuffle(df, idCol, textCol, shards), shards, "base", buildId)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
-      .partitionBy("inc").parquet(s"$path/parts")
+      .partitionBy("inc").parquet(s"$tmp/parts")
+    fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: atomic publish rename failed for $path")
   }
 
   /** The per-shard count rows of one increment, densified to every
     * shard id (empty shards carry zeros) under its `inc` partition
     * value — ONE pipeline for build and append, so fold-on-read sums
-    * stay exact whichever path wrote them.
+    * stay exact whichever path wrote them. `repartition(1)` is also
+    * a visibility guarantee, not just small-file hygiene: one file
+    * per partition means a concurrent reader sees an increment's
+    * counts all-or-nothing (a single-file rename), which is what
+    * keeps the fold-on-read audit race-free next to an in-flight
+    * distinct-increment append.
     */
   private def shardManifestPart(
-      assigned: DataFrame, shards: Int, inc: String): DataFrame =
+      assigned: DataFrame, shards: Int, inc: String, buildId: String): DataFrame =
     assigned.sparkSession.range(shards.toLong).select(col("id").as("shard"))
       .join(assigned.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")),
@@ -354,6 +381,7 @@ object CorpusOps {
       .select(col("shard"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("build_id", lit(buildId))
       .withColumn("inc", lit(inc))
       .repartition(1)
 
@@ -380,6 +408,20 @@ object CorpusOps {
     * its own partition), but two concurrent folds would read the
     * same committed tail and hand out COLLIDING positions — the
     * assignment, not the fold, is what needs the serialization.
+    *
+    * Fold-on-read AUDIT (round-9 fix): before handing out a single
+    * position, the manifest is reconciled against its own contract —
+    * exactly one meta row; a `base` partition present; every
+    * partition stamped with meta's `build_id` (a partition from a
+    * different build is a recycled/stale scratch dir, not this
+    * manifest); every partition densified to exactly `shards` rows
+    * (fewer means a truncated write survived a crash). Any violation
+    * throws a named SHARD_MANIFEST_CORRUPT error — a loud failure
+    * the caller can answer with a rebuild, instead of the silent
+    * shifted-offset corruption the round-9 driver observed. The audit
+    * reads only the manifest tree (shards × increments rows, ≈10⁴ at
+    * the documented envelope) — the base corpus stays unread and the
+    * fold stays O(increment).
     */
   def appendToShards(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -387,15 +429,39 @@ object CorpusOps {
       incrementId: String): DataFrame = {
     require(incrementId.nonEmpty && incrementId != "base",
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
-    val shards = spark.read.parquet(s"$path/meta")
-      .select(col("shards")).limit(1).collect()(0).getInt(0)
+    val meta = spark.read.parquet(s"$path/meta").limit(2).collect()
+    if (meta.length != 1)
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: expected exactly one meta row at $path/meta, found ${meta.length}")
+    val shards = meta(0).getAs[Int]("shards")
+    val buildId = meta(0).getAs[String]("build_id")
+    // bounded driver materialization: one row per increment partition
+    // (manifest envelope ≈10³-10⁴ increments), never corpus-sized
+    val audit = spark.read.parquet(s"$path/parts")
+      .groupBy(col("inc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("build_id").isNull || col("build_id") =!= buildId, 1L)
+          .otherwise(0L)).as("foreign"))
+      .collect()
+    if (!audit.exists(_.getAs[String]("inc") == "base"))
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: no base partition under $path/parts — half-built manifest")
+    audit.foreach { r =>
+      val incName = r.getAs[String]("inc")
+      if (r.getAs[Long]("foreign") > 0L)
+        throw new IllegalStateException(
+          s"SHARD_MANIFEST_CORRUPT: partition inc=$incName at $path/parts carries rows from a different build than meta build_id=$buildId — stale or foreign state")
+      if (r.getAs[Long]("n") != shards.toLong)
+        throw new IllegalStateException(
+          s"SHARD_MANIFEST_CORRUPT: partition inc=$incName at $path/parts has ${r.getAs[Long]("n")} rows, expected $shards — truncated write")
+    }
     // materialized ONCE (eager, increment-sized): the frame feeds the
     // manifest-part write AND the caller — a lazy return would re-read
     // meta+parts and re-run both windows on the caller's first action
     val assigned =
       shardAppendAssignment(spark, path, inc, idCol, textCol, incrementId, shards)
         .localCheckpoint()
-    shardManifestPart(assigned, shards, incrementId)
+    shardManifestPart(assigned, shards, incrementId, buildId)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("inc").parquet(s"$path/parts")

@@ -955,6 +955,54 @@ object Dedup {
         .map(i => when(element_at(col(vecCol), i + 1) >= 0, 1 << i).otherwise(0))
         .reduce((a: Column, b: Column) => a + b).as("bucket"))
 
+  /** The planes-scaling POLICY (SCALING.md's sf1-audit prose, now
+    * code): sign-plane blocking with FIXED planes puts n/2^planes
+    * vectors in a bucket, so the within-bucket self-join grows
+    * ~n²/2^planes — the round-6→9 headline max slope. The scale-safe
+    * rule is planes ≈ log2(n / targetBucket): hold the bucket
+    * POPULATION (the quadratic term's base) constant as the corpus
+    * grows, spending one extra plane per corpus doubling. Recall
+    * degrades gracefully (colinear vectors share signs on every
+    * plane regardless of count); the banded miner buys it back with
+    * OR-amplification independently of the per-band volume. Bounds:
+    * at least `minPlanes` (tiny corpora should still block, not
+    * all-pairs), at most `maxPlanes` (buckets beyond vector
+    * dimensionality read missing components as sign 0 — volume stops
+    * improving). Default targetBucket=4096: a 4k-vector bucket pairs
+    * ≈8.4M candidates — executor-sized. 2^20 corpus → planes 8;
+    * 100 TB (≈10¹⁰ docs) → planes 16 via the cap with ~600k/bucket,
+    * at which point the IVFPQ path is the better tool (SCALING.md).
+    */
+  def planesFor(n: Long, targetBucket: Long = 4096L,
+      minPlanes: Int = 4, maxPlanes: Int = 16): Int = {
+    require(targetBucket > 0 && minPlanes >= 1 && maxPlanes >= minPlanes,
+      s"bad planes policy bounds: target=$targetBucket min=$minPlanes max=$maxPlanes")
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucket.toDouble) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
+  /** [[embeddingNearDupPairs]] with planes chosen by [[planesFor]]
+    * from the actual corpus size — the auto-scaling entry point a
+    * pipeline should call; the fixed-planes overload stays for
+    * oracle-pinned gates and recall experiments. The count is one
+    * cheap driver scalar (metadata-only on parquet sources).
+    */
+  def embeddingNearDupPairsAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      targetBucket: Long = 4096L): DataFrame =
+    embeddingNearDupPairs(df, idCol, vecCol, threshold,
+      planes = planesFor(df.count(), targetBucket))
+
+  /** Banded twin of [[embeddingNearDupPairsAuto]] — auto planes,
+    * recall bought back by OR-amplification over `bands`.
+    */
+  def embeddingNearDupPairsBandedAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 3, targetBucket: Long = 4096L): DataFrame =
+    embeddingNearDupPairsBanded(df, idCol, vecCol, threshold,
+      planes = planesFor(df.count(), targetBucket), bands = bands)
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double, planes: Int = 4): DataFrame = {
     // No per-element normalization (a normalize lambda would capture
     // the norm and recompute it per element): cosine is computed as

@@ -569,8 +569,15 @@ object TextAnalysis {
     * survival, and a replayed compaction would then drop them
     * permanently. Filtering to the CURRENT generation makes the
     * stale window inert and the compaction replay a no-op fold.
-    * Trees written before gen-stamping carry no `gen` column and are
-    * treated as current (the pre-fix behavior, conservative).
+    * Rows written before gen-stamping carry no `gen` value and are
+    * treated as current (the pre-fix behavior, conservative) — and
+    * that legacy rule is PER-ROW, not per-tree: the tree is read
+    * with mergeSchema, because a mixed tree (one legacy `del=`
+    * partition next to a gen-stamped one) under plain read takes its
+    * schema from one arbitrary footer — if the stamped footer wins,
+    * legacy rows surface as gen=null and a bare `gen === current`
+    * filter would silently drop them, resurrecting retracted docs in
+    * probes.
     */
   private def bm25Tombstones(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -578,8 +585,11 @@ object TextAnalysis {
     val p  = new org.apache.hadoop.fs.Path(s"$path/deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hasDataFiles(fs, p)) {
-      val raw = spark.read.parquet(s"$path/deletes")
-      val scoped = if (raw.columns.contains("gen")) raw.filter(col("gen") === gen) else raw
+      val raw = spark.read.option("mergeSchema", "true").parquet(s"$path/deletes")
+      val scoped =
+        if (raw.columns.contains("gen"))
+          raw.filter(col("gen").isNull || col("gen") === gen)
+        else raw
       Some(scoped.select(col("doc_id"), col("del")))
     } else None
   }
@@ -596,11 +606,16 @@ object TextAnalysis {
     val p  = new org.apache.hadoop.fs.Path(s"$path/revives")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hasDataFiles(fs, p)) {
-      // same gen scoping (and legacy fallback) as the tombstones —
-      // a stale revive marker surviving the compaction crash window
-      // could suppress a legitimate post-compaction retraction unfold
-      val raw = spark.read.parquet(s"$path/revives")
-      val scoped = if (raw.columns.contains("gen")) raw.filter(col("gen") === gen) else raw
+      // same gen scoping (and PER-ROW legacy fallback under
+      // mergeSchema) as the tombstones — a stale revive marker
+      // surviving the compaction crash window could suppress a
+      // legitimate post-compaction retraction unfold, while a
+      // dropped legacy marker would let one double-unfold
+      val raw = spark.read.option("mergeSchema", "true").parquet(s"$path/revives")
+      val scoped =
+        if (raw.columns.contains("gen"))
+          raw.filter(col("gen").isNull || col("gen") === gen)
+        else raw
       Some(scoped.select(col("doc_id"), col("inc")))
     } else None
   }

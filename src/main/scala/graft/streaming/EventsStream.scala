@@ -233,10 +233,18 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(queriesDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // keyed by batch id + dynamic overwrite (the streamShardAppend
+        // pattern): a checkpoint-recovered replay rewrites its OWN
+        // partition instead of appending duplicate probe rows —
+        // exactly-once, which is what lets the batch oracle gate the
+        // stream surface on the replay path too
         graft.ops.TextAnalysis
           .probeBm25Index(spark, indexPath, batch, "query_id", "qtext", k)
-          .write.mode("append").parquet(outDir)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -268,13 +276,21 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(queriesDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val top = graft.ops.TextAnalysis
           .probeBm25Index(spark, indexPath, batch, "query_id", "qtext", k = 10)
           .select(col("query_id"), col("doc_id"), col("rank"))
+        // exactly-once metrics: keyed by batch id + dynamic overwrite
+        // (the streamShardAppend pattern) so a checkpoint-recovered
+        // replayed micro-batch rewrites its own partition instead of
+        // duplicating metric rows — without this, the docstring's
+        // stream ≡ batch claim fails exactly on the replay path
         graft.ops.TextAnalysis
           .retrievalMetrics(top, corpus, "doc_id", "text", batch, "query_id", "qtext")
-          .write.mode("append").parquet(outDir)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -306,10 +322,16 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(queriesDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // batch-id-keyed dynamic overwrite: replayed micro-batches
+        // rewrite their own partition — exactly-once (streamShardAppend
+        // pattern, uniform across every probe/score stream sink)
         graft.ops.Similarity
           .probeIvfIndexQuantized(spark, indexPath, batch, "vec_id", "embedding", k, nProbe)
-          .write.mode("append").parquet(outDir)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -340,10 +362,13 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(probeDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.ops.Sketches
           .bloomMaybeContains(spark.read.parquet(sketchPath), batch, valueCol, mBits, kHash)
-          .write.mode("append").parquet(outDir)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -371,10 +396,13 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(newDocsDir)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.ops.TextAnalysis
           .scoreWithAffinityWeights(spark, weightsPath, batch, "doc_id", "text")
-          .write.mode("append").parquet(outDir)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

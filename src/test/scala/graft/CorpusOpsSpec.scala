@@ -385,6 +385,76 @@ class CorpusOpsSpec extends SparkSpecBase {
     }, "appended positions must never collide with committed base positions")
   }
 
+  test("shard manifest fold-on-read audit: half-builds, foreign builds, truncated partitions all fail NAMED") {
+    val d = GraftSession.table(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 9 =!= 4)
+    val inc = d.filter(col("doc_id") % 9 === 4)
+    def named(body: => Any): Unit = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("SHARD_MANIFEST_CORRUPT"), s"wrong error: ${e.getMessage}")
+    }
+    // (a) atomic publish: a completed build leaves no .inprogress
+    // sibling and the manifest folds cleanly
+    val path = java.nio.file.Files.createTempDirectory("shardaudit").toString + "/man"
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, path)
+    assert(!new java.io.File(path + ".inprogress").exists(),
+      "atomic publish left the .inprogress staging dir behind")
+    assert(CorpusOps.appendToShards(spark, path, inc, "doc_id", "text", "ok").count() > 0)
+    // (b) foreign state: a parts partition stamped by a DIFFERENT
+    // build (the recycled-scratch-dir scenario) must fail loudly, not
+    // silently inflate the committed tail
+    spark.range(8).select(col("id").as("shard"), lit(5L).as("n_docs"),
+        lit(50L).as("n_tokens"), lit("other-build").as("build_id"), lit("stale").as("inc"))
+      .repartition(1).write.mode("append").partitionBy("inc").parquet(s"$path/parts")
+    named(CorpusOps.appendToShards(spark, path, inc, "doc_id", "text", "day1"))
+    // (c) truncated partition: fewer than `shards` densified rows
+    val path2 = java.nio.file.Files.createTempDirectory("shardaudit2").toString + "/man"
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, path2)
+    val bid2 = spark.read.parquet(s"$path2/meta").collect()(0).getAs[String]("build_id")
+    spark.range(3).select(col("id").as("shard"), lit(1L).as("n_docs"),
+        lit(10L).as("n_tokens"), lit(bid2).as("build_id"), lit("short").as("inc"))
+      .repartition(1).write.mode("append").partitionBy("inc").parquet(s"$path2/parts")
+    named(CorpusOps.appendToShards(spark, path2, inc, "doc_id", "text", "day1"))
+    // (d) half-built manifest: meta without a base partition
+    val path3 = java.nio.file.Files.createTempDirectory("shardaudit3").toString + "/man"
+    spark.range(1).select(lit(8).as("shards"), lit("b3").as("build_id"))
+      .coalesce(1).write.parquet(s"$path3/meta")
+    spark.range(8).select(col("id").as("shard"), lit(0L).as("n_docs"),
+        lit(0L).as("n_tokens"), lit("b3").as("build_id"), lit("notbase").as("inc"))
+      .repartition(1).write.partitionBy("inc").parquet(s"$path3/parts")
+    named(CorpusOps.appendToShards(spark, path3, inc, "doc_id", "text", "day1"))
+  }
+
+  test("shard manifest concurrency laws: concurrent DISTINCT folds keep counts exact; same-id refold is idempotent") {
+    val d = GraftSession.table(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 9 =!= 4)
+    val inc1 = d.filter(col("doc_id") % 9 === 4).select(col("doc_id"), col("text"))
+    val inc2 = d.filter(col("doc_id") % 9 === 2)
+      .select((col("doc_id") + 70000).as("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("shardconc").toString + "/man"
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, path)
+    def totals() = spark.read.parquet(s"$path/parts")
+      .agg(sum("n_docs"), sum("n_tokens")).collect()(0).toSeq
+    val expectDocs = base.count() + inc1.count() + inc2.count()
+    // two folds of DISTINCT increments racing: each writes only its
+    // own inc= partition (dynamic overwrite, per-job staging), so the
+    // manifest COUNTS compose regardless of interleaving — this is
+    // the documented ledger guarantee (assignments may collide; the
+    // single-writer contract covers those, not the counts)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(CorpusOps.appendToShards(spark, path, inc1, "doc_id", "text", "ca").count())
+    val f2 = Future(CorpusOps.appendToShards(spark, path, inc2, "doc_id", "text", "cb").count())
+    Await.result(Future.sequence(Seq(f1, f2)), 5.minutes)
+    assert(totals().head.asInstanceOf[Long] === expectDocs,
+      "concurrent distinct-increment folds lost counts")
+    val after = totals()
+    // same-id refold (serial, the supported shape) is idempotent on counts
+    CorpusOps.appendToShards(spark, path, inc1, "doc_id", "text", "ca").count()
+    assert(totals() === after, "same-increment refold double-counted")
+  }
+
   test("streamed shard fold survives a checkpoint wipe: replayed batch is exactly-once") {
     import graft.streaming.EventsStream
     val d = GraftSession.table(spark, sf, "documents")

@@ -219,6 +219,43 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       "recovered delete diverges from rebuild — meta double-subtracted or victims lost")
   }
 
+  test("law: a MIXED legacy+gen-stamped tombstone tree honors the legacy rows per-row " +
+      "(mergeSchema read; null gen is current)") {
+    // the round-9 advice bug: plain spark.read.parquet takes the
+    // schema from ONE arbitrary footer — if the gen-stamped footer
+    // wins over a legacy (pre-gen) del= partition, legacy rows
+    // surface as gen=null and a bare gen===current filter silently
+    // resurrects retracted docs in probes. The fix reads the tree
+    // with mergeSchema and keeps null-gen rows as current, so the
+    // conservative legacy semantics hold regardless of footer order.
+    val path = tmp("bm25-del-legacy")
+    // two PLANTED docs with globally-unique tokens: B is guaranteed
+    // the (only) hit for its own tokens, so a dropped tombstone is
+    // guaranteed visible
+    val aId = 990001L; val bId = 990002L
+    val planted = docsAll.unionByName(Seq(
+      (aId, "zyxq wvut srqp onml"), (bId, "kjih gfed cbaz yxwv")).toDF("id", "text"))
+    TextAnalysis.writeBm25Index(planted, "id", "text", path, buckets = 8)
+    val bQuery = Seq((9L, "kjih gfed cbaz")).toDF("query_id", "qtext")
+    assert(TextAnalysis.probeBm25Index(spark, path, bQuery, "query_id", "qtext", k = 5)
+      .filter(col("doc_id") === bId).count() === 1L,
+      "setup: planted doc B must rank for its own unique tokens")
+    // gen-stamped tombstone for doc A via the real delete path...
+    TextAnalysis.deleteFromBm25Index(planted.filter(col("id") === aId), "id", "text",
+      path, deleteId = "retract-gen")
+    // ...plus a LEGACY tombstone partition for doc B: doc_id+del
+    // only, no gen column (the pre-stamping wire shape)
+    Seq((bId, "legacy-del")).toDF("doc_id", "del")
+      .coalesce(1).write.mode("append").partitionBy("del").parquet(s"$path/deletes")
+    val hits = TextAnalysis.probeBm25Index(spark, path, bQuery, "query_id", "qtext", k = 5)
+    assert(hits.filter(col("doc_id") === bId).count() === 0L,
+      "legacy tombstone dropped in a mixed tree — retracted doc resurfaced in probe")
+    val aQuery = Seq((8L, "zyxq wvut srqp")).toDF("query_id", "qtext")
+    assert(TextAnalysis.probeBm25Index(spark, path, aQuery, "query_id", "qtext", k = 5)
+      .filter(col("doc_id") === aId).count() === 0L,
+      "gen-stamped tombstone must also hold in the mixed tree")
+  }
+
   test("maintenance: BM25 compaction folds pending tombstones — dead postings dropped, " +
       "tombstone dir cleared, probes unchanged") {
     val gone = docsAll.filter(col("id") % 5 === 0)

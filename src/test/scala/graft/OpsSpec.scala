@@ -324,6 +324,34 @@ class DedupSpec extends SparkSpecBase {
     assert(shortPairs === Set((1L, 2L)), "8-dim colinear pair must survive 4×3 banding")
   }
 
+  test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
+    // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
+    assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
+      "the documented example: 2^20 corpus / 4k buckets → 8 planes")
+    // floor: tiny corpora still block (never all-pairs via planes<4)
+    assert(Dedup.planesFor(10) === 4)
+    assert(Dedup.planesFor(0) === 4)
+    // cap: beyond maxPlanes the bucket count stops growing (missing
+    // vector components read as sign 0 — extra planes buy nothing)
+    assert(Dedup.planesFor(10000000000L) === 16)
+    // monotonic in n, and each corpus DOUBLING costs exactly one
+    // plane inside the open band — bucket population stays constant
+    val ns = Seq(1L << 13, 1L << 14, 1L << 16, 1L << 18, 1L << 20, 1L << 24)
+    val ps = ns.map(Dedup.planesFor(_))
+    assert(ps === ps.sorted, "planes must be monotonic in corpus size")
+    assert(Dedup.planesFor(1L << 21, 4096) === Dedup.planesFor(1L << 20, 4096) + 1)
+    // the auto entry points consume the policy end-to-end
+    val e = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(100)
+    val auto = Dedup.embeddingNearDupPairsAuto(
+      e.unionByName(e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))),
+      "vec_id", "embedding", 0.99)
+    assert(auto.filter(col("id_b") >= 100000).count() >= 5,
+      "auto-planes miner must still find the planted colinear pairs")
+  }
+
   test("xxhash64 minhash flavor agrees on the exact-dup pair") {
     val out = Dedup.minhashLshPairs(docs, "id", "text", w = 3, numHashes = 16, bands = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

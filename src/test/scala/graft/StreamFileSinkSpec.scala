@@ -263,4 +263,35 @@ class StreamSessionSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < batchAll.count())
     assert(streamed === finalized)
   }
+
+  test("probe/eval stream sinks are exactly-once under checkpoint-wipe replay " +
+      "(batch-id keyed dynamic overwrite)") {
+    // the round-9 advice bug: plain mode("append") in foreachBatch
+    // duplicates rows when a checkpoint-recovered micro-batch
+    // replays. All probe/score/eval sinks now key their output by
+    // inc=batchId and dynamic-overwrite — a replay rewrites its own
+    // partition. Proven here on the metrics sink (the advised site):
+    // wipe the checkpoint, rerun, output must be byte-identical.
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = GraftSession.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = Files.createTempDirectory("evalreplay").toString
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", s"$tmp/idx", buckets = 8)
+    val qs = Seq((1L, "spark window agg"), (2L, "customer query data"))
+      .toDF("query_id", "qtext")
+    qs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/q")
+    def run(): Unit =
+      EventsStream.streamRetrievalEval(spark, s"$tmp/idx", s"$tmp/q", qs.schema,
+        docs, s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    def state() = spark.read.parquet(s"$tmp/out")
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    run()
+    val once = state()
+    assert(once.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/ckpt"))
+    run()
+    assert(state() === once,
+      "checkpoint-wipe replay duplicated metric rows — sink not exactly-once")
+  }
 }
