@@ -104,9 +104,11 @@ object Bench {
     "s9_stream_metrics",
     // round-10: the SCALE-SAFE banded semantic-dedup flavors join the
     // headline (round-9 verdict: the single-bucket flavor's 3.65
-    // slope was the round max while the banded answer went untracked)
+    // slope was the round max while the banded answer went untracked),
+    // plus the Lloyd-refined PQ codebook (one extra corpus pass)
     "x_neardup_cosine_banded",
-    "x_dedup_semantic_inc_banded"
+    "x_dedup_semantic_inc_banded",
+    "x_ann_pq_refined"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

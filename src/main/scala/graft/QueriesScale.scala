@@ -280,6 +280,65 @@ object QueriesScale {
       |   round(i.adc / (i.qn * v.vn), 4) AS cos_adc
       |  FROM ip i JOIN vhat v USING (neighbor_id))""".stripMargin
 
+  /** The REFINED-codebook PQ replay: one Lloyd pass between the
+    * initial codebook and the encode — every subvector argmin-assigns
+    * to its seed codeword (same strict-less / pos-ASC rule as encoding),
+    * codewords re-center on exact DECIMAL component sums divided by
+    * member counts in double (IEEE-deterministic in both engines;
+    * subspace distance is L2 so the division is real, unlike the
+    * scale-invariant IVF refinement), empty codewords keep their
+    * seed. The encode/ADC tail is byte-identical to [[PqScoredCtes]]
+    * against the refined codebook.
+    */
+  private val PqRefinedScoredCtes: String =
+    """WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |cb AS (SELECT ms.m, e.vec_id AS pos,
+      |   e.embedding[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS sub
+      |  FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16),
+      |cb2 AS (SELECT m, pos, sub,
+      |   list_sum(list_transform(sub, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cn2
+      |  FROM cb),
+      |sc AS (SELECT c.neighbor_id, ms.m,
+      |   c.cv[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS xsub
+      |  FROM c CROSS JOIN ms),
+      |asg AS (SELECT m, pos, xsub FROM (
+      |  SELECT s.m, b.pos, s.xsub,
+      |    row_number() OVER (PARTITION BY s.neighbor_id, s.m
+      |      ORDER BY b.cn2 - 2 * list_sum(list_transform(list_zip(s.xsub, b.sub),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ASC, b.pos ASC) AS rn
+      |  FROM sc s JOIN cb2 b USING (m)) WHERE rn = 1),
+      |sums AS (SELECT m, pos, j.j,
+      |   sum(CAST(CAST(xsub[CAST(j.j AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS sv,
+      |   count(*) AS n
+      |  FROM asg, unnest(range(1, 17)) AS j(j) GROUP BY 1, 2, 3),
+      |rs AS (SELECT m, pos, list(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY j) AS sub
+      |  FROM sums GROUP BY 1, 2),
+      |rcb AS (SELECT b.m, b.pos,
+      |   coalesce(r.sub, list_transform(b.sub, x -> CAST(x AS DOUBLE))) AS sub
+      |  FROM cb b LEFT JOIN rs r ON b.m = r.m AND b.pos = r.pos),
+      |rcb2 AS (SELECT m, pos, sub,
+      |   list_sum(list_transform(sub, x -> x * x)) AS cn2 FROM rcb),
+      |codes AS (SELECT neighbor_id, m, pos, sub, cn2 FROM (
+      |  SELECT s.neighbor_id, s.m, b.pos, b.sub, b.cn2,
+      |    row_number() OVER (PARTITION BY s.neighbor_id, s.m
+      |      ORDER BY b.cn2 - 2 * list_sum(list_transform(list_zip(s.xsub, b.sub),
+      |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ASC, b.pos ASC) AS rn
+      |  FROM sc s JOIN rcb2 b USING (m)) WHERE rn = 1),
+      |vhat AS (SELECT neighbor_id, sqrt(list_sum(list(cn2 ORDER BY m))) AS vn
+      |  FROM codes GROUP BY neighbor_id),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv,
+      |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      |  FROM embeddings WHERE vec_id < 5),
+      |ip AS (SELECT q.query_id, k.neighbor_id, any_value(q.qn) AS qn,
+      |   list_sum(list(list_sum(list_transform(
+      |     list_zip(q.qv[CAST(k.m*16+1 AS INT) : CAST(k.m*16+16 AS INT)], k.sub),
+      |     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) ORDER BY k.m)) AS adc
+      |  FROM q CROSS JOIN codes k WHERE q.query_id <> k.neighbor_id GROUP BY 1, 2),
+      |scored AS (SELECT i.query_id, i.neighbor_id,
+      |   round(i.adc / (i.qn * v.vn), 4) AS cos_adc
+      |  FROM ip i JOIN vhat v USING (neighbor_id))""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -563,6 +622,20 @@ object QueriesScale {
       val e = emb(s, dir)
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 3, nSub = 4, ks = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- PQ with ONE k-means codebook refinement pass — the
+    // production swap-in the id-sampled codebook documents: corpus
+    // subvectors vote their nearest seed codeword, codewords
+    // re-center on exact decimal component means (empty keep their
+    // seed), then encode/ADC run unchanged. x_ann_recall_pq vs this
+    // row's recall twin in PqSpec measures what refinement buys.
+    "x_ann_pq_refined" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopKRefined(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nSub = 4, ks = 16, refineIters = 1)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -2738,6 +2811,16 @@ object QueriesScale {
     // order), cosine normalized by ||q|| and the reconstructed norm.
     "x_ann_pq_topk" ->
       (PqScoredCtes +
+        """
+          |SELECT query_id, rank, neighbor_id, cos_adc FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_adc DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin),
+    // one Lloyd pass on the codebook, then the identical encode/ADC
+    // tail — decimal-sum/count re-centering is engine-exact
+    "x_ann_pq_refined" ->
+      (PqRefinedScoredCtes +
         """
           |SELECT query_id, rank, neighbor_id, cos_adc FROM (
           |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -252,6 +252,103 @@ object Similarity {
     pqRank(scored, k)
   }
 
+  /** [[pqTopK]] with `refineIters` k-means (Lloyd) passes over the
+    * codebook before encoding — the production swap-in the id-sampled
+    * codebook documents: every corpus subvector is assigned to its
+    * nearest codeword (the same strict-< argmin the encoder uses),
+    * each codeword re-centers on the exact per-component DECIMAL mean
+    * of its members (sum cast to double, divided by the count —
+    * subspace distance is L2, NOT scale-invariant, so unlike
+    * [[refineCentroids]] the division is real; decimal sums make it
+    * order-independent and the double division is IEEE-deterministic
+    * in every engine), and a codeword that attracted no members keeps
+    * its previous value (deterministic empty-cluster rule). Refined
+    * codewords track the subvector distribution instead of the id
+    * sample, cutting quantization error — `x_ann_recall_pq` measures
+    * the recall this buys on the gate data (spec-asserted ≥ the
+    * sampled codebook's).
+    *
+    * Scale shape: each pass is ONE corpus scan (the nSub explode is
+    * per-row work) into a map-side-combinable aggregation whose key
+    * space is nSub×ks×subDim — KB-scale regardless of corpus size —
+    * followed by a driver materialization of the refined codebook
+    * (the k×dim Lloyd collect every distributed k-means pays,
+    * envelope-documented like [[ivfTopKRefined]]).
+    */
+  def pqTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nSub: Int = 4,
+      ks: Int = 16,
+      refineIters: Int = 1
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var cb = pqCodebookRows(c, nSub, ks)
+    (1 to refineIters).foreach { _ =>
+      val refined = pqRefineCodebook(c, cb, nSub, ks)
+      val spark = c.sparkSession
+      // k×dim driver materialization per pass (nSub·ks codewords) —
+      // the bounded Lloyd collect, same envelope as ivfTopKRefined
+      cb = spark.createDataFrame(
+        java.util.Arrays.asList(refined.collect(): _*), refined.schema)
+    }
+    val enc = pqEncode(c, pqCollapse(cb), nSub, ks)
+    val q   = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_adc", pqCosAdc(nSub, ks))
+      .select(col("query_id"), col("neighbor_id"), col("cos_adc"))
+    pqRank(scored, k)
+  }
+
+  /** One Lloyd pass over a PQ codebook: assign every corpus subvector
+    * to its nearest codeword, re-center each codeword on the exact
+    * decimal component means, keep the previous codeword where no
+    * member arrived. Returns the same (m, pos, sub, cn2) shape
+    * [[pqCodebookRows]] emits (sub promoted to array<double>).
+    */
+  private def pqRefineCodebook(
+      c: DataFrame, cbRows: DataFrame, nSub: Int, ks: Int): DataFrame = {
+    val subs = c
+      .select(col("neighbor_id"), explode(sequence(lit(0), lit(nSub - 1))).as("m"), col("cv"))
+      .withColumn("sd", (size(col("cv")) / nSub).cast("int"))
+      .withColumn("xsub", slice(col("cv"), col("m") * col("sd") + 1, col("sd")))
+      .select(col("m").cast("long").as("m"), col("xsub"))
+    // nearest-codeword assignment: the encoder's fold verbatim (argmin
+    // of cn2 − 2⟨x,c⟩, strict < ties to the smaller pos) against the
+    // one-row broadcast codebook — zero corpus shuffle
+    val assigned = subs.crossJoin(pqCollapse(cbRows))
+      .withColumn("pos", aggregate(sequence(lit(0), lit(ks - 1)),
+        struct(lit(Double.MaxValue).as("best"), lit(-1L).as("pos")),
+        (acc, j) => {
+          val ct = element_at(col("cents"), (col("m") * ks + j + 1).cast("int"))
+          val d = ct.getField("cn2") - lit(2.0) * dot(col("xsub"), ct.getField("sub"))
+          when(d < acc.getField("best"),
+            struct(d.as("best"), j.cast("long").as("pos"))).otherwise(acc)
+        },
+        acc => acc.getField("pos")))
+      .select(col("m"), col("pos"), col("xsub"))
+    // per-(m, pos, component) exact decimal sums + member counts:
+    // key space nSub×ks×subDim — tiny, map-side combinable
+    val means = assigned
+      .select(col("m"), col("pos"), posexplode(col("xsub")).as(Seq("i", "x")))
+      .groupBy(col("m"), col("pos"), col("i"))
+      .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("m"), col("pos"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s"), col("n")))),
+        e => e.getField("s").cast("double") / e.getField("n").cast("double")).as("rsub"))
+    cbRows.select(col("m"), col("pos"),
+        transform(col("sub"), x => x.cast("double")).as("sub0"))
+      .join(means, Seq("m", "pos"), "left")
+      .withColumn("sub", coalesce(col("rsub"), col("sub0")))
+      .withColumn("cn2", dot(col("sub"), col("sub")))
+      .select(col("m"), col("pos"), col("sub"), col("cn2"))
+  }
+
   /** Codebook rows `(m, pos, sub, cn2)`: subspace m's codewords are
     * the m-th subvectors of the ks smallest-id vectors, `pos` their
     * rank in id order — the persisted form ([[writeIvfPqIndex]]) and

@@ -100,4 +100,32 @@ class PqSpec extends SparkSpecBase {
     // must still surface a nontrivial share of the true top-10
     assert(hit >= 10, s"PQ recall collapsed: $hit/50 true top-10 pairs found")
   }
+
+  test("refined codebook recall ≥ id-sampled codebook recall on the gate corpus") {
+    // the round-9 verdict gate for the Lloyd swap-in: refinement must
+    // never LOSE ranking fidelity vs the id-sampled seed on the gate
+    // data (it should gain — codewords track the subvector
+    // distribution instead of whichever vectors had the smallest ids)
+    val corpus = embeddings
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(corpus, queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("query_id"), col("neighbor_id")).intersect(exact).count()
+    val sampled = recall(Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k = 10))
+    val refined = recall(Similarity.pqTopKRefined(corpus, queries, "vec_id", "embedding", k = 10))
+    assert(refined >= sampled,
+      s"codebook refinement LOST recall: refined $refined < sampled $sampled (of 50)")
+    assert(refined >= 10, s"refined PQ recall collapsed: $refined/50")
+  }
+
+  test("refined codebook with zero corpus drift beyond the seed is layout-invariant") {
+    val corpus = embeddings
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val one = Similarity.pqTopKRefined(corpus.repartition(1), queries, "vec_id", "embedding", k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val many = Similarity.pqTopKRefined(corpus.repartition(13), queries, "vec_id", "embedding", k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(one === many, "refined PQ ranking depends on partition layout — decimal re-centering leaked order")
+  }
 }
