@@ -108,7 +108,8 @@ object Bench {
     // plus the Lloyd-refined PQ codebook (one extra corpus pass)
     "x_neardup_cosine_banded",
     "x_dedup_semantic_inc_banded",
-    "x_ann_pq_refined"
+    "x_ann_pq_refined",
+    "x_retrieval_prf"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -1141,6 +1141,18 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- pseudo-relevance feedback (RM3-lite): BM25 top-5 feedback
+    // docs per query → 3 strongest expansion terms (tf-weighted
+    // integer idf core, original terms excluded, term-ASC ties) →
+    // the identical scoring core over the expanded vocabulary. The
+    // oracle replays both passes and the expansion mining verbatim.
+    "x_retrieval_prf" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.bm25TopKPrf(docs(s, dir), "doc_id", "text",
+          retrievalQueries(s), "query_id", "qtext", k = 5, fbDocs = 5, fbTerms = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- the SAME retrieval against the PERSISTENT postings index:
     // corpus exploded once into bucket-partitioned postings + one-row
     // meta; the probe prunes to the query vocabulary's buckets and
@@ -3125,6 +3137,43 @@ object QueriesScale {
         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
     "x_bm25_topk" -> Bm25OracleSql,
+    // PRF replay: the ranked CTE prefix IS pass 1; feedback docs cut
+    // at 5, candidate terms = feedback postings minus the query's own
+    // terms, expansion weight = round(w·(2N+2)/(2df+1), 6) in DECIMAL
+    // with term-ASC ties, then the scoring core re-runs over qt ∪
+    // expansion (hits2/dfq2/sc2 mirror hits/dfq/sc verbatim)
+    "x_retrieval_prf" ->
+      (Bm25RankedCtes +
+        """,
+          |fb AS (SELECT query_id, doc_id FROM r WHERE rank <= 5),
+          |cand AS (SELECT f.query_id, t.term, sum(t.tf) AS w
+          |  FROM fb f JOIN tf t USING (doc_id)
+          |  LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = t.term
+          |  WHERE qt.term IS NULL
+          |  GROUP BY 1, 2),
+          |dfe AS (SELECT term, count(*) AS df FROM tf
+          |  WHERE term IN (SELECT DISTINCT term FROM cand) GROUP BY 1),
+          |esc AS (SELECT c.query_id, c.term,
+          |   CAST(round(CAST(c.w * (2 * n.n + 2) AS DOUBLE) /
+          |     CAST(2 * d.df + 1 AS DOUBLE), 6) AS DECIMAL(28,6)) AS es
+          |  FROM cand c JOIN dfe d USING (term) CROSS JOIN n),
+          |exp AS (SELECT query_id, term FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY es DESC, term ASC) AS rn FROM esc) WHERE rn <= 3),
+          |qt2 AS (SELECT query_id, term FROM qt UNION SELECT query_id, term FROM exp),
+          |hits2 AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt2)),
+          |dfq2 AS (SELECT term, count(*) AS df FROM hits2 GROUP BY 1),
+          |sc2 AS (SELECT qt2.query_id, h.doc_id,
+          |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
+          |    CAST((2 * dfq2.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
+          |    6) AS DECIMAL(28,6)) AS s
+          | FROM hits2 h JOIN dfq2 USING (term) JOIN qt2 USING (term) CROSS JOIN n),
+          |agg2 AS (SELECT query_id, doc_id, sum(s) AS sdec, count(*) AS n_terms
+          |        FROM sc2 GROUP BY 1, 2),
+          |r2 AS (SELECT *, row_number() OVER (
+          |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg2)
+          |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
+          |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     // index probe and stream probe are output-identical to the inline
     // operator by construction (shared scoring core) — same oracle
     "x_bm25_index" -> Bm25OracleSql,

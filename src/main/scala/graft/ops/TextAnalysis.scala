@@ -222,6 +222,78 @@ object TextAnalysis {
     bm25Score(postings, qTerms, n, t, k)
   }
 
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko
+    * lineage): retrieve `fbDocs` per query with plain BM25, mine the
+    * `fbTerms` strongest expansion terms from those feedback docs
+    * (candidate weight = Σ_fbdocs tf × the integer idf core
+    * (2N+2)/(2df+1), rounded-6 into DECIMAL — original query terms
+    * excluded; ties break on term ASC so the expansion set is total),
+    * union the expansion into the query vocabulary, and score the
+    * corpus again — the classic recall lever when queries are short
+    * and the vocabulary gap is real (a "fast hash join" query learns
+    * the corpus's own co-occurring terms without a model).
+    *
+    * Deterministic end-to-end (both passes are the [[bm25TopK]]
+    * algebra; the expansion weight is one correctly-rounded double
+    * division summed in decimal space), so the whole two-pass chain
+    * is SQL-replayable and hash-gated (`x_retrieval_prf`).
+    *
+    * Scale shape: three pruned passes over the postings frame, never
+    * an unpruned corpus aggregation — pass 1 semi-joins the broadcast
+    * query vocab (the [[bm25TopK]] shape); candidate mining joins the
+    * broadcast (queries×fbDocs) feedback set on doc_id, touching only
+    * feedback docs' postings; expansion df semi-joins the candidate
+    * vocab (bounded by the feedback docs' contents); pass 2 semi-joins
+    * the expanded vocab. An index-backed deployment replaces the
+    * postings scans with [[probeBm25Index]] probes — the algebra is
+    * unchanged.
+    */
+  def bm25TopKPrf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      fbDocs: Int = 5,
+      fbTerms: Int = 3
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    val row = base.agg(count(lit(1)), coalesce(sum(size(col("__t"))), lit(0L))).collect()(0)
+    val n   = row.getLong(0)
+    val t   = row.getLong(1)
+    val postings = base
+      .select(col("doc_id"), size(col("__t")).as("dl"), explode(col("__t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val qTerms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    // pass 1: plain BM25, keep the feedback set (queries×fbDocs rows)
+    val fb = bm25Score(postings, qTerms, n, t, fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    // candidate terms: the feedback docs' postings, minus the
+    // original query terms of that query
+    val cand = postings.join(broadcast(fb), Seq("doc_id"))
+      .join(qTerms.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left")
+      .filter(col("__orig").isNull)
+      .groupBy(col("query_id"), col("term")).agg(sum(col("tf")).as("w"))
+    val dfe = postings
+      .join(broadcast(cand.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val esc = cand.join(broadcast(dfe), Seq("term"))
+      .select(col("query_id"), col("term"),
+        round((col("w") * lit(2L * n + 2L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double"), 6)
+          .cast("decimal(28,6)").as("es"))
+    val wExp = Window.partitionBy(col("query_id")).orderBy(col("es").desc, col("term").asc)
+    val expansion = esc.withColumn("__rn", row_number().over(wExp))
+      .filter(col("__rn") <= fbTerms).select(col("query_id"), col("term"))
+    // pass 2: the identical scoring core over the expanded vocabulary
+    val qTerms2 = qTerms.union(expansion).distinct()
+    bm25Score(postings, qTerms2, n, t, k)
+  }
+
   /** The shared BM25 scoring core: postings (doc_id, dl, term, tf) ×
     * query terms → top-k per query. Semi-join first, df on matched
     * postings (identical to corpus-wide df for those terms), the

@@ -120,4 +120,30 @@ class RetrievalEvalSpec extends SparkSpecBase {
     assert(exact.exceptAll(full).isEmpty, "exact hit missing from full probe")
     assert(full.exceptAll(exact).isEmpty, "full probe surfaced a non-exact hit")
   }
+
+  test("bm25TopKPrf laws: fbTerms=0 degenerates to plain BM25; expansion is live and total") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = GraftSession.table(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val qs = Seq((1L, "spark window agg"), (2L, "customer query data"),
+      (3L, "vector nosuchterm merge")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // law: zero expansion terms ≡ the plain operator (pass 2 runs on
+    // the unexpanded vocabulary, so the whole chain collapses)
+    val plain = rows(TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 5))
+    val zero  = rows(TextAnalysis.bm25TopKPrf(docs, "doc_id", "text", qs, "query_id", "qtext",
+      k = 5, fbDocs = 5, fbTerms = 0))
+    assert(zero === plain, "fbTerms=0 must reproduce plain BM25 exactly")
+    // non-vacuous: with expansion on, at least one query's ranking or
+    // scores move (the corpus vocabulary co-occurs — if nothing ever
+    // changes the operator is dead weight)
+    val prf = rows(TextAnalysis.bm25TopKPrf(docs, "doc_id", "text", qs, "query_id", "qtext",
+      k = 5, fbDocs = 5, fbTerms = 3))
+    assert(prf !== plain, "PRF expansion changed nothing on the gate corpus — vacuous")
+    // determinism: replaying the chain is byte-identical (every stage
+    // is rounded-decimal algebra with total tie-breaks)
+    assert(rows(TextAnalysis.bm25TopKPrf(docs, "doc_id", "text", qs, "query_id", "qtext",
+      k = 5, fbDocs = 5, fbTerms = 3)) === prf)
+  }
 }
