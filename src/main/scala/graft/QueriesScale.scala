@@ -1063,6 +1063,18 @@ object QueriesScale {
         .select(col("doc_id"), col("keep").cast("int").as("keep"), col("drop_reason"))
         .orderBy(col("doc_id"))),
 
+    // ---- Zipf-surprisal quality score: the engine-exact perplexity
+    // proxy (integer magnitude of each token's reference-frequency
+    // rank via length(bin(rank)) — never libm log) against a
+    // deterministic reference slice; OOV is rank topV+1.
+    "x_quality_zipf" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      TextAnalysis.zipfSurprisal(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", topV = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- int8-quantized ANN: the 4x-memory embedding layout, ranked
     // by scale-free quantized cosine (integer sums are exact in
     // double, so the oracle is plain SQL)
@@ -3555,6 +3567,24 @@ object QueriesScale {
     "x_shard_append" -> ShardAppendOracleSql,
     "s9_stream_shard" -> ShardAppendOracleSql,
     "x_quality_filter" -> QualityOracleSql,
+    // Zipf-surprisal replay: top-256 reference ranks by (count DESC,
+    // term ASC), per-token surprisal = length(bin(rank)) on exact
+    // integers (OOV → 257), integer sums + one rounded ratio
+    "x_quality_zipf" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+        |rt AS (SELECT unnest(t) AS term FROM d WHERE doc_id % 3 = 0),
+        |rc AS (SELECT term, count(*) AS c FROM rt GROUP BY 1),
+        |rk AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rank
+        |       FROM rc ORDER BY c DESC, term ASC LIMIT 256),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+        |sc AS (SELECT tok.doc_id,
+        |   CAST(length(bin(coalesce(rk.rank, 257))) AS BIGINT) AS surpr
+        |  FROM tok LEFT JOIN rk USING (term))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
+        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

@@ -222,6 +222,54 @@ object TextAnalysis {
     bm25Score(postings, qTerms, n, t, k)
   }
 
+  /** Zipf-surprisal quality score — an LM-free perplexity proxy that
+    * stays ENGINE-EXACT: true unigram cross-entropy needs `ln p`,
+    * and libm transcendentals differ across engines in the last ulp,
+    * so instead each token's surprisal is the INTEGER magnitude of
+    * its frequency rank in a reference vocabulary —
+    * `length(bin(rank))` = ⌊log2 rank⌋+1, computed on exact integers
+    * in both engines (never `floor(log2(x))`, which mis-floors at
+    * powers of two when log2 is derived from ln). Under Zipf's law
+    * rank ∝ 1/p, so ⌊log2 rank⌋ tracks −log2 p to within the
+    * distribution's flattening constant — fluent text full of common
+    * words scores low, gibberish and OOV-heavy text scores high, the
+    * exact signal a perplexity filter thresholds on.
+    *
+    * The reference vocabulary is the top `topV` terms of `ref` by
+    * (count DESC, term ASC — total order); everything else is OOV at
+    * rank `topV+1`. Capping does double duty: linguistically it is
+    * the standard vocabulary cutoff, mechanically it makes the rank
+    * table BROADCASTABLE — an uncapped 100 TB vocabulary (billions of
+    * typo/URL singletons) could not ship to every executor, and all
+    * singletons share near-max rank anyway, which is exactly what the
+    * OOV bucket encodes.
+    *
+    * Output per doc: `n_tokens`, `surprisal_sum` (exact BIGINT),
+    * `mean_surprisal` (rounded 4). One corpus scan + one broadcast
+    * join; the reference aggregation is vocabulary-sized with
+    * map-side partials.
+    */
+  def zipfSurprisal(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, topV: Int = 4096): DataFrame = {
+    // top-V cut FIRST via orderBy+limit (TakeOrderedAndProject —
+    // partial top-K per partition, no single-partition vocab sort),
+    // then the rank window runs over topV rows only
+    val ranks = ref.select(explode(toks(col(refTextCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(topV)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+      .select(col("term"), col("rank"))
+    df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
+      .join(broadcast(ranks), Seq("term"), "left")
+      .withColumn("surpr", length(bin(coalesce(col("rank"), lit(topV + 1L)))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surpr")).as("surprisal_sum"))
+      .withColumn("mean_surprisal",
+        round(col("surprisal_sum").cast("double") / col("n_tokens").cast("double"), 4))
+  }
+
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko
     * lineage): retrieve `fbDocs` per query with plain BM25, mine the
     * `fbTerms` strongest expansion terms from those feedback docs

@@ -324,6 +324,32 @@ class DedupSpec extends SparkSpecBase {
     assert(shortPairs === Set((1L, 2L)), "8-dim colinear pair must survive 4×3 banding")
   }
 
+  test("zipfSurprisal: rank magnitudes exact, OOV bucket total, fluent < gibberish") {
+    import graft.ops.TextAnalysis
+    // reference: 'the' dominates (rank 1), 'cat' second, 'sat' third
+    val ref = Seq((1L, "the the the the cat cat sat")).toDF("id", "text")
+    val d = Seq(
+      (1L, "the the the the"),     // all rank-1 → surprisal 1 per token
+      (2L, "cat sat"),             // ranks 2,3 → bin lengths 2,2
+      (3L, "zzzz qqqq wwww")       // all OOV → rank topV+1 = 9 → bin length 4
+    ).toDF("id", "text")
+    val out = TextAnalysis.zipfSurprisal(d, "id", "text", ref, "text", topV = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("surprisal_sum") === 4L)   // 4 × ⌊log2 1⌋+1
+    assert(out(0).getAs[Double]("mean_surprisal") === 1.0)
+    assert(out(1).getAs[Long]("surprisal_sum") === 4L)   // bin(2)=10, bin(3)=11
+    assert(out(2).getAs[Long]("surprisal_sum") === 12L)  // 3 × len(bin(9))=4
+    // the quality signal: fluent text under the reference scores
+    // strictly below gibberish
+    assert(out(0).getAs[Double]("mean_surprisal") < out(2).getAs[Double]("mean_surprisal"))
+    // vocabulary cutoff: with topV=1 only 'the' is in-vocab, 'cat'
+    // joins the OOV bucket at rank 2 → len(bin(2)) = 2
+    val cut = TextAnalysis.zipfSurprisal(
+      Seq((1L, "cat")).toDF("id", "text"), "id", "text", ref, "text", topV = 1)
+      .collect()(0)
+    assert(cut.getAs[Long]("surprisal_sum") === 2L)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
