@@ -339,6 +339,26 @@ object QueriesScale {
       |   round(i.adc / (i.qn * v.vn), 4) AS cos_adc
       |  FROM ip i JOIN vhat v USING (neighbor_id))""".stripMargin
 
+  /** Zipf-surprisal oracle, parameterized by the scored-doc filter —
+    * one rank table + scoring core shared by the one-shot, the
+    * persisted-ranks increment, and the streaming-twin rows.
+    */
+  private def ZipfOracleSql(scoredFilter: String): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+       |rt AS (SELECT unnest(t) AS term FROM d WHERE doc_id % 3 = 0),
+       |rc AS (SELECT term, count(*) AS c FROM rt GROUP BY 1),
+       |rk AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rank
+       |       FROM rc ORDER BY c DESC, term ASC LIMIT 256),
+       |tok AS (SELECT doc_id, unnest(t) AS term FROM d$scoredFilter),
+       |sc AS (SELECT tok.doc_id,
+       |   CAST(length(bin(coalesce(rk.rank, 257))) AS BIGINT) AS surpr
+       |  FROM tok LEFT JOIN rk USING (term))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
+       |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -1073,6 +1093,41 @@ object QueriesScale {
       TextAnalysis.zipfSurprisal(d, "doc_id", "text",
           d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", topV = 256)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the PERSISTED-reference steady state: ranks built once
+    // (writeZipfRanks), a crawl increment scores in O(increment)
+    // against the stored table — same scoring tail, same oracle core.
+    "x_quality_zipf_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("zipfranks", dir)(p =>
+        TextAnalysis.writeZipfRanks(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p, topV = 256))
+      TextAnalysis.scoreWithZipfRanks(s, path,
+          d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- and ONLINE: quality-at-ingest — docs stream in, each
+    // micro-batch scores against the persisted ranks inside
+    // foreachBatch (exactly-once via batch-id partitions). The batch
+    // increment scorer is the oracle semantics.
+    "s9_stream_zipf" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val ranksPath = buildOnce("zipfranksstream", dir)(p =>
+        TextAnalysis.writeZipfRanks(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p, topV = 256))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("zipfstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("zipfout", dir)
+      val ckpt   = GraftSession.freshGatePath("zipfckpt", dir)
+      val q = EventsStream.streamZipfScore(s, ranksPath, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
 
     // ---- int8-quantized ANN: the 4x-memory embedding layout, ranked
@@ -3569,22 +3624,12 @@ object QueriesScale {
     "x_quality_filter" -> QualityOracleSql,
     // Zipf-surprisal replay: top-256 reference ranks by (count DESC,
     // term ASC), per-token surprisal = length(bin(rank)) on exact
-    // integers (OOV → 257), integer sums + one rounded ratio
-    "x_quality_zipf" ->
-      """WITH d AS (SELECT doc_id,
-        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
-        |rt AS (SELECT unnest(t) AS term FROM d WHERE doc_id % 3 = 0),
-        |rc AS (SELECT term, count(*) AS c FROM rt GROUP BY 1),
-        |rk AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rank
-        |       FROM rc ORDER BY c DESC, term ASC LIMIT 256),
-        |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
-        |sc AS (SELECT tok.doc_id,
-        |   CAST(length(bin(coalesce(rk.rank, 257))) AS BIGINT) AS surpr
-        |  FROM tok LEFT JOIN rk USING (term))
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
-        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
-        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // integers (OOV → 257), integer sums + one rounded ratio. ONE
+    // rank/score core; the increment + streaming twins restrict the
+    // scored docs and share it verbatim.
+    "x_quality_zipf" -> ZipfOracleSql(""),
+    "x_quality_zipf_inc" -> ZipfOracleSql(" WHERE doc_id % 9 = 4"),
+    "s9_stream_zipf" -> ZipfOracleSql(" WHERE doc_id % 9 = 4"),
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

@@ -251,16 +251,30 @@ object TextAnalysis {
     */
   def zipfSurprisal(
       df: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, refTextCol: String, topV: Int = 4096): DataFrame = {
-    // top-V cut FIRST via orderBy+limit (TakeOrderedAndProject —
-    // partial top-K per partition, no single-partition vocab sort),
-    // then the rank window runs over topV rows only
-    val ranks = ref.select(explode(toks(col(refTextCol))).as("term"))
+      ref: DataFrame, refTextCol: String, topV: Int = 4096): DataFrame =
+    zipfScore(df, idCol, textCol, zipfRanks(ref, refTextCol, topV), topV)
+
+  /** The reference rank table of [[zipfSurprisal]]: top-V cut FIRST
+    * via orderBy+limit (TakeOrderedAndProject — partial top-K per
+    * partition, no single-partition vocab sort), then the rank window
+    * runs over topV rows only.
+    */
+  private def zipfRanks(ref: DataFrame, refTextCol: String, topV: Int): DataFrame =
+    ref.select(explode(toks(col(refTextCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term").asc).limit(topV)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
       .select(col("term"), col("rank"))
+
+  /** The scoring tail of [[zipfSurprisal]], shared by the one-shot
+    * operator and the persisted-ranks increment scorers (batch +
+    * streaming) — one definition so the one oracle gates all three
+    * surfaces, the [[scoreWithAffinityWeights]] pattern.
+    */
+  private def zipfScore(
+      df: DataFrame, idCol: String, textCol: String,
+      ranks: DataFrame, topV: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
       .join(broadcast(ranks), Seq("term"), "left")
       .withColumn("surpr", length(bin(coalesce(col("rank"), lit(topV + 1L)))).cast("long"))
@@ -268,6 +282,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("surpr")).as("surprisal_sum"))
       .withColumn("mean_surprisal",
         round(col("surprisal_sum").cast("double") / col("n_tokens").cast("double"), 4))
+
+  /** PERSIST the Zipf reference ranks — the build-once seam of
+    * [[zipfSurprisal]] for the steady-state ingest loop: the
+    * reference corpus is aggregated once ([[zipfRanks]] — the only
+    * corpus-scale pass in the family) and every later increment
+    * scores against the stored table in O(increment). Layout:
+    * `$path/ranks` (topV rows) + one-row `$path/meta` (topV, so the
+    * OOV bucket travels with the table, not the call site).
+    */
+  def writeZipfRanks(
+      ref: DataFrame, refTextCol: String, path: String, topV: Int = 4096): Unit = {
+    val spark = ref.sparkSession
+    zipfRanks(ref, refTextCol, topV)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ranks")
+    spark.range(1).select(lit(topV).as("top_v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a document increment against persisted [[writeZipfRanks]]
+    * state — identical algebra to [[zipfSurprisal]] (one shared
+    * scoring tail), so the batch oracle gates this surface and its
+    * streaming twin too. Envelope: one-row meta read + a topV-row
+    * broadcast; the increment is the only scanned data.
+    */
+  def scoreWithZipfRanks(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topV = spark.read.parquet(s"$path/meta")
+      .select(col("top_v")).limit(1).collect()(0).getInt(0)
+    zipfScore(df, idCol, textCol, spark.read.parquet(s"$path/ranks"), topV)
   }
 
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko

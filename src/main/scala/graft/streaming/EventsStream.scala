@@ -375,6 +375,42 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING quality scoring at ingest: arriving documents score
+    * against the persisted Zipf reference ranks
+    * ([[graft.ops.TextAnalysis.writeZipfRanks]]) inside `foreachBatch`
+    * — each micro-batch pays one token explode over itself plus a
+    * broadcast join against the topV-row rank table, the deployment
+    * shape of a perplexity-style quality filter (fit the reference
+    * once, stream the raw pool through the scorer). Batch
+    * [[graft.ops.TextAnalysis.scoreWithZipfRanks]] is the oracle
+    * semantics; the same SQL gates all three surfaces. Exactly-once
+    * via the batch-id-keyed dynamic overwrite, like every other
+    * probe/score sink here.
+    */
+  def streamZipfScore(
+      spark: SparkSession,
+      ranksPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .scoreWithZipfRanks(spark, ranksPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING data selection at ingest: arriving documents score
     * against the persisted DSIR-style affinity-weight dim
     * ([[graft.ops.TextAnalysis.writeAffinityWeights]]) inside
