@@ -676,6 +676,20 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- LARGE-TO-LARGE ANN JOIN: neither side broadcasts — both
+    // sides IVF-assign to a shared centroid sample, left replicates
+    // to nProbe cells via a bounded per-row fold (no cells×rows
+    // explode), candidates from a co-partitioned cell equi-join.
+    // The cross-crawl alignment / near-dup mining shape.
+    "x_ann_join" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.annJoin(
+          e.filter(pmod(col("vec_id"), lit(7)) === 3),
+          e.filter(pmod(col("vec_id"), lit(7)) =!= 3),
+          "vec_id", "embedding", k = 2, nCells = 16, nProbe = 2)
+        .orderBy(col("left_id"), col("rank"))
+    }),
+
     // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
     // 30 hashes / 10 bands (r=3, S-curve midpoint (1/10)^(1/3) ≈ 0.46):
     // banding miss at true j = 0.8 is (1-0.8³)^10 ≈ 8e-4 and the
@@ -2932,6 +2946,32 @@ object QueriesScale {
     // IVFPQ replay = the IVF assignment/probes CTEs (x_ann_index_q)
     // chained into the PQ codes/ADC CTEs (x_ann_pq_topk): scored
     // pairs restricted to each query's probed cells
+    // annJoin replay: shared centroids = 16 smallest-id RIGHT vectors,
+    // right assigned to its best cell (rn=1), left to its best 2
+    // (rn<=2 — the fold's negated-score sort ≡ cos DESC, cell ASC),
+    // candidates from the cell equi-join, top-2 per left row
+    "x_ann_join" ->
+      s"""WITH r AS (SELECT vec_id AS right_id, embedding AS cv FROM embeddings WHERE vec_id % 7 <> 3),
+         |l AS (SELECT vec_id AS left_id, embedding AS lv FROM embeddings WHERE vec_id % 7 = 3),
+         |cent AS (SELECT right_id AS cell_id, cv AS centroid FROM r ORDER BY right_id LIMIT 16),
+         |ra AS (SELECT right_id, cv, cell_id FROM (
+         |  SELECT r.right_id, r.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY r.right_id
+         |    ORDER BY ${cosSql("r.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM r CROSS JOIN cent) WHERE rn = 1),
+         |lc AS (SELECT left_id, lv, cell_id FROM (
+         |  SELECT l.left_id, l.lv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY l.left_id
+         |    ORDER BY ${cosSql("l.lv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM l CROSS JOIN cent) WHERE rn <= 2),
+         |pairs AS (SELECT lc.left_id, ra.right_id,
+         |  round(${cosSql("lc.lv", "ra.cv")}, 4) AS cosine
+         | FROM lc JOIN ra USING (cell_id) WHERE lc.left_id <> ra.right_id)
+         |SELECT left_id, rank, right_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY left_id
+         |   ORDER BY cosine DESC, right_id ASC) AS rank
+         | FROM pairs) WHERE rank <= 2
+         |ORDER BY left_id, rank""".stripMargin,
     "x_ann_ivfpq" ->
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),

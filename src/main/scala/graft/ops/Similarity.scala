@@ -864,6 +864,69 @@ object Similarity {
     probeTopKWith(probes, assigned, k)
   }
 
+  /** Large-to-large approximate nearest-neighbor JOIN — the
+    * corpus×corpus shape every other ANN operator here avoids by
+    * broadcasting the query side: aligning two embedding snapshots,
+    * cross-crawl near-dup candidate mining, linking a new 10⁹-row
+    * crawl against a 10¹⁰-row base. NEITHER side broadcasts: both
+    * sides IVF-assign against one shared centroid sample (drawn from
+    * `right`, the base side), `left` replicates to its `nProbe`
+    * nearest cells, and candidates come from a plain co-partitioned
+    * equi-join on `cell_id` — candidate volume ≈ |L|·nProbe·|R|/cells
+    * per the IVF pruning, never |L|·|R|. Top-k per left row with the
+    * total (cosine DESC, right_id ASC) order.
+    *
+    * The left side's probe-cell selection is a per-row FOLD over the
+    * broadcast centroid array keeping a bounded best-nProbe list
+    * (slice∘sort per step — nProbe+1 elements, inside codegen), NOT
+    * a cells-per-row explode + window: the window form shuffles
+    * |L|·nCells rows, which at 4096 cells is a 4096× blowup the fold
+    * avoids entirely. Ties follow (cosine DESC, cell ASC) via the
+    * negated-score struct sort, matching the single-cell assignment
+    * fold and the SQL replay.
+    *
+    * Scale shape: one broadcast (centroids), ONE hash Exchange per
+    * side on `cell_id`, one skinny window over candidates. Skew note:
+    * a dense region makes its cell hot on both sides — refine the
+    * centroid sample ([[refineCentroids]]) to re-balance, or raise
+    * nCells with [[graft.ops.Dedup.planesFor]]-style population
+    * targeting; AQE skew-join split covers the residual.
+    */
+  def annJoin(
+      left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"annJoin needs nProbe/k >= 1, got $nProbe/$k")
+    val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lv"))
+    val centroids = sampleCentroids(r, nCells)
+    val rAssigned = ivfAssign(r, centroids).withColumnRenamed("neighbor_id", "right_id")
+    val centArr = broadcast(
+      centroids.withColumn("cnorm", norm(col("centroid")))
+        .agg(array_sort(collect_list(struct(
+          col("cell_id").cast("long").as("cell_id"),
+          col("centroid"), col("cnorm")))).as("cents")))
+    val lcells = l.crossJoin(centArr)
+      .withColumn("vn", norm(col("lv")))
+      .withColumn("cells", aggregate(
+        col("cents"),
+        array().cast("array<struct<ns:double,cell:bigint>>"),
+        (acc, ct) => slice(array_sort(concat(acc, array(struct(
+          (lit(0.0) - dot(col("lv"), ct.getField("centroid")) /
+            (col("vn") * ct.getField("cnorm"))).as("ns"),
+          ct.getField("cell_id").as("cell"))))), 1, nProbe),
+        acc => transform(acc, x => x.getField("cell"))))
+      .select(col("left_id"), col("lv"), explode(col("cells")).as("cell_id"))
+    // right vectors live in exactly ONE cell and a left row probes
+    // DISTINCT cells, so no pair can appear twice — no dedup stage
+    val pairs = lcells.join(rAssigned, Seq("cell_id"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        round(cosine(col("lv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("left_id")).orderBy(col("cosine").desc, col("right_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("left_id"), col("rank"), col("right_id"), col("cosine"))
+  }
+
   /** Deterministic centroid sample: smallest nCells ids — plans as a
     * partial top-k (TakeOrderedAndProject), broadcastable.
     */

@@ -436,6 +436,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r === 1.0)
   }
 
+  test("annJoin with nProbe = nCells recovers the exact brute-force ranking; layout-invariant") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val l = e.filter(col("vec_id") % 7 === 3)
+    val r = e.filter(col("vec_id") % 7 =!= 3)
+    // every left row probes every cell → candidates = all of right →
+    // the cell cut vanishes and only the shared (cosine DESC, id ASC)
+    // ranking remains, which is cosineTopK's
+    val full = Similarity.annJoin(l, r, "vec_id", "embedding", k = 3,
+        nCells = 16, nProbe = 16)
+      .select(col("left_id").as("query_id"), col("rank"),
+        col("right_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val exact = Similarity.cosineTopK(r, l, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full === exact, "full-probe annJoin diverged from exact cosineTopK")
+    // pruned probes are layout-invariant (the per-row fold and the
+    // cell join carry no partition-order dependence)
+    val a = Similarity.annJoin(l.repartition(1), r.repartition(1), "vec_id", "embedding",
+      k = 2, nCells = 16, nProbe = 2).orderBy("left_id", "rank").collect().map(_.toSeq).toSeq
+    val b = Similarity.annJoin(l.repartition(7), r.repartition(13), "vec_id", "embedding",
+      k = 2, nCells = 16, nProbe = 2).orderBy("left_id", "rank").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("int8 quantization round-trips direction; quantized top-k matches exact top-1 on real embeddings") {
     val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding").orderBy("vec_id").collect()
     // unit-x vector quantizes to (127, 0, 0) with scale 1/127
