@@ -109,7 +109,9 @@ object Bench {
     "x_neardup_cosine_banded",
     "x_dedup_semantic_inc_banded",
     "x_ann_pq_refined",
-    "x_retrieval_prf"
+    "x_retrieval_prf",
+    "x_ann_join",
+    "x_quality_zipf"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

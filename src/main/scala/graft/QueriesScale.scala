@@ -339,6 +339,25 @@ object QueriesScale {
       |   round(i.adc / (i.qn * v.vn), 4) AS cos_adc
       |  FROM ip i JOIN vhat v USING (neighbor_id))""".stripMargin
 
+  /** BPE-encode oracle, parameterized by the scored-doc filter — the
+    * training chain (merges over the FULL corpus) is identical in
+    * every flavor; only which docs get encoded differs (one-shot,
+    * persisted-merges increment, streaming twin).
+    */
+  private def BpeEncodeOracleSql(scoredFilter: String): String =
+    s"""WITH ${bpeOracleChain(10)},
+       |enc AS (SELECT word,
+       |  len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS n_syms
+       | FROM e10),
+       |dw AS (SELECT doc_id, u.w AS word FROM
+       | (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |  FROM documents$scoredFilter) t,
+       | unnest(tk) AS u(w))
+       |SELECT doc_id, count(*) AS n_words,
+       | CAST(sum(n_syms) AS BIGINT) AS n_bpe_symbols
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Zipf-surprisal oracle, parameterized by the scored-doc filter —
     * one rank table + scoring core shared by the one-shot, the
     * persisted-ranks increment, and the streaming-twin rows.
@@ -1752,6 +1771,38 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the trainer HAND-OFF steady state: merges persisted once
+    // (writeBpeMerges), a crawl increment encodes in O(increment)
+    // against the stored table — same encode tail, same oracle core.
+    "x_bpe_encode_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val path = buildOnce("bpemerges", dir)(p =>
+        TextAnalysis.writeBpeMerges(docs(s, dir), "text", p, nMerges = 10))
+      TextAnalysis.encodeWithBpeMerges(s, path,
+          docs(s, dir).filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- and ONLINE: tokenize-at-ingest — docs stream in, each
+    // micro-batch encodes against the persisted merge table inside
+    // foreachBatch (exactly-once batch-id partitions). The batch
+    // increment encoder is the oracle semantics.
+    "s9_stream_bpe" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val mergesPath = buildOnce("bpemergesstream", dir)(p =>
+        TextAnalysis.writeBpeMerges(d, "text", p, nMerges = 10))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("bpestream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("bpeout", dir)
+      val ckpt   = GraftSession.freshGatePath("bpeckpt", dir)
+      val q = EventsStream.streamBpeEncode(s, mergesPath, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
     // ---- BPE TOKENIZATION to token IDS: the trainer hand-off — vocab
     // table (final symbols, lexicographic-rank ids) + per-doc id
     // sequences in document word order. Same vocab-sized fold as
@@ -2503,19 +2554,11 @@ object QueriesScale {
         |FROM f ORDER BY doc_id""".stripMargin,
     // the same 10-step replay, carrying `word` so the final symbol
     // table maps back to the corpus; per-doc totals via word join
-    "x_bpe_encode" ->
-      s"""WITH ${bpeOracleChain(10)},
-         |enc AS (SELECT word,
-         |  len(list_filter(string_split(repr, chr(31)), s -> s <> '')) AS n_syms
-         | FROM e10),
-         |dw AS (SELECT doc_id, u.w AS word FROM
-         | (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
-         |  FROM documents) t,
-         | unnest(tk) AS u(w))
-         |SELECT doc_id, count(*) AS n_words,
-         | CAST(sum(n_syms) AS BIGINT) AS n_bpe_symbols
-         |FROM dw JOIN enc USING (word)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_bpe_encode" -> BpeEncodeOracleSql(""),
+    // persisted-merges increment encode + tokenize-at-ingest stream:
+    // the SAME train chain and encode tail, scored docs restricted
+    "x_bpe_encode_inc" -> BpeEncodeOracleSql(" WHERE doc_id % 9 = 4"),
+    "s9_stream_bpe" -> BpeEncodeOracleSql(" WHERE doc_id % 9 = 4"),
     // same chain again, extended to ids: symbol table by lexicographic
     // row_number, per-word id lists in symbol order, per-doc flatten
     // in word order — replays bpeTokenize exactly

@@ -1371,6 +1371,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_symbols"))
   }
 
+  /** PERSIST a learned BPE merge table — the trainer hand-off seam
+    * for the steady-state ingest loop: train once over the reference
+    * corpus ([[bpeTrain]] — the only corpus-scale work in the
+    * family), then every increment encodes against the stored table
+    * in O(increment). nMerges rows on disk; readers collect it as the
+    * bounded driver list [[bpeEncodeCounts]] already takes.
+    */
+  def writeBpeMerges(
+      df: DataFrame, textCol: String, path: String, nMerges: Int): Unit =
+    bpeTrain(df, textCol, nMerges)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Encode a document increment against persisted [[writeBpeMerges]]
+    * state — identical algebra to training-time encoding (one shared
+    * [[bpeEncodeCounts]] tail), so the batch oracle gates this
+    * surface and its streaming twin. The merge-table read is an
+    * nMerges-row driver materialization (bounded, the same list the
+    * one-shot gate collects).
+    */
+  def encodeWithBpeMerges(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val merges = spark.read.parquet(path).orderBy(col("step"))
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    bpeEncodeCounts(df, idCol, textCol, merges)
+  }
+
   private val BpeSep = "\u001f"
 
   /** The per-distinct-word merge fold shared by the encode/tokenize

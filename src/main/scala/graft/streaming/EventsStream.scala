@@ -411,6 +411,39 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING tokenizer application at ingest: arriving documents
+    * encode against the persisted BPE merge table
+    * ([[graft.ops.TextAnalysis.writeBpeMerges]]) inside
+    * `foreachBatch` — the tokenize-at-ingest step of a training-data
+    * pipeline (count words/BPE symbols as docs land, before packing).
+    * Batch [[graft.ops.TextAnalysis.encodeWithBpeMerges]] is the
+    * oracle semantics; exactly-once via the batch-id-keyed dynamic
+    * overwrite like every probe/score sink here.
+    */
+  def streamBpeEncode(
+      spark: SparkSession,
+      mergesPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .encodeWithBpeMerges(spark, mergesPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING data selection at ingest: arriving documents score
     * against the persisted DSIR-style affinity-weight dim
     * ([[graft.ops.TextAnalysis.writeAffinityWeights]]) inside
