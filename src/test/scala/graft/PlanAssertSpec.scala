@@ -281,4 +281,37 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(embScans <= 6,
       s"curve multiplies corpus scans with cutoffs ($embScans embeddings scans):\n$plan")
   }
+
+  test("x_ann_join: candidates from an equi-join on cell_id — no cartesian between the corpora") {
+    val plan = planOf(q("x_ann_join"))
+    // the ONLY nested-loop joins allowed are the one-row broadcast
+    // centroid-array attaches; a CartesianProduct between the two
+    // vector sides would be the |L|×|R| explosion the cell cut exists
+    // to prevent
+    assert(!plan.contains("CartesianProduct"),
+      s"annJoin went cartesian between the corpora:\n$plan")
+    assert(plan.contains("cell_id"), s"cell equi-join key missing:\n$plan")
+    // the probe-side cell selection is the per-row fold, not a
+    // cells×rows explode + window: exactly one window remains (the
+    // final top-k per left row)
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"probe-cell selection regressed to a window ($windows windows):\n$plan")
+  }
+
+  test("x_retrieval_prf: every corpus aggregation is vocabulary-pruned; dims join broadcast") {
+    val plan = planOf(q("x_retrieval_prf"))
+    assert(!plan.contains("CartesianProduct"), s"PRF went cartesian:\n$plan")
+    // the feedback set, df dims, and query-term dims all ride
+    // broadcast joins; the only sort-merge-sized data would be an
+    // unpruned corpus self-join, which the chain never forms
+    assert(plan.contains("BroadcastHashJoin"), s"PRF dims fell off broadcast:\n$plan")
+  }
+
+  test("x_quality_zipf: the rank table joins broadcast and the reference cut is TakeOrdered") {
+    val plan = planOf(q("x_quality_zipf"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-V vocabulary cut regressed to a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank dim fell off broadcast:\n$plan")
+  }
 }
