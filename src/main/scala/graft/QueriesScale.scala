@@ -191,6 +191,47 @@ object QueriesScale {
         |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** PRF oracle: the ranked CTE prefix IS pass 1; feedback docs cut
+    * at 5, candidate terms = feedback postings minus the query's own
+    * terms, expansion weight = round(w·(2N+2)/(2df+1), 6) in DECIMAL
+    * with term-ASC ties, then the scoring core re-runs over qt ∪
+    * expansion (hits2/dfq2/sc2 mirror hits/dfq/sc verbatim). Shared
+    * by the inline, index-backed, and streaming flavors — identical
+    * output by construction.
+    */
+  private val PrfOracleSql: String =
+    Bm25RankedCtes +
+      """,
+        |fb AS (SELECT query_id, doc_id FROM r WHERE rank <= 5),
+        |cand AS (SELECT f.query_id, t.term, sum(t.tf) AS w
+        |  FROM fb f JOIN tf t USING (doc_id)
+        |  LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = t.term
+        |  WHERE qt.term IS NULL
+        |  GROUP BY 1, 2),
+        |dfe AS (SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT DISTINCT term FROM cand) GROUP BY 1),
+        |esc AS (SELECT c.query_id, c.term,
+        |   CAST(round(CAST(c.w * (2 * n.n + 2) AS DOUBLE) /
+        |     CAST(2 * d.df + 1 AS DOUBLE), 6) AS DECIMAL(28,6)) AS es
+        |  FROM cand c JOIN dfe d USING (term) CROSS JOIN n),
+        |exp AS (SELECT query_id, term FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY es DESC, term ASC) AS rn FROM esc) WHERE rn <= 3),
+        |qt2 AS (SELECT query_id, term FROM qt UNION SELECT query_id, term FROM exp),
+        |hits2 AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt2)),
+        |dfq2 AS (SELECT term, count(*) AS df FROM hits2 GROUP BY 1),
+        |sc2 AS (SELECT qt2.query_id, h.doc_id,
+        |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
+        |    CAST((2 * dfq2.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
+        |    6) AS DECIMAL(28,6)) AS s
+        | FROM hits2 h JOIN dfq2 USING (term) JOIN qt2 USING (term) CROSS JOIN n),
+        |agg2 AS (SELECT query_id, doc_id, sum(s) AS sdec, count(*) AS n_terms
+        |        FROM sc2 GROUP BY 1, 2),
+        |r2 AS (SELECT *, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg2)
+        |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** CDC-maintenance oracle (batch AND streaming flavors): the shared
     * BM25 SQL with the corpus CTE swapped for the post-CDC corpus —
     * probe-after-fold must equal a rebuild on the NEW snapshot (same
@@ -1251,6 +1292,38 @@ object QueriesScale {
       TextAnalysis.bm25TopKPrf(docs(s, dir), "doc_id", "text",
           retrievalQueries(s), "query_id", "qtext", k = 5, fbDocs = 5, fbTerms = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- the SAME chain against the PERSISTENT index: zero
+    // corpus-postings scans (bucket-pruned passes; candidate mining
+    // re-tokenizes only the feedback docs via a broadcast doc-id
+    // semi-join). Identical output → the inline SQL gates it.
+    "x_retrieval_prf_index" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val indexPath = buildOnce("bm25sidx", dir)(p =>
+        TextAnalysis.writeBm25Index(docs(s, dir), "doc_id", "text", p))
+      TextAnalysis.probeBm25IndexPrf(s, indexPath, retrievalQueries(s),
+          "query_id", "qtext", docs(s, dir), "doc_id", "text",
+          k = 5, fbDocs = 5, fbTerms = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- and ONLINE: query-expansion-at-ingest — query batches
+    // stream in, each runs the two-pass PRF chain against the
+    // persistent index inside foreachBatch. Inline PRF is the oracle.
+    "s9_stream_prf" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val qs = retrievalQueries(s)
+      val indexPath = buildOnce("bm25sidx", dir)(p =>
+        TextAnalysis.writeBm25Index(d, "doc_id", "text", p))
+      val qDir = GraftSession.freshGatePath("prfqstream", dir)
+      qs.coalesce(1).write.mode("overwrite").parquet(qDir)
+      val outDir = GraftSession.freshGatePath("prfout", dir)
+      val ckpt   = GraftSession.freshGatePath("prfckpt", dir)
+      val q = EventsStream.streamPrfProbe(s, indexPath, qDir, qs.schema, d, outDir, ckpt, k = 5)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- the SAME retrieval against the PERSISTENT postings index:
@@ -3291,39 +3364,13 @@ object QueriesScale {
     // at 5, candidate terms = feedback postings minus the query's own
     // terms, expansion weight = round(w·(2N+2)/(2df+1), 6) in DECIMAL
     // with term-ASC ties, then the scoring core re-runs over qt ∪
-    // expansion (hits2/dfq2/sc2 mirror hits/dfq/sc verbatim)
-    "x_retrieval_prf" ->
-      (Bm25RankedCtes +
-        """,
-          |fb AS (SELECT query_id, doc_id FROM r WHERE rank <= 5),
-          |cand AS (SELECT f.query_id, t.term, sum(t.tf) AS w
-          |  FROM fb f JOIN tf t USING (doc_id)
-          |  LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = t.term
-          |  WHERE qt.term IS NULL
-          |  GROUP BY 1, 2),
-          |dfe AS (SELECT term, count(*) AS df FROM tf
-          |  WHERE term IN (SELECT DISTINCT term FROM cand) GROUP BY 1),
-          |esc AS (SELECT c.query_id, c.term,
-          |   CAST(round(CAST(c.w * (2 * n.n + 2) AS DOUBLE) /
-          |     CAST(2 * d.df + 1 AS DOUBLE), 6) AS DECIMAL(28,6)) AS es
-          |  FROM cand c JOIN dfe d USING (term) CROSS JOIN n),
-          |exp AS (SELECT query_id, term FROM (
-          |  SELECT *, row_number() OVER (PARTITION BY query_id
-          |    ORDER BY es DESC, term ASC) AS rn FROM esc) WHERE rn <= 3),
-          |qt2 AS (SELECT query_id, term FROM qt UNION SELECT query_id, term FROM exp),
-          |hits2 AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt2)),
-          |dfq2 AS (SELECT term, count(*) AS df FROM hits2 GROUP BY 1),
-          |sc2 AS (SELECT qt2.query_id, h.doc_id,
-          |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
-          |    CAST((2 * dfq2.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
-          |    6) AS DECIMAL(28,6)) AS s
-          | FROM hits2 h JOIN dfq2 USING (term) JOIN qt2 USING (term) CROSS JOIN n),
-          |agg2 AS (SELECT query_id, doc_id, sum(s) AS sdec, count(*) AS n_terms
-          |        FROM sc2 GROUP BY 1, 2),
-          |r2 AS (SELECT *, row_number() OVER (
-          |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rank FROM agg2)
-          |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
-          |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // expansion (hits2/dfq2/sc2 mirror hits/dfq/sc verbatim). The
+    // index-backed and streaming flavors produce the identical output
+    // by construction (meta n/t + live postings = corpus aggregates),
+    // so one SQL gates all three.
+    "x_retrieval_prf_index" -> PrfOracleSql,
+    "s9_stream_prf" -> PrfOracleSql,
+    "x_retrieval_prf" -> PrfOracleSql,
     // index probe and stream probe are output-identical to the inline
     // operator by construction (shared scoring core) — same oracle
     "x_bm25_index" -> Bm25OracleSql,

@@ -373,17 +373,66 @@ object TextAnalysis {
     val dfe = postings
       .join(broadcast(cand.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // pass 2: the identical scoring core over the expanded vocabulary
+    val qTerms2 = qTerms.union(prfExpansion(cand, dfe, n, fbTerms)).distinct()
+    bm25Score(postings, qTerms2, n, t, k)
+  }
+
+  /** The expansion-term selection shared by the inline and the
+    * index-backed PRF: weight = round(w·(2N+2)/(2df+1), 6) in
+    * DECIMAL, top `fbTerms` per query with term-ASC total ties.
+    */
+  private def prfExpansion(
+      cand: DataFrame, dfe: DataFrame, n: Long, fbTerms: Int): DataFrame = {
     val esc = cand.join(broadcast(dfe), Seq("term"))
       .select(col("query_id"), col("term"),
         round((col("w") * lit(2L * n + 2L)).cast("double") /
           (lit(2L) * col("df") + lit(1L)).cast("double"), 6)
           .cast("decimal(28,6)").as("es"))
     val wExp = Window.partitionBy(col("query_id")).orderBy(col("es").desc, col("term").asc)
-    val expansion = esc.withColumn("__rn", row_number().over(wExp))
+    esc.withColumn("__rn", row_number().over(wExp))
       .filter(col("__rn") <= fbTerms).select(col("query_id"), col("term"))
-    // pass 2: the identical scoring core over the expanded vocabulary
-    val qTerms2 = qTerms.union(expansion).distinct()
-    bm25Score(postings, qTerms2, n, t, k)
+  }
+
+  /** PRF against the PERSISTENT index — the deployment shape of
+    * [[bm25TopKPrf]], with ZERO corpus-postings scans: both scoring
+    * passes prune to the query/expanded vocabulary's index buckets
+    * ([[probeBm25Index]]'s path), candidate mining re-tokenizes ONLY
+    * the feedback documents (a broadcast doc-id semi-join against the
+    * corpus table — queries×fbDocs rows of text), and expansion df
+    * comes from the live index postings of the candidate buckets.
+    * Produces the inline operator's exact output when the index was
+    * built from `corpus` (meta n/t and live postings equal the
+    * corpus aggregates), so ONE oracle gates inline, index-backed,
+    * and streaming PRF.
+    */
+  def probeBm25IndexPrf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      corpus: DataFrame, docIdCol: String, textCol: String,
+      k: Int, fbDocs: Int = 5, fbTerms: Int = 3): DataFrame = {
+    val meta = readBm25Meta(spark, path)
+    val qTerms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    val fb = bm25Score(
+      liveIndexPostings(spark, path, meta, qTerms.select(col("term"))),
+      qTerms, meta.n, meta.t, fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    val fbTf = corpus
+      .select(col(docIdCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
+      .join(broadcast(fb.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cand = fbTf.join(broadcast(fb), Seq("doc_id"))
+      .join(qTerms.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left")
+      .filter(col("__orig").isNull)
+      .groupBy(col("query_id"), col("term")).agg(sum(col("tf")).as("w"))
+    val dfe = liveIndexPostings(spark, path, meta, cand.select(col("term")))
+      .join(broadcast(cand.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms2 = qTerms.union(prfExpansion(cand, dfe, meta.n, fbTerms)).distinct()
+    bm25Score(liveIndexPostings(spark, path, meta, qTerms2.select(col("term"))),
+      qTerms2, meta.n, meta.t, k)
   }
 
   /** The shared BM25 scoring core: postings (doc_id, dl, term, tf) ×
@@ -625,7 +674,27 @@ object TextAnalysis {
     val qTerms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(toks(col(qtextCol)))).as("term"))
-    val qBuckets = qTerms
+    bm25Score(liveIndexPostings(spark, path, meta, qTerms.select(col("term"))),
+      qTerms, meta.n, meta.t, k)
+  }
+
+  /** LIVE postings of a persistent BM25 index, pruned to the index
+    * buckets of a vocabulary frame — the shared read path of every
+    * index probe (top-k, both PRF passes, expansion df). Bucket
+    * pruning is the partition cut; the tombstone mask is
+    * LEDGER-RANK-AWARE: a tombstone masks only postings from
+    * increments committed BEFORE it — an updated doc (delete old +
+    * append new, the CDC upsert) keeps its re-appended postings
+    * visible while its stale ones stay dead. df/tf then come only
+    * from LIVE rows — the same postings a rebuild on the current
+    * corpus would produce. The tombstone set is delete-batch-sized
+    * (compaction clears it), so the join broadcasts; the bucket
+    * collect is vocabulary-sized.
+    */
+  private def liveIndexPostings(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: Bm25Meta, vocab: DataFrame): DataFrame = {
+    val qBuckets = vocab
       .select(pmod(xxhash64(col("term")), lit(meta.buckets.toLong)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val scan = spark.read.parquet(s"$path/${meta.gen}")
@@ -637,15 +706,7 @@ object TextAnalysis {
     val raw = scanInc
       .filter(col("bucket").isin(qBuckets: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"), col("inc"))
-    // tombstone filter, LEDGER-RANK-AWARE: a tombstone masks only
-    // postings from increments committed BEFORE it — an updated doc
-    // (delete old + append new, the CDC upsert) keeps its re-appended
-    // postings visible while its stale ones stay dead. df/tf then
-    // come only from LIVE rows — the same postings a rebuild on the
-    // current corpus would produce. The tombstone set is
-    // delete-batch-sized (compaction clears it), so the join
-    // broadcasts.
-    val postings = (bm25Tombstones(spark, path, meta.gen) match {
+    (bm25Tombstones(spark, path, meta.gen) match {
       case Some(ts) =>
         val ranks = ledgerRanks(meta)
         val dead = withLedgerRank(ts, ranks.del, "del", "__r")
@@ -656,7 +717,6 @@ object TextAnalysis {
           .drop("dead_rank", "__ir")
       case None => raw
     }).select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    bm25Score(postings, qTerms, meta.n, meta.t, k)
   }
 
   /** Position of every maintenance event in meta's `applied` ledger —

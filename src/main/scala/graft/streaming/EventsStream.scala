@@ -251,6 +251,41 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING pseudo-relevance feedback: arriving query batches run
+    * the full two-pass PRF chain against the persistent BM25 index
+    * ([[graft.ops.TextAnalysis.probeBm25IndexPrf]]) inside
+    * `foreachBatch` — query expansion at ingest with zero
+    * corpus-postings scans (bucket-pruned passes; candidate mining
+    * touches only the feedback docs). The batch inline operator is
+    * the oracle semantics; exactly-once via the batch-id sink.
+    */
+  def streamPrfProbe(
+      spark: SparkSession,
+      indexPath: String,
+      queriesDir: String,
+      schema: StructType,
+      corpus: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      k: Int
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(queriesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .probeBm25IndexPrf(spark, indexPath, batch, "query_id", "qtext",
+            corpus, "doc_id", "text", k)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING retrieval EVALUATION: each arriving query batch probes
     * the persistent BM25 index (top-10) and is immediately judged
     * against the deterministic shared-term labels
