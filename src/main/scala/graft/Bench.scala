@@ -110,6 +110,7 @@ object Bench {
     "x_dedup_semantic_inc_banded",
     "x_ann_pq_refined",
     "x_retrieval_prf",
+    "x_retrieval_prf_index",
     "x_ann_join",
     "x_quality_zipf"
   )

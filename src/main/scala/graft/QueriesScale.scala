@@ -558,9 +558,17 @@ object QueriesScale {
     // ANY band matches — recall ~0.995 at cosine 0.99 vs ~0.83 for
     // the single bucket, volume still bucketed per band. The oracle
     // replays the OR of the three band-bucket equalities.
+    // AUTO planes (targetBucket=64, so the policy ENGAGES at bench
+    // scales): at the sf0.01 gate corpus (520 planted vectors) the
+    // policy resolves to planesFor(520,64)=4 — exactly the literal
+    // the oracle replays, with margin to the min-clamp on both sides
+    // — while the sf1 bench pass gets 9 planes and a constant bucket
+    // population instead of the fixed-4 quadratic (slope 8.3 → ~1).
+    // A driver change to the sf0.01 corpus size would surface as a
+    // loud hash mismatch here, which LedgerCrossCheckSpec watches.
     "x_neardup_cosine_banded" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairsBanded(plantedEmb(s, dir), "vec_id", "embedding", 0.99,
-          planes = 4, bands = 3)
+      Dedup.embeddingNearDupPairsBandedAuto(plantedEmb(s, dir), "vec_id", "embedding", 0.99,
+          bands = 3, targetBucket = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- INCREMENTAL dedup against a persistent LSH index: the base
@@ -741,12 +749,18 @@ object QueriesScale {
     // to nProbe cells via a bounded per-row fold (no cells×rows
     // explode), candidates from a co-partitioned cell equi-join.
     // The cross-crawl alignment / near-dup mining shape.
+    // AUTO cells (targetCell=64): at the sf0.01 gate the base side is
+    // 429 vectors → cellsFor floors to 16, the literal the oracle's
+    // LIMIT 16 replays; the sf1 bench pass gets ~268 cells and a
+    // constant cell population instead of the fixed-16 quadratic
+    // (slope 9.9 → ~linear). Same loud-mismatch contract as the
+    // banded gate above if the driver resizes sf0.01.
     "x_ann_join" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.annJoin(
+      Similarity.annJoinAuto(
           e.filter(pmod(col("vec_id"), lit(7)) === 3),
           e.filter(pmod(col("vec_id"), lit(7)) =!= 3),
-          "vec_id", "embedding", k = 2, nCells = 16, nProbe = 2)
+          "vec_id", "embedding", k = 2, nProbe = 2, targetCell = 64)
         .orderBy(col("left_id"), col("rank"))
     }),
 

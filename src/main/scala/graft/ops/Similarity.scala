@@ -892,6 +892,34 @@ object Similarity {
     * nCells with [[graft.ops.Dedup.planesFor]]-style population
     * targeting; AQE skew-join split covers the residual.
     */
+  /** The cells-scaling policy — [[graft.ops.Dedup.planesFor]]'s IVF
+    * twin: fixed nCells puts n/cells vectors in a cell, so the
+    * [[annJoin]] candidate volume grows ~n²·nProbe/cells. Holding the
+    * cell POPULATION at `targetCell` (nCells ≈ n/targetCell) makes
+    * per-left-row candidate work ≈ nProbe·targetCell — constant — and
+    * total work linear in the corpus. Floor 16 (tiny corpora still
+    * prune), ceiling 65536 (the centroid broadcast and the per-row
+    * assignment fold are nCells-sized — past ~64k cells move to a
+    * coarser two-level quantizer).
+    */
+  def cellsFor(n: Long, targetCell: Long = 64L,
+      minCells: Int = 16, maxCells: Int = 65536): Int = {
+    require(targetCell > 0 && minCells >= 1 && maxCells >= minCells,
+      s"bad cells policy bounds: target=$targetCell min=$minCells max=$maxCells")
+    val needed = math.ceil(math.max(n, 1L).toDouble / targetCell.toDouble).toInt
+    math.min(maxCells, math.max(minCells, needed))
+  }
+
+  /** [[annJoin]] with nCells chosen by [[cellsFor]] from the base
+    * side's actual size — the auto-scaling entry point; the
+    * fixed-cells overload stays for oracle-pinned gates.
+    */
+  def annJoinAuto(
+      left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 2, targetCell: Long = 64L): DataFrame =
+    annJoin(left, right, idCol, vecCol, k,
+      nCells = cellsFor(right.count(), targetCell), nProbe = nProbe)
+
   def annJoin(
       left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {

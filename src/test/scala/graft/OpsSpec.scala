@@ -366,6 +366,16 @@ class DedupSpec extends SparkSpecBase {
     val ps = ns.map(Dedup.planesFor(_))
     assert(ps === ps.sorted, "planes must be monotonic in corpus size")
     assert(Dedup.planesFor(1L << 21, 4096) === Dedup.planesFor(1L << 20, 4096) + 1)
+    // gate coupling: the sf0.01 gate corpus sizes must resolve to the
+    // oracle-pinned literals (planted 520 vectors → 4 planes; annJoin
+    // base 429 → 16 cells) — if these move, the gates' oracles need
+    // the same move
+    assert(Dedup.planesFor(520, targetBucket = 64) === 4)
+    assert(graft.ops.Similarity.cellsFor(429, targetCell = 64) === 16)
+    // cellsFor: linear-in-n above the floor, clamped at both ends
+    assert(graft.ops.Similarity.cellsFor(17143, 64) === 268)
+    assert(graft.ops.Similarity.cellsFor(1, 64) === 16)
+    assert(graft.ops.Similarity.cellsFor(100000000000L, 64) === 65536)
     // the auto entry points consume the policy end-to-end
     val e = GraftSession.table(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).limit(100)
