@@ -679,9 +679,15 @@ object QueriesScale {
     // connected components → surviving corpus with n_merged. The same
     // resolution machinery serves both modalities; the oracle chains
     // the cosine-pair SQL into the recursive closure.
+    // AUTO planes (the same gate coupling as x_neardup_cosine_banded:
+    // planesFor(520, 64) = 4 = the oracle literal at sf0.01, while
+    // the sf1 bench pass gets 9 planes and sheds the fixed-4
+    // quadratic that made this the headline's max slope for four
+    // straight rounds — SCALING.md §Round-10)
     "x_dedup_semantic" -> ((s, dir) => {
       val e = plantedEmb(s, dir)
-      val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.99, planes = 4)
+      val pairs = Dedup.embeddingNearDupPairsAuto(e, "vec_id", "embedding", 0.99,
+        targetBucket = 64)
       Dedup.applyDedup(e.select(col("vec_id").as("id")), "id", pairs)
         .select(col("id"), col("n_merged"))
         .orderBy(col("id"))
