@@ -2073,6 +2073,25 @@ object QueriesScale {
         .orderBy(col("media_id"))
     }),
 
+    // ---- CROSS-MODAL dedup: perceptual average-hash over decoded
+    // pixels (integer 8×8 grid, 64·lum > Σ compare, bit STRING —
+    // engine-exact, no libm), planted byte-copies under new ids must
+    // collide and dedup keep-min. The oracle replays the sampling
+    // grid and bit algebra from the generating pixel formulas.
+    "x_media_phash" -> ((s, dir) => {
+      val media = Multimodal.syntheticPngMedia(nat(s, dir), "n_nationkey")
+      val planted = media.unionByName(media.filter(col("media_id") < 10)
+        .withColumn("media_id", col("media_id") + 1000))
+      val hashed = Multimodal.imagePhash(planted)
+        .select(col("media_id"), col("phash"))
+      val grp = hashed.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_dup"), min(col("media_id")).as("keeper"))
+      hashed.join(broadcast(grp), Seq("phash"))
+        .select(col("media_id"), col("phash"), col("n_dup"),
+          (col("media_id") === col("keeper")).cast("int").as("keep"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- REAL video decode: deterministic synthetic AVI containers
     // (RIFF walk is real, PNG frames decode through the real image
     // codec); the oracle recomputes per-frame channel means from the
@@ -3291,6 +3310,34 @@ object QueriesScale {
         | round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
         |FROM px GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
+    // aHash replay: grid sample at ((i·w)//8, (j·h)//8) from the
+    // generating pixel formulas (planted copies use the ORIGINAL
+    // id's formula — they are byte copies), lum = r+g+b, bit =
+    // 64·lum > Σ, row-major list → string; then plain hash-groupBy
+    // dedup with keep-min
+    "x_media_phash" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation),
+        |ids AS (SELECT media_id, media_id AS src FROM n
+        |        UNION ALL SELECT media_id + 1000 AS media_id, media_id AS src FROM n WHERE media_id < 10),
+        |dims AS (SELECT media_id, src, 8 + src % 5 AS w, 8 + src % 7 AS h FROM ids),
+        |g AS (SELECT media_id, src, gi.i AS i, gj.j AS j,
+        |   (gi.i * w) // 8 AS sx, (gj.j * h) // 8 AS sy
+        |  FROM dims, unnest(range(0, 8)) AS gi(i), unnest(range(0, 8)) AS gj(j)),
+        |lum AS (SELECT media_id, i, j,
+        |   ((src * 7 + sx * 3 + sy * 11) % 256) +
+        |   ((src * 13 + sx * 5 + sy * 2) % 256) +
+        |   ((src * 3 + sx * 17 + sy * 7) % 256) AS l
+        |  FROM g),
+        |tot AS (SELECT media_id, sum(l) AS s FROM lum GROUP BY 1),
+        |ph AS (SELECT lum.media_id,
+        |   array_to_string(list(CASE WHEN 64 * l > t.s THEN '1' ELSE '0' END
+        |     ORDER BY j, i), '') AS phash
+        |  FROM lum JOIN tot t USING (media_id) GROUP BY lum.media_id),
+        |grp AS (SELECT phash, count(*) AS n_dup, min(media_id) AS keeper FROM ph GROUP BY 1)
+        |SELECT p.media_id, p.phash, grp.n_dup,
+        |  CAST(p.media_id = grp.keeper AS INT) AS keep
+        |FROM ph p JOIN grp USING (phash)
+        |ORDER BY p.media_id""".stripMargin,
     "x_media_video" ->
       """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation),
         |dims AS (SELECT media_id, 6 + media_id % 3 AS w, 6 + media_id % 4 AS h,

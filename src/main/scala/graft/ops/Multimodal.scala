@@ -92,6 +92,41 @@ object Multimodal {
       val srcH = img.getHeight
       encodePng(w, h, (x, y) => img.getRGB(x * srcW / w, y * srcH / h))
     }
+
+    /** Perceptual AVERAGE-HASH (aHash) as a 64-char bit STRING —
+      * integer-only so every engine replays it exactly: sample an
+      * 8×8 nearest-neighbor grid (source pixel at `(i·w/8, j·h/8)`,
+      * integer division), luminance = r+g+b (an integer proxy — the
+      * usual 0.299/0.587/0.114 weights would drag doubles in for no
+      * dedup benefit), bit(k) = 1 iff `64·lum(k) > Σ lums` (the
+      * mean compare cross-multiplied into exact integers; equality →
+      * 0), emitted row-major (j outer, i inner). A STRING instead of
+      * a packed long because bit 63 would wrap a BIGINT's sign and
+      * engines disagree on `1<<63` overflow; equality joins neither
+      * know nor care.
+      */
+    def phash(img: BufferedImage): String = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val lums = new Array[Long](64)
+      var sum = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val p = img.getRGB(i * w / 8, j * h / 8)
+          val l = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+          lums(j * 8 + i) = l
+          sum += l
+          i += 1
+        }
+        j += 1
+      }
+      val sb = new StringBuilder(64)
+      var k = 0
+      while (k < 64) { sb.append(if (64L * lums(k) > sum) '1' else '0'); k += 1 }
+      sb.toString
+    }
   }
 
   /** media table schema: (media_id, kind, bytes, meta). */
@@ -213,6 +248,31 @@ object Multimodal {
             // Seq[Double] and silently widen the Int dims
             case Some((w, h, mr, mg, mb)) => Row.fromSeq(r.toSeq ++ Seq[Any](w, h, mr, mg, mb))
             case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Partition-batched perceptual-hash extraction: adds `phash` (the
+    * [[ImageCodec.phash]] 64-bit aHash string; null for undecodable
+    * payloads — skip contract). The CROSS-MODAL dedup primitive: two
+    * images with byte-identical perceptual structure collide on
+    * `phash` regardless of container bytes, so exact-dedup machinery
+    * (hash groupBy, keep-min, cluster fold) applies to images
+    * unchanged. Executor-side decode, zero shuffle — the groupBy a
+    * caller adds is the only exchange, keyed on a 64-char string.
+    */
+  def imagePhash(media: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("phash", StringType, nullable = true))
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.map { r =>
+          ImageCodec.decode(r.getAs[Array[Byte]](bIdx)).map(ImageCodec.phash) match {
+            case Some(p) => Row.fromSeq(r.toSeq :+ p)
+            case None    => Row.fromSeq(r.toSeq :+ null)
           }
         }
       }

@@ -973,6 +973,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.FakeCodec.sampleFrames(new Array[Byte](100), 10, 3).length === 4)
   }
 
+  test("phash: byte-copies collide, integer 2x upscale is hash-invariant, distinct content differs") {
+    import Multimodal.ImageCodec
+    def img(id: Long, w: Int, h: Int) = ImageCodec.decode(
+      ImageCodec.encodePng(w, h, (x, y) => {
+        val rr = ((id * 7 + x * 3 + y * 11) % 256).toInt
+        val gg = ((id * 13 + x * 5 + y * 2) % 256).toInt
+        val bb = ((id * 3 + x * 17 + y * 7) % 256).toInt
+        (rr << 16) | (gg << 8) | bb
+      })).get
+    val a = img(1L, 8, 8)
+    val p = ImageCodec.phash(a)
+    assert(p.length === 64 && p.forall(c => c == '0' || c == '1'))
+    // byte-copy: same pixels, same hash (determinism)
+    assert(ImageCodec.phash(img(1L, 8, 8)) === p)
+    // the PERCEPTUAL property: a 2x nearest-neighbor upscale of an
+    // 8x8 image samples the identical source pixels on the 8x8 grid
+    // (i*16/8 = 2i maps back to pixel i), so the hash survives the
+    // resize even though every byte of the container changed
+    val up = ImageCodec.decode(ImageCodec.resizePng(a, 16, 16)).get
+    assert(ImageCodec.phash(up) === p,
+      "aHash changed under integer upscale — perceptual invariance lost")
+    // distinct content separates: the INVERTED image flips every
+    // mean-compare bit (no ties in this gradient), so its hash is the
+    // bitwise complement — never equal. (Two ids of the same gradient
+    // formula hash IDENTICALLY by design: the id term is constant per
+    // image and the mean compare cancels it — that is the perceptual
+    // point, and why the gate plants byte-copies rather than id
+    // shifts for its dedup groups.)
+    val inv = ImageCodec.decode(ImageCodec.encodePng(8, 8, (x, y) => {
+      val rr = 255 - ((1L * 7 + x * 3 + y * 11) % 256).toInt
+      val gg = 255 - ((1L * 13 + x * 5 + y * 2) % 256).toInt
+      val bb = 255 - ((1L * 3 + x * 17 + y * 7) % 256).toInt
+      (rr << 16) | (gg << 8) | bb
+    })).get
+    assert(ImageCodec.phash(inv) === p.map(c => if (c == '1') '0' else '1'),
+      "inverted gradient must hash to the exact bitwise complement")
+  }
+
   test("extractFeatures preserves schema and adds float features") {
     val media = Multimodal.syntheticMedia(GraftSession.table(spark, sf, "nation"), "n_nationkey")
     val out   = Multimodal.extractFeatures(media, dims = 8)
