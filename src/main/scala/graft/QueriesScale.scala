@@ -2073,6 +2073,23 @@ object QueriesScale {
         .orderBy(col("media_id"))
     }),
 
+    // ---- the AUDIO leg of cross-modal dedup: envelope-delta
+    // fingerprint (32 integer windows, rising-energy bits) over
+    // decoded PCM, planted byte-copies collide, keep-min dedup.
+    "x_media_afp" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavMedia(nat(s, dir), "n_nationkey")
+      val planted = media.unionByName(media.filter(col("media_id") < 10)
+        .withColumn("media_id", col("media_id") + 1000))
+      val hashed = Multimodal.audioFingerprints(planted)
+        .select(col("media_id"), col("afp"))
+      val grp = hashed.groupBy(col("afp"))
+        .agg(count(lit(1)).as("n_dup"), min(col("media_id")).as("keeper"))
+      hashed.join(broadcast(grp), Seq("afp"))
+        .select(col("media_id"), col("afp"), col("n_dup"),
+          (col("media_id") === col("keeper")).cast("int").as("keep"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- CROSS-MODAL dedup: perceptual average-hash over decoded
     // pixels (integer 8×8 grid, 64·lum > Σ compare, bit STRING —
     // engine-exact, no libm), planted byte-copies under new ids must
@@ -3310,6 +3327,29 @@ object QueriesScale {
         | round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
         |FROM px GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
+    // envelope-fingerprint replay: window of sample t = (t·32)//ns,
+    // window energy = Σ|v| from the generating sample formula
+    // (planted copies use the ORIGINAL id's formula), bit = rising
+    // energy strict, 31 bits in window order; then keep-min dedup
+    "x_media_afp" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation),
+        |ids AS (SELECT media_id, media_id AS src FROM n
+        |        UNION ALL SELECT media_id + 1000 AS media_id, media_id AS src FROM n WHERE media_id < 10),
+        |dims AS (SELECT media_id, src, CAST(200 + (src % 7) * 50 AS BIGINT) AS ns FROM ids),
+        |sm AS (SELECT media_id, (t.t * 32) // ns AS w,
+        |   abs(((src * 131 + t.t * 17) % 2003) - 1001) AS a
+        | FROM dims, unnest(range(0, ns)) AS t(t)),
+        |e AS (SELECT media_id, w, sum(a) AS e FROM sm GROUP BY 1, 2),
+        |d AS (SELECT a.media_id, a.w,
+        |   CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+        |  FROM e a JOIN e b ON a.media_id = b.media_id AND b.w = a.w + 1),
+        |fp AS (SELECT media_id,
+        |   array_to_string(list(bit ORDER BY w), '') AS afp FROM d GROUP BY 1),
+        |grp AS (SELECT afp, count(*) AS n_dup, min(media_id) AS keeper FROM fp GROUP BY 1)
+        |SELECT f.media_id, f.afp, grp.n_dup,
+        |  CAST(f.media_id = grp.keeper AS INT) AS keep
+        |FROM fp f JOIN grp USING (afp)
+        |ORDER BY f.media_id""".stripMargin,
     // aHash replay: grid sample at ((i·w)//8, (j·h)//8) from the
     // generating pixel formulas (planted copies use the ORIGINAL
     // id's formula — they are byte copies), lum = r+g+b, bit =

@@ -279,6 +279,29 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Partition-batched audio-fingerprint extraction: adds `afp` (the
+    * [[WavCodec.fingerprint]] envelope-delta bit string; null for
+    * undecodable payloads). The audio leg of cross-modal dedup —
+    * exact-dedup machinery applies on the `afp` key like `phash` for
+    * images. Executor-side decode, zero shuffle.
+    */
+  def audioFingerprints(media: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("afp", StringType, nullable = true))
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.grouped(chunkSize).flatMap { chunk =>
+        chunk.iterator.map { r =>
+          WavCodec.decode(r.getAs[Array[Byte]](bIdx))
+            .map { case (_, samples) => WavCodec.fingerprint(samples) } match {
+            case Some(f) => Row.fromSeq(r.toSeq :+ f)
+            case None    => Row.fromSeq(r.toSeq :+ null)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Partition-batched REAL image resize (nearest-neighbor, PNG out):
     * rewrites `bytes` to the target dimensions and updates the meta
     * struct — [[resizeMedia]]'s image-kind realization. Undecodable
@@ -444,6 +467,32 @@ object Multimodal {
         i += 1
       }
       (n, sum.toDouble / n, peak, math.sqrt(sumSq.toDouble / n))
+    }
+
+    /** Envelope-delta FINGERPRINT (chromaprint-lite) as a bit STRING,
+      * integer-only: the clip splits into `windows` contiguous
+      * windows by `w(t) = t·windows / n` (integer division — the
+      * same assignment rule the SQL replay uses, so boundaries can
+      * never disagree), window energy = Σ|v|, bit w = 1 iff
+      * e(w+1) > e(w) (strict; the rising/falling envelope shape).
+      * Amplitude-SCALE invariant by construction (energies scale
+      * together, comparisons survive) — the audio analog of
+      * [[ImageCodec.phash]]'s resize invariance, and the property a
+      * re-encoded / gain-normalized copy needs to still collide.
+      */
+    def fingerprint(samples: Array[Short], windows: Int = 32): String = {
+      val n = samples.length
+      if (n == 0) return ""
+      val e = new Array[Long](windows)
+      var t = 0
+      while (t < n) {
+        e(math.min(windows - 1, t * windows / n)) += math.abs(samples(t).toInt).toLong
+        t += 1
+      }
+      val sb = new StringBuilder(windows - 1)
+      var w = 0
+      while (w < windows - 1) { sb.append(if (e(w + 1) > e(w)) '1' else '0'); w += 1 }
+      sb.toString
     }
   }
 

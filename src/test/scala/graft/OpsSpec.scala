@@ -1011,6 +1011,24 @@ class MultimodalSpec extends SparkSpecBase {
       "inverted gradient must hash to the exact bitwise complement")
   }
 
+  test("audio fingerprint: deterministic, amplitude-scale invariant, silence-total") {
+    import Multimodal.WavCodec
+    val s = Array.tabulate(300)(t => (((7L * 131 + t * 17) % 2003) - 1001).toShort)
+    val f = WavCodec.fingerprint(s)
+    assert(f.length === 31 && f.forall(c => c == '0' || c == '1'))
+    assert(WavCodec.fingerprint(s.clone()) === f)
+    // the perceptual property: doubling the gain scales every window
+    // energy together (exactly — x2 on shorts ≤ 1001 is lossless) —
+    // the rising/falling envelope bits survive, so a gain-normalized
+    // copy still collides
+    val loud = s.map(v => (v * 2).toShort)
+    assert(WavCodec.fingerprint(loud) === f,
+      "envelope fingerprint changed under uniform gain — scale invariance lost")
+    // degenerate input has a defined value, not a crash
+    assert(WavCodec.fingerprint(Array.empty[Short]) === "")
+    assert(WavCodec.fingerprint(Array.fill(100)(0.toShort)) === "0" * 31)
+  }
+
   test("extractFeatures preserves schema and adds float features") {
     val media = Multimodal.syntheticMedia(GraftSession.table(spark, sf, "nation"), "n_nationkey")
     val out   = Multimodal.extractFeatures(media, dims = 8)
