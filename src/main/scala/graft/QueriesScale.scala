@@ -2073,6 +2073,37 @@ object QueriesScale {
         .orderBy(col("media_id"))
     }),
 
+    // ---- the VIDEO leg of cross-modal dedup: clips are near-dup
+    // when their frame-hash SETS overlap (Jaccard ≥ 0.5) — candidates
+    // come from a frame-hash equi-join (blocking — never all-pairs
+    // between clips), the shingle-Jaccard pattern lifted to frames.
+    // Planted byte-copies score 1.0; planted head-trimmed copies
+    // (first frame dropped) score 0.75 — genuinely NEAR, not exact.
+    "x_media_vdedup" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(nat(s, dir), "n_nationkey", payloadLen = 64)
+      val copies = media.filter(col("media_id") < 10)
+        .withColumn("media_id", col("media_id") + 1000)
+      val trims = media.filter(col("media_id") < 10)
+        .withColumn("media_id", col("media_id") + 2000)
+        .withColumn("bytes", expr("substring(bytes, 17, 48)"))
+      val all = media.unionByName(copies).unionByName(trims)
+      val frames = Multimodal.sampleFramesOp(all, frameSize = 16, everyNth = 1)
+        .select(col("media_id"), md5(col("frame")).as("h")).distinct()
+      val sz = frames.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+      val pairs = frames.as("a").join(frames.as("b"),
+          col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(sz.select(col("media_id").as("id_a"), col("n").as("na"))), Seq("id_a"))
+        .join(broadcast(sz.select(col("media_id").as("id_b"), col("n").as("nb"))), Seq("id_b"))
+        .withColumn("jaccard", round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- the AUDIO leg of cross-modal dedup: envelope-delta
     // fingerprint (32 integer windows, rising-energy bits) over
     // decoded PCM, planted byte-copies collide, keep-min dedup.
@@ -3327,6 +3358,29 @@ object QueriesScale {
         | round(CAST(sum(b) AS DOUBLE) / count(*), 4) AS mean_b
         |FROM px GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
+    // frame-set near-dup replay: payload = sha256 hex of the SOURCE
+    // id, frames = 16-char slices (trims start one frame in, 3
+    // frames), distinct md5 sets, equi-join on hash, Jaccard ≥ 0.5
+    "x_media_vdedup" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation),
+        |ids AS (SELECT media_id, media_id AS src, 0 AS off, 4 AS nf FROM n
+        |  UNION ALL SELECT media_id + 1000, media_id, 0, 4 FROM n WHERE media_id < 10
+        |  UNION ALL SELECT media_id + 2000, media_id, 1, 3 FROM n WHERE media_id < 10),
+        |fr AS (SELECT media_id,
+        |   md5(substr(sha256(CAST(src AS VARCHAR)), CAST((f.i + off) * 16 + 1 AS INT), 16)) AS h
+        |  FROM ids, unnest(range(0, nf)) AS f(i)),
+        |fs AS (SELECT DISTINCT media_id, h FROM fr),
+        |sz AS (SELECT media_id, count(*) AS n FROM fs GROUP BY 1),
+        |pr AS (SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+        |  FROM fs a JOIN fs b ON a.h = b.h AND a.media_id < b.media_id GROUP BY 1, 2),
+        |sc AS (SELECT pr.id_a, pr.id_b, pr.shared,
+        |   round(CAST(pr.shared AS DOUBLE) /
+        |     CAST(za.n + zb.n - pr.shared AS DOUBLE), 4) AS jaccard
+        |  FROM pr JOIN sz za ON pr.id_a = za.media_id
+        |  JOIN sz zb ON pr.id_b = zb.media_id)
+        |SELECT id_a, id_b, CAST(shared AS BIGINT) AS n_shared, jaccard
+        |FROM sc WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // envelope-fingerprint replay: window of sample t = (t·32)//ns,
     // window energy = Σ|v| from the generating sample formula
     // (planted copies use the ORIGINAL id's formula), bit = rising
