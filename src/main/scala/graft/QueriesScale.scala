@@ -191,6 +191,32 @@ object QueriesScale {
         |SELECT query_id, rank, doc_id, CAST(sdec AS DOUBLE) AS score, n_terms
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The annJoin replay up to the ranked candidate list `rk` — shared
+    * by the join oracle and its recall judge. Centroids = 16
+    * smallest-id RIGHT vectors; right assigns to its best cell, left
+    * probes its best 2 (the fold's negated-score sort ≡ cos DESC,
+    * cell ASC); candidates from the cell equi-join.
+    */
+  private lazy val AnnJoinRankedCtes: String =
+    s"""WITH r AS (SELECT vec_id AS right_id, embedding AS cv FROM embeddings WHERE vec_id % 7 <> 3),
+       |l AS (SELECT vec_id AS left_id, embedding AS lv FROM embeddings WHERE vec_id % 7 = 3),
+       |cent AS (SELECT right_id AS cell_id, cv AS centroid FROM r ORDER BY right_id LIMIT 16),
+       |ra AS (SELECT right_id, cv, cell_id FROM (
+       |  SELECT r.right_id, r.cv, cent.cell_id,
+       |   row_number() OVER (PARTITION BY r.right_id
+       |    ORDER BY ${cosSql("r.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+       |  FROM r CROSS JOIN cent) WHERE rn = 1),
+       |lc AS (SELECT left_id, lv, cell_id FROM (
+       |  SELECT l.left_id, l.lv, cent.cell_id,
+       |   row_number() OVER (PARTITION BY l.left_id
+       |    ORDER BY ${cosSql("l.lv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+       |  FROM l CROSS JOIN cent) WHERE rn <= 2),
+       |pairs AS (SELECT lc.left_id, ra.right_id,
+       |  round(${cosSql("lc.lv", "ra.cv")}, 4) AS cosine
+       | FROM lc JOIN ra USING (cell_id) WHERE lc.left_id <> ra.right_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY left_id
+       |   ORDER BY cosine DESC, right_id ASC) AS rank FROM pairs)""".stripMargin
+
   /** PRF oracle: the ranked CTE prefix IS pass 1; feedback docs cut
     * at 5, candidate terms = feedback postings minus the query's own
     * terms, expansion weight = round(w·(2N+2)/(2df+1), 6) in DECIMAL
@@ -768,6 +794,29 @@ object QueriesScale {
           e.filter(pmod(col("vec_id"), lit(7)) =!= 3),
           "vec_id", "embedding", k = 2, nProbe = 2, targetCell = 64)
         .orderBy(col("left_id"), col("rank"))
+    }),
+
+    // ---- the pruned join's quality dial: per-left-row recall@2 vs
+    // the exact all-pairs ranking (the x_ann_recall judge shape for
+    // the no-broadcast join) — closes the is-the-approximation-good
+    // loop for annJoin the way the IVF/PQ paths already have.
+    "x_ann_join_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val l = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+      val r = e.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val pruned = Similarity.annJoinAuto(l, r, "vec_id", "embedding",
+          k = 2, nProbe = 2, targetCell = 64)
+        .select(col("left_id"), col("right_id"))
+      val exact = Similarity.cosineTopK(r, l, "vec_id", "embedding", k = 2)
+        .select(col("query_id").as("left_id"), col("neighbor_id").as("right_id"))
+      exact.as("e").join(pruned.as("p"),
+          col("e.left_id") === col("p.left_id") && col("e.right_id") === col("p.right_id"),
+          "left")
+        .groupBy(col("e.left_id").as("left_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("p.left_id")).as("n_hit"))
+        .withColumn("recall_at_2",
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
+        .orderBy(col("left_id"))
     }),
 
     // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
@@ -3154,27 +3203,30 @@ object QueriesScale {
     // (rn<=2 — the fold's negated-score sort ≡ cos DESC, cell ASC),
     // candidates from the cell equi-join, top-2 per left row
     "x_ann_join" ->
-      s"""WITH r AS (SELECT vec_id AS right_id, embedding AS cv FROM embeddings WHERE vec_id % 7 <> 3),
-         |l AS (SELECT vec_id AS left_id, embedding AS lv FROM embeddings WHERE vec_id % 7 = 3),
-         |cent AS (SELECT right_id AS cell_id, cv AS centroid FROM r ORDER BY right_id LIMIT 16),
-         |ra AS (SELECT right_id, cv, cell_id FROM (
-         |  SELECT r.right_id, r.cv, cent.cell_id,
-         |   row_number() OVER (PARTITION BY r.right_id
-         |    ORDER BY ${cosSql("r.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
-         |  FROM r CROSS JOIN cent) WHERE rn = 1),
-         |lc AS (SELECT left_id, lv, cell_id FROM (
-         |  SELECT l.left_id, l.lv, cent.cell_id,
-         |   row_number() OVER (PARTITION BY l.left_id
-         |    ORDER BY ${cosSql("l.lv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
-         |  FROM l CROSS JOIN cent) WHERE rn <= 2),
-         |pairs AS (SELECT lc.left_id, ra.right_id,
-         |  round(${cosSql("lc.lv", "ra.cv")}, 4) AS cosine
-         | FROM lc JOIN ra USING (cell_id) WHERE lc.left_id <> ra.right_id)
-         |SELECT left_id, rank, right_id, cosine FROM (
-         | SELECT *, row_number() OVER (PARTITION BY left_id
-         |   ORDER BY cosine DESC, right_id ASC) AS rank
-         | FROM pairs) WHERE rank <= 2
-         |ORDER BY left_id, rank""".stripMargin,
+      (AnnJoinRankedCtes +
+        """
+          |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2
+          |ORDER BY left_id, rank""".stripMargin),
+    // the quality dial of the pruned join: per-left-row recall@2 of
+    // the cell-pruned candidates vs the exact all-pairs ranking —
+    // same judge shape as x_ann_recall, over the annJoin replay
+    "x_ann_join_recall" ->
+      (AnnJoinRankedCtes +
+        s""",
+           |pj AS (SELECT left_id, right_id FROM rk WHERE rank <= 2),
+           |ex AS (SELECT l.left_id, r.right_id,
+           |  round(${cosSql("r.cv", "l.lv")}, 4) AS cosine
+           | FROM l CROSS JOIN r WHERE l.left_id <> r.right_id),
+           |ex2 AS (SELECT left_id, right_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY left_id
+           |   ORDER BY cosine DESC, right_id ASC) AS rank FROM ex) WHERE rank <= 2)
+           |SELECT e.left_id,
+           |  count(*) AS n_exact,
+           |  count(p.left_id) AS n_hit,
+           |  round(CAST(count(p.left_id) AS DOUBLE) / count(*), 4) AS recall_at_2
+           |FROM ex2 e LEFT JOIN pj p
+           |  ON e.left_id = p.left_id AND e.right_id = p.right_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
     "x_ann_ivfpq" ->
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
