@@ -796,6 +796,19 @@ object QueriesScale {
         .orderBy(col("left_id"), col("rank"))
     }),
 
+    // ---- the join's TUNING CURVE in one pass: top-2 per left row at
+    // every probe cutoff (1, 2, 4) sharing one assignment + one
+    // scoring join — the recall-vs-nProbe dial a deployment sweeps,
+    // corpus work paid once regardless of cutoff count.
+    "x_ann_join_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.annJoinCurve(
+          e.filter(pmod(col("vec_id"), lit(7)) === 3),
+          e.filter(pmod(col("vec_id"), lit(7)) =!= 3),
+          "vec_id", "embedding", k = 2, nCells = 16, probes = Seq(1, 2, 4))
+        .orderBy(col("n_probe"), col("left_id"), col("rank"))
+    }),
+
     // ---- the pruned join's quality dial: per-left-row recall@2 vs
     // the exact all-pairs ranking (the x_ann_recall judge shape for
     // the no-broadcast join) — closes the is-the-approximation-good
@@ -3207,6 +3220,32 @@ object QueriesScale {
         """
           |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2
           |ORDER BY left_id, rank""".stripMargin),
+    // one assignment + one scoring join feeding every cutoff: lc
+    // keeps cell rank <= max(probes), each cutoff re-windows the
+    // bounded candidate rows — the ivf-curve shape for the join
+    "x_ann_join_curve" ->
+      s"""WITH r AS (SELECT vec_id AS right_id, embedding AS cv FROM embeddings WHERE vec_id % 7 <> 3),
+         |l AS (SELECT vec_id AS left_id, embedding AS lv FROM embeddings WHERE vec_id % 7 = 3),
+         |cent AS (SELECT right_id AS cell_id, cv AS centroid FROM r ORDER BY right_id LIMIT 16),
+         |ra AS (SELECT right_id, cv, cell_id FROM (
+         |  SELECT r.right_id, r.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY r.right_id
+         |    ORDER BY ${cosSql("r.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM r CROSS JOIN cent) WHERE rn = 1),
+         |lc AS (SELECT left_id, lv, cell_id, rn AS cell_rn FROM (
+         |  SELECT l.left_id, l.lv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY l.left_id
+         |    ORDER BY ${cosSql("l.lv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM l CROSS JOIN cent) WHERE rn <= 4),
+         |sc AS (SELECT lc.left_id, lc.cell_rn, ra.right_id,
+         |  round(${cosSql("lc.lv", "ra.cv")}, 4) AS cosine
+         | FROM lc JOIN ra USING (cell_id) WHERE lc.left_id <> ra.right_id),
+         |cut AS (SELECT CAST(c.n AS INT) AS n_probe, s.left_id, s.right_id, s.cosine
+         |  FROM sc s, unnest([1, 2, 4]) AS c(n) WHERE s.cell_rn <= c.n)
+         |SELECT n_probe, left_id, rank, right_id, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY n_probe, left_id
+         |   ORDER BY cosine DESC, right_id ASC) AS rank FROM cut) WHERE rank <= 2
+         |ORDER BY n_probe, left_id, rank""".stripMargin,
     // the quality dial of the pruned join: per-left-row recall@2 of
     // the cell-pruned candidates vs the exact all-pairs ranking —
     // same judge shape as x_ann_recall, over the annJoin replay

@@ -955,6 +955,59 @@ object Similarity {
       .select(col("left_id"), col("rank"), col("right_id"), col("cosine"))
   }
 
+  /** The annJoin tuning curve in ONE pass — [[ivfTopKCurve]]'s shape
+    * for the no-broadcast join: per-left-row top-k at EVERY probe
+    * cutoff in `probes`, sharing one assignment of each side and one
+    * candidate-scoring join. The left side's fold keeps its
+    * `probes.max` nearest cells in rank order (array position =
+    * probe rank), candidates are scored once against the widest
+    * selection, and each cutoff re-windows only the bounded candidate
+    * rows — corpus-scale work is paid once regardless of how many
+    * cutoffs the curve sweeps. Output: `(n_probe, left_id, rank,
+    * right_id, cosine)`; the `probes.max` slice is the [[annJoin]]
+    * result at that nProbe by construction.
+    */
+  def annJoinCurve(
+      left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probe cutoffs must be >= 1 (got $probes)")
+    val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lv"))
+    val centroids = sampleCentroids(r, nCells)
+    val rAssigned = ivfAssign(r, centroids).withColumnRenamed("neighbor_id", "right_id")
+    val centArr = broadcast(
+      centroids.withColumn("cnorm", norm(col("centroid")))
+        .agg(array_sort(collect_list(struct(
+          col("cell_id").cast("long").as("cell_id"),
+          col("centroid"), col("cnorm")))).as("cents")))
+    val maxProbe = probes.max
+    val lcells = l.crossJoin(centArr)
+      .withColumn("vn", norm(col("lv")))
+      .withColumn("cells", aggregate(
+        col("cents"),
+        array().cast("array<struct<ns:double,cell:bigint>>"),
+        (acc, ct) => slice(array_sort(concat(acc, array(struct(
+          (lit(0.0) - dot(col("lv"), ct.getField("centroid")) /
+            (col("vn") * ct.getField("cnorm"))).as("ns"),
+          ct.getField("cell_id").as("cell"))))), 1, maxProbe),
+        acc => transform(acc, x => x.getField("cell"))))
+      .select(col("left_id"), col("lv"),
+        posexplode(col("cells")).as(Seq("__p", "cell_id")))
+      .withColumn("cell_rn", col("__p") + 1).drop("__p")
+    val scored = lcells.join(rAssigned, Seq("cell_id"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("cell_rn"), col("right_id"),
+        round(cosine(col("lv"), col("cv")), 4).as("cosine"))
+    val cut = scored
+      .withColumn("n_probe", explode(array(probes.map(lit(_)): _*)))
+      .filter(col("cell_rn") <= col("n_probe"))
+    val w = Window.partitionBy(col("n_probe"), col("left_id"))
+      .orderBy(col("cosine").desc, col("right_id").asc)
+    cut.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("n_probe"), col("left_id"), col("rank"), col("right_id"), col("cosine"))
+  }
+
   /** Deterministic centroid sample: smallest nCells ids — plans as a
     * partial top-k (TakeOrderedAndProject), broadcastable.
     */

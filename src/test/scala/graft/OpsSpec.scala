@@ -472,6 +472,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("annJoinCurve: the max-cutoff slice equals annJoin at that nProbe; monotone candidates") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val l = e.filter(col("vec_id") % 7 === 3)
+    val r = e.filter(col("vec_id") % 7 =!= 3)
+    val curve = Similarity.annJoinCurve(l, r, "vec_id", "embedding",
+      k = 2, nCells = 16, probes = Seq(1, 2, 4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("left_id", "rank").collect().map(_.toSeq).toSeq
+    // the widest slice IS annJoin at that nProbe — one definition
+    val slice4 = rows(curve.filter(col("n_probe") === 4)
+      .select(col("left_id"), col("rank"), col("right_id"), col("cosine")))
+    val direct = rows(Similarity.annJoin(l, r, "vec_id", "embedding",
+      k = 2, nCells = 16, nProbe = 4))
+    assert(slice4 === direct, "curve max-cutoff slice diverged from annJoin")
+    // more probes can only improve a left row's best cosine
+    val best = curve.groupBy(col("n_probe"), col("left_id"))
+      .agg(max(col("cosine")).as("b"))
+      .groupBy(col("left_id"))
+      .agg(max(when(col("n_probe") === 1, col("b"))).as("b1"),
+        max(when(col("n_probe") === 4, col("b"))).as("b4"))
+      .filter(col("b1").isNotNull && col("b4").isNotNull)
+      .filter(col("b4") < col("b1"))
+    assert(best.count() === 0, "widening the probe set worsened a best cosine")
+  }
+
   test("int8 quantization round-trips direction; quantized top-k matches exact top-1 on real embeddings") {
     val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding").orderBy("vec_id").collect()
     // unit-x vector quantizes to (127, 0, 0) with scale 1/127
