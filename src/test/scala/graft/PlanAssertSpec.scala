@@ -298,6 +298,19 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(windows <= 1, s"probe-cell selection regressed to a window ($windows windows):\n$plan")
   }
 
+  test("x_ann_join_curve: one corpus-side scan per role feeds every probe cutoff") {
+    val curve = q("x_ann_join_curve")
+    val plan = planOf(curve)
+    assert(!plan.contains("CartesianProduct"), s"curve went cartesian:\n$plan")
+    // three embeddings scans by construction (centroid sample, right
+    // assignment, left probe selection) — the cutoff sweep must NOT
+    // multiply them: 3 cutoffs ride one scored candidate set
+    val embScans = fileScans(curve.queryExecution.executedPlan)
+      .count(_.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+    assert(embScans <= 4,
+      s"curve multiplies corpus scans with cutoffs ($embScans embeddings scans):\n$plan")
+  }
+
   test("x_retrieval_prf: every corpus aggregation is vocabulary-pruned; dims join broadcast") {
     val plan = planOf(q("x_retrieval_prf"))
     assert(!plan.contains("CartesianProduct"), s"PRF went cartesian:\n$plan")
