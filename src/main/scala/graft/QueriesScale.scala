@@ -776,6 +776,64 @@ object QueriesScale {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- column-name snakify as an ORACLED row (upgrades the F4
+    // spec-only check): messy headers derived from the part dim,
+    // snakified driver-side (it is a schema fn, dim-sized collect by
+    // design), the oracle replays the exact normalization chain.
+    "f4_snakify" -> ((s, dir) => {
+      import s.implicits._
+      val names = GraftSession.table(s, dir, "part")
+        .select(col("p_type")).distinct()
+        .collect().map(_.getString(0)).toSeq
+        .map(t => s"Average Number of $t ($$/Total-Value)")
+      names.map(n => (n, graft.functions.TextFns.snakify(n)))
+        .toDF("raw_name", "snake_name")
+        .orderBy(col("raw_name"))
+    }),
+
+    // ---- extraction-JSONL ROUNDTRIP (upgrades the S6 spec-only
+    // check): paragraphs derived from documents → the reference's
+    // nested stage hand-off JSON → read back long — the oracle
+    // recomputes the derivation, so any write/read asymmetry
+    // (ordering, page-key stringify, paragraph index) breaks the hash.
+    "s6_jsonl_roundtrip" -> ((s, dir) => {
+      import graft.sources.PdfSource
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pdf_name"), col("page")).orderBy(col("doc_id"))
+      val paras = docs(s, dir).select(
+          concat(col("source"), lit(".pdf")).as("pdf_name"),
+          pmod(col("doc_id"), lit(5)).cast("int").as("page"),
+          col("doc_id"), col("text"))
+        .withColumn("para_idx", row_number().over(w) - 1)
+        .select(col("pdf_name"), col("page"), col("para_idx"), col("text").as("paragraph"))
+      val out = GraftSession.freshGatePath("jsonlrt", dir)
+      PdfSource.writeExtractionJson(paras, out)
+      PdfSource.readExtractionRecords(s, out)
+        .orderBy(col("pdf_name"), col("page"), col("para_idx"))
+    }),
+
+    // ---- Kubeflow-metrics JSON sink ROUNDTRIP (upgrades the S11
+    // spec-only check): aggregates → the reference's metrics artifact
+    // → read back and compared against the oracle recomputing the
+    // same aggregates (decimal sum for the double column — the
+    // serialized shortest-repr double round-trips exactly).
+    "s11_metrics_roundtrip" -> ((s, dir) => {
+      import graft.ops.Pipeline
+      val li = GraftSession.table(s, dir, "lineitem")
+      val row = li.agg(count(lit(1)),
+          round(sum(col("l_quantity").cast("decimal(28,6)")).cast("double"), 2),
+          countDistinct(col("l_suppkey"))).collect()(0)
+      val path = GraftSession.freshGatePath("kfmetrics", dir)
+      Pipeline.writeMetricsJson(Seq(
+        "row_count" -> row.getLong(0).toDouble,
+        "sum_qty" -> row.getDouble(1),
+        "distinct_suppliers" -> row.getLong(2).toDouble), path)
+      s.read.json(path)
+        .select(explode(col("metrics")).as("m"))
+        .select(col("m.name").as("name"), col("m.numberValue").as("number_value"))
+        .orderBy(col("name"))
+    }),
+
     // ---- LARGE-TO-LARGE ANN JOIN: neither side broadcasts — both
     // sides IVF-assign to a shared centroid sample, left replicates
     // to nProbe cells via a bounded per-row fold (no cells×rows
@@ -3211,6 +3269,40 @@ object QueriesScale {
     // IVFPQ replay = the IVF assignment/probes CTEs (x_ann_index_q)
     // chained into the PQ codes/ADC CTEs (x_ann_pq_topk): scored
     // pairs restricted to each query's probed cells
+    // snakify replay: the exact normalization chain in order —
+    // lower/trim, '-'→'_', strip [,.()&$/+]+, \s+→_, collapse _+,
+    // then the abbreviation substitutions, then the 63-char cut
+    "f4_snakify" ->
+      """WITH t AS (SELECT DISTINCT
+        |  'Average Number of ' || p_type || ' ($/Total-Value)' AS raw_name FROM part),
+        |s1 AS (SELECT raw_name,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    replace(trim(lower(raw_name)), '-', '_'),
+        |    '[,.()&$/+]+', '', 'g'), '\s+', '_', 'g'), '_+', '_', 'g') AS s FROM t),
+        |s2 AS (SELECT raw_name,
+        |  replace(replace(replace(replace(s,
+        |    'average', 'avg'), 'maximum', 'max'), 'minimum', 'min'), 'number', 'num') AS s
+        | FROM s1)
+        |SELECT raw_name, substr(s, 1, 63) AS snake_name FROM s2
+        |ORDER BY raw_name""".stripMargin,
+    // JSONL roundtrip oracle: the derivation itself — what a lossless
+    // write→read must reproduce
+    "s6_jsonl_roundtrip" ->
+      """WITH p AS (SELECT source || '.pdf' AS pdf_name,
+        |  CAST(doc_id % 5 AS INT) AS page, doc_id, text FROM documents)
+        |SELECT pdf_name, page,
+        |  CAST(row_number() OVER (PARTITION BY pdf_name, page ORDER BY doc_id) - 1 AS INT) AS para_idx,
+        |  text AS paragraph
+        |FROM p ORDER BY pdf_name, page, para_idx""".stripMargin,
+    // metrics-sink roundtrip oracle: the aggregates themselves
+    "s11_metrics_roundtrip" ->
+      """WITH m AS (
+        | SELECT 'row_count' AS name, CAST(count(*) AS DOUBLE) AS number_value FROM lineitem
+        | UNION ALL SELECT 'sum_qty',
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) FROM lineitem
+        | UNION ALL SELECT 'distinct_suppliers',
+        |  CAST(count(DISTINCT l_suppkey) AS DOUBLE) FROM lineitem)
+        |SELECT name, number_value FROM m ORDER BY name""".stripMargin,
     // annJoin replay: shared centroids = 16 smallest-id RIGHT vectors,
     // right assigned to its best cell (rn=1), left to its best 2
     // (rn<=2 — the fold's negated-score sort ≡ cos DESC, cell ASC),
