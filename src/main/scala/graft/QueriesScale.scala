@@ -867,6 +867,27 @@ object QueriesScale {
         .orderBy(col("n_probe"), col("left_id"), col("rank"))
     }),
 
+    // ---- and ONLINE: the new crawl's vectors ARRIVE as a stream and
+    // each micro-batch annJoins against the static base — alignment
+    // at ingest. Per-left top-k is batch-local, so the batch join's
+    // oracle gates the stream verbatim (exactly-once batch-id sink).
+    "s9_stream_annjoin" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val inc = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"), col("embedding"))
+      val incDir = GraftSession.freshGatePath("annjstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("annjout", dir)
+      val ckpt   = GraftSession.freshGatePath("annjckpt", dir)
+      val q = EventsStream.streamAnnJoin(s, base, incDir, inc.schema, outDir, ckpt,
+        k = 2, nProbe = 2, targetCell = 64)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc")
+        .select(col("left_id"), col("rank"), col("right_id"), col("cosine"))
+        .orderBy(col("left_id"), col("rank"))
+    }),
+
     // ---- the pruned join's quality dial: per-left-row recall@2 vs
     // the exact all-pairs ranking (the x_ann_recall judge shape for
     // the no-broadcast join) — closes the is-the-approximation-good
@@ -3308,6 +3329,12 @@ object QueriesScale {
     // (rn<=2 — the fold's negated-score sort ≡ cos DESC, cell ASC),
     // candidates from the cell equi-join, top-2 per left row
     "x_ann_join" ->
+      (AnnJoinRankedCtes +
+        """
+          |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2
+          |ORDER BY left_id, rank""".stripMargin),
+    // per-left top-k is batch-local → stream ≡ batch, same oracle
+    "s9_stream_annjoin" ->
       (AnnJoinRankedCtes +
         """
           |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2

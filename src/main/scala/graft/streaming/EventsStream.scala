@@ -251,6 +251,42 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING large-to-large ANN join: vector increments stream in
+    * and each micro-batch [[graft.ops.Similarity.annJoinAuto]]s
+    * against the static base corpus — cross-crawl alignment at
+    * ingest. Per-left-row top-k is BATCH-LOCAL by construction (a
+    * left row's whole candidate set lives in its batch), so
+    * stream ≡ batch and the batch join's oracle gates this surface
+    * verbatim. Exactly-once via the batch-id sink.
+    */
+  def streamAnnJoin(
+      spark: SparkSession,
+      base: DataFrame,
+      newVecsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      k: Int,
+      nProbe: Int = 2,
+      targetCell: Long = 64L
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newVecsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Similarity
+          .annJoinAuto(batch, base, "vec_id", "embedding", k,
+            nProbe = nProbe, targetCell = targetCell)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING pseudo-relevance feedback: arriving query batches run
     * the full two-pass PRF chain against the persistent BM25 index
     * ([[graft.ops.TextAnalysis.probeBm25IndexPrf]]) inside
