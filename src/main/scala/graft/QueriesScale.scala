@@ -425,6 +425,28 @@ object QueriesScale {
        |FROM dw JOIN enc USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Contamination oracle, parameterized by the scored-doc filter —
+    * one shingle/threshold core shared by the one-shot, the
+    * persisted-index increment, and the streaming-twin rows.
+    */
+  private def ContaminationOracleSql(scoredFilter: String): String = {
+    def sh(toks: String) =
+      s"""list_distinct(list_transform(
+         |  range(1, greatest(len($toks) - 2, 0) + 1),
+         |  i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
+    s"""WITH ct AS (SELECT doc_id AS id, ${toksSql("text")} AS toks FROM documents$scoredFilter),
+       |csh AS (SELECT id, unnest(${sh("toks")}) AS sh FROM ct),
+       |b0 AS (SELECT doc_id AS bench_id,
+       |        array_to_string(list_slice(string_split(text, ' '), 6, 20), ' ') AS btext
+       |       FROM documents WHERE doc_id < 10),
+       |bt AS (SELECT bench_id, ${toksSql("btext")} AS toks FROM b0),
+       |bsh AS (SELECT bench_id, unnest(${sh("toks")}) AS sh FROM bt),
+       |j AS (SELECT id, bench_id, count(*) AS n_shared
+       |      FROM csh JOIN bsh USING (sh) GROUP BY 1, 2)
+       |SELECT id, bench_id, n_shared FROM j WHERE n_shared >= 8
+       |ORDER BY id, bench_id""".stripMargin
+  }
+
   /** Zipf-surprisal oracle, parameterized by the scored-doc filter —
     * one rank table + scoring core shared by the one-shot, the
     * persisted-ranks increment, and the streaming-twin rows.
@@ -1906,6 +1928,49 @@ object QueriesScale {
       CorpusOps.contaminationCheck(docs(s, dir), "doc_id", "text",
           bench, "bench_id", "btext", w = 3, minShared = 8)
         .orderBy(col("id"), col("bench_id"))
+    }),
+
+    // ---- the PERSISTED steady state: benchmark suite shingled once
+    // (writeContaminationIndex), crawl increments probe it in
+    // O(increment) — same shingling/threshold, same oracle core.
+    "x_contamination_inc" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val d = docs(s, dir)
+      val path = buildOnce("contamidx", dir) { p =>
+        CorpusOps.writeContaminationIndex(
+          d.filter(col("doc_id") < 10)
+            .select(col("doc_id").as("bench_id"),
+              TextFns.tokenSlice(col("text"), 5, 15).as("btext")),
+          "bench_id", "btext", p, w = 3)
+      }
+      CorpusOps.contaminationProbe(s, path,
+          d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text", minShared = 8)
+        .orderBy(col("id"), col("bench_id"))
+    }),
+
+    // ---- and ONLINE: decontamination-at-ingest — docs stream in,
+    // each micro-batch probes the persisted benchmark set inside
+    // foreachBatch. The batch increment probe is the oracle.
+    "s9_stream_contamination" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val d = docs(s, dir)
+      val path = buildOnce("contamidxstream", dir) { p =>
+        CorpusOps.writeContaminationIndex(
+          d.filter(col("doc_id") < 10)
+            .select(col("doc_id").as("bench_id"),
+              TextFns.tokenSlice(col("text"), 5, 15).as("btext")),
+          "bench_id", "btext", p, w = 3)
+      }
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("contamstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("contamout", dir)
+      val ckpt   = GraftSession.freshGatePath("contamckpt", dir)
+      val q = EventsStream.streamContaminationCheck(s, path, incDir, inc.schema,
+        outDir, ckpt, minShared = 8)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("id"), col("bench_id"))
     }),
 
     // ---- URL/domain inventory over synthetically injected links
@@ -3926,23 +3991,11 @@ object QueriesScale {
          |SELECT doc_id, redacted, n_emails, n_ips, n_phones FROM r3
          |ORDER BY doc_id""".stripMargin
     },
-    "x_contamination" -> {
-      def sh(toks: String) =
-        s"""list_distinct(list_transform(
-           |  range(1, greatest(len($toks) - 2, 0) + 1),
-           |  i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
-      s"""WITH ct AS (SELECT doc_id AS id, ${toksSql("text")} AS toks FROM documents),
-         |csh AS (SELECT id, unnest(${sh("toks")}) AS sh FROM ct),
-         |b0 AS (SELECT doc_id AS bench_id,
-         |        array_to_string(list_slice(string_split(text, ' '), 6, 20), ' ') AS btext
-         |       FROM documents WHERE doc_id < 10),
-         |bt AS (SELECT bench_id, ${toksSql("btext")} AS toks FROM b0),
-         |bsh AS (SELECT bench_id, unnest(${sh("toks")}) AS sh FROM bt),
-         |j AS (SELECT id, bench_id, count(*) AS n_shared
-         |      FROM csh JOIN bsh USING (sh) GROUP BY 1, 2)
-         |SELECT id, bench_id, n_shared FROM j WHERE n_shared >= 8
-         |ORDER BY id, bench_id""".stripMargin
-    },
+    "x_contamination" -> ContaminationOracleSql(""),
+    // persisted-index increment + decontamination-at-ingest stream:
+    // the SAME shingle/threshold core, scored docs restricted
+    "x_contamination_inc" -> ContaminationOracleSql(" WHERE doc_id % 9 = 4"),
+    "s9_stream_contamination" -> ContaminationOracleSql(" WHERE doc_id % 9 = 4"),
     "x_resample_temperature" -> {
       val u = DetHash.detUnitSql("doc_id")
       s"""WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),

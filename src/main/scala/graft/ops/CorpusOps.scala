@@ -228,6 +228,47 @@ object CorpusOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** PERSIST the benchmark shingle set — the build-once seam of
+    * [[contaminationCheck]] for decontamination-at-ingest: the
+    * benchmark suite is shingled once (it is tiny and changes
+    * rarely), every crawl increment probes the stored set in
+    * O(increment). Layout: `$path/sh` (bench_id, sh) + one-row
+    * `$path/meta` carrying the shingle width, so probe-side
+    * shingling can never drift from the index's.
+    */
+  def writeContaminationIndex(
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      path: String, w: Int = 3): Unit = {
+    val spark = bench.sparkSession
+    bench.select(col(benchIdCol).as("bench_id"), Dedup.tokens(col(benchTextCol)).as("__ts"))
+      .select(col("bench_id"), explode(Dedup.shinglesOf(col("__ts"), w)).as("sh"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sh")
+    spark.range(1).select(lit(w).as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a document increment against persisted
+    * [[writeContaminationIndex]] state — identical algebra to the
+    * one-shot [[contaminationCheck]] (same shingling, same
+    * threshold), so the batch oracle gates this surface and its
+    * streaming twin. The stored set broadcasts (benchmark-suite
+    * sized); the increment is the only scanned data.
+    */
+  def contaminationProbe(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 8): DataFrame = {
+    val w = spark.read.parquet(s"$path/meta")
+      .select(col("w")).limit(1).collect()(0).getInt(0)
+    val benchSh = broadcast(spark.read.parquet(s"$path/sh"))
+    corpus.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col("id"), explode(Dedup.shinglesOf(col("__ts"), w)).as("sh"))
+      .join(benchSh, Seq("sh"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Token-budget sequence packing: within each `groupCol` shard,
     * documents in `idCol` order fill a contiguous token stream that is
     * cut into bins of `maxTokens` — each doc gets the bin and offset

@@ -251,6 +251,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING decontamination: arriving documents probe the
+    * persisted benchmark shingle set
+    * ([[graft.ops.CorpusOps.writeContaminationIndex]]) inside
+    * `foreachBatch` — the eval-leakage filter every training-data
+    * pipeline runs at ingest, with the benchmark suite shingled once
+    * offline. Per-doc contamination is batch-local, so stream ≡
+    * batch and the one-shot oracle gates both. Exactly-once via the
+    * batch-id sink.
+    */
+  def streamContaminationCheck(
+      spark: SparkSession,
+      indexPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      minShared: Int = 8
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.CorpusOps
+          .contaminationProbe(spark, indexPath, batch, "doc_id", "text", minShared)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING large-to-large ANN join: vector increments stream in
     * and each micro-batch [[graft.ops.Similarity.annJoinAuto]]s
     * against the static base corpus — cross-crawl alignment at
