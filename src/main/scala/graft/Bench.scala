@@ -112,7 +112,19 @@ object Bench {
     "x_retrieval_prf",
     "x_retrieval_prf_index",
     "x_ann_join",
-    "x_quality_zipf"
+    "x_quality_zipf",
+    // round-11: the media + contamination families enter the headline
+    // (round-10 verdict task 6 — they were oracled but unbenched, so
+    // a codec or probe regression was invisible to the slope tracker)
+    "x_media_phash",
+    "x_media_afp",
+    "x_media_vdedup",
+    "x_contamination_inc",
+    "s9_stream_contamination",
+    // round-11: the clustering family (SemDeDup curation path)
+    "x_cluster_kmeans",
+    "x_cluster_semdedup",
+    "s9_stream_cluster"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
@@ -177,7 +189,13 @@ object Bench {
     * a cross-round reader never mistakes host noise for a
     * regression.
     */
-  private val CanaryBandSec = 1.0
+  /** Band is env-tunable (round-10 advice): 1.0 s is 3× THIS
+    * container's quiet ceiling; a slower host recalibrates via
+    * `SPARK_GRAFT_CANARY_BAND=<sec>` instead of permanently
+    * self-labeling every artifact contaminated.
+    */
+  private val CanaryBandSec =
+    sys.env.get("SPARK_GRAFT_CANARY_BAND").map(_.toDouble).getOrElse(1.0)
   private def canary(spark: SparkSession): Double =
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()

@@ -78,13 +78,31 @@ object GraftSession {
 
   /** A fixed scratch path for gate queries that write a layout before
     * reading it back: keyed by sf dir (overwritten per run, so
-    * repeated invocations don't leak a copy each) AND by pid (so two
-    * JVMs gating concurrently — Verify next to Bench — never
-    * overwrite each other mid-read).
+    * repeated invocations don't leak a copy each) AND by a per-JVM
+    * random nonce (so two JVMs gating concurrently — Verify next to
+    * Bench — never overwrite each other mid-read).
+    *
+    * The nonce replaced pid keying in round 11: under container PID
+    * namespaces every gate container can see the SAME small pid, so
+    * on a shared/persistent tmpfs a pid-keyed path could collide
+    * across concurrent containers — or resolve to a STALE tree left
+    * by a previous round's container, whose counts silently shift
+    * any fold-on-read result (the two-round `x_shard_append` /
+    * `s9_stream_shard` driver-red signature: rows match, offsets
+    * don't). A UUID minted at JVM start cannot resolve to any other
+    * JVM's state, past or concurrent, no matter how /tmp is shared.
+    *
+    * The root itself is also overridable via `-Dgraft.gate.root`:
+    * Verify pins it INSIDE its own driver-provided outDir, making
+    * gate scratch per-invocation-private by construction even if
+    * `java.io.tmpdir` is a shared mount.
     */
   def gatePath(tag: String, dir: String): String = {
-    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-$tag-gate-${Integer.toHexString(dir.hashCode)}-${ProcessHandle.current().pid()}"
+    val root = sys.props.getOrElse("graft.gate.root",
+      System.getProperty("java.io.tmpdir"))
+    new java.io.File(root).mkdirs()
+    val p = new java.io.File(root,
+      s"graft-$tag-gate-${Integer.toHexString(dir.hashCode)}-$jvmNonce"
     ).toString
     // register for JVM-exit cleanup: pid keying stops cross-JVM
     // collisions, but it also means no later JVM ever reuses (or
@@ -93,6 +111,14 @@ object GraftSession {
     if (issuedGatePaths.add(p)) gateCleanupHook
     p
   }
+
+  /** Minted once per JVM: gate paths are stable within a JVM (the
+    * Bench build-once memo depends on that) and globally unique
+    * across JVMs (what pid keying failed to provide under container
+    * PID namespaces — see [[gatePath]]).
+    */
+  private lazy val jvmNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   private val issuedGatePaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -13,6 +13,13 @@ object Verify {
     // s9_stream_shard driver-red class). Bench keeps the memo (its
     // best-of-2 needs the second run to time the probe alone).
     System.setProperty("graft.gate.fresh", "1")
+    // round-11 driver-red countermeasure: gate scratch lives INSIDE
+    // the driver-provided outDir (per-invocation-private), not under
+    // a possibly-shared java.io.tmpdir — a stale or concurrent
+    // container's state can no longer alias any fold-on-read path
+    // (GraftSession.gatePath also salts with a per-JVM nonce).
+    System.setProperty("graft.gate.root",
+      new java.io.File(outDir, ".gate-scratch").toString)
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()

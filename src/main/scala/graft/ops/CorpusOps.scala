@@ -397,10 +397,43 @@ object CorpusOps {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
       .partitionBy("inc").parquet(s"$tmp/parts")
-    fs.delete(dest, true)
+    // Publish = backup-aside + rename + verify (round-11 hardening):
+    //  1. the previous manifest renames ASIDE (atomic) instead of
+    //     being deleted — a crash between the two renames leaves the
+    //     prior manifest recoverable at `.old`, not destroyed (the
+    //     old delete-then-rename published a window with NO manifest
+    //     at all, and a silently-failed delete — permissions on a
+    //     shared mount, an open handle — left dest in place so the
+    //     rename could NEST tmp inside it on LocalFileSystem,
+    //     corrupting every later fold without tripping any audit);
+    //  2. post-publish, meta is read back and must carry THIS
+    //     build's nonce — any filesystem that lied about the rename
+    //     (nesting, partial move) fails loudly here, not as shifted
+    //     offsets three folds later.
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: cannot move prior manifest aside ($path -> $path.old) — " +
+          "stale state with bad permissions? remove it and rebuild")
+    if (fs.exists(dest))
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: prior manifest still present at $path after move-aside — " +
+          "publish aborted to avoid nesting the new build inside it")
     if (!fs.rename(tmp, dest))
       throw new IllegalStateException(
         s"SHARD_MANIFEST_CORRUPT: atomic publish rename failed for $path")
+    val published =
+      try spark.read.parquet(s"$path/meta").collect()
+      catch { case e: Exception => throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: published manifest at $path has no readable meta " +
+          s"(${e.getMessage}) — filesystem rename did not land the expected layout") }
+    if (published.length != 1 || published(0).getAs[String]("build_id") != buildId)
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: published meta at $path does not carry this build's " +
+          s"build_id=$buildId — a concurrent writer or misbehaving rename intervened")
+    fs.delete(old, true)
+    ()
   }
 
   /** The per-shard count rows of one increment, densified to every
@@ -470,7 +503,16 @@ object CorpusOps {
       incrementId: String): DataFrame = {
     require(incrementId.nonEmpty && incrementId != "base",
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
-    val meta = spark.read.parquet(s"$path/meta").limit(2).collect()
+    val metaDf = spark.read.parquet(s"$path/meta")
+    // pre-build_id (round-9) manifests lack the audit column: name the
+    // failure instead of leaking an unresolved-column error — the
+    // contract is "rebuild with writeShardManifest", same as any other
+    // SHARD_MANIFEST_CORRUPT answer
+    if (!metaDf.columns.contains("build_id"))
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: legacy manifest at $path (no build_id audit column) — " +
+          "rebuild with writeShardManifest")
+    val meta = metaDf.limit(2).collect()
     if (meta.length != 1)
       throw new IllegalStateException(
         s"SHARD_MANIFEST_CORRUPT: expected exactly one meta row at $path/meta, found ${meta.length}")

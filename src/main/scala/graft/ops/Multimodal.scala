@@ -486,7 +486,10 @@ object Multimodal {
       val e = new Array[Long](windows)
       var t = 0
       while (t < n) {
-        e(math.min(windows - 1, t * windows / n)) += math.abs(samples(t).toInt).toLong
+        // LONG window math: t*windows in Int overflows past
+        // Int.MaxValue/windows samples (~25 min of 44.1 kHz at the
+        // default 32 windows) — negative index territory
+        e(math.min(windows - 1, (t.toLong * windows / n).toInt)) += math.abs(samples(t).toInt).toLong
         t += 1
       }
       val sb = new StringBuilder(windows - 1)

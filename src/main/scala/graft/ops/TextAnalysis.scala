@@ -427,12 +427,25 @@ object TextAnalysis {
       .join(qTerms.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left")
       .filter(col("__orig").isNull)
       .groupBy(col("query_id"), col("term")).agg(sum(col("tf")).as("w"))
-    val dfe = liveIndexPostings(spark, path, meta, cand.select(col("term")))
+      .localCheckpoint()
+    // TWO index probes total (round-10 verdict task 4; was three):
+    // after candidate mining, ONE probe widened to qTerms ∪ candidate
+    // vocab serves BOTH the expansion-df count and the pass-2 rescore
+    // — pass 2's vocabulary (qTerms ∪ selected expansions) is a
+    // subset of the widened probe by construction, and every consumer
+    // semi-joins its exact terms downstream, so bucket overshoot
+    // never changes a count. The slice is localCheckpointed: df and
+    // rescore share the materialized rows instead of re-paying the
+    // probe's bucket-collect + generation resolve + tombstone
+    // reconcile (the fixed per-probe overhead that made the old
+    // three-probe chain overhead-dominated at bench scale).
+    val wideVocab = qTerms.select(col("term")).union(cand.select(col("term")))
+    val posts2 = liveIndexPostings(spark, path, meta, wideVocab).localCheckpoint()
+    val dfe = posts2
       .join(broadcast(cand.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qTerms2 = qTerms.union(prfExpansion(cand, dfe, meta.n, fbTerms)).distinct()
-    bm25Score(liveIndexPostings(spark, path, meta, qTerms2.select(col("term"))),
-      qTerms2, meta.n, meta.t, k)
+    bm25Score(posts2, qTerms2, meta.n, meta.t, k)
   }
 
   /** The shared BM25 scoring core: postings (doc_id, dl, term, tf) ×

@@ -28,9 +28,21 @@ class LedgerCrossCheckSpec extends SparkSpecBase {
     * commit NEWER than the ledger round. Each entry names the fix.
     */
   private val KnownRed: Map[String, String] = Map(
-    "x_shard_append" -> ("r09 red; fixed in round 10: atomic manifest publish + " +
-      "build_id fold-on-read audit + Verify fresh-build (CorpusOps.scala) — local gate PASS"),
-    "s9_stream_shard" -> ("r09 red; same root cause and fix as x_shard_append — local gate PASS")
+    "x_shard_append" -> ("red in r09 AND r10 (hash only; rows+schema green). The r09 " +
+      "stale-gate-state theory is FALSIFIED: its full fix set (atomic publish, build_id " +
+      "audit, graft.gate.fresh) verifiably landed in r10 and the driver stayed red while " +
+      "4/4 judge replays (sf0.1 + driver's sf0.01) passed. r11 diagnosis plan per VERDICT " +
+      "task 1: gate scratch moved OUT of shared-tmp+pid keying (per-JVM UUID nonce + " +
+      "graft.gate.root under the Verify outDir — GraftSession.gatePath), manifest publish " +
+      "verified post-rename (CorpusOps.writeShardManifest), and a no-oracle " +
+      "x_shard_manifest_diag row dumps the fold state the driver actually saw. If r11 is " +
+      "STILL red, the diag artifact pinpoints the divergent counts and this entry must be " +
+      "rewritten again — it does not auto-renew"),
+    "s9_stream_shard" -> ("red in r09 AND r10, same signature and falsified theory as " +
+      "x_shard_append; additionally the gate now reports loudly if the one-file increment " +
+      "was split across micro-batches (arrival-ordered positions cannot match the " +
+      "single-fold oracle — QueriesScale s9_stream_shard diag). Same r11 plan; same " +
+      "no-auto-renew contract")
   )
 
   test("latest driver ledger: no unexplained red rows, no errors, no orphaned rows") {
