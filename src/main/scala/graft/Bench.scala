@@ -121,10 +121,13 @@ object Bench {
     "x_media_vdedup",
     "x_contamination_inc",
     "s9_stream_contamination",
-    // round-11: the clustering family (SemDeDup curation path)
+    // round-11: the clustering family (SemDeDup curation path) and
+    // its mini-batch maintenance fold
     "x_cluster_kmeans",
     "x_cluster_semdedup",
-    "s9_stream_cluster"
+    "s9_stream_cluster",
+    "x_cluster_recenter_inc",
+    "x_sample_cluster_balanced"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -527,6 +527,58 @@ object QueriesScale {
        |WINDOW w AS (PARTITION BY i.shard ORDER BY i.u, i.doc_id)
        |ORDER BY i.shard, position""".stripMargin
 
+  /** Shared oracle for the persisted-centroid cluster assignment
+    * (increment AND streaming flavors): centroids from one Lloyd
+    * iteration over the full corpus, then the planted colinear
+    * increment (ids +100000, vectors ×2) assigned against them.
+    */
+  private lazy val ClusterAssignIncOracleSql: String =
+    s"""WITH ${kmeansChainSql(8, 1)},
+       |fresh AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS cv
+       | FROM embeddings WHERE vec_id < 20),
+       |fa AS (SELECT vec_id, cv, cell_id FROM (
+       |  SELECT f.vec_id, f.cv, cent1.cell_id,
+       |   row_number() OVER (PARTITION BY f.vec_id
+       |    ORDER BY ${cosSql("f.cv", "cent1.centroid")} DESC, cent1.cell_id ASC) AS rn
+       |  FROM fresh f CROSS JOIN cent1) WHERE rn = 1)
+       |SELECT vec_id, cell_id AS cluster,
+       |  round(${cosSql("fa.cv", "cent1.centroid")}, 4) AS cosine
+       |FROM fa JOIN cent1 USING (cell_id)
+       |ORDER BY vec_id""".stripMargin
+
+  /** Shared oracle for the mini-batch recenter fold (batch AND
+    * streaming flavors): base sums from one Lloyd iteration over the
+    * full corpus (`sums0` inside the chain), the planted colinear
+    * increment assigned against `cent1`, its per-(cell, dim) decimal
+    * sums added to the base sums, and per cluster the member count
+    * absorbed plus the old→new centroid drift cosine. Decimal
+    * addition is exact in both engines, so the replay is hash-exact.
+    */
+  private lazy val ClusterRecenterOracleSql: String =
+    s"""WITH ${kmeansChainSql(8, 1)},
+       |fresh AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS cv
+       | FROM embeddings WHERE vec_id < 20),
+       |fa AS (SELECT vec_id, cv, cell_id FROM (
+       |  SELECT f.vec_id, f.cv, cent1.cell_id,
+       |   row_number() OVER (PARTITION BY f.vec_id
+       |    ORDER BY ${cosSql("f.cv", "cent1.centroid")} DESC, cent1.cell_id ASC) AS rn
+       |  FROM fresh f CROSS JOIN cent1) WHERE rn = 1),
+       |fsums AS (SELECT cell_id, j,
+       |  sum(CAST(CAST(cv[CAST(j AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS s
+       | FROM fa, unnest(range(1, CAST(len(cv) AS BIGINT) + 1)) t(j) GROUP BY 1, 2),
+       |allsums AS (SELECT cell_id, j, sum(s) AS s FROM (
+       |  SELECT * FROM sums0 UNION ALL SELECT * FROM fsums) GROUP BY 1, 2),
+       |newcent AS (SELECT cell_id, list(CAST(s AS DOUBLE) ORDER BY j) AS centroid
+       | FROM allsums GROUP BY 1),
+       |ninc AS (SELECT cell_id, count(*) AS n_inc FROM fa GROUP BY 1)
+       |SELECT c0.cell_id AS cluster, coalesce(n.n_inc, 0) AS n_inc,
+       |  round(${cosSql("c0.centroid", "c1.centroid")}, 4) AS drift
+       |FROM cent1 c0 JOIN newcent c1 USING (cell_id)
+       |LEFT JOIN ninc n USING (cell_id)
+       |ORDER BY cluster""".stripMargin
+
   /** Shared oracle for the incremental semantic probe (batch AND
     * streaming flavors): cosine pairs between the base embeddings and
     * the planted colinear increment on matching sign buckets —
@@ -932,6 +984,123 @@ object QueriesScale {
           round(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
         .orderBy(col("left_id"))
     }),
+
+    // ---- spherical k-means corpus clustering — SemDeDup's step 1
+    // and the backbone of cluster-balanced sampling: deterministic
+    // seeds (smallest 8 ids), two Lloyd iterations (argmax assignment
+    // fold + exact decimal re-centering), every vector labeled with
+    // its cluster and rounded cosine to the final centroid. The
+    // oracle unrolls both iterations (the refined-IVF replay pattern,
+    // twice).
+    "x_cluster_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(emb(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy(col("vec_id"))),
+
+    // ---- SemDeDup: within-cluster semantic prune — after one Lloyd
+    // iteration, a vector drops when a SMALLER-id same-cluster
+    // near-dup (rounded cosine ≥ 0.35) exists. The cluster equi-join
+    // is what keeps the pairwise step population-bounded at scale;
+    // the 0.35 gate threshold sits inside the sf0.01 corpus's
+    // observed cosine range (max ≈ 0.51) so both outcomes stay live.
+    "x_cluster_semdedup" -> ((s, dir) =>
+      Similarity.semdedupPrune(emb(s, dir), "vec_id", "embedding",
+          k = 8, iters = 1, thr = 0.35)
+        .orderBy(col("vec_id"))),
+
+    // ---- the MAINTENANCE seam: centroids train once and PERSIST (k
+    // rows — the whole model), an increment assigns against them in
+    // O(increment) with a broadcast of the model and zero
+    // training-corpus reads. Increment = the semantic-inc gate's
+    // planted colinear set (ids +100000, vectors ×2): scale-invariant
+    // cosine puts each twin in its original's cluster — which the
+    // oracle replays from scratch.
+    "x_cluster_assign_inc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("kmcent", dir)(p =>
+        Similarity.writeKmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 1, p))
+      val fresh = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+      Similarity.assignWithCentroids(s, path, fresh, "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- and ONLINE: vectors stream in and each micro-batch assigns
+    // against the persisted centroids inside foreachBatch — routing
+    // fresh corpus into a fixed clustering at ingest. Assignment is
+    // batch-local (k-row broadcast fold), so stream ≡ batch and the
+    // increment gate's oracle gates this surface verbatim.
+    "s9_stream_cluster" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("kmcentstream", dir)(p =>
+        Similarity.writeKmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 1, p))
+      val fresh = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+      val incDir = GraftSession.freshGatePath("kmstream", dir)
+      fresh.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("kmout", dir)
+      val ckpt   = GraftSession.freshGatePath("kmckpt", dir)
+      val q = EventsStream.streamClusterAssign(s, path, incDir, fresh.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc")
+        .select(col("vec_id"), col("cluster"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- mini-batch Lloyd MAINTENANCE: the model persists as its
+    // sufficient statistics (per-(cell, dim) decimal sums), an
+    // increment folds in with one broadcast assignment + one k×dim
+    // sum merge — O(increment), zero training-corpus reads — and the
+    // output reports per cluster how many members it absorbed and the
+    // old→new centroid drift (the retrain signal). Decimal addition
+    // is exact and order-free, so the oracle replays the whole fold
+    // from scratch in one SQL query.
+    "x_cluster_recenter_inc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("kmmodel", dir)(p =>
+        Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, p))
+      val fresh = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+      Similarity.recenterWithIncrement(s, path, fresh, "vec_id", "embedding")
+        .orderBy(col("cluster"))
+    }),
+
+    // ---- and ONLINE: the drift monitor at ingest — each micro-batch
+    // folds (virtually) against the persisted model inside
+    // foreachBatch and reports (n_inc, drift) per cluster; drift
+    // sliding from 1.0 on live traffic is the retrain trigger. Fold
+    // is per-batch independent against the same persisted sums, so
+    // stream ≡ batch and the batch gate's oracle gates this surface.
+    "s9_stream_recenter" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("kmmodelstream", dir)(p =>
+        Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, p))
+      val fresh = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+      val incDir = GraftSession.freshGatePath("kmrecinc", dir)
+      fresh.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("kmrecout", dir)
+      val ckpt   = GraftSession.freshGatePath("kmrecckpt", dir)
+      val q = EventsStream.streamRecenter(s, path, incDir, fresh.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc")
+        .select(col("cluster"), col("n_inc"), col("drift"))
+        .orderBy(col("cluster"))
+    }),
+
+    // ---- cluster-balanced sampling — the curation step AFTER
+    // SemDeDup: cap each cluster at 5 members chosen by the
+    // deterministic key-hash order (DetHash — "random" yet
+    // replayable), flattening the topic distribution without a global
+    // shuffle (the window sorts per cluster, population-bounded when
+    // k comes from cellsFor).
+    "x_sample_cluster_balanced" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(emb(s, dir), "vec_id", "embedding",
+          k = 8, iters = 1, cap = 5)
+        .orderBy(col("vec_id"))),
 
     // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
     // 30 hashes / 10 bands (r=3, S-curve midpoint (1/10)^(1/3) ≈ 0.46):
@@ -2189,6 +2358,47 @@ object QueriesScale {
         .orderBy(col("shard"), col("position"))
     }),
 
+    // ---- NO-ORACLE DIAGNOSTIC for the two-round x_shard_append /
+    // s9_stream_shard driver-red (VERDICT r10 task 1c): replays the
+    // identical build+fold in the driver's own environment, then
+    // dumps the manifest parts tree THE FOLD SAW — per-(inc, shard)
+    // persisted counts next to counts RECOMPUTED from the live data,
+    // the build_id audit trail, and the scratch path the manifest
+    // lived at. If the driver environment shifts any fold state
+    // (stale tree, foreign partition, lying rename), this artifact
+    // shows exactly which counts diverged; if everything is healthy,
+    // every delta column is zero. Registered without an oracle on
+    // purpose (build_id/path are per-run nonces).
+    "x_shard_manifest_diag" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+      val path = buildOnce("shardmandiag", dir)(p =>
+        CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, p))
+      CorpusOps.appendToShards(s, path, inc, "doc_id", "text", incrementId = "gate")
+        .count(): Unit
+      val metaBuild = s.read.parquet(s"$path/meta")
+        .limit(1).collect()(0).getAs[String]("build_id")
+      def expected(df: org.apache.spark.sql.DataFrame, incName: String) =
+        CorpusOps.shardShuffle(df, "doc_id", "text", shards = 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("exp_docs"), sum(col("n_tokens")).as("exp_tokens"))
+          .withColumn("inc", lit(incName))
+      val exp = expected(base, "base").unionByName(expected(inc, "gate"))
+      s.read.parquet(s"$path/parts")
+        .join(exp, Seq("inc", "shard"), "full_outer")
+        .select(col("inc"), col("shard"),
+          col("n_docs"), col("n_tokens"),
+          (coalesce(col("n_docs"), lit(-1L)) - coalesce(col("exp_docs"), lit(0L)))
+            .as("doc_delta"),
+          (coalesce(col("n_tokens"), lit(-1L)) - coalesce(col("exp_tokens"), lit(0L)))
+            .as("token_delta"),
+          (col("build_id") === lit(metaBuild)).as("build_ok"),
+          col("build_id"), lit(metaBuild).as("meta_build_id"),
+          lit(path).as("gate_path"))
+        .orderBy(col("inc"), col("shard"))
+    }),
+
     // ---- and ONLINE: docs arrive as a stream, each micro-batch folds
     // into the persisted shard layout inside foreachBatch, batchId as
     // the increment id — the manifest's per-increment ledger makes a
@@ -2207,7 +2417,19 @@ object QueriesScale {
       val ckpt   = GraftSession.freshGatePath("shardckpt", dir)
       val q = EventsStream.streamShardAppend(s, mPath, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
-      s.read.parquet(outDir)
+      val out = s.read.parquet(outDir)
+      // diagnostic (VERDICT r10 task 1b): the single-fold oracle
+      // assumes the one-file increment arrives as ONE micro-batch —
+      // positions are arrival-ordered, so a split would produce
+      // exactly "rows match, values don't". Name that condition
+      // loudly in the gate log instead of letting it masquerade as a
+      // silent hash mismatch.
+      val nBatches = out.select(col("inc")).distinct().count()
+      if (nBatches != 1L)
+        System.err.println(
+          s"[diag] s9_stream_shard: increment split into $nBatches micro-batches — " +
+            "positions are arrival-ordered and CANNOT match the single-fold oracle")
+      out
         .select(col("shard"), col("position"), col("doc_id"), col("n_tokens"), col("shard_offset"))
         .orderBy(col("shard"), col("position"))
     }),
@@ -2530,6 +2752,35 @@ object QueriesScale {
     s"(list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))" +
       s" / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
       s" * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+
+  /** The unrolled spherical-k-means Lloyd chain shared by the four
+    * cluster oracles — the x_ann_ivf_refined replay pattern repeated
+    * `iters` times: `c` (corpus), `cent0` (k smallest-id seeds), then
+    * per iteration an argmax assignment `a$i` (cosine DESC, cell ASC)
+    * and exact decimal per-(cell, dim) re-centering `cent${i+1}`
+    * (sum, not mean — cosine is scale-invariant), ending with the
+    * final assignment `af` against `cent$iters`.
+    */
+  private def kmeansChainSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),\n")
+    sb.append(s"cent0 AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < $k),\n")
+    def assign(name: String, centName: String) =
+      s"""$name AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, $centName.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", s"$centName.centroid")} DESC, $centName.cell_id ASC) AS rn
+         |  FROM c CROSS JOIN $centName) WHERE rn = 1)""".stripMargin
+    for (i <- 0 until iters) {
+      sb.append(assign(s"a$i", s"cent$i")).append(",\n")
+      sb.append(s"""sums$i AS (SELECT cell_id, j,
+         |  sum(CAST(CAST(cv[CAST(j AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS s
+         | FROM a$i, unnest(range(1, CAST(len(cv) AS BIGINT) + 1)) t(j) GROUP BY 1, 2),\n""".stripMargin)
+      sb.append(s"cent${i + 1} AS (SELECT cell_id, list(CAST(s AS DOUBLE) ORDER BY j) AS centroid FROM sums$i GROUP BY 1),\n")
+    }
+    sb.append(assign("af", s"cent$iters"))
+    sb.toString
+  }
 
   /** 32-bit md5 simhash of a token-list column named `hs` (list of md5
     * hex strings): sum of 32 sign-vote CASE terms.
@@ -3305,6 +3556,36 @@ object QueriesScale {
          |   ORDER BY cosine DESC, neighbor_id ASC) AS rank
          | FROM scored) WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    // spherical k-means: two unrolled Lloyd iterations, final
+    // assignment + cosine to the final centroid
+    "x_cluster_kmeans" ->
+      s"""WITH ${kmeansChainSql(8, 2)}
+         |SELECT neighbor_id AS vec_id, cell_id AS cluster,
+         |  round(${cosSql("af.cv", "cent2.centroid")}, 4) AS cosine
+         |FROM af JOIN cent2 USING (cell_id)
+         |ORDER BY vec_id""".stripMargin,
+    // SemDeDup: one Lloyd iteration, then keep-smallest within each
+    // cluster under the rounded-cosine 0.35 near-dup gate
+    "x_cluster_semdedup" ->
+      s"""WITH ${kmeansChainSql(8, 1)}
+         |SELECT a.neighbor_id AS vec_id, a.cell_id AS cluster,
+         |  CASE WHEN EXISTS (SELECT 1 FROM af b WHERE b.cell_id = a.cell_id
+         |    AND b.neighbor_id < a.neighbor_id
+         |    AND round(${cosSql("b.cv", "a.cv")}, 4) >= 0.35) THEN 0 ELSE 1 END AS kept
+         |FROM af a ORDER BY vec_id""".stripMargin,
+    "x_cluster_assign_inc" -> ClusterAssignIncOracleSql,
+    "s9_stream_cluster" -> ClusterAssignIncOracleSql,
+    "x_cluster_recenter_inc" -> ClusterRecenterOracleSql,
+    "s9_stream_recenter" -> ClusterRecenterOracleSql,
+    // cluster-capped sampling: one Lloyd iteration, then keep the 5
+    // smallest DetHash-ordered members per cluster
+    "x_sample_cluster_balanced" ->
+      s"""WITH ${kmeansChainSql(8, 1)}
+         |SELECT neighbor_id AS vec_id, cell_id AS cluster,
+         |  CASE WHEN row_number() OVER (PARTITION BY cell_id
+         |    ORDER BY ${DetHash.detUnitSql("neighbor_id")} ASC, neighbor_id ASC) <= 5
+         |   THEN 1 ELSE 0 END AS kept
+         |FROM af ORDER BY vec_id""".stripMargin,
     // PQ replay: per-subspace codebook from vec_id<16 (pos = vec_id —
     // ids are the smallest 16, so position-in-id-order IS the id),
     // encode argmin on cn2 − 2⟨x_m,c⟩ (row_number ties to smaller pos

@@ -911,18 +911,35 @@ object Similarity {
   }
 
   /** [[annJoin]] with nCells chosen by [[cellsFor]] from the base
-    * side's actual size — the auto-scaling entry point; the
-    * fixed-cells overload stays for oracle-pinned gates.
+    * side's size — the auto-scaling entry point; the fixed-cells
+    * overload stays for oracle-pinned gates. `baseSize` lets a
+    * caller that already knows |right| (a persisted index meta, a
+    * stream folding many batches against ONE static base) skip the
+    * `right.count()` pass — without it every call pays an extra
+    * corpus scan just to pick nCells (the round-10 verdict's task 5;
+    * an approximate size is fine, cellsFor only needs the order of
+    * magnitude).
     */
   def annJoinAuto(
       left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 2, targetCell: Long = 64L): DataFrame =
+      k: Int, nProbe: Int = 2, targetCell: Long = 64L,
+      baseSize: Option[Long] = None,
+      excludeSameId: Boolean = false): DataFrame =
     annJoin(left, right, idCol, vecCol, k,
-      nCells = cellsFor(right.count(), targetCell), nProbe = nProbe)
+      nCells = cellsFor(baseSize.getOrElse(right.count()), targetCell),
+      nProbe = nProbe, excludeSameId = excludeSameId)
 
+  /** `excludeSameId` (round-10 advice): the join serves BOTH
+    * cross-corpus alignment — two snapshots sharing an id space,
+    * where the same-id pair is exactly the expected top match and
+    * must survive — and self-join dedup mining, where the trivial
+    * self pair is noise. Default keeps same-id pairs; self-join
+    * callers opt in to the exclusion.
+    */
   def annJoin(
       left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 2,
+      excludeSameId: Boolean = false): DataFrame = {
     require(nProbe >= 1 && k >= 1, s"annJoin needs nProbe/k >= 1, got $nProbe/$k")
     val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lv"))
@@ -946,8 +963,8 @@ object Similarity {
       .select(col("left_id"), col("lv"), explode(col("cells")).as("cell_id"))
     // right vectors live in exactly ONE cell and a left row probes
     // DISTINCT cells, so no pair can appear twice — no dedup stage
-    val pairs = lcells.join(rAssigned, Seq("cell_id"))
-      .filter(col("left_id") =!= col("right_id"))
+    val cand = lcells.join(rAssigned, Seq("cell_id"))
+    val pairs = (if (excludeSameId) cand.filter(col("left_id") =!= col("right_id")) else cand)
       .select(col("left_id"), col("right_id"),
         round(cosine(col("lv"), col("cv")), 4).as("cosine"))
     val w = Window.partitionBy(col("left_id")).orderBy(col("cosine").desc, col("right_id").asc)
@@ -969,7 +986,8 @@ object Similarity {
     */
   def annJoinCurve(
       left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int, probes: Seq[Int]): DataFrame = {
+      k: Int, nCells: Int, probes: Seq[Int],
+      excludeSameId: Boolean = false): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1),
       s"probe cutoffs must be >= 1 (got $probes)")
     val r = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -995,8 +1013,9 @@ object Similarity {
       .select(col("left_id"), col("lv"),
         posexplode(col("cells")).as(Seq("__p", "cell_id")))
       .withColumn("cell_rn", col("__p") + 1).drop("__p")
-    val scored = lcells.join(rAssigned, Seq("cell_id"))
-      .filter(col("left_id") =!= col("right_id"))
+    val curveCand = lcells.join(rAssigned, Seq("cell_id"))
+    val scored = (if (excludeSameId) curveCand.filter(col("left_id") =!= col("right_id"))
+      else curveCand)
       .select(col("left_id"), col("cell_rn"), col("right_id"),
         round(cosine(col("lv"), col("cv")), 4).as("cosine"))
     val cut = scored
@@ -1006,6 +1025,184 @@ object Similarity {
       .orderBy(col("cosine").desc, col("right_id").asc)
     cut.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("n_probe"), col("left_id"), col("rank"), col("right_id"), col("cosine"))
+  }
+
+  /** Spherical k-means over an embedding corpus — the clustering
+    * step under SemDeDup-style curation, cluster-balanced sampling,
+    * and corpus cartography. Deterministic end to end: seeds are the
+    * k smallest-id vectors ([[sampleCentroids]]), each Lloyd
+    * iteration assigns by the [[ivfAssign]] argmax fold (cosine DESC,
+    * cell ASC ties) and re-centers on exact per-(cluster, dim)
+    * DECIMAL sums ([[refineCentroids]] — no division: cosine is
+    * scale-invariant, so the sum IS the mean direction), which makes
+    * the whole chain SQL-replayable and hash-gated.
+    *
+    * Scale shape: per iteration, ONE corpus pass for the assignment
+    * (broadcast k×dim centroid array, per-row fold — no shuffle) and
+    * one map-side-combinable (cluster, dim) aggregation whose output
+    * is k×dim rows; centroids localCheckpoint between iterations so
+    * plan lineage stays linear in `iters`, and the checkpointed frame
+    * is k rows — never corpus-sized. Empty clusters disappear (their
+    * members re-home next assignment), mirroring [[refineCentroids]].
+    * Choose k with [[cellsFor]] (population targeting) at real corpus
+    * sizes; the gates pin small k for the oracle.
+    */
+  def kmeansAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val (assigned, cent) = kmeansAssigned(df, idCol, vecCol, k, iters)
+    assigned.join(cent, Seq("cell_id"))
+      .select(col("neighbor_id").as(idCol), col("cell_id").as("cluster"),
+        round(cosine(col("cv"), col("centroid")), 4).as("cosine"))
+  }
+
+  private def kmeansAssigned(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 0, s"kmeans needs k >= 1, iters >= 0; got $k/$iters")
+    val c = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var cent = sampleCentroids(c, k)
+    for (_ <- 1 to iters)
+      cent = broadcast(refineCentroids(ivfAssign(c, cent)).localCheckpoint())
+    (ivfAssign(c, cent), cent)
+  }
+
+  /** SemDeDup-style within-cluster semantic prune: cluster the corpus
+    * ([[kmeansAssign]]), then inside each cluster drop every vector
+    * that has a SMALLER-id near-duplicate (rounded cosine ≥ `thr`) —
+    * keep-smallest, the same deterministic survivor rule as the
+    * near-dup operators. Clustering is what makes the quadratic
+    * candidate step tractable at 100 TB: pairs form per-cluster via a
+    * co-partitioned equi-join on the cluster id (population-bounded
+    * when k comes from [[cellsFor]]), never corpus×corpus. Output is
+    * every vector with its cluster and `kept` flag (1/0) so callers
+    * can filter or audit the prune rate.
+    */
+  def semdedupPrune(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, thr: Double): DataFrame = {
+    val (assigned, _) = kmeansAssigned(df, idCol, vecCol, k, iters)
+    val l = assigned.select(col("cell_id"), col("neighbor_id"), col("cv"))
+    val r = assigned.select(col("cell_id"),
+      col("neighbor_id").as("id_b"), col("cv").as("vb"))
+    val dominated = l.join(r, Seq("cell_id"))
+      .filter(col("id_b") < col("neighbor_id"))
+      .filter(round(cosine(col("cv"), col("vb")), 4) >= lit(thr))
+      .select(col("neighbor_id").as("__dom")).distinct()
+    l.join(dominated, col("neighbor_id") === col("__dom"), "left")
+      .select(col("neighbor_id").as(idCol), col("cell_id").as("cluster"),
+        when(col("__dom").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
+  /** PERSIST the trained centroids — k rows (cell_id, centroid), the
+    * whole model: the maintenance seam that lets increments and
+    * streams assign against a fixed clustering without re-reading the
+    * training corpus (assignment drift stays zero until a deliberate
+    * re-train republishes).
+    */
+  def writeKmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, path: String): Unit = {
+    val (_, cent) = kmeansAssigned(df, idCol, vecCol, k, iters)
+    cent.coalesce(1).write.mode("overwrite").parquet(path): Unit
+  }
+
+  /** Assign arbitrary vectors against PERSISTED centroids
+    * ([[writeKmeansCentroids]]) — O(increment): one broadcast of the
+    * k-row model, one pass over the increment, no training-corpus
+    * read. The batch/inline [[kmeansAssign]] tail is the oracle
+    * semantics for this probe and its streaming twin.
+    */
+  def assignWithCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cent = broadcast(spark.read.parquet(path))
+    ivfAssign(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), cent)
+      .join(cent, Seq("cell_id"))
+      .select(col("neighbor_id").as(idCol), col("cell_id").as("cluster"),
+        round(cosine(col("cv"), col("centroid")), 4).as("cosine"))
+  }
+
+  /** PERSIST the k-means model WITH its sufficient statistics — the
+    * per-(cell, dim) DECIMAL sums that produced the final centroids
+    * (k×dim rows under `path/sums`; centroids derive from them via
+    * [[centroidsFromSums]], so there is exactly ONE source of truth
+    * and reader/writer can never disagree on the model). This is what
+    * makes the clustering MAINTAINABLE: an increment folds into the
+    * sums in O(increment) ([[recenterWithIncrement]]) — the classic
+    * mini-batch k-means update — with zero training-corpus reads.
+    */
+  def writeKmeansModel(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, path: String): Unit = {
+    require(k >= 1 && iters >= 1,
+      s"kmeans model needs k >= 1, iters >= 1 (sums come from the last Lloyd pass); got $k/$iters")
+    val c = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var cent = sampleCentroids(c, k)
+    var sums: DataFrame = null
+    for (_ <- 1 to iters) {
+      sums = refineSums(ivfAssign(c, cent)).localCheckpoint()
+      cent = broadcast(centroidsFromSums(sums))
+    }
+    sums.coalesce(1).write.mode("overwrite").parquet(s"$path/sums"): Unit
+  }
+
+  /** Fold an increment into a PERSISTED k-means model
+    * ([[writeKmeansModel]]) — the mini-batch Lloyd update: assign the
+    * increment against the model's current centroids (broadcast k-row
+    * fold), add its per-(cell, dim) decimal sums to the persisted
+    * sufficient statistics, and report PER CLUSTER what the fold did:
+    * `n_inc` members absorbed and `drift` = rounded cosine between
+    * the old and updated centroid (1.0 = untouched; falling drift on
+    * a live stream is the retrain signal). O(increment) end to end —
+    * the only model-sized state is k×dim sum rows, and the training
+    * corpus is never re-read. Decimal addition is exact and
+    * order-free, so the fold is SQL-replayable from scratch: the gate
+    * oracle re-derives base sums + increment sums in one query.
+    */
+  def recenterWithIncrement(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sums0 = spark.read.parquet(s"$path/sums")
+    val cent0 = centroidsFromSums(sums0)
+    val assigned = ivfAssign(
+      inc.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), cent0)
+    val folded = sums0
+      .unionByName(refineSums(assigned).select(col("cell_id"), col("pos"),
+        col("s").cast(org.apache.spark.sql.types.DecimalType(38, 12))))
+      .groupBy(col("cell_id"), col("pos")).agg(sum(col("s")).as("s"))
+    val nInc = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n_inc"))
+    cent0.select(col("cell_id"), col("centroid").as("c_old"))
+      .join(centroidsFromSums(folded)
+        .select(col("cell_id"), col("centroid").as("c_new")), Seq("cell_id"))
+      .join(nInc, Seq("cell_id"), "left")
+      .select(col("cell_id").as("cluster"),
+        coalesce(col("n_inc"), lit(0L)).as("n_inc"),
+        round(cosine(col("c_old"), col("c_new")), 4).as("drift"))
+  }
+
+  /** Cluster-balanced corpus sampling: cluster ([[kmeansAssign]]
+    * chain), then keep at most `cap` members per cluster, chosen by
+    * the deterministic key-hash order ([[graft.functions.DetHash]] —
+    * "random" yet replayable). The curation move AFTER SemDeDup:
+    * near-dups are gone, but cluster populations are still Zipf-ish,
+    * and capping per cluster flattens the topic distribution without
+    * a global shuffle — the window partitions by cluster, so the sort
+    * is per-cluster and population-bounded when k comes from
+    * [[cellsFor]]. Output: every vector with its cluster and `kept`
+    * flag, auditable prune rate.
+    */
+  def clusterBalancedSample(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, cap: Int): DataFrame = {
+    require(cap >= 1, s"clusterBalancedSample needs cap >= 1, got $cap")
+    val (assigned, _) = kmeansAssigned(df, idCol, vecCol, k, iters)
+    val u = graft.functions.DetHash.detUnit(col("neighbor_id"))
+    val w = Window.partitionBy(col("cell_id")).orderBy(u.asc, col("neighbor_id").asc)
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .select(col("neighbor_id").as(idCol), col("cell_id").as("cluster"),
+        when(col("rn") <= cap, lit(1)).otherwise(lit(0)).as("kept"))
   }
 
   /** Deterministic centroid sample: smallest nCells ids — plans as a
@@ -1022,11 +1219,28 @@ object Similarity {
     * members re-home to surviving cells on the next assignment).
     */
   private[graft] def refineCentroids(assigned: DataFrame): DataFrame =
+    centroidsFromSums(refineSums(assigned))
+
+  /** The k-means model's SUFFICIENT STATISTICS: per-(cell, dim) exact
+    * decimal sums of the assigned members — k×dim rows, map-side
+    * combinable. Decimal addition is associative and exact, so these
+    * sums persist, merge with an increment's sums, and replay in SQL
+    * without a single float-order hazard.
+    */
+  private[graft] def refineSums(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "v")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(sum(col("v").cast("double").cast("decimal(28,12)")).as("s"))
+
+  /** Centroids from sufficient statistics: dim-ordered reassembly of
+    * the per-(cell, dim) sums (no division — cosine is
+    * scale-invariant, the sum IS the mean direction). k rows,
+    * broadcast.
+    */
+  private[graft] def centroidsFromSums(sums: DataFrame): DataFrame =
     broadcast(
-      assigned
-        .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "v")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(sum(col("v").cast("double").cast("decimal(28,12)")).as("s"))
+      sums
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           x => x.getField("s").cast("double")).as("centroid")))

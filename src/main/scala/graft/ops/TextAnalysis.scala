@@ -314,6 +314,141 @@ object TextAnalysis {
     zipfScore(df, idCol, textCol, spark.read.parquet(s"$path/ranks"), topV)
   }
 
+  /** BIGRAM surprisal — the conditional-probability upgrade of
+    * [[zipfSurprisal]] and the engine's analog of the n-gram-LM
+    * perplexity filter (the CCNet/KenLM quality gate every web-scale
+    * curation pipeline runs): score each document by how surprising
+    * its word TRANSITIONS are under a reference bigram model, not
+    * just how rare its words are. A doc made of common words in
+    * implausible order (shuffled text, keyword stuffing, template
+    * soup) sails through a unigram filter and fails this one.
+    *
+    * Integer-exact by the same `length(bin(n))` = ⌊log2 n⌋+1 device
+    * as the Zipf scorer, on exact COUNTS instead of ranks:
+    * −log2 p(w|prev) = log2 c(prev,·) − log2 c(prev,w), approximated
+    * as `(⌊log2 ctx⌋+1) − (⌊log2 c⌋+1) + 1` ≥ 1 so a certain
+    * transition (c = ctx) still costs 1 bit and the sum stays a
+    * positive BIGINT both engines reproduce bit-for-bit (never libm
+    * log). Transitions the reference never saw (or whose context is
+    * unseen) pay a flat `oovBits` (default 16) — the OOV bucket of a
+    * backoff model, collapsed to its ceiling.
+    *
+    * Output per doc (docs with ≥ 2 tokens — no transitions, no row):
+    * `n_bigrams`, `surprisal_sum` (exact BIGINT), `mean_surprisal`
+    * (rounded 4).
+    *
+    * Scale shape: reference counts aggregate with map-side partials
+    * (bigram keys, never doc keys); scoring is ONE broadcast
+    * equi-join of the increment's bigram explode against the count
+    * table. The broadcast is made honest the same way the Zipf
+    * scorer's topV cap is: `minCount` prunes transitions the
+    * reference saw fewer than that many times (they fold into the
+    * OOV bucket — exactly what a backoff model does with singleton
+    * bigrams), bounding the table at any corpus size; an unpruned
+    * 100 TB bigram table (dominated by hapax transitions) could not
+    * ship to executors and would add nothing a flat OOV cost doesn't.
+    * Context totals are DENORMALIZED onto the bigram rows at build
+    * time — computed BEFORE pruning so probabilities stay calibrated
+    * — and scoring pays one join, not two.
+    *
+    * Ref behavior: extends the reference's per-text quality screens
+    * (text_curator.py length/content rules) with the standard LM
+    * filter from the public curation literature (CCNet, Gopher).
+    */
+  def bigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      oovBits: Int = 16, minCount: Long = 1L): DataFrame =
+    bigramScore(df, idCol, textCol, bigramCounts(ref, refTextCol, minCount), oovBits)
+
+  /** The reference bigram-count table of [[bigramSurprisal]]:
+    * (prev, w, c, ctx) with `c` = transitions prev→w in the reference
+    * and `ctx` = all transitions out of prev (denormalized so the
+    * scorer joins once; computed before pruning). Both aggregations
+    * are keyed by bigram/term — map-side combinable, never
+    * doc-keyed. `minCount` drops rows with c below it (they score as
+    * OOV), bounding the table for broadcast.
+    */
+  def bigramCounts(
+      ref: DataFrame, refTextCol: String, minCount: Long = 1L): DataFrame = {
+    val bg = bigramsOf(ref.select(toks(col(refTextCol)).as("__t")))
+    val bc = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c"))
+    val cc = bg.groupBy(col("prev")).agg(count(lit(1)).as("ctx"))
+    bc.filter(col("c") >= minCount).join(cc, Seq("prev"))
+  }
+
+  /** The (prev, w) transition explode shared by training and scoring:
+    * adjacent token pairs via two shifted slices zipped in place —
+    * rides the scan, no window, no self-join.
+    */
+  private def bigramsOf(toksFrame: DataFrame): DataFrame =
+    toksFrame
+      .filter(size(col("__t")) >= 2)
+      .select(explode(bigramPairs(col("__t"))).as("__bg"))
+      .select(col("__bg.prev").as("prev"), col("__bg.w").as("w"))
+
+  /** Adjacent (prev, w) pairs of a token array via two shifted
+    * equal-length slices zipped in place — rides the scan, no window,
+    * no self-join. Caller guarantees size ≥ 2.
+    */
+  private def bigramPairs(t: Column): Column =
+    zip_with(
+      slice(t, lit(1), size(t) - lit(1)),
+      slice(t, lit(2), size(t) - lit(1)),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+
+  /** The scoring tail of [[bigramSurprisal]], shared by the one-shot
+    * operator and the persisted-counts increment scorers (batch +
+    * streaming) — one definition so one oracle gates all three
+    * surfaces.
+    */
+  private def bigramScore(
+      df: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, oovBits: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(bigramPairs(col("__t"))).as("__bg"))
+      .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.w").as("w"))
+      .join(broadcast(counts), Seq("prev", "w"), "left")
+      .withColumn("surpr",
+        when(col("c").isNull, lit(oovBits.toLong))
+          .otherwise((length(bin(col("ctx"))) - length(bin(col("c"))) + lit(1)).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surpr")).as("surprisal_sum"))
+      .withColumn("mean_surprisal",
+        round(col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"), 4))
+
+  /** PERSIST the reference bigram counts — the build-once seam of
+    * [[bigramSurprisal]] for the steady-state ingest loop: the
+    * reference corpus is counted once and every later increment
+    * scores against the stored table in O(increment). Layout:
+    * `$path/counts` (prev, w, c, ctx) + one-row `$path/meta`
+    * (oov_bits, so the backoff cost travels with the model, not the
+    * call site).
+    */
+  def writeBigramCounts(
+      ref: DataFrame, refTextCol: String, path: String,
+      oovBits: Int = 16, minCount: Long = 1L): Unit = {
+    val spark = ref.sparkSession
+    bigramCounts(ref, refTextCol, minCount)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    spark.range(1).select(lit(oovBits).as("oov_bits"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a document increment against persisted
+    * [[writeBigramCounts]] state — identical algebra to
+    * [[bigramSurprisal]] (one shared scoring tail), so the batch
+    * oracle gates this surface and its streaming twin too.
+    */
+  def scoreWithBigramCounts(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val oovBits = spark.read.parquet(s"$path/meta")
+      .select(col("oov_bits")).limit(1).collect()(0).getInt(0)
+    bigramScore(df, idCol, textCol, spark.read.parquet(s"$path/counts"), oovBits)
+  }
+
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko
     * lineage): retrieve `fbDocs` per query with plain BM25, mine the
     * `fbTerms` strongest expansion terms from those feedback docs

@@ -303,14 +303,90 @@ object EventsStream {
       k: Int,
       nProbe: Int = 2,
       targetCell: Long = 64L
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    // the base side is STATIC across every micro-batch: size it once
+    // at stream setup and hand annJoinAuto the hint — without this
+    // every batch paid a full base-corpus count just to re-derive the
+    // same nCells (round-10 verdict task 5)
+    val baseSize = base.count()
     spark.readStream.schema(schema).parquet(newVecsDir)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.ops.Similarity
           .annJoinAuto(batch, base, "vec_id", "embedding", k,
-            nProbe = nProbe, targetCell = targetCell)
+            nProbe = nProbe, targetCell = targetCell, baseSize = Some(baseSize))
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** STREAMING cluster assignment: arriving vectors assign against
+    * the PERSISTED k-means centroids
+    * ([[graft.ops.Similarity.writeKmeansCentroids]]) inside
+    * `foreachBatch` — routing fresh corpus into a fixed clustering at
+    * ingest (the SemDeDup/cluster-sampling steady state: train
+    * offline, assign online). Per-vector assignment is batch-local (a
+    * k-row broadcast fold), so stream ≡ batch and the batch probe's
+    * oracle gates this surface verbatim. Exactly-once via the
+    * batch-id sink.
+    */
+  def streamClusterAssign(
+      spark: SparkSession,
+      centroidsPath: String,
+      newVecsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newVecsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Similarity
+          .assignWithCentroids(spark, centroidsPath, batch, "vec_id", "embedding")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** STREAMING model-drift monitor: each arriving micro-batch is
+    * folded (virtually) into the PERSISTED k-means model
+    * ([[graft.ops.Similarity.writeKmeansModel]]) and the per-cluster
+    * `(n_inc, drift)` report lands keyed by batch id — the at-ingest
+    * answer to "is this clustering going stale?": drift sliding away
+    * from 1.0 on live traffic is the retrain trigger, long before any
+    * downstream quality metric moves. Each batch's fold is
+    * independent against the same persisted sums (a monitor, not a
+    * writer — republishing the model stays a deliberate batch act),
+    * so stream ≡ batch per increment and the batch gate's oracle
+    * gates this surface verbatim. Exactly-once via the batch-id sink.
+    */
+  def streamRecenter(
+      spark: SparkSession,
+      modelPath: String,
+      newVecsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newVecsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Similarity
+          .recenterWithIncrement(spark, modelPath, batch, "vec_id", "embedding")
           .withColumn("inc", lit(s"b$bid"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

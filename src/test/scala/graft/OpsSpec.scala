@@ -472,6 +472,142 @@ class SimilaritySpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("annJoinAuto: baseSize hint skips the base-corpus count (construction stays lazy) and changes nothing") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val l = e.filter(col("vec_id") % 7 === 3)
+    val r = e.filter(col("vec_id") % 7 =!= 3)
+    val n = r.count()
+    // a base side that DETONATES if any job executes it: with the
+    // hint, annJoinAuto must only PLAN (no count pass over the base
+    // — the round-10 verdict's task 5); without it, the sizing count
+    // runs and trips the guard
+    val boom = udf((_: Long) => {
+      throw new RuntimeException("BASE_SCANNED_AT_CONSTRUCTION"); true
+    })
+    val rGuard = r.filter(boom(col("vec_id")))
+    Similarity.annJoinAuto(l, rGuard, "vec_id", "embedding", k = 2,
+      baseSize = Some(n)) // lazy — no exception
+    val ex = intercept[Exception] {
+      Similarity.annJoinAuto(l, rGuard, "vec_id", "embedding", k = 2)
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
+    // and the hint is semantics-free: same output as the counted path
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("left_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.annJoinAuto(l, r, "vec_id", "embedding", k = 2, baseSize = Some(n)))
+      === rows(Similarity.annJoinAuto(l, r, "vec_id", "embedding", k = 2)))
+  }
+
+  test("annJoin keeps same-id cross-corpus pairs by default; excludeSameId opts into self-join exclusion") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+      .limit(40)
+    // two snapshots SHARING the id space: the same-id pair is the
+    // expected top match and must survive the default
+    val top = Similarity.annJoin(e, e, "vec_id", "embedding", k = 1,
+        nCells = 8, nProbe = 8)
+      .filter(col("left_id") === col("right_id"))
+    assert(top.count() > 0, "cross-corpus same-id top matches were dropped by default")
+    val self = Similarity.annJoin(e, e, "vec_id", "embedding", k = 1,
+        nCells = 8, nProbe = 8, excludeSameId = true)
+      .filter(col("left_id") === col("right_id"))
+    assert(self.count() === 0, "excludeSameId left self pairs in the result")
+  }
+
+  test("kmeansAssign: Lloyd iterations do not worsen mean cohesion; layout-invariant; broadcast-only joins") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    def cohesion(iters: Int): Double =
+      Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = iters)
+        .agg(avg(col("cosine"))).head().getDouble(0)
+    // re-centering on the members' mean direction is exactly what
+    // maximizes within-cluster cosine — two Lloyd steps must not sit
+    // below the seed assignment
+    assert(cohesion(2) >= cohesion(0) - 1e-9, "Lloyd iterations worsened cohesion")
+    val a = Similarity.kmeansAssign(e.repartition(1), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val b = Similarity.kmeansAssign(e.repartition(13), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a === b, "kmeans assignment depends on physical layout")
+    // scale shape: centroids ride broadcast — a sort-merge join would
+    // mean the k-row model got shuffled with the corpus
+    val plan = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"kmeans plan shuffles the model:\n$plan")
+  }
+
+  test("semdedupPrune: planted colinear duplicate drops, original survives; thr above max keeps all") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    // a ×2 copy of vector 3 with a LARGER id: same cluster (cosine is
+    // scale-invariant), rounded cosine 1.0 — must drop while its
+    // smaller-id original survives
+    val dup = e.filter(col("vec_id") === 3)
+      .select(lit(900000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+    val pruned = Similarity.semdedupPrune(e.unionByName(dup), "vec_id", "embedding",
+      k = 8, iters = 1, thr = 0.99)
+    val kept = pruned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(kept(900000L) === 0, "planted near-dup survived the prune")
+    assert(kept(3L) === 1, "smaller-id original was dropped")
+    val all = Similarity.semdedupPrune(e, "vec_id", "embedding", k = 8, iters = 1, thr = 1.01)
+    assert(all.filter(col("kept") === 0).count() === 0, "thr > max cosine still dropped rows")
+  }
+
+  test("assignWithCentroids reproduces the inline kmeans tail from the persisted k-row model") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = GraftSession.freshGatePath("kmspec", sf)
+    Similarity.writeKmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2, path)
+    val probed = Similarity.assignWithCentroids(spark, path, e, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val inline = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(probed === inline, "persisted-model assignment diverged from inline kmeans")
+  }
+
+  test("law: recenterWithIncrement(∅) ≡ id — every drift 1.0, every n_inc 0; real fold absorbs all members") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = GraftSession.freshGatePath("kmrecspec", sf)
+    Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, path)
+    val empty = e.filter(lit(false))
+    val idFold = Similarity.recenterWithIncrement(spark, path, empty, "vec_id", "embedding")
+      .collect()
+    assert(idFold.nonEmpty)
+    assert(idFold.forall(r => r.getAs[Long]("n_inc") == 0L && r.getAs[Double]("drift") == 1.0),
+      "empty fold moved a centroid or invented members")
+    val inc = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+    val fold = Similarity.recenterWithIncrement(spark, path, inc, "vec_id", "embedding").collect()
+    assert(fold.map(_.getAs[Long]("n_inc")).sum === inc.count(),
+      "fold lost or double-counted increment members")
+    assert(fold.forall(r => r.getAs[Double]("drift") > 0.0 && r.getAs[Double]("drift") <= 1.0),
+      "drift cosine outside (0, 1]")
+    // layout-invariant: decimal sums are order-free
+    val fold13 = Similarity.recenterWithIncrement(spark, path,
+      inc.repartition(13), "vec_id", "embedding")
+      .orderBy("cluster").collect().map(_.toSeq).toSeq
+    assert(fold13 === fold.sortBy(_.getAs[Long]("cluster")).map(_.toSeq).toSeq,
+      "recenter fold depends on physical layout")
+  }
+
+  test("clusterBalancedSample keeps exactly min(cap, population) per cluster, deterministically") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val s5 = Similarity.clusterBalancedSample(e, "vec_id", "embedding", k = 8, iters = 1, cap = 5)
+    val perCluster = s5.groupBy("cluster")
+      .agg(sum(col("kept")).as("n_kept"), count(lit(1)).as("n_all"))
+      .collect()
+    assert(perCluster.forall(r =>
+      r.getAs[Long]("n_kept") == math.min(5L, r.getAs[Long]("n_all"))),
+      "a cluster kept more or fewer than min(cap, population)")
+    val a = s5.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val b = Similarity.clusterBalancedSample(e.repartition(13), "vec_id", "embedding",
+        k = 8, iters = 1, cap = 5)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a === b, "cluster-balanced sample depends on physical layout")
+    // cap beyond the biggest cluster keeps everything
+    val all = Similarity.clusterBalancedSample(e, "vec_id", "embedding",
+      k = 8, iters = 1, cap = Int.MaxValue)
+    assert(all.filter(col("kept") === 0).count() === 0L)
+  }
+
   test("annJoinCurve: the max-cutoff slice equals annJoin at that nProbe; monotone candidates") {
     val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
     val l = e.filter(col("vec_id") % 7 === 3)
