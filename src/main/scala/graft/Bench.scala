@@ -198,7 +198,19 @@ object Bench {
     * self-labeling every artifact contaminated.
     */
   private val CanaryBandSec =
-    sys.env.get("SPARK_GRAFT_CANARY_BAND").map(_.toDouble).getOrElse(1.0)
+    sys.env.get("SPARK_GRAFT_CANARY_BAND").map { s =>
+      // validated parse (round-11 advice): a malformed value must fail
+      // NAMING the variable, not as a bare NumberFormatException; a
+      // zero/negative/NaN band would silently label every artifact
+      // host-contaminated.
+      val v =
+        try s.toDouble
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CANARY_BAND must be a positive number of seconds, got '$s'") }
+      require(java.lang.Double.isFinite(v) && v > 0,
+        s"SPARK_GRAFT_CANARY_BAND must be a finite positive number of seconds, got '$s'")
+      v
+    }.getOrElse(1.0)
   private def canary(spark: SparkSession): Double =
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()
@@ -208,6 +220,12 @@ object Bench {
     }.min
 
   def main(args: Array[String]): Unit = {
+    // gate artifacts memoize per-JVM here (round-12: fresh-build
+    // became the queries-map DEFAULT; the bench opts back into the
+    // memo because its best-of-2 needs the second run to time the
+    // probe alone, not the index write — the round-7 lesson)
+    if (!sys.props.contains("graft.gate.fresh"))
+      System.setProperty("graft.gate.memo", "1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")

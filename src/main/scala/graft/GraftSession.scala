@@ -96,10 +96,19 @@ object GraftSession {
     * Verify pins it INSIDE its own driver-provided outDir, making
     * gate scratch per-invocation-private by construction even if
     * `java.io.tmpdir` is a shared mount.
+    *
+    * DEFAULT root (round-12, VERDICT r11 task 1c): a per-JVM-private
+    * subdir of `java.io.tmpdir` (`graft-gate-<jvmNonce>`), NOT tmpdir
+    * itself — so the safe behavior holds under ANY entry point, not
+    * just when `graft.Verify.main` ran and set the override. A
+    * harness that calls `SparkEntry.queries` through its own runner
+    * gets the same per-invocation-private scratch tree Verify gets,
+    * without needing to know the property exists.
     */
   def gatePath(tag: String, dir: String): String = {
     val root = sys.props.getOrElse("graft.gate.root",
-      System.getProperty("java.io.tmpdir"))
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-gate-$jvmNonce").toString)
     new java.io.File(root).mkdirs()
     val p = new java.io.File(root,
       s"graft-$tag-gate-${Integer.toHexString(dir.hashCode)}-$jvmNonce"

@@ -63,21 +63,30 @@ object QueriesScale {
     */
   private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def buildOnce(tag: String, dir: String)(build: String => Unit): String =
-    // Verify sets graft.gate.fresh: correctness rows always build
-    // their gate artifact from scratch (freshGatePath wipes the dir
-    // first), so no memoized — or worse, stale-on-disk — state can
-    // leak into an oracled result. Each build lambda is
-    // self-sufficient by construction (it writes the full artifact
-    // its query probes), so fresh mode only costs the rebuild.
-    if (sys.props.get("graft.gate.fresh").contains("1")) {
+    // FRESH is the DEFAULT (round-12, VERDICT r11 task 1c): every
+    // gate artifact builds from scratch (freshGatePath wipes the dir
+    // first) under ANY entry point — a harness invoking
+    // `SparkEntry.queries` through its own runner, not `graft.Verify`,
+    // gets the same no-stale-state guarantee Verify used to opt into
+    // via graft.gate.fresh. Each build lambda is self-sufficient by
+    // construction (it writes the full artifact its query probes), so
+    // fresh mode only costs the rebuild. The per-JVM MEMO is now the
+    // opt-IN (`-Dgraft.gate.memo=1`, set by Bench): its best-of-2
+    // needs the second run to time the probe alone, and the gate data
+    // under a dir never changes within a JVM. graft.gate.fresh=1
+    // still forces fresh even when the memo was requested.
+    if (sys.props.get("graft.gate.memo").contains("1") &&
+        !sys.props.get("graft.gate.fresh").contains("1"))
+      builtIndexes.computeIfAbsent(s"$tag|$dir", { _ =>
+        val path = GraftSession.freshGatePath(tag, dir)
+        build(path)
+        path
+      })
+    else {
       val path = GraftSession.freshGatePath(tag, dir)
       build(path)
       path
-    } else builtIndexes.computeIfAbsent(s"$tag|$dir", { _ =>
-      val path = GraftSession.freshGatePath(tag, dir)
-      build(path)
-      path
-    })
+    }
 
   /** The five retrieval gate queries — ONE definition for the four
     * Scala gates (inline, index, stream, rerank); `Bm25OracleSql`'s
@@ -2358,16 +2367,19 @@ object QueriesScale {
         .orderBy(col("shard"), col("position"))
     }),
 
-    // ---- NO-ORACLE DIAGNOSTIC for the two-round x_shard_append /
-    // s9_stream_shard driver-red (VERDICT r10 task 1c): replays the
-    // identical build+fold in the driver's own environment, then
-    // dumps the manifest parts tree THE FOLD SAW — per-(inc, shard)
-    // persisted counts next to counts RECOMPUTED from the live data,
-    // the build_id audit trail, and the scratch path the manifest
-    // lived at. If the driver environment shifts any fold state
-    // (stale tree, foreign partition, lying rename), this artifact
-    // shows exactly which counts diverged; if everything is healthy,
-    // every delta column is zero. Registered without an oracle on
+    // ---- NO-ORACLE DIAGNOSTIC for the three-round x_shard_append /
+    // s9_stream_shard driver-red: replays the identical build+fold in
+    // the driver's own environment, then reconciles the manifest
+    // parts tree THE FOLD SAW — per-(inc, shard) persisted counts
+    // against counts RECOMPUTED from the live data, plus the build_id
+    // audit trail. Round-12 re-registration (VERDICT r11 task 1a):
+    // the driver's ledger carries only {rows, schema, hash} per
+    // query, so the delta COLUMNS never cross the boundary — emit
+    // ONLY anomalous rows (count drift, foreign build, or a
+    // missing/extra partition) so the one number that DOES cross,
+    // spark_rows, IS the verdict: 0 ⇒ the manifest fold state is
+    // healthy in the driver environment; >0 ⇒ counts diverged there
+    // and the row payload says where. Registered without an oracle on
     // purpose (build_id/path are per-run nonces).
     "x_shard_manifest_diag" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -2389,14 +2401,32 @@ object QueriesScale {
         .join(exp, Seq("inc", "shard"), "full_outer")
         .select(col("inc"), col("shard"),
           col("n_docs"), col("n_tokens"),
+          // -1 sentinel on a missing persisted side keeps a
+          // missing-partition row anomalous even at zero expected
           (coalesce(col("n_docs"), lit(-1L)) - coalesce(col("exp_docs"), lit(0L)))
             .as("doc_delta"),
           (coalesce(col("n_tokens"), lit(-1L)) - coalesce(col("exp_tokens"), lit(0L)))
             .as("token_delta"),
-          (col("build_id") === lit(metaBuild)).as("build_ok"),
+          coalesce(col("build_id") === lit(metaBuild), lit(false)).as("build_ok"),
           col("build_id"), lit(metaBuild).as("meta_build_id"),
           lit(path).as("gate_path"))
+        .filter(col("doc_delta") =!= 0L || col("token_delta") =!= 0L || !col("build_ok"))
         .orderBy(col("inc"), col("shard"))
+    }),
+
+    // ---- the BISECTION probe for the same red (VERDICT r11 task 1b):
+    // identical output to x_shard_append computed WITHOUT the
+    // persisted manifest — the committed tail aggregates directly
+    // from the base DataFrame — and gated by the SAME oracle SQL.
+    // Inline green + manifest red in an environment ⇒ the persistence
+    // fold diverges there; both red ⇒ the algebra/oracle/environment
+    // half diverges and the manifest machinery is innocent.
+    "x_shard_append_inline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+      CorpusOps.appendToShardsInline(base, inc, "doc_id", "text", shards = 8)
+        .orderBy(col("shard"), col("position"))
     }),
 
     // ---- and ONLINE: docs arrive as a stream, each micro-batch folds
@@ -4455,6 +4485,7 @@ object QueriesScale {
          |WINDOW w AS (PARTITION BY shard ORDER BY u, doc_id)
          |ORDER BY shard, position""".stripMargin,
     "x_shard_append" -> ShardAppendOracleSql,
+    "x_shard_append_inline" -> ShardAppendOracleSql,
     "s9_stream_shard" -> ShardAppendOracleSql,
     "x_quality_filter" -> QualityOracleSql,
     // Zipf-surprisal replay: top-256 reference ranks by (count DESC,

@@ -574,6 +574,36 @@ object CorpusOps {
         (col("shard_offset") + coalesce(col("base_tokens"), lit(0L))).as("shard_offset"))
   }
 
+  /** The MANIFEST-FREE flavor of [[appendToShards]]: identical output
+    * (same shard assignment, same within-shard order, same
+    * tail-offset algebra — it reuses [[shardShuffle]] and the same
+    * join/select shape as [[shardAppendAssignment]]), but the
+    * committed tail aggregates directly from the live `base`
+    * DataFrame instead of the persisted parts ledger. O(base + inc) —
+    * the base corpus IS read — so it is NOT the steady-state path at
+    * 100 TB; it exists as (a) the semantics reference the persisted
+    * fold must reproduce, and (b) a registered bisection probe
+    * (`x_shard_append_inline`, gated by the SAME oracle as
+    * `x_shard_append`): if the inline row is green while the manifest
+    * row is red in some environment, the persisted fold diverges
+    * there; if both are red, the algebra/oracle/environment half is
+    * at fault and the manifest is innocent.
+    */
+  def appendToShardsInline(
+      base: DataFrame, inc: DataFrame,
+      idCol: String, textCol: String, shards: Int): DataFrame = {
+    val tail = broadcast(
+      shardShuffle(base, idCol, textCol, shards)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("base_docs"), sum(col("n_tokens")).as("base_tokens")))
+    shardShuffle(inc, idCol, textCol, shards)
+      .join(tail, Seq("shard"), "left")
+      .select(col("shard"),
+        (col("position") + coalesce(col("base_docs"), lit(0L))).as("position"),
+        col(idCol), col("n_tokens"),
+        (col("shard_offset") + coalesce(col("base_tokens"), lit(0L))).as("shard_offset"))
+  }
+
   /** Temperature (α-weighted) source resampling with replication — the
     * data-mixture step that upsamples small sources and downsamples
     * dominant ones: source weights `w_s = weight(n_s)` (α=0.5 ⇒

@@ -385,6 +385,22 @@ class CorpusOpsSpec extends SparkSpecBase {
     }, "appended positions must never collide with committed base positions")
   }
 
+  test("appendToShardsInline ≡ persisted-manifest fold (the x_shard_append_inline bisection contract)") {
+    val d = GraftSession.table(spark, sf, "documents")
+    val base = d.filter(col("doc_id") % 9 =!= 4)
+    val inc = d.filter(col("doc_id") % 9 === 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("shard"), col("position"), col("doc_id"), col("n_tokens"), col("shard_offset"))
+        .orderBy("shard", "position").collect().map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("shardinline").toString + "/man"
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, path)
+    val viaManifest = canon(CorpusOps.appendToShards(spark, path, inc, "doc_id", "text", "day1"))
+    val inline = canon(CorpusOps.appendToShardsInline(base, inc, "doc_id", "text", shards = 8))
+    assert(inline === viaManifest,
+      "inline (manifest-free) append diverged from the persisted fold — the bisection probe is broken")
+    assert(inline.nonEmpty)
+  }
+
   test("shard manifest fold-on-read audit: half-builds, foreign builds, truncated partitions all fail NAMED") {
     val d = GraftSession.table(spark, sf, "documents")
     val base = d.filter(col("doc_id") % 9 =!= 4)
