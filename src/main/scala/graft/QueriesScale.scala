@@ -476,6 +476,39 @@ object QueriesScale {
        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Bigram-surprisal oracle, parameterized by the scored-doc filter
+    * (appended as `AND …` to the ≥2-token gate) — one reference count
+    * table + scoring core shared by the one-shot, the persisted-counts
+    * increment, and the streaming-twin rows. Tokens cannot contain a
+    * space (they come from a space split), so `prev || ' ' || w` is a
+    * faithful bigram key and `string_split(bg, ' ')[1]` recovers the
+    * context term. Context totals count ALL transitions out of prev
+    * (computed before the minCount prune, like the Scala build);
+    * pruned/unseen transitions pay the flat 16-bit OOV cost.
+    */
+  private def BigramOracleSql(scoredFilter: String): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+       |rb AS (SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+       |  FROM d WHERE doc_id % 3 = 0 AND len(t) >= 2),
+       |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY 1),
+       |cc AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(count(*) AS BIGINT) AS ctx
+       |  FROM rb GROUP BY 1),
+       |bcf AS (SELECT bg, c, ctx FROM bc JOIN cc ON string_split(bc.bg, ' ')[1] = cc.prev
+       |  WHERE c >= 2),
+       |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+       |  FROM d WHERE len(t) >= 2$scoredFilter),
+       |sc AS (SELECT db.doc_id,
+       |   CAST(CASE WHEN bcf.c IS NULL THEN 16
+       |        ELSE length(bin(bcf.ctx)) - length(bin(bcf.c)) + 1 END AS BIGINT) AS surpr
+       |  FROM db LEFT JOIN bcf USING (bg))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
+       |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -1561,6 +1594,58 @@ object QueriesScale {
       val outDir = GraftSession.freshGatePath("zipfout", dir)
       val ckpt   = GraftSession.freshGatePath("zipfckpt", dir)
       val q = EventsStream.streamZipfScore(s, ranksPath, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
+    // ---- BIGRAM (LM) surprisal: the conditional-probability upgrade
+    // of the Zipf scorer — the CCNet/Gopher-style n-gram-LM quality
+    // gate, integer-exact via the length(bin(n)) log2 device on exact
+    // counts. minCount=2 so the broadcast-bounding prune ENGAGES at
+    // gate scale (singleton reference transitions fold into the flat
+    // 16-bit OOV cost, the backoff-model move).
+    "x_quality_bigram" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      TextAnalysis.bigramSurprisal(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text",
+          oovBits = 16, minCount = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the PERSISTED-counts steady state: the reference bigram
+    // table builds once (writeBigramCounts), a crawl increment scores
+    // in O(increment) against it — same scoring tail, same oracle.
+    "x_quality_bigram_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("bigramcounts", dir)(p =>
+        TextAnalysis.writeBigramCounts(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p,
+          oovBits = 16, minCount = 2L))
+      TextAnalysis.scoreWithBigramCounts(s, path,
+          d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- and ONLINE: LM-quality-at-ingest — docs stream in, each
+    // micro-batch scores against the persisted counts inside
+    // foreachBatch (exactly-once via batch-id partitions). The batch
+    // increment scorer is the oracle semantics.
+    "s9_stream_bigram" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val countsPath = buildOnce("bigramcountsstream", dir)(p =>
+        TextAnalysis.writeBigramCounts(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p,
+          oovBits = 16, minCount = 2L))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("bigramstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("bigramout", dir)
+      val ckpt   = GraftSession.freshGatePath("bigramckpt", dir)
+      val q = EventsStream.streamBigramScore(s, countsPath, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
