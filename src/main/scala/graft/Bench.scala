@@ -127,7 +127,13 @@ object Bench {
     "x_cluster_semdedup",
     "s9_stream_cluster",
     "x_cluster_recenter_inc",
-    "x_sample_cluster_balanced"
+    "x_sample_cluster_balanced",
+    // round-13: the bigram-LM quality triple enters the headline the
+    // round it lands oracled (the r12 verdict's bench-rows task) —
+    // one-shot count+score, persisted-counts increment, stream twin
+    "x_quality_bigram",
+    "x_quality_bigram_inc",
+    "s9_stream_bigram"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
@@ -223,9 +229,11 @@ object Bench {
     // gate artifacts memoize per-JVM here (round-12: fresh-build
     // became the queries-map DEFAULT; the bench opts back into the
     // memo because its best-of-2 needs the second run to time the
-    // probe alone, not the index write — the round-7 lesson)
-    if (!sys.props.contains("graft.gate.fresh"))
-      System.setProperty("graft.gate.memo", "1")
+    // probe alone, not the index write — the round-7 lesson).
+    // Unconditional: buildOnce already gives fresh=1 precedence over
+    // memo=1, so an explicit -Dgraft.gate.fresh=1 still wins, and a
+    // fresh=0 no longer silently disables the memo (round-12 advice).
+    System.setProperty("graft.gate.memo", "1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")

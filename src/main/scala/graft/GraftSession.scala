@@ -106,10 +106,17 @@ object GraftSession {
     * without needing to know the property exists.
     */
   def gatePath(tag: String, dir: String): String = {
+    val usingDefaultRoot = !sys.props.contains("graft.gate.root")
     val root = sys.props.getOrElse("graft.gate.root",
       new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft-gate-$jvmNonce").toString)
     new java.io.File(root).mkdirs()
+    // the default per-JVM root is ours alone — register IT for
+    // shutdown cleanup too, or every gate JVM leaves one empty
+    // graft-gate-<nonce> dir behind in /tmp (the same slow-leak
+    // class the hook exists to stop). An override root may be
+    // shared (Verify's outDir) and is the caller's to manage.
+    if (usingDefaultRoot && issuedGatePaths.add(root)) gateCleanupHook
     val p = new java.io.File(root,
       s"graft-$tag-gate-${Integer.toHexString(dir.hashCode)}-$jvmNonce"
     ).toString

@@ -597,8 +597,8 @@ object QueriesScale {
     * absorbed plus the old→new centroid drift cosine. Decimal
     * addition is exact in both engines, so the replay is hash-exact.
     */
-  private lazy val ClusterRecenterOracleSql: String =
-    s"""WITH ${kmeansChainSql(8, 1)},
+  private lazy val ClusterRecenterCtes: String =
+    s"""${kmeansChainSql(8, 1)},
        |fresh AS (SELECT vec_id + 100000 AS vec_id,
        |  list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS cv
        | FROM embeddings WHERE vec_id < 20),
@@ -614,12 +614,28 @@ object QueriesScale {
        |  SELECT * FROM sums0 UNION ALL SELECT * FROM fsums) GROUP BY 1, 2),
        |newcent AS (SELECT cell_id, list(CAST(s AS DOUBLE) ORDER BY j) AS centroid
        | FROM allsums GROUP BY 1),
-       |ninc AS (SELECT cell_id, count(*) AS n_inc FROM fa GROUP BY 1)
-       |SELECT c0.cell_id AS cluster, coalesce(n.n_inc, 0) AS n_inc,
+       |ninc AS (SELECT cell_id, count(*) AS n_inc FROM fa GROUP BY 1),
+       |rec AS (SELECT c0.cell_id AS cluster, coalesce(n.n_inc, 0) AS n_inc,
        |  round(${cosSql("c0.centroid", "c1.centroid")}, 4) AS drift
-       |FROM cent1 c0 JOIN newcent c1 USING (cell_id)
-       |LEFT JOIN ninc n USING (cell_id)
-       |ORDER BY cluster""".stripMargin
+       | FROM cent1 c0 JOIN newcent c1 USING (cell_id)
+       | LEFT JOIN ninc n USING (cell_id))""".stripMargin
+
+  private lazy val ClusterRecenterOracleSql: String =
+    s"""WITH $ClusterRecenterCtes
+       |SELECT cluster, n_inc, drift FROM rec ORDER BY cluster""".stripMargin
+
+  /** The retrain-loop oracle: the recenter fold's report plus the
+    * trigger decision replayed in SQL — `retrained` = 1 iff any
+    * cluster's drift cosine fell below the 0.99 threshold the gate
+    * lambdas pin (min drift at sf0.01 is 0.9715, so the expensive
+    * branch is exercised by the driver, not just the cheap one).
+    */
+  private lazy val ClusterRetrainOracleSql: String =
+    s"""WITH $ClusterRecenterCtes
+       |SELECT cluster, n_inc, drift,
+       |  CAST(CASE WHEN (SELECT min(drift) FROM rec) < 0.99 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS retrained
+       |FROM rec ORDER BY cluster""".stripMargin
 
   /** Shared oracle for the incremental semantic probe (batch AND
     * streaming flavors): cosine pairs between the base embeddings and
@@ -1130,6 +1146,50 @@ object QueriesScale {
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc")
         .select(col("cluster"), col("n_inc"), col("drift"))
+        .orderBy(col("cluster"))
+    }),
+
+    // ---- CLOSED drift loop: the fold's per-cluster drift report
+    // plus the decision it exists to drive — min(drift) < 0.99 fires
+    // a full republish (re-train on corpus ∪ increment, overwrite the
+    // model in place). Model path is per-invocation fresh (the
+    // republish mutates it; a memoized path would make the second
+    // bench run fold against the retrained model and drift-report
+    // differently). Threshold pinned so the trigger FIRES at sf0.01
+    // (min drift 0.9715) — the driver exercises the expensive branch.
+    "x_cluster_retrain" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = GraftSession.freshGatePath("kmretrain", dir)
+      Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, path)
+      val fresh = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+      Similarity.retrainWhenDrifted(s, path, fresh, "vec_id", "embedding",
+          corpus = e, k = 8, iters = 1, driftThreshold = 0.99)
+        .orderBy(col("cluster"))
+    }),
+
+    // ---- and ONLINE: monitor → trigger → retrain at ingest — each
+    // micro-batch folds inside foreachBatch and a fired trigger
+    // republishes the model BEFORE the next batch folds, so newer
+    // traffic scores against the newer model. One AvailableNow batch
+    // here ⇒ stream ≡ batch and the batch oracle gates this surface.
+    "s9_stream_retrain" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = GraftSession.freshGatePath("kmretrainstream", dir)
+      Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, path)
+      val fresh = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+      val incDir = GraftSession.freshGatePath("kmretinc", dir)
+      fresh.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("kmretout", dir)
+      val ckpt   = GraftSession.freshGatePath("kmretckpt", dir)
+      val q = EventsStream.streamRetrain(s, path, incDir, fresh.schema, outDir, ckpt,
+        corpus = e, k = 8, iters = 1, driftThreshold = 0.99)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc")
+        .select(col("cluster"), col("n_inc"), col("drift"), col("retrained"))
         .orderBy(col("cluster"))
     }),
 
@@ -3692,6 +3752,8 @@ object QueriesScale {
     "s9_stream_cluster" -> ClusterAssignIncOracleSql,
     "x_cluster_recenter_inc" -> ClusterRecenterOracleSql,
     "s9_stream_recenter" -> ClusterRecenterOracleSql,
+    "x_cluster_retrain" -> ClusterRetrainOracleSql,
+    "s9_stream_retrain" -> ClusterRetrainOracleSql,
     // cluster-capped sampling: one Lloyd iteration, then keep the 5
     // smallest DetHash-ordered members per cluster
     "x_sample_cluster_balanced" ->
@@ -4581,6 +4643,13 @@ object QueriesScale {
     "x_quality_zipf" -> ZipfOracleSql(""),
     "x_quality_zipf_inc" -> ZipfOracleSql(" WHERE doc_id % 9 = 4"),
     "s9_stream_zipf" -> ZipfOracleSql(" WHERE doc_id % 9 = 4"),
+    // Bigram-LM surprisal replay: conditional counts c(prev,w)/ctx(prev)
+    // on doc_id%3=0 reference, length(bin(ctx))-length(bin(c))+1 bits on
+    // exact integers (pruned/unseen → flat 16-bit OOV). ONE count/score
+    // core; the increment + streaming twins restrict the scored docs.
+    "x_quality_bigram" -> BigramOracleSql(""),
+    "x_quality_bigram_inc" -> BigramOracleSql(" AND doc_id % 9 = 4"),
+    "s9_stream_bigram" -> BigramOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

@@ -1181,6 +1181,56 @@ object Similarity {
         round(cosine(col("c_old"), col("c_new")), 4).as("drift"))
   }
 
+  /** CLOSE the drift loop [[recenterWithIncrement]] only reports:
+    * fold the increment, and when any cluster's old→new centroid
+    * cosine falls BELOW `driftThreshold` (1.0 = untouched; lower =
+    * more drift), REPUBLISH the model at `path` by re-training on
+    * `corpus` ∪ `inc` — the full Lloyd pass the mini-batch fold
+    * deliberately avoids, paid only when the cheap fold says the
+    * model no longer fits its data. Output: the fold report with a
+    * constant `retrained` flag (1 = this call republished), so the
+    * decision is auditable from the same rows that justified it.
+    *
+    * Scale shape: the common path (no trigger) is exactly the
+    * O(increment) fold — one broadcast assignment + a k×dim sum
+    * merge; the trigger test is a k-row scalar `min` (bounded
+    * collect, like every meta read here). Only a fired trigger scans
+    * `corpus` — which the caller passes LAZILY, so the expensive
+    * branch costs nothing until taken. The report is materialized
+    * (`localCheckpoint`, k rows) BEFORE any republish: it describes
+    * the model that made the decision, never the one that replaced
+    * it (a lazy plan would silently re-read the overwritten sums).
+    *
+    * Deterministic end-to-end: the fold is the recenter algebra, the
+    * trigger is a rounded-4 comparison on it, and the republish is
+    * [[writeKmeansModel]]'s deterministic chain — so the report (and
+    * the retrained model, via the assign gates) is SQL-replayable.
+    *
+    * Ref behavior: extends the reference's train/infer split
+    * (trainer notebooks re-run by hand when predictions degrade)
+    * with the standard drift-triggered retrain loop of a production
+    * model pipeline.
+    */
+  def retrainWhenDrifted(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, vecCol: String,
+      corpus: DataFrame, k: Int, iters: Int,
+      driftThreshold: Double): DataFrame = {
+    val report = recenterWithIncrement(spark, path, inc, idCol, vecCol)
+      .localCheckpoint()
+    val minDrift = report.agg(min(col("drift"))).collect()(0) match {
+      case r if r.isNullAt(0) => 1.0 // empty increment: nothing drifted
+      case r                  => r.getDouble(0)
+    }
+    val fired = minDrift < driftThreshold
+    if (fired)
+      writeKmeansModel(
+        corpus.select(col(idCol), col(vecCol))
+          .unionByName(inc.select(col(idCol), col(vecCol))),
+        idCol, vecCol, k, iters, path)
+    report.withColumn("retrained", lit(if (fired) 1L else 0L))
+  }
+
   /** Cluster-balanced corpus sampling: cluster ([[kmeansAssign]]
     * chain), then keep at most `cap` members per cluster, chosen by
     * the deterministic key-hash order ([[graft.functions.DetHash]] —

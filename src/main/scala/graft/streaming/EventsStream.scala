@@ -397,6 +397,45 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING drift-triggered retrain: each arriving vector batch
+    * folds against the persisted k-means model inside `foreachBatch`
+    * ([[graft.ops.Similarity.retrainWhenDrifted]]) and, when any
+    * cluster's drift cosine falls below the threshold, REPUBLISHES
+    * the model from `corpus` ∪ batch before the next batch folds —
+    * the full closed loop (monitor → trigger → retrain → newer
+    * batches score against the newer model) the drift monitor
+    * ([[streamRecenter]]) only reports half of. The batch operator
+    * is the oracle semantics; exactly-once via the batch-id sink.
+    */
+  def streamRetrain(
+      spark: SparkSession,
+      modelPath: String,
+      newVecsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String,
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      driftThreshold: Double
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newVecsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Similarity
+          .retrainWhenDrifted(spark, modelPath, batch, "vec_id", "embedding",
+            corpus, k, iters, driftThreshold)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING pseudo-relevance feedback: arriving query batches run
     * the full two-pass PRF chain against the persistent BM25 index
     * ([[graft.ops.TextAnalysis.probeBm25IndexPrf]]) inside
@@ -582,6 +621,42 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.ops.TextAnalysis
           .scoreWithZipfRanks(spark, ranksPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** STREAMING bigram-LM quality scoring at ingest: arriving
+    * documents score against the persisted bigram count table
+    * ([[graft.ops.TextAnalysis.writeBigramCounts]]) inside
+    * `foreachBatch` — each micro-batch pays one bigram explode over
+    * itself plus a join against the pruned reference counts, the
+    * deployment shape of an n-gram-LM quality gate (fit the
+    * reference once, stream the raw pool through the scorer). Batch
+    * [[graft.ops.TextAnalysis.scoreWithBigramCounts]] is the oracle
+    * semantics; the same SQL gates all three surfaces. Exactly-once
+    * via the batch-id-keyed dynamic overwrite, like every other
+    * probe/score sink here.
+    */
+  def streamBigramScore(
+      spark: SparkSession,
+      countsPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .scoreWithBigramCounts(spark, countsPath, batch, "doc_id", "text")
           .withColumn("inc", lit(s"b$bid"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

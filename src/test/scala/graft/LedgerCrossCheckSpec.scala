@@ -28,20 +28,23 @@ class LedgerCrossCheckSpec extends SparkSpecBase {
     * commit NEWER than the ledger round. Each entry names the fix.
     */
   private val KnownRed: Map[String, String] = Map(
-    "x_shard_append" -> ("red in r09 AND r10 (hash only; rows+schema green). The r09 " +
-      "stale-gate-state theory is FALSIFIED: its full fix set (atomic publish, build_id " +
-      "audit, graft.gate.fresh) verifiably landed in r10 and the driver stayed red while " +
-      "4/4 judge replays (sf0.1 + driver's sf0.01) passed. r11 diagnosis plan per VERDICT " +
-      "task 1: gate scratch moved OUT of shared-tmp+pid keying (per-JVM UUID nonce + " +
-      "graft.gate.root under the Verify outDir — GraftSession.gatePath), manifest publish " +
-      "verified post-rename (CorpusOps.writeShardManifest), and a no-oracle " +
-      "x_shard_manifest_diag row dumps the fold state the driver actually saw. If r11 is " +
-      "STILL red, the diag artifact pinpoints the divergent counts and this entry must be " +
-      "rewritten again — it does not auto-renew"),
-    "s9_stream_shard" -> ("red in r09 AND r10, same signature and falsified theory as " +
-      "x_shard_append; additionally the gate now reports loudly if the one-file increment " +
-      "was split across micro-batches (arrival-ordered positions cannot match the " +
-      "single-fold oracle — QueriesScale s9_stream_shard diag). Same r11 plan; same " +
+    "x_shard_append" -> ("red in r09, r10 AND r11 (hash only; rows+schema green every " +
+      "time); r12's ledger was EMPTY (compile break — nothing ran), so r11 is still the " +
+      "live signal. Every engine-side theory is falsified: the r10 fix set (atomic " +
+      "publish, build_id audit, graft.gate.fresh) and the r11 set (per-JVM UUID nonce " +
+      "keying, graft.gate.root under the Verify outDir) each landed and the driver " +
+      "stayed red while 6/6 judge replays (incl. the driver's exact sf0.01) passed. " +
+      "r12 landed the bisection instrumentation this entry now waits on: default-on " +
+      "fresh gates for ALL entry points, anomaly-only x_shard_manifest_diag (rows " +
+      "appear ONLY if the fold state is unhealthy), and x_shard_append_inline — the " +
+      "same algebra under the same oracle with NO persisted gate artifact. First r13 " +
+      "driver read: inline green + append red ⇒ persistence/driver-env fault " +
+      "(escalate with diag rows); both green ⇒ delete this entry. No auto-renew"),
+    "s9_stream_shard" -> ("red in r09, r10 AND r11, same signature, falsified theories " +
+      "and r12-instrumentation plan as x_shard_append (r12 ledger empty — see that " +
+      "entry); additionally the gate reports loudly if the one-file increment was split " +
+      "across micro-batches (arrival-ordered positions cannot match the single-fold " +
+      "oracle — QueriesScale s9_stream_shard diag). Same r13 bisection read; same " +
       "no-auto-renew contract")
   )
 

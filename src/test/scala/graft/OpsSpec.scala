@@ -350,6 +350,43 @@ class DedupSpec extends SparkSpecBase {
     assert(cut.getAs[Long]("surprisal_sum") === 2L)
   }
 
+  test("bigramSurprisal laws: flat OOV cost, minCount prune engages, ctx pre-prune, certain=1 bit") {
+    import graft.ops.TextAnalysis
+    // reference transitions: (a,b)=2 (b,a)=2 (a,c)=1 (c,a)=1 (a,d)=1;
+    // ctx(a)=4 ctx(b)=2 ctx(c)=1 — and no transition ever leaves d
+    val ref = Seq((1L, "a b a b a c a d")).toDF("id", "text")
+    def score(text: String, oovBits: Int = 16, minCount: Long = 2L): Option[Long] =
+      TextAnalysis.bigramSurprisal(
+        Seq((1L, text)).toDF("id", "text"), "id", "text", ref, "text", oovBits, minCount)
+        .collect().headOption.map(_.getAs[Long]("surprisal_sum"))
+    // ctx is counted BEFORE the prune: a→b costs len(bin(4))−len(bin(2))+1
+    // = 2; a post-prune ctx(a)=2 would collapse it to the certain cost 1
+    assert(score("a b") === Some(2L))
+    // a certain transition (c = ctx: every b goes to a) still costs 1 bit
+    assert(score("b a") === Some(1L))
+    // minCount=2 prunes the singletons (a,c)/(c,a) → they pay the flat
+    // OOV cost, exactly like the truly unseen (d,a); at minCount=1 they
+    // score from counts again (a→c: len(bin(4))−len(bin(1))+1 = 3)
+    assert(score("a c") === Some(16L))
+    assert(score("c a") === Some(16L))
+    assert(score("d a") === Some(16L))
+    assert(score("a c", minCount = 1L) === Some(3L))
+    // oovBits is the flat backoff ceiling, not a hardcoded 16
+    assert(score("d a", oovBits = 5) === Some(5L))
+    // < 2 tokens → no transitions → no row (not a zero row)
+    assert(score("a") === None)
+    // persisted counts are the same model: writeBigramCounts →
+    // scoreWithBigramCounts reproduces the one-shot scoring exactly
+    val path = java.nio.file.Files.createTempDirectory("bigram-rt").toString
+    TextAnalysis.writeBigramCounts(ref, "text", path, oovBits = 16, minCount = 2L)
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a c x y")).toDF("id", "text")
+    val oneShot = TextAnalysis.bigramSurprisal(docs, "id", "text", ref, "text", 16, 2L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val persisted = TextAnalysis.scoreWithBigramCounts(spark, path, docs, "id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(oneShot.toSeq === persisted.toSeq)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
@@ -586,6 +623,43 @@ class SimilaritySpec extends SparkSpecBase {
       .orderBy("cluster").collect().map(_.toSeq).toSeq
     assert(fold13 === fold.sortBy(_.getAs[Long]("cluster")).map(_.toSeq).toSeq,
       "recenter fold depends on physical layout")
+  }
+
+  test("retrainWhenDrifted: quiet fold leaves the model alone; fired trigger republishes it") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = GraftSession.freshGatePath("kmretspec", sf)
+    Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, path)
+    def modelSums() = spark.read.parquet(s"$path/sums")
+      .orderBy("cell_id", "pos").collect().map(_.toSeq).toSeq
+    val before = modelSums()
+    val inc = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+    // threshold 0: no drift cosine can fall below it — the cheap
+    // branch: report equals the plain fold, model untouched
+    val quiet = Similarity.retrainWhenDrifted(spark, path, inc, "vec_id", "embedding",
+      corpus = e, k = 8, iters = 1, driftThreshold = 0.0).orderBy("cluster").collect()
+    assert(quiet.forall(_.getAs[Long]("retrained") == 0L))
+    assert(modelSums() === before, "quiet fold must not touch the persisted model")
+    val plainFold = Similarity.recenterWithIncrement(spark, path, inc, "vec_id", "embedding")
+      .orderBy("cluster").collect().map(_.toSeq).toSeq
+    assert(quiet.map(_.toSeq.dropRight(1)).toSeq === plainFold,
+      "quiet-branch report diverged from the plain recenter fold")
+    // threshold 2 > any cosine: the trigger must fire and republish —
+    // the new model is exactly writeKmeansModel(corpus ∪ inc)
+    val fired = Similarity.retrainWhenDrifted(spark, path, inc, "vec_id", "embedding",
+      corpus = e, k = 8, iters = 1, driftThreshold = 2.0).orderBy("cluster").collect()
+    assert(fired.forall(_.getAs[Long]("retrained") == 1L))
+    // the report still describes the PRE-retrain fold (decision audit)
+    assert(fired.map(_.toSeq.dropRight(1)).toSeq === plainFold,
+      "fired-branch report must describe the model that made the decision")
+    val expectedPath = GraftSession.freshGatePath("kmretspecexp", sf)
+    Similarity.writeKmeansModel(e.unionByName(inc), "vec_id", "embedding",
+      k = 8, iters = 1, expectedPath)
+    val expected = spark.read.parquet(s"$expectedPath/sums")
+      .orderBy("cell_id", "pos").collect().map(_.toSeq).toSeq
+    assert(modelSums() === expected,
+      "republished model diverged from a from-scratch retrain on corpus ∪ inc")
   }
 
   test("clusterBalancedSample keeps exactly min(cap, population) per cluster, deterministically") {
