@@ -133,7 +133,8 @@ object Bench {
     // one-shot count+score, persisted-counts increment, stream twin
     "x_quality_bigram",
     "x_quality_bigram_inc",
-    "s9_stream_bigram"
+    "s9_stream_bigram",
+    "x_quality_backoff"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
@@ -290,9 +291,14 @@ object Bench {
     // ≲ 10 is at-worst-linear, ≫ 10 flags a super-linear operator
     // before a real scale-up does; ≈ 1 means fixed cost dominates.
     // SPARK_GRAFT_SF2_DIR=none skips the slope pass (bisect runs)
-    val slopeJson = (if (sys.env.get("SPARK_GRAFT_SF2_DIR").contains("none")) None
+    val sf2Resolved = if (sys.env.get("SPARK_GRAFT_SF2_DIR").contains("none")) None
       else sys.env.get("SPARK_GRAFT_SF2_DIR").filter(p => new java.io.File(p).isDirectory)
-        orElse smallerSf(sfDir)) match {
+        .orElse(smallerSf(sfDir))
+    // loud either way: a silently-skipped slope pass cost round 13 a
+    // full 15-minute sf1 rerun before anyone knew it hadn't run
+    System.err.println(s"[bench] slope pass sf2 = ${sf2Resolved.getOrElse("SKIPPED")} " +
+      s"(env=${sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "<unset>")})")
+    val slopeJson = sf2Resolved match {
       case Some(sf2) =>
         val small = timeAll(spark, names, sf2)
         val qs2 = small.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

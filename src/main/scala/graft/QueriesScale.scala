@@ -509,6 +509,48 @@ object QueriesScale {
        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Stupid-backoff oracle: the bigram core's count tables plus the
+    * unigram rung — `T` (total reference tokens) and per-word counts
+    * both computed BEFORE the minCount prune, so backed-off
+    * probabilities stay calibrated exactly like the Scala build.
+    * Rung order replayed as one CASE: bigram hit → conditional cost;
+    * in-vocabulary word → 2-bit penalty + unigram cost; else 16.
+    */
+  private lazy val BackoffOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+       |ru AS (SELECT unnest(t) AS w FROM d WHERE doc_id % 3 = 0),
+       |ucf AS (SELECT w, cu FROM (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cu FROM ru GROUP BY 1) WHERE cu >= 2),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS T FROM ru),
+       |rb AS (SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+       |  FROM d WHERE doc_id % 3 = 0 AND len(t) >= 2),
+       |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY 1),
+       |cc AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(count(*) AS BIGINT) AS ctx
+       |  FROM rb GROUP BY 1),
+       |bcf AS (SELECT bg, c, ctx FROM bc JOIN cc ON string_split(bc.bg, ' ')[1] = cc.prev
+       |  WHERE c >= 2),
+       |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+       |  FROM d WHERE len(t) >= 2),
+       |sc AS (SELECT db.doc_id,
+       |   CAST(CASE WHEN bcf.c IS NOT NULL
+       |          THEN length(bin(bcf.ctx)) - length(bin(bcf.c)) + 1
+       |        WHEN ucf.cu IS NOT NULL
+       |          THEN 2 + length(bin((SELECT T FROM tot))) - length(bin(ucf.cu)) + 1
+       |        ELSE 16 END AS BIGINT) AS surpr,
+       |   CASE WHEN bcf.c IS NOT NULL THEN 0
+       |        WHEN ucf.cu IS NOT NULL THEN 1 ELSE 2 END AS rung
+       |  FROM db LEFT JOIN bcf USING (bg)
+       |  LEFT JOIN ucf ON string_split(db.bg, ' ')[2] = ucf.w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN rung = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  CAST(sum(CASE WHEN rung = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
+       |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -1708,6 +1750,21 @@ object QueriesScale {
       val q = EventsStream.streamBigramScore(s, countsPath, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
+    // ---- STUPID-BACKOFF (Brants 2007): the deployed LM-filter shape
+    // — bigram hit pays the conditional cost, pruned/unseen
+    // transitions back off to flat-penalty + unigram surprisal, and
+    // only out-of-VOCABULARY words pay the 16-bit ceiling. Same
+    // integer length(bin(n)) device on three rungs; per-rung counts
+    // (n_backoff, n_oov) make the filter tunable from its own output.
+    "x_quality_backoff" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      TextAnalysis.backoffSurprisal(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text",
+          oovBits = 16, minCount = 2L, backoffBits = 2)
+        .orderBy(col("doc_id"))
     }),
 
     // ---- int8-quantized ANN: the 4x-memory embedding layout, ranked
@@ -4650,6 +4707,7 @@ object QueriesScale {
     "x_quality_bigram" -> BigramOracleSql(""),
     "x_quality_bigram_inc" -> BigramOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_bigram" -> BigramOracleSql(" AND doc_id % 9 = 4"),
+    "x_quality_backoff" -> BackoffOracleSql,
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

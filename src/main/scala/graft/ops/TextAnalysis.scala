@@ -449,6 +449,75 @@ object TextAnalysis {
     bigramScore(df, idCol, textCol, spark.read.parquet(s"$path/counts"), oovBits)
   }
 
+  /** STUPID-BACKOFF surprisal (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the standard rung between the
+    * unigram ([[zipfSurprisal]]) and bigram ([[bigramSurprisal]])
+    * quality gates: a transition the reference bigram table knows
+    * pays the conditional cost; one it pruned or never saw BACKS OFF
+    * to the unigram model (a flat `backoffBits` penalty — the
+    * integer stand-in for Brants' α=0.4 discount — plus the word's
+    * unigram surprisal); only a word outside the reference VOCABULARY
+    * pays the flat `oovBits` ceiling. The practical difference from
+    * [[bigramSurprisal]]: a rare-but-real word pair ("boltzmann
+    * entropy") scores by how rare its words are, not the same flat
+    * cost as keyboard mash — the curation signal n-gram-LM filters
+    * actually deploy (KenLM's default IS backoff smoothing).
+    *
+    * Integer-exact throughout, same `length(bin(n))` = ⌊log2 n⌋+1
+    * device on exact counts: bigram cost = (⌊log2 ctx⌋+1) −
+    * (⌊log2 c⌋+1) + 1; backoff cost = backoffBits + (⌊log2 T⌋+1) −
+    * (⌊log2 c_w⌋+1) + 1 with T = total reference tokens (denominator
+    * of the unigram model). Sums are positive BIGINTs both engines
+    * reproduce bit-for-bit; one rounded-4 ratio at the end.
+    *
+    * Output per doc (≥ 2 tokens): `n_bigrams`, `n_backoff`, `n_oov`
+    * (how often each rung fired — the observability a tuned filter
+    * needs), `surprisal_sum`, `mean_surprisal`.
+    *
+    * Scale shape: both reference tables aggregate map-side on
+    * term/bigram keys; `minCount` prunes BOTH (pruned mass falls
+    * through to the next rung, the backoff move), bounding the two
+    * broadcast joins at any corpus size — the unigram table is
+    * vocabulary-sized, the bigram table minCount-bounded, the total
+    * `T` a one-row scalar aggregate (bounded collect, computed
+    * BEFORE the prune so the unigram model stays calibrated).
+    *
+    * Ref behavior: upgrades the reference's per-text quality screens
+    * (text_curator.py) with the backoff LM filter of the public
+    * curation literature (CCNet §4.2 uses KenLM backoff perplexity).
+    */
+  def backoffSurprisal(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      oovBits: Int = 16, minCount: Long = 2L, backoffBits: Int = 2): DataFrame = {
+    val refToks = ref.select(explode(toks(col(refTextCol))).as("w"))
+    val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
+    val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .filter(col("cu") >= minCount)
+    val bg = bigramCounts(ref, refTextCol, minCount)
+    df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(bigramPairs(col("__t"))).as("__bg"))
+      .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.w").as("w"))
+      .join(broadcast(bg), Seq("prev", "w"), "left")
+      .join(broadcast(uni), Seq("w"), "left")
+      .withColumn("surpr",
+        when(col("c").isNotNull,
+          (length(bin(col("ctx"))) - length(bin(col("c"))) + lit(1)).cast("long"))
+        .when(col("cu").isNotNull,
+          (lit(backoffBits) + length(bin(lit(totalT))) - length(bin(col("cu"))) + lit(1)).cast("long"))
+        .otherwise(lit(oovBits.toLong)))
+      .withColumn("rung",
+        when(col("c").isNotNull, lit(0)).when(col("cu").isNotNull, lit(1)).otherwise(lit(2)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("rung") === 1, lit(1L)).otherwise(lit(0L))).as("n_backoff"),
+        sum(when(col("rung") === 2, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        sum(col("surpr")).as("surprisal_sum"))
+      .withColumn("mean_surprisal",
+        round(col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"), 4))
+  }
+
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko
     * lineage): retrieve `fbDocs` per query with plain BM25, mine the
     * `fbTerms` strongest expansion terms from those feedback docs

@@ -387,6 +387,36 @@ class DedupSpec extends SparkSpecBase {
     assert(oneShot.toSeq === persisted.toSeq)
   }
 
+  test("backoffSurprisal rungs: bigram hit < backed-off rare word < OOV mash, counts exact") {
+    import graft.ops.TextAnalysis
+    // ref "a b a b a c a d": bigrams (a,b)=2 (b,a)=2, singletons pruned
+    // at minCount=2; unigrams a=4 b=2 (c,d pruned), T=8
+    val ref = Seq((1L, "a b a b a c a d")).toDF("id", "text")
+    def row(text: String) = TextAnalysis.backoffSurprisal(
+      Seq((1L, text)).toDF("id", "text"), "id", "text", ref, "text",
+      oovBits = 16, minCount = 2L, backoffBits = 2).collect()(0)
+    // bigram rung: len(bin(4))−len(bin(2))+1 = 2
+    assert(row("a b").getAs[Long]("surprisal_sum") === 2L)
+    // backoff rung: (c,a) pruned but a is in-vocab →
+    // 2 + len(bin(8))−len(bin(4))+1 = 4; cheaper than OOV
+    val backed = row("c a")
+    assert(backed.getAs[Long]("surprisal_sum") === 4L)
+    assert(backed.getAs[Long]("n_backoff") === 1L && backed.getAs[Long]("n_oov") === 0L)
+    // never-seen transition into an in-vocab rarer word: 2+4−2+1 = 5
+    assert(row("x b").getAs[Long]("surprisal_sum") === 5L)
+    // OOV rung: transition AND word unknown → the flat 16-bit ceiling
+    assert(row("a x").getAs[Long]("surprisal_sum") === 16L)
+    // a pruned word (c) is OUT of vocabulary, same as never-seen
+    assert(row("a c").getAs[Long]("surprisal_sum") === 16L)
+    // a mixed doc sums the rungs: (c,a)=4 + (a,x)=16 + (x,b)=5
+    val mixed = row("c a x b")
+    assert(mixed.getAs[Long]("n_bigrams") === 3L)
+    assert(mixed.getAs[Long]("n_backoff") === 2L)
+    assert(mixed.getAs[Long]("n_oov") === 1L)
+    assert(mixed.getAs[Long]("surprisal_sum") === 25L)
+    assert(mixed.getAs[Double]("mean_surprisal") === 8.3333)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
