@@ -134,7 +134,9 @@ object Bench {
     "x_quality_bigram",
     "x_quality_bigram_inc",
     "s9_stream_bigram",
-    "x_quality_backoff"
+    "x_quality_backoff",
+    "x_quality_backoff_inc",
+    "s9_stream_backoff"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -509,14 +509,18 @@ object QueriesScale {
        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  /** Stupid-backoff oracle: the bigram core's count tables plus the
-    * unigram rung — `T` (total reference tokens) and per-word counts
+  /** Stupid-backoff oracle, parameterized by the scored-doc filter
+    * (appended as `AND …` to the ≥2-token gate, like
+    * [[BigramOracleSql]]) — the bigram core's count tables plus the
+    * unigram rung: `T` (total reference tokens) and per-word counts
     * both computed BEFORE the minCount prune, so backed-off
     * probabilities stay calibrated exactly like the Scala build.
     * Rung order replayed as one CASE: bigram hit → conditional cost;
     * in-vocabulary word → 2-bit penalty + unigram cost; else 16.
+    * ONE SQL core gates the one-shot, the persisted-model increment,
+    * and the streaming twin.
     */
-  private lazy val BackoffOracleSql: String =
+  private def BackoffOracleSql(scoredFilter: String): String =
     s"""WITH d AS (SELECT doc_id,
        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
        |ru AS (SELECT unnest(t) AS w FROM d WHERE doc_id % 3 = 0),
@@ -533,7 +537,7 @@ object QueriesScale {
        |  WHERE c >= 2),
        |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
        |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
-       |  FROM d WHERE len(t) >= 2),
+       |  FROM d WHERE len(t) >= 2$scoredFilter),
        |sc AS (SELECT db.doc_id,
        |   CAST(CASE WHEN bcf.c IS NOT NULL
        |          THEN length(bin(bcf.ctx)) - length(bin(bcf.c)) + 1
@@ -1765,6 +1769,45 @@ object QueriesScale {
           d.filter(pmod(col("doc_id"), lit(3)) === 0), "text",
           oovBits = 16, minCount = 2L, backoffBits = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the PERSISTED-model steady state: both rungs' count tables
+    // + calibration scalars build once (writeBackoffModel), a crawl
+    // increment scores in O(increment) — same three-rung tail, same
+    // oracle.
+    "x_quality_backoff_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("backoffmodel", dir)(p =>
+        TextAnalysis.writeBackoffModel(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p,
+          oovBits = 16, minCount = 2L, backoffBits = 2))
+      TextAnalysis.scoreWithBackoffModel(s, path,
+          d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- and ONLINE: KenLM-style quality-at-ingest — docs stream
+    // in, each micro-batch scores its three rungs against the
+    // persisted model inside foreachBatch (exactly-once via batch-id
+    // partitions). The batch increment scorer is the oracle
+    // semantics.
+    "s9_stream_backoff" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("backoffmodelstream", dir)(p =>
+        TextAnalysis.writeBackoffModel(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p,
+          oovBits = 16, minCount = 2L, backoffBits = 2))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("backoffstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("backoffout", dir)
+      val ckpt   = GraftSession.freshGatePath("backoffckpt", dir)
+      val q = EventsStream.streamBackoffScore(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
 
     // ---- int8-quantized ANN: the 4x-memory embedding layout, ranked
@@ -4707,7 +4750,9 @@ object QueriesScale {
     "x_quality_bigram" -> BigramOracleSql(""),
     "x_quality_bigram_inc" -> BigramOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_bigram" -> BigramOracleSql(" AND doc_id % 9 = 4"),
-    "x_quality_backoff" -> BackoffOracleSql,
+    "x_quality_backoff" -> BackoffOracleSql(""),
+    "x_quality_backoff_inc" -> BackoffOracleSql(" AND doc_id % 9 = 4"),
+    "s9_stream_backoff" -> BackoffOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

@@ -494,7 +494,19 @@ object TextAnalysis {
     val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
     val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .filter(col("cu") >= minCount)
-    val bg = bigramCounts(ref, refTextCol, minCount)
+    backoffScore(df, idCol, textCol,
+      bigramCounts(ref, refTextCol, minCount), uni, totalT, oovBits, backoffBits)
+  }
+
+  /** The three-rung scoring tail of [[backoffSurprisal]], shared by
+    * the one-shot operator and the persisted-model increment scorers
+    * (batch + streaming) — one definition so one oracle gates all
+    * three surfaces.
+    */
+  private def backoffScore(
+      df: DataFrame, idCol: String, textCol: String,
+      bg: DataFrame, uni: DataFrame, totalT: Long,
+      oovBits: Int, backoffBits: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col("doc_id"), explode(bigramPairs(col("__t"))).as("__bg"))
@@ -516,6 +528,43 @@ object TextAnalysis {
         sum(col("surpr")).as("surprisal_sum"))
       .withColumn("mean_surprisal",
         round(col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"), 4))
+
+  /** PERSIST the backoff model — the build-once seam of
+    * [[backoffSurprisal]] for the steady-state ingest loop: both
+    * count tables and the scalar calibration constants travel
+    * together, so the scorer cannot mix rungs from different fits.
+    * Layout: `$path/bigram` (prev, w, c, ctx), `$path/uni` (w, cu),
+    * one-row `$path/meta` (oov_bits, backoff_bits, total_t).
+    */
+  def writeBackoffModel(
+      ref: DataFrame, refTextCol: String, path: String,
+      oovBits: Int = 16, minCount: Long = 2L, backoffBits: Int = 2): Unit = {
+    val spark = ref.sparkSession
+    val refToks = ref.select(explode(toks(col(refTextCol))).as("w"))
+    val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
+    refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .filter(col("cu") >= minCount)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/uni")
+    bigramCounts(ref, refTextCol, minCount)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bigram")
+    spark.range(1).select(lit(oovBits).as("oov_bits"),
+        lit(backoffBits).as("backoff_bits"), lit(totalT).as("total_t"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a document increment against a persisted
+    * [[writeBackoffModel]] — identical algebra to
+    * [[backoffSurprisal]] (the shared [[backoffScore]] tail), so the
+    * batch oracle gates this surface and its streaming twin too.
+    */
+  def scoreWithBackoffModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
+    backoffScore(df, idCol, textCol,
+      spark.read.parquet(s"$path/bigram"), spark.read.parquet(s"$path/uni"),
+      meta.getAs[Long]("total_t"), meta.getAs[Int]("oov_bits"),
+      meta.getAs[Int]("backoff_bits"))
   }
 
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko

@@ -667,6 +667,39 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING stupid-backoff quality scoring at ingest: arriving
+    * documents score against the persisted three-rung backoff model
+    * ([[graft.ops.TextAnalysis.writeBackoffModel]]) inside
+    * `foreachBatch` — the deployed shape of a KenLM-style quality
+    * gate (fit the reference once, stream the raw pool through the
+    * scorer). Batch [[graft.ops.TextAnalysis.scoreWithBackoffModel]]
+    * is the oracle semantics; exactly-once via the batch-id-keyed
+    * dynamic overwrite, like every other probe/score sink here.
+    */
+  def streamBackoffScore(
+      spark: SparkSession,
+      modelPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .scoreWithBackoffModel(spark, modelPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING tokenizer application at ingest: arriving documents
     * encode against the persisted BPE merge table
     * ([[graft.ops.TextAnalysis.writeBpeMerges]]) inside

@@ -415,6 +415,18 @@ class DedupSpec extends SparkSpecBase {
     assert(mixed.getAs[Long]("n_oov") === 1L)
     assert(mixed.getAs[Long]("surprisal_sum") === 25L)
     assert(mixed.getAs[Double]("mean_surprisal") === 8.3333)
+    // persisted model is the same model: writeBackoffModel →
+    // scoreWithBackoffModel reproduces the one-shot scoring exactly
+    // (incl. the calibration scalars travelling in meta)
+    val path = java.nio.file.Files.createTempDirectory("backoff-rt").toString
+    TextAnalysis.writeBackoffModel(ref, "text", path,
+      oovBits = 16, minCount = 2L, backoffBits = 2)
+    val docs = Seq((1L, "a b"), (2L, "c a"), (3L, "c a x b")).toDF("id", "text")
+    val oneShot = TextAnalysis.backoffSurprisal(docs, "id", "text", ref, "text", 16, 2L, 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val persisted = TextAnalysis.scoreWithBackoffModel(spark, path, docs, "id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(oneShot.toSeq === persisted.toSeq)
   }
 
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
