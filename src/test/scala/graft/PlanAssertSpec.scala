@@ -327,4 +327,19 @@ class PlanAssertSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"rank dim fell off broadcast:\n$plan")
   }
+
+  test("x_quality_bigram/backoff: count tables join broadcast — the corpus never shuffles on n-gram keys") {
+    for (name <- Seq("x_quality_bigram", "x_quality_backoff")) {
+      val plan = planOf(q(name))
+      // the scoring side must be broadcast left joins against the
+      // minCount-bounded count tables; a SortMergeJoin here means the
+      // whole corpus explode shuffled on bigram/term keys — the exact
+      // shape that cannot ship at 100 TB
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name count table fell off broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffles the corpus on n-gram keys:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name went cartesian:\n$plan")
+    }
+  }
 }
