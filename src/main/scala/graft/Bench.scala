@@ -136,7 +136,12 @@ object Bench {
     "s9_stream_bigram",
     "x_quality_backoff",
     "x_quality_backoff_inc",
-    "s9_stream_backoff"
+    "s9_stream_backoff",
+    "x_quality_nb",
+    "x_quality_nb_inc",
+    "s9_stream_nb",
+    "x_cluster_retrain",
+    "s9_stream_retrain"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -555,6 +555,38 @@ object QueriesScale {
        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** NB quality-classifier oracle, parameterized by the scored-doc
+    * filter (appended as `AND …` to the tokenizing CTE) — class
+    * totals pre-prune, vocabulary pruned on TOTAL count, per-token
+    * contribution = cost_neg − cost_pos with the flat 16-bit cost
+    * for a class that never saw the word, 0 for out-of-vocabulary.
+    * ONE SQL core gates the one-shot, the persisted-model increment,
+    * and the streaming twin.
+    */
+  private def NbOracleSql(scoredFilter: String): String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+       |rt AS (SELECT unnest(t) AS w, lang = 'en' AS pos FROM d WHERE doc_id % 3 = 0),
+       |tp AS (SELECT CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS tpos,
+       |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS tneg FROM rt),
+       |vc AS (SELECT w, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS cpos,
+       |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS cneg
+       | FROM rt GROUP BY 1 HAVING count(*) >= 2),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM d WHERE TRUE$scoredFilter),
+       |sc AS (SELECT tok.doc_id,
+       |   CAST(CASE WHEN vc.w IS NULL THEN 0 ELSE
+       |     (CASE WHEN cneg >= 1
+       |        THEN length(bin((SELECT tneg FROM tp))) - length(bin(cneg)) + 1
+       |        ELSE 16 END)
+       |   - (CASE WHEN cpos >= 1
+       |        THEN length(bin((SELECT tpos FROM tp))) - length(bin(cpos)) + 1
+       |        ELSE 16 END) END AS BIGINT) AS s
+       |  FROM tok LEFT JOIN vc USING (w))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(s) AS BIGINT) AS score_bits,
+       |  round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_score
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -1806,6 +1838,62 @@ object QueriesScale {
       val outDir = GraftSession.freshGatePath("backoffout", dir)
       val ckpt   = GraftSession.freshGatePath("backoffckpt", dir)
       val q = EventsStream.streamBackoffScore(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
+    // ---- SUPERVISED quality gate — the CCNet/GPT-3 classifier
+    // stage: NB log-odds (reference class = lang 'en' on the %3=0
+    // labeled slice) in exact integer bits; positive = the positive
+    // class explains the text more cheaply. Vocabulary pruned on
+    // TOTAL class count (pruned/unseen words cost the same in both
+    // classes → contribute exactly 0), so the broadcast stays
+    // bounded without biasing the ratio.
+    "x_quality_nb" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      TextAnalysis.nbQualityScore(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .withColumn("__is_en", col("lang") === "en"),
+          "text", "__is_en", oovBits = 16, minCount = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the PERSISTED-classifier steady state: vocabulary counts +
+    // class totals build once (writeNbModel), a crawl increment
+    // scores in O(increment) — same scoring tail, same oracle.
+    "x_quality_nb_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("nbmodel", dir)(p =>
+        TextAnalysis.writeNbModel(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .withColumn("__is_en", col("lang") === "en"),
+          "text", "__is_en", p, oovBits = 16, minCount = 2L))
+      TextAnalysis.scoreWithNbModel(s, path,
+          d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- and ONLINE: classifier-at-ingest — docs stream in, each
+    // micro-batch scores its log-odds against the persisted model
+    // inside foreachBatch (exactly-once via batch-id partitions).
+    // The batch increment scorer is the oracle semantics.
+    "s9_stream_nb" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("nbmodelstream", dir)(p =>
+        TextAnalysis.writeNbModel(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .withColumn("__is_en", col("lang") === "en"),
+          "text", "__is_en", p, oovBits = 16, minCount = 2L))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("nbstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("nbout", dir)
+      val ckpt   = GraftSession.freshGatePath("nbckpt", dir)
+      val q = EventsStream.streamNbScore(s, path, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
@@ -4753,6 +4841,9 @@ object QueriesScale {
     "x_quality_backoff" -> BackoffOracleSql(""),
     "x_quality_backoff_inc" -> BackoffOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_backoff" -> BackoffOracleSql(" AND doc_id % 9 = 4"),
+    "x_quality_nb" -> NbOracleSql(""),
+    "x_quality_nb_inc" -> NbOracleSql(" AND doc_id % 9 = 4"),
+    "s9_stream_nb" -> NbOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

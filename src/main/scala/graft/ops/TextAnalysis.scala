@@ -567,6 +567,119 @@ object TextAnalysis {
       meta.getAs[Int]("backoff_bits"))
   }
 
+  /** SUPERVISED quality scoring — the Naive-Bayes log-odds classifier
+    * of the CCNet / GPT-3 curation stage ("train a linear classifier
+    * to separate a trusted reference from random crawl, keep what
+    * scores reference-like"), made integer-exact with the same
+    * `length(bin(n))` = ⌊log2 n⌋+1 device as the LM gates: per token,
+    * surprisal under each class is (⌊log2 T_k⌋+1) − (⌊log2 c_k(w)⌋+1)
+    * + 1 on exact counts (a class that never saw the word pays the
+    * flat `oovBits` ceiling — add-nothing backoff), and the per-doc
+    * score is Σ (cost_neg − cost_pos): POSITIVE means the positive
+    * class explains the text more cheaply — the NB log-likelihood
+    * ratio in bits, hash-reproducible cross-engine because no libm
+    * log is ever taken.
+    *
+    * `ref` carries the labels (`refPosCol`, boolean); `minCount`
+    * prunes the vocabulary on the TOTAL class count — pruned or
+    * unseen words cost the same in both classes and contribute
+    * exactly 0, so the broadcast vocabulary table stays bounded at
+    * any corpus size without biasing the ratio. Class totals are
+    * computed pre-prune (one bounded two-scalar collect), keeping
+    * surviving probabilities calibrated.
+    *
+    * Output per doc: `n_tokens`, `score_bits` (exact, possibly
+    * negative BIGINT), `mean_score` (rounded 4).
+    *
+    * Scale shape: training is ONE map-side-combinable groupBy over
+    * the labeled reference (term keys); scoring is the token explode
+    * plus one broadcast join — the corpus never shuffles on term
+    * keys, only the per-doc aggregation exchanges.
+    *
+    * Ref behavior: the trainable upgrade of the reference's
+    * relevance-classifier stage (`m1` family trains a model per KPI;
+    * this trains the corpus-level keep/drop gate the public curation
+    * literature puts in front of everything else).
+    */
+  def nbQualityScore(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, refPosCol: String,
+      oovBits: Int = 16, minCount: Long = 2L): DataFrame = {
+    val rt = ref.select(explode(toks(col(refTextCol))).as("w"),
+      col(refPosCol).cast("boolean").as("__pos"))
+    val tot = rt.agg(
+      sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))),
+      sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L)))).collect()(0)
+    nbScore(df, idCol, textCol, nbVocab(rt, minCount),
+      tot.getLong(0), tot.getLong(1), oovBits)
+  }
+
+  /** The (w, cpos, cneg) vocabulary table of [[nbQualityScore]],
+    * pruned on total class count for broadcast boundedness.
+    */
+  private def nbVocab(rt: DataFrame, minCount: Long): DataFrame =
+    rt.groupBy(col("w")).agg(
+        sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("cpos"),
+        sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L))).as("cneg"))
+      .filter(col("cpos") + col("cneg") >= minCount)
+
+  /** The scoring tail of [[nbQualityScore]], shared by the one-shot
+    * operator and the persisted-model increment scorers (batch +
+    * streaming) — one definition so one oracle gates all three
+    * surfaces.
+    */
+  private def nbScore(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, tPos: Long, tNeg: Long, oovBits: Int): DataFrame = {
+    def cost(c: Column, t: Long): Column =
+      when(c >= 1, (length(bin(lit(t))) - length(bin(c)) + lit(1)).cast("long"))
+        .otherwise(lit(oovBits.toLong))
+    df.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("s", when(col("cpos").isNull, lit(0L))
+        .otherwise(cost(col("cneg"), tNeg) - cost(col("cpos"), tPos)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("score_bits"))
+      .withColumn("mean_score",
+        round(col("score_bits").cast("double") / col("n_tokens").cast("double"), 4))
+  }
+
+  /** PERSIST the NB quality classifier — vocabulary counts plus the
+    * class totals and OOV ceiling in one-row meta, the same
+    * model-travels-whole seam as [[writeBackoffModel]]. Layout:
+    * `$path/vocab` (w, cpos, cneg) + `$path/meta` (t_pos, t_neg,
+    * oov_bits).
+    */
+  def writeNbModel(
+      ref: DataFrame, refTextCol: String, refPosCol: String, path: String,
+      oovBits: Int = 16, minCount: Long = 2L): Unit = {
+    val spark = ref.sparkSession
+    val rt = ref.select(explode(toks(col(refTextCol))).as("w"),
+      col(refPosCol).cast("boolean").as("__pos"))
+    val tot = rt.agg(
+      sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))),
+      sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L)))).collect()(0)
+    nbVocab(rt, minCount)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    spark.range(1).select(lit(tot.getLong(0)).as("t_pos"),
+        lit(tot.getLong(1)).as("t_neg"), lit(oovBits).as("oov_bits"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a document increment against a persisted [[writeNbModel]]
+    * — identical algebra to [[nbQualityScore]] (the shared [[nbScore]]
+    * tail), so the batch oracle gates this surface and its streaming
+    * twin too.
+    */
+  def scoreWithNbModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
+    nbScore(df, idCol, textCol, spark.read.parquet(s"$path/vocab"),
+      meta.getAs[Long]("t_pos"), meta.getAs[Long]("t_neg"),
+      meta.getAs[Int]("oov_bits"))
+  }
+
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko
     * lineage): retrieve `fbDocs` per query with plain BM25, mine the
     * `fbTerms` strongest expansion terms from those feedback docs

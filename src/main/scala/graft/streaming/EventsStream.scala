@@ -700,6 +700,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING supervised quality classification at ingest: arriving
+    * documents score their NB log-odds against the persisted
+    * classifier ([[graft.ops.TextAnalysis.writeNbModel]]) inside
+    * `foreachBatch` — the deployed shape of the CCNet/GPT-3 quality
+    * classifier (fit on labeled reference once, stream the raw pool
+    * through the keep/drop gate). Batch
+    * [[graft.ops.TextAnalysis.scoreWithNbModel]] is the oracle
+    * semantics; exactly-once via the batch-id-keyed dynamic
+    * overwrite, like every other probe/score sink here.
+    */
+  def streamNbScore(
+      spark: SparkSession,
+      modelPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .scoreWithNbModel(spark, modelPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING tokenizer application at ingest: arriving documents
     * encode against the persisted BPE merge table
     * ([[graft.ops.TextAnalysis.writeBpeMerges]]) inside

@@ -429,6 +429,39 @@ class DedupSpec extends SparkSpecBase {
     assert(oneShot.toSeq === persisted.toSeq)
   }
 
+  test("nbQualityScore: exact log-odds bits, vocab prune neutral, class-absent pays OOV") {
+    import graft.ops.TextAnalysis
+    // pos "a a b" / neg "a c c c": T_pos=3 T_neg=4; a(2,1) b(1,0) c(0,3);
+    // minCount=2 prunes b (total 1)
+    val ref = Seq(("a a b", true), ("a c c c", false)).toDF("text", "is_pos")
+    def row(text: String) = TextAnalysis.nbQualityScore(
+      Seq((1L, text)).toDF("id", "text"), "id", "text", ref, "text", "is_pos",
+      oovBits = 16, minCount = 2L).collect()(0)
+    // a: cost_pos = len(bin(3))−len(bin(2))+1 = 1, cost_neg = len(bin(4))
+    // −len(bin(1))+1 = 3 → +2 per token (positive-like)
+    val aa = row("a a")
+    assert(aa.getAs[Long]("score_bits") === 4L)
+    assert(aa.getAs[Double]("mean_score") === 2.0)
+    // c: absent from pos → flat 16; cost_neg = 3−2+1 = 2 → 2−16 = −14
+    assert(row("c").getAs[Long]("score_bits") === -14L)
+    // pruned (b) and unseen (x) words cost the same in both classes →
+    // contribute exactly 0 — the prune never biases the ratio
+    val bx = row("b x")
+    assert(bx.getAs[Long]("score_bits") === 0L)
+    assert(bx.getAs[Long]("n_tokens") === 2L)
+    // mixed doc sums per-token contributions: a(+2) + c(−14)
+    assert(row("a c").getAs[Long]("score_bits") === -12L)
+    // persisted classifier is the same model
+    val path = java.nio.file.Files.createTempDirectory("nb-rt").toString
+    TextAnalysis.writeNbModel(ref, "text", "is_pos", path, oovBits = 16, minCount = 2L)
+    val docs = Seq((1L, "a a"), (2L, "c"), (3L, "a c b x")).toDF("id", "text")
+    val oneShot = TextAnalysis.nbQualityScore(docs, "id", "text", ref, "text", "is_pos", 16, 2L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val persisted = TextAnalysis.scoreWithNbModel(spark, path, docs, "id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(oneShot.toSeq === persisted.toSeq)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
