@@ -140,6 +140,9 @@ object Bench {
     "x_quality_nb",
     "x_quality_nb_inc",
     "s9_stream_nb",
+    "x_quality_kn",
+    "x_quality_kn_inc",
+    "s9_stream_kn",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -587,6 +587,61 @@ object QueriesScale {
        |  round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_score
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Kneser-Ney oracle, parameterized by the scored-doc filter
+    * (appended as `AND …` to the ≥2-token gate, like
+    * [[BackoffOracleSql]]) — replays the exact integer fraction of
+    * the interpolated-KN scorer: per-bigram num = max(4c−3,0)·b +
+    * 3·n1p·a over den = 4·ctx·b, cost = bit-length difference + 1;
+    * unseen context falls to the continuation distribution
+    * (bits(b) − bits(a) + 1); no continuation mass pays the flat 16.
+    * Calibration counts (ctx, n1p, a, b) computed BEFORE the
+    * minCount=2 prune of all three tables, exactly like the Scala
+    * build. ONE SQL core gates the one-shot, the persisted-model
+    * increment, and the streaming twin.
+    */
+  private def KnOracleSql(scoredFilter: String): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+       |rb AS (SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+       |  FROM d WHERE doc_id % 3 = 0 AND len(t) >= 2),
+       |bt AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS b FROM rb),
+       |bcf AS (SELECT bg, c FROM (
+       |  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY 1) WHERE c >= 2),
+       |ccf AS (SELECT prev, ctx, n1p FROM (
+       |  SELECT string_split(bg, ' ')[1] AS prev, CAST(count(*) AS BIGINT) AS ctx,
+       |    CAST(count(DISTINCT string_split(bg, ' ')[2]) AS BIGINT) AS n1p
+       |  FROM rb GROUP BY 1) WHERE ctx >= 2),
+       |cof AS (SELECT w, a FROM (
+       |  SELECT string_split(bg, ' ')[2] AS w,
+       |    CAST(count(DISTINCT string_split(bg, ' ')[1]) AS BIGINT) AS a
+       |  FROM rb GROUP BY 1) WHERE a >= 2),
+       |db AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+       |  FROM d WHERE len(t) >= 2$scoredFilter),
+       |jn AS (SELECT db.doc_id,
+       |    greatest(4 * coalesce(bcf.c, 0) - 3, 0) * (SELECT b FROM bt)
+       |      + 3 * ccf.n1p * coalesce(cof.a, 0) AS num,
+       |    ccf.ctx AS ctx, cof.a AS a
+       |  FROM db LEFT JOIN bcf USING (bg)
+       |  LEFT JOIN ccf ON string_split(db.bg, ' ')[1] = ccf.prev
+       |  LEFT JOIN cof ON string_split(db.bg, ' ')[2] = cof.w),
+       |sc AS (SELECT doc_id,
+       |   CAST(CASE WHEN ctx IS NOT NULL AND num >= 1
+       |          THEN length(bin(4 * ctx * (SELECT b FROM bt))) - length(bin(num)) + 1
+       |        WHEN ctx IS NULL AND a IS NOT NULL
+       |          THEN length(bin((SELECT b FROM bt))) - length(bin(a)) + 1
+       |        ELSE 16 END AS BIGINT) AS surpr,
+       |   CASE WHEN ctx IS NOT NULL AND num >= 1 THEN 0
+       |        WHEN ctx IS NULL AND a IS NOT NULL THEN 1 ELSE 2 END AS rung
+       |  FROM jn)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CASE WHEN rung = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+       |  CAST(sum(CASE WHEN rung = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
+       |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -1894,6 +1949,60 @@ object QueriesScale {
       val outDir = GraftSession.freshGatePath("nbout", dir)
       val ckpt   = GraftSession.freshGatePath("nbckpt", dir)
       val q = EventsStream.streamNbScore(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
+    // ---- KNESER-NEY smoothed LM — the top rung of the quality-LM
+    // ladder (the smoother KenLM/CCNet actually deploy): the backoff
+    // distribution is the CONTINUATION count ("how many distinct
+    // contexts precede w"), not raw frequency, interpolated with a
+    // fixed rational discount D=3/4 so the whole probability is ONE
+    // exact integer fraction and the bit cost stays hash-exact
+    // cross-engine.
+    "x_quality_kn" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      TextAnalysis.knSurprisal(d, "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text",
+          oovBits = 16, minCount = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the PERSISTED-model steady state: all three count tables +
+    // the type-count scalar build once (writeKnModel), a crawl
+    // increment scores in O(increment) — same shared tail, same
+    // oracle.
+    "x_quality_kn_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("knmodel", dir)(p =>
+        TextAnalysis.writeKnModel(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p,
+          oovBits = 16, minCount = 2L))
+      TextAnalysis.scoreWithKnModel(s, path,
+          d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- and ONLINE: KN-perplexity-at-ingest — docs stream in, each
+    // micro-batch scores against the persisted model inside
+    // foreachBatch (exactly-once via batch-id partitions). The batch
+    // increment scorer is the oracle semantics.
+    "s9_stream_kn" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("knmodelstream", dir)(p =>
+        TextAnalysis.writeKnModel(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p,
+          oovBits = 16, minCount = 2L))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("knstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("knout", dir)
+      val ckpt   = GraftSession.freshGatePath("knckpt", dir)
+      val q = EventsStream.streamKnScore(s, path, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
@@ -4844,6 +4953,9 @@ object QueriesScale {
     "x_quality_nb" -> NbOracleSql(""),
     "x_quality_nb_inc" -> NbOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_nb" -> NbOracleSql(" AND doc_id % 9 = 4"),
+    "x_quality_kn" -> KnOracleSql(""),
+    "x_quality_kn_inc" -> KnOracleSql(" AND doc_id % 9 = 4"),
+    "s9_stream_kn" -> KnOracleSql(" AND doc_id % 9 = 4"),
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

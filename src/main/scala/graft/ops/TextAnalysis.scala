@@ -680,6 +680,175 @@ object TextAnalysis {
       meta.getAs[Int]("oov_bits"))
   }
 
+  /** KNESER-NEY smoothed bigram surprisal (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — the top rung of the LM
+    * quality ladder ([[zipfSurprisal]] → [[bigramSurprisal]] →
+    * [[backoffSurprisal]] → this): instead of backing off to RAW
+    * unigram frequency, the lower-order model is the CONTINUATION
+    * distribution ("in how many distinct contexts does w appear?"),
+    * which is what makes KN the standard smoother in deployed n-gram
+    * LMs (KenLM's modified-KN is this family) — "francisco" is
+    * frequent but nearly always follows "san", so its continuation
+    * probability is tiny and a stray "francisco" after anything else
+    * is correctly expensive.
+    *
+    * Interpolated-KN probability with fixed rational discount
+    * D = 3/4 (the fixed-discount variant of Chen & Goodman Eq. 18;
+    * a rational constant keeps the algebra exact — no count-of-counts
+    * estimation, no floating point):
+    *
+    *   p(w|prev) = max(c − 3/4, 0)/ctx + (3/4)·(n1p/ctx)·(a/b)
+    *
+    * with c = c(prev,w), ctx = c(prev,·), n1p = |{w' : c(prev,w')>0}|
+    * (the discount mass redistributed), a = |{p' : c(p',w)>0}|
+    * (continuation count of w), b = total distinct bigram types.
+    * Multiplying through by the common denominator gives ONE exact
+    * integer fraction:
+    *
+    *   num = max(4c−3, 0)·b + 3·n1p·a,   den = 4·ctx·b
+    *
+    * and the bit cost is `length(bin(den)) − length(bin(num)) + 1`
+    * on exact BIGINTs — the same `length(bin(n))` = ⌊log2 n⌋+1
+    * device as every other LM gate here, hash-reproducible
+    * cross-engine because no libm log is ever taken (num ≤ den
+    * always: the true interpolated-KN mass of a word is ≤ 1 and
+    * pruning only shrinks the numerator, so the cost is ≥ 1).
+    * An UNSEEN context falls to the continuation distribution alone
+    * (cost = bits(b) − bits(a) + 1); a word with no (surviving)
+    * continuation mass pays the flat `oovBits` ceiling.
+    *
+    * Output per doc (≥ 2 tokens): `n_bigrams`, `n_cont` (how often
+    * the unseen-context rung fired), `n_oov`, `surprisal_sum`
+    * (exact BIGINT), `mean_surprisal` (rounded 4).
+    *
+    * Scale shape: all three model tables aggregate map-side on
+    * bigram/term keys and are `minCount`-pruned for broadcast
+    * boundedness (pruned mass falls through to the next rung, the
+    * smoothing move); `b` and the calibration counts (ctx, n1p, a)
+    * are computed BEFORE the prune so surviving probabilities stay
+    * calibrated. Scoring is the bigram explode plus three broadcast
+    * left joins — the corpus NEVER shuffles on n-gram keys, only the
+    * per-doc aggregation exchanges. BIGINT headroom: den = 4·ctx·b
+    * requires bits(ctx)+bits(b) ≤ 61, asserted loudly at fit time —
+    * comfortably true for any curated reference LM (the CCNet recipe
+    * fits the quality LM on a trusted Wikipedia-scale corpus, ~1e9
+    * tokens; it is the 100 TB crawl that streams through the
+    * broadcast scorer, never into the model).
+    *
+    * Ref behavior: completes the reference's per-text quality screen
+    * (text_curator.py) with the smoother the public curation
+    * literature actually deploys (CCNet §4.2 scores with a KenLM
+    * model, whose estimator is Kneser-Ney).
+    */
+  def knSurprisal(
+      df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      oovBits: Int = 16, minCount: Long = 2L): DataFrame = {
+    val (bc, cc, co, bTypes) = knTables(ref, refTextCol, minCount)
+    knScore(df, idCol, textCol, bc, cc, co, bTypes, oovBits)
+  }
+
+  /** The three KN model tables + the type-count scalar:
+    * bigram (prev, w, c), context (prev, ctx, n1p), continuation
+    * (w, a), and b = distinct bigram types. Counts are computed
+    * pre-prune (calibration), the tables pruned at `minCount` for
+    * broadcast boundedness. The BIGINT-headroom guard for
+    * den = 4·ctx·b lives here so every entry point (one-shot and
+    * persisted fit) fails loudly instead of overflowing silently.
+    */
+  private def knTables(
+      ref: DataFrame, refTextCol: String,
+      minCount: Long): (DataFrame, DataFrame, DataFrame, Long) = {
+    val bg = bigramsOf(ref.select(toks(col(refTextCol)).as("__t")))
+    val bTypes = bg.select(col("prev"), col("w")).distinct().count()
+    val bc = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val ccAll = bg.groupBy(col("prev")).agg(
+      count(lit(1)).as("ctx"), countDistinct(col("w")).as("n1p"))
+    val maxCtx = ccAll.agg(max(col("ctx"))).collect()(0).getLong(0)
+    require(bTypes == 0L || maxCtx <= Long.MaxValue / (4L * bTypes),
+      s"KN fit overflows BIGINT: max context count $maxCtx x 4 x $bTypes bigram " +
+        "types exceeds 2^63 - fit the reference LM on a (sampled) trusted corpus, " +
+        "not the raw crawl")
+    val cc = ccAll.filter(col("ctx") >= minCount)
+    val co = bg.groupBy(col("w")).agg(countDistinct(col("prev")).as("a"))
+      .filter(col("a") >= minCount)
+    (bc, cc, co, bTypes)
+  }
+
+  /** The scoring tail of [[knSurprisal]], shared by the one-shot
+    * operator and the persisted-model increment scorers (batch +
+    * streaming) — one definition so one oracle gates all three
+    * surfaces. Rungs: 0 = known context (interpolated fraction),
+    * 1 = unseen context (continuation distribution), 2 = OOV ceiling.
+    */
+  private def knScore(
+      df: DataFrame, idCol: String, textCol: String,
+      bc: DataFrame, cc: DataFrame, co: DataFrame,
+      bTypes: Long, oovBits: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(bigramPairs(col("__t"))).as("__bg"))
+      .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.w").as("w"))
+      .join(broadcast(bc), Seq("prev", "w"), "left")
+      .join(broadcast(cc), Seq("prev"), "left")
+      .join(broadcast(co), Seq("w"), "left")
+      .withColumn("num",
+        greatest(lit(4L) * coalesce(col("c"), lit(0L)) - lit(3L), lit(0L)) * lit(bTypes)
+          + lit(3L) * col("n1p") * coalesce(col("a"), lit(0L)))
+      .withColumn("surpr",
+        when(col("ctx").isNotNull && col("num") >= 1,
+          (length(bin(lit(4L) * col("ctx") * lit(bTypes)))
+            - length(bin(col("num"))) + lit(1)).cast("long"))
+        .when(col("ctx").isNull && col("a").isNotNull,
+          (length(bin(lit(bTypes))) - length(bin(col("a"))) + lit(1)).cast("long"))
+        .otherwise(lit(oovBits.toLong)))
+      .withColumn("rung",
+        when(col("ctx").isNotNull && col("num") >= 1, lit(0))
+          .when(col("ctx").isNull && col("a").isNotNull, lit(1))
+          .otherwise(lit(2)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("rung") === 1, lit(1L)).otherwise(lit(0L))).as("n_cont"),
+        sum(when(col("rung") === 2, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        sum(col("surpr")).as("surprisal_sum"))
+      .withColumn("mean_surprisal",
+        round(col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"), 4))
+
+  /** PERSIST the KN model — all three count tables plus the
+    * type-count scalar and OOV ceiling in one-row meta, the same
+    * model-travels-whole seam as [[writeBackoffModel]]. Layout:
+    * `$path/bigram` (prev, w, c), `$path/ctx` (prev, ctx, n1p),
+    * `$path/cont` (w, a), one-row `$path/meta` (oov_bits, b_types).
+    */
+  def writeKnModel(
+      ref: DataFrame, refTextCol: String, path: String,
+      oovBits: Int = 16, minCount: Long = 2L): Unit = {
+    val spark = ref.sparkSession
+    val (bc, cc, co, bTypes) = knTables(ref, refTextCol, minCount)
+    bc.coalesce(1).write.mode("overwrite").parquet(s"$path/bigram")
+    cc.coalesce(1).write.mode("overwrite").parquet(s"$path/ctx")
+    co.coalesce(1).write.mode("overwrite").parquet(s"$path/cont")
+    spark.range(1).select(lit(oovBits).as("oov_bits"), lit(bTypes).as("b_types"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a document increment against a persisted [[writeKnModel]]
+    * — identical algebra to [[knSurprisal]] (the shared [[knScore]]
+    * tail), so the batch oracle gates this surface and its streaming
+    * twin too.
+    */
+  def scoreWithKnModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
+    knScore(df, idCol, textCol,
+      spark.read.parquet(s"$path/bigram"),
+      spark.read.parquet(s"$path/ctx"),
+      spark.read.parquet(s"$path/cont"),
+      meta.getAs[Long]("b_types"), meta.getAs[Int]("oov_bits"))
+  }
+
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko
     * lineage): retrieve `fbDocs` per query with plain BM25, mine the
     * `fbTerms` strongest expansion terms from those feedback docs

@@ -734,6 +734,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING Kneser-Ney quality scoring at ingest: arriving
+    * documents score their interpolated-KN surprisal against the
+    * persisted model ([[graft.ops.TextAnalysis.writeKnModel]]) inside
+    * `foreachBatch` — the deployed shape of the CCNet quality-LM
+    * stage (fit KenLM-style model on the trusted corpus once, stream
+    * the crawl through the perplexity gate). Batch
+    * [[graft.ops.TextAnalysis.scoreWithKnModel]] is the oracle
+    * semantics; exactly-once via the batch-id-keyed dynamic
+    * overwrite, like every other probe/score sink here.
+    */
+  def streamKnScore(
+      spark: SparkSession,
+      modelPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .scoreWithKnModel(spark, modelPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING tokenizer application at ingest: arriving documents
     * encode against the persisted BPE merge table
     * ([[graft.ops.TextAnalysis.writeBpeMerges]]) inside

@@ -462,6 +462,55 @@ class DedupSpec extends SparkSpecBase {
     assert(oneShot.toSeq === persisted.toSeq)
   }
 
+  test("knSurprisal: exact interpolated fraction, continuation rung, prune fall-through, OOV") {
+    import graft.ops.TextAnalysis
+    // ref "a b c b a b x b": bigrams (a,b)x2, (b,c) (c,b) (b,a) (b,x)
+    // (x,b) x1 → b_types=6; pruned at minCount=2: bc={(a,b)c=2};
+    // cc pre-prune: a(ctx=2,n1p=1) b(ctx=3,n1p=3), c/x ctx=1 pruned;
+    // co: only w=b survives (a=3 distinct prevs {a,c,x})
+    val ref = Seq((1L, "a b c b a b x b")).toDF("id", "text")
+    def row(text: String) = TextAnalysis.knSurprisal(
+      Seq((1L, text)).toDF("id", "text"), "id", "text", ref, "text",
+      oovBits = 16, minCount = 2L).collect()(0)
+    // seen bigram: num = max(4*2-3,0)*6 + 3*1*3 = 39, den = 4*2*6 = 48
+    // → len(bin(48))-len(bin(39))+1 = 6-6+1 = 1
+    assert(row("a b").getAs[Long]("surprisal_sum") === 1L)
+    // the KN signature: UNSEEN pair in a known context scores by the
+    // continuation mass, not flat — (b,b): num = 0 + 3*3*3 = 27,
+    // den = 4*3*6 = 72 → 7-5+1 = 3 (cheap: b follows 3 distinct prevs)
+    val bb = row("b b")
+    assert(bb.getAs[Long]("surprisal_sum") === 3L)
+    assert(bb.getAs[Long]("n_cont") === 0L && bb.getAs[Long]("n_oov") === 0L)
+    // unseen CONTEXT falls to the continuation distribution alone:
+    // (x,b) → len(bin(6))-len(bin(3))+1 = 3-2+1 = 2, rung counted
+    val xb = row("x b")
+    assert(xb.getAs[Long]("surprisal_sum") === 2L)
+    assert(xb.getAs[Long]("n_cont") === 1L)
+    // known context but zero surviving mass (pair pruned AND word has
+    // no continuation mass): (b,a) → num=0 → the flat 16 ceiling
+    assert(row("b a").getAs[Long]("surprisal_sum") === 16L)
+    // fully unknown: 16
+    assert(row("q q").getAs[Long]("surprisal_sum") === 16L)
+    // mixed doc sums the rungs: (a,b)=1 + (b,b)=3 + (b,c)=16 +
+    // (c,x)=16 + (x,b)=2
+    val mixed = row("a b b c x b")
+    assert(mixed.getAs[Long]("n_bigrams") === 5L)
+    assert(mixed.getAs[Long]("n_cont") === 1L)
+    assert(mixed.getAs[Long]("n_oov") === 2L)
+    assert(mixed.getAs[Long]("surprisal_sum") === 38L)
+    assert(mixed.getAs[Double]("mean_surprisal") === 7.6)
+    // persisted model is the same model: writeKnModel →
+    // scoreWithKnModel reproduces the one-shot scoring exactly
+    val path = java.nio.file.Files.createTempDirectory("kn-rt").toString
+    TextAnalysis.writeKnModel(ref, "text", path, oovBits = 16, minCount = 2L)
+    val docs = Seq((1L, "a b"), (2L, "b b"), (3L, "a b b c x b")).toDF("id", "text")
+    val oneShot = TextAnalysis.knSurprisal(docs, "id", "text", ref, "text", 16, 2L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val persisted = TextAnalysis.scoreWithKnModel(spark, path, docs, "id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(oneShot.toSeq === persisted.toSeq)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,

@@ -329,7 +329,7 @@ class PlanAssertSpec extends SparkSpecBase {
   }
 
   test("x_quality_bigram/backoff: count tables join broadcast — the corpus never shuffles on n-gram keys") {
-    for (name <- Seq("x_quality_bigram", "x_quality_backoff", "x_quality_nb")) {
+    for (name <- Seq("x_quality_bigram", "x_quality_backoff", "x_quality_nb", "x_quality_kn")) {
       val plan = planOf(q(name))
       // the scoring side must be broadcast left joins against the
       // minCount-bounded count tables; a SortMergeJoin here means the
