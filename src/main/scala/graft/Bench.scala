@@ -143,6 +143,8 @@ object Bench {
     "x_quality_kn",
     "x_quality_kn_inc",
     "s9_stream_kn",
+    "x_quality_nb_eval",
+    "s9_stream_nb_eval",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -849,6 +849,72 @@ object TextAnalysis {
       meta.getAs[Long]("b_types"), meta.getAs[Int]("oov_bits"))
   }
 
+  /** EVALUATE a binary classifier's integer scores against boolean
+    * labels — the judge for the supervised quality gate
+    * ([[nbQualityScore]]): threshold-free ranking quality as the
+    * Mann-Whitney AUC with exact tie correction, plus the confusion
+    * matrix at the natural keep/drop threshold (score > 0 = keep).
+    *
+    * Integer-exact AUC: with `u2` = 2·#{(pos,neg) pairs where
+    * s_pos > s_neg} + #{tied pairs} (a BIGINT — every quantity is a
+    * pair count), AUC = u2 / (2·n_pos·n_neg), one rounded-6 division
+    * at the end. Computed WITHOUT materializing pairs: group by
+    * distinct score → (cp, cn) per score, one cumulative window over
+    * the ordered distinct-score table, u2 = Σ cp·(2·cum_cn_less + cn)
+    * — the rank-sum identity, never O(n_pos·n_neg).
+    *
+    * Output: ONE row — `n_pos`, `n_neg`, `u2`, `auc`, `n_tp`,
+    * `n_fp`, `n_tn`, `n_fn`, `accuracy`.
+    *
+    * Scale shape: the per-score aggregation is map-side combinable on
+    * the score key; the single-partition window runs over the
+    * DISTINCT-SCORE table, whose size is bounded by the score range
+    * (thousands of integer-bit values), never the corpus — the same
+    * bounded-small-side discipline as the count-table broadcasts.
+    */
+  def evalBinaryScores(
+      df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val lab = df.select(col(scoreCol).cast("long").as("score"),
+      col(posCol).cast("boolean").as("pos"))
+    val grp = lab.groupBy(col("score")).agg(
+      sum(when(col("pos"), lit(1L)).otherwise(lit(0L))).as("cp"),
+      sum(when(!col("pos"), lit(1L)).otherwise(lit(0L))).as("cn"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = grp
+      .withColumn("cumn", coalesce(sum(col("cn")).over(w), lit(0L)))
+      .agg(sum(col("cp")).as("n_pos"), sum(col("cn")).as("n_neg"),
+        sum(col("cp") * (lit(2L) * col("cumn") + col("cn"))).as("u2"))
+    val conf = lab.agg(
+      sum(when(col("pos") && col("score") > 0, lit(1L)).otherwise(lit(0L))).as("n_tp"),
+      sum(when(!col("pos") && col("score") > 0, lit(1L)).otherwise(lit(0L))).as("n_fp"),
+      sum(when(!col("pos") && col("score") <= 0, lit(1L)).otherwise(lit(0L))).as("n_tn"),
+      sum(when(col("pos") && col("score") <= 0, lit(1L)).otherwise(lit(0L))).as("n_fn"))
+    agg.crossJoin(conf).select(
+      col("n_pos"), col("n_neg"), col("u2"),
+      round(col("u2").cast("double")
+        / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6).as("auc"),
+      col("n_tp"), col("n_fp"), col("n_tn"), col("n_fn"),
+      round((col("n_tp") + col("n_tn")).cast("double")
+        / (col("n_pos") + col("n_neg")).cast("double"), 6).as("accuracy"))
+  }
+
+  /** Score an increment against a persisted [[writeNbModel]] AND
+    * judge it against its own labels in one pass — the
+    * monitoring-at-ingest shape ([[evalBinaryScores]] over
+    * [[scoreWithNbModel]]): the deployed classifier's AUC/confusion
+    * per arriving batch, so drift in the keep/drop gate is visible
+    * the batch it happens, not at the next offline eval.
+    */
+  def evalWithNbModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String, posCol: String): DataFrame =
+    evalBinaryScores(
+      scoreWithNbModel(spark, path, df, idCol, textCol)
+        .join(df.select(col(idCol).as("doc_id"),
+          col(posCol).cast("boolean").as("__pos")), Seq("doc_id")),
+      "score_bits", "__pos")
+
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite, Rocchio/Lavrenko
     * lineage): retrieve `fbDocs` per query with plain BM25, mine the
     * `fbTerms` strongest expansion terms from those feedback docs

@@ -734,6 +734,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING classifier MONITORING at ingest: each arriving batch
+    * scores against the persisted NB model and judges the scores
+    * against the batch's own labels
+    * ([[graft.ops.TextAnalysis.evalWithNbModel]]) — one AUC/confusion
+    * row per micro-batch, so drift in the deployed keep/drop gate is
+    * visible the batch it happens. Batch `evalWithNbModel` is the
+    * oracle semantics; exactly-once via the batch-id-keyed dynamic
+    * overwrite, like every other probe/score sink here.
+    */
+  def streamNbEval(
+      spark: SparkSession,
+      modelPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      posCol: String,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .evalWithNbModel(spark, modelPath, batch, "doc_id", "text", posCol)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING Kneser-Ney quality scoring at ingest: arriving
     * documents score their interpolated-KN surprisal against the
     * persisted model ([[graft.ops.TextAnalysis.writeKnModel]]) inside

@@ -511,6 +511,35 @@ class DedupSpec extends SparkSpecBase {
     assert(oneShot.toSeq === persisted.toSeq)
   }
 
+  test("evalBinaryScores: rank-sum AUC with exact tie correction + confusion at score>0") {
+    import graft.ops.TextAnalysis
+    // pos scores {2, 0}, neg scores {0, -3}: strict wins (2>0, 2>-3,
+    // 0>-3) = 3, one tied pair (0=0) → u2 = 2*3+1 = 7,
+    // AUC = 7/8 = 0.875 (the hand formula (3 + 0.5)/4)
+    val df = Seq((2L, true), (0L, true), (0L, false), (-3L, false))
+      .toDF("score", "pos")
+    val r = TextAnalysis.evalBinaryScores(df, "score", "pos").collect()(0)
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("u2") === 7L)
+    assert(r.getAs[Double]("auc") === 0.875)
+    // confusion at the keep threshold (score > 0): only the 2 is
+    // kept → tp=1 fn=1 fp=0 tn=2, accuracy 3/4
+    assert(r.getAs[Long]("n_tp") === 1L && r.getAs[Long]("n_fn") === 1L)
+    assert(r.getAs[Long]("n_fp") === 0L && r.getAs[Long]("n_tn") === 2L)
+    assert(r.getAs[Double]("accuracy") === 0.75)
+    // perfect separation → AUC exactly 1; inverted → exactly 0
+    val sep = Seq((5L, true), (4L, true), (1L, false)).toDF("score", "pos")
+    assert(TextAnalysis.evalBinaryScores(sep, "score", "pos")
+      .collect()(0).getAs[Double]("auc") === 1.0)
+    val inv = Seq((1L, true), (4L, false), (5L, false)).toDF("score", "pos")
+    assert(TextAnalysis.evalBinaryScores(inv, "score", "pos")
+      .collect()(0).getAs[Double]("auc") === 0.0)
+    // all-tied degenerate: every pair ties → AUC exactly 0.5
+    val tied = Seq((3L, true), (3L, false), (3L, false)).toDF("score", "pos")
+    assert(TextAnalysis.evalBinaryScores(tied, "score", "pos")
+      .collect()(0).getAs[Double]("auc") === 0.5)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
