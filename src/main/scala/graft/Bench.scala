@@ -145,6 +145,7 @@ object Bench {
     "s9_stream_kn",
     "x_quality_nb_eval",
     "s9_stream_nb_eval",
+    "x_quality_curve",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

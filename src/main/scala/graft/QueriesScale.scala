@@ -2011,6 +2011,21 @@ object QueriesScale {
         "score_bits", "__pos")
     }),
 
+    // ---- the CUTOFF-picking curve of the supervised gate: one NB
+    // scoring pass, an 11-point threshold grid riding a broadcast
+    // nested-loop over the per-doc score table — kept docs/tokens/
+    // fraction per candidate cutoff, zero extra corpus scans.
+    "x_quality_curve" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val scored = TextAnalysis.nbQualityScore(d, "doc_id", "text",
+        d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("__is_en", col("lang") === "en"),
+        "text", "__is_en", oovBits = 16, minCount = 2L)
+      TextAnalysis.qualityKeepCurve(scored, "score_bits", "n_tokens",
+        Seq(-32L, -16L, -8L, -4L, -2L, 0L, 2L, 4L, 8L, 16L, 32L))
+    }),
+
     // ---- and ONLINE: classifier MONITORING at ingest — each
     // arriving batch scores against the persisted model and judges
     // itself against its own labels (one AUC/confusion row per
@@ -5039,6 +5054,16 @@ object QueriesScale {
     "s9_stream_kn" -> KnOracleSql(" AND doc_id % 9 = 4"),
     "x_quality_nb_eval" -> NbEvalOracleSql(" AND doc_id % 3 <> 0"),
     "s9_stream_nb_eval" -> NbEvalOracleSql(" AND doc_id % 9 = 4"),
+    "x_quality_curve" ->
+      s"""${NbScoreCtes("")},
+         |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1),
+         |th AS (SELECT unnest([-32, -16, -8, -4, -2, 0, 2, 4, 8, 16, 32]) AS threshold)
+         |SELECT CAST(threshold AS BIGINT) AS threshold,
+         |  CAST(count(*) FILTER (WHERE score > threshold) AS BIGINT) AS kept_docs,
+         |  CAST(coalesce(sum(n_tokens) FILTER (WHERE score > threshold), 0) AS BIGINT) AS kept_tokens,
+         |  round(CAST(count(*) FILTER (WHERE score > threshold) AS DOUBLE) / count(*), 6) AS kept_frac
+         |FROM th CROSS JOIN doc GROUP BY 1 ORDER BY threshold""".stripMargin,
     "s9_stream_quality" -> QualityOracleSql,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept

@@ -899,6 +899,32 @@ object TextAnalysis {
         / (col("n_pos") + col("n_neg")).cast("double"), 6).as("accuracy"))
   }
 
+  /** The KEEP-CURVE of a quality gate: for each candidate threshold,
+    * how many documents (and tokens) survive `score > t` — the table
+    * a curation run reads to pick its cutoff (keep-rate vs quality
+    * trade-off), from ONE scoring pass: the corpus is scored once and
+    * the tiny threshold grid rides a broadcast nested-loop against
+    * the per-doc score table; the sweep adds ZERO corpus scans.
+    * Output per threshold: `threshold`, `kept_docs`, `kept_tokens`,
+    * `kept_frac` (rounded 6) — every count exact.
+    */
+  def qualityKeepCurve(
+      scored: DataFrame, scoreCol: String, weightCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    val th = scored.sparkSession
+      .createDataFrame(thresholds.map(Tuple1(_))).toDF("threshold")
+    scored.select(col(scoreCol).cast("long").as("__s"),
+        col(weightCol).cast("long").as("__w"))
+      .crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__s") > col("threshold"), lit(1L)).otherwise(lit(0L))).as("kept_docs"),
+        sum(when(col("__s") > col("threshold"), col("__w")).otherwise(lit(0L))).as("kept_tokens"),
+        round(sum(when(col("__s") > col("threshold"), lit(1L)).otherwise(lit(0L))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("kept_frac"))
+      .orderBy(col("threshold"))
+  }
+
   /** Score an increment against a persisted [[writeNbModel]] AND
     * judge it against its own labels in one pass — the
     * monitoring-at-ingest shape ([[evalBinaryScores]] over

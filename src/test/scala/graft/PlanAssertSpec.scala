@@ -282,6 +282,20 @@ class PlanAssertSpec extends SparkSpecBase {
       s"curve multiplies corpus scans with cutoffs ($embScans embeddings scans):\n$plan")
   }
 
+  test("x_quality_curve: the threshold sweep adds no corpus scans") {
+    val curve = q("x_quality_curve")
+    val plan  = planOf(curve)
+    // the NB scorer reads documents twice by construction (labeled
+    // reference slice + scored corpus); the 11-point threshold grid
+    // must ride the per-doc score table as a broadcast nested-loop,
+    // never re-scan the corpus per cutoff
+    val docScans = fileScans(curve.queryExecution.executedPlan)
+      .count(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(docScans <= 3,
+      s"curve multiplies corpus scans with cutoffs ($docScans documents scans):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"curve went cartesian:\n$plan")
+  }
+
   test("x_ann_join: candidates from an equi-join on cell_id — no cartesian between the corpora") {
     val plan = planOf(q("x_ann_join"))
     // the ONLY nested-loop joins allowed are the one-row broadcast
