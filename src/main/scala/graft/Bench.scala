@@ -146,6 +146,9 @@ object Bench {
     "x_quality_nb_eval",
     "s9_stream_nb_eval",
     "x_quality_curve",
+    "x_emb_pca",
+    "x_emb_pca_inc",
+    "s9_stream_pca",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -680,6 +680,47 @@ object QueriesScale {
        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Integer-exact-PCA oracle, parameterized by the projected-slice
+    * filter — replays the whole fit deterministically: fixed-point
+    * quantize q = ⌊x·1000⌋ (floor of a correctly-rounded IEEE
+    * product — identical BIGINT in both engines), moments s1/s2, the
+    * centering identity C = n·s2 − s1·s1ᵀ, three unrolled power
+    * iterations with the truncating fixed-point renorm
+    * sign(w)·(|w|·256 ÷ max|w|), then the projection join. The fit
+    * always runs over the FULL embeddings table; only the projected
+    * slice is filtered. ONE SQL core gates the one-shot, the
+    * persisted-direction increment, and the streaming twin.
+    */
+  private def PcaOracleSql(scoredFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id, CAST(i.i - 1 AS INT) AS i,
+       |    CAST(floor(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+       |  FROM e, unnest(range(1, len(embedding) + 1)) AS i(i)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |s1 AS (SELECT i, CAST(sum(q) AS BIGINT) AS s1 FROM q GROUP BY 1),
+       |s2 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s2
+       |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+       |c AS (SELECT s2.i, s2.j, (SELECT n FROM nn) * s2.s2 - sa.s1 * sb.s1 AS c
+       |  FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i),
+       |w1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS w FROM c GROUP BY 1),
+       |m1 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w1),
+       |v1 AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m1))
+       |    ELSE (w * 256) // (SELECT m FROM m1) END AS BIGINT) AS v FROM w1),
+       |w2 AS (SELECT c.i, CAST(sum(c.c * v1.v) AS BIGINT) AS w
+       |  FROM c JOIN v1 ON c.j = v1.i GROUP BY 1),
+       |m2 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w2),
+       |v2 AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m2))
+       |    ELSE (w * 256) // (SELECT m FROM m2) END AS BIGINT) AS v FROM w2),
+       |w3 AS (SELECT c.i, CAST(sum(c.c * v2.v) AS BIGINT) AS w
+       |  FROM c JOIN v2 ON c.j = v2.i GROUP BY 1),
+       |m3 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w3),
+       |v3 AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m3))
+       |    ELSE (w * 256) // (SELECT m FROM m3) END AS BIGINT) AS v FROM w3)
+       |SELECT q.vec_id, CAST(sum(q.q * v3.v) AS BIGINT) AS proj
+       |FROM q JOIN v3 USING (i)
+       |WHERE TRUE$scoredFilter
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
     * weights, per-doc scores — shared by the one-shot selection and
@@ -2101,6 +2142,46 @@ object QueriesScale {
       val q = EventsStream.streamKnScore(s, path, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
+    // ---- INTEGER-EXACT PCA: the dimensionality-reduction stage an
+    // embedding pipeline runs before indexing — fixed-point quantize,
+    // one dim²-keyed moments pass, 3 power iterations on the bounded
+    // dim×dim integer matrix, broadcast-join projection. Every step
+    // exact BIGINT arithmetic; no libm eigensolver.
+    "x_emb_pca" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pcaProject(e, "vec_id", "embedding", scale = 1000L, iters = 3)
+    }),
+
+    // ---- the PERSISTED-direction steady state: fit once
+    // (writePcaModel), project each arriving increment in
+    // O(increment) — same projection tail, same oracle.
+    "x_emb_pca_inc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("pcamodel", dir)(p =>
+        Similarity.writePcaModel(e, "vec_id", "embedding", p, scale = 1000L, iters = 3))
+      Similarity.projectWithPcaModel(s, path,
+        e.filter(pmod(col("vec_id"), lit(9)) === 4), "vec_id", "embedding")
+    }),
+
+    // ---- and ONLINE: project-at-ingest — vectors stream in, each
+    // micro-batch projects onto the persisted direction inside
+    // foreachBatch (exactly-once via batch-id partitions). The batch
+    // increment projector is the oracle semantics.
+    "s9_stream_pca" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("pcamodelstream", dir)(p =>
+        Similarity.writePcaModel(e, "vec_id", "embedding", p, scale = 1000L, iters = 3))
+      val inc = e.filter(pmod(col("vec_id"), lit(9)) === 4)
+        .select(col("vec_id"), col("embedding"))
+      val incDir = GraftSession.freshGatePath("pcastream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("pcaout", dir)
+      val ckpt   = GraftSession.freshGatePath("pcackpt", dir)
+      val q = EventsStream.streamPcaProject(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("vec_id"))
     }),
 
     // ---- int8-quantized ANN: the 4x-memory embedding layout, ranked
@@ -5054,6 +5135,9 @@ object QueriesScale {
     "s9_stream_kn" -> KnOracleSql(" AND doc_id % 9 = 4"),
     "x_quality_nb_eval" -> NbEvalOracleSql(" AND doc_id % 3 <> 0"),
     "s9_stream_nb_eval" -> NbEvalOracleSql(" AND doc_id % 9 = 4"),
+    "x_emb_pca" -> PcaOracleSql(""),
+    "x_emb_pca_inc" -> PcaOracleSql(" AND vec_id % 9 = 4"),
+    "s9_stream_pca" -> PcaOracleSql(" AND vec_id % 9 = 4"),
     "x_quality_curve" ->
       s"""${NbScoreCtes("")},
          |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

@@ -1397,4 +1397,138 @@ object Similarity {
         acc => acc.getField("cell")))
       .select(col("neighbor_id"), col("cv"), col("cell_id"))
   }
+
+  /** INTEGER-EXACT PCA top direction by power iteration — the
+    * dimensionality-reduction stage an embedding pipeline runs before
+    * indexing (project to the leading component(s), then bucket /
+    * quantize): hash-reproducible cross-engine because every step is
+    * exact integer arithmetic on a fixed-point quantization, never a
+    * libm eigensolver.
+    *
+    *   1. QUANTIZE per element: q = ⌊x · S⌋ (S = `scale`, default
+    *      1000) — float→double widening is exact, the IEEE product is
+    *      correctly rounded identically in both engines, and floor
+    *      lands on the same BIGINT. (Per-VECTOR int8 scaling
+    *      ([[quantizeInt8]]) would break the linearity PCA needs —
+    *      this map is one global linear transform.)
+    *   2. SECOND MOMENTS in one corpus pass: s1_i = Σ q_i and
+    *      s2_ij = Σ q_i·q_j, keyed by (i,j) — dim² keys, map-side
+    *      combinable, the one corpus-scale aggregation.
+    *   3. The centering identity C = n·s2 − s1·s1ᵀ (= n² × the
+    *      covariance, scale-free for eigenvector purposes) — exact
+    *      BIGINTs, no mean subtraction in floating point.
+    *   4. POWER ITERATION, `iters` (default 3) rounds from the
+    *      all-ones vector on the collected dim×dim table (bounded:
+    *      dim² longs, the same driver-side materialization budget as
+    *      the Lloyd centroid step): w = C·v, then the fixed-point
+    *      renorm v' = sign(w)·(|w|·256 ÷ max|w|) in truncating
+    *      integer division — deterministic, no sqrt, no norm.
+    *   5. PROJECT: p = Σ q_d · v_d per vector — one broadcast join of
+    *      the dim-row direction against the element explode.
+    *
+    * Output: (vec_id, proj) — `proj` an exact BIGINT; callers bucket
+    * or rank it (ties are real ties).
+    *
+    * Scale shape: the corpus is touched twice (moments, projection),
+    * both passes keyed small (dim² / dim); nothing corpus-sized ever
+    * shuffles on a wide key or reaches the driver. BIGINT headroom:
+    * n·(S·max|x|)² must stay under 2^62 — asserted loudly; at
+    * trillion-row scale fit the direction on a deterministic sample
+    * (the standard move) and project everything.
+    */
+  def pcaProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000L, iters: Int = 3): DataFrame = {
+    val (dir, s) = pcaTopDirection(df, idCol, vecCol, scale, iters)
+    pcaApply(df, idCol, vecCol, dir, s)
+  }
+
+  /** The fitted direction of [[pcaProject]]: (dim index → integer
+    * component, renormed to max |v| = 256), plus the scale it was fit
+    * at. Bounded driver-side work: dim² matrix + dim-length vectors.
+    */
+  def pcaTopDirection(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Long, iters: Int): (Seq[(Int, Long)], Long) = {
+    val q = quantized(df.select(col(idCol).as("vec_id"), col(vecCol).as("__e")), "__e", scale)
+    val maxQ = q.agg(max(abs(col("q")))).collect()(0).getLong(0)
+    val n = df.count()
+    require(maxQ == 0L || n <= (Long.MaxValue / 2) / maxQ / maxQ,
+      s"PCA moments overflow BIGINT: $n rows x (max|q| = $maxQ)^2 - fit the " +
+        "direction on a deterministic sample and project the full corpus")
+    val s1 = q.groupBy(col("i")).agg(sum(col("q")).as("s1"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s2 = q.as("a").join(q.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.q") * col("b.q")).as("s2"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dims = s1.keys.toSeq.sorted
+    val cov: Map[(Int, Int), Long] = (for { i <- dims; j <- dims } yield
+      (i, j) -> (n * s2.getOrElse((i, j), 0L) - s1(i) * s1(j))).toMap
+    var v: Map[Int, Long] = dims.map(_ -> 1L).toMap
+    for (_ <- 1 to iters) {
+      val w = dims.map(i => i -> dims.map(j => cov((i, j)) * v(j)).sum).toMap
+      val m = math.max(w.values.map(math.abs).max, 1L)
+      v = w.map { case (i, x) =>
+        i -> (if (x < 0) -((-x) * 256L / m) else x * 256L / m)
+      }
+    }
+    (dims.map(i => i -> v(i)), scale)
+  }
+
+  /** The projection tail of [[pcaProject]], shared by the one-shot
+    * operator and the persisted-model increment scorers (batch +
+    * streaming) — one definition so one oracle gates all three
+    * surfaces.
+    */
+  private def pcaApply(
+      df: DataFrame, idCol: String, vecCol: String,
+      direction: Seq[(Int, Long)], scale: Long): DataFrame = {
+    val spark = df.sparkSession
+    val dirDf = spark.createDataFrame(direction).toDF("i", "v")
+    quantized(df.select(col(idCol).as("vec_id"), col(vecCol).as("__e")), "__e", scale)
+      .join(broadcast(dirDf), Seq("i"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("v")).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The fixed-point element explode: (vec_id, i, q = ⌊x·S⌋) —
+    * 0-indexed dimension, exact in both engines (floor of a
+    * correctly-rounded IEEE product).
+    */
+  private def quantized(df: DataFrame, vecCol: String, scale: Long = 1000L): DataFrame =
+    df.select(col("vec_id"), posexplode(col(vecCol)).as(Seq("i", "__x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("__x").cast("double") * lit(scale.toDouble)).cast("long").as("q"))
+
+  /** PERSIST the PCA direction — the fit-once seam of [[pcaProject]]
+    * for the steady-state ingest loop (project arriving vectors
+    * before they reach the index). Layout: `$path/direction` (i, v) +
+    * one-row `$path/meta` (scale, iters).
+    */
+  def writePcaModel(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      scale: Long = 1000L, iters: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val (dir, s) = pcaTopDirection(df, idCol, vecCol, scale, iters)
+    spark.createDataFrame(dir).toDF("i", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/direction")
+    spark.range(1).select(lit(s).as("scale"), lit(iters).as("iters"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Project a vector increment against a persisted [[writePcaModel]]
+    * — identical algebra to [[pcaProject]] (the shared projection
+    * tail), so the batch oracle gates this surface and its streaming
+    * twin too.
+    */
+  def projectWithPcaModel(
+      spark: SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dir = spark.read.parquet(s"$path/direction")
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Long]("v")).toSeq
+    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
+    pcaApply(df, idCol, vecCol, dir, meta.getAs[Long]("scale"))
+  }
 }

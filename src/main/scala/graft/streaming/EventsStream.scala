@@ -734,6 +734,39 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING PCA projection at ingest: arriving vectors project
+    * onto the persisted integer top direction
+    * ([[graft.ops.Similarity.writePcaModel]]) inside `foreachBatch` —
+    * the dimensionality-reduce-before-index stage of an embedding
+    * pipeline, run as vectors land. Batch
+    * [[graft.ops.Similarity.projectWithPcaModel]] is the oracle
+    * semantics; exactly-once via the batch-id-keyed dynamic
+    * overwrite, like every other probe/score sink here.
+    */
+  def streamPcaProject(
+      spark: SparkSession,
+      modelPath: String,
+      newVecsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newVecsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Similarity
+          .projectWithPcaModel(spark, modelPath, batch, "vec_id", "embedding")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING classifier MONITORING at ingest: each arriving batch
     * scores against the persisted NB model and judges the scores
     * against the batch's own labels

