@@ -1411,9 +1411,11 @@ object Similarity {
     *      lands on the same BIGINT. (Per-VECTOR int8 scaling
     *      ([[quantizeInt8]]) would break the linearity PCA needs —
     *      this map is one global linear transform.)
-    *   2. SECOND MOMENTS in one corpus pass: s1_i = Σ q_i and
-    *      s2_ij = Σ q_i·q_j, keyed by (i,j) — dim² keys, map-side
-    *      combinable, the one corpus-scale aggregation.
+    *   2. MOMENTS via the in-array double explode: s1_i = Σ q_i and
+    *      s2_ij = Σ q_i·q_j, keyed by dim / (i,j) — dim² keys,
+    *      map-side combinable, and NO vec_id-keyed shuffle anywhere
+    *      (elements of one vector already sit in one array; pairing
+    *      them is a flatMap, not a self-join).
     *   3. The centering identity C = n·s2 − s1·s1ᵀ (= n² × the
     *      covariance, scale-free for eigenvector purposes) — exact
     *      BIGINTs, no mean subtraction in floating point.
@@ -1450,17 +1452,27 @@ object Similarity {
   def pcaTopDirection(
       df: DataFrame, idCol: String, vecCol: String,
       scale: Long, iters: Int): (Seq[(Int, Long)], Long) = {
-    val q = quantized(df.select(col(idCol).as("vec_id"), col(vecCol).as("__e")), "__e", scale)
-    val maxQ = q.agg(max(abs(col("q")))).collect()(0).getLong(0)
+    // quantize ONCE per row into an array column: both moment passes
+    // ride the scan with map-side combine on dim/dim² keys — no
+    // vec_id-keyed shuffle anywhere in the fit (a self-join on vec_id
+    // would shuffle the whole corpus just to pair elements that
+    // already sit in the same array)
+    val qArr = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(scale.toDouble)).cast("long")).as("__qa"))
+    val s1rows = qArr.select(posexplode(col("__qa")).as(Seq("i", "q")))
+      .groupBy(col("i")).agg(sum(col("q")).as("s1"), max(abs(col("q"))).as("mq"))
+      .collect()
+    val s1 = s1rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxQ = if (s1rows.isEmpty) 0L else s1rows.map(_.getLong(2)).max
     val n = df.count()
     require(maxQ == 0L || n <= (Long.MaxValue / 2) / maxQ / maxQ,
       s"PCA moments overflow BIGINT: $n rows x (max|q| = $maxQ)^2 - fit the " +
         "direction on a deterministic sample and project the full corpus")
-    val s1 = q.groupBy(col("i")).agg(sum(col("q")).as("s1"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val s2 = q.as("a").join(q.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.q") * col("b.q")).as("s2"))
+    val s2 = qArr
+      .select(posexplode(col("__qa")).as(Seq("i", "qi")), col("__qa"))
+      .select(col("i"), col("qi"), posexplode(col("__qa")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("s2"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val dims = s1.keys.toSeq.sorted
     val cov: Map[(Int, Int), Long] = (for { i <- dims; j <- dims } yield
