@@ -149,6 +149,9 @@ object Bench {
     "x_emb_pca",
     "x_emb_pca_inc",
     "s9_stream_pca",
+    "x_corpus_drift",
+    "x_corpus_drift_inc",
+    "s9_stream_drift",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

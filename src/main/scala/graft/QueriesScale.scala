@@ -680,6 +680,33 @@ object QueriesScale {
        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Corpus-drift oracle — replays the cleared-denominator TV exactly:
+    * reference %3=0 vs increment %9=4 term counts full-outer-joined,
+    * totals first, then Σ|c_ref·t_inc − c_inc·t_ref| in DECIMAL and
+    * one rounded division. ONE SQL gates the one-shot, the
+    * persisted-reference increment, and the streaming twin (all three
+    * surfaces compare the same two slices).
+    */
+  private val DriftOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+      |rc AS (SELECT w, CAST(count(*) AS BIGINT) AS cr FROM (
+      |  SELECT unnest(t) AS w FROM d WHERE doc_id % 3 = 0) GROUP BY 1),
+      |ic AS (SELECT w, CAST(count(*) AS BIGINT) AS ci FROM (
+      |  SELECT unnest(t) AS w FROM d WHERE doc_id % 9 = 4) GROUP BY 1),
+      |j AS (SELECT coalesce(rc.cr, 0) AS cr, coalesce(ic.ci, 0) AS ci
+      |  FROM rc FULL OUTER JOIN ic USING (w)),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ci) AS BIGINT) AS ti FROM j)
+      |SELECT (SELECT tr FROM tot) AS t_ref, (SELECT ti FROM tot) AS t_inc,
+      |  CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(count(*) FILTER (WHERE cr = 0) AS BIGINT) AS n_new_terms,
+      |  CAST(sum(abs(CAST(cr AS DECIMAL(19,0)) * (SELECT ti FROM tot)
+      |    - CAST(ci AS DECIMAL(19,0)) * (SELECT tr FROM tot))) AS DECIMAL(38,0)) AS tv_num,
+      |  round(CAST(sum(abs(CAST(cr AS DECIMAL(19,0)) * (SELECT ti FROM tot)
+      |    - CAST(ci AS DECIMAL(19,0)) * (SELECT tr FROM tot))) AS DOUBLE)
+      |    / (2.0 * (SELECT tr FROM tot) * (SELECT ti FROM tot)), 6) AS tv
+      |FROM j""".stripMargin
+
   /** Integer-exact-PCA oracle, parameterized by the projected-slice
     * filter — replays the whole fit deterministically: fixed-point
     * quantize q = ⌊x·1000⌋ (floor of a correctly-rounded IEEE
@@ -2142,6 +2169,52 @@ object QueriesScale {
       val q = EventsStream.streamKnScore(s, path, incDir, inc.schema, outDir, ckpt)
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
+    // ---- CORPUS-DRIFT monitor: integer-exact total-variation
+    // distance between the reference corpus (%3=0) and an arriving
+    // increment (%9=4) — TV numerator = Σ|c_ref·t_inc − c_inc·t_ref|
+    // in DECIMAL (trillion-token-safe), one division at the end;
+    // plus the new-vocabulary count, the classic early drift signal.
+    "x_corpus_drift" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      TextAnalysis.corpusDrift(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0), "text",
+        d.filter(pmod(col("doc_id"), lit(9)) === 4), "text")
+    }),
+
+    // ---- the PERSISTED-reference steady state: count the reference
+    // once (writeDriftRef), measure each increment in O(increment) —
+    // same comparison tail, same oracle.
+    "x_corpus_drift_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("driftref", dir)(p =>
+        TextAnalysis.writeDriftRef(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p))
+      TextAnalysis.driftWithRef(s, path,
+        d.filter(pmod(col("doc_id"), lit(9)) === 4), "text")
+    }),
+
+    // ---- and ONLINE: drift-at-ingest — one TV/new-vocab row per
+    // arriving micro-batch against the persisted reference counts.
+    // The batch increment monitor is the oracle semantics.
+    "s9_stream_drift" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("driftrefstream", dir)(p =>
+        TextAnalysis.writeDriftRef(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("driftstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("driftout", dir)
+      val ckpt   = GraftSession.freshGatePath("driftckpt", dir)
+      val q = EventsStream.streamDrift(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc")
     }),
 
     // ---- INTEGER-EXACT PCA: the dimensionality-reduction stage an
@@ -5135,6 +5208,9 @@ object QueriesScale {
     "s9_stream_kn" -> KnOracleSql(" AND doc_id % 9 = 4"),
     "x_quality_nb_eval" -> NbEvalOracleSql(" AND doc_id % 3 <> 0"),
     "s9_stream_nb_eval" -> NbEvalOracleSql(" AND doc_id % 9 = 4"),
+    "x_corpus_drift" -> DriftOracleSql,
+    "x_corpus_drift_inc" -> DriftOracleSql,
+    "s9_stream_drift" -> DriftOracleSql,
     "x_emb_pca" -> PcaOracleSql(""),
     "x_emb_pca_inc" -> PcaOracleSql(" AND vec_id % 9 = 4"),
     "s9_stream_pca" -> PcaOracleSql(" AND vec_id % 9 = 4"),

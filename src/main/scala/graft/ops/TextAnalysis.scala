@@ -899,6 +899,82 @@ object TextAnalysis {
         / (col("n_pos") + col("n_neg")).cast("double"), 6).as("accuracy"))
   }
 
+  /** CORPUS DRIFT between a reference corpus and an increment — the
+    * crawl-snapshot monitor of a training-data pipeline ("did this
+    * month's crawl change vocabulary/distribution enough to re-tune
+    * the filters?"): TOTAL-VARIATION distance between the two token
+    * distributions, made integer-exact by clearing denominators —
+    *
+    *   TV = Σ_w |c_ref(w)·t_inc − c_inc(w)·t_ref| / (2·t_ref·t_inc)
+    *
+    * where every numerator term is an exact integer product (carried
+    * in DECIMAL(38,0) so trillion-token totals cannot overflow), and
+    * ONE rounded-6 division happens at the very end. Alongside TV the
+    * monitor reports `n_terms` (union vocabulary) and `n_new_terms`
+    * (words the reference never saw — the classic early drift
+    * signal).
+    *
+    * Output: ONE row — `t_ref`, `t_inc`, `n_terms`, `n_new_terms`,
+    * `tv_num` (exact DECIMAL), `tv`.
+    *
+    * Scale shape: both sides aggregate map-side on term keys; the
+    * union vocabulary table is the only intermediate (vocab-sized,
+    * never corpus-sized), scanned twice (totals, then the cleared
+    * numerator — the totals must exist before the terms can be
+    * weighed).
+    */
+  def corpusDrift(
+      ref: DataFrame, refTextCol: String,
+      inc: DataFrame, incTextCol: String): DataFrame =
+    driftFromCounts(
+      ref.select(explode(toks(col(refTextCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cr")),
+      inc)( incTextCol)
+
+  /** The comparison tail of [[corpusDrift]], shared by the one-shot
+    * operator and the persisted-reference scorers (batch + streaming)
+    * — one definition so one oracle gates all three surfaces.
+    */
+  private def driftFromCounts(
+      refCounts: DataFrame, inc: DataFrame)(incTextCol: String): DataFrame = {
+    val ic = inc.select(explode(toks(col(incTextCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ci"))
+    val j = refCounts.join(ic, Seq("w"), "full_outer")
+      .select(coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ci"), lit(0L)).as("ci"))
+    val tot = j.agg(sum(col("cr")), sum(col("ci"))).collect()(0)
+    val (tr, ti) = (tot.getLong(0), tot.getLong(1))
+    j.agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("cr") === 0L, lit(1L)).otherwise(lit(0L))).as("n_new_terms"),
+        sum(abs(col("cr").cast("decimal(19,0)") * lit(ti)
+          - col("ci").cast("decimal(19,0)") * lit(tr))).cast("decimal(38,0)").as("tv_num"))
+      .select(lit(tr).as("t_ref"), lit(ti).as("t_inc"),
+        col("n_terms"), col("n_new_terms"), col("tv_num"),
+        round(col("tv_num").cast("double") / (lit(2.0) * lit(tr.toDouble) * lit(ti.toDouble)), 6)
+          .as("tv"))
+  }
+
+  /** PERSIST the reference term counts for the drift monitor — the
+    * count-once seam of [[corpusDrift]] for the steady-state ingest
+    * loop. Layout: `$path/counts` (w, cr).
+    */
+  def writeDriftRef(
+      ref: DataFrame, refTextCol: String, path: String): Unit =
+    ref.select(explode(toks(col(refTextCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+
+  /** Drift of an increment against persisted [[writeDriftRef]] counts
+    * — identical algebra to [[corpusDrift]] (the shared comparison
+    * tail), so the batch oracle gates this surface and its streaming
+    * twin too.
+    */
+  def driftWithRef(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, incTextCol: String): DataFrame =
+    driftFromCounts(spark.read.parquet(s"$path/counts"), inc)(incTextCol)
+
   /** The KEEP-CURVE of a quality gate: for each candidate threshold,
     * how many documents (and tokens) survive `score > t` — the table
     * a curation run reads to pick its cutoff (keep-rate vs quality

@@ -734,6 +734,39 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING corpus-drift monitoring at ingest: each arriving batch
+    * measures its total-variation distance against the persisted
+    * reference term counts ([[graft.ops.TextAnalysis.writeDriftRef]])
+    * inside `foreachBatch` — one drift row per micro-batch, the
+    * crawl-snapshot alarm run as data lands rather than at the next
+    * offline audit. Batch [[graft.ops.TextAnalysis.driftWithRef]] is
+    * the oracle semantics; exactly-once via the batch-id-keyed
+    * dynamic overwrite, like every other probe/score sink here.
+    */
+  def streamDrift(
+      spark: SparkSession,
+      refPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .driftWithRef(spark, refPath, batch, "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING PCA projection at ingest: arriving vectors project
     * onto the persisted integer top direction
     * ([[graft.ops.Similarity.writePcaModel]]) inside `foreachBatch` —

@@ -540,6 +540,35 @@ class DedupSpec extends SparkSpecBase {
       .collect()(0).getAs[Double]("auc") === 0.5)
   }
 
+  test("corpusDrift: cleared-denominator TV is exact, new-vocab counted, identical corpora drift 0") {
+    import graft.ops.TextAnalysis
+    // ref "a a b" (2/3, 1/3, 0) vs inc "a c" (1/2, 0, 1/2):
+    // TV = (|2·2−1·3| + |1·2−0| + |0−1·3|) / (2·3·2) = 6/12 = 0.5
+    val ref = Seq((1L, "a a b")).toDF("id", "text")
+    val inc = Seq((1L, "a c")).toDF("id", "text")
+    val r = TextAnalysis.corpusDrift(ref, "text", inc, "text").collect()(0)
+    assert(r.getAs[Long]("t_ref") === 3L && r.getAs[Long]("t_inc") === 2L)
+    assert(r.getAs[Long]("n_terms") === 3L && r.getAs[Long]("n_new_terms") === 1L)
+    assert(r.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 6L)
+    assert(r.getAs[Double]("tv") === 0.5)
+    // identical corpora → exactly 0 (the law a drift ALARM must hold:
+    // no false positives from arithmetic noise)
+    val same = TextAnalysis.corpusDrift(ref, "text", ref, "text").collect()(0)
+    assert(same.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 0L)
+    assert(same.getAs[Double]("tv") === 0.0)
+    assert(same.getAs[Long]("n_new_terms") === 0L)
+    // disjoint corpora → exactly 1 (the other extreme)
+    val disj = TextAnalysis.corpusDrift(ref, "text",
+      Seq((1L, "x y")).toDF("id", "text"), "text").collect()(0)
+    assert(disj.getAs[Double]("tv") === 1.0)
+    // persisted reference is the same reference
+    val path = java.nio.file.Files.createTempDirectory("drift-rt").toString
+    TextAnalysis.writeDriftRef(ref, "text", path)
+    val p = TextAnalysis.driftWithRef(spark, path, inc, "text").collect()(0)
+    assert(p.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 6L)
+    assert(p.getAs[Double]("tv") === 0.5)
+  }
+
   test("pcaProject: integer power iteration converges to the hand-computed eigen direction") {
     import graft.ops.Similarity
     // 2-D corpus (1,0) (2,0) (0,1) at scale 1000: q = (1000,0)
