@@ -152,6 +152,7 @@ object Bench {
     "x_corpus_drift",
     "x_corpus_drift_inc",
     "s9_stream_drift",
+    "x_dedup_span",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

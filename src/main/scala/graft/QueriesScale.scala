@@ -1596,6 +1596,23 @@ object QueriesScale {
     // doc has ≥ 10 tokens), so the duplicate-drop branch and the
     // no-op branch are both live under the oracle. Shuffle-free
     // per-row column algebra.
+    // ---- C4-style three-sentence-span dedup (Raffel et al. §2.2):
+    // the boilerplate cut between document dedup and quality
+    // filtering. A 3-sentence cookie banner is planted onto every
+    // 5th doc so the cross-doc span cut and the untouched branch are
+    // both live; the first carrier keeps its banner. Winner =
+    // map-side min per span HASH; spans fold in-array (no
+    // self-join); reassembly is the total-collect-order device.
+    "x_dedup_span" -> ((s, dir) => {
+      val banner =
+        "accept all cookies to continue. this site uses tracking. see our privacy policy."
+      val planted = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(banner + " "), col("text"))).otherwise(col("text"))
+      Dedup.spanDedup(
+        docs(s, dir).select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+    }),
+
     "x_dedup_intradoc" -> ((s, dir) => {
       val toks = filter(split(col("text"), " "), t => t =!= "")
       val planted = when(pmod(col("doc_id"), lit(2)) === 0,
@@ -3850,6 +3867,34 @@ object QueriesScale {
     "x_dedup_simhash_agree" -> agreeOracleSql.replace(
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
+    // C4 span-dedup replay: same planted banner, same sentence rule,
+    // same md5 span hash, same doc_id·2^20+start first-occurrence
+    // key, same 3-sentence removal explode, string_agg reassembly in
+    // sentence order (coalesced for fully-eaten docs)
+    "x_dedup_span" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |  THEN 'accept all cookies to continue. this site uses tracking. see our privacy policy. ' || text
+        |  ELSE text END AS text FROM documents),
+        |s0 AS (SELECT doc_id,
+        |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+        |    s -> trim(s)), s -> s <> '') AS sents FROM p),
+        |sent AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
+        |    sents[CAST(i.i AS INT)] AS sent
+        |  FROM s0, unnest(range(1, len(sents) + 1)) AS i(i)),
+        |spans AS (SELECT doc_id, CAST(k.k AS BIGINT) AS start,
+        |    md5(sents[CAST(k.k + 1 AS INT)] || ' ' || sents[CAST(k.k + 2 AS INT)]
+        |      || ' ' || sents[CAST(k.k + 3 AS INT)]) AS h,
+        |    doc_id * 1048576 + CAST(k.k AS BIGINT) AS okey
+        |  FROM s0, unnest(range(0, len(sents) - 2)) AS k(k) WHERE len(sents) >= 3),
+        |win AS (SELECT h, min(okey) AS first_key FROM spans GROUP BY 1),
+        |rem AS (SELECT DISTINCT spans.doc_id, spans.start + o.o AS idx
+        |  FROM spans JOIN win USING (h), unnest(range(0, 3)) AS o(o)
+        |  WHERE spans.okey <> win.first_key)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+        |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
+        |FROM sent s LEFT JOIN rem r ON s.doc_id = r.doc_id AND s.idx = r.idx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // span build + first-occurrence filter replayed with the same
     // 1-based list_position the Spark array_position uses
     "x_dedup_intradoc" ->

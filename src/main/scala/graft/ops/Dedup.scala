@@ -1420,4 +1420,74 @@ object Dedup {
       .withColumn("n_merged", coalesce(col("__csize"), lit(1L)))
       .drop("cluster", "__cid", "__csize")
   }
+
+  /** C4-STYLE SPAN DEDUP (Raffel et al. 2020 §2.2: "we discarded all
+    * but one of any three-sentence span occurring more than once in
+    * the data set") — the boilerplate-removal pass between document
+    * dedup and quality filtering: navigation chrome, cookie banners,
+    * and licence blurbs repeat across millions of pages as identical
+    * sentence RUNS even when the surrounding documents differ.
+    *
+    * Semantics, deterministic end-to-end: sentences split with the
+    * engine's standard RE2-safe rule (`x_sentences`); every run of
+    * `spanLen` (= 3) consecutive sentences forms a span keyed by its
+    * md5; the FIRST occurrence corpus-wide wins (total order: least
+    * (doc_id, start), encoded as doc_id·2^20 + start — start < 2^20
+    * asserted); every other occurrence marks its `spanLen` sentences
+    * for removal; each document is reassembled from its surviving
+    * sentences in original order. Docs with fewer than `spanLen`
+    * sentences form no spans and survive whole.
+    *
+    * Output per doc: `doc_id`, `n_sents`, `n_kept`, `kept_text`
+    * (empty string when everything was boilerplate — the row
+    * survives so the caller can count fully-eaten docs).
+    *
+    * Scale shape: candidate generation is the in-array span fold
+    * (rides the scan, no self-join); the winner is a map-side-
+    * combinable `min` per span HASH (16-byte key, not the span
+    * text) and the only exchanges are span-hash-keyed — the classic
+    * blocked-dedup shuffle, skew-safe under AQE. Reassembly
+    * aggregates per doc with the total-collect-order device
+    * (array_sort on (idx, sent) structs), never a window over the
+    * corpus.
+    */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3): DataFrame = {
+    val sentArr = expr(
+      s"""filter(transform(regexp_extract_all($textCol, '[^.!?]+[.!?]?', 0),
+         | s -> trim(s)), s -> s != '')""".stripMargin)
+    val base = df.select(col(idCol).cast("long").as("doc_id"), sentArr.as("__sents"))
+    val sents = base
+      .select(col("doc_id"), posexplode(col("__sents")).as(Seq("idx", "sent")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("sent"))
+    val spans = base.filter(size(col("__sents")) >= spanLen)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("__sents")) - lit(spanLen)),
+        k => struct(k.cast("long").as("start"),
+          md5(concat_ws(" ", slice(col("__sents"), k + lit(1), lit(spanLen)))).as("h"))
+      )).as("__sp"))
+      .select(col("doc_id"), col("__sp.start").as("start"), col("__sp.h").as("h"),
+        when(col("__sp.start") < lit(1048576L),
+          col("doc_id") * lit(1048576L) + col("__sp.start"))
+          .otherwise(raise_error(lit(
+            "SPAN_START_OVERFLOW: a document has >= 2^20 sentences; widen the okey encoding")))
+          .as("okey"))
+    val win = spans.groupBy(col("h")).agg(min(col("okey")).as("first_key"))
+    val rem = spans.join(win, Seq("h"))
+      .filter(col("okey") =!= col("first_key"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(spanLen - 1))).as("idx"))
+      .distinct()
+    sents
+      .join(rem.withColumn("__rm", lit(1)), Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__rm").isNull, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__rm").isNull,
+            struct(col("idx"), col("sent"))))),
+          x => x.getField("sent")), " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -540,6 +540,28 @@ class DedupSpec extends SparkSpecBase {
       .collect()(0).getAs[Double]("auc") === 0.5)
   }
 
+  test("spanDedup: C4 three-sentence rule — first occurrence wins, overlap and intra-doc handled") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b. c d. e f. x y."),                 // first carrier of span (a b, c d, e f)
+      (2L, "a b. c d. e f. q r."),                 // repeats it -> loses sentences 0..2
+      (3L, "zz ww."),                              // < 3 sentences: no spans, survives whole
+      (4L, "p q. r s. t u. p q. r s. t u.")        // intra-doc repeat: span@3 duplicates span@0
+    ).toDF("id", "text")
+    val out = Dedup.spanDedup(docs, "id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sents"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) === ((4L, 4L, "a b. c d. e f. x y.")))
+    assert(out(2L) === ((4L, 1L, "q r.")))
+    assert(out(3L) === ((1L, 1L, "zz ww.")))
+    assert(out(4L) === ((6L, 3L, "p q. r s. t u.")))
+    // a doc that is ALL boilerplate is fully eaten but keeps its row
+    val eaten = Dedup.spanDedup(Seq(
+      (1L, "a b. c d. e f."), (2L, "a b. c d. e f.")).toDF("id", "text"),
+      "id", "text").collect().map(r => r.getLong(0) -> r.getAs[String]("kept_text")).toMap
+    assert(eaten(1L) === "a b. c d. e f." && eaten(2L) === "")
+  }
+
   test("corpusDrift: cleared-denominator TV is exact, new-vocab counted, identical corpora drift 0") {
     import graft.ops.TextAnalysis
     // ref "a a b" (2/3, 1/3, 0) vs inc "a c" (1/2, 0, 1/2):
