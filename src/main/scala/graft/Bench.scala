@@ -153,6 +153,8 @@ object Bench {
     "x_corpus_drift_inc",
     "s9_stream_drift",
     "x_dedup_span",
+    "x_dedup_span_inc",
+    "s9_stream_span",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -680,6 +680,37 @@ object QueriesScale {
        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** C4 span-dedup oracle, parameterized by the corpus slice (the
+    * WHERE on the documents read — empty for the one-shot, the
+    * reference∪increment union for the index surfaces) and the output
+    * slice (empty, or the increment restriction `AND s.doc_id …`).
+    */
+  private def SpanOracleSql(corpusFilter: String, outputFilter: String): String =
+    s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |  THEN 'accept all cookies to continue. this site uses tracking. see our privacy policy. ' || text
+       |  ELSE text END AS text FROM documents$corpusFilter),
+       |s0 AS (SELECT doc_id,
+       |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+       |    s -> trim(s)), s -> s <> '') AS sents FROM p),
+       |sent AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
+       |    sents[CAST(i.i AS INT)] AS sent
+       |  FROM s0, unnest(range(1, len(sents) + 1)) AS i(i)),
+       |spans AS (SELECT doc_id, CAST(k.k AS BIGINT) AS start,
+       |    md5(sents[CAST(k.k + 1 AS INT)] || ' ' || sents[CAST(k.k + 2 AS INT)]
+       |      || ' ' || sents[CAST(k.k + 3 AS INT)]) AS h,
+       |    doc_id * 1048576 + CAST(k.k AS BIGINT) AS okey
+       |  FROM s0, unnest(range(0, len(sents) - 2)) AS k(k) WHERE len(sents) >= 3),
+       |win AS (SELECT h, min(okey) AS first_key FROM spans GROUP BY 1),
+       |rem AS (SELECT DISTINCT spans.doc_id, spans.start + o.o AS idx
+       |  FROM spans JOIN win USING (h), unnest(range(0, 3)) AS o(o)
+       |  WHERE spans.okey <> win.first_key)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+       |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
+       |FROM sent s LEFT JOIN rem r ON s.doc_id = r.doc_id AND s.idx = r.idx
+       |WHERE TRUE$outputFilter
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Corpus-drift oracle — replays the cleared-denominator TV exactly:
     * reference %3=0 vs increment %9=4 term counts full-outer-joined,
     * totals first, then Σ|c_ref·t_inc − c_inc·t_ref| in DECIMAL and
@@ -1611,6 +1642,47 @@ object QueriesScale {
       Dedup.spanDedup(
         docs(s, dir).select(col("doc_id"), planted.as("text")),
         "doc_id", "text")
+    }),
+
+    // ---- the PERSISTED-index steady state of the C4 cut: the
+    // reference corpus's span winners build once (writeSpanIndex), an
+    // increment dedups in O(increment); winner = least okey across
+    // index ∪ increment = the one-batch rule on the union, so the
+    // union-batch oracle gates it.
+    "x_dedup_span_inc" -> ((s, dir) => {
+      val banner =
+        "accept all cookies to continue. this site uses tracking. see our privacy policy."
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
+      val path = buildOnce("spanindex", dir)(p =>
+        Dedup.writeSpanIndex(
+          planted.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p))
+      Dedup.spanDedupWithIndex(s, path,
+        planted.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+    }),
+
+    // ---- and ONLINE: boilerplate-cut-at-ingest — arriving docs drop
+    // the sentence runs the persisted index has seen (and their own
+    // intra-batch repeats) inside foreachBatch. The batch increment
+    // scorer is the oracle semantics.
+    "s9_stream_span" -> ((s, dir) => {
+      val banner =
+        "accept all cookies to continue. this site uses tracking. see our privacy policy."
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
+      val path = buildOnce("spanindexstream", dir)(p =>
+        Dedup.writeSpanIndex(
+          planted.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p))
+      val inc = planted.filter(pmod(col("doc_id"), lit(9)) === 4)
+      val incDir = GraftSession.freshGatePath("spanstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("spanout", dir)
+      val ckpt   = GraftSession.freshGatePath("spanckpt", dir)
+      val q = EventsStream.streamSpanDedup(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
 
     "x_dedup_intradoc" -> ((s, dir) => {
@@ -3870,31 +3942,16 @@ object QueriesScale {
     // C4 span-dedup replay: same planted banner, same sentence rule,
     // same md5 span hash, same doc_id·2^20+start first-occurrence
     // key, same 3-sentence removal explode, string_agg reassembly in
-    // sentence order (coalesced for fully-eaten docs)
-    "x_dedup_span" ->
-      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
-        |  THEN 'accept all cookies to continue. this site uses tracking. see our privacy policy. ' || text
-        |  ELSE text END AS text FROM documents),
-        |s0 AS (SELECT doc_id,
-        |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
-        |    s -> trim(s)), s -> s <> '') AS sents FROM p),
-        |sent AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
-        |    sents[CAST(i.i AS INT)] AS sent
-        |  FROM s0, unnest(range(1, len(sents) + 1)) AS i(i)),
-        |spans AS (SELECT doc_id, CAST(k.k AS BIGINT) AS start,
-        |    md5(sents[CAST(k.k + 1 AS INT)] || ' ' || sents[CAST(k.k + 2 AS INT)]
-        |      || ' ' || sents[CAST(k.k + 3 AS INT)]) AS h,
-        |    doc_id * 1048576 + CAST(k.k AS BIGINT) AS okey
-        |  FROM s0, unnest(range(0, len(sents) - 2)) AS k(k) WHERE len(sents) >= 3),
-        |win AS (SELECT h, min(okey) AS first_key FROM spans GROUP BY 1),
-        |rem AS (SELECT DISTINCT spans.doc_id, spans.start + o.o AS idx
-        |  FROM spans JOIN win USING (h), unnest(range(0, 3)) AS o(o)
-        |  WHERE spans.okey <> win.first_key)
-        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sents,
-        |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
-        |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
-        |FROM sent s LEFT JOIN rem r ON s.doc_id = r.doc_id AND s.idx = r.idx
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sentence order (coalesced for fully-eaten docs). ONE core gates
+    // the one-shot (full corpus), the persisted-index increment, and
+    // the streaming twin (union corpus, increment output) — the
+    // least-okey-across-index-and-increment scorer IS the one-batch
+    // rule on the union.
+    "x_dedup_span" -> SpanOracleSql("", ""),
+    "x_dedup_span_inc" -> SpanOracleSql(
+      " WHERE doc_id % 3 = 0 OR doc_id % 9 = 4", " AND s.doc_id % 9 = 4"),
+    "s9_stream_span" -> SpanOracleSql(
+      " WHERE doc_id % 3 = 0 OR doc_id % 9 = 4", " AND s.doc_id % 9 = 4"),
     // span build + first-occurrence filter replayed with the same
     // 1-based list_position the Spark array_position uses
     "x_dedup_intradoc" ->

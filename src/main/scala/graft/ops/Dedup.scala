@@ -1454,6 +1454,19 @@ object Dedup {
   def spanDedup(
       df: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 3): DataFrame = {
+    val (sents, spans) = spanParts(df, idCol, textCol, spanLen)
+    spanAssemble(sents, spans,
+      spans.groupBy(col("h")).agg(min(col("okey")).as("first_key")), spanLen)
+  }
+
+  /** The sentence and span explodes of [[spanDedup]]: sents =
+    * (doc_id, idx, sent); spans = (doc_id, start, h, okey) with okey
+    * the doc_id·2^20+start total order (overflow raised loudly).
+    * Span candidates fold in-array — no self-join.
+    */
+  private def spanParts(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): (DataFrame, DataFrame) = {
     val sentArr = expr(
       s"""filter(transform(regexp_extract_all($textCol, '[^.!?]+[.!?]?', 0),
          | s -> trim(s)), s -> s != '')""".stripMargin)
@@ -1473,8 +1486,19 @@ object Dedup {
           .otherwise(raise_error(lit(
             "SPAN_START_OVERFLOW: a document has >= 2^20 sentences; widen the okey encoding")))
           .as("okey"))
-    val win = spans.groupBy(col("h")).agg(min(col("okey")).as("first_key"))
-    val rem = spans.join(win, Seq("h"))
+    (sents, spans)
+  }
+
+  /** The removal + reassembly tail of [[spanDedup]], shared by the
+    * one-shot operator and the persisted-index increment scorers
+    * (batch + streaming) — one definition so one oracle gates all
+    * three surfaces. `winners` is (h, first_key): a span occurrence
+    * survives iff its okey IS the first key.
+    */
+  private def spanAssemble(
+      sents: DataFrame, spans: DataFrame, winners: DataFrame,
+      spanLen: Int): DataFrame = {
+    val rem = spans.join(winners, Seq("h"))
       .filter(col("okey") =!= col("first_key"))
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(spanLen - 1))).as("idx"))
@@ -1489,5 +1513,41 @@ object Dedup {
             struct(col("idx"), col("sent"))))),
           x => x.getField("sent")), " ").as("kept_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** PERSIST the span index of a reference corpus — the count-once
+    * seam of [[spanDedup]] for the steady-state ingest loop: (h,
+    * first_key) per distinct span, i.e. exactly the winner table the
+    * batch rule derives. Layout: `$path/spans`.
+    */
+  def writeSpanIndex(
+      ref: DataFrame, idCol: String, textCol: String, path: String,
+      spanLen: Int = 3): Unit = {
+    val (_, spans) = spanParts(ref, idCol, textCol, spanLen)
+    spans.groupBy(col("h")).agg(min(col("okey")).as("first_key"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/spans")
+  }
+
+  /** Span-dedup an increment against a persisted [[writeSpanIndex]]:
+    * the winner per span hash is the LEAST okey across the index and
+    * the increment (`least` of the two, absences at +∞), which is
+    * exactly the batch rule on the union corpus — so the batch oracle
+    * on (reference ∪ increment), restricted to increment docs, gates
+    * this surface and its streaming twin too. An increment occurrence
+    * that precedes the indexed carrier in the total order KEEPS its
+    * copy, same as it would have in one batch.
+    */
+  def spanDedupWithIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3): DataFrame = {
+    val (sents, spans) = spanParts(inc, idCol, textCol, spanLen)
+    val incWin = spans.groupBy(col("h")).agg(min(col("okey")).as("__ik"))
+    val winners = incWin
+      .join(spark.read.parquet(s"$path/spans"), Seq("h"), "full_outer")
+      .select(col("h"),
+        least(coalesce(col("__ik"), lit(Long.MaxValue)),
+          coalesce(col("first_key"), lit(Long.MaxValue))).as("first_key"))
+    spanAssemble(sents, spans, winners, spanLen)
   }
 }

@@ -734,6 +734,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING C4 span dedup at ingest: each arriving batch cuts the
+    * boilerplate sentence runs the persisted span index
+    * ([[graft.ops.Dedup.writeSpanIndex]]) has already seen (and its
+    * own intra-batch repeats) inside `foreachBatch` — the
+    * at-ingest shape of the C4 §2.2 pass. Batch
+    * [[graft.ops.Dedup.spanDedupWithIndex]] is the oracle semantics
+    * (= the one-batch rule on the union corpus, restricted to the
+    * increment); exactly-once via the batch-id-keyed dynamic
+    * overwrite, like every other probe/score sink here.
+    */
+  def streamSpanDedup(
+      spark: SparkSession,
+      indexPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Dedup
+          .spanDedupWithIndex(spark, indexPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING corpus-drift monitoring at ingest: each arriving batch
     * measures its total-variation distance against the persisted
     * reference term counts ([[graft.ops.TextAnalysis.writeDriftRef]])

@@ -562,6 +562,30 @@ class DedupSpec extends SparkSpecBase {
     assert(eaten(1L) === "a b. c d. e f." && eaten(2L) === "")
   }
 
+  test("spanDedupWithIndex = the one-batch rule on the union corpus") {
+    import graft.ops.Dedup
+    val ref = Seq((10L, "a b. c d. e f. k l.")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("span-idx").toString
+    Dedup.writeSpanIndex(ref, "id", "text", path)
+    // an increment doc repeating the indexed span loses it; one with
+    // a SMALLER doc_id than the carrier would have won in one batch —
+    // the least-okey rule preserves that
+    val inc = Seq(
+      (20L, "a b. c d. e f. z z."),  // indexed span -> cut
+      (5L,  "a b. c d. e f. y y.")   // precedes doc 10 in the total order -> keeps
+    ).toDF("id", "text")
+    val out = Dedup.spanDedupWithIndex(spark, path, inc, "id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("kept_text")).toMap
+    assert(out(20L) === "z z.")
+    assert(out(5L) === "a b. c d. e f. y y.")
+    // and the same two docs through the BATCH rule on the union,
+    // restricted to increment ids, agree exactly
+    val union = Dedup.spanDedup(ref.union(inc), "id", "text")
+      .filter(col("doc_id") =!= 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("kept_text")).toMap
+    assert(union === out)
+  }
+
   test("corpusDrift: cleared-denominator TV is exact, new-vocab counted, identical corpora drift 0") {
     import graft.ops.TextAnalysis
     // ref "a a b" (2/3, 1/3, 0) vs inc "a c" (1/2, 0, 1/2):
