@@ -149,6 +149,7 @@ object Bench {
     "x_emb_pca",
     "x_emb_pca_inc",
     "s9_stream_pca",
+    "x_emb_pca_var",
     "x_corpus_drift",
     "x_corpus_drift_inc",
     "s9_stream_drift",

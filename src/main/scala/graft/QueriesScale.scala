@@ -750,6 +750,29 @@ object QueriesScale {
     * persisted-direction increment, and the streaming twin.
     */
   private def PcaOracleSql(scoredFilter: String): String =
+    s"""$PcaCtes
+       |SELECT q.vec_id, CAST(sum(q.q * v3.v) AS BIGINT) AS proj
+       |FROM q JOIN v3 USING (i)
+       |WHERE TRUE$scoredFilter
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /** The variance-judge tail over the same fit: vᵀCv and trace(C) in
+    * HUGEINT→DECIMAL (exact), vᵀv BIGINT, one rounded double division
+    * chain for the explained fraction.
+    */
+  private def PcaVarOracleSql: String =
+    s"""$PcaCtes,
+       |ray AS (SELECT CAST(sum(CAST(ci.c AS HUGEINT) * va.v * vb.v) AS DECIMAL(38,0)) AS rayleigh_num
+       |  FROM c ci JOIN v3 va ON ci.i = va.i JOIN v3 vb ON ci.j = vb.i),
+       |nrm AS (SELECT CAST(sum(v * v) AS BIGINT) AS v_norm2 FROM v3),
+       |trc AS (SELECT CAST(sum(CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS cov_trace
+       |  FROM c WHERE i = j)
+       |SELECT rayleigh_num, v_norm2, cov_trace,
+       |  round(CAST(rayleigh_num AS DOUBLE)
+       |    / (CAST(v_norm2 AS DOUBLE) * CAST(cov_trace AS DOUBLE)), 6) AS explained
+       |FROM ray, nrm, trc""".stripMargin
+
+  private val PcaCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id, CAST(i.i - 1 AS INT) AS i,
        |    CAST(floor(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS q
@@ -773,11 +796,7 @@ object QueriesScale {
        |  FROM c JOIN v2 ON c.j = v2.i GROUP BY 1),
        |m3 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w3),
        |v3 AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m3))
-       |    ELSE (w * 256) // (SELECT m FROM m3) END AS BIGINT) AS v FROM w3)
-       |SELECT q.vec_id, CAST(sum(q.q * v3.v) AS BIGINT) AS proj
-       |FROM q JOIN v3 USING (i)
-       |WHERE TRUE$scoredFilter
-       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+       |    ELSE (w * 256) // (SELECT m FROM m3) END AS BIGINT) AS v FROM w3)""".stripMargin
 
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
     * raw/target distributions, two-stage integer probability-ratio
@@ -2315,6 +2334,14 @@ object QueriesScale {
       val e = emb(s, dir)
       Similarity.pcaProject(e, "vec_id", "embedding", scale = 1000L, iters = 3)
     }),
+
+    // ---- the VARIANCE JUDGE of the fit: vᵀCv / (vᵀv · trace C) —
+    // the explained fraction that decides whether the 1-D reduction
+    // is usable. Exact BigInt sums (DECIMAL-carried), one double
+    // division chain at the end.
+    "x_emb_pca_var" -> ((s, dir) =>
+      Similarity.pcaVariance(emb(s, dir), "vec_id", "embedding",
+        scale = 1000L, iters = 3)),
 
     // ---- the PERSISTED-direction steady state: fit once
     // (writePcaModel), project each arriving increment in
@@ -5316,6 +5343,7 @@ object QueriesScale {
     "x_emb_pca" -> PcaOracleSql(""),
     "x_emb_pca_inc" -> PcaOracleSql(" AND vec_id % 9 = 4"),
     "s9_stream_pca" -> PcaOracleSql(" AND vec_id % 9 = 4"),
+    "x_emb_pca_var" -> PcaVarOracleSql,
     "x_quality_curve" ->
       s"""${NbScoreCtes("")},
          |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

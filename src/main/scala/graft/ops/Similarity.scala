@@ -1452,6 +1452,19 @@ object Similarity {
   def pcaTopDirection(
       df: DataFrame, idCol: String, vecCol: String,
       scale: Long, iters: Int): (Seq[(Int, Long)], Long) = {
+    val (_, v, _) = pcaFit(df, idCol, vecCol, scale, iters)
+    (v, scale)
+  }
+
+  /** The full fit of [[pcaTopDirection]]: the exact integer
+    * covariance-identity matrix C = n·s2 − s1·s1ᵀ (dim² longs, the
+    * bounded driver-side materialization), the iterated direction,
+    * and n. Exposed so the variance judge can price the direction it
+    * reports against the matrix that produced it.
+    */
+  private def pcaFit(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Long, iters: Int): (Map[(Int, Int), Long], Seq[(Int, Long)], Long) = {
     // quantize ONCE per row into an array column: both moment passes
     // ride the scan with map-side combine on dim/dim² keys — no
     // vec_id-keyed shuffle anywhere in the fit (a self-join on vec_id
@@ -1485,7 +1498,39 @@ object Similarity {
         i -> (if (x < 0) -((-x) * 256L / m) else x * 256L / m)
       }
     }
-    (dims.map(i => i -> v(i)), scale)
+    (cov, dims.map(i => i -> v(i)), n)
+  }
+
+  /** The VARIANCE JUDGE of [[pcaProject]]: how much of the corpus
+    * variance the fitted direction actually explains — the number
+    * that decides whether a 1-D reduction is usable or the spectrum
+    * is flat. Exact to the last step: `rayleigh_num` = vᵀCv and
+    * `cov_trace` = Σ C_ii are exact integer sums carried in
+    * DECIMAL(38,0) (BigInt on the driver — vᵀCv overflows a long at
+    * real scales), `v_norm2` = vᵀv a BIGINT, and
+    * `explained` = (vᵀCv / vᵀv) / trace(C) is ONE rounded-6 double
+    * division chain at the very end (trace(C) = total variance ×
+    * n², the same scale-free normalization as C itself, so the
+    * ratio is the true explained fraction).
+    */
+  def pcaVariance(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000L, iters: Int = 3): DataFrame = {
+    val (cov, v, _) = pcaFit(df, idCol, vecCol, scale, iters)
+    val vm = v.toMap
+    val dims = v.map(_._1)
+    val num = dims.flatMap(i => dims.map(j =>
+      BigInt(cov((i, j))) * BigInt(vm(i)) * BigInt(vm(j)))).sum
+    val vtv = v.map { case (_, x) => x * x }.sum
+    val trace = dims.map(i => BigInt(cov((i, i)))).sum
+    val spark = df.sparkSession
+    spark.range(1).select(
+        lit(new java.math.BigDecimal(num.bigInteger)).cast("decimal(38,0)").as("rayleigh_num"),
+        lit(vtv).as("v_norm2"),
+        lit(new java.math.BigDecimal(trace.bigInteger)).cast("decimal(38,0)").as("cov_trace"))
+      .withColumn("explained",
+        round(col("rayleigh_num").cast("double")
+          / (col("v_norm2").cast("double") * col("cov_trace").cast("double")), 6))
   }
 
   /** The projection tail of [[pcaProject]], shared by the one-shot

@@ -645,6 +645,25 @@ class DedupSpec extends SparkSpecBase {
     assert(proj.length === 2)
   }
 
+  test("pcaVariance: hand-computed Rayleigh fraction on the 2-D eigen example") {
+    import graft.ops.Similarity
+    // same corpus as the pcaProject spec: C = [[6e6,-3e6],[-3e6,2e6]],
+    // v3 = (256,-136). vTCv = 256^2*6e6 + 2*256*136*3e6 + 136^2*2e6
+    // = 639104e6; vTv = 84032; trace = 8e6 -> explained =
+    // 639104e6 / (84032 * 8e6) = 0.950685 (true eigen fraction:
+    // 7.6055/8 = 0.9507 -- the integer direction loses almost nothing)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.pcaVariance(df, "vec_id", "embedding", 1000L, 3).collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("rayleigh_num").longValueExact() === 639104000000L)
+    assert(r.getAs[Long]("v_norm2") === 84032L)
+    assert(r.getAs[java.math.BigDecimal]("cov_trace").longValueExact() === 8000000L)
+    val expected = BigDecimal(639104000000L.toDouble / (84032L.toDouble * 8000000L.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("explained") === expected)
+  }
+
   test("planesFor pins the planes-scaling policy: constant bucket population, bounded, monotonic") {
     // the SCALING.md rule, now code: planes ≈ log2(n / targetBucket)
     assert(Dedup.planesFor(1L << 20, targetBucket = 4096) === 8,
