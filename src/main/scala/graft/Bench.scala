@@ -150,6 +150,7 @@ object Bench {
     "x_emb_pca_inc",
     "s9_stream_pca",
     "x_emb_pca_var",
+    "x_emb_pca2",
     "x_corpus_drift",
     "x_corpus_drift_inc",
     "s9_stream_drift",

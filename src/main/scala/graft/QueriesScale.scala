@@ -756,6 +756,40 @@ object QueriesScale {
        |WHERE TRUE$scoredFilter
        |GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** The two-component tail: Hotelling deflation with the cleared
+    * projector denominator (C₂·(vᵀv)² = C·(vᵀv)² − (vᵀCv)·v·vᵀ, all
+    * HUGEINT), three more sign-split renormed iterations, then both
+    * projections from one element explode.
+    */
+  private def Pca2OracleSql: String =
+    s"""$PcaCtes,
+       |rv AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(c.c AS HUGEINT) * v3.v) AS HUGEINT) AS rv
+       |  FROM c JOIN v3 ON c.j = v3.i GROUP BY 1),
+       |vtv AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS t FROM v3),
+       |lam AS (SELECT CAST(sum(rv.rv * v3.v) AS HUGEINT) AS l FROM rv JOIN v3 USING (i)),
+       |c2 AS MATERIALIZED (SELECT ci.i, ci.j,
+       |    CAST(ci.c AS HUGEINT) * (SELECT t FROM vtv) * (SELECT t FROM vtv)
+       |      - (SELECT l FROM lam) * va.v * vb.v AS c
+       |  FROM c ci JOIN v3 va ON ci.i = va.i JOIN v3 vb ON ci.j = vb.i),
+       |u1w AS MATERIALIZED (SELECT i, CAST(sum(c) AS HUGEINT) AS w FROM c2 GROUP BY 1),
+       |u1m AS (SELECT greatest(max(abs(w)), 1) AS m FROM u1w),
+       |u1 AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM u1m))
+       |    ELSE (w * 256) // (SELECT m FROM u1m) END AS BIGINT) AS v FROM u1w),
+       |u2w AS MATERIALIZED (SELECT c2.i, CAST(sum(c2.c * u1.v) AS HUGEINT) AS w
+       |  FROM c2 JOIN u1 ON c2.j = u1.i GROUP BY 1),
+       |u2m AS (SELECT greatest(max(abs(w)), 1) AS m FROM u2w),
+       |u2 AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM u2m))
+       |    ELSE (w * 256) // (SELECT m FROM u2m) END AS BIGINT) AS v FROM u2w),
+       |u3w AS MATERIALIZED (SELECT c2.i, CAST(sum(c2.c * u2.v) AS HUGEINT) AS w
+       |  FROM c2 JOIN u2 ON c2.j = u2.i GROUP BY 1),
+       |u3m AS (SELECT greatest(max(abs(w)), 1) AS m FROM u3w),
+       |u3 AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM u3m))
+       |    ELSE (w * 256) // (SELECT m FROM u3m) END AS BIGINT) AS v FROM u3w)
+       |SELECT q.vec_id, CAST(sum(q.q * v3.v) AS BIGINT) AS proj1,
+       |  CAST(sum(q.q * u3.v) AS BIGINT) AS proj2
+       |FROM q JOIN v3 USING (i) JOIN u3 USING (i)
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+
   /** The variance-judge tail over the same fit: vᵀCv and trace(C) in
     * HUGEINT→DECIMAL (exact), vᵀv BIGINT, one rounded double division
     * chain for the explained fraction.
@@ -774,28 +808,28 @@ object QueriesScale {
 
   private val PcaCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |q AS (SELECT vec_id, CAST(i.i - 1 AS INT) AS i,
+       |q AS MATERIALIZED (SELECT vec_id, CAST(i.i - 1 AS INT) AS i,
        |    CAST(floor(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS q
        |  FROM e, unnest(range(1, len(embedding) + 1)) AS i(i)),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |s1 AS (SELECT i, CAST(sum(q) AS BIGINT) AS s1 FROM q GROUP BY 1),
        |s2 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s2
        |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
-       |c AS (SELECT s2.i, s2.j, (SELECT n FROM nn) * s2.s2 - sa.s1 * sb.s1 AS c
+       |c AS MATERIALIZED (SELECT s2.i, s2.j, (SELECT n FROM nn) * s2.s2 - sa.s1 * sb.s1 AS c
        |  FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i),
-       |w1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS w FROM c GROUP BY 1),
+       |w1 AS MATERIALIZED (SELECT i, CAST(sum(c) AS BIGINT) AS w FROM c GROUP BY 1),
        |m1 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w1),
-       |v1 AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m1))
+       |v1 AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m1))
        |    ELSE (w * 256) // (SELECT m FROM m1) END AS BIGINT) AS v FROM w1),
-       |w2 AS (SELECT c.i, CAST(sum(c.c * v1.v) AS BIGINT) AS w
+       |w2 AS MATERIALIZED (SELECT c.i, CAST(sum(c.c * v1.v) AS BIGINT) AS w
        |  FROM c JOIN v1 ON c.j = v1.i GROUP BY 1),
        |m2 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w2),
-       |v2 AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m2))
+       |v2 AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m2))
        |    ELSE (w * 256) // (SELECT m FROM m2) END AS BIGINT) AS v FROM w2),
-       |w3 AS (SELECT c.i, CAST(sum(c.c * v2.v) AS BIGINT) AS w
+       |w3 AS MATERIALIZED (SELECT c.i, CAST(sum(c.c * v2.v) AS BIGINT) AS w
        |  FROM c JOIN v2 ON c.j = v2.i GROUP BY 1),
        |m3 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w3),
-       |v3 AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m3))
+       |v3 AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) * 256 // (SELECT m FROM m3))
        |    ELSE (w * 256) // (SELECT m FROM m3) END AS BIGINT) AS v FROM w3)""".stripMargin
 
   /** The DSIR-replay core: hashed unigram+bigram md5-nibble buckets,
@@ -2334,6 +2368,14 @@ object QueriesScale {
       val e = emb(s, dir)
       Similarity.pcaProject(e, "vec_id", "embedding", scale = 1000L, iters = 3)
     }),
+
+    // ---- TWO components by integer Hotelling deflation: the 2-D
+    // reducer — C₂·(vᵀv)² = C·(vᵀv)² − (vᵀCv)·v·vᵀ clears the
+    // projector denominator so the deflated iteration stays exact
+    // (BigInt on the driver, HUGEINT in the oracle).
+    "x_emb_pca2" -> ((s, dir) =>
+      Similarity.pcaProject2(emb(s, dir), "vec_id", "embedding",
+        scale = 1000L, iters = 3)),
 
     // ---- the VARIANCE JUDGE of the fit: vᵀCv / (vᵀv · trace C) —
     // the explained fraction that decides whether the 1-D reduction
@@ -5344,6 +5386,7 @@ object QueriesScale {
     "x_emb_pca_inc" -> PcaOracleSql(" AND vec_id % 9 = 4"),
     "s9_stream_pca" -> PcaOracleSql(" AND vec_id % 9 = 4"),
     "x_emb_pca_var" -> PcaVarOracleSql,
+    "x_emb_pca2" -> Pca2OracleSql,
     "x_quality_curve" ->
       s"""${NbScoreCtes("")},
          |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

@@ -1533,6 +1533,67 @@ object Similarity {
           / (col("v_norm2").cast("double") * col("cov_trace").cast("double")), 6))
   }
 
+  /** TWO-component PCA by integer Hotelling deflation — the 2-D
+    * reducer (bucket embeddings on a plane, not a line): after the
+    * [[pcaTopDirection]] fit, the second direction is the power
+    * iteration of the DEFLATED matrix, kept exact by clearing the
+    * projector's denominator —
+    *
+    *   C₂·(vᵀv)² = C·(vᵀv)² − (vᵀCv)·v·vᵀ
+    *
+    * (Hotelling's C − λ·vvᵀ/(vᵀv) with λ = vᵀCv/vᵀv, multiplied
+    * through by (vᵀv)² — every entry an exact integer). The driver
+    * iterates in BigInt (vᵀCv overflows a long at real scales; the
+    * oracle replays in HUGEINT, whose 2^127 headroom covers the
+    * documented envelope with ~200× margin at sf1-scale counts);
+    * the same sign-split truncating ·256÷max renorm keeps components
+    * small. The integer v₁ is not the exact eigenvector, so the
+    * deflation is approximate — deterministically so: the operator
+    * IS its algorithm, and the independent SQL replay gates it.
+    *
+    * Output: (vec_id, proj1, proj2) — both exact BIGINTs.
+    */
+  def pcaProject2(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000L, iters: Int = 3): DataFrame = {
+    val (v1, v2) = pcaDirections(df, idCol, vecCol, scale, iters)
+    val spark = df.sparkSession
+    val vm2 = v2.toMap
+    val dirDf = spark.createDataFrame(
+      v1.map { case (i, a) => (i, a, vm2(i)) }).toDF("i", "v1", "v2")
+    quantized(df.select(col(idCol).as("vec_id"), col(vecCol).as("__e")), "__e", scale)
+      .join(broadcast(dirDf), Seq("i"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("v1")).as("proj1"),
+        sum(col("q") * col("v2")).as("proj2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The two fitted directions of [[pcaProject2]] (each renormed to
+    * max |component| = 256). Exposed for the orthogonality spec.
+    */
+  def pcaDirections(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000L, iters: Int = 3): (Seq[(Int, Long)], Seq[(Int, Long)]) = {
+    val (cov, v1, _) = pcaFit(df, idCol, vecCol, scale, iters)
+    val vm = v1.toMap
+    val dims = v1.map(_._1)
+    val vtv = BigInt(v1.map { case (_, x) => x * x }.sum)
+    val lam = dims.flatMap(i => dims.map(j =>
+      BigInt(cov((i, j))) * vm(i) * vm(j))).sum
+    val c2: Map[(Int, Int), BigInt] = (for { i <- dims; j <- dims } yield
+      (i, j) -> (BigInt(cov((i, j))) * vtv * vtv - lam * vm(i) * vm(j))).toMap
+    var v: Map[Int, BigInt] = dims.map(_ -> BigInt(1)).toMap
+    for (_ <- 1 to iters) {
+      val w = dims.map(i => i -> dims.map(j => c2((i, j)) * v(j)).sum).toMap
+      val m = w.values.map(_.abs).max.max(BigInt(1))
+      v = w.map { case (i, x) =>
+        i -> (if (x < 0) -((-x) * 256 / m) else x * 256 / m)
+      }
+    }
+    (v1, dims.map(i => i -> v(i).toLong))
+  }
+
   /** The projection tail of [[pcaProject]], shared by the one-shot
     * operator and the persisted-model increment scorers (batch +
     * streaming) — one definition so one oracle gates all three
