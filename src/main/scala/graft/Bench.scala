@@ -157,6 +157,7 @@ object Bench {
     "x_dedup_span",
     "x_dedup_span_inc",
     "s9_stream_span",
+    "x_fingerprint_winnow",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -3330,6 +3330,16 @@ object QueriesScale {
       CorpusOps.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- WINNOWING (MOSS) fingerprints: guaranteed-coverage local
+    // fingerprint selection — any shared k+w−1 token run between two
+    // docs shares a selected print, at ~2/(w+1) density. Gram hashes
+    // and window minima fold in-array (no window function, no
+    // self-join); md5 hex strings order identically in both engines.
+    "x_fingerprint_winnow" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 4)
+    }),
+
     "x_fingerprint_rolling" -> ((s, dir) => {
       import graft.ops.TextAnalysis
       // order-sensitive Rabin-Karp vs the bag-of-words md5: the
@@ -5379,6 +5389,20 @@ object QueriesScale {
     "s9_stream_kn" -> KnOracleSql(" AND doc_id % 9 = 4"),
     "x_quality_nb_eval" -> NbEvalOracleSql(" AND doc_id % 3 <> 0"),
     "s9_stream_nb_eval" -> NbEvalOracleSql(" AND doc_id % 9 = 4"),
+    // winnowing replay: same k=4 grams over the same tokens, same md5
+    // string min per w=4 window, leftmost tie position, DISTINCT set
+    "x_fingerprint_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(0, len(tk) - 3),
+        |    i -> md5(array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 4 AS INT)], ' '))) AS gs
+        |  FROM t WHERE len(tk) >= 7),
+        |sel AS (SELECT doc_id,
+        |    CAST(j.j + list_position(gs[CAST(j.j + 1 AS INT):CAST(j.j + 4 AS INT)],
+        |      list_min(gs[CAST(j.j + 1 AS INT):CAST(j.j + 4 AS INT)])) - 1 AS BIGINT) AS pos,
+        |    list_min(gs[CAST(j.j + 1 AS INT):CAST(j.j + 4 AS INT)]) AS fp
+        |  FROM g, unnest(range(0, len(gs) - 3)) AS j(j))
+        |SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin,
     "x_corpus_drift" -> DriftOracleSql,
     "x_corpus_drift_inc" -> DriftOracleSql,
     "s9_stream_drift" -> DriftOracleSql,

@@ -899,6 +899,55 @@ object TextAnalysis {
         / (col("n_pos") + col("n_neg")).cast("double"), 6).as("accuracy"))
   }
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): the guaranteed-coverage local fingerprint
+    * selection for partial-overlap detection, one rung richer than a
+    * whole-document hash ([[rollingFingerprint]]) — any shared run of
+    * `k + w − 1` tokens between two documents is GUARANTEED to share
+    * at least one selected fingerprint, while only ~2/(w+1) of all
+    * k-gram hashes are kept.
+    *
+    * Deterministic cross-engine without a custom hash: the k-gram
+    * hash is the md5 hex STRING and the window minimum is the
+    * lexicographic string min (identical ASCII order in both
+    * engines); ties (astronomically unlikely with md5) resolve to
+    * the LEFTMOST minimal position — a documented deviation from the
+    * paper's rightmost rule, chosen because both engines' first-
+    * occurrence position primitive is leftmost.
+    *
+    * Output: one row per SELECTED fingerprint (doc_id, pos, fp),
+    * distinct — the join-ready shape: two documents' overlap is an
+    * equi-join on `fp`, never a text comparison.
+    *
+    * Scale shape: grams and window minima fold IN-ARRAY on the token
+    * array (rides the scan, no window function, no self-join); the
+    * only exchange is the output `distinct` on (doc_id, pos) —
+    * map-side combinable. Docs shorter than k+w−1 tokens form no
+    * window and emit nothing.
+    */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val tk = toks(col(textCol))
+    val grams = transform(
+      sequence(lit(0), size(col("__tk")) - lit(k)),
+      i => md5(concat_ws(" ", slice(col("__tk"), i + lit(1), lit(k)))))
+    df.select(col(idCol).as("doc_id"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= k + w - 1)
+      .select(col("doc_id"), grams.as("__gs"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("__gs")) - lit(w)),
+        j => struct(
+          (j + array_position(slice(col("__gs"), j + lit(1), lit(w)),
+            array_min(slice(col("__gs"), j + lit(1), lit(w)))) - lit(1)).as("pos"),
+          array_min(slice(col("__gs"), j + lit(1), lit(w))).as("fp"))
+      )).as("__sel"))
+      .select(col("doc_id"), col("__sel.pos").cast("long").as("pos"),
+        col("__sel.fp").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** CORPUS DRIFT between a reference corpus and an increment — the
     * crawl-snapshot monitor of a training-data pipeline ("did this
     * month's crawl change vocabulary/distribution enough to re-tune

@@ -540,6 +540,33 @@ class DedupSpec extends SparkSpecBase {
       .collect()(0).getAs[Double]("auc") === 0.5)
   }
 
+  test("winnowFingerprints: the coverage guarantee — a shared k+w-1 run shares a print") {
+    import graft.ops.TextAnalysis
+    // k=4, w=4: any shared 7-token run must share >= 1 selected
+    // fingerprint (the winnowing theorem) — doc 2 embeds doc 1's
+    // "c d e f g h i" run behind a different prefix
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "x y z q c d e f g h i"),
+      (3L, "totally different words with no overlap at all here")
+    ).toDF("id", "text")
+    val out = TextAnalysis.winnowFingerprints(docs, "id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fp1 = out.filter(_._1 == 1L).map(_._3).toSet
+    val fp2 = out.filter(_._1 == 2L).map(_._3).toSet
+    val fp3 = out.filter(_._1 == 3L).map(_._3).toSet
+    assert((fp1 & fp2).nonEmpty, "shared 7-token run must share a fingerprint")
+    assert((fp1 & fp3).isEmpty && (fp2 & fp3).isEmpty,
+      "disjoint docs share nothing")
+    // density: selections are a subset of windows (6 windows for doc 1:
+    // 9 tokens -> 6 grams -> 3 windows... count: grams = 6, windows = 3)
+    assert(out.count(_._1 == 1L) <= 3)
+    // too-short docs emit nothing
+    val short = TextAnalysis.winnowFingerprints(
+      Seq((1L, "a b c d e f")).toDF("id", "text"), "id", "text", 4, 4)
+    assert(short.count() === 0L)
+  }
+
   test("spanDedup: C4 three-sentence rule — first occurrence wins, overlap and intra-doc handled") {
     import graft.ops.Dedup
     val docs = Seq(
