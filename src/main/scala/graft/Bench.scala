@@ -158,6 +158,7 @@ object Bench {
     "x_dedup_span_inc",
     "s9_stream_span",
     "x_fingerprint_winnow",
+    "x_fingerprint_overlap",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -3340,6 +3340,15 @@ object QueriesScale {
       TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 4)
     }),
 
+    // ---- the MOSS detector over the winnowed prints: candidate
+    // pairs from an EQUI-JOIN on fingerprint (never all-pairs),
+    // scored by distinct shared prints, thresholded at 2.
+    "x_fingerprint_overlap" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.winnowOverlap(docs(s, dir), "doc_id", "text",
+        k = 4, w = 4, minShared = 2L)
+    }),
+
     "x_fingerprint_rolling" -> ((s, dir) => {
       import graft.ops.TextAnalysis
       // order-sensitive Rabin-Karp vs the bag-of-words md5: the
@@ -5403,6 +5412,18 @@ object QueriesScale {
         |    list_min(gs[CAST(j.j + 1 AS INT):CAST(j.j + 4 AS INT)]) AS fp
         |  FROM g, unnest(range(0, len(gs) - 3)) AS j(j))
         |SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "x_fingerprint_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(0, len(tk) - 3),
+        |    i -> md5(array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 4 AS INT)], ' '))) AS gs
+        |  FROM t WHERE len(tk) >= 7),
+        |sel AS (SELECT DISTINCT doc_id,
+        |    list_min(gs[CAST(j.j + 1 AS INT):CAST(j.j + 4 AS INT)]) AS fp
+        |  FROM g, unnest(range(0, len(gs) - 3)) AS j(j))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
     "x_corpus_drift" -> DriftOracleSql,
     "x_corpus_drift_inc" -> DriftOracleSql,
     "s9_stream_drift" -> DriftOracleSql,

@@ -948,6 +948,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** The OVERLAP JOIN over [[winnowFingerprints]] — the MOSS detector
+    * itself: candidate document pairs are generated by an EQUI-JOIN
+    * on the selected fingerprint (never an all-pairs comparison — the
+    * winnowing guarantee says any k+w−1 token overlap meets in at
+    * least one print), scored by how many distinct prints they share,
+    * and reported above `minShared`. Output: (doc_a, doc_b, n_shared)
+    * with doc_a < doc_b, ordered.
+    *
+    * Scale shape: the join is keyed on the 32-hex fingerprint —
+    * blocked, skew-safe under AQE; ubiquitous boilerplate prints
+    * (the flood risk of any blocking key) surface as hot keys and are
+    * exactly what the span-dedup pass upstream exists to remove.
+    */
+  def winnowOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** CORPUS DRIFT between a reference corpus and an increment — the
     * crawl-snapshot monitor of a training-data pipeline ("did this
     * month's crawl change vocabulary/distribution enough to re-tune

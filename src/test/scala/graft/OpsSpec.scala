@@ -565,6 +565,11 @@ class DedupSpec extends SparkSpecBase {
     val short = TextAnalysis.winnowFingerprints(
       Seq((1L, "a b c d e f")).toDF("id", "text"), "id", "text", 4, 4)
     assert(short.count() === 0L)
+    // and the detector built on top finds exactly the overlapping
+    // pair through the fp equi-join — never a text comparison
+    val pairs = TextAnalysis.winnowOverlap(docs, "id", "text", 4, 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
   }
 
   test("spanDedup: C4 three-sentence rule — first occurrence wins, overlap and intra-doc handled") {
