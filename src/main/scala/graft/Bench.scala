@@ -159,6 +159,8 @@ object Bench {
     "s9_stream_span",
     "x_fingerprint_winnow",
     "x_fingerprint_overlap",
+    "x_fingerprint_winnow_inc",
+    "s9_stream_winnow",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -711,6 +711,24 @@ object QueriesScale {
        |WHERE TRUE$outputFilter
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cross-slice winnow-overlap oracle: the same print algebra as the
+    * batch detector, reference slice joined against increment slice —
+    * ONE SQL gates the persisted-index increment and the streaming
+    * twin.
+    */
+  private val WinnowIncOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(0, len(tk) - 3),
+      |    i -> md5(array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 4 AS INT)], ' '))) AS gs
+      |  FROM t WHERE len(tk) >= 7),
+      |sel AS (SELECT DISTINCT doc_id,
+      |    list_min(gs[CAST(j.j + 1 AS INT):CAST(j.j + 4 AS INT)]) AS fp
+      |  FROM g, unnest(range(0, len(gs) - 3)) AS j(j))
+      |SELECT a.doc_id AS doc_ref, b.doc_id AS doc_inc, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id % 3 = 0 AND b.doc_id % 9 = 4
+      |GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY 1, 2""".stripMargin
+
   /** Corpus-drift oracle — replays the cleared-denominator TV exactly:
     * reference %3=0 vs increment %9=4 term counts full-outer-joined,
     * totals first, then Σ|c_ref·t_inc − c_inc·t_ref| in DECIMAL and
@@ -3349,6 +3367,42 @@ object QueriesScale {
         k = 4, w = 4, minShared = 2L)
     }),
 
+    // ---- the PERSISTED-index steady state of the detector: the
+    // corpus prints once (writeWinnowIndex), each increment
+    // fingerprint-joins in O(increment) — which corpus docs does each
+    // arriving doc copy from.
+    "x_fingerprint_winnow_inc" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("winnowindex", dir)(p =>
+        TextAnalysis.writeWinnowIndex(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p))
+      TextAnalysis.winnowOverlapWithIndex(s, path,
+        d.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text",
+        minShared = 1L)
+    }),
+
+    // ---- and ONLINE: copy-detection-at-ingest — each arriving batch
+    // fingerprints itself against the persisted corpus prints inside
+    // foreachBatch. The batch increment detector is the oracle
+    // semantics.
+    "s9_stream_winnow" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = docs(s, dir)
+      val path = buildOnce("winnowindexstream", dir)(p =>
+        TextAnalysis.writeWinnowIndex(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p))
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("winnowstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("winnowout", dir)
+      val ckpt   = GraftSession.freshGatePath("winnowckpt", dir)
+      val q = EventsStream.streamWinnowOverlap(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_ref"), col("doc_inc"))
+    }),
+
     "x_fingerprint_rolling" -> ((s, dir) => {
       import graft.ops.TextAnalysis
       // order-sensitive Rabin-Karp vs the bag-of-words md5: the
@@ -5424,6 +5478,8 @@ object QueriesScale {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_fingerprint_winnow_inc" -> WinnowIncOracleSql,
+    "s9_stream_winnow" -> WinnowIncOracleSql,
     "x_corpus_drift" -> DriftOracleSql,
     "x_corpus_drift_inc" -> DriftOracleSql,
     "s9_stream_drift" -> DriftOracleSql,

@@ -974,6 +974,40 @@ object TextAnalysis {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** PERSIST the winnowed print set of a reference corpus — the
+    * fingerprint-once seam of [[winnowOverlap]] for the steady-state
+    * ingest loop. Layout: `$path/prints` (doc_id, fp), distinct.
+    */
+  def writeWinnowIndex(
+      ref: DataFrame, idCol: String, textCol: String, path: String,
+      k: Int = 4, w: Int = 4): Unit =
+    winnowFingerprints(ref, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/prints")
+
+  /** Overlap-detect an increment against a persisted
+    * [[writeWinnowIndex]] — which corpus documents does each arriving
+    * document likely copy from: the increment's prints equi-join the
+    * index on `fp` (never all-pairs), pairs score by distinct shared
+    * prints. Identical print algebra to the batch detector, so one
+    * cross-slice SQL gates this surface and its streaming twin too.
+    * Output: (doc_ref, doc_inc, n_shared), ordered.
+    */
+  def winnowOverlapWithIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 1L): DataFrame = {
+    val incFps = winnowFingerprints(inc, idCol, textCol, k, w)
+      .select(col("doc_id").as("doc_inc"), col("fp")).distinct()
+    spark.read.parquet(s"$path/prints")
+      .select(col("doc_id").as("doc_ref"), col("fp"))
+      .join(incFps, Seq("fp"))
+      .groupBy(col("doc_ref"), col("doc_inc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_ref"), col("doc_inc"))
+  }
+
   /** CORPUS DRIFT between a reference corpus and an increment — the
     * crawl-snapshot monitor of a training-data pipeline ("did this
     * month's crawl change vocabulary/distribution enough to re-tune

@@ -734,6 +734,39 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING winnow-overlap detection at ingest: each arriving
+    * batch fingerprints itself and equi-joins the persisted corpus
+    * print index ([[graft.ops.TextAnalysis.writeWinnowIndex]]) inside
+    * `foreachBatch` — "which corpus documents does this new document
+    * copy from", answered the batch it lands. Batch
+    * [[graft.ops.TextAnalysis.winnowOverlapWithIndex]] is the oracle
+    * semantics; exactly-once via the batch-id-keyed dynamic
+    * overwrite, like every other probe/score sink here.
+    */
+  def streamWinnowOverlap(
+      spark: SparkSession,
+      indexPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .winnowOverlapWithIndex(spark, indexPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING C4 span dedup at ingest: each arriving batch cuts the
     * boilerplate sentence runs the persisted span index
     * ([[graft.ops.Dedup.writeSpanIndex]]) has already seen (and its

@@ -570,6 +570,18 @@ class DedupSpec extends SparkSpecBase {
     val pairs = TextAnalysis.winnowOverlap(docs, "id", "text", 4, 4, minShared = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
+    // persisted index + increment = the same detection: the copying
+    // increment doc pairs with its source, the clean one with nothing
+    val path = java.nio.file.Files.createTempDirectory("winnow-idx").toString
+    TextAnalysis.writeWinnowIndex(
+      Seq((10L, "a b c d e f g h i")).toDF("id", "text"), "id", "text", path)
+    val inc = Seq(
+      (20L, "p q r s c d e f g h i"),
+      (21L, "nothing here matches the reference corpus at all today")
+    ).toDF("id", "text")
+    val hits = TextAnalysis.winnowOverlapWithIndex(spark, path, inc, "id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_ref"), r.getAs[Long]("doc_inc"))).toSet
+    assert(hits === Set((10L, 20L)))
   }
 
   test("spanDedup: C4 three-sentence rule — first occurrence wins, overlap and intra-doc handled") {
