@@ -161,6 +161,7 @@ object Bench {
     "x_fingerprint_overlap",
     "x_fingerprint_winnow_inc",
     "s9_stream_winnow",
+    "x_quality_pipeline",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

@@ -1715,6 +1715,45 @@ object QueriesScale {
         "doc_id", "text")
     }),
 
+    // ---- the CURATION CAPSTONE: this round's stages composed the
+    // way a real pipeline runs them — C4 span dedup (boilerplate cut)
+    // → NB keep/drop gate (score_bits > 0) → KN perplexity annotate —
+    // each stage feeding the next's TEXT, every stage's reference
+    // fit on the %3=0 slice of what reaches it. One SQL replays the
+    // whole chain, so the composition itself is hash-gated, not just
+    // the pieces.
+    "x_quality_pipeline" -> ((s, dir) => {
+      import graft.ops.{Dedup, TextAnalysis}
+      val banner =
+        "accept all cookies to continue. this site uses tracking. see our privacy policy."
+      val d = docs(s, dir)
+      val planted = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
+      val kept = Dedup.spanDedup(planted, "doc_id", "text")
+      val keptDocs = kept.filter(col("n_kept") >= 1)
+        .select(col("doc_id"), col("kept_text").as("text"))
+      val refLab = keptDocs
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("__is_en", col("lang") === "en")
+      val scored = TextAnalysis.nbQualityScore(keptDocs, "doc_id", "text",
+        refLab, "text", "__is_en", oovBits = 16, minCount = 2L)
+      // keep threshold >= 0 (not > 0): the synthetic corpus shares
+      // one vocabulary across langs, so NB scores top out at 0 — the
+      // non-negative gate keeps both branches live under the oracle
+      val surv = keptDocs.join(
+        scored.filter(col("score_bits") >= 0).select(col("doc_id"), col("score_bits")),
+        Seq("doc_id"))
+      val kn = TextAnalysis.knSurprisal(surv, "doc_id", "text",
+        surv.filter(pmod(col("doc_id"), lit(3)) === 0), "text",
+        oovBits = 16, minCount = 2L)
+      kept.select(col("doc_id"), col("n_sents"), col("n_kept"))
+        .join(surv.select(col("doc_id"), col("score_bits")), Seq("doc_id"))
+        .join(kn, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the PERSISTED-index steady state of the C4 cut: the
     // reference corpus's span winners build once (writeSpanIndex), an
     // increment dedups in O(increment); winner = least okey across
@@ -5478,6 +5517,97 @@ object QueriesScale {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "x_quality_pipeline" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |  THEN 'accept all cookies to continue. this site uses tracking. see our privacy policy. ' || text
+        |  ELSE text END AS text FROM documents),
+        |s0 AS (SELECT doc_id,
+        |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+        |    s -> trim(s)), s -> s <> '') AS sents FROM p),
+        |sent AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
+        |    sents[CAST(i.i AS INT)] AS sent
+        |  FROM s0, unnest(range(1, len(sents) + 1)) AS i(i)),
+        |spans AS (SELECT doc_id, CAST(k.k AS BIGINT) AS start,
+        |    md5(sents[CAST(k.k + 1 AS INT)] || ' ' || sents[CAST(k.k + 2 AS INT)]
+        |      || ' ' || sents[CAST(k.k + 3 AS INT)]) AS h,
+        |    doc_id * 1048576 + CAST(k.k AS BIGINT) AS okey
+        |  FROM s0, unnest(range(0, len(sents) - 2)) AS k(k) WHERE len(sents) >= 3),
+        |win AS (SELECT h, min(okey) AS first_key FROM spans GROUP BY 1),
+        |rem AS (SELECT DISTINCT spans.doc_id, spans.start + o.o AS idx
+        |  FROM spans JOIN win USING (h), unnest(range(0, 3)) AS o(o)
+        |  WHERE spans.okey <> win.first_key),
+        |kt AS MATERIALIZED (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+        |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
+        |  FROM sent s LEFT JOIN rem r ON s.doc_id = r.doc_id AND s.idx = r.idx
+        |  GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT kt.doc_id,
+        |    list_filter(string_split(lower(kt.kept_text), ' '), x -> x <> '') AS t, d0.lang
+        |  FROM kt JOIN documents d0 USING (doc_id) WHERE kt.n_kept >= 1),
+        |rt AS (SELECT unnest(t) AS w, lang = 'en' AS pos FROM d2 WHERE doc_id % 3 = 0),
+        |tp AS (SELECT CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS tpos,
+        |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS tneg FROM rt),
+        |vc AS (SELECT w, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS cpos,
+        |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS cneg
+        | FROM rt GROUP BY 1 HAVING count(*) >= 2),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM d2),
+        |scn AS (SELECT tok.doc_id,
+        |   CAST(CASE WHEN vc.w IS NULL THEN 0 ELSE
+        |     (CASE WHEN cneg >= 1
+        |        THEN length(bin((SELECT tneg FROM tp))) - length(bin(cneg)) + 1
+        |        ELSE 16 END)
+        |   - (CASE WHEN cpos >= 1
+        |        THEN length(bin((SELECT tpos FROM tp))) - length(bin(cpos)) + 1
+        |        ELSE 16 END) END AS BIGINT) AS s
+        |  FROM tok LEFT JOIN vc USING (w)),
+        |nbdoc AS MATERIALIZED (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_bits
+        |  FROM scn GROUP BY 1),
+        |surv AS MATERIALIZED (SELECT d2.doc_id, d2.t FROM d2
+        |  JOIN nbdoc USING (doc_id) WHERE nbdoc.score_bits >= 0),
+        |rb2 AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+        |  FROM surv WHERE doc_id % 3 = 0 AND len(t) >= 2),
+        |bt2 AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS b FROM rb2),
+        |bcf2 AS (SELECT bg, c FROM (
+        |  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM rb2 GROUP BY 1) WHERE c >= 2),
+        |ccf2 AS (SELECT prev, ctx, n1p FROM (
+        |  SELECT string_split(bg, ' ')[1] AS prev, CAST(count(*) AS BIGINT) AS ctx,
+        |    CAST(count(DISTINCT string_split(bg, ' ')[2]) AS BIGINT) AS n1p
+        |  FROM rb2 GROUP BY 1) WHERE ctx >= 2),
+        |cof2 AS (SELECT w, a FROM (
+        |  SELECT string_split(bg, ' ')[2] AS w,
+        |    CAST(count(DISTINCT string_split(bg, ' ')[1]) AS BIGINT) AS a
+        |  FROM rb2 GROUP BY 1) WHERE a >= 2),
+        |db2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+        |  FROM surv WHERE len(t) >= 2),
+        |jn2 AS (SELECT db2.doc_id,
+        |    greatest(4 * coalesce(bcf2.c, 0) - 3, 0) * (SELECT b FROM bt2)
+        |      + 3 * ccf2.n1p * coalesce(cof2.a, 0) AS num,
+        |    ccf2.ctx AS ctx, cof2.a AS a
+        |  FROM db2 LEFT JOIN bcf2 USING (bg)
+        |  LEFT JOIN ccf2 ON string_split(db2.bg, ' ')[1] = ccf2.prev
+        |  LEFT JOIN cof2 ON string_split(db2.bg, ' ')[2] = cof2.w),
+        |sc2 AS (SELECT doc_id,
+        |   CAST(CASE WHEN ctx IS NOT NULL AND num >= 1
+        |          THEN length(bin(4 * ctx * (SELECT b FROM bt2))) - length(bin(num)) + 1
+        |        WHEN ctx IS NULL AND a IS NOT NULL
+        |          THEN length(bin((SELECT b FROM bt2))) - length(bin(a)) + 1
+        |        ELSE 16 END AS BIGINT) AS surpr,
+        |   CASE WHEN ctx IS NOT NULL AND num >= 1 THEN 0
+        |        WHEN ctx IS NULL AND a IS NOT NULL THEN 1 ELSE 2 END AS rung
+        |  FROM jn2),
+        |knout AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN rung = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+        |  CAST(sum(CASE WHEN rung = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
+        |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
+        | FROM sc2 GROUP BY 1)
+        |SELECT kt.doc_id, kt.n_sents, kt.n_kept, nbdoc.score_bits,
+        |  k.n_bigrams, k.n_cont, k.n_oov, k.surprisal_sum, k.mean_surprisal
+        |FROM kt JOIN nbdoc USING (doc_id) JOIN knout k USING (doc_id)
+        |WHERE nbdoc.score_bits >= 0
+        |ORDER BY 1""".stripMargin,
     "x_fingerprint_winnow_inc" -> WinnowIncOracleSql,
     "s9_stream_winnow" -> WinnowIncOracleSql,
     "x_corpus_drift" -> DriftOracleSql,
