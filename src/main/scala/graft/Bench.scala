@@ -162,6 +162,8 @@ object Bench {
     "x_fingerprint_winnow_inc",
     "s9_stream_winnow",
     "x_quality_pipeline",
+    "x_quality_pipeline_inc",
+    "s9_stream_pipeline",
     "x_cluster_retrain",
     "s9_stream_retrain"
   )

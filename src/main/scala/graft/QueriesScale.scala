@@ -61,6 +61,42 @@ object QueriesScale {
     * the probe alone. Verify still builds fresh on its single pass;
     * the gate data under a dir never changes within a JVM.
     */
+  /** The planted corpus + the three persisted models of the deployed
+    * curation pipeline (`x_quality_pipeline_inc` / `s9_stream_pipeline`),
+    * fit once under one gate path: span index from the %3=0 reference
+    * slice, NB model on the span-cleaned reference (labels joined back
+    * from the raw table), KN model on the NB-surviving reference —
+    * each stage's fit input is the previous stage's output, exactly
+    * like the one-shot capstone.
+    */
+  private def qpipeModels(
+      s: SparkSession, dir: String, tag: String): (org.apache.spark.sql.DataFrame, String) = {
+    import graft.ops.{Dedup, TextAnalysis}
+    val banner =
+      "accept all cookies to continue. this site uses tracking. see our privacy policy."
+    val d = docs(s, dir)
+    val planted = d.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
+    val path = buildOnce(tag, dir) { p =>
+      val refP = planted.filter(pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.writeSpanIndex(refP, "doc_id", "text", s"$p/span")
+      val refKept = Dedup.spanDedup(refP, "doc_id", "text")
+        .filter(col("n_kept") >= 1)
+        .select(col("doc_id"), col("kept_text").as("text"))
+      TextAnalysis.writeNbModel(
+        refKept.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .withColumn("__is_en", col("lang") === "en"),
+        "text", "__is_en", s"$p/nb", oovBits = 16, minCount = 2L)
+      val refSurv = refKept.join(
+        TextAnalysis.scoreWithNbModel(s, s"$p/nb", refKept, "doc_id", "text")
+          .filter(col("score_bits") >= 0).select(col("doc_id")),
+        Seq("doc_id"))
+      TextAnalysis.writeKnModel(refSurv, "text", s"$p/kn", oovBits = 16, minCount = 2L)
+    }
+    (planted, path)
+  }
+
   private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def buildOnce(tag: String, dir: String)(build: String => Unit): String =
     // FRESH is the DEFAULT (round-12, VERDICT r11 task 1c): every
@@ -728,6 +764,142 @@ object QueriesScale {
       |SELECT a.doc_id AS doc_ref, b.doc_id AS doc_inc, CAST(count(*) AS BIGINT) AS n_shared
       |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id % 3 = 0 AND b.doc_id % 9 = 4
       |GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY 1, 2""".stripMargin
+
+  /** The deployed-pipeline oracle: the three offline fits (ref-slice
+    * span dedup, NB model on the cleaned ref, KN model on the
+    * NB-surviving ref) and the increment's full chain (union-law span
+    * cut, NB gate, KN annotate) replayed in ONE SQL — gates the batch
+    * increment pipeline and its streaming twin.
+    */
+  private val QpipeIncOracleSql: String =
+    """WITH pr AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |  THEN 'accept all cookies to continue. this site uses tracking. see our privacy policy. ' || text
+      |  ELSE text END AS text FROM documents WHERE doc_id % 3 = 0),
+      |s0r AS (SELECT doc_id,
+      |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+      |    s -> trim(s)), s -> s <> '') AS sents FROM pr),
+      |sentr AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
+      |    sents[CAST(i.i AS INT)] AS sent
+      |  FROM s0r, unnest(range(1, len(sents) + 1)) AS i(i)),
+      |spansr AS (SELECT doc_id, CAST(k.k AS BIGINT) AS start,
+      |    md5(sents[CAST(k.k + 1 AS INT)] || ' ' || sents[CAST(k.k + 2 AS INT)]
+      |      || ' ' || sents[CAST(k.k + 3 AS INT)]) AS h,
+      |    doc_id * 1048576 + CAST(k.k AS BIGINT) AS okey
+      |  FROM s0r, unnest(range(0, len(sents) - 2)) AS k(k) WHERE len(sents) >= 3),
+      |winr AS MATERIALIZED (SELECT h, min(okey) AS first_key FROM spansr GROUP BY 1),
+      |remr AS (SELECT DISTINCT spansr.doc_id, spansr.start + o.o AS idx
+      |  FROM spansr JOIN winr USING (h), unnest(range(0, 3)) AS o(o)
+      |  WHERE spansr.okey <> winr.first_key),
+      |ktr AS MATERIALIZED (SELECT s.doc_id,
+      |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
+      |  FROM sentr s LEFT JOIN remr r ON s.doc_id = r.doc_id AND s.idx = r.idx
+      |  GROUP BY 1),
+      |d2r AS MATERIALIZED (SELECT ktr.doc_id,
+      |    list_filter(string_split(lower(ktr.kept_text), ' '), x -> x <> '') AS t, d0.lang
+      |  FROM ktr JOIN documents d0 USING (doc_id) WHERE ktr.n_kept >= 1),
+      |rtr AS (SELECT unnest(t) AS w, lang = 'en' AS pos FROM d2r),
+      |tpr AS (SELECT CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS tpos,
+      |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS tneg FROM rtr),
+      |vcr AS MATERIALIZED (SELECT w, CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS cpos,
+      |  CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS cneg
+      | FROM rtr GROUP BY 1 HAVING count(*) >= 2),
+      |refsc AS (SELECT tok.doc_id,
+      |   CAST(CASE WHEN vcr.w IS NULL THEN 0 ELSE
+      |     (CASE WHEN cneg >= 1
+      |        THEN length(bin((SELECT tneg FROM tpr))) - length(bin(cneg)) + 1
+      |        ELSE 16 END)
+      |   - (CASE WHEN cpos >= 1
+      |        THEN length(bin((SELECT tpos FROM tpr))) - length(bin(cpos)) + 1
+      |        ELSE 16 END) END AS BIGINT) AS s
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM d2r) tok LEFT JOIN vcr USING (w)),
+      |refsurv AS MATERIALIZED (SELECT d2r.doc_id, d2r.t FROM d2r
+      |  JOIN (SELECT doc_id, CAST(sum(s) AS BIGINT) AS sb FROM refsc GROUP BY 1) nb
+      |  USING (doc_id) WHERE nb.sb >= 0),
+      |rb3 AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+      |  FROM refsurv WHERE len(t) >= 2),
+      |bt3 AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS b FROM rb3),
+      |bcf3 AS MATERIALIZED (SELECT bg, c FROM (
+      |  SELECT bg, CAST(count(*) AS BIGINT) AS c FROM rb3 GROUP BY 1) WHERE c >= 2),
+      |ccf3 AS MATERIALIZED (SELECT prev, ctx, n1p FROM (
+      |  SELECT string_split(bg, ' ')[1] AS prev, CAST(count(*) AS BIGINT) AS ctx,
+      |    CAST(count(DISTINCT string_split(bg, ' ')[2]) AS BIGINT) AS n1p
+      |  FROM rb3 GROUP BY 1) WHERE ctx >= 2),
+      |cof3 AS MATERIALIZED (SELECT w, a FROM (
+      |  SELECT string_split(bg, ' ')[2] AS w,
+      |    CAST(count(DISTINCT string_split(bg, ' ')[1]) AS BIGINT) AS a
+      |  FROM rb3 GROUP BY 1) WHERE a >= 2),
+      |pu AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |  THEN 'accept all cookies to continue. this site uses tracking. see our privacy policy. ' || text
+      |  ELSE text END AS text FROM documents WHERE doc_id % 3 = 0 OR doc_id % 9 = 4),
+      |s0u AS (SELECT doc_id,
+      |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+      |    s -> trim(s)), s -> s <> '') AS sents FROM pu),
+      |sentu AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
+      |    sents[CAST(i.i AS INT)] AS sent
+      |  FROM s0u, unnest(range(1, len(sents) + 1)) AS i(i)),
+      |spansu AS (SELECT doc_id, CAST(k.k AS BIGINT) AS start,
+      |    md5(sents[CAST(k.k + 1 AS INT)] || ' ' || sents[CAST(k.k + 2 AS INT)]
+      |      || ' ' || sents[CAST(k.k + 3 AS INT)]) AS h,
+      |    doc_id * 1048576 + CAST(k.k AS BIGINT) AS okey
+      |  FROM s0u, unnest(range(0, len(sents) - 2)) AS k(k) WHERE len(sents) >= 3),
+      |winu AS MATERIALIZED (SELECT h, min(okey) AS first_key FROM spansu GROUP BY 1),
+      |remu AS (SELECT DISTINCT spansu.doc_id, spansu.start + o.o AS idx
+      |  FROM spansu JOIN winu USING (h), unnest(range(0, 3)) AS o(o)
+      |  WHERE spansu.okey <> winu.first_key),
+      |kti AS MATERIALIZED (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+      |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
+      |  FROM sentu s LEFT JOIN remu r ON s.doc_id = r.doc_id AND s.idx = r.idx
+      |  WHERE s.doc_id % 9 = 4
+      |  GROUP BY 1),
+      |d2i AS MATERIALIZED (SELECT doc_id,
+      |    list_filter(string_split(lower(kept_text), ' '), x -> x <> '') AS t, n_sents, n_kept
+      |  FROM kti WHERE n_kept >= 1),
+      |incsc AS (SELECT tok.doc_id,
+      |   CAST(CASE WHEN vcr.w IS NULL THEN 0 ELSE
+      |     (CASE WHEN cneg >= 1
+      |        THEN length(bin((SELECT tneg FROM tpr))) - length(bin(cneg)) + 1
+      |        ELSE 16 END)
+      |   - (CASE WHEN cpos >= 1
+      |        THEN length(bin((SELECT tpos FROM tpr))) - length(bin(cpos)) + 1
+      |        ELSE 16 END) END AS BIGINT) AS s
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM d2i) tok LEFT JOIN vcr USING (w)),
+      |incnb AS MATERIALIZED (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_bits
+      |  FROM incsc GROUP BY 1),
+      |isurv AS MATERIALIZED (SELECT d2i.doc_id, d2i.t FROM d2i
+      |  JOIN incnb USING (doc_id) WHERE incnb.score_bits >= 0),
+      |dbi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS bg
+      |  FROM isurv WHERE len(t) >= 2),
+      |jni AS (SELECT dbi.doc_id,
+      |    greatest(4 * coalesce(bcf3.c, 0) - 3, 0) * (SELECT b FROM bt3)
+      |      + 3 * ccf3.n1p * coalesce(cof3.a, 0) AS num,
+      |    ccf3.ctx AS ctx, cof3.a AS a
+      |  FROM dbi LEFT JOIN bcf3 USING (bg)
+      |  LEFT JOIN ccf3 ON string_split(dbi.bg, ' ')[1] = ccf3.prev
+      |  LEFT JOIN cof3 ON string_split(dbi.bg, ' ')[2] = cof3.w),
+      |sci AS (SELECT doc_id,
+      |   CAST(CASE WHEN ctx IS NOT NULL AND num >= 1
+      |          THEN length(bin(4 * ctx * (SELECT b FROM bt3))) - length(bin(num)) + 1
+      |        WHEN ctx IS NULL AND a IS NOT NULL
+      |          THEN length(bin((SELECT b FROM bt3))) - length(bin(a)) + 1
+      |        ELSE 16 END AS BIGINT) AS surpr,
+      |   CASE WHEN ctx IS NOT NULL AND num >= 1 THEN 0
+      |        WHEN ctx IS NULL AND a IS NOT NULL THEN 1 ELSE 2 END AS rung
+      |  FROM jni),
+      |knouti AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN rung = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+      |  CAST(sum(CASE WHEN rung = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(surpr) AS BIGINT) AS surprisal_sum,
+      |  round(CAST(sum(surpr) AS DOUBLE) / count(*), 4) AS mean_surprisal
+      | FROM sci GROUP BY 1)
+      |SELECT kti.doc_id, kti.n_sents, kti.n_kept, incnb.score_bits,
+      |  k.n_bigrams, k.n_cont, k.n_oov, k.surprisal_sum, k.mean_surprisal
+      |FROM kti JOIN incnb USING (doc_id) JOIN knouti k USING (doc_id)
+      |WHERE incnb.score_bits >= 0
+      |ORDER BY 1""".stripMargin
 
   /** Corpus-drift oracle — replays the cleared-denominator TV exactly:
     * reference %3=0 vs increment %9=4 term counts full-outer-joined,
@@ -1752,6 +1924,36 @@ object QueriesScale {
         .join(surv.select(col("doc_id"), col("score_bits")), Seq("doc_id"))
         .join(kn, Seq("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the DEPLOYED capstone: the chain's three models fit once
+    // offline (span index from the ref slice, NB model on the
+    // span-cleaned ref, KN model on the NB-surviving ref), an
+    // increment runs the whole chain in O(increment). One composed
+    // SQL gates this and the streaming twin.
+    "x_quality_pipeline_inc" -> ((s, dir) => {
+      import graft.ops.{Dedup, TextAnalysis}
+      val (planted, path) = qpipeModels(s, dir, "qpipemodels")
+      TextAnalysis.qualityPipelineWithModels(s,
+        s"$path/span", s"$path/nb", s"$path/kn",
+        planted.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+    }),
+
+    // ---- and ONLINE: the pipeline-at-ingest — arriving docs run
+    // span cut -> NB gate -> KN annotate against the persisted models
+    // in one foreachBatch. The batch increment pipeline is the oracle
+    // semantics.
+    "s9_stream_pipeline" -> ((s, dir) => {
+      val (planted, path) = qpipeModels(s, dir, "qpipemodelsstream")
+      val inc = planted.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("qpipestream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("qpipeout", dir)
+      val ckpt   = GraftSession.freshGatePath("qpipeckpt", dir)
+      val q = EventsStream.streamQualityPipeline(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
 
     // ---- the PERSISTED-index steady state of the C4 cut: the
@@ -5608,6 +5810,8 @@ object QueriesScale {
         |FROM kt JOIN nbdoc USING (doc_id) JOIN knout k USING (doc_id)
         |WHERE nbdoc.score_bits >= 0
         |ORDER BY 1""".stripMargin,
+    "x_quality_pipeline_inc" -> QpipeIncOracleSql,
+    "s9_stream_pipeline" -> QpipeIncOracleSql,
     "x_fingerprint_winnow_inc" -> WinnowIncOracleSql,
     "s9_stream_winnow" -> WinnowIncOracleSql,
     "x_corpus_drift" -> DriftOracleSql,

@@ -974,6 +974,35 @@ object TextAnalysis {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The DEPLOYED curation pipeline: an increment runs this round's
+    * whole chain against persisted state — C4 span cut against the
+    * span index ([[graft.ops.Dedup.writeSpanIndex]], union-batch
+    * law), NB keep gate (score_bits ≥ 0) against [[writeNbModel]],
+    * KN annotate against [[writeKnModel]] — in O(increment), no
+    * reference re-reads. Each stage is its already-oracled increment
+    * scorer, and the composed SQL replays the full chain, so the
+    * deployed COMPOSITION is hash-gated, not just the pieces.
+    * Output per surviving doc: (doc_id, n_sents, n_kept, score_bits,
+    * n_bigrams, n_cont, n_oov, surprisal_sum, mean_surprisal).
+    */
+  def qualityPipelineWithModels(
+      spark: org.apache.spark.sql.SparkSession,
+      spanIndexPath: String, nbPath: String, knPath: String,
+      inc: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val kept = Dedup.spanDedupWithIndex(spark, spanIndexPath, inc, idCol, textCol)
+    val keptDocs = kept.filter(col("n_kept") >= 1)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val scored = scoreWithNbModel(spark, nbPath, keptDocs, "doc_id", "text")
+    val surv = keptDocs.join(
+      scored.filter(col("score_bits") >= 0).select(col("doc_id"), col("score_bits")),
+      Seq("doc_id"))
+    val kn = scoreWithKnModel(spark, knPath, surv, "doc_id", "text")
+    kept.select(col("doc_id"), col("n_sents"), col("n_kept"))
+      .join(surv.select(col("doc_id"), col("score_bits")), Seq("doc_id"))
+      .join(kn, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PERSIST the winnowed print set of a reference corpus — the
     * fingerprint-once seam of [[winnowOverlap]] for the steady-state
     * ingest loop. Layout: `$path/prints` (doc_id, fp), distinct.

@@ -767,6 +767,40 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING curation pipeline at ingest — the deployed shape of
+    * the whole round: each arriving batch runs span cut → NB keep
+    * gate → KN annotate against the three persisted models inside
+    * one `foreachBatch`
+    * ([[graft.ops.TextAnalysis.qualityPipelineWithModels]]). Batch
+    * semantics are the oracle; exactly-once via the batch-id-keyed
+    * dynamic overwrite, like every other probe/score sink here.
+    */
+  def streamQualityPipeline(
+      spark: SparkSession,
+      modelsPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .qualityPipelineWithModels(spark,
+            s"$modelsPath/span", s"$modelsPath/nb", s"$modelsPath/kn",
+            batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING C4 span dedup at ingest: each arriving batch cuts the
     * boilerplate sentence runs the persisted span index
     * ([[graft.ops.Dedup.writeSpanIndex]]) has already seen (and its
