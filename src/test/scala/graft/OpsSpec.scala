@@ -606,6 +606,63 @@ class DedupSpec extends SparkSpecBase {
     assert(eaten(1L) === "a b. c d. e f." && eaten(2L) === "")
   }
 
+  test("deployed pipeline = one-shot pipeline on the union when increment ids follow the reference") {
+    import graft.ops.{Dedup, TextAnalysis}
+    // ref ids 0,3,6,9 (the %3=0 slice of the union); inc ids 13,22 all
+    // LARGER than every ref id, so no okey inversion exists and the
+    // persisted-models chain must reproduce the one-shot chain exactly
+    val ref = Seq(
+      (0L, "data table spark. data table spark. batch data row. spark data good data."),
+      (3L, "data table spark. data table spark. batch data row. spark row fast row."),
+      (6L, "spark data batch data table data row data."),
+      (9L, "row fast table. spark data batch.")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val inc = Seq(
+      (13L, "data table spark. data table spark. batch data row. spark data row data."),
+      (22L, "spark data table batch row data fast data.")
+    ).toDF("doc_id", "text").withColumn("lang",
+      when(col("doc_id") === 22L, lit("de")).otherwise(lit("en")))
+    val union = ref.union(inc)
+    // --- one-shot chain on the union (the x_quality_pipeline shape)
+    val kept = Dedup.spanDedup(union, "doc_id", "text")
+    val keptDocs = kept.filter(col("n_kept") >= 1)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val refLab = keptDocs
+      .join(union.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("__is_en", col("lang") === "en")
+    val scored = TextAnalysis.nbQualityScore(keptDocs, "doc_id", "text",
+      refLab, "text", "__is_en", 16, 2L)
+    val surv = keptDocs.join(
+      scored.filter(col("score_bits") >= 0).select(col("doc_id"), col("score_bits")),
+      Seq("doc_id"))
+    val kn = TextAnalysis.knSurprisal(surv, "doc_id", "text",
+      surv.filter(pmod(col("doc_id"), lit(3)) === 0), "text", 16, 2L)
+    val oneShot = kept.select(col("doc_id"), col("n_sents"), col("n_kept"))
+      .join(surv.select(col("doc_id"), col("score_bits")), Seq("doc_id"))
+      .join(kn, Seq("doc_id"))
+      .filter(col("doc_id") > 9L)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    // --- deployed chain: three models fit on the REF slice alone
+    val p = java.nio.file.Files.createTempDirectory("qpipe-law").toString
+    Dedup.writeSpanIndex(ref, "doc_id", "text", s"$p/span")
+    val refKept = Dedup.spanDedup(ref, "doc_id", "text")
+      .filter(col("n_kept") >= 1).select(col("doc_id"), col("kept_text").as("text"))
+    TextAnalysis.writeNbModel(
+      refKept.join(ref.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("__is_en", col("lang") === "en"),
+      "text", "__is_en", s"$p/nb", 16, 2L)
+    val refSurv = refKept.join(
+      TextAnalysis.scoreWithNbModel(spark, s"$p/nb", refKept, "doc_id", "text")
+        .filter(col("score_bits") >= 0).select(col("doc_id")), Seq("doc_id"))
+    TextAnalysis.writeKnModel(refSurv, "text", s"$p/kn", 16, 2L)
+    val deployed = TextAnalysis.qualityPipelineWithModels(spark,
+        s"$p/span", s"$p/nb", s"$p/kn", inc, "doc_id", "text")
+      .collect().map(_.toSeq)
+    assert(deployed.nonEmpty, "the law needs surviving increment docs to bite")
+    assert(oneShot.toSeq === deployed.toSeq)
+  }
+
   test("spanDedupWithIndex = the one-batch rule on the union corpus") {
     import graft.ops.Dedup
     val ref = Seq((10L, "a b. c d. e f. k l.")).toDF("id", "text")
