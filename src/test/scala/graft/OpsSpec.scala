@@ -540,6 +540,72 @@ class DedupSpec extends SparkSpecBase {
       .collect()(0).getAs[Double]("auc") === 0.5)
   }
 
+  test("knSurprisal invariant: every cost >= 1, OOV exactly the ceiling, num <= den by construction") {
+    import graft.ops.TextAnalysis
+    // a messy random-ish corpus: repeated pairs, singletons, OOV —
+    // the bit-cost law says every per-doc mean is >= 1 (cost >= 1 per
+    // transition: num <= den always because pruning only SHRINKS the
+    // numerator of a true probability <= 1) and <= 16 (the ceiling)
+    val ref = Seq((1L, "a b a b a b c a d b e f e f g h a b")).toDF("id", "text")
+    val scored = TextAnalysis.knSurprisal(
+      Seq((1L, "a b"), (2L, "b a b c"), (3L, "e f g h"), (4L, "zz qq rr"),
+        (5L, "a b e f a d c a")).toDF("id", "text"),
+      "id", "text", ref, "text", oovBits = 16, minCount = 2L).collect()
+    scored.foreach { r =>
+      val mean = r.getAs[Double]("mean_surprisal")
+      assert(mean >= 1.0 && mean <= 16.0,
+        s"doc ${r.getAs[Long]("doc_id")} mean $mean outside [1,16]")
+    }
+    // the all-OOV doc sits exactly AT the ceiling
+    assert(scored.find(_.getAs[Long]("doc_id") == 4L).get
+      .getAs[Double]("mean_surprisal") === 16.0)
+  }
+
+  test("evalBinaryScores is rank-based: any strictly monotone score transform preserves AUC") {
+    import graft.ops.TextAnalysis
+    val base = Seq((9L, true), (4L, true), (4L, false), (1L, false), (-7L, false))
+    val a = TextAnalysis.evalBinaryScores(base.toDF("score", "pos"), "score", "pos")
+      .collect()(0)
+    val b = TextAnalysis.evalBinaryScores(
+      base.map { case (s, p) => (s * 3 + 100, p) }.toDF("score", "pos"), "score", "pos")
+      .collect()(0)
+    assert(a.getAs[Double]("auc") === b.getAs[Double]("auc"))
+    assert(a.getAs[Long]("u2") === b.getAs[Long]("u2"))
+  }
+
+  test("corpusDrift is symmetric: TV(a,b) = TV(b,a) including the exact numerator") {
+    import graft.ops.TextAnalysis
+    val a = Seq((1L, "x y x z w")).toDF("id", "text")
+    val b = Seq((1L, "x q y y")).toDF("id", "text")
+    val ab = TextAnalysis.corpusDrift(a, "text", b, "text").collect()(0)
+    val ba = TextAnalysis.corpusDrift(b, "text", a, "text").collect()(0)
+    assert(ab.getAs[Double]("tv") === ba.getAs[Double]("tv"))
+    assert(ab.getAs[java.math.BigDecimal]("tv_num").longValueExact()
+      === ba.getAs[java.math.BigDecimal]("tv_num").longValueExact())
+    assert(ab.getAs[Long]("n_terms") === ba.getAs[Long]("n_terms"))
+  }
+
+  test("spanDedup is idempotent: a deduped corpus passes through unchanged") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "a b. c d. e f. x y."),
+      (2L, "a b. c d. e f. q r."),
+      (4L, "p q. r s. t u. p q. r s. t u.")
+    ).toDF("id", "text")
+    val once = Dedup.spanDedup(docs, "id", "text")
+      .select(col("doc_id").as("id"), col("kept_text").as("text"))
+    val twice = Dedup.spanDedup(once, "id", "text").collect()
+    twice.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_sents"),
+        s"doc ${r.getAs[Long]("doc_id")} lost sentences on the second pass")
+    }
+    // and the reassembled text is stable
+    val again = Dedup.spanDedup(once, "id", "text")
+      .select(col("doc_id").as("id"), col("kept_text").as("text"))
+    assert(once.orderBy(col("id")).collect().map(_.toSeq).toSeq
+      === again.orderBy(col("id")).collect().map(_.toSeq).toSeq)
+  }
+
   test("winnowFingerprints: the coverage guarantee — a shared k+w-1 run shares a print") {
     import graft.ops.TextAnalysis
     // k=4, w=4: any shared 7-token run must share >= 1 selected
