@@ -282,6 +282,16 @@ class PlanAssertSpec extends SparkSpecBase {
       s"curve multiplies corpus scans with cutoffs ($embScans embeddings scans):\n$plan")
   }
 
+  test("x_quality_pipeline: the composed chain never goes cartesian") {
+    // three chained stages (span dedup -> NB gate -> KN annotate)
+    // compose joins from all three families; whatever join strategy
+    // the sizes pick, a CartesianProduct anywhere means a stage lost
+    // its equi-join key through the composition
+    val plan = planOf(q("x_quality_pipeline"))
+    assert(!plan.contains("CartesianProduct"),
+      s"composed pipeline went cartesian:\n${plan.take(4000)}")
+  }
+
   test("x_quality_curve: the threshold sweep adds no corpus scans") {
     val curve = q("x_quality_curve")
     val plan  = planOf(curve)
