@@ -606,6 +606,30 @@ class DedupSpec extends SparkSpecBase {
       === again.orderBy(col("id")).collect().map(_.toSeq).toSeq)
   }
 
+  test("partition invariance: KN, drift, and PCA outputs are identical under any repartitioning") {
+    import graft.ops.{Similarity, TextAnalysis}
+    // the distributed-correctness law: physical partitioning must be
+    // invisible — decimal/integer sums are order-independent by
+    // construction and nothing may leak partition boundaries
+    val ref = Seq((1L, "a b a b c a d e f e"), (2L, "b a c a b d f e f a"))
+      .toDF("id", "text")
+    val docs = Seq((1L, "a b c d"), (2L, "e f a b"), (3L, "zz a b qq"))
+      .toDF("id", "text")
+    def knOf(r: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.knSurprisal(d, "id", "text", r, "text", 16, 2L)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(knOf(ref, docs) === knOf(ref.repartition(7), docs.repartition(5)))
+    def driftOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.corpusDrift(a, "text", b, "text").collect()(0).toSeq
+    assert(driftOf(ref, docs) === driftOf(ref.repartition(9), docs.repartition(3)))
+    val vecs = Seq((0L, Array(1.0f, 0.25f)), (1L, Array(2.0f, -0.5f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.5f, 0.75f))).toDF("vec_id", "embedding")
+    def pcaOf(v: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaProject(v, "vec_id", "embedding", 1000L, 3)
+        .collect().map(_.toSeq).toSeq
+    assert(pcaOf(vecs) === pcaOf(vecs.repartition(6)))
+  }
+
   test("winnowFingerprints: the coverage guarantee — a shared k+w-1 run shares a print") {
     import graft.ops.TextAnalysis
     // k=4, w=4: any shared 7-token run must share >= 1 selected
