@@ -282,6 +282,23 @@ class PlanAssertSpec extends SparkSpecBase {
       s"curve multiplies corpus scans with cutoffs ($embScans embeddings scans):\n$plan")
   }
 
+  test("x_fingerprint_winnow: selection folds in-array — zero window operators") {
+    // the scaladoc claim made falsifiable: gram hashing and window
+    // minima are per-row array folds; a Window operator here means
+    // the selection regressed to a corpus-wide sort
+    val plan = planOf(q("x_fingerprint_winnow"))
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows === 0, s"winnow selection regressed to a window:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), "winnow went cartesian")
+  }
+
+  test("x_dedup_span: winner selection and reassembly never go cartesian or window") {
+    val plan = planOf(q("x_dedup_span"))
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows === 0, s"span winner/reassembly regressed to a window:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), "span dedup went cartesian")
+  }
+
   test("x_quality_pipeline: the composed chain never goes cartesian") {
     // three chained stages (span dedup -> NB gate -> KN annotate)
     // compose joins from all three families; whatever join strategy
