@@ -154,6 +154,7 @@ object Bench {
     "x_corpus_drift",
     "x_corpus_drift_inc",
     "s9_stream_drift",
+    "x_dedup_histogram",
     "x_dedup_span",
     "x_dedup_span_inc",
     "s9_stream_span",

@@ -1773,6 +1773,25 @@ object QueriesScale {
         .orderBy(col("id"))
     }),
 
+    // ---- the DEDUP REPORT: cluster-size histogram over the resolved
+    // components (singletons included) — the one-page answer to "how
+    // much of the corpus is duplicate mass", the number a dedup run
+    // is judged by before anything is deleted.
+    "x_dedup_histogram" -> ((s, dir) => {
+      val pd = plantedDocs(s, dir)
+      val pairs = Dedup.minhashExactPairs(pd, "id", "text",
+        w = 3, numHashes = 30, bands = 10, threshold = 0.9)
+      val comp = Dedup.connectedComponents(pairs)
+      pd.select(col("id"))
+        .join(comp, Seq("id"), "left")
+        .select(coalesce(col("cluster"), col("id")).as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // ---- INCREMENTAL cluster maintenance: the steady-state crawl
     // loop at 100 TB — base corpus clustered once (md5-LSH pairs →
     // CC), the increment probes the PERSISTENT band index for its
@@ -4131,6 +4150,30 @@ object QueriesScale {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          |SELECT id, cluster, CASE WHEN id = cluster THEN 1 ELSE 0 END AS kept
          |FROM comp ORDER BY id""".stripMargin,
+    // the dedup report: the resolve closure extended to singletons,
+    // folded to a size histogram
+    "x_dedup_histogram" ->
+      s"""WITH RECURSIVE $CorpusSql,
+         |$ShinglesSql,
+         |nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+         |pairs AS (
+         | SELECT a.id AS id_a, b.id AS id_b
+         | FROM nz a JOIN nz b ON a.id < b.id
+         | WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |       CAST(len(list_distinct(a.shs || b.shs)) AS DOUBLE), 4) >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+         |mem AS (SELECT c.id, coalesce(comp.cluster, c.id) AS cluster
+         |  FROM corpus c LEFT JOIN comp ON c.id = comp.id),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM mem GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
     // the FULL RECOMPUTE the incremental fold must equal: md5-LSH
     // pairs over the union corpus (the same sig/band algebra as
     // x_dedup_minhash / IncrementalLshSql, unrestricted by side),
