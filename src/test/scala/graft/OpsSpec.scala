@@ -606,6 +606,25 @@ class DedupSpec extends SparkSpecBase {
       === again.orderBy(col("id")).collect().map(_.toSeq).toSeq)
   }
 
+  test("dedup histogram conservation: sizes sum to the corpus, singletons counted once") {
+    import graft.ops.Dedup
+    // pairs (1,2) (2,3) chain into one 3-cluster; 4 and 5 are
+    // singletons -> histogram {3: 1 cluster, 1: 2 clusters}, and
+    // n_docs must sum back to the corpus size exactly
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val hist = all.join(comp, Seq("id"), "left")
+      .select(coalesce(col("cluster"), col("id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist === Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))))
+    assert(hist.values.map(_._2).sum === 5L, "histogram must conserve the corpus")
+  }
+
   test("partition invariance: KN, drift, and PCA outputs are identical under any repartitioning") {
     import graft.ops.{Similarity, TextAnalysis}
     // the distributed-correctness law: physical partitioning must be
