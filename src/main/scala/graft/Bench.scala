@@ -146,6 +146,7 @@ object Bench {
     "x_quality_nb_eval",
     "s9_stream_nb_eval",
     "x_quality_curve",
+    "x_quality_rule_report",
     "x_emb_pca",
     "x_emb_pca_inc",
     "s9_stream_pca",

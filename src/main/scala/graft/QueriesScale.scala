@@ -2270,6 +2270,14 @@ object QueriesScale {
         .select(col("doc_id"), col("keep").cast("int").as("keep"), col("drop_reason"))
         .orderBy(col("doc_id"))),
 
+    // ---- the PER-RULE report of the quality filter: how many docs
+    // each rule fails independently, how many it ALONE is responsible
+    // for, and its first-match drop_reason count (Σ n_first = total
+    // dropped) — the tuning diagnostic read before moving thresholds.
+    "x_quality_rule_report" -> ((s, dir) =>
+      CorpusOps.gopherRuleReport(docs(s, dir), "text",
+        minTokens = 20, maxTokens = 80, minStopwordHits = 1)),
+
     // ---- Zipf-surprisal quality score: the engine-exact perplexity
     // proxy (integer magnitude of each token's reference-frequency
     // rank via length(bin(rank)) — never libm log) against a
@@ -4007,6 +4015,51 @@ object QueriesScale {
          | THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Per-rule quality report: same metric expressions as
+    * [[QualityOracleSql]], six independent flags, unique-kill and
+    * first-match counts per rule.
+    */
+  private val QualityRuleReportOracleSql: String = {
+    val rules = Seq(
+      ("too_few_tokens", "f1"), ("too_many_tokens", "f2"),
+      ("mean_word_len_low", "f3"), ("mean_word_len_high", "f4"),
+      ("symbol_ratio", "f5"), ("no_stopwords", "f6"))
+    val arms = rules.map { case (name, f) =>
+      val others = rules.collect { case (_, o) if o != f => o }.mkString(" OR ")
+      s"""SELECT '$name' AS rule,
+         |  CAST(count(*) FILTER (WHERE $f) AS BIGINT) AS n_fail,
+         |  CAST(count(*) FILTER (WHERE $f AND NOT ($others)) AS BIGINT) AS n_unique,
+         |  CAST(count(*) FILTER (WHERE frst = '$name') AS BIGINT) AS n_first
+         |FROM g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       | SELECT doc_id, text,
+       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       | FROM documents),
+       |m AS (
+       | SELECT doc_id,
+       |  CAST(len(toks) AS DOUBLE) AS ntoks,
+       |  CAST(len(text) AS DOUBLE) AS nchars,
+       |  CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS symbol,
+       |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in'], x))) AS stop_hits
+       | FROM t),
+       |f AS (
+       | SELECT doc_id,
+       |  ntoks < 20 AS f1, ntoks > 80 AS f2,
+       |  (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) < 3.0 AS f3,
+       |  (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) > 10.0 AS f4,
+       |  (CASE WHEN nchars > 0 THEN symbol / nchars ELSE 0 END) > 0.1 AS f5,
+       |  stop_hits < 1 AS f6
+       | FROM m),
+       |g AS (
+       | SELECT *, CASE WHEN f1 THEN 'too_few_tokens' WHEN f2 THEN 'too_many_tokens'
+       |   WHEN f3 THEN 'mean_word_len_low' WHEN f4 THEN 'mean_word_len_high'
+       |   WHEN f5 THEN 'symbol_ratio' WHEN f6 THEN 'no_stopwords' ELSE '' END AS frst
+       | FROM f)
+       |$arms
+       |ORDER BY rule""".stripMargin
+  }
+
   /** Shared by x_quality_filter and its streaming twin. */
   private val QualityOracleSql: String =
     """WITH t AS (
@@ -5710,6 +5763,7 @@ object QueriesScale {
     "x_shard_append_inline" -> ShardAppendOracleSql,
     "s9_stream_shard" -> ShardAppendOracleSql,
     "x_quality_filter" -> QualityOracleSql,
+    "x_quality_rule_report" -> QualityRuleReportOracleSql,
     // Zipf-surprisal replay: top-256 reference ranks by (count DESC,
     // term ASC), per-token surprisal = length(bin(rank)) on exact
     // integers (OOV → 257), integer sums + one rounded ratio. ONE

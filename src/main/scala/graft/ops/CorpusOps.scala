@@ -56,6 +56,63 @@ object CorpusOps {
       .drop("__toks")
   }
 
+  /** The PER-RULE REPORT of [[gopherFilter]] — the tuning diagnostic
+    * a curation run reads before moving any threshold: for each rule,
+    * how many docs fail it INDEPENDENTLY (`n_fail`), how many fail
+    * ONLY it (`n_unique` — the docs that rule alone is responsible
+    * for), and how many carry it as their `drop_reason` under the
+    * filter's first-match cascade (`n_first` — so
+    * Σ n_first = total dropped, tying the report to the filter
+    * exactly). Same metric expressions as the filter, one aggregation
+    * pass, six-row output via a literal stack — nothing corpus-sized
+    * moves.
+    */
+  def gopherRuleReport(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopwordHits: Int = 2
+  ): DataFrame = {
+    val t     = col(textCol)
+    val ts    = filter(split(lower(t), " "), x => x =!= "")
+    val withT = df.withColumn("__toks", ts)
+    val nToks  = size(col("__toks")).cast("double")
+    val nChars = length(t).cast("double")
+    val mwl    = when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0))
+    val symbol = length(regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double")
+    val symbolRatio = when(nChars > 0, symbol / nChars).otherwise(lit(0.0))
+    val stopHits = TextAnalysis.stopwordHitsOf(col("__toks"), TextAnalysis.LangStopwords.head._2)
+    val flags = Seq(
+      "too_few_tokens"     -> (nToks < minTokens),
+      "too_many_tokens"    -> (nToks > maxTokens),
+      "mean_word_len_low"  -> (mwl < minMeanWordLen),
+      "mean_word_len_high" -> (mwl > maxMeanWordLen),
+      "symbol_ratio"       -> (symbolRatio > maxSymbolRatio),
+      "no_stopwords"       -> (stopHits < minStopwordHits))
+    val flagged = withT.select(
+      flags.map { case (n, c) => c.as(s"__f_$n") } :+
+        flags.foldRight(lit(""): Column) { case ((n, c), acc) =>
+          when(c, n).otherwise(acc) }.as("__first"): _*)
+    val aggs = flags.flatMap { case (n, _) =>
+      val others = flags.collect { case (o, _) if o != n => col(s"__f_$o") }
+      Seq(
+        sum(when(col(s"__f_$n"), lit(1L)).otherwise(lit(0L))).as(s"fail_$n"),
+        sum(when(col(s"__f_$n") && others.reduce(_ || _) === false, lit(1L))
+          .otherwise(lit(0L))).as(s"uniq_$n"),
+        sum(when(col("__first") === n, lit(1L)).otherwise(lit(0L))).as(s"first_$n"))
+    }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = flags.map { case (n, _) =>
+      s"'$n', fail_$n, uniq_$n, first_$n" }.mkString(", ")
+    one.select(expr(
+        s"stack(${flags.size}, $stackArgs) AS (rule, n_fail, n_unique, n_first)"))
+      .orderBy(col("rule"))
+  }
+
   /** Repetition signals (the other half of the Gopher quality rules:
     * duplicate-content fractions). `dup_token_ratio` = 1 − distinct/
     * total tokens; `top_bigram_frac` = share of the most frequent
