@@ -41,6 +41,23 @@ def frame(con, sql):
     return sorted(cols), sorted(out), rows
 
 
+def wide_cols(con, sql):
+    """Oracle output columns whose DuckDB type is a wide integer
+    (HUGEINT / DECIMAL / UBIGINT). These stringify identically through
+    fetchall() (Python ints), so this local gate cannot see a
+    difference — but a pandas/pyarrow materialization path converts
+    them to float64/object and the values hash differently there.
+    That conversion split is the root cause of every r13 driver-red
+    (the 4-round x_shard_append family included): all 7 red rows, and
+    ONLY those rows, had a HUGEINT or DECIMAL(38,0) output column.
+    Publish BIGINT or canonical digit VARCHAR instead; keep wide
+    arithmetic internal to CTEs.
+    """
+    res = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(res.columns, res.types)
+            if "HUGEINT" in str(t) or "DECIMAL" in str(t) or "UBIGINT" in str(t)]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -62,11 +79,16 @@ def main():
         try:
             got_cols, got_rows, _ = frame(con, f"SELECT * FROM read_parquet('{pq}/*.parquet')")
             want_cols, want_rows, _ = frame(con, sql)
+            wide = wide_cols(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
-        if got_cols != want_cols:
+        if wide:
+            print(f"FAIL {name}: wide-integer oracle output {wide} — "
+                  "driver-red class; publish BIGINT or VARCHAR digits")
+            n_fail += 1
+        elif got_cols != want_cols:
             print(f"FAIL {name}: schema {got_cols} != {want_cols}")
             n_fail += 1
         elif len(got_rows) != len(want_rows):

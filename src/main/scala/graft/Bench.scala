@@ -167,7 +167,10 @@ object Bench {
     "x_quality_pipeline_inc",
     "s9_stream_pipeline",
     "x_cluster_retrain",
-    "s9_stream_retrain"
+    "s9_stream_retrain",
+    // round-14: the Unicode canonicalization cut (codegen'd custom
+    // expression — tracked from birth like every addition)
+    "x_text_nfc"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
@@ -304,9 +307,12 @@ object Bench {
     // n_failed rides NEXT TO the totals so a cross-round reader
     // comparing `value` can't mistake a crashed query's missing time
     // for a speedup without the discrepancy being in their face
+    // bounded: exact count always, but at most 3 names inline — a
+    // mass failure must not blow the stdout capture window (below)
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map("\"" + _ + "\"").mkString(s""","n_failed":${errors.size},"errors":[""", ",", "]")
+      else errors.take(3).map("\"" + _ + "\"")
+        .mkString(s""","n_failed":${errors.size},"errors":[""", ",", "]")
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -355,8 +361,22 @@ object Bench {
       (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] scale-slope detail written to $detailPath")
     spark.stop()
+    // r13 lesson: the driver keeps only ~2 KB of stdout TAIL, and 135
+    // inline per-query timings pushed the JSON object's head out of
+    // the capture window — the official artifact recorded a truncated
+    // fragment and "parsed": null. The stdout contract line therefore
+    // carries totals + canary + a FIXED compact core of flagship
+    // timings (~700 B) and points at the sidecar for the full map.
+    val stdoutCore = Seq(
+      "q1_agg", "m1_relevance", "m2_kpi_pipeline", "x_dedup_exact",
+      "x_dedup_minhash_fast", "x_ann_ivf_topk", "x_quality_filter",
+      "x_bm25_topk", "x_corpus_pipeline", "x_quality_pipeline",
+      "x_shard_append", "s9_stream_window")
+    val coreQs = results.filter(r => stdoutCore.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$canaryJson$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"n_queries":${results.size},"queries":$coreQs,"detail":"$detailPath","sf":"$sfDir"$canaryJson$errJson}"""
     )
   }
 }

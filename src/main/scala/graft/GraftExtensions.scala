@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvQuantileAgg, KmvQuantileMergeAgg, KmvQuantileSketchAgg, KmvSketchAgg, LevAtMostExpr, Md5FeatureCountsExpr, MinhashMd5SigsExpr, MinhashSigsExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
+import graft.functions.{DotF32Expr, DotI8Expr, FreqTopKAgg, KmvDistinctAgg, KmvQuantileAgg, KmvQuantileMergeAgg, KmvQuantileSketchAgg, KmvSketchAgg, LevAtMostExpr, Md5FeatureCountsExpr, MinhashMd5SigsExpr, MinhashSigsExpr, NfcNormalizeExpr, QuantizeInt8BytesExpr, QuantizeInt8Expr, Simhash32Md5Expr, Simhash64Expr, TokenSetRatioExpr}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
       (children: Seq[Expression]) => Simhash64Expr(children(0))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalizeExpr(children(0))
     ))
     ext.injectFunction((
       FunctionIdentifier("simhash32_md5"),

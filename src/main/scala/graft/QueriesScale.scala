@@ -740,10 +740,11 @@ object QueriesScale {
        |rem AS (SELECT DISTINCT spans.doc_id, spans.start + o.o AS idx
        |  FROM spans JOIN win USING (h), unnest(range(0, 3)) AS o(o)
        |  WHERE spans.okey <> win.first_key)
-       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sents,
-       |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
+       |SELECT p.doc_id, CAST(count(s.doc_id) AS BIGINT) AS n_sents,
+       |  CAST(count(*) FILTER (WHERE s.doc_id IS NOT NULL AND r.idx IS NULL) AS BIGINT) AS n_kept,
        |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
-       |FROM sent s LEFT JOIN rem r ON s.doc_id = r.doc_id AND s.idx = r.idx
+       |FROM p LEFT JOIN sent s ON p.doc_id = s.doc_id
+       |  LEFT JOIN rem r ON s.doc_id = r.doc_id AND s.idx = r.idx
        |WHERE TRUE$outputFilter
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -897,7 +898,7 @@ object QueriesScale {
       | FROM sci GROUP BY 1)
       |SELECT kti.doc_id, kti.n_sents, kti.n_kept, incnb.score_bits,
       |  k.n_bigrams, k.n_cont, k.n_oov, k.surprisal_sum, k.mean_surprisal
-      |FROM kti JOIN incnb USING (doc_id) JOIN knouti k USING (doc_id)
+      |FROM kti JOIN incnb USING (doc_id) LEFT JOIN knouti k USING (doc_id)
       |WHERE incnb.score_bits >= 0
       |ORDER BY 1""".stripMargin
 
@@ -921,8 +922,8 @@ object QueriesScale {
       |SELECT (SELECT tr FROM tot) AS t_ref, (SELECT ti FROM tot) AS t_inc,
       |  CAST(count(*) AS BIGINT) AS n_terms,
       |  CAST(count(*) FILTER (WHERE cr = 0) AS BIGINT) AS n_new_terms,
-      |  CAST(sum(abs(CAST(cr AS DECIMAL(19,0)) * (SELECT ti FROM tot)
-      |    - CAST(ci AS DECIMAL(19,0)) * (SELECT tr FROM tot))) AS DECIMAL(38,0)) AS tv_num,
+      |  CAST(CAST(sum(abs(CAST(cr AS DECIMAL(19,0)) * (SELECT ti FROM tot)
+      |    - CAST(ci AS DECIMAL(19,0)) * (SELECT tr FROM tot))) AS DECIMAL(38,0)) AS VARCHAR) AS tv_num,
       |  round(CAST(sum(abs(CAST(cr AS DECIMAL(19,0)) * (SELECT ti FROM tot)
       |    - CAST(ci AS DECIMAL(19,0)) * (SELECT tr FROM tot))) AS DOUBLE)
       |    / (2.0 * (SELECT tr FROM tot) * (SELECT ti FROM tot)), 6) AS tv
@@ -981,8 +982,10 @@ object QueriesScale {
        |GROUP BY 1 ORDER BY vec_id""".stripMargin
 
   /** The variance-judge tail over the same fit: vᵀCv and trace(C) in
-    * HUGEINT→DECIMAL (exact), vᵀv BIGINT, one rounded double division
-    * chain for the explained fraction.
+    * HUGEINT→DECIMAL (exact) internally, published as canonical digit
+    * VARCHAR (wide-DECIMAL final outputs hash differently across
+    * checker environments — the r13 red class), vᵀv BIGINT, one
+    * rounded double division chain for the explained fraction.
     */
   private def PcaVarOracleSql: String =
     s"""$PcaCtes,
@@ -991,7 +994,8 @@ object QueriesScale {
        |nrm AS (SELECT CAST(sum(v * v) AS BIGINT) AS v_norm2 FROM v3),
        |trc AS (SELECT CAST(sum(CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS cov_trace
        |  FROM c WHERE i = j)
-       |SELECT rayleigh_num, v_norm2, cov_trace,
+       |SELECT CAST(rayleigh_num AS VARCHAR) AS rayleigh_num, v_norm2,
+       |  CAST(cov_trace AS VARCHAR) AS cov_trace,
        |  round(CAST(rayleigh_num AS DOUBLE)
        |    / (CAST(v_norm2 AS DOUBLE) * CAST(cov_trace AS DOUBLE)), 6) AS explained
        |FROM ray, nrm, trc""".stripMargin
@@ -1060,6 +1064,15 @@ object QueriesScale {
   /** Shared oracle for the append-only shard fold (batch AND
     * streaming flavors): base per-shard counts + the increment's
     * within-shard windows, positions offset by the committed tail.
+    *
+    * The `b` CTE casts its aggregates to BIGINT (r14, the root cause
+    * of the 4-round driver-red on this family): an uncast DuckDB
+    * `sum(BIGINT)` is HUGEINT, which propagated through
+    * `+ COALESCE(b.ntok, 0)` and made the final `shard_offset`
+    * column INT128 — stringified identically by `fetchall()` (local
+    * gate green) but converted to float64 by a pandas/pyarrow
+    * materialization path (driver red: "2091.0" vs "2091"), the same
+    * wide-integer class as the r13 DECIMAL(38,0) reds.
     */
   private val ShardAppendOracleSql: String =
     s"""WITH t AS (
@@ -1069,7 +1082,7 @@ object QueriesScale {
        |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
        | FROM documents),
        |b AS (
-       | SELECT shard, count(*) AS ndocs, sum(n_tokens) AS ntok
+       | SELECT shard, CAST(count(*) AS BIGINT) AS ndocs, CAST(sum(n_tokens) AS BIGINT) AS ntok
        | FROM t WHERE doc_id % 9 <> 4 GROUP BY shard),
        |i AS (SELECT * FROM t WHERE doc_id % 9 = 4)
        |SELECT i.shard,
@@ -1941,7 +1954,9 @@ object QueriesScale {
         oovBits = 16, minCount = 2L)
       kept.select(col("doc_id"), col("n_sents"), col("n_kept"))
         .join(surv.select(col("doc_id"), col("score_bits")), Seq("doc_id"))
-        .join(kn, Seq("doc_id"))
+        // LEFT: a survivor whose kept text has < 2 tokens carries
+        // NULL KN columns instead of vanishing (r14, ADVICE)
+        .join(kn, Seq("doc_id"), "left")
         .orderBy(col("doc_id"))
     }),
 
@@ -3565,6 +3580,28 @@ object QueriesScale {
         .orderBy(col("shard"), col("position"))
     }),
 
+    // ---- FORMATTING CONTROL for the shard family (r14): the same
+    // inline algebra with every column published as canonical digit
+    // TEXT on both sides. The r14 root cause was the oracle's uncast
+    // sum() making shard_offset HUGEINT (float64 through a pandas
+    // materialization path); after the BIGINT fix this text twin and
+    // the BIGINT rows must move together — if a future environment
+    // reds the BIGINT rows while this twin stays green, the
+    // divergence is value FORMATTING, not algebra, and the ledger
+    // says so directly.
+    "x_shard_append_text" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+      CorpusOps.appendToShardsInline(base, inc, "doc_id", "text", shards = 8)
+        .orderBy(col("shard"), col("position"))
+        .select(col("shard").cast("string").as("shard"),
+          col("position").cast("string").as("position"),
+          col("doc_id").cast("string").as("doc_id"),
+          col("n_tokens").cast("string").as("n_tokens"),
+          col("shard_offset").cast("string").as("shard_offset"))
+    }),
+
     // ---- and ONLINE: docs arrive as a stream, each micro-batch folds
     // into the persisted shard layout inside foreachBatch, batchId as
     // the increment id — the manifest's per-increment ledger makes a
@@ -3615,6 +3652,35 @@ object QueriesScale {
     "x_repetition" -> ((s, dir) =>
       CorpusOps.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // ---- Unicode canonicalization: the dedup-evasion cut. The same
+    // document typed with a composed accent (U+00E9), a decomposed
+    // accent (e + combining U+0301), or zero-width characters is
+    // byte-different and hashes past every content-keyed dedup
+    // above. canon = nfc_normalize(strip zero-widths) collapses all
+    // of them; the gate plants a composed and an evasive variant on
+    // every doc and proves the collapse CROSS-ENGINE — Spark's
+    // codegen'd JDK normalizer ([[graft.functions.NfcNormalizeExpr]])
+    // must be byte-equal to DuckDB's utf8proc `nfc_normalize`, which
+    // is the whole point of a canonical form. Per-row, no shuffle.
+    "x_text_nfc" -> ((s, dir) => {
+      val zw = "[\u200B\u200C\u200D\uFEFF]"
+      docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit("\u00e9")).as("__a"),
+          concat(col("text"), lit("\u200Be\u0301")).as("__b"))
+        .select(col("doc_id"), col("__a"), col("__b"),
+          regexp_replace(col("__a"), zw, "").as("__sa"),
+          regexp_replace(col("__b"), zw, "").as("__sb"))
+        .select(col("doc_id"), col("__a"), col("__b"),
+          expr("nfc_normalize(__sa)").as("__ca"),
+          expr("nfc_normalize(__sb)").as("__cb"))
+        .select(col("doc_id"),
+          when(col("__a") === col("__b"), 1L).otherwise(0L).as("eq_raw"),
+          when(col("__ca") === col("__cb"), 1L).otherwise(0L).as("eq_canon"),
+          length(col("__b")).as("len_raw"),
+          length(col("__cb")).as("len_canon"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- WINNOWING (MOSS) fingerprints: guaranteed-coverage local
     // fingerprint selection — any shared k+w−1 token run between two
@@ -4428,9 +4494,9 @@ object QueriesScale {
     // rule on the union.
     "x_dedup_span" -> SpanOracleSql("", ""),
     "x_dedup_span_inc" -> SpanOracleSql(
-      " WHERE doc_id % 3 = 0 OR doc_id % 9 = 4", " AND s.doc_id % 9 = 4"),
+      " WHERE doc_id % 3 = 0 OR doc_id % 9 = 4", " AND p.doc_id % 9 = 4"),
     "s9_stream_span" -> SpanOracleSql(
-      " WHERE doc_id % 3 = 0 OR doc_id % 9 = 4", " AND s.doc_id % 9 = 4"),
+      " WHERE doc_id % 3 = 0 OR doc_id % 9 = 4", " AND p.doc_id % 9 = 4"),
     // span build + first-occurrence filter replayed with the same
     // 1-based list_position the Spark array_position uses
     "x_dedup_intradoc" ->
@@ -5761,6 +5827,11 @@ object QueriesScale {
          |ORDER BY shard, position""".stripMargin,
     "x_shard_append" -> ShardAppendOracleSql,
     "x_shard_append_inline" -> ShardAppendOracleSql,
+    "x_shard_append_text" ->
+      s"""SELECT CAST(shard AS VARCHAR) AS shard, CAST(position AS VARCHAR) AS position,
+         |  CAST(doc_id AS VARCHAR) AS doc_id, CAST(n_tokens AS VARCHAR) AS n_tokens,
+         |  CAST(shard_offset AS VARCHAR) AS shard_offset
+         |FROM ($ShardAppendOracleSql)""".stripMargin,
     "s9_stream_shard" -> ShardAppendOracleSql,
     "x_quality_filter" -> QualityOracleSql,
     "x_quality_rule_report" -> QualityRuleReportOracleSql,
@@ -5904,7 +5975,7 @@ object QueriesScale {
         | FROM sc2 GROUP BY 1)
         |SELECT kt.doc_id, kt.n_sents, kt.n_kept, nbdoc.score_bits,
         |  k.n_bigrams, k.n_cont, k.n_oov, k.surprisal_sum, k.mean_surprisal
-        |FROM kt JOIN nbdoc USING (doc_id) JOIN knout k USING (doc_id)
+        |FROM kt JOIN nbdoc USING (doc_id) LEFT JOIN knout k USING (doc_id)
         |WHERE nbdoc.score_bits >= 0
         |ORDER BY 1""".stripMargin,
     "x_quality_pipeline_inc" -> QpipeIncOracleSql,
@@ -5930,6 +6001,24 @@ object QueriesScale {
          |  round(CAST(count(*) FILTER (WHERE score > threshold) AS DOUBLE) / count(*), 6) AS kept_frac
          |FROM th CROSS JOIN doc GROUP BY 1 ORDER BY threshold""".stripMargin,
     "s9_stream_quality" -> QualityOracleSql,
+    // Unicode canonicalization: composed chr(233) vs zero-width +
+    // decomposed e+chr(769); canon = nfc_normalize(strip zero-width).
+    // The char class builds from chr() so the regex is engine-proof
+    // (no \u escape dialects); 'g' mirrors Spark's replace-all.
+    "x_text_nfc" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  text || chr(233) AS a,
+         |  text || chr(8203) || 'e' || chr(769) AS b FROM documents),
+         |zw AS (SELECT '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']' AS pat),
+         |c AS (SELECT doc_id, a, b,
+         |  nfc_normalize(regexp_replace(a, (SELECT pat FROM zw), '', 'g')) AS ca,
+         |  nfc_normalize(regexp_replace(b, (SELECT pat FROM zw), '', 'g')) AS cb FROM d)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN a = b THEN 1 ELSE 0 END AS BIGINT) AS eq_raw,
+         |  CAST(CASE WHEN ca = cb THEN 1 ELSE 0 END AS BIGINT) AS eq_canon,
+         |  CAST(length(b) AS BIGINT) AS len_raw,
+         |  CAST(length(cb) AS BIGINT) AS len_canon
+         |FROM c ORDER BY doc_id""".stripMargin,
     "x_sample_stratified" ->
       s"""SELECT source, count(*) AS n_kept
          |FROM documents

@@ -1455,7 +1455,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 3): DataFrame = {
     val (sents, spans) = spanParts(df, idCol, textCol, spanLen)
-    spanAssemble(sents, spans,
+    spanAssemble(df.select(col(idCol).cast("long").as("doc_id")),
+      sents, spans,
       spans.groupBy(col("h")).agg(min(col("okey")).as("first_key")), spanLen)
   }
 
@@ -1481,10 +1482,18 @@ object Dedup {
           md5(concat_ws(" ", slice(col("__sents"), k + lit(1), lit(spanLen)))).as("h"))
       )).as("__sp"))
       .select(col("doc_id"), col("__sp.start").as("start"), col("__sp.h").as("h"),
-        when(col("__sp.start") < lit(1048576L),
-          col("doc_id") * lit(1048576L) + col("__sp.start"))
-          .otherwise(raise_error(lit(
+        // BOTH factors of the okey = doc_id·2^20 + start total order
+        // raise loudly out of range (r14, ADVICE: the start side was
+        // guarded but a doc_id ≥ 2^43 silently overflowed Long and a
+        // negative doc_id inverted the first-occurrence order — the
+        // oracle shares the encoding, so no cross-engine gate could
+        // ever catch either)
+        when(col("__sp.start") >= lit(1048576L), raise_error(lit(
             "SPAN_START_OVERFLOW: a document has >= 2^20 sentences; widen the okey encoding")))
+          .when(col("doc_id") < lit(0L) || col("doc_id") >= lit(8796093022208L),
+            raise_error(lit(
+              "SPAN_DOC_ID_RANGE: okey = doc_id*2^20 + start needs 0 <= doc_id < 2^43; remap ids")))
+          .otherwise(col("doc_id") * lit(1048576L) + col("__sp.start"))
           .as("okey"))
     (sents, spans)
   }
@@ -1496,14 +1505,14 @@ object Dedup {
     * survives iff its okey IS the first key.
     */
   private def spanAssemble(
-      sents: DataFrame, spans: DataFrame, winners: DataFrame,
+      docs: DataFrame, sents: DataFrame, spans: DataFrame, winners: DataFrame,
       spanLen: Int): DataFrame = {
     val rem = spans.join(winners, Seq("h"))
       .filter(col("okey") =!= col("first_key"))
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(spanLen - 1))).as("idx"))
       .distinct()
-    sents
+    val perDoc = sents
       .join(rem.withColumn("__rm", lit(1)), Seq("doc_id", "idx"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sents"),
@@ -1512,6 +1521,17 @@ object Dedup {
           array_sort(collect_list(when(col("__rm").isNull,
             struct(col("idx"), col("sent"))))),
           x => x.getField("sent")), " ").as("kept_text"))
+    // the DOC UNIVERSE left-joins the per-doc aggregate (r14, ADVICE):
+    // a doc whose text has zero sentences produces no sents rows, so
+    // without this it vanished from the output — contradicting the
+    // contract that every row survives (n_sents=0, kept_text='') so
+    // the caller can count fully-eaten docs
+    docs.distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1548,6 +1568,7 @@ object Dedup {
       .select(col("h"),
         least(coalesce(col("__ik"), lit(Long.MaxValue)),
           coalesce(col("first_key"), lit(Long.MaxValue))).as("first_key"))
-    spanAssemble(sents, spans, winners, spanLen)
+    spanAssemble(inc.select(col(idCol).cast("long").as("doc_id")),
+      sents, spans, winners, spanLen)
   }
 }

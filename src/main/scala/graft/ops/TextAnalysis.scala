@@ -983,7 +983,11 @@ object TextAnalysis {
     * scorer, and the composed SQL replays the full chain, so the
     * deployed COMPOSITION is hash-gated, not just the pieces.
     * Output per surviving doc: (doc_id, n_sents, n_kept, score_bits,
-    * n_bigrams, n_cont, n_oov, surprisal_sum, mean_surprisal).
+    * n_bigrams, n_cont, n_oov, surprisal_sum, mean_surprisal). EVERY
+    * survivor gets a row: a doc that passes the span cut and the NB
+    * gate but whose kept text has < 2 tokens carries NULL KN columns
+    * (the KN scorer needs a bigram to score) — a LEFT join, so the
+    * survivor accounting is lossless (r14, ADVICE).
     */
   def qualityPipelineWithModels(
       spark: org.apache.spark.sql.SparkSession,
@@ -999,7 +1003,7 @@ object TextAnalysis {
     val kn = scoreWithKnModel(spark, knPath, surv, "doc_id", "text")
     kept.select(col("doc_id"), col("n_sents"), col("n_kept"))
       .join(surv.select(col("doc_id"), col("score_bits")), Seq("doc_id"))
-      .join(kn, Seq("doc_id"))
+      .join(kn, Seq("doc_id"), "left")
       .orderBy(col("doc_id"))
   }
 
@@ -1053,7 +1057,8 @@ object TextAnalysis {
     * signal).
     *
     * Output: ONE row — `t_ref`, `t_inc`, `n_terms`, `n_new_terms`,
-    * `tv_num` (exact DECIMAL), `tv`.
+    * `tv_num` (exact numerator, published as canonical digit TEXT —
+    * the DECIMAL lives only inside the aggregation), `tv`.
     *
     * Scale shape: both sides aggregate map-side on term keys; the
     * union vocabulary table is the only intermediate (vocab-sized,
@@ -1086,10 +1091,15 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"),
         sum(when(col("cr") === 0L, lit(1L)).otherwise(lit(0L))).as("n_new_terms"),
         sum(abs(col("cr").cast("decimal(19,0)") * lit(ti)
-          - col("ci").cast("decimal(19,0)") * lit(tr))).cast("decimal(38,0)").as("tv_num"))
+          - col("ci").cast("decimal(19,0)") * lit(tr))).cast("decimal(38,0)").as("__tvn"))
       .select(lit(tr).as("t_ref"), lit(ti).as("t_inc"),
-        col("n_terms"), col("n_new_terms"), col("tv_num"),
-        round(col("tv_num").cast("double") / (lit(2.0) * lit(tr.toDouble) * lit(ti.toDouble)), 6)
+        col("n_terms"), col("n_new_terms"),
+        // DECIMAL stays internal; the published column is canonical
+        // digits TEXT — DECIMAL(38,0) final outputs proved to hash
+        // differently across checker environments (r13 reds) while
+        // scale-0 digit strings are formatting-proof in any engine.
+        col("__tvn").cast("string").as("tv_num"),
+        round(col("__tvn").cast("double") / (lit(2.0) * lit(tr.toDouble) * lit(ti.toDouble)), 6)
           .as("tv"))
   }
 

@@ -405,7 +405,15 @@ object EventsStream {
     * the full closed loop (monitor → trigger → retrain → newer
     * batches score against the newer model) the drift monitor
     * ([[streamRecenter]]) only reports half of. The batch operator
-    * is the oracle semantics; exactly-once via the batch-id sink.
+    * is the oracle semantics. Exactly-once END TO END (r14): the
+    * report rides the batch-id sink, and the republish goes through
+    * [[graft.ops.Similarity.retrainWhenDriftedVersioned]] — the
+    * model is versioned by batch id with a commit-marker-last
+    * publish, so a crash-replayed micro-batch folds against the
+    * exact model state it saw the first time and rewrites only its
+    * own version directory (the in-place overwrite of the batch
+    * operator would have made the replayed report diverge:
+    * retrained=0, drift recomputed against the newer model).
     */
   def streamRetrain(
       spark: SparkSession,
@@ -424,7 +432,8 @@ object EventsStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.ops.Similarity
-          .retrainWhenDrifted(spark, modelPath, batch, "vec_id", "embedding",
+          .retrainWhenDriftedVersioned(spark, modelPath, bid,
+            batch, "vec_id", "embedding",
             corpus, k, iters, driftThreshold)
           .withColumn("inc", lit(s"b$bid"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -66,6 +66,52 @@ class TokenSetRatioExprSpec extends SparkSpecBase {
   }
 }
 
+class NfcNormalizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("nfc_normalize composes decomposed sequences and is idempotent") {
+    val df = Seq(
+      ("e\u0301", "\u00e9"),             // combining acute -> precomposed
+      ("\u00e9", "\u00e9"),              // already NFC: identity
+      ("ascii only", "ascii only"),      // fast path
+      ("\u1100\u1161", "\uAC00"),       // Hangul jamo -> syllable GA
+      ("q\u0301", "q\u0301"),            // no precomposed q-acute exists: preserved
+      (null, null)
+    ).toDF("raw", "want")
+    val out = df.selectExpr("nfc_normalize(raw) AS got", "want").collect()
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), "null must propagate")
+      else assert(r.getString(0) === r.getString(1))
+    }
+    // idempotence: nfc(nfc(x)) = nfc(x)
+    val twice = df.filter(col("raw").isNotNull)
+      .selectExpr("nfc_normalize(nfc_normalize(raw)) AS a", "nfc_normalize(raw) AS b")
+      .collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("nfc_normalize participates in whole-stage codegen") {
+    val df = spark.range(4).selectExpr(
+      "nfc_normalize(concat('x', id, 'e\u0301')) AS s")
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project [nfc_normalize"))
+    assert(df.collect().map(_.getString(0)).forall(_.endsWith("\u00e9")))
+  }
+
+  test("nfc_normalize collapses the dedup-evasion variants the x_text_nfc gate plants") {
+    // composed vs zero-width + decomposed: raw-unequal, canon-equal
+    val zw = "[\u200B\u200C\u200D\uFEFF]"
+    val df = Seq(("doc body", "doc body")).toDF("t1", "t2")
+      .select(concat(col("t1"), lit("\u00e9")).as("a"),
+        concat(col("t2"), lit("\u200Be\u0301")).as("b"))
+    val r = df
+      .select(col("a"), regexp_replace(col("b"), zw, "").as("sb"))
+      .select(
+        (col("a") === col("sb")).as("raw_eq"),
+        (expr("nfc_normalize(a)") === expr("nfc_normalize(sb)")).as("canon_eq")).head()
+    assert(!r.getBoolean(0) && r.getBoolean(1))
+  }
+}
+
 class AnswerStartSpec extends AnyFunSuite {
   test("plain substring: all occurrences, sorted") {
     assert(AnswerStart.findAnswerStart("ab", "ab cab ab") === Seq(0, 4, 7))

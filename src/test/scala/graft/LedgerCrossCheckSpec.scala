@@ -27,25 +27,34 @@ class LedgerCrossCheckSpec extends SparkSpecBase {
   /** Red rows already root-caused, fixed, and local-gate-proven in a
     * commit NEWER than the ledger round. Each entry names the fix.
     */
+  private val WideTypeRootCause: String =
+    "ROOT-CAUSED r14 (one cause for ALL 7 r13 reds): the oracle's final output " +
+      "carried a wide-integer DuckDB type — x_shard_append/_inline/s9_stream_shard " +
+      "had shard_offset HUGEINT (the b CTE's uncast sum(BIGINT) propagated through " +
+      "`+ COALESCE(b.ntok, 0)`), and the drift/pca_var rows had DECIMAL(38,0) " +
+      "(tv_num, rayleigh_num, cov_trace). fetchall() stringifies both as plain " +
+      "Python ints (local gate green, 7 consecutive local replays), but a " +
+      "pandas/pyarrow materialization converts HUGEINT/DECIMAL to float64/object " +
+      "('2091.0' vs '2091') — the driver's hashing path. Proof: a DuckDB type " +
+      "audit over all 267 oracles (scripts/oracle_check.py wide_cols, r14) flags " +
+      "EXACTLY the 7 red rows and nothing else; the green x_shard_shuffle twin " +
+      "differs from the red append family only by its explicit CAST(sum AS " +
+      "BIGINT). Fixed r14: b CTE casts to BIGINT; drift/pca_var publish canonical " +
+      "digit VARCHAR on both sides; oracle_check.py now FAILS any wide-typed " +
+      "oracle output (class tripwire); x_shard_append_text is the formatting " +
+      "control. Delete this exemption when the r14 ledger lands green"
+
+  /** Red rows already root-caused, fixed, and local-gate-proven in a
+    * commit NEWER than the ledger round. Each entry names the fix.
+    */
   private val KnownRed: Map[String, String] = Map(
-    "x_shard_append" -> ("red in r09, r10 AND r11 (hash only; rows+schema green every " +
-      "time); r12's ledger was EMPTY (compile break — nothing ran), so r11 is still the " +
-      "live signal. Every engine-side theory is falsified: the r10 fix set (atomic " +
-      "publish, build_id audit, graft.gate.fresh) and the r11 set (per-JVM UUID nonce " +
-      "keying, graft.gate.root under the Verify outDir) each landed and the driver " +
-      "stayed red while 6/6 judge replays (incl. the driver's exact sf0.01) passed. " +
-      "r12 landed the bisection instrumentation this entry now waits on: default-on " +
-      "fresh gates for ALL entry points, anomaly-only x_shard_manifest_diag (rows " +
-      "appear ONLY if the fold state is unhealthy), and x_shard_append_inline — the " +
-      "same algebra under the same oracle with NO persisted gate artifact. First r13 " +
-      "driver read: inline green + append red ⇒ persistence/driver-env fault " +
-      "(escalate with diag rows); both green ⇒ delete this entry. No auto-renew"),
-    "s9_stream_shard" -> ("red in r09, r10 AND r11, same signature, falsified theories " +
-      "and r12-instrumentation plan as x_shard_append (r12 ledger empty — see that " +
-      "entry); additionally the gate reports loudly if the one-file increment was split " +
-      "across micro-batches (arrival-ordered positions cannot match the single-fold " +
-      "oracle — QueriesScale s9_stream_shard diag). Same r13 bisection read; same " +
-      "no-auto-renew contract")
+    "x_shard_append"        -> (WideTypeRootCause + " (red r09-r13)"),
+    "x_shard_append_inline" -> (WideTypeRootCause + " (red r13, its first driver read)"),
+    "s9_stream_shard"       -> (WideTypeRootCause + " (red r09-r13)"),
+    "x_corpus_drift"        -> (WideTypeRootCause + " (new r13)"),
+    "x_corpus_drift_inc"    -> (WideTypeRootCause + " (new r13)"),
+    "s9_stream_drift"       -> (WideTypeRootCause + " (new r13)"),
+    "x_emb_pca_var"         -> (WideTypeRootCause + " (new r13)")
   )
 
   test("latest driver ledger: no unexplained red rows, no errors, no orphaned rows") {

@@ -580,8 +580,8 @@ class DedupSpec extends SparkSpecBase {
     val ab = TextAnalysis.corpusDrift(a, "text", b, "text").collect()(0)
     val ba = TextAnalysis.corpusDrift(b, "text", a, "text").collect()(0)
     assert(ab.getAs[Double]("tv") === ba.getAs[Double]("tv"))
-    assert(ab.getAs[java.math.BigDecimal]("tv_num").longValueExact()
-      === ba.getAs[java.math.BigDecimal]("tv_num").longValueExact())
+    assert(ab.getAs[String]("tv_num").toLong
+      === ba.getAs[String]("tv_num").toLong)
     assert(ab.getAs[Long]("n_terms") === ba.getAs[Long]("n_terms"))
   }
 
@@ -805,12 +805,12 @@ class DedupSpec extends SparkSpecBase {
     val r = TextAnalysis.corpusDrift(ref, "text", inc, "text").collect()(0)
     assert(r.getAs[Long]("t_ref") === 3L && r.getAs[Long]("t_inc") === 2L)
     assert(r.getAs[Long]("n_terms") === 3L && r.getAs[Long]("n_new_terms") === 1L)
-    assert(r.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 6L)
+    assert(r.getAs[String]("tv_num").toLong === 6L)
     assert(r.getAs[Double]("tv") === 0.5)
     // identical corpora → exactly 0 (the law a drift ALARM must hold:
     // no false positives from arithmetic noise)
     val same = TextAnalysis.corpusDrift(ref, "text", ref, "text").collect()(0)
-    assert(same.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 0L)
+    assert(same.getAs[String]("tv_num").toLong === 0L)
     assert(same.getAs[Double]("tv") === 0.0)
     assert(same.getAs[Long]("n_new_terms") === 0L)
     // disjoint corpora → exactly 1 (the other extreme)
@@ -821,7 +821,7 @@ class DedupSpec extends SparkSpecBase {
     val path = java.nio.file.Files.createTempDirectory("drift-rt").toString
     TextAnalysis.writeDriftRef(ref, "text", path)
     val p = TextAnalysis.driftWithRef(spark, path, inc, "text").collect()(0)
-    assert(p.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 6L)
+    assert(p.getAs[String]("tv_num").toLong === 6L)
     assert(p.getAs[Double]("tv") === 0.5)
   }
 
@@ -894,9 +894,9 @@ class DedupSpec extends SparkSpecBase {
       (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
     val r = Similarity.pcaVariance(df, "vec_id", "embedding", 1000L, 3).collect()(0)
-    assert(r.getAs[java.math.BigDecimal]("rayleigh_num").longValueExact() === 639104000000L)
+    assert(r.getAs[String]("rayleigh_num").toLong === 639104000000L)
     assert(r.getAs[Long]("v_norm2") === 84032L)
-    assert(r.getAs[java.math.BigDecimal]("cov_trace").longValueExact() === 8000000L)
+    assert(r.getAs[String]("cov_trace").toLong === 8000000L)
     val expected = BigDecimal(639104000000L.toDouble / (84032L.toDouble * 8000000L.toDouble))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getAs[Double]("explained") === expected)
@@ -1175,6 +1175,77 @@ class SimilaritySpec extends SparkSpecBase {
       .orderBy("cell_id", "pos").collect().map(_.toSeq).toSeq
     assert(modelSums() === expected,
       "republished model diverged from a from-scratch retrain on corpus ∪ inc")
+  }
+
+  test("retrainWhenDriftedVersioned: crash-replay of a fired batch is byte-identical (exactly-once law)") {
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = GraftSession.freshGatePath("kmretver", sf)
+    Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, path)
+    val inc = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+    def run(version: Long) = Similarity.retrainWhenDriftedVersioned(
+        spark, path, version, inc, "vec_id", "embedding",
+        corpus = e, k = 8, iters = 1, driftThreshold = 2.0)
+      .orderBy("cluster").collect().map(_.toSeq).toSeq
+    val first = run(0L)
+    assert(first.forall(_.last == 1L), "threshold 2 must fire")
+    assert(new java.io.File(s"$path/v=0/_COMMITTED").exists(),
+      "fired version must publish with its commit marker")
+    // the replay: v=0 now EXISTS, but batch 0 must read the state it
+    // saw the first time (versions strictly BELOW 0 — the base) and
+    // reproduce its report and republish decision exactly. The
+    // in-place flavor would fold against the retrained model here and
+    // report retrained=0 with different drift.
+    assert(run(0L) === first, "replayed batch 0 diverged from its first run")
+    // the NEXT batch reads the v=0 model: a re-fold of the same
+    // vectors against the model retrained on them drifts less —
+    // strictly different input state, so the report must differ from
+    // batch 0's (this is the 'newer batches score against the newer
+    // model' half of the contract)
+    assert(run(1L) !== first, "batch 1 did not see the v=0 retrained model")
+  }
+
+  test("retrain trigger law: fires iff the independent drift monitor's min < threshold, strict at the boundary") {
+    // the trigger is DEFINED as thresholding the drift monitor
+    // ([[Similarity.recenterWithIncrement]]'s report) — this pins the
+    // tie: the retrain decision must equal the monitor's min drift
+    // compared STRICTLY (< not <=) against the threshold, boundary
+    // value included, so a dashboard reading the monitor can predict
+    // every republish exactly
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = GraftSession.freshGatePath("kmretlaw", sf)
+    Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 8, iters = 1, path)
+    val inc = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+    val minD = Similarity.recenterWithIncrement(spark, path, inc, "vec_id", "embedding")
+      .agg(min(col("drift"))).collect()(0).getDouble(0)
+    assert(minD < 1.0, "planted increment must actually drift")
+    // threshold == monitor min exactly: strict < ⇒ NO fire (and the
+    // model stays untouched, so the next call sees the same state)
+    val at = Similarity.retrainWhenDrifted(spark, path, inc, "vec_id", "embedding",
+      corpus = e, k = 8, iters = 1, driftThreshold = minD).collect()
+    assert(at.forall(_.getAs[Long]("retrained") == 0L),
+      s"threshold exactly at min drift $minD must NOT fire (strict <)")
+    // one ulp above: the same state must fire
+    val above = Similarity.retrainWhenDrifted(spark, path, inc, "vec_id", "embedding",
+      corpus = e, k = 8, iters = 1, driftThreshold = Math.nextUp(minD)).collect()
+    assert(above.forall(_.getAs[Long]("retrained") == 1L),
+      s"threshold one ulp above min drift $minD must fire")
+  }
+
+  test("spanDedup: a zero-sentence doc keeps its row (n_sents=0, n_kept=0, kept_text='')") {
+    import graft.ops.Dedup
+    val out = Dedup.spanDedup(Seq(
+      (1L, "a b. c d. e f."), (2L, ""), (3L, "   ")).toDF("id", "text"),
+      "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_sents"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_text")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((3L, 3L, "a b. c d. e f.")))
+    assert(out(2L) === ((0L, 0L, "")))
+    assert(out(3L) === ((0L, 0L, "")))
   }
 
   test("clusterBalancedSample keeps exactly min(cap, population) per cluster, deterministically") {
