@@ -169,8 +169,12 @@ object Bench {
     "x_cluster_retrain",
     "s9_stream_retrain",
     // round-14: the Unicode canonicalization cut (codegen'd custom
-    // expression — tracked from birth like every addition)
-    "x_text_nfc"
+    // expression — tracked from birth like every addition) and the
+    // canonical-key dedup gate built on it
+    "x_text_nfc",
+    "x_dedup_canon",
+    "x_dedup_canon_inc",
+    "s9_stream_canon"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

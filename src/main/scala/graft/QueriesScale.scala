@@ -26,6 +26,21 @@ object QueriesScale {
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String)  = table(s, dir, "embeddings")
 
+  /** Plant for the canonical-dedup gates: every doc gets a composed
+    * accent suffix (U+00E9); every %7=3 doc ALSO spawns an EVASIVE
+    * twin at id+200000 — uppercased, zero-width-padded, decomposed
+    * accent (e + U+0301). Byte-distinct, canonically identical: the
+    * exact variant set [[graft.ops.Dedup.canonText]] exists to
+    * collapse.
+    */
+  private def canonPlant(s: SparkSession, dir: String) = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"), concat(col("text"), lit("\u00e9")).as("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat(upper(col("text")), lit("\u200Be\u0301")).as("text")))
+  }
+
   /** Documents corpus + planted near-dups: doc_id<25 re-appended with
     * two extra tokens under id+10000.
     */
@@ -901,6 +916,39 @@ object QueriesScale {
       |FROM kti JOIN incnb USING (doc_id) LEFT JOIN knouti k USING (doc_id)
       |WHERE incnb.score_bits >= 0
       |ORDER BY 1""".stripMargin
+
+  /** Canonical text key as DuckDB SQL — lowercase, zero-width strip
+    * (char class built from chr(): no regex-escape dialects), NFC.
+    * Mirrors [[graft.ops.Dedup.canonText]] verbatim.
+    */
+  private def CanonSql(e: String): String =
+    s"nfc_normalize(regexp_replace(lower($e), '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'))"
+
+  /** The canon-dedup plant: every doc + composed accent; every %7=3
+    * doc also as an evasive twin (id+200000, uppercased, zero-width
+    * + decomposed accent).
+    */
+  private val CanonPlantSql: String =
+    """SELECT doc_id, text || chr(233) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, upper(text) || chr(8203) || 'e' || chr(769)
+      |  FROM documents WHERE doc_id % 7 = 3""".stripMargin
+
+  /** Union-law oracle for the persisted-canon-index increment gate
+    * and its streaming twin: winners over reference ∪ increment,
+    * output restricted to increment docs.
+    */
+  private def CanonIncOracleSql: String =
+    s"""WITH p AS ($CanonPlantSql),
+       |u AS (SELECT doc_id, t FROM p
+       |  WHERE (doc_id % 3 = 0 AND doc_id < 200000) OR doc_id >= 200000 OR doc_id % 9 = 4),
+       |c AS (SELECT doc_id, md5(${CanonSql("t")}) AS h FROM u),
+       |w AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS keep_id FROM c GROUP BY 1)
+       |SELECT c.doc_id, w.keep_id,
+       |  CAST(CASE WHEN c.doc_id = w.keep_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM c JOIN w USING (h)
+       |WHERE c.doc_id >= 200000 OR c.doc_id % 9 = 4
+       |ORDER BY c.doc_id""".stripMargin
 
   /** Corpus-drift oracle — replays the cleared-denominator TV exactly:
     * reference %3=0 vs increment %9=4 term counts full-outer-joined,
@@ -3682,6 +3730,52 @@ object QueriesScale {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CANONICAL-KEY exact dedup: [[x_dedup_exact]]'s rule on the
+    // canonicalized content (lower -> zero-width strip -> NFC) — the
+    // evasion-proof cut. The plant makes every %7=3 doc arrive twice
+    // (composed original + uppercased/zero-width/decomposed twin);
+    // byte-exact md5 keying sees two docs, the canonical key sees
+    // one, and the winner is the least id. Map-side-combinable
+    // groupBy on the 128-bit key, no sort.
+    "x_dedup_canon" -> ((s, dir) =>
+      Dedup.exactByCanonContent(canonPlant(s, dir), "doc_id", "text")
+        .select(col("keep_id"), col("dup_count"))
+        .orderBy(col("keep_id"))),
+
+    // ---- the PERSISTED-index steady state: reference corpus hashes
+    // once (writeCanonIndex), an arriving increment answers "already
+    // got this content?" in O(increment); winner = least id across
+    // index ∪ increment = the one-batch rule on the union, so the
+    // union-batch oracle gates it (same law as the span index).
+    "x_dedup_canon_inc" -> ((s, dir) => {
+      val p = canonPlant(s, dir)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 200000L)
+      val inc = p.filter(col("doc_id") >= 200000L || pmod(col("doc_id"), lit(9)) === 4)
+      val path = buildOnce("canonindex", dir)(pth =>
+        Dedup.writeCanonIndex(ref, "doc_id", "text", pth))
+      Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text")
+    }),
+
+    // ---- and ONLINE: the ingest dedup gate — arriving docs check
+    // their canonical content against the persisted index inside
+    // foreachBatch. The batch increment operator is the oracle
+    // semantics.
+    "s9_stream_canon" -> ((s, dir) => {
+      val p = canonPlant(s, dir)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 200000L)
+      val inc = p.filter(col("doc_id") >= 200000L || pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val path = buildOnce("canonindexstream", dir)(pth =>
+        Dedup.writeCanonIndex(ref, "doc_id", "text", pth))
+      val incDir = GraftSession.freshGatePath("canonstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("canonout", dir)
+      val ckpt   = GraftSession.freshGatePath("canonckpt", dir)
+      val q = EventsStream.streamCanonDedup(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
+    }),
+
     // ---- WINNOWING (MOSS) fingerprints: guaranteed-coverage local
     // fingerprint selection — any shared k+w−1 token run between two
     // docs shares a selected print, at ~2/(w+1) density. Gram hashes
@@ -6001,6 +6095,19 @@ object QueriesScale {
          |  round(CAST(count(*) FILTER (WHERE score > threshold) AS DOUBLE) / count(*), 6) AS kept_frac
          |FROM th CROSS JOIN doc GROUP BY 1 ORDER BY threshold""".stripMargin,
     "s9_stream_quality" -> QualityOracleSql,
+    // Canonical-key dedup oracles: the same plant (composed original +
+    // uppercased/zero-width/decomposed twin for %7=3), the same canon
+    // chain (lower -> strip -> nfc_normalize), winner = least doc id.
+    // ONE union-corpus SQL gates the persisted-index increment and the
+    // streaming twin (union law).
+    "x_dedup_canon" ->
+      s"""WITH p AS ($CanonPlantSql),
+         |c AS (SELECT doc_id, md5(${CanonSql("t")}) AS h FROM p)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS dup_count
+         |FROM c GROUP BY h ORDER BY keep_id""".stripMargin,
+    "x_dedup_canon_inc" -> CanonIncOracleSql,
+    "s9_stream_canon" -> CanonIncOracleSql,
     // Unicode canonicalization: composed chr(233) vs zero-width +
     // decomposed e+chr(769); canon = nfc_normalize(strip zero-width).
     // The char class builds from chr() so the regex is engine-proof

@@ -37,6 +37,83 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Zero-width characters (ZWSP, ZWNJ, ZWJ, BOM) — invisible bytes
+    * that change a content hash without changing what a reader sees:
+    * the cheapest dedup-evasion padding. Shared verbatim with the
+    * DuckDB oracles (built there from chr() so no regex-escape
+    * dialect is involved).
+    */
+  val ZeroWidthRe = "[\u200B\u200C\u200D\uFEFF]"
+
+  /** The CANONICAL text key: lowercase → zero-width strip → Unicode
+    * NFC composition (the codegen'd
+    * [[graft.functions.NfcNormalizeExpr]], resolved through the
+    * session-registered SQL function). This is the normalization a
+    * content-keyed dedup needs BEFORE hashing — composed vs
+    * decomposed accents, zero-width padding, and case tweaks are the
+    * classic evasion variants that byte-exact md5 keying misses.
+    * Per-row, codegen-friendly, no shuffle.
+    */
+  def canonText(c: Column): Column =
+    call_function("nfc_normalize", regexp_replace(lower(c), ZeroWidthRe, ""))
+
+  /** [[exactByContent]] on the canonical key: one survivor per
+    * distinct CANONICAL content. Same scale shape — map-side-
+    * combinable groupBy on a 128-bit key, no sort; the only shuffle
+    * is the keyed aggregation.
+    */
+  def exactByCanonContent(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(canonText(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** PERSIST the canonical-key index of a reference corpus — the
+    * hash-once seam of [[exactByCanonContent]] for the steady-state
+    * ingest gate. Layout: `$path/canon` (h, keep_id = least doc id
+    * per canonical hash; vocabulary-of-contents sized, never
+    * occurrence sized).
+    */
+  def writeCanonIndex(
+      ref: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    ref.select(md5(canonText(col(textCol))).as("h"), col(idCol).cast("long").as("__id"))
+      .groupBy(col("h")).agg(min(col("__id")).as("keep_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/canon")
+
+  /** Canon-dedup an increment against a persisted [[writeCanonIndex]]:
+    * the winner per canonical key is the LEAST doc id across the
+    * index and the increment — exactly the one-batch
+    * [[exactByCanonContent]] rule on the union corpus, so the batch
+    * oracle on (reference ∪ increment), restricted to increment
+    * docs, gates this surface and its streaming twin too (the same
+    * union law as [[spanDedupWithIndex]]). Output per increment doc:
+    * (doc_id, keep_id, is_kept) — an arriving doc is KEPT iff
+    * nothing in the committed corpus or earlier in its own batch
+    * already carries its canonical content. O(increment) — one
+    * equi-join against the index on the 128-bit key.
+    */
+  def canonDedupWithIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ih = inc.select(col(idCol).cast("long").as("doc_id"),
+      md5(canonText(col(textCol))).as("h"))
+    val incWin = ih.groupBy(col("h")).agg(min(col("doc_id")).as("__iw"))
+    // a plain left-outer against the index cannot broadcast its small
+    // (increment) side — Spark would shuffle the ENTIRE index per
+    // increment. Instead: broadcast-SEMI-prune the index down to the
+    // increment's hashes (one index scan, zero index shuffle), then
+    // the pruned slice is increment-sized and broadcasts into the
+    // lookup — O(increment) + one corpus-vocabulary scan, no
+    // corpus-sized exchange anywhere.
+    val pruned = spark.read.parquet(s"$path/canon")
+      .join(broadcast(incWin.select(col("h"))), Seq("h"), "left_semi")
+    val win = incWin.join(broadcast(pruned), Seq("h"), "left")
+      .select(col("h"),
+        least(col("__iw"), coalesce(col("keep_id"), lit(Long.MaxValue))).as("keep_id"))
+    ih.join(broadcast(win), Seq("h"))
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("long").as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Word tokens of a text column (empties dropped so Spark
     * split/DuckDB string_split edge cases agree).
     */

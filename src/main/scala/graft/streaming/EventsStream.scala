@@ -844,6 +844,39 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING canonical-key dedup gate at ingest: each arriving doc
+    * batch is keyed by canonical content (lowercase, zero-width
+    * strip, NFC — [[graft.ops.Dedup.canonText]]) and checked against
+    * the persisted [[graft.ops.Dedup.writeCanonIndex]] inside
+    * `foreachBatch` — the evasion-proof "have we already got this
+    * document?" answer as data lands. The batch increment operator
+    * ([[graft.ops.Dedup.canonDedupWithIndex]], union-law gated) is
+    * the oracle semantics; exactly-once via the batch-id sink.
+    */
+  def streamCanonDedup(
+      spark: SparkSession,
+      indexPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Dedup
+          .canonDedupWithIndex(spark, indexPath, batch, "doc_id", "text")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING corpus-drift monitoring at ingest: each arriving batch
     * measures its total-variation distance against the persisted
     * reference term counts ([[graft.ops.TextAnalysis.writeDriftRef]])

@@ -585,6 +585,55 @@ class DedupSpec extends SparkSpecBase {
     assert(ab.getAs[Long]("n_terms") === ba.getAs[Long]("n_terms"))
   }
 
+  test("exactByCanonContent collapses case, zero-width, and composed/decomposed variants") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "caf\u00e9 menu"),                    // composed e-acute
+      (2L, "cafe\u0301 menu"),                   // decomposed e + combining acute
+      (3L, "CAF\u00c9 MENU"),                    // case variant (composed capital)
+      (4L, "caf\u00e9\u200B menu"),              // zero-width padded
+      (5L, "other content")
+    ).toDF("id", "text")
+    val out = Dedup.exactByCanonContent(docs, "id", "text")
+      .orderBy(col("keep_id")).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keep_id") === 1L && out(0).getAs[Long]("dup_count") === 4L)
+    assert(out(1).getAs[Long]("keep_id") === 5L && out(1).getAs[Long]("dup_count") === 1L)
+    // byte-exact keying sees them all apart — the canon key is the cut
+    assert(Dedup.exactByContent(docs, "id", "text").count() === 5L)
+  }
+
+  test("canonDedupWithIndex = the one-batch canon rule on the union corpus") {
+    import graft.ops.Dedup
+    val ref = Seq((1L, "caf\u00e9 menu"), (2L, "base doc")).toDF("id", "text")
+    val inc = Seq(
+      (10L, "CAFE\u0301 menu"),                  // evasive dup of indexed 1 -> keep_id 1
+      (11L, "fresh one"),                        // unseen -> kept
+      (12L, "fresh\u200B one"),                  // intra-increment dup of 11 -> keep_id 11
+      (13L, "base\u200D DOC")                    // evasive dup of indexed 2 -> keep_id 2
+    ).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("canon-idx").toString
+    Dedup.writeCanonIndex(ref, "id", "text", path)
+    val out = Dedup.canonDedupWithIndex(spark, path, inc, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) === ((1L, 0L)))
+    assert(out(11L) === ((11L, 1L)))
+    assert(out(12L) === ((11L, 0L)))
+    assert(out(13L) === ((2L, 0L)))
+    // union law: restricting the one-batch rule on ref ∪ inc to inc
+    // docs reproduces the index answer exactly
+    val union = ref.unionByName(inc)
+    val oneShot = Dedup.exactByCanonContent(union, "id", "text")
+    val viaOneShot = union.select(col("id"),
+        org.apache.spark.sql.functions.md5(Dedup.canonText(col("text"))).as("h"))
+      .join(oneShot.withColumnRenamed("content_hash", "h"), Seq("h"))
+      .filter(col("id") >= 10L)
+      .select(col("id"), col("keep_id"),
+        (col("id") === col("keep_id")).cast("long").as("is_kept"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaOneShot === out)
+  }
+
   test("spanDedup is idempotent: a deduped corpus passes through unchanged") {
     import graft.ops.Dedup
     val docs = Seq(

@@ -383,4 +383,19 @@ class PlanAssertSpec extends SparkSpecBase {
       assert(!plan.contains("CartesianProduct"), s"$name went cartesian:\n$plan")
     }
   }
+
+  test("x_dedup_canon_inc: index prune and lookup are all broadcast — the index never shuffles") {
+    val plan = planOf(q("x_dedup_canon_inc"))
+    // the persisted canon index is corpus-vocabulary sized: the only
+    // permissible touch is ONE scan, semi-pruned by the broadcast
+    // increment hash set, with the pruned (increment-sized) slice
+    // broadcast back into the lookup. A SortMergeJoin here means the
+    // whole index exchanged per increment — the shape that cannot
+    // ship at 100 TB
+    assert(plan.contains("BroadcastHashJoin"),
+      s"canon index lookup fell off broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"canon index shuffles per increment:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"canon gate went cartesian:\n$plan")
+  }
 }
