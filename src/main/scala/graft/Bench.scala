@@ -174,7 +174,8 @@ object Bench {
     "x_text_nfc",
     "x_dedup_canon",
     "x_dedup_canon_inc",
-    "s9_stream_canon"
+    "s9_stream_canon",
+    "x_curriculum_shards"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -3550,6 +3550,16 @@ object QueriesScale {
         .select(col("shard"), col("position"), col("doc_id"), col("n_tokens"), col("shard_offset"))
         .orderBy(col("shard"), col("position"))),
 
+    // ---- CURRICULUM export: token-length quartile buckets (KMV
+    // synopsis cutpoints — one combinable aggregation, broadcast
+    // back; never a global sort) + the deterministic shard layout
+    // within each bucket. The oracle replays the whole chain: k-min
+    // md5 selection, cumulative-weight cutpoints, threshold buckets,
+    // DetHash shard/order windows.
+    "x_curriculum_shards" -> ((s, dir) =>
+      CorpusOps.curriculumShards(docs(s, dir), "doc_id", "text", shards = 4)
+        .orderBy(col("bucket"), col("shard"), col("position"))),
+
     // ---- the APPEND-ONLY steady state of the shard layout: base
     // corpus laid out once (persisted manifest), a crawl increment
     // takes positions after each shard's committed tail in
@@ -5919,6 +5929,37 @@ object QueriesScale {
          |FROM t
          |WINDOW w AS (PARTITION BY shard ORDER BY u, doc_id)
          |ORDER BY shard, position""".stripMargin,
+    // curriculum: KMV quartile cutpoints over n_tokens (k-min by
+    // md5 of the value string, the x_sketch_quantiles replay device),
+    // threshold buckets, then the shard windows per (bucket, shard)
+    "x_curriculum_shards" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |dv AS (SELECT n_tokens AS v, count(*) AS c FROM d GROUP BY 1),
+         |r AS (SELECT v, c, row_number() OVER (ORDER BY md5(CAST(v AS VARCHAR))) AS rk FROM dv),
+         |w AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot
+         | FROM r WHERE rk <= 64),
+         |cut AS (SELECT
+         |  min(v) FILTER (WHERE 100 * cum >= 25 * tot) AS c25,
+         |  min(v) FILTER (WHERE 100 * cum >= 50 * tot) AS c50,
+         |  min(v) FILTER (WHERE 100 * cum >= 75 * tot) AS c75 FROM w),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN n_tokens <= (SELECT c25 FROM cut) THEN 0
+         |       WHEN n_tokens <= (SELECT c50 FROM cut) THEN 1
+         |       WHEN n_tokens <= (SELECT c75 FROM cut) THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+         |  CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) % 4 AS shard,
+         |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
+         | FROM d)
+         |SELECT doc_id, n_tokens, bucket, shard,
+         |  CAST(row_number() OVER win AS BIGINT) - 1 AS position,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY bucket, shard ORDER BY u, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    - n_tokens AS shard_offset
+         |FROM b
+         |WINDOW win AS (PARTITION BY bucket, shard ORDER BY u, doc_id)
+         |ORDER BY bucket, shard, position""".stripMargin,
     "x_shard_append" -> ShardAppendOracleSql,
     "x_shard_append_inline" -> ShardAppendOracleSql,
     "x_shard_append_text" ->

@@ -336,6 +336,52 @@ object CorpusOps {
     * no global order and no single-partition sort. Deterministic:
     * layout is a pure function of (group, id, token counts).
     */
+  /** CURRICULUM shard export: the length-bucketed layout a
+    * sequence-length-warmup training run reads — documents split into
+    * four token-length QUARTILE buckets, each bucket laid out as a
+    * deterministic shuffled shard set ([[shardShuffle]]'s algebra,
+    * partitioned by (bucket, shard)). The naive export would ORDER BY
+    * length globally — a full corpus sort; here the cutpoints come
+    * from the KMV quantile synopsis (one map-side-combinable
+    * aggregation, k-entry state, broadcast back as a 1-row dim) and
+    * the only exchange is the (bucket, shard) hash shuffle every
+    * sharded write pays. The KMV estimator's k-min selection is a
+    * semilattice, so the WHOLE chain — sampling step included —
+    * replays in the gate's SQL even in the lossy k < distinct regime.
+    *
+    * Output per doc: (doc_id, n_tokens, bucket 0-3, shard, position,
+    * shard_offset) — within a (bucket, shard) the position/offset
+    * contract is exactly [[shardShuffle]]'s (pseudo-random
+    * deterministic order, exact resume offsets).
+    */
+  def curriculumShards(
+      df: DataFrame, idCol: String, textCol: String,
+      shards: Int, sketchK: Int = 64): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val d = df.select(col(idCol).cast("long").as("doc_id"),
+      size(filter(split(col(textCol), " "), x => x =!= "")).cast("long").as("n_tokens"))
+    val cuts = d.select(col("n_tokens").as("__v"))
+      .agg(expr(s"kmv_quantile(__v, $sketchK, 25)").as("__c25"),
+        expr(s"kmv_quantile(__v, $sketchK, 50)").as("__c50"),
+        expr(s"kmv_quantile(__v, $sketchK, 75)").as("__c75"))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__u").asc, col("doc_id").asc)
+    d.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("n_tokens") <= col("__c25"), 0L)
+          .when(col("n_tokens") <= col("__c50"), 1L)
+          .when(col("n_tokens") <= col("__c75"), 2L)
+          .otherwise(3L))
+      .withColumn("shard", DetHash.detBucket(col("doc_id"), shards))
+      .withColumn("__u", DetHash.detUnit(col("doc_id") * lit(31L) + lit(17L)))
+      .withColumn("position", row_number().over(w).cast("long") - 1L)
+      .withColumn("shard_offset",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"),
+        col("position"), col("shard_offset"))
+  }
+
   def packSequences(
       df: DataFrame,
       idCol: String,

@@ -441,6 +441,43 @@ class CorpusOpsSpec extends SparkSpecBase {
     named(CorpusOps.appendToShards(spark, path3, inc, "doc_id", "text", "day1"))
   }
 
+  test("curriculumShards laws: conservation, bucket length-monotonicity, dense per-shard positions, partition invariance") {
+    val docs = GraftSession.table(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val out = CorpusOps.curriculumShards(docs, "doc_id", "text", shards = 4)
+      .localCheckpoint()
+    // conservation: every doc lands in exactly one (bucket, shard) slot
+    assert(out.count() === docs.count())
+    assert(out.select(col("doc_id")).distinct().count() === docs.count())
+    // monotone curriculum: buckets are totally ordered by token length
+    // (threshold bucketing: max of bucket i <= cut_i < min of bucket i+1)
+    val stats = out.groupBy(col("bucket"))
+      .agg(min(col("n_tokens")).as("lo"), max(col("n_tokens")).as("hi"))
+      .orderBy(col("bucket")).collect()
+    stats.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          s"bucket ${a.getAs[Long]("bucket")} overlaps ${b.getAs[Long]("bucket")}")
+      case _ => ()
+    }
+    // dense positions and exact resume offsets per (bucket, shard)
+    val perShard = out.groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("position")).as("p0"),
+        max(col("position")).as("p1"),
+        sum(col("n_tokens")).as("tok"),
+        max(col("shard_offset") + col("n_tokens")).as("endoff"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("p0") === 0L)
+      assert(r.getAs[Long]("p1") === r.getAs[Long]("n") - 1L, "positions not dense")
+      assert(r.getAs[Long]("endoff") === r.getAs[Long]("tok"),
+        "final offset+len must equal the shard's token total")
+    }
+    // layout invariance: any input partitioning produces the identical export
+    val re = CorpusOps.curriculumShards(docs.repartition(7), "doc_id", "text", shards = 4)
+    assert(re.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      === out.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq)
+  }
+
   test("shard manifest concurrency laws: concurrent DISTINCT folds keep counts exact; same-id refold is idempotent") {
     val d = GraftSession.table(spark, sf, "documents")
     val base = d.filter(col("doc_id") % 9 =!= 4)
