@@ -175,7 +175,9 @@ object Bench {
     "x_dedup_canon",
     "x_dedup_canon_inc",
     "s9_stream_canon",
-    "x_curriculum_shards"
+    "x_curriculum_shards",
+    "x_curriculum_inc",
+    "s9_stream_curriculum"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -1109,6 +1109,45 @@ object QueriesScale {
        | CAST(score // n_feats AS BIGINT) AS affinity
        |FROM sc WHERE doc_id % 9 = 4 ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for the deployed curriculum fold (batch AND
+    * streaming): cutpoints from the reference slice (frozen), every
+    * doc bucketed by them, base per-(bucket, shard) counts + the
+    * increment windows with tail offsets. Aggregates CAST to BIGINT
+    * in the tail CTE — the r14 wide-type rule.
+    */
+  private val CurriculumAppendOracleSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |rv AS (SELECT n_tokens AS v, count(*) AS c FROM d WHERE doc_id % 9 <> 4 GROUP BY 1),
+       |r AS (SELECT v, c, row_number() OVER (ORDER BY md5(CAST(v AS VARCHAR))) AS rk FROM rv),
+       |w AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot
+       | FROM r WHERE rk <= 64),
+       |cut AS (SELECT
+       |  min(v) FILTER (WHERE 100 * cum >= 25 * tot) AS c25,
+       |  min(v) FILTER (WHERE 100 * cum >= 50 * tot) AS c50,
+       |  min(v) FILTER (WHERE 100 * cum >= 75 * tot) AS c75 FROM w),
+       |t AS (SELECT doc_id, n_tokens,
+       |  CAST(CASE WHEN n_tokens <= (SELECT c25 FROM cut) THEN 0
+       |       WHEN n_tokens <= (SELECT c50 FROM cut) THEN 1
+       |       WHEN n_tokens <= (SELECT c75 FROM cut) THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       |  CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) % 4 AS shard,
+       |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
+       | FROM d),
+       |b AS (SELECT bucket, shard, CAST(count(*) AS BIGINT) AS ndocs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS ntok
+       | FROM t WHERE doc_id % 9 <> 4 GROUP BY 1, 2),
+       |i AS (SELECT * FROM t WHERE doc_id % 9 = 4)
+       |SELECT i.doc_id, i.n_tokens, i.bucket, i.shard,
+       |  CAST(row_number() OVER win AS BIGINT) - 1 + COALESCE(b.ndocs, 0) AS position,
+       |  CAST(sum(i.n_tokens) OVER (PARTITION BY i.bucket, i.shard ORDER BY i.u, i.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - i.n_tokens + COALESCE(b.ntok, 0) AS shard_offset
+       |FROM i LEFT JOIN b ON i.bucket = b.bucket AND i.shard = b.shard
+       |WINDOW win AS (PARTITION BY i.bucket, i.shard ORDER BY i.u, i.doc_id)
+       |ORDER BY i.bucket, i.shard, position""".stripMargin
+
   /** Shared oracle for the append-only shard fold (batch AND
     * streaming flavors): base per-shard counts + the increment's
     * within-shard windows, positions offset by the committed tail.
@@ -3560,6 +3599,43 @@ object QueriesScale {
       CorpusOps.curriculumShards(docs(s, dir), "doc_id", "text", shards = 4)
         .orderBy(col("bucket"), col("shard"), col("position"))),
 
+    // ---- the DEPLOYED curriculum: cutpoints freeze at manifest
+    // build (bucket definitions must not move as increments land), a
+    // crawl increment takes per-(bucket, shard) positions after the
+    // committed tail in O(increment). Oracle = frozen-cut bucket
+    // algebra + base counts + increment windows, shared with the
+    // streaming twin.
+    "x_curriculum_inc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+      val path = buildOnce("currman", dir)(p =>
+        CorpusOps.writeCurriculumManifest(base, "doc_id", "text", shards = 4, p))
+      CorpusOps.appendToCurriculum(s, path, inc, "doc_id", "text", incrementId = "gate")
+        .orderBy(col("bucket"), col("shard"), col("position"))
+    }),
+
+    // ---- and ONLINE: docs arrive as a stream, each micro-batch
+    // folds into the persisted curriculum layout inside foreachBatch,
+    // batchId as the increment id. Batch append is the oracle
+    // semantics.
+    "s9_stream_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"), col("text"))
+      val mPath = buildOnce("currmanstream", dir)(p =>
+        CorpusOps.writeCurriculumManifest(base, "doc_id", "text", shards = 4, p))
+      val incDir = GraftSession.freshGatePath("currstream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("currout", dir)
+      val ckpt   = GraftSession.freshGatePath("currckpt", dir)
+      val q = EventsStream.streamCurriculumAppend(s, mPath, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc")
+        .orderBy(col("bucket"), col("shard"), col("position"))
+    }),
+
     // ---- the APPEND-ONLY steady state of the shard layout: base
     // corpus laid out once (persisted manifest), a crawl increment
     // takes positions after each shard's committed tail in
@@ -5960,6 +6036,8 @@ object QueriesScale {
          |FROM b
          |WINDOW win AS (PARTITION BY bucket, shard ORDER BY u, doc_id)
          |ORDER BY bucket, shard, position""".stripMargin,
+    "x_curriculum_inc" -> CurriculumAppendOracleSql,
+    "s9_stream_curriculum" -> CurriculumAppendOracleSql,
     "x_shard_append" -> ShardAppendOracleSql,
     "x_shard_append_inline" -> ShardAppendOracleSql,
     "x_shard_append_text" ->

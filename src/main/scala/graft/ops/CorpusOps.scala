@@ -357,16 +357,36 @@ object CorpusOps {
   def curriculumShards(
       df: DataFrame, idCol: String, textCol: String,
       shards: Int, sketchK: Int = 64): DataFrame = {
-    require(shards > 0, s"shards must be positive, got $shards")
-    val d = df.select(col(idCol).cast("long").as("doc_id"),
+    val d = curriculumTokens(df, idCol, textCol)
+    curriculumAssign(d, curriculumCuts(d, sketchK), shards)
+  }
+
+  /** (doc_id, n_tokens) of a corpus — the curriculum's scoring pass. */
+  private def curriculumTokens(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
       size(filter(split(col(textCol), " "), x => x =!= "")).cast("long").as("n_tokens"))
-    val cuts = d.select(col("n_tokens").as("__v"))
+
+  /** The quartile cutpoints of [[curriculumShards]] as a 1-row frame
+    * (`__c25`, `__c50`, `__c75`) — one map-side-combinable KMV
+    * aggregation, broadcastable anywhere.
+    */
+  private def curriculumCuts(d: DataFrame, sketchK: Int): DataFrame =
+    d.select(col("n_tokens").as("__v"))
       .agg(expr(s"kmv_quantile(__v, $sketchK, 25)").as("__c25"),
         expr(s"kmv_quantile(__v, $sketchK, 50)").as("__c50"),
         expr(s"kmv_quantile(__v, $sketchK, 75)").as("__c75"))
+
+  /** The bucket/shard/window tail of [[curriculumShards]], shared by
+    * the one-shot operator and the persisted-cutpoint fold — one
+    * definition so one oracle algebra gates every surface.
+    */
+  private def curriculumAssign(
+      d: DataFrame, cuts: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
     val w = Window.partitionBy(col("bucket"), col("shard"))
       .orderBy(col("__u").asc, col("doc_id").asc)
-    d.crossJoin(broadcast(cuts))
+    d.crossJoin(broadcast(cuts.select(col("__c25"), col("__c50"), col("__c75"))))
       .withColumn("bucket",
         when(col("n_tokens") <= col("__c25"), 0L)
           .when(col("n_tokens") <= col("__c50"), 1L)
@@ -380,6 +400,70 @@ object CorpusOps {
           .cast("long") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"),
         col("position"), col("shard_offset"))
+  }
+
+  /** PERSIST the curriculum manifest — the deployed seam of
+    * [[curriculumShards]]: the reference corpus's quartile cutpoints
+    * FREEZE (`$path/cuts`, 1 row: cut values + shard count — bucket
+    * definitions must not move as increments land, or a doc's bucket
+    * would depend on arrival time) and the per-(bucket, shard)
+    * committed counts persist as the fold-on-read ledger
+    * (`$path/parts/inc=base`, same append-only shape as the shard
+    * manifest: an append only adds its own `inc=` partition, so
+    * replay overwrites itself and concurrent DISTINCT increments
+    * cannot lose each other's fold).
+    */
+  def writeCurriculumManifest(
+      df: DataFrame, idCol: String, textCol: String,
+      shards: Int, path: String, sketchK: Int = 64): Unit = {
+    val d = curriculumTokens(df, idCol, textCol)
+    val cuts = curriculumCuts(d, sketchK)
+    cuts.select(col("__c25"), col("__c50"), col("__c75"), lit(shards).as("shards"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
+    curriculumAssign(d, cuts, shards)
+      .groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("inc", lit("base"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("inc").parquet(s"$path/parts")
+  }
+
+  /** Fold an increment into the persisted curriculum layout
+    * ([[writeCurriculumManifest]]) in O(increment): bucket by the
+    * FROZEN cutpoints, window within (bucket, shard), offset by the
+    * committed tail (every partition except this increment's own —
+    * replay reads the same tail it saw first, [[appendToShards]]'s
+    * idempotence argument), then publish this increment's own counts
+    * partition. Committed shards never move — the loader's
+    * resume-offset contract, now per curriculum bucket.
+    */
+  def appendToCurriculum(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String,
+      incrementId: String): DataFrame = {
+    require(incrementId.nonEmpty && incrementId != "base",
+      s"incrementId must be non-empty and not 'base', got '$incrementId'")
+    val cuts = spark.read.parquet(s"$path/cuts")
+    val shards = cuts.limit(1).collect()(0).getAs[Int]("shards")
+    val tail = broadcast(spark.read.parquet(s"$path/parts")
+      .filter(col("inc") =!= incrementId)
+      .groupBy(col("bucket"), col("shard"))
+      .agg(sum(col("n_docs")).as("base_docs"), sum(col("n_tokens")).as("base_tokens")))
+    val assigned = curriculumAssign(
+        curriculumTokens(inc, idCol, textCol), cuts, shards)
+      .join(tail, Seq("bucket", "shard"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"),
+        (col("position") + coalesce(col("base_docs"), lit(0L))).as("position"),
+        (col("shard_offset") + coalesce(col("base_tokens"), lit(0L))).as("shard_offset"))
+      .localCheckpoint()
+    assigned.groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("inc", lit(incrementId))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("inc").parquet(s"$path/parts")
+    assigned
   }
 
   def packSequences(

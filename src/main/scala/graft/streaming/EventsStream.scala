@@ -844,6 +844,41 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING curriculum fold at ingest: each arriving doc batch
+    * buckets by the manifest's FROZEN quartile cutpoints and takes
+    * its (bucket, shard) positions after the committed tail inside
+    * `foreachBatch`, batchId as the increment id
+    * ([[graft.ops.CorpusOps.appendToCurriculum]]) — the
+    * length-curriculum layout maintained as data lands. The batch
+    * append is the oracle semantics; the manifest's per-increment
+    * ledger makes a checkpoint-recovered replay exactly-once (a
+    * replayed batch excludes its own partition from the tail and
+    * overwrites it).
+    */
+  def streamCurriculumAppend(
+      spark: SparkSession,
+      manifestPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.CorpusOps
+          .appendToCurriculum(spark, manifestPath, batch, "doc_id", "text", s"b$bid")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING canonical-key dedup gate at ingest: each arriving doc
     * batch is keyed by canonical content (lowercase, zero-width
     * strip, NFC — [[graft.ops.Dedup.canonText]]) and checked against

@@ -478,6 +478,39 @@ class CorpusOpsSpec extends SparkSpecBase {
       === out.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq)
   }
 
+  test("curriculum fold laws: positions continue the committed tail; refold idempotent; distinct increments stack") {
+    import graft.ops.CorpusOps
+    val d = GraftSession.table(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+    val inc  = d.filter(pmod(col("doc_id"), lit(9)) === 4)
+    val path = GraftSession.freshGatePath("currspec", sf)
+    CorpusOps.writeCurriculumManifest(base, "doc_id", "text", shards = 4, path)
+    val baseCounts = spark.read.parquet(s"$path/parts")
+      .filter(col("inc") === "base").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("shard")) -> r.getAs[Long]("n_docs")).toMap
+    def slot(r: org.apache.spark.sql.Row) = (r.getAs[Long]("bucket"), r.getAs[Long]("shard"))
+    val rows1 = CorpusOps.appendToCurriculum(spark, path, inc, "doc_id", "text", "g1").collect()
+    // the fold's position contract: the first increment doc of every
+    // (bucket, shard) lands exactly at the committed base count
+    rows1.groupBy(slot).foreach { case (k, rs) =>
+      assert(rs.map(_.getAs[Long]("position")).min === baseCounts.getOrElse(k, 0L),
+        s"slot $k does not continue the committed tail")
+    }
+    // refold with the SAME increment id reads the same tail -> identical rows
+    val rows2 = CorpusOps.appendToCurriculum(spark, path, inc, "doc_id", "text", "g1").collect()
+    assert(rows2.map(_.toSeq).sortBy(_.toString) === rows1.map(_.toSeq).sortBy(_.toString),
+      "same-id refold must be idempotent")
+    // a DISTINCT second increment stacks after base + g1
+    val inc2 = d.filter(pmod(col("doc_id"), lit(9)) === 5)
+    val g1Counts = rows1.groupBy(slot).map { case (k, rs) => k -> rs.length.toLong }
+    val rows3 = CorpusOps.appendToCurriculum(spark, path, inc2, "doc_id", "text", "g2").collect()
+    rows3.groupBy(slot).foreach { case (k, rs) =>
+      assert(rs.map(_.getAs[Long]("position")).min
+        === baseCounts.getOrElse(k, 0L) + g1Counts.getOrElse(k, 0L),
+        s"slot $k does not stack after base + g1")
+    }
+  }
+
   test("shard manifest concurrency laws: concurrent DISTINCT folds keep counts exact; same-id refold is idempotent") {
     val d = GraftSession.table(spark, sf, "documents")
     val base = d.filter(col("doc_id") % 9 =!= 4)
