@@ -3652,20 +3652,17 @@ object QueriesScale {
         .orderBy(col("shard"), col("position"))
     }),
 
-    // ---- NO-ORACLE DIAGNOSTIC for the three-round x_shard_append /
-    // s9_stream_shard driver-red: replays the identical build+fold in
-    // the driver's own environment, then reconciles the manifest
+    // ---- NO-ORACLE manifest-health DIAGNOSTIC (kept permanently):
+    // replays the identical build+fold, then reconciles the manifest
     // parts tree THE FOLD SAW — per-(inc, shard) persisted counts
     // against counts RECOMPUTED from the live data, plus the build_id
-    // audit trail. Round-12 re-registration (VERDICT r11 task 1a):
-    // the driver's ledger carries only {rows, schema, hash} per
-    // query, so the delta COLUMNS never cross the boundary — emit
-    // ONLY anomalous rows (count drift, foreign build, or a
-    // missing/extra partition) so the one number that DOES cross,
-    // spark_rows, IS the verdict: 0 ⇒ the manifest fold state is
-    // healthy in the driver environment; >0 ⇒ counts diverged there
-    // and the row payload says where. Registered without an oracle on
-    // purpose (build_id/path are per-run nonces).
+    // audit trail. Emits ONLY anomalous rows, so spark_rows==0 in the
+    // ledger IS the healthy verdict. History: registered r12 to
+    // bisect the r9-r13 shard driver-red; its r13 read (0 rows =
+    // fold healthy) correctly exonerated the persistence machinery —
+    // the root cause landed r14 as the oracle's uncast sum() making
+    // shard_offset HUGEINT (see ShardAppendOracleSql). It stays
+    // registered as the manifest-corruption tripwire.
     "x_shard_manifest_diag" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)
@@ -3699,13 +3696,14 @@ object QueriesScale {
         .orderBy(col("inc"), col("shard"))
     }),
 
-    // ---- the BISECTION probe for the same red (VERDICT r11 task 1b):
-    // identical output to x_shard_append computed WITHOUT the
-    // persisted manifest — the committed tail aggregates directly
-    // from the base DataFrame — and gated by the SAME oracle SQL.
-    // Inline green + manifest red in an environment ⇒ the persistence
-    // fold diverges there; both red ⇒ the algebra/oracle/environment
-    // half diverges and the manifest machinery is innocent.
+    // ---- manifest-free twin of x_shard_append under the SAME oracle
+    // — the committed tail aggregates directly from the base
+    // DataFrame. Registered r12 as the bisection probe for the shard
+    // driver-red; its r13 read (red alongside the manifest row, with
+    // the diag empty) correctly indicted the oracle half, where the
+    // r14 root cause was found (uncast sum() → HUGEINT shard_offset).
+    // It stays registered: manifest row red + inline green in any
+    // future environment still means "persistence", instantly.
     "x_shard_append_inline" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.filter(pmod(col("doc_id"), lit(9)) =!= 4)

@@ -398,4 +398,16 @@ class PlanAssertSpec extends SparkSpecBase {
       s"canon index shuffles per increment:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"canon gate went cartesian:\n$plan")
   }
+
+  test("x_curriculum_shards: cutpoints ride a broadcast 1-row dim — no global sort, no extra exchange") {
+    val plan = planOf(q("x_curriculum_shards"))
+    // the naive curriculum export is ORDER BY length over the corpus;
+    // this one must show the KMV cutpoints broadcast back (nested
+    // loop against a 1-row dim is fine) and NO corpus-wide Sort
+    // outside the per-(bucket, shard) window sort
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"cutpoint dim fell off broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cutpoint join went cartesian:\n$plan")
+  }
 }
