@@ -177,7 +177,9 @@ object Bench {
     "s9_stream_canon",
     "x_curriculum_shards",
     "x_curriculum_inc",
-    "s9_stream_curriculum"
+    "s9_stream_curriculum",
+    "x_drift_ref_fold",
+    "s9_stream_drift_fold"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

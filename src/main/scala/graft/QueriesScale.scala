@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftSession.table
 import graft.functions.{AnswerStart, DetHash}
-import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity}
+import graft.ops.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 import java.util.concurrent.atomic.AtomicInteger
@@ -957,11 +957,11 @@ object QueriesScale {
     * persisted-reference increment, and the streaming twin (all three
     * surfaces compare the same two slices).
     */
-  private val DriftOracleSql: String =
-    """WITH d AS (SELECT doc_id,
+  private def DriftOracleSqlFor(refFilter: String): String =
+    s"""WITH d AS (SELECT doc_id,
       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
       |rc AS (SELECT w, CAST(count(*) AS BIGINT) AS cr FROM (
-      |  SELECT unnest(t) AS w FROM d WHERE doc_id % 3 = 0) GROUP BY 1),
+      |  SELECT unnest(t) AS w FROM d WHERE $refFilter) GROUP BY 1),
       |ic AS (SELECT w, CAST(count(*) AS BIGINT) AS ci FROM (
       |  SELECT unnest(t) AS w FROM d WHERE doc_id % 9 = 4) GROUP BY 1),
       |j AS (SELECT coalesce(rc.cr, 0) AS cr, coalesce(ic.ci, 0) AS ci
@@ -976,6 +976,8 @@ object QueriesScale {
       |    - CAST(ci AS DECIMAL(19,0)) * (SELECT tr FROM tot))) AS DOUBLE)
       |    / (2.0 * (SELECT tr FROM tot) * (SELECT ti FROM tot)), 6) AS tv
       |FROM j""".stripMargin
+
+  private val DriftOracleSql: String = DriftOracleSqlFor("doc_id % 3 = 0")
 
   /** Integer-exact-PCA oracle, parameterized by the projected-slice
     * filter — replays the whole fit deterministically: fixed-point
@@ -2724,6 +2726,45 @@ object QueriesScale {
         TextAnalysis.writeDriftRef(
           d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p))
       TextAnalysis.driftWithRef(s, path,
+        d.filter(pmod(col("doc_id"), lit(9)) === 4), "text")
+    }),
+
+    // ---- MAINTAIN the reference itself: a crawl month that should
+    // BECOME part of "normal" folds its term counts into the
+    // persisted reference as an append-only inc= ledger partition;
+    // drift then reads base ∪ folded parts (fold-on-read, vocabulary
+    // sized). Oracle = the drift replay with the folded slice in the
+    // reference.
+    "x_drift_ref_fold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = buildOnce("driftfold", dir) { p =>
+        TextAnalysis.writeDriftRef(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", p)
+        TextAnalysis.appendToDriftRef(s, p,
+          d.filter(pmod(col("doc_id"), lit(9)) === 7), "text", "m1")
+      }
+      TextAnalysis.driftWithRefFolded(s, path,
+        d.filter(pmod(col("doc_id"), lit(9)) === 4), "text")
+    }),
+
+    // ---- and ONLINE: reference maintenance at ingest — arriving
+    // batches fold into the ledger inside foreachBatch (the ledger IS
+    // the exactly-once sink), then the same probe slice measures
+    // drift against the folded reference. Batch fold is the oracle
+    // semantics.
+    "s9_stream_drift_fold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = GraftSession.freshGatePath("driftfoldstream", dir)
+      TextAnalysis.writeDriftRef(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0), "text", path)
+      val inc = d.filter(pmod(col("doc_id"), lit(9)) === 7)
+        .select(col("doc_id"), col("text"))
+      val incDir = GraftSession.freshGatePath("driftfoldinc", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val ckpt = GraftSession.freshGatePath("driftfoldckpt", dir)
+      val q = EventsStream.streamDriftRefFold(s, path, incDir, inc.schema, ckpt)
+      q.awaitTermination()
+      TextAnalysis.driftWithRefFolded(s, path,
         d.filter(pmod(col("doc_id"), lit(9)) === 4), "text")
     }),
 
@@ -6196,6 +6237,8 @@ object QueriesScale {
     "x_corpus_drift" -> DriftOracleSql,
     "x_corpus_drift_inc" -> DriftOracleSql,
     "s9_stream_drift" -> DriftOracleSql,
+    "x_drift_ref_fold" -> DriftOracleSqlFor("doc_id % 3 = 0 OR doc_id % 9 = 7"),
+    "s9_stream_drift_fold" -> DriftOracleSqlFor("doc_id % 3 = 0 OR doc_id % 9 = 7"),
     "x_emb_pca" -> PcaOracleSql(""),
     "x_emb_pca_inc" -> PcaOracleSql(" AND vec_id % 9 = 4"),
     "s9_stream_pca" -> PcaOracleSql(" AND vec_id % 9 = 4"),

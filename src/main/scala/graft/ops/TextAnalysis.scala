@@ -1123,6 +1123,49 @@ object TextAnalysis {
       inc: DataFrame, incTextCol: String): DataFrame =
     driftFromCounts(spark.read.parquet(s"$path/counts"), inc)(incTextCol)
 
+  /** MAINTAIN the drift reference ([[writeDriftRef]]) — the monthly
+    * crawl that should BECOME part of "normal" folds its term counts
+    * in as an append-only `$path/parts/inc=<id>` partition
+    * ([[appendToShards]]'s ledger shape): a replayed increment
+    * overwrites its own partition (idempotent by construction), two
+    * concurrent DISTINCT increments cannot lose each other's fold,
+    * and the base counts are never read-modify-written. O(increment)
+    * — one term-keyed map-side-combinable aggregation.
+    */
+  def appendToDriftRef(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, incTextCol: String, incrementId: String): Unit = {
+    require(incrementId.nonEmpty && incrementId != "base",
+      s"incrementId must be non-empty and not 'base', got '$incrementId'")
+    inc.select(explode(toks(col(incTextCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      .withColumn("inc", lit(incrementId))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("inc").parquet(s"$path/parts")
+  }
+
+  /** Drift against the FOLDED reference — base [[writeDriftRef]]
+    * counts plus every [[appendToDriftRef]] ledger partition, summed
+    * on the term key at read time (fold-on-read: vocabulary-sized,
+    * never corpus-sized). Identical comparison algebra to
+    * [[corpusDrift]], so the batch oracle on (base ∪ folded
+    * increments) gates this surface and its streaming twin.
+    */
+  def driftWithRefFolded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, incTextCol: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/counts")
+    val partsPath = new org.apache.hadoop.fs.Path(s"$path/parts")
+    val fs = partsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(partsPath))
+        base.unionByName(spark.read.parquet(s"$path/parts").select(col("w"), col("cr")))
+          .groupBy(col("w")).agg(sum(col("cr")).as("cr"))
+      else base
+    driftFromCounts(all, inc)(incTextCol)
+  }
+
   /** The KEEP-CURVE of a quality gate: for each candidate threshold,
     * how many documents (and tokens) survive `score > t` — the table
     * a curation run reads to pick its cutoff (keep-rate vs quality

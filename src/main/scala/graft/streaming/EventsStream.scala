@@ -844,6 +844,34 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING drift-reference maintenance: each arriving doc batch
+    * folds its term counts into the persisted drift reference as its
+    * own `inc=b<batchId>` ledger partition
+    * ([[graft.ops.TextAnalysis.appendToDriftRef]]) — the ledger IS
+    * the sink, so exactly-once comes straight from the partition
+    * overwrite (a replayed batch rewrites only its own partition).
+    * The batch fold + [[graft.ops.TextAnalysis.driftWithRefFolded]]
+    * is the oracle semantics.
+    */
+  def streamDriftRefFold(
+      spark: SparkSession,
+      refPath: String,
+      newDocsDir: String,
+      schema: StructType,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.TextAnalysis
+          .appendToDriftRef(spark, refPath, batch, "text", s"b$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING curriculum fold at ingest: each arriving doc batch
     * buckets by the manifest's FROZEN quartile cutpoints and takes
     * its (bucket, shard) positions after the committed tail inside

@@ -874,6 +874,33 @@ class DedupSpec extends SparkSpecBase {
     assert(p.getAs[Double]("tv") === 0.5)
   }
 
+  test("drift-ref fold law: folded ledger ≡ recount of the union reference; refold idempotent") {
+    import graft.ops.TextAnalysis
+    val base = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val month = Seq((3L, "c d d")).toDF("id", "text")
+    val probe = Seq((9L, "a d x")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("drift-fold").toString
+    TextAnalysis.writeDriftRef(base, "text", path)
+    TextAnalysis.appendToDriftRef(spark, path, month, "text", "m1")
+    val folded = TextAnalysis.driftWithRefFolded(spark, path, probe, "text").collect()(0)
+    // ground truth: one-shot drift against the recounted union corpus
+    val expect = TextAnalysis.corpusDrift(
+      base.unionByName(month), "text", probe, "text").collect()(0)
+    assert(folded.toSeq === expect.toSeq,
+      "fold-on-read reference must equal the recounted union reference")
+    // replay: the same increment id folds again and nothing changes
+    TextAnalysis.appendToDriftRef(spark, path, month, "text", "m1")
+    val again = TextAnalysis.driftWithRefFolded(spark, path, probe, "text").collect()(0)
+    assert(again.toSeq === folded.toSeq, "same-id refold must be idempotent")
+    // a second DISTINCT month shifts the reference exactly like a recount
+    val month2 = Seq((4L, "x x")).toDF("id", "text")
+    TextAnalysis.appendToDriftRef(spark, path, month2, "text", "m2")
+    val both = TextAnalysis.driftWithRefFolded(spark, path, probe, "text").collect()(0)
+    val expect2 = TextAnalysis.corpusDrift(
+      base.unionByName(month).unionByName(month2), "text", probe, "text").collect()(0)
+    assert(both.toSeq === expect2.toSeq)
+  }
+
   test("pcaProject: integer power iteration converges to the hand-computed eigen direction") {
     import graft.ops.Similarity
     // 2-D corpus (1,0) (2,0) (0,1) at scale 1000: q = (1000,0)
