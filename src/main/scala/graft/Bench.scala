@@ -179,7 +179,8 @@ object Bench {
     "x_curriculum_inc",
     "s9_stream_curriculum",
     "x_drift_ref_fold",
-    "s9_stream_drift_fold"
+    "s9_stream_drift_fold",
+    "x_dedup_canon_cdc"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -938,10 +938,10 @@ object QueriesScale {
     * and its streaming twin: winners over reference ∪ increment,
     * output restricted to increment docs.
     */
-  private def CanonIncOracleSql: String =
+  private def CanonIncOracleSqlFor(unionFilter: String): String =
     s"""WITH p AS ($CanonPlantSql),
        |u AS (SELECT doc_id, t FROM p
-       |  WHERE (doc_id % 3 = 0 AND doc_id < 200000) OR doc_id >= 200000 OR doc_id % 9 = 4),
+       |  WHERE $unionFilter),
        |c AS (SELECT doc_id, md5(${CanonSql("t")}) AS h FROM u),
        |w AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS keep_id FROM c GROUP BY 1)
        |SELECT c.doc_id, w.keep_id,
@@ -949,6 +949,9 @@ object QueriesScale {
        |FROM c JOIN w USING (h)
        |WHERE c.doc_id >= 200000 OR c.doc_id % 9 = 4
        |ORDER BY c.doc_id""".stripMargin
+
+  private val CanonIncOracleSql: String = CanonIncOracleSqlFor(
+    "(doc_id % 3 = 0 AND doc_id < 200000) OR doc_id >= 200000 OR doc_id % 9 = 4")
 
   /** Corpus-drift oracle — replays the cleared-denominator TV exactly:
     * reference %3=0 vs increment %9=4 term counts full-outer-joined,
@@ -3901,6 +3904,24 @@ object QueriesScale {
       s.read.parquet(outDir).drop("inc").orderBy(col("doc_id"))
     }),
 
+    // ---- index MAINTENANCE: an accepted crawl month's canonical
+    // keys append to the index (min is a semilattice — ledger rows
+    // min-fold on read), and the next increment's probe sees them.
+    // Winner = least id over ref ∪ appended ∪ increment, so the
+    // union oracle with the appended slice in the reference gates
+    // probe-after-append directly.
+    "x_dedup_canon_cdc" -> ((s, dir) => {
+      val p = canonPlant(s, dir)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 200000L)
+      val month = p.filter(pmod(col("doc_id"), lit(9)) === 7 && col("doc_id") < 200000L)
+      val inc = p.filter(col("doc_id") >= 200000L || pmod(col("doc_id"), lit(9)) === 4)
+      val path = buildOnce("canonindexcdc", dir) { pth =>
+        Dedup.writeCanonIndex(ref, "doc_id", "text", pth)
+        Dedup.appendToCanonIndex(month, "doc_id", "text", pth)
+      }
+      Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text")
+    }),
+
     // ---- WINNOWING (MOSS) fingerprints: guaranteed-coverage local
     // fingerprint selection — any shared k+w−1 token run between two
     // docs shares a selected print, at ~2/(w+1) density. Gram hashes
@@ -6268,6 +6289,9 @@ object QueriesScale {
          |FROM c GROUP BY h ORDER BY keep_id""".stripMargin,
     "x_dedup_canon_inc" -> CanonIncOracleSql,
     "s9_stream_canon" -> CanonIncOracleSql,
+    "x_dedup_canon_cdc" -> CanonIncOracleSqlFor(
+      "(doc_id % 3 = 0 AND doc_id < 200000) OR (doc_id % 9 = 7 AND doc_id < 200000) " +
+        "OR doc_id >= 200000 OR doc_id % 9 = 4"),
     // Unicode canonicalization: composed chr(233) vs zero-width +
     // decomposed e+chr(769); canon = nfc_normalize(strip zero-width).
     // The char class builds from chr() so the regex is engine-proof

@@ -90,6 +90,23 @@ object Dedup {
     * already carries its canonical content. O(increment) — one
     * equi-join against the index on the 128-bit key.
     */
+  /** APPEND an increment's canonical keys to a persisted
+    * [[writeCanonIndex]] — the maintenance seam: the accepted crawl
+    * month's contents become part of "already got this". Min over a
+    * hash's rows is a semilattice, so append-mode rows compose with
+    * the base by fold-on-read (the probe min-folds its pruned slice)
+    * and probe-after-append ≡ probe of a from-scratch rebuild on the
+    * union (spec-pinned). A replayed append adds duplicate rows that
+    * change NOTHING (min is idempotent) — value-idempotent, like the
+    * substring index's distinct-fingerprint appends.
+    */
+  def appendToCanonIndex(
+      inc: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    inc.select(md5(canonText(col(textCol))).as("h"), col(idCol).cast("long").as("__id"))
+      .groupBy(col("h")).agg(min(col("__id")).as("keep_id"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/canon")
+
   def canonDedupWithIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       inc: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -102,9 +119,12 @@ object Dedup {
     // increment's hashes (one index scan, zero index shuffle), then
     // the pruned slice is increment-sized and broadcasts into the
     // lookup — O(increment) + one corpus-vocabulary scan, no
-    // corpus-sized exchange anywhere.
+    // corpus-sized exchange anywhere. The min-fold collapses
+    // [[appendToCanonIndex]] ledger rows (one row per hash per
+    // append) AFTER the prune, so the fold too is increment-sized.
     val pruned = spark.read.parquet(s"$path/canon")
       .join(broadcast(incWin.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
     val win = incWin.join(broadcast(pruned), Seq("h"), "left")
       .select(col("h"),
         least(col("__iw"), coalesce(col("keep_id"), lit(Long.MaxValue))).as("keep_id"))

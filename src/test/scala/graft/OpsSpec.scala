@@ -634,6 +634,36 @@ class DedupSpec extends SparkSpecBase {
     assert(viaOneShot === out)
   }
 
+  test("canon index: probe-after-append ≡ rebuilt-index probe; replayed append changes nothing") {
+    import graft.ops.Dedup
+    val ref = Seq((1L, "caf\u00e9 menu"), (2L, "base doc")).toDF("id", "text")
+    val month = Seq((5L, "monthly page"), (6L, "CAFE\u0301 menu")).toDF("id", "text")
+    val inc = Seq(
+      (20L, "monthly\u200B page"),  // dup of appended 5 -> keep_id 5
+      (21L, "caf\u00e9 menu"),      // dup of ref 1 (6 also carries it, 1 < 6) -> keep_id 1
+      (22L, "brand new")
+    ).toDF("id", "text")
+    val p1 = java.nio.file.Files.createTempDirectory("canon-cdc").toString
+    Dedup.writeCanonIndex(ref, "id", "text", p1)
+    Dedup.appendToCanonIndex(month, "id", "text", p1)
+    val probed = Dedup.canonDedupWithIndex(spark, p1, inc, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(probed(20L) === ((5L, 0L)))
+    assert(probed(21L) === ((1L, 0L)))
+    assert(probed(22L) === ((22L, 1L)))
+    // ≡ a from-scratch rebuild on ref ∪ month
+    val p2 = java.nio.file.Files.createTempDirectory("canon-cdc2").toString
+    Dedup.writeCanonIndex(ref.unionByName(month), "id", "text", p2)
+    val rebuilt = Dedup.canonDedupWithIndex(spark, p2, inc, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rebuilt === probed, "append fold must equal the rebuilt index")
+    // a crash-replayed append duplicates ledger rows; min-fold absorbs them
+    Dedup.appendToCanonIndex(month, "id", "text", p1)
+    val again = Dedup.canonDedupWithIndex(spark, p1, inc, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === probed, "replayed append must be value-idempotent")
+  }
+
   test("spanDedup is idempotent: a deduped corpus passes through unchanged") {
     import graft.ops.Dedup
     val docs = Seq(
