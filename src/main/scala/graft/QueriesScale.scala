@@ -26,18 +26,31 @@ object QueriesScale {
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String)  = table(s, dir, "embeddings")
 
+  /** Twin-id offset for the canon plant, DERIVED from the actual id
+    * domain (max(doc_id)+1) rather than a fixed constant: bench-scale
+    * corpora place copied doc_id blocks at i·1,000,000, so a
+    * hard-coded 200000 would misclassify every copy ≥ 1 as
+    * "increment" and could collide twin ids with real ids on a large
+    * base block. With off = max+1, original ⇔ doc_id ≤ max and twins
+    * can never collide, at any scale factor. DuckDB twin: the
+    * [[CanonOffSql]] scalar subquery. One max() scan of one column
+    * per gate — negligible next to the gate's own corpus pass.
+    */
+  private def canonOff(s: SparkSession, dir: String): Long =
+    docs(s, dir).agg(max(col("doc_id"))).head.getLong(0) + 1L
+
   /** Plant for the canonical-dedup gates: every doc gets a composed
     * accent suffix (U+00E9); every %7=3 doc ALSO spawns an EVASIVE
-    * twin at id+200000 — uppercased, zero-width-padded, decomposed
+    * twin at id+off — uppercased, zero-width-padded, decomposed
     * accent (e + U+0301). Byte-distinct, canonically identical: the
     * exact variant set [[graft.ops.Dedup.canonText]] exists to
     * collapse.
     */
-  private def canonPlant(s: SparkSession, dir: String) = {
+  private def canonPlant(s: SparkSession, dir: String, off: Long) = {
     val d = docs(s, dir)
     d.select(col("doc_id"), concat(col("text"), lit("\u00e9")).as("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 3)
-        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+        .select((col("doc_id") + lit(off)).as("doc_id"),
           concat(upper(col("text")), lit("\u200Be\u0301")).as("text")))
   }
 
@@ -924,14 +937,20 @@ object QueriesScale {
   private def CanonSql(e: String): String =
     s"nfc_normalize(regexp_replace(lower($e), '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'))"
 
+  /** DuckDB twin of [[canonOff]]: the twin-id offset derived from the
+    * actual id domain (max+1), as a scalar subquery.
+    */
+  private val CanonOffSql: String =
+    "(SELECT max(doc_id) + 1 FROM documents)"
+
   /** The canon-dedup plant: every doc + composed accent; every %7=3
-    * doc also as an evasive twin (id+200000, uppercased, zero-width
-    * + decomposed accent).
+    * doc also as an evasive twin (id+off, uppercased, zero-width
+    * + decomposed accent), off = max(doc_id)+1 on both engines.
     */
   private val CanonPlantSql: String =
-    """SELECT doc_id, text || chr(233) AS t FROM documents
+    s"""SELECT doc_id, text || chr(233) AS t FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 200000, upper(text) || chr(8203) || 'e' || chr(769)
+      |  SELECT doc_id + $CanonOffSql, upper(text) || chr(8203) || 'e' || chr(769)
       |  FROM documents WHERE doc_id % 7 = 3""".stripMargin
 
   /** Union-law oracle for the persisted-canon-index increment gate
@@ -947,11 +966,11 @@ object QueriesScale {
        |SELECT c.doc_id, w.keep_id,
        |  CAST(CASE WHEN c.doc_id = w.keep_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
        |FROM c JOIN w USING (h)
-       |WHERE c.doc_id >= 200000 OR c.doc_id % 9 = 4
+       |WHERE c.doc_id >= $CanonOffSql OR c.doc_id % 9 = 4
        |ORDER BY c.doc_id""".stripMargin
 
   private val CanonIncOracleSql: String = CanonIncOracleSqlFor(
-    "(doc_id % 3 = 0 AND doc_id < 200000) OR doc_id >= 200000 OR doc_id % 9 = 4")
+    s"(doc_id % 3 = 0 AND doc_id < $CanonOffSql) OR doc_id >= $CanonOffSql OR doc_id % 9 = 4")
 
   /** Corpus-drift oracle — replays the cleared-denominator TV exactly:
     * reference %3=0 vs increment %9=4 term counts full-outer-joined,
@@ -3853,8 +3872,8 @@ object QueriesScale {
         .select(col("doc_id"),
           when(col("__a") === col("__b"), 1L).otherwise(0L).as("eq_raw"),
           when(col("__ca") === col("__cb"), 1L).otherwise(0L).as("eq_canon"),
-          length(col("__b")).as("len_raw"),
-          length(col("__cb")).as("len_canon"))
+          length(col("__b")).cast("long").as("len_raw"),
+          length(col("__cb")).cast("long").as("len_canon"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3866,7 +3885,7 @@ object QueriesScale {
     // one, and the winner is the least id. Map-side-combinable
     // groupBy on the 128-bit key, no sort.
     "x_dedup_canon" -> ((s, dir) =>
-      Dedup.exactByCanonContent(canonPlant(s, dir), "doc_id", "text")
+      Dedup.exactByCanonContent(canonPlant(s, dir, canonOff(s, dir)), "doc_id", "text")
         .select(col("keep_id"), col("dup_count"))
         .orderBy(col("keep_id"))),
 
@@ -3876,9 +3895,10 @@ object QueriesScale {
     // index ∪ increment = the one-batch rule on the union, so the
     // union-batch oracle gates it (same law as the span index).
     "x_dedup_canon_inc" -> ((s, dir) => {
-      val p = canonPlant(s, dir)
-      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 200000L)
-      val inc = p.filter(col("doc_id") >= 200000L || pmod(col("doc_id"), lit(9)) === 4)
+      val off = canonOff(s, dir)
+      val p = canonPlant(s, dir, off)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
+      val inc = p.filter(col("doc_id") >= off || pmod(col("doc_id"), lit(9)) === 4)
       val path = buildOnce("canonindex", dir)(pth =>
         Dedup.writeCanonIndex(ref, "doc_id", "text", pth))
       Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text")
@@ -3889,9 +3909,10 @@ object QueriesScale {
     // foreachBatch. The batch increment operator is the oracle
     // semantics.
     "s9_stream_canon" -> ((s, dir) => {
-      val p = canonPlant(s, dir)
-      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 200000L)
-      val inc = p.filter(col("doc_id") >= 200000L || pmod(col("doc_id"), lit(9)) === 4)
+      val off = canonOff(s, dir)
+      val p = canonPlant(s, dir, off)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
+      val inc = p.filter(col("doc_id") >= off || pmod(col("doc_id"), lit(9)) === 4)
         .select(col("doc_id"), col("text"))
       val path = buildOnce("canonindexstream", dir)(pth =>
         Dedup.writeCanonIndex(ref, "doc_id", "text", pth))
@@ -3911,10 +3932,11 @@ object QueriesScale {
     // union oracle with the appended slice in the reference gates
     // probe-after-append directly.
     "x_dedup_canon_cdc" -> ((s, dir) => {
-      val p = canonPlant(s, dir)
-      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 200000L)
-      val month = p.filter(pmod(col("doc_id"), lit(9)) === 7 && col("doc_id") < 200000L)
-      val inc = p.filter(col("doc_id") >= 200000L || pmod(col("doc_id"), lit(9)) === 4)
+      val off = canonOff(s, dir)
+      val p = canonPlant(s, dir, off)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
+      val month = p.filter(pmod(col("doc_id"), lit(9)) === 7 && col("doc_id") < off)
+      val inc = p.filter(col("doc_id") >= off || pmod(col("doc_id"), lit(9)) === 4)
       val path = buildOnce("canonindexcdc", dir) { pth =>
         Dedup.writeCanonIndex(ref, "doc_id", "text", pth)
         Dedup.appendToCanonIndex(month, "doc_id", "text", pth)
@@ -6290,8 +6312,8 @@ object QueriesScale {
     "x_dedup_canon_inc" -> CanonIncOracleSql,
     "s9_stream_canon" -> CanonIncOracleSql,
     "x_dedup_canon_cdc" -> CanonIncOracleSqlFor(
-      "(doc_id % 3 = 0 AND doc_id < 200000) OR (doc_id % 9 = 7 AND doc_id < 200000) " +
-        "OR doc_id >= 200000 OR doc_id % 9 = 4"),
+      s"(doc_id % 3 = 0 AND doc_id < $CanonOffSql) OR (doc_id % 9 = 7 AND doc_id < $CanonOffSql) " +
+        s"OR doc_id >= $CanonOffSql OR doc_id % 9 = 4"),
     // Unicode canonicalization: composed chr(233) vs zero-width +
     // decomposed e+chr(769); canon = nfc_normalize(strip zero-width).
     // The char class builds from chr() so the regex is engine-proof

@@ -297,9 +297,10 @@ object CorpusOps {
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       path: String, w: Int = 3): Unit = {
     val spark = bench.sparkSession
-    bench.select(col(benchIdCol).as("bench_id"), Dedup.tokens(col(benchTextCol)).as("__ts"))
-      .select(col("bench_id"), explode(Dedup.shinglesOf(col("__ts"), w)).as("sh"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/sh")
+    IndexLayout.write(
+      bench.select(col(benchIdCol).as("bench_id"), Dedup.tokens(col(benchTextCol)).as("__ts"))
+        .select(col("bench_id"), explode(Dedup.shinglesOf(col("__ts"), w)).as("sh")),
+      s"$path/sh", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("sh")))
     spark.range(1).select(lit(w).as("w"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -411,7 +412,13 @@ object CorpusOps {
     * (`$path/parts/inc=base`, same append-only shape as the shard
     * manifest: an append only adds its own `inc=` partition, so
     * replay overwrites itself and concurrent DISTINCT increments
-    * cannot lose each other's fold).
+    * cannot lose each other's COUNTS — but, exactly as
+    * [[appendToShards]] documents, position/shard_offset correctness
+    * still requires ONE fold at a time per manifest: two concurrent
+    * distinct appends each exclude only their own partition, so both
+    * would compute offsets from the same committed tail and emit
+    * overlapping ranges. The counts ledger is race-free; the
+    * assignment is what needs the single-writer serialization).
     */
   def writeCurriculumManifest(
       df: DataFrame, idCol: String, textCol: String,
@@ -436,7 +443,11 @@ object CorpusOps {
     * replay reads the same tail it saw first, [[appendToShards]]'s
     * idempotence argument), then publish this increment's own counts
     * partition. Committed shards never move — the loader's
-    * resume-offset contract, now per curriculum bucket.
+    * resume-offset contract, now per curriculum bucket. Run ONE fold
+    * at a time per layout (single writer): replay is idempotent, but
+    * two CONCURRENT distinct folds would read the same committed tail
+    * and emit overlapping position/offset ranges (see
+    * [[appendToShards]] — counts compose, assignment serializes).
     */
   def appendToCurriculum(
       spark: org.apache.spark.sql.SparkSession, path: String,

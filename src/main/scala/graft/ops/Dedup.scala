@@ -74,9 +74,10 @@ object Dedup {
     */
   def writeCanonIndex(
       ref: DataFrame, idCol: String, textCol: String, path: String): Unit =
-    ref.select(md5(canonText(col(textCol))).as("h"), col(idCol).cast("long").as("__id"))
-      .groupBy(col("h")).agg(min(col("__id")).as("keep_id"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/canon")
+    IndexLayout.write(
+      ref.select(md5(canonText(col(textCol))).as("h"), col(idCol).cast("long").as("__id"))
+        .groupBy(col("h")).agg(min(col("__id")).as("keep_id")),
+      s"$path/canon", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("h")))
 
   /** Canon-dedup an increment against a persisted [[writeCanonIndex]]:
     * the winner per canonical key is the LEAST doc id across the
@@ -102,10 +103,10 @@ object Dedup {
     */
   def appendToCanonIndex(
       inc: DataFrame, idCol: String, textCol: String, path: String): Unit =
-    inc.select(md5(canonText(col(textCol))).as("h"), col(idCol).cast("long").as("__id"))
-      .groupBy(col("h")).agg(min(col("__id")).as("keep_id"))
-      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/canon")
+    IndexLayout.write(
+      inc.select(md5(canonText(col(textCol))).as("h"), col(idCol).cast("long").as("__id"))
+        .groupBy(col("h")).agg(min(col("__id")).as("keep_id")),
+      s"$path/canon", org.apache.spark.sql.SaveMode.Append, Seq(col("h")))
 
   def canonDedupWithIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1641,8 +1642,9 @@ object Dedup {
       ref: DataFrame, idCol: String, textCol: String, path: String,
       spanLen: Int = 3): Unit = {
     val (_, spans) = spanParts(ref, idCol, textCol, spanLen)
-    spans.groupBy(col("h")).agg(min(col("okey")).as("first_key"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/spans")
+    IndexLayout.write(
+      spans.groupBy(col("h")).agg(min(col("okey")).as("first_key")),
+      s"$path/spans", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("h")))
   }
 
   /** Span-dedup an increment against a persisted [[writeSpanIndex]]:

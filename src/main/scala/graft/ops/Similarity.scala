@@ -1293,11 +1293,19 @@ object Similarity {
     val fired = minDrift < driftThreshold
     if (fired) {
       val vPath = s"$path/v=$version"
+      // A same-version replay rewrites a directory whose _COMMITTED
+      // marker from the first attempt is still in place — drop the
+      // marker FIRST so the "committed ⇒ fully written" invariant
+      // holds even mid-rewrite (the rewrite is byte-identical under
+      // the single-writer deterministic-retrain assumption, but a
+      // concurrent reader must never see committed-but-partial).
+      val marker = new org.apache.hadoop.fs.Path(s"$vPath/_COMMITTED")
+      if (fs.exists(marker)) fs.delete(marker, false)
       writeKmeansModel(
         corpus.select(col(idCol), col(vecCol))
           .unionByName(inc.select(col(idCol), col(vecCol))),
         idCol, vecCol, k, iters, vPath)
-      fs.create(new org.apache.hadoop.fs.Path(s"$vPath/_COMMITTED"), true).close()
+      fs.create(marker, true).close()
     }
     report.withColumn("retrained", lit(if (fired) 1L else 0L))
   }

@@ -294,6 +294,9 @@ object TextAnalysis {
   def writeZipfRanks(
       ref: DataFrame, refTextCol: String, path: String, topV: Int = 4096): Unit = {
     val spark = ref.sparkSession
+    // deliberately single-task: ranks are top-V-bounded (≤ topV rows),
+    // not corpus-sized — the IndexLayout bucketing is for tables that
+    // grow with the corpus
     zipfRanks(ref, refTextCol, topV)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/ranks")
     spark.range(1).select(lit(topV).as("top_v"))
@@ -430,8 +433,9 @@ object TextAnalysis {
       ref: DataFrame, refTextCol: String, path: String,
       oovBits: Int = 16, minCount: Long = 1L): Unit = {
     val spark = ref.sparkSession
-    bigramCounts(ref, refTextCol, minCount)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    IndexLayout.write(bigramCounts(ref, refTextCol, minCount),
+      s"$path/counts", org.apache.spark.sql.SaveMode.Overwrite,
+      Seq(col("prev"), col("w")))
     spark.range(1).select(lit(oovBits).as("oov_bits"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -542,11 +546,13 @@ object TextAnalysis {
     val spark = ref.sparkSession
     val refToks = ref.select(explode(toks(col(refTextCol))).as("w"))
     val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
-    refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      .filter(col("cu") >= minCount)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/uni")
-    bigramCounts(ref, refTextCol, minCount)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/bigram")
+    IndexLayout.write(
+      refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .filter(col("cu") >= minCount),
+      s"$path/uni", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("w")))
+    IndexLayout.write(bigramCounts(ref, refTextCol, minCount),
+      s"$path/bigram", org.apache.spark.sql.SaveMode.Overwrite,
+      Seq(col("prev"), col("w")))
     spark.range(1).select(lit(oovBits).as("oov_bits"),
         lit(backoffBits).as("backoff_bits"), lit(totalT).as("total_t"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -659,8 +665,8 @@ object TextAnalysis {
     val tot = rt.agg(
       sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))),
       sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L)))).collect()(0)
-    nbVocab(rt, minCount)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    IndexLayout.write(nbVocab(rt, minCount),
+      s"$path/vocab", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("w")))
     spark.range(1).select(lit(tot.getLong(0)).as("t_pos"),
         lit(tot.getLong(1)).as("t_neg"), lit(oovBits).as("oov_bits"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -826,9 +832,12 @@ object TextAnalysis {
       oovBits: Int = 16, minCount: Long = 2L): Unit = {
     val spark = ref.sparkSession
     val (bc, cc, co, bTypes) = knTables(ref, refTextCol, minCount)
-    bc.coalesce(1).write.mode("overwrite").parquet(s"$path/bigram")
-    cc.coalesce(1).write.mode("overwrite").parquet(s"$path/ctx")
-    co.coalesce(1).write.mode("overwrite").parquet(s"$path/cont")
+    IndexLayout.write(bc, s"$path/bigram",
+      org.apache.spark.sql.SaveMode.Overwrite, Seq(col("prev"), col("w")))
+    IndexLayout.write(cc, s"$path/ctx",
+      org.apache.spark.sql.SaveMode.Overwrite, Seq(col("prev")))
+    IndexLayout.write(co, s"$path/cont",
+      org.apache.spark.sql.SaveMode.Overwrite, Seq(col("w")))
     spark.range(1).select(lit(oovBits).as("oov_bits"), lit(bTypes).as("b_types"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -1014,9 +1023,10 @@ object TextAnalysis {
   def writeWinnowIndex(
       ref: DataFrame, idCol: String, textCol: String, path: String,
       k: Int = 4, w: Int = 4): Unit =
-    winnowFingerprints(ref, idCol, textCol, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/prints")
+    IndexLayout.write(
+      winnowFingerprints(ref, idCol, textCol, k, w)
+        .select(col("doc_id"), col("fp")).distinct(),
+      s"$path/prints", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("fp")))
 
   /** Overlap-detect an increment against a persisted
     * [[writeWinnowIndex]] — which corpus documents does each arriving

@@ -26,36 +26,18 @@ class LedgerCrossCheckSpec extends SparkSpecBase {
 
   /** Red rows already root-caused, fixed, and local-gate-proven in a
     * commit NEWER than the ledger round. Each entry names the fix.
+    *
+    * Empty since r15: the seven r13 wide-integer-oracle exemptions
+    * (x_shard_append/_inline, s9_stream_shard, x_corpus_drift/_inc,
+    * s9_stream_drift, x_emb_pca_var — all one defect class: HUGEINT /
+    * DECIMAL(38,0) in the ORACLE's output, stringified as float64 by
+    * the driver's pandas path) were deleted when CORRECTNESS_r14.json
+    * landed 0-red, per their own contract. The class tripwire lives
+    * on in scripts/oracle_check.py, which fails any oracle emitting a
+    * wide-typed output column. Any future red must re-justify here in
+    * plain sight.
     */
-  private val WideTypeRootCause: String =
-    "ROOT-CAUSED r14 (one cause for ALL 7 r13 reds): the oracle's final output " +
-      "carried a wide-integer DuckDB type — x_shard_append/_inline/s9_stream_shard " +
-      "had shard_offset HUGEINT (the b CTE's uncast sum(BIGINT) propagated through " +
-      "`+ COALESCE(b.ntok, 0)`), and the drift/pca_var rows had DECIMAL(38,0) " +
-      "(tv_num, rayleigh_num, cov_trace). fetchall() stringifies both as plain " +
-      "Python ints (local gate green, 7 consecutive local replays), but a " +
-      "pandas/pyarrow materialization converts HUGEINT/DECIMAL to float64/object " +
-      "('2091.0' vs '2091') — the driver's hashing path. Proof: a DuckDB type " +
-      "audit over all 267 oracles (scripts/oracle_check.py wide_cols, r14) flags " +
-      "EXACTLY the 7 red rows and nothing else; the green x_shard_shuffle twin " +
-      "differs from the red append family only by its explicit CAST(sum AS " +
-      "BIGINT). Fixed r14: b CTE casts to BIGINT; drift/pca_var publish canonical " +
-      "digit VARCHAR on both sides; oracle_check.py now FAILS any wide-typed " +
-      "oracle output (class tripwire); x_shard_append_text is the formatting " +
-      "control. Delete this exemption when the r14 ledger lands green"
-
-  /** Red rows already root-caused, fixed, and local-gate-proven in a
-    * commit NEWER than the ledger round. Each entry names the fix.
-    */
-  private val KnownRed: Map[String, String] = Map(
-    "x_shard_append"        -> (WideTypeRootCause + " (red r09-r13)"),
-    "x_shard_append_inline" -> (WideTypeRootCause + " (red r13, its first driver read)"),
-    "s9_stream_shard"       -> (WideTypeRootCause + " (red r09-r13)"),
-    "x_corpus_drift"        -> (WideTypeRootCause + " (new r13)"),
-    "x_corpus_drift_inc"    -> (WideTypeRootCause + " (new r13)"),
-    "s9_stream_drift"       -> (WideTypeRootCause + " (new r13)"),
-    "x_emb_pca_var"         -> (WideTypeRootCause + " (new r13)")
-  )
+  private val KnownRed: Map[String, String] = Map.empty
 
   test("latest driver ledger: no unexplained red rows, no errors, no orphaned rows") {
     val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
