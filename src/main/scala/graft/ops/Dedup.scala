@@ -110,7 +110,8 @@ object Dedup {
 
   def canonDedupWithIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      inc: DataFrame, idCol: String, textCol: String): DataFrame = {
+      inc: DataFrame, idCol: String, textCol: String,
+      broadcastMaxBytes: Long = Hints.DefaultBroadcastMaxBytes): DataFrame = {
     val ih = inc.select(col(idCol).cast("long").as("doc_id"),
       md5(canonText(col(textCol))).as("h"))
     val incWin = ih.groupBy(col("h")).agg(min(col("doc_id")).as("__iw"))
@@ -123,13 +124,18 @@ object Dedup {
     // corpus-sized exchange anywhere. The min-fold collapses
     // [[appendToCanonIndex]] ledger rows (one row per hash per
     // append) AFTER the prune, so the fold too is increment-sized.
+    // The hints are SIZE-GATED ([[Hints.broadcastIfSmall]]): for a
+    // daily increment they engage as before; for a month-scale crawl
+    // increment the probe degrades to AQE's runtime choice (shuffle
+    // join) instead of forcing a multi-GB broadcast build that OOMs.
+    def bc(df: DataFrame) = Hints.broadcastIfSmall(df, broadcastMaxBytes)
     val pruned = spark.read.parquet(s"$path/canon")
-      .join(broadcast(incWin.select(col("h"))), Seq("h"), "left_semi")
+      .join(bc(incWin.select(col("h"))), Seq("h"), "left_semi")
       .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
-    val win = incWin.join(broadcast(pruned), Seq("h"), "left")
+    val win = incWin.join(bc(pruned), Seq("h"), "left")
       .select(col("h"),
         least(col("__iw"), coalesce(col("keep_id"), lit(Long.MaxValue))).as("keep_id"))
-    ih.join(broadcast(win), Seq("h"))
+    ih.join(bc(win), Seq("h"))
       .select(col("doc_id"), col("keep_id"),
         (col("doc_id") === col("keep_id")).cast("long").as("is_kept"))
       .orderBy(col("doc_id"))
@@ -1239,7 +1245,10 @@ object Dedup {
       else indexAll.filter(cell.isin(
         probes.select(cell.as("c")).distinct().collect().map(_.get(0)).toSeq: _*))
     val index = signPlaneTombstones(spark, path) match {
-      case Some(dead) => index0.join(broadcast(dead), Seq("id"), "left_anti")
+      // size-gated: a takedown ledger grows unboundedly over years —
+      // past the cap, AQE picks the join strategy instead of a forced
+      // broadcast build
+      case Some(dead) => index0.join(Hints.broadcastIfSmall(dead), Seq("id"), "left_anti")
       case None       => index0
     }
     val cos = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
@@ -1398,7 +1407,10 @@ object Dedup {
         probes.select(col("bucket")).distinct().collect().map(_.get(0)).toSeq: _*))
     // takedown mask: retired ids must stop matching new content
     val index = signPlaneTombstones(spark, path) match {
-      case Some(dead) => index0.join(broadcast(dead), Seq("id"), "left_anti")
+      // size-gated: a takedown ledger grows unboundedly over years —
+      // past the cap, AQE picks the join strategy instead of a forced
+      // broadcast build
+      case Some(dead) => index0.join(Hints.broadcastIfSmall(dead), Seq("id"), "left_anti")
       case None       => index0
     }
     val cos    = Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
