@@ -1841,22 +1841,54 @@ object QueriesScale {
           k = 8, iters = 1, cap = 5)
         .orderBy(col("vec_id"))),
 
-    // ---- fast (xxhash64) flavors: same plans, scale hash — rows-only check
-    // 30 hashes / 10 bands (r=3, S-curve midpoint (1/10)^(1/3) ≈ 0.46):
-    // banding miss at true j = 0.8 is (1-0.8³)^10 ≈ 8e-4 and the
-    // 30-hash estimate puts P(est < 0.5 | j ≥ 0.8) ≈ 1e-5 — still far
-    // beyond the 16/4 config that missed a true 0.82-jaccard pair
-    // (1.5% banding miss), but WITHOUT the r=2 failure mode of 32/16
-    // (midpoint 0.25 → moderately-similar pairs admitted at ~24× the
-    // rate; measured 4.7× end-to-end cost on the r3 official bench).
+    // ---- fast (xxhash64) flavors: same plans, scale hash. Promoted
+    // from rows-only to ORACLED in r15 via the AGREE-LAW: the gate
+    // runs the production fast operator in full, then emits ONE row —
+    // n_true (ground-truth j ≥ 0.9 pairs, recomputed all-pairs by the
+    // DuckDB oracle) and n_missed_by_fast (true pairs ABSENT from the
+    // fast operator's output — the recall disagreements, pinned to 0
+    // by the oracle literal). The fast side's est_jaccard/hamming
+    // values themselves are xxhash64-derived and stay un-replicable in
+    // SQL; the law is what's checkable, and it is deterministic (fixed
+    // hash family, fixed testdata).
+    // Config: 30 hashes / 10 bands (r=3, S-curve midpoint
+    // (1/10)^(1/3) ≈ 0.46): banding miss at true j = 0.8 is
+    // (1-0.8³)^10 ≈ 8e-4 and the 30-hash estimate puts
+    // P(est < 0.5 | j ≥ 0.8) ≈ 1e-5 — still far beyond the 16/4
+    // config that missed a true 0.82-jaccard pair (1.5% banding
+    // miss), but WITHOUT the r=2 failure mode of 32/16 (midpoint
+    // 0.25 → moderately-similar pairs admitted at ~24× the rate;
+    // measured 4.7× end-to-end cost on the r3 official bench).
     // Candidate volume per config is measured in ScaleAuditSpec.
-    "x_dedup_minhash_fast" -> ((s, dir) =>
-      Dedup.minhashLshPairs(plantedDocs(s, dir), "id", "text",
+    "x_dedup_minhash_fast" -> ((s, dir) => {
+      val p = plantedDocs(s, dir)
+      val fast = Dedup.minhashLshPairs(p, "id", "text",
           w = 3, numHashes = 30, bands = 10, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
-    "x_dedup_simhash_fast" -> ((s, dir) =>
-      Dedup.simhashPairs(plantedDocs(s, dir), "id", "text", maxHamming = 7)
-        .orderBy(col("id_a"), col("id_b"))),
+        .select(col("id_a"), col("id_b"))
+      val truth = Dedup.minhashExactPairs(p, "id", "text",
+          w = 3, numHashes = 30, bands = 10, threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      truth.agg(count(lit(1)).as("n_true")).crossJoin(
+        truth.join(fast, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed_by_fast")))
+    }),
+    // simhash truth side runs on the same BOUNDED slice as
+    // x_dedup_simhash_agree (vacuous at the sf0.01 gate, keeps the
+    // all-pairs ground truth from going quadratic at bench scale);
+    // the fast operator itself runs on the FULL corpus — it is the
+    // production path being benched.
+    "x_dedup_simhash_fast" -> ((s, dir) => {
+      val p = plantedDocs(s, dir)
+      val fast = Dedup.simhashPairs(p, "id", "text", maxHamming = 7)
+        .select(col("id_a"), col("id_b"))
+      val truth = Dedup.simhashExactPairs(
+          p.filter(col("id") < 600 || col("id") >= 10000),
+          "id", "text", w = 3, maxHamming = 20, threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      truth.agg(count(lit(1)).as("n_true")).crossJoin(
+        truth.join(fast, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed_by_fast")))
+    }),
 
     // ---- agreement queries: the fast xxhash64 machinery, hash-green.
     // Blocking runs the production hash family; the verdict is the
@@ -4258,6 +4290,26 @@ object QueriesScale {
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Agree-law count oracle for the promoted `_fast` rows: n_true =
+    * ground-truth j ≥ 0.9 pair count (all-pairs, same CTEs as
+    * [[agreeOracleSql]]), n_missed_by_fast = the literal 0 the recall
+    * law demands — the Spark side computes the REAL anti-join count
+    * against the fast operator's output, so any missed pair is a hash
+    * mismatch.
+    */
+  private def AgreeLawCountSqlFor(sliceFilter: String): String =
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0$sliceFilter),
+       |pairs AS (
+       | SELECT a.id AS id_a, b.id AS id_b,
+       |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+       |        CAST(len(list_distinct(a.shs || b.shs)) AS DOUBLE), 4) AS jaccard
+       | FROM nz a JOIN nz b ON a.id < b.id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(0 AS BIGINT) AS n_missed_by_fast
+       |FROM pairs WHERE jaccard >= 0.9""".stripMargin
+
   /** In-order cosine of two list columns, all-double. */
   /** Persisted quantized-IVF probe replay — shared by the index gate
     * (`x_ann_index_q`) and its streaming twin (`s9_stream_ann`): the
@@ -4511,6 +4563,12 @@ object QueriesScale {
          |WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "x_dedup_minhash_agree" -> agreeOracleSql,
+    // agree-LAW oracles for the fast rows: ground-truth pair count
+    // from the same all-pairs CTEs; the disagreement count is pinned
+    // to the literal 0 the law demands (a Spark-side miss = hash red)
+    "x_dedup_minhash_fast" -> AgreeLawCountSqlFor(""),
+    "x_dedup_simhash_fast" -> AgreeLawCountSqlFor(
+      " AND (id < 600 OR id >= 10000)"),
     // transitive closure over the SAME ground-truth pair set the agree
     // oracle emits; components = min reachable id per member
     "x_dedup_resolve" ->
