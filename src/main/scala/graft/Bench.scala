@@ -180,7 +180,16 @@ object Bench {
     "s9_stream_curriculum",
     "x_drift_ref_fold",
     "s9_stream_drift_fold",
-    "x_dedup_canon_cdc"
+    "x_dedup_canon_cdc",
+    // round-15: the INGEST-GATE capstone (whole admission chain:
+    // canon dedup -> span cut -> Gopher gate -> decontamination ->
+    // curriculum layout) tracked from birth, plus the promoted
+    // simhash fast row (its minhash twin was already headline; both
+    // now run the fast operator AND the agree-law verdict)
+    "x_ingest_capstone",
+    "x_ingest_capstone_inc",
+    "s9_stream_ingest",
+    "x_dedup_simhash_fast"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
@@ -264,6 +273,28 @@ object Bench {
         s"SPARK_GRAFT_CANARY_BAND must be a finite positive number of seconds, got '$s'")
       v
     }.getOrElse(1.0)
+  /** Reference quiet-canary seconds for cross-round normalization
+    * (r14 verdict task 6): round-over-round comparisons kept needing
+    * hand math because totals track host throughput (the canary
+    * moved 0.19→0.41 s across rounds with zero code change).
+    * `canary_normalized_total` and `queries_normalized` rescale every
+    * timing by (ref / measured canary), so two artifacts from
+    * differently-loaded hosts compare directly. The ref is this
+    * container's quiet midpoint; a different fleet recalibrates via
+    * `SPARK_GRAFT_CANARY_REF=<sec>` — the normalization is a linear
+    * rescale, so any fixed ref gives consistent cross-round ratios.
+    */
+  private val CanaryRefSec: Double =
+    sys.env.get("SPARK_GRAFT_CANARY_REF").map { s =>
+      val v =
+        try s.toDouble
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CANARY_REF must be a positive number of seconds, got '$s'") }
+      require(java.lang.Double.isFinite(v) && v > 0,
+        s"SPARK_GRAFT_CANARY_REF must be a finite positive number of seconds, got '$s'")
+      v
+    }.getOrElse(0.25)
+
   private def canary(spark: SparkSession): Double =
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()
@@ -309,8 +340,10 @@ object Bench {
     val contaminated = canarySec > CanaryBandSec
     if (contaminated) System.err.println(
       f"[bench] CANARY OVER BAND: $canarySec%.3f s > $CanaryBandSec%.1f s — host is loaded, artifact self-labeled load_contaminated")
+    // linear cross-round normalization factor (see CanaryRefSec)
+    val normFactor = if (canarySec > 0) CanaryRefSec / canarySec else 1.0
     val canaryJson =
-      f""","canary_sec":$canarySec%.3f,"canary_band_sec":$CanaryBandSec%.1f,"load_contaminated":$contaminated"""
+      f""","canary_sec":$canarySec%.3f,"canary_band_sec":$CanaryBandSec%.1f,"canary_ref_sec":$CanaryRefSec%.3f,"load_contaminated":$contaminated"""
 
     val results = timeAll(spark, names, sfDir)
     val errors  = results.collect { case (k, v) if v < 0 => k }
@@ -365,8 +398,16 @@ object Bench {
     // JSON and nothing may print after it (spark.stop() runs first for
     // the same reason)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // canary-normalized twins of the totals and the full per-row map
+    // (r14 verdict task 6): value × (canary_ref / canary) — what the
+    // run WOULD have cost on the reference-quiet host
+    val qsNorm = results
+      .map { case (k, v) => "\"" + k + "\":" + f"${if (v >= 0) v * normFactor else -1.0}%.3f" }
+      .mkString("{", ",", "}")
+    val normJson =
+      f""","canary_normalized_total":${total * normFactor}%.3f,"relational_normalized_total":${relTotal * normFactor}%.3f,"streaming_normalized_total":${streamTotal * normFactor}%.3f,"queries_normalized":$qsNorm"""
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$canaryJson$errJson$slopeJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$canaryJson$normJson$errJson$slopeJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] scale-slope detail written to $detailPath")
@@ -386,7 +427,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"n_queries":${results.size},"queries":$coreQs,"detail":"$detailPath","sf":"$sfDir"$canaryJson$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"canary_normalized_total":${total * normFactor}%.3f,"n_queries":${results.size},"queries":$coreQs,"detail":"$detailPath","sf":"$sfDir"$canaryJson$errJson}"""
     )
   }
 }

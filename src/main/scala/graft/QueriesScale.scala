@@ -54,6 +54,34 @@ object QueriesScale {
           concat(upper(col("text")), lit("\u200Be\u0301")).as("text")))
   }
 
+  /** Plant for the INGEST-GATE capstone — one corpus that keeps every
+    * stage of the admission chain live: the span banner (3 boilerplate
+    * sentences prepended to every %5=0 doc — the C4 cut's target) and
+    * an EVASIVE canon twin of every %7=3 doc at id+off (uppercased +
+    * zero-width suffix, canonically identical to its source — the
+    * canon stage's target; ASCII-only so downstream token algebra
+    * stays byte-simple). Twins always lose to their source (off >
+    * max id), so uppercase text never reaches the span stage.
+    */
+  private def ingestPlant(s: SparkSession, dir: String, off: Long) = {
+    val banner =
+      "accept all cookies to continue. this site uses tracking. see our privacy policy."
+    val base = docs(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
+    base.unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select((col("doc_id") + lit(off)).as("doc_id"),
+        concat(upper(col("text")), lit("\u200B")).as("text")))
+  }
+
+  /** The capstone's benchmark suite: 15-token slices of docs < 10 —
+    * the same eval-contamination device x_contamination uses.
+    */
+  private def ingestBench(s: SparkSession, dir: String) =
+    docs(s, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_id"),
+        graft.functions.TextFns.tokenSlice(col("text"), 5, 15).as("btext"))
+
   /** Documents corpus + planted near-dups: doc_id<25 re-appended with
     * two extra tokens under id+10000.
     */
@@ -2114,6 +2142,68 @@ object QueriesScale {
       TextAnalysis.qualityPipelineWithModels(s,
         s"$path/span", s"$path/nb", s"$path/kn",
         planted.filter(pmod(col("doc_id"), lit(9)) === 4), "doc_id", "text")
+    }),
+
+    // ---- the INGEST-GATE CAPSTONE: the WHOLE admission chain in one
+    // row — canonical-key dedup (evasive twins die) → C4 span cut
+    // (banner dies) → Gopher quality gate → benchmark
+    // decontamination → curriculum shard layout. Every stage feeds
+    // the next stage's TEXT, and ONE composed SQL replays all five,
+    // so the composition itself is hash-gated, not just the pieces.
+    // Scale shape: keyed shuffles + a broadcast benchmark dim + the
+    // per-(bucket, shard) layout windows; no all-pairs, no collect.
+    "x_ingest_capstone" -> ((s, dir) => {
+      val off = canonOff(s, dir)
+      CorpusOps.ingestGate(ingestPlant(s, dir, off), "doc_id", "text",
+          ingestBench(s, dir), "bench_id", "btext")
+        .orderBy(col("bucket"), col("shard"), col("position"))
+    }),
+
+    // ---- the DEPLOYED capstone: all five stages answer from
+    // persisted state fit on the reference slice (canon index, span
+    // index on the canon survivors, benchmark shingle index, FROZEN
+    // curriculum cutpoints + committed counts), an increment runs the
+    // whole chain in O(increment). The increment slice carries both
+    // fresh docs (%9=4) and evasive twins of INDEXED docs — the canon
+    // stage kills the twins against the index, exactly the at-ingest
+    // behavior the stage exists for.
+    "x_ingest_capstone_inc" -> ((s, dir) => {
+      val off = canonOff(s, dir)
+      val p = ingestPlant(s, dir, off)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
+      val inc = p.filter(
+        (col("doc_id") >= off && pmod(col("doc_id") - lit(off), lit(3)) === 0) ||
+        (col("doc_id") < off && pmod(col("doc_id"), lit(9)) === 4))
+      val path = buildOnce("ingestgate", dir)(pth =>
+        CorpusOps.writeIngestGateState(ref, "doc_id", "text",
+          ingestBench(s, dir), "bench_id", "btext", pth))
+      CorpusOps.ingestGateWithState(s, path, inc, "doc_id", "text", incrementId = "gate")
+        .orderBy(col("bucket"), col("shard"), col("position"))
+    }),
+
+    // ---- and ONLINE: ingest-at-the-gate — each arriving micro-batch
+    // runs the full deployed chain against the persisted state inside
+    // foreachBatch, batchId as the curriculum fold's idempotency key.
+    // The batch increment chain is the oracle semantics.
+    "s9_stream_ingest" -> ((s, dir) => {
+      val off = canonOff(s, dir)
+      val p = ingestPlant(s, dir, off)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
+      val inc = p.filter(
+        (col("doc_id") >= off && pmod(col("doc_id") - lit(off), lit(3)) === 0) ||
+        (col("doc_id") < off && pmod(col("doc_id"), lit(9)) === 4))
+        .select(col("doc_id"), col("text"))
+      val path = buildOnce("ingestgatestream", dir)(pth =>
+        CorpusOps.writeIngestGateState(ref, "doc_id", "text",
+          ingestBench(s, dir), "bench_id", "btext", pth))
+      val incDir = GraftSession.freshGatePath("ingeststream", dir)
+      inc.coalesce(1).write.mode("overwrite").parquet(incDir)
+      val outDir = GraftSession.freshGatePath("ingestout", dir)
+      val ckpt   = GraftSession.freshGatePath("ingestckpt", dir)
+      val q = EventsStream.streamIngestGate(s, path, incDir, inc.schema, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc")
+        .orderBy(col("bucket"), col("shard"), col("position"))
     }),
 
     // ---- and ONLINE: the pipeline-at-ingest — arriving docs run
@@ -4310,6 +4400,216 @@ object QueriesScale {
        |  CAST(0 AS BIGINT) AS n_missed_by_fast
        |FROM pairs WHERE jaccard >= 0.9""".stripMargin
 
+
+  // -------------------------------------------------------------------
+  // INGEST-GATE capstone oracles: one composed SQL per surface,
+  // assembled from the SAME CTE devices the per-stage oracles use
+  // (canon winners, QpipeIncOracleSql's span device, QualityOracleSql's
+  // Gopher gate, ContaminationOracleSql's shingle probe, the curriculum
+  // KMV/window algebra) — prefixed so one-shot / ref-fit / union
+  // flavors coexist in one WITH tower.
+  // -------------------------------------------------------------------
+
+  /** DuckDB twin of [[ingestPlant]]: banner on %5=0, evasive twin
+    * (upper + ZWSP) of every %7=3 doc at id+off.
+    */
+  private val IngestPlantSql: String = {
+    val bannered = "CASE WHEN doc_id % 5 = 0 THEN " +
+      "'accept all cookies to continue. this site uses tracking. see our privacy policy. ' || text " +
+      "ELSE text END"
+    s"""SELECT doc_id, $bannered AS text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CanonOffSql, upper($bannered) || chr(8203)
+       |  FROM documents WHERE doc_id % 7 = 3""".stripMargin
+  }
+
+  /** Sentence/span CTEs of the C4 cut over `src(doc_id, text)`. */
+  private def IngSpanCtes(pfx: String, src: String): String =
+    s"""${pfx}s0 AS (SELECT doc_id,
+       |  list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+       |    s -> trim(s)), s -> s <> '') AS sents FROM $src),
+       |${pfx}sent AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
+       |    sents[CAST(i.i AS INT)] AS sent
+       |  FROM ${pfx}s0, unnest(range(1, len(sents) + 1)) AS i(i)),
+       |${pfx}spans AS (SELECT doc_id, CAST(k.k AS BIGINT) AS start,
+       |    md5(sents[CAST(k.k + 1 AS INT)] || ' ' ||
+       |      sents[CAST(k.k + 2 AS INT)] || ' ' ||
+       |      sents[CAST(k.k + 3 AS INT)]) AS h,
+       |    doc_id * 1048576 + CAST(k.k AS BIGINT) AS okey
+       |  FROM ${pfx}s0, unnest(range(0, len(sents) - 2)) AS k(k) WHERE len(sents) >= 3)""".stripMargin
+
+  /** Cut + reassemble against winner table `winCte(h, first_key)`;
+    * emits `<pfx>s2(doc_id, text)` = docs with ≥1 surviving sentence.
+    */
+  private def IngCutCtes(pfx: String, winCte: String): String =
+    s"""${pfx}rem AS (SELECT DISTINCT ${pfx}spans.doc_id, ${pfx}spans.start + o.o AS idx
+       |  FROM ${pfx}spans JOIN $winCte USING (h), unnest(range(0, 3)) AS o(o)
+       |  WHERE ${pfx}spans.okey <> $winCte.first_key),
+       |${pfx}kt AS MATERIALIZED (SELECT s.doc_id,
+       |  CAST(count(*) FILTER (WHERE r.idx IS NULL) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(s.sent, ' ' ORDER BY s.idx) FILTER (WHERE r.idx IS NULL), '') AS kept_text
+       |  FROM ${pfx}sent s LEFT JOIN ${pfx}rem r ON s.doc_id = r.doc_id AND s.idx = r.idx
+       |  GROUP BY 1),
+       |${pfx}s2 AS MATERIALIZED (SELECT doc_id, kept_text AS text FROM ${pfx}kt WHERE n_kept >= 1)""".stripMargin
+
+  /** Gopher keep-gate over `src(doc_id, text)` → `<pfx>q3`. Keep =
+    * NOT any drop rule (QualityOracleSql's thresholds verbatim).
+    */
+  private def IngQualityCte(pfx: String, src: String): String =
+    s"""${pfx}q3 AS MATERIALIZED (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text,
+       |   CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS DOUBLE) AS ntoks,
+       |   CAST(len(text) AS DOUBLE) AS nchars,
+       |   CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS symbol,
+       |   len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+       |     x -> list_contains(['the','and','of','to','is','in'], x))) AS stop_hits
+       |  FROM $src)
+       | WHERE ntoks >= 20 AND ntoks <= 80
+       |  AND (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) >= 3.0
+       |  AND (CASE WHEN ntoks > 0 THEN (nchars - (ntoks - 1)) / ntoks ELSE 0 END) <= 10.0
+       |  AND (CASE WHEN nchars > 0 THEN symbol / nchars ELSE 0 END) <= 0.1
+       |  AND stop_hits >= 1)""".stripMargin
+
+  private def IngSh3(toks: String): String =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len($toks) - 2, 0) + 1),
+       |  i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
+
+  /** Shared benchmark-suite shingle CTEs (docs < 10, 15-token slices). */
+  private val IngBenchCtes: String =
+    s"""ingb0 AS (SELECT doc_id AS bench_id,
+       |   array_to_string(list_slice(string_split(text, ' '), 6, 20), ' ') AS btext
+       |  FROM documents WHERE doc_id < 10),
+       |ingbt AS (SELECT bench_id, ${toksSql("btext")} AS toks FROM ingb0),
+       |ingbsh AS MATERIALIZED (SELECT bench_id, unnest(${IngSh3("toks")}) AS sh FROM ingbt)""".stripMargin
+
+  /** Decontamination over `src(doc_id, text)` → `<pfx>s4` = src minus
+    * docs sharing ≥8 distinct shingles with any benchmark item.
+    */
+  private def IngContamCtes(pfx: String, src: String): String =
+    s"""${pfx}ct AS (SELECT doc_id AS id, ${toksSql("text")} AS toks FROM $src),
+       |${pfx}csh AS (SELECT id, unnest(${IngSh3("toks")}) AS sh FROM ${pfx}ct),
+       |${pfx}flg AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT id, bench_id, count(*) AS n
+       |  FROM ${pfx}csh JOIN ingbsh USING (sh) GROUP BY 1, 2)
+       |  WHERE n >= 8),
+       |${pfx}s4 AS MATERIALIZED (SELECT q.doc_id, q.text FROM $src q
+       |  ANTI JOIN ${pfx}flg f ON q.doc_id = f.id)""".stripMargin
+
+  private def IngBucketCase(cutCte: String): String =
+    s"""CAST(CASE WHEN n_tokens <= (SELECT c25 FROM $cutCte) THEN 0
+       |       WHEN n_tokens <= (SELECT c50 FROM $cutCte) THEN 1
+       |       WHEN n_tokens <= (SELECT c75 FROM $cutCte) THEN 2 ELSE 3 END AS BIGINT)""".stripMargin
+
+  private val IngShardExpr: String =
+    "CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT) % 4"
+
+  private def IngTokensCte(name: String, src: String): String =
+    s"""$name AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       | FROM $src)""".stripMargin
+
+  private def IngCutpointCtes(pfx: String, tokCte: String): String =
+    s"""${pfx}dv AS (SELECT n_tokens AS v, count(*) AS c FROM $tokCte GROUP BY 1),
+       |${pfx}rk AS (SELECT v, c, row_number() OVER (ORDER BY md5(CAST(v AS VARCHAR))) AS rk FROM ${pfx}dv),
+       |${pfx}w AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot
+       | FROM ${pfx}rk WHERE rk <= 64),
+       |${pfx}cut AS (SELECT
+       |  min(v) FILTER (WHERE 100 * cum >= 25 * tot) AS c25,
+       |  min(v) FILTER (WHERE 100 * cum >= 50 * tot) AS c50,
+       |  min(v) FILTER (WHERE 100 * cum >= 75 * tot) AS c75 FROM ${pfx}w)""".stripMargin
+
+  /** ONE-SHOT capstone oracle: plant → canon winners → span cut →
+    * Gopher gate → decontamination → curriculum layout.
+    */
+  private val IngestCapstoneOracleSql: String =
+    s"""WITH ingp AS ($IngestPlantSql),
+       |ingc AS (SELECT doc_id, text, md5(${CanonSql("text")}) AS h FROM ingp),
+       |ingcw AS MATERIALIZED (SELECT h, min(doc_id) AS keep FROM ingc GROUP BY 1),
+       |ings1 AS MATERIALIZED (SELECT c.doc_id, c.text FROM ingc c
+       |  JOIN ingcw w USING (h) WHERE c.doc_id = w.keep),
+       |${IngSpanCtes("o", "ings1")},
+       |owin AS MATERIALIZED (SELECT h, min(okey) AS first_key FROM ospans GROUP BY 1),
+       |${IngCutCtes("o", "owin")},
+       |${IngQualityCte("o", "os2")},
+       |$IngBenchCtes,
+       |${IngContamCtes("o", "oq3")},
+       |${IngTokensCte("ingd", "os4")},
+       |${IngCutpointCtes("ing", "ingd")},
+       |ingasg AS (SELECT doc_id, n_tokens,
+       |  ${IngBucketCase("ingcut")} AS bucket,
+       |  $IngShardExpr AS shard,
+       |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
+       | FROM ingd)
+       |SELECT doc_id, n_tokens, bucket, shard,
+       |  CAST(row_number() OVER win AS BIGINT) - 1 AS position,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY bucket, shard ORDER BY u, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - n_tokens AS shard_offset
+       |FROM ingasg
+       |WINDOW win AS (PARTITION BY bucket, shard ORDER BY u, doc_id)
+       |ORDER BY bucket, shard, position""".stripMargin
+
+  /** DEPLOYED capstone oracle (shared with the streaming twin): every
+    * stage's state fit on the ref slice — canon winners/spans/quality/
+    * contamination replayed once for the REF chain (the manifest's
+    * frozen cutpoints + committed counts) and once for the INCREMENT
+    * against (index ∪ increment) winners, positions after the
+    * committed tail.
+    */
+  private val IngestCapstoneIncOracleSql: String =
+    s"""WITH ingp AS ($IngestPlantSql),
+       |pr AS (SELECT doc_id, text FROM ingp
+       |  WHERE doc_id % 3 = 0 AND doc_id < $CanonOffSql),
+       |rc AS (SELECT doc_id, text, md5(${CanonSql("text")}) AS h FROM pr),
+       |rcw AS MATERIALIZED (SELECT h, min(doc_id) AS keep FROM rc GROUP BY 1),
+       |rs1 AS MATERIALIZED (SELECT c.doc_id, c.text FROM rc c
+       |  JOIN rcw w USING (h) WHERE c.doc_id = w.keep),
+       |pi AS (SELECT doc_id, text FROM ingp
+       |  WHERE (doc_id >= $CanonOffSql AND (doc_id - $CanonOffSql) % 3 = 0)
+       |     OR (doc_id < $CanonOffSql AND doc_id % 9 = 4)),
+       |ic AS (SELECT doc_id, text, md5(${CanonSql("text")}) AS h FROM pi),
+       |iwn AS (SELECT h, min(doc_id) AS m FROM ic GROUP BY 1),
+       |icw AS MATERIALIZED (SELECT iwn.h,
+       |  least(iwn.m, coalesce(rcw.keep, 9223372036854775807)) AS keep
+       |  FROM iwn LEFT JOIN rcw USING (h)),
+       |is1 AS MATERIALIZED (SELECT c.doc_id, c.text FROM ic c
+       |  JOIN icw w USING (h) WHERE c.doc_id = w.keep),
+       |${IngSpanCtes("r", "rs1")},
+       |rwin AS MATERIALIZED (SELECT h, min(okey) AS first_key FROM rspans GROUP BY 1),
+       |${IngCutCtes("r", "rwin")},
+       |${IngSpanCtes("i", "is1")},
+       |uwin AS MATERIALIZED (SELECT h, min(first_key) AS first_key FROM (
+       |  SELECT h, first_key FROM rwin
+       |  UNION ALL SELECT h, okey AS first_key FROM ispans) GROUP BY 1),
+       |${IngCutCtes("i", "uwin")},
+       |${IngQualityCte("r", "rs2")},
+       |${IngQualityCte("i", "is2")},
+       |$IngBenchCtes,
+       |${IngContamCtes("r", "rq3")},
+       |${IngContamCtes("i", "iq3")},
+       |${IngTokensCte("ingrd", "rs4")},
+       |${IngCutpointCtes("ing", "ingrd")},
+       |ingbase AS MATERIALIZED (SELECT bucket, shard,
+       |  CAST(count(*) AS BIGINT) AS ndocs, CAST(sum(n_tokens) AS BIGINT) AS ntok
+       | FROM (SELECT doc_id, n_tokens, ${IngBucketCase("ingcut")} AS bucket,
+       |    $IngShardExpr AS shard FROM ingrd) GROUP BY 1, 2),
+       |${IngTokensCte("ingid", "is4")},
+       |ingit AS (SELECT doc_id, n_tokens,
+       |  ${IngBucketCase("ingcut")} AS bucket,
+       |  $IngShardExpr AS shard,
+       |  ${graft.functions.DetHash.detUnitSql("doc_id * 31 + 17")} AS u
+       | FROM ingid)
+       |SELECT i.doc_id, i.n_tokens, i.bucket, i.shard,
+       |  CAST(row_number() OVER win AS BIGINT) - 1 + COALESCE(b.ndocs, 0) AS position,
+       |  CAST(sum(i.n_tokens) OVER (PARTITION BY i.bucket, i.shard ORDER BY i.u, i.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - i.n_tokens + COALESCE(b.ntok, 0) AS shard_offset
+       |FROM ingit i LEFT JOIN ingbase b ON i.bucket = b.bucket AND i.shard = b.shard
+       |WINDOW win AS (PARTITION BY i.bucket, i.shard ORDER BY i.u, i.doc_id)
+       |ORDER BY i.bucket, i.shard, position""".stripMargin
+
+
   /** In-order cosine of two list columns, all-double. */
   /** Persisted quantized-IVF probe replay — shared by the index gate
     * (`x_ann_index_q`) and its streaming twin (`s9_stream_ann`): the
@@ -6332,6 +6632,11 @@ object QueriesScale {
         |WHERE nbdoc.score_bits >= 0
         |ORDER BY 1""".stripMargin,
     "x_quality_pipeline_inc" -> QpipeIncOracleSql,
+    // the INGEST-GATE capstone: one composed SQL per surface; the
+    // deployed oracle is shared verbatim with the streaming twin
+    "x_ingest_capstone" -> IngestCapstoneOracleSql,
+    "x_ingest_capstone_inc" -> IngestCapstoneIncOracleSql,
+    "s9_stream_ingest" -> IngestCapstoneIncOracleSql,
     "s9_stream_pipeline" -> QpipeIncOracleSql,
     "x_fingerprint_winnow_inc" -> WinnowIncOracleSql,
     "s9_stream_winnow" -> WinnowIncOracleSql,

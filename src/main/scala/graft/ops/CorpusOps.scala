@@ -1208,4 +1208,141 @@ object CorpusOps {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
   }
+
+  // -------------------------------------------------------------------
+  // INGEST-GATE CAPSTONE: the whole deployed admission chain in one
+  // operator — what actually runs when a crawl batch asks to enter a
+  // 100 TB training corpus.
+  // -------------------------------------------------------------------
+
+  /** ONE-SHOT ingest gate over a standalone corpus — the admission
+    * chain composed the way a real pipeline runs it:
+    *
+    *   1. canonical-key exact dedup ([[graft.ops.Dedup.canonText]]
+    *      winners, least id per canonical content) — the evasion-proof
+    *      "have we already got this document?";
+    *   2. C4 three-sentence span dedup ([[graft.ops.Dedup.spanDedup]])
+    *      — the boilerplate cut, first carrier keeps;
+    *   3. Gopher rule gate ([[gopherFilter]]) on the CLEANED text;
+    *   4. benchmark decontamination ([[contaminationCheck]] against
+    *      the eval suite, flagged docs dropped);
+    *   5. curriculum shard layout ([[curriculumShards]]) over the
+    *      survivors — bucket/shard/position/offset, ready for the
+    *      loader.
+    *
+    * Each stage feeds the next stage's TEXT (the span cut rewrites
+    * it), so composing them is not just set intersection — the one
+    * composed oracle SQL gates the composition itself. Scale shape:
+    * stages 1/2/5 shuffle on keys, stage 3 is per-row, stage 4
+    * broadcasts the benchmark dim; nothing is all-pairs, nothing
+    * collects.
+    */
+  def ingestGate(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shards: Int = 4, contamShingle: Int = 3, contamMinShared: Int = 8,
+      minTokens: Int = 20, maxTokens: Int = 80, minStopwordHits: Int = 1): DataFrame = {
+    val d0 = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val s1 = d0.join(
+      Dedup.exactByCanonContent(d0, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s4 = ingestTail(s1, bench, benchIdCol, benchTextCol,
+      contamShingle, contamMinShared, minTokens, maxTokens, minStopwordHits)
+    curriculumShards(s4, "doc_id", "text", shards)
+  }
+
+  /** Stages 2-4 of the gate (span cut -> quality -> decontamination),
+    * shared verbatim by the one-shot and deployed flavors so the two
+    * cannot drift — the qualityPipelineWithModels discipline.
+    */
+  private def ingestTail(
+      s1: DataFrame, bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      contamShingle: Int, contamMinShared: Int,
+      minTokens: Int, maxTokens: Int, minStopwordHits: Int): DataFrame =
+    ingestQualityContam(
+      Dedup.spanDedup(s1, "doc_id", "text")
+        .filter(col("n_kept") >= 1)
+        .select(col("doc_id"), col("kept_text").as("text")),
+      s3 => contaminationCheck(s3, "doc_id", "text", bench, benchIdCol, benchTextCol,
+          w = contamShingle, minShared = contamMinShared)
+        .select(col("id").as("doc_id")).distinct(),
+      minTokens, maxTokens, minStopwordHits)
+
+  /** Stages 3-4 on already-span-cleaned text: Gopher gate, then drop
+    * whatever `contamFlagged` flags on the quality survivors — the
+    * one-shot passes the inline [[contaminationCheck]], the deployed
+    * flavor the persisted-index [[contaminationProbe]]. One body, two
+    * state sources.
+    */
+  private def ingestQualityContam(
+      s2: DataFrame, contamFlagged: DataFrame => DataFrame,
+      minTokens: Int, maxTokens: Int, minStopwordHits: Int): DataFrame = {
+    val s3 = gopherFilter(s2, "text", minTokens = minTokens, maxTokens = maxTokens,
+        minStopwordHits = minStopwordHits)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"))
+    s3.join(contamFlagged(s3), Seq("doc_id"), "left_anti")
+  }
+
+  /** PERSIST the gate's state from an accepted reference corpus — the
+    * deployed seam of [[ingestGate]]. Each stage's state is fit on
+    * the REF slice of what reaches that stage (the
+    * `qpipeModels` discipline): canon index on the raw ref, span
+    * index on the canon survivors, contamination index on the
+    * benchmark suite, curriculum manifest (FROZEN cutpoints + base
+    * counts) on the full chain's ref survivors. Layout under `path`:
+    * `canonix/`, `spanix/`, `contamix/`, `curr/`.
+    */
+  def writeIngestGateState(
+      ref: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      path: String,
+      shards: Int = 4, contamShingle: Int = 3, contamMinShared: Int = 8,
+      minTokens: Int = 20, maxTokens: Int = 80, minStopwordHits: Int = 1): Unit = {
+    val d0 = ref.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    Dedup.writeCanonIndex(d0, "doc_id", "text", s"$path/canonix")
+    val s1 = d0.join(
+      Dedup.exactByCanonContent(d0, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Dedup.writeSpanIndex(s1, "doc_id", "text", s"$path/spanix")
+    writeContaminationIndex(bench, benchIdCol, benchTextCol,
+      s"$path/contamix", w = contamShingle)
+    val refSurv = ingestTail(s1, bench, benchIdCol, benchTextCol,
+      contamShingle, contamMinShared, minTokens, maxTokens, minStopwordHits)
+    writeCurriculumManifest(refSurv, "doc_id", "text", shards, s"$path/curr")
+  }
+
+  /** Run an arriving increment through the DEPLOYED gate — every
+    * stage answers from [[writeIngestGateState]] state in
+    * O(increment): canon probe (broadcast-semi-pruned index lookup),
+    * span probe (winner = least okey over index ∪ increment), Gopher
+    * gate (stateless), contamination probe (benchmark dim
+    * broadcasts), curriculum fold (frozen cuts, positions after the
+    * committed tail, `incrementId` as the idempotency key). Identical
+    * stage algebra to [[ingestGate]] — one composed SQL gates this
+    * surface and its streaming twin.
+    */
+  def ingestGateWithState(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String,
+      incrementId: String,
+      contamMinShared: Int = 8,
+      minTokens: Int = 20, maxTokens: Int = 80, minStopwordHits: Int = 1): DataFrame = {
+    val d0 = inc.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val s1 = d0.join(
+      Dedup.canonDedupWithIndex(spark, s"$path/canonix", d0, "doc_id", "text")
+        .filter(col("is_kept") === 1L).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s2 = Dedup.spanDedupWithIndex(spark, s"$path/spanix", s1, "doc_id", "text")
+      .filter(col("n_kept") >= 1)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val s4 = ingestQualityContam(s2,
+      s3 => contaminationProbe(spark, s"$path/contamix", s3, "doc_id", "text",
+          minShared = contamMinShared)
+        .select(col("id").as("doc_id")).distinct(),
+      minTokens, maxTokens, minStopwordHits)
+    appendToCurriculum(spark, s"$path/curr", s4, "doc_id", "text", incrementId)
+  }
 }

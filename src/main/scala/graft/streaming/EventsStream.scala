@@ -872,7 +872,43 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** STREAMING curriculum fold at ingest: each arriving doc batch
+    /** STREAMING ingest-gate capstone: each arriving micro-batch runs
+    * the WHOLE deployed admission chain
+    * ([[graft.ops.CorpusOps.ingestGateWithState]]: canon-index probe
+    * -> span-index cut -> Gopher gate -> contamination probe ->
+    * curriculum fold) against the persisted
+    * [[graft.ops.CorpusOps.writeIngestGateState]] state inside
+    * `foreachBatch`, with the batch id as the curriculum fold's
+    * idempotency key — the at-ingest shape of the full pipeline. The
+    * batch increment operator is the oracle semantics; exactly-once
+    * via the `inc=b<batchId>` sink partition + the fold's own
+    * replay-reads-the-committed-tail contract.
+    */
+  def streamIngestGate(
+      spark: SparkSession,
+      statePath: String,
+      newDocsDir: String,
+      schema: StructType,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.CorpusOps
+          .ingestGateWithState(spark, statePath, batch, "doc_id", "text", s"b$bid")
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+/** STREAMING curriculum fold at ingest: each arriving doc batch
     * buckets by the manifest's FROZEN quartile cutpoints and takes
     * its (bucket, shard) positions after the committed tail inside
     * `foreachBatch`, batchId as the increment id
