@@ -1910,7 +1910,7 @@ object QueriesScale {
       val fast = Dedup.simhashPairs(p, "id", "text", maxHamming = 7)
         .select(col("id_a"), col("id_b"))
       val truth = Dedup.simhashExactPairs(
-          p.filter(col("id") < 600 || col("id") >= 10000),
+          p.filter(col("id") < 600 || (col("id") >= 10000 && col("id") < 10025)),
           "id", "text", w = 3, maxHamming = 20, threshold = 0.9)
         .select(col("id_a"), col("id_b"))
       truth.agg(count(lit(1)).as("n_true")).crossJoin(
@@ -1926,8 +1926,11 @@ object QueriesScale {
     // pair (30/10 r=3, mirroring the production fast config; verified
     // hash-green at the sf0.01 gate, where the check is deterministic),
     // simhash P(hamming > 20 | cos ≳ 0.95) ≈ 1e-7 per pair.
-    // The simhash harness runs on a BOUNDED slice (identical output at
-    // the sf0.01 oracle gate, where every doc_id < 600): a
+    // The simhash harness runs on a BOUNDED slice — base ids < 600
+    // plus exactly the planted +10000 window (identical output at the
+    // sf0.01 oracle gate, where every real doc_id < 600; the r15 form
+    // names the planted window so bench-scale corpora with real ids
+    // ≥ 10000 stay OUT of the quadratic truth side): a
     // recall-safe radius of 20/64 admits most pairs of this
     // correlated-vocab corpus as candidates, so ground-truth verify on
     // the full corpus is inherently near-quadratic — an agreement
@@ -1939,7 +1942,7 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))),
     "x_dedup_simhash_agree" -> ((s, dir) =>
       Dedup.simhashExactPairs(
-          plantedDocs(s, dir).filter(col("id") < 600 || col("id") >= 10000),
+          plantedDocs(s, dir).filter(col("id") < 600 || (col("id") >= 10000 && col("id") < 10025)),
           "id", "text", w = 3, maxHamming = 20, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -4868,7 +4871,7 @@ object QueriesScale {
     // to the literal 0 the law demands (a Spark-side miss = hash red)
     "x_dedup_minhash_fast" -> AgreeLawCountSqlFor(""),
     "x_dedup_simhash_fast" -> AgreeLawCountSqlFor(
-      " AND (id < 600 OR id >= 10000)"),
+      " AND (id < 600 OR (id >= 10000 AND id < 10025))"),
     // transitive closure over the SAME ground-truth pair set the agree
     // oracle emits; components = min reachable id per member
     "x_dedup_resolve" ->
@@ -5103,7 +5106,7 @@ object QueriesScale {
          |ORDER BY c.id""".stripMargin,
     "x_dedup_simhash_agree" -> agreeOracleSql.replace(
       "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0)",
-      "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR id >= 10000))"),
+      "nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0 AND (id < 600 OR (id >= 10000 AND id < 10025)))"),
     // C4 span-dedup replay: same planted banner, same sentence rule,
     // same md5 span hash, same doc_id·2^20+start first-occurrence
     // key, same 3-sentence removal explode, string_agg reassembly in

@@ -842,29 +842,78 @@ object Dedup {
     * Hamming distance < bands shares at least one exact chunk, so the
     * join is again a keyed equi-join, verified by popcount.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val bands     = maxHamming + 1
-    val bandWidth = 64 / bands
+  /** Block layout for the simhash pigeonhole at radius `maxHamming`
+    * (r15, the Manku/Jain/Sarma multi-table device): the 64 bits
+    * split into `b` blocks; a pair within `maxHamming` has ≥ b −
+    * maxHamming clean blocks, so keying every m-combination of blocks
+    * (m = b − maxHamming tables) finds it EXACTLY. The naive m=1
+    * split (key = one block) is kept for tight radii where blocks are
+    * wide (≥ 12 bits); for loose radii it collapses — radius 7 gives
+    * 8-bit chunks, only 256 buckets per band, which concentrated 50k
+    * sf1 docs into hot chunks and ran a single bench query 25+
+    * minutes. m=2 keys on PAIRS of blocks (C(b,2) tables, ~14-bit
+    * keys) — strictly fewer candidates, identical pair output
+    * (pigeonhole recall is exact either way).
+    */
+  private def simhashBlocked(withSim: DataFrame, maxHamming: Int): DataFrame = {
+    val m = if (64 / (maxHamming + 1) >= 12) 1 else 2
+    val b = maxHamming + m
+    val base = 64 / b
+    val rem  = 64 % b
+    val widths = Seq.tabulate(b)(i => if (i < rem) base + 1 else base)
+    val offs   = widths.scanLeft(0)(_ + _).init
+    def blockOf(i: Int): Column =
+      shiftright(col("sim"), offs(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val keys: Seq[Column] =
+      if (m == 1) (0 until b).map(i =>
+        struct(lit(i).as("tbl"), blockOf(i).as("k1"), lit(0L).as("k2")))
+      else for { i <- 0 until b; j <- (i + 1) until b } yield
+        struct(lit(i * b + j).as("tbl"), blockOf(i).as("k1"), blockOf(j).as("k2"))
+    withSim
+      .select(col("id"), col("sim"), explode(array(keys: _*)).as("bb"))
+      .select(col("id"), col("sim"),
+        col("bb.tbl").as("tbl"), col("bb.k1").as("k1"), col("bb.k2").as("k2"))
+  }
+
+  /** Since r15 `bucketCap` defaults to [[DefaultBucketCap]], the same
+    * flood guard [[minhashLshPairs]] carries: on a correlated-vocab
+    * corpus even the combination blocking concentrates mass into hot
+    * buckets (most pairs there ARE within a loose radius — the
+    * [[simhashCandidateStats]] audit measures it), and an uncapped
+    * hot bucket multiplies quadratically in the self-join. Capped
+    * semantics: ''pairs whose simhashes agree on at least one
+    * under-cap key'' — near-identical docs agree on MANY keys so
+    * cooler tables still find them; the pairs a hot-bucket cap can
+    * lose are the borderline ones that matched ONLY there, the
+    * minhash argument verbatim. The cap is vacuous at the sf0.01
+    * oracle gate (every bucket ≤ corpus size < 4096), so the
+    * agree-law stays exact; pass `bucketCap = Int.MaxValue` for the
+    * uncapped literature semantics.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val withSim = df
       .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("id"), simhashOfHashes(col("hs")).as("sim"))
-    val banded = withSim.select(
-      col("id"),
-      col("sim"),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          shiftright(col("sim"), b * bandWidth)
-            .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
-      }: _*)).as("bb")
-    ).select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-      // single materialized banded stage reused by both self-join sides
-      .repartition(col("band"), col("chunk"))
+    val banded0 = simhashBlocked(withSim, maxHamming)
+      // single materialized blocked stage reused by both self-join sides
+      .repartition(col("tbl"), col("k1"), col("k2"))
+    val banded =
+      if (bucketCap == Int.MaxValue) banded0
+      else {
+        // count over the key window the stage is already partitioned
+        // on — no extra exchange; oversized buckets drop before the
+        // join ever multiplies them
+        val wBkt = Window.partitionBy(col("tbl"), col("k1"), col("k2"))
+        banded0.withColumn("__bsz", count(lit(1)).over(wBkt))
+          .filter(col("__bsz") <= bucketCap).drop("__bsz")
+      }
     val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.chunk") === col("b.chunk") &&
+        col("a.tbl") === col("b.tbl") &&
+          col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
@@ -883,24 +932,18 @@ object Dedup {
     */
   def simhashCandidateStats(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val bands     = maxHamming + 1
-    val bandWidth = 64 / bands
-    val banded = df
+    // audits the SAME blocking simhashPairs runs (shared builder —
+    // the audit can never drift from the production blocker)
+    val withSim = df
       .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("id"), simhashOfHashes(col("hs")).as("sim"))
-      .select(
-        col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            shiftright(col("sim"), b * bandWidth)
-              .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-    banded
-      .groupBy(col("band"), col("chunk")).agg(count(lit(1)).as("bsz"))
+    val m = if (64 / (maxHamming + 1) >= 12) 1 else 2
+    val nTables = if (m == 1) maxHamming + 1
+      else (maxHamming + 2) * (maxHamming + 1) / 2
+    simhashBlocked(withSim, maxHamming)
+      .groupBy(col("tbl"), col("k1"), col("k2")).agg(count(lit(1)).as("bsz"))
       .agg(
-        (sum(col("bsz")) / lit(bands)).cast("long").as("n_docs"),
+        (sum(col("bsz")) / lit(nTables.toLong)).cast("long").as("n_docs"),
         count(lit(1)).as("n_buckets"),
         sum(col("bsz") * (col("bsz") - 1) / 2).cast("long").as("candidate_pairs"),
         max(col("bsz")).as("max_bucket"))
