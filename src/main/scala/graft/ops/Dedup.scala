@@ -106,7 +106,8 @@ object Dedup {
     IndexLayout.write(
       inc.select(md5(canonText(col(textCol))).as("h"), col(idCol).cast("long").as("__id"))
         .groupBy(col("h")).agg(min(col("__id")).as("keep_id")),
-      s"$path/canon", org.apache.spark.sql.SaveMode.Append, Seq(col("h")))
+      s"$path/canon", org.apache.spark.sql.SaveMode.Append, Seq(col("h")),
+      sizeByStats = true)
 
   def canonDedupWithIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,

@@ -1115,13 +1115,18 @@ object TextAnalysis {
 
   /** PERSIST the reference term counts for the drift monitor — the
     * count-once seam of [[corpusDrift]] for the steady-state ingest
-    * loop. Layout: `$path/counts` (w, cr).
+    * loop. Layout: `$path/counts` (w, cr) — VOCABULARY-sized, which
+    * at trillion-token web scale (URLs, typos, code identifiers) runs
+    * 10⁸⁺ distinct terms: the same class as the NB vocab, so the
+    * build fans out through [[IndexLayout]] keyed on the term (r15
+    * verdict — the one writer pair the r15 bucketing sweep missed).
     */
   def writeDriftRef(
       ref: DataFrame, refTextCol: String, path: String): Unit =
-    ref.select(explode(toks(col(refTextCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cr"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    IndexLayout.write(
+      ref.select(explode(toks(col(refTextCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cr")),
+      s"$path/counts", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("w")))
 
   /** Drift of an increment against persisted [[writeDriftRef]] counts
     * — identical algebra to [[corpusDrift]] (the shared comparison
@@ -1147,12 +1152,16 @@ object TextAnalysis {
       inc: DataFrame, incTextCol: String, incrementId: String): Unit = {
     require(incrementId.nonEmpty && incrementId != "base",
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
-    inc.select(explode(toks(col(incTextCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cr"))
-      .withColumn("inc", lit(incrementId))
-      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("inc").parquet(s"$path/parts")
+    // vocabulary-sized ledger partition: bucketed on the term like the
+    // base build, stats-sized so a daily increment stays one file while
+    // a month-scale crawl fold fans out (see [[IndexLayout]])
+    IndexLayout.write(
+      inc.select(explode(toks(col(incTextCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cr"))
+        .withColumn("inc", lit(incrementId)),
+      s"$path/parts", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("w")),
+      partitionCols = Seq("inc"), sizeByStats = true,
+      options = Map("partitionOverwriteMode" -> "dynamic"))
   }
 
   /** Drift against the FOLDED reference — base [[writeDriftRef]]

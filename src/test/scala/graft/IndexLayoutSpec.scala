@@ -51,15 +51,67 @@ class IndexLayoutSpec extends SparkSpecBase {
 
   private val docs = corpus(3000).localCheckpoint()
 
-  test("canon index base build + append write through many tasks") {
+  test("canon index base build fans out; appends are stats-sized") {
     val p = tmp("canon")
     Dedup.writeCanonIndex(docs, "doc_id", "text", p)
     val base = partFiles(s"$p/canon")
     assert(base > 8, s"canon base build wrote $base part files — single-task signature")
+    // r15 advice: a SMALL append must NOT shard into 64 near-empty
+    // files (file-listing cost on every probe) — the stats heuristic
+    // sizes it down while still adding its own ledger file set
     Dedup.appendToCanonIndex(docs.withColumn("doc_id", col("doc_id") + 100000L),
       "doc_id", "text", p)
-    assert(partFiles(s"$p/canon") > base + 8,
-      "canon append did not add a bucketed file set of its own")
+    val afterSmall = partFiles(s"$p/canon")
+    assert(afterSmall > base, "canon append did not add a file set of its own")
+    assert(afterSmall - base < 16,
+      s"small canon append added ${afterSmall - base} files — append sizing not applied")
+    // a CORPUS-SIZED append must still fan out: shrink the per-bucket
+    // byte target so this 3000-doc increment counts as "large"
+    spark.conf.set("spark.graft.index.append.bytesPerBucket", "1024")
+    try {
+      Dedup.appendToCanonIndex(docs.withColumn("doc_id", col("doc_id") + 200000L),
+        "doc_id", "text", p)
+      assert(partFiles(s"$p/canon") > afterSmall + 8,
+        "large canon append did not fan out — single-task append signature")
+    } finally spark.conf.unset("spark.graft.index.append.bytesPerBucket")
+  }
+
+  test("bucket fan-out follows spark.graft.index.buckets") {
+    val p = tmp("canonconf")
+    spark.conf.set("spark.graft.index.buckets", "8")
+    try {
+      Dedup.writeCanonIndex(docs, "doc_id", "text", p)
+      val n = partFiles(s"$p/canon")
+      assert(n > 1 && n <= 8,
+        s"configured 8 buckets but canon base build wrote $n part files")
+    } finally spark.conf.unset("spark.graft.index.buckets")
+    val p2 = tmp("canonconf2")
+    spark.conf.set("spark.graft.index.buckets", "nope")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.writeCanonIndex(docs, "doc_id", "text", p2)
+      }
+      assert(e.getMessage.contains("spark.graft.index.buckets"))
+    } finally spark.conf.unset("spark.graft.index.buckets")
+  }
+
+  test("drift-ref base build + append write term counts through many tasks") {
+    val p = tmp("driftref")
+    TextAnalysis.writeDriftRef(docs, "text", p)
+    assert(partFiles(s"$p/counts") > 8,
+      s"drift-ref base build wrote ${partFiles(s"$p/counts")} part files — single-task signature")
+    // month-scale fold must fan out (tiny byte target makes this
+    // increment "large"); the ledger partition dir carries the files
+    spark.conf.set("spark.graft.index.append.bytesPerBucket", "1024")
+    try {
+      TextAnalysis.appendToDriftRef(spark, p, docs, "text", "m1")
+      assert(partFiles(s"$p/parts/inc=m1") > 8,
+        s"drift-ref fold wrote ${partFiles(s"$p/parts/inc=m1")} part files — single-task signature")
+    } finally spark.conf.unset("spark.graft.index.append.bytesPerBucket")
+    // a small daily increment stays small
+    TextAnalysis.appendToDriftRef(spark, p, docs.limit(50), "text", "d1")
+    assert(partFiles(s"$p/parts/inc=d1") < 16,
+      s"small drift-ref fold added ${partFiles(s"$p/parts/inc=d1")} files — append sizing not applied")
   }
 
   test("span index base build writes through many tasks") {
