@@ -436,6 +436,71 @@ object CorpusOps {
       .partitionBy("inc").parquet(s"$path/parts")
   }
 
+  /** MECHANICAL single-writer guard for assignment folds (r15 verdict,
+    * What's wrong #2): [[appendToCurriculum]] / [[appendToShards]]
+    * document "run ONE fold at a time per layout", but a doc-only
+    * invariant corrupts silently — two concurrent DISTINCT folds each
+    * read the same committed tail and emit overlapping
+    * position/shard_offset ranges that no gate catches until a loader
+    * collides. The guard is a lease marker at `$path/_FOLD_LEASE`,
+    * created atomically (`FileSystem.create(overwrite = false)` — an
+    * existence-gated create on HDFS/S3A-with-conditional-write; the
+    * strongest primitive a plain filesystem offers) and holding the
+    * folding incrementId:
+    *
+    *   - lease absent → acquire, run the fold, release.
+    *   - lease held by the SAME incrementId → proceed WITHOUT
+    *     re-acquiring: that is this fold's own crashed attempt (or a
+    *     racing replay of itself), and replay is value-idempotent by
+    *     the fold contract — blocking it would turn every crash into
+    *     a manual recovery. The lease is released on completion.
+    *   - lease held by a DIFFERENT incrementId → throw a named
+    *     CONCURRENT_FOLD error BEFORE reading the tail. The message
+    *     carries the remedy: if the holder crashed, delete the lease
+    *     file (or re-run the holder's own incrementId to completion).
+    *
+    * A fold that THROWS releases the lease it created (nothing was
+    * committed — dynamic partition overwrite publishes at job commit,
+    * so a failed fold leaves no visible partition and a retry of any
+    * increment is safe). A fold whose JVM DIES leaves the lease in
+    * place — fail-closed: distinct folds stay blocked (loudly, with
+    * the remedy in the error) until the crashed increment replays or
+    * an operator clears the marker. That is the correct default for
+    * an offsets-handing-out manifest: availability can be restored in
+    * one file-delete; overlapping committed offsets cannot.
+    */
+  private def withFoldLease[T](
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      incrementId: String)(body: => T): T = {
+    val lease = new org.apache.hadoop.fs.Path(s"$path/_FOLD_LEASE")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acquired =
+      try {
+        val out = fs.create(lease, /* overwrite = */ false)
+        try out.write(incrementId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException => false // exists (or raced): adjudicate below
+      }
+    if (!acquired) {
+      val holder =
+        try {
+          val in = fs.open(lease)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      if (holder != incrementId)
+        throw new IllegalStateException(
+          s"CONCURRENT_FOLD: fold inc=$holder holds the single-writer lease at $lease — " +
+            s"two concurrent distinct folds would read the same committed tail and emit " +
+            s"overlapping position/offset ranges. If that fold crashed, replay inc=$holder " +
+            s"to completion or delete the lease file, then retry inc=$incrementId.")
+      // else: our own crashed/racing attempt — replay is idempotent
+    }
+    try { val r = body; fs.delete(lease, false); r }
+    catch { case e: Throwable => fs.delete(lease, false); throw e }
+  }
+
   /** Fold an increment into the persisted curriculum layout
     * ([[writeCurriculumManifest]]) in O(increment): bucket by the
     * FROZEN cutpoints, window within (bucket, shard), offset by the
@@ -443,11 +508,13 @@ object CorpusOps {
     * replay reads the same tail it saw first, [[appendToShards]]'s
     * idempotence argument), then publish this increment's own counts
     * partition. Committed shards never move — the loader's
-    * resume-offset contract, now per curriculum bucket. Run ONE fold
-    * at a time per layout (single writer): replay is idempotent, but
-    * two CONCURRENT distinct folds would read the same committed tail
-    * and emit overlapping position/offset ranges (see
-    * [[appendToShards]] — counts compose, assignment serializes).
+    * resume-offset contract, now per curriculum bucket. ONE fold at a
+    * time per layout (single writer) is MECHANICALLY ENFORCED by
+    * [[withFoldLease]]: replay of the same increment is idempotent
+    * and stays allowed, but a concurrent DISTINCT fold fails loudly
+    * with CONCURRENT_FOLD instead of emitting overlapping
+    * position/offset ranges (see [[appendToShards]] — counts compose,
+    * assignment serializes).
     */
   def appendToCurriculum(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -455,6 +522,7 @@ object CorpusOps {
       incrementId: String): DataFrame = {
     require(incrementId.nonEmpty && incrementId != "base",
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
+    withFoldLease(spark, path, incrementId) {
     val cuts = spark.read.parquet(s"$path/cuts")
     val shards = cuts.limit(1).collect()(0).getAs[Int]("shards")
     val tail = broadcast(spark.read.parquet(s"$path/parts")
@@ -475,6 +543,7 @@ object CorpusOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("inc").parquet(s"$path/parts")
     assigned
+    }
   }
 
   def packSequences(
@@ -674,12 +743,14 @@ object CorpusOps {
     * committed tail, then dynamic-overwrites it); appends of distinct
     * increments compose (the second sees the first's counts).
     *
-    * Run ONE fold at a time per manifest (the nightly single-writer
-    * shape): the ledger layout keeps the manifest COUNTS correct
-    * under concurrent distinct-increment appends (each writes only
-    * its own partition), but two concurrent folds would read the
-    * same committed tail and hand out COLLIDING positions — the
-    * assignment, not the fold, is what needs the serialization.
+    * ONE fold at a time per manifest (the nightly single-writer
+    * shape) is MECHANICALLY ENFORCED by [[withFoldLease]]: the ledger
+    * layout keeps the manifest COUNTS correct under concurrent
+    * distinct-increment appends (each writes only its own partition),
+    * but two concurrent folds would read the same committed tail and
+    * hand out COLLIDING positions — the assignment, not the fold, is
+    * what needs the serialization, so a concurrent distinct fold now
+    * fails loudly with CONCURRENT_FOLD instead of corrupting offsets.
     *
     * Fold-on-read AUDIT (round-9 fix): before handing out a single
     * position, the manifest is reconciled against its own contract —
@@ -701,6 +772,7 @@ object CorpusOps {
       incrementId: String): DataFrame = {
     require(incrementId.nonEmpty && incrementId != "base",
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
+    withFoldLease(spark, path, incrementId) {
     val metaDf = spark.read.parquet(s"$path/meta")
     // pre-build_id (round-9) manifests lack the audit column: name the
     // failure instead of leaking an unresolved-column error — the
@@ -747,6 +819,7 @@ object CorpusOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("inc").parquet(s"$path/parts")
     assigned
+    }
   }
 
   /** The LAZY assignment plan of [[appendToShards]] — split out so

@@ -522,16 +522,30 @@ class CorpusOpsSpec extends SparkSpecBase {
     def totals() = spark.read.parquet(s"$path/parts")
       .agg(sum("n_docs"), sum("n_tokens")).collect()(0).toSeq
     val expectDocs = base.count() + inc1.count() + inc2.count()
-    // two folds of DISTINCT increments racing: each writes only its
-    // own inc= partition (dynamic overwrite, per-job staging), so the
-    // manifest COUNTS compose regardless of interleaving — this is
-    // the documented ledger guarantee (assignments may collide; the
-    // single-writer contract covers those, not the counts)
+    // two folds of DISTINCT increments racing: since r16 the
+    // single-writer lease SERIALIZES them — the loser fails loudly
+    // with CONCURRENT_FOLD (instead of silently colliding on
+    // assignments) and retries once the lease frees; after both land,
+    // the manifest COUNTS compose exactly as the ledger guarantees
+    // (FoldLeaseSpec pins the assignment-density half of the law)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val f1 = Future(CorpusOps.appendToShards(spark, path, inc1, "doc_id", "text", "ca").count())
-    val f2 = Future(CorpusOps.appendToShards(spark, path, inc2, "doc_id", "text", "cb").count())
+    def foldRetrying(inc: org.apache.spark.sql.DataFrame, id: String): Long = {
+      var attempts = 0
+      while (true) {
+        try return CorpusOps.appendToShards(spark, path, inc, "doc_id", "text", id).count()
+        catch {
+          case e: IllegalStateException if e.getMessage.contains("CONCURRENT_FOLD") =>
+            attempts += 1
+            assert(attempts < 60, "lease never freed")
+            Thread.sleep(200)
+        }
+      }
+      0L
+    }
+    val f1 = Future(foldRetrying(inc1, "ca"))
+    val f2 = Future(foldRetrying(inc2, "cb"))
     Await.result(Future.sequence(Seq(f1, f2)), 5.minutes)
     assert(totals().head.asInstanceOf[Long] === expectDocs,
       "concurrent distinct-increment folds lost counts")

@@ -1,0 +1,150 @@
+package graft
+
+import graft.ops.CorpusOps
+
+import org.apache.spark.sql.functions._
+
+/** Mechanical single-writer guard for the assignment folds (r15
+  * verdict, What's wrong #2): `appendToCurriculum` / `appendToShards`
+  * hand out position/offset ranges from the committed tail, so two
+  * CONCURRENT distinct folds reading the same tail would emit
+  * overlapping ranges — silently, until a loader collides. The
+  * `_FOLD_LEASE` marker turns that into a loud CONCURRENT_FOLD
+  * failure while keeping every documented fold law intact: same-id
+  * replay (crash recovery, stream batch retry) stays allowed, a
+  * completed or failed fold releases the lease, and only a fold whose
+  * JVM died leaves the marker behind (fail-closed, remedy named in
+  * the error).
+  */
+class FoldLeaseSpec extends SparkSpecBase {
+
+  private def docs = GraftSession.table(spark, sf, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def leaseFile(path: String) = new java.io.File(path, "_FOLD_LEASE")
+
+  private def plantLease(path: String, holder: String): Unit = {
+    val f = leaseFile(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, holder.getBytes("UTF-8"))
+  }
+
+  test("curriculum fold: in-flight distinct fold fails CONCURRENT_FOLD and publishes nothing") {
+    val base = docs.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+    val inc  = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+    val path = java.nio.file.Files.createTempDirectory("foldlease-curr").toString + "/man"
+    CorpusOps.writeCurriculumManifest(base, "doc_id", "text", shards = 4, path)
+    plantLease(path, "in-flight-m1") // fold m1 is mid-run in another writer
+    val e = intercept[IllegalStateException] {
+      CorpusOps.appendToCurriculum(spark, path, inc, "doc_id", "text", "m2")
+    }
+    assert(e.getMessage.contains("CONCURRENT_FOLD"), s"wrong error: ${e.getMessage}")
+    assert(e.getMessage.contains("in-flight-m1"), "error must name the holding fold")
+    assert(e.getMessage.contains("_FOLD_LEASE"), "error must name the lease (the remedy)")
+    // the blocked fold must not have published its counts partition
+    assert(!new java.io.File(s"$path/parts/inc=m2").exists(),
+      "blocked fold published a counts partition anyway")
+    // and must not have stolen the in-flight fold's lease
+    assert(leaseFile(path).exists())
+  }
+
+  test("curriculum fold: same-id retry proceeds through its own stale lease, then releases it") {
+    val base = docs.filter(pmod(col("doc_id"), lit(9)) =!= 4)
+    val inc  = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+    val path = java.nio.file.Files.createTempDirectory("foldlease-retry").toString + "/man"
+    CorpusOps.writeCurriculumManifest(base, "doc_id", "text", shards = 4, path)
+    // crashed attempt of m1 left its lease behind: the RETRY of m1
+    // must go through (replay is idempotent) and clean the lease up
+    plantLease(path, "m1")
+    val rows = CorpusOps.appendToCurriculum(spark, path, inc, "doc_id", "text", "m1")
+    assert(rows.count() > 0)
+    assert(!leaseFile(path).exists(), "completed fold must release the lease")
+    // a subsequent distinct fold is unblocked
+    val inc2 = docs.filter(pmod(col("doc_id"), lit(9)) === 5)
+    assert(CorpusOps.appendToCurriculum(spark, path, inc2, "doc_id", "text", "m2").count() > 0)
+    assert(!leaseFile(path).exists())
+  }
+
+  test("shard fold: in-flight distinct fold fails CONCURRENT_FOLD; failed fold releases its lease") {
+    val base = docs.filter(col("doc_id") % 9 =!= 4)
+    val inc  = docs.filter(col("doc_id") % 9 === 4)
+    val path = java.nio.file.Files.createTempDirectory("foldlease-shard").toString + "/man"
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, path)
+    plantLease(path, "nightly-a")
+    val e = intercept[IllegalStateException] {
+      CorpusOps.appendToShards(spark, path, inc, "doc_id", "text", "nightly-b")
+    }
+    assert(e.getMessage.contains("CONCURRENT_FOLD"), s"wrong error: ${e.getMessage}")
+    assert(!new java.io.File(s"$path/parts/inc=nightly-b").exists())
+    leaseFile(path).delete()
+    // a fold that THROWS (bad increment id caught inside the lease is
+    // not reachable — use a corrupt manifest instead) must release:
+    // empty parts dir → audit throws SHARD_MANIFEST_CORRUPT, lease gone
+    val p2 = java.nio.file.Files.createTempDirectory("foldlease-fail").toString + "/man"
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, p2)
+    // poison: drop the base partition so the fold fails mid-lease
+    // (surfaces as an audit or read error — either way, post-acquire)
+    val baseDir = new java.io.File(s"$p2/parts/inc=base")
+    baseDir.listFiles().foreach(_.delete()); baseDir.delete()
+    intercept[Exception] {
+      CorpusOps.appendToShards(spark, p2, inc, "doc_id", "text", "d1")
+    }
+    assert(!leaseFile(p2).exists(), "failed fold must release the lease it created")
+  }
+
+  test("law: two concurrent distinct folds serialize — loser retries, final positions stay dense") {
+    val base = docs.filter(col("doc_id") % 9 =!= 4)
+    val incA = docs.filter(col("doc_id") % 9 === 4).select(col("doc_id"), col("text"))
+    val incB = docs.filter(col("doc_id") % 9 === 2)
+      .select((col("doc_id") + 90000).as("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("foldlease-race").toString + "/man"
+    CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, path)
+    // genuinely concurrent distinct folds; CONCURRENT_FOLD losers
+    // retry until the lease frees. If the lease failed to serialize
+    // them, both read the same committed tail and the density
+    // assertion below catches the overlap.
+    // each thread keeps the assignment ITS fold handed out — a
+    // re-run after both landed would be a replay against a BIGGER
+    // tail (the fold excludes only its own partition), which is
+    // exactly the ordering hazard the lease exists to serialize
+    val handedOut = new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+    def foldWithRetry(inc: org.apache.spark.sql.DataFrame, id: String): Unit = {
+      var done = false
+      var attempts = 0
+      while (!done) {
+        try {
+          val rows = CorpusOps.appendToShards(spark, path, inc, "doc_id", "text", id)
+            .select(col("shard"), col("position")).collect()
+            .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("position")))
+          handedOut.put(id, rows)
+          done = true
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("CONCURRENT_FOLD") =>
+            attempts += 1
+            assert(attempts < 60, "lease never freed — release path broken")
+            Thread.sleep(200)
+        }
+      }
+    }
+    val ta = new Thread(() => foldWithRetry(incA, "race-a"))
+    val tb = new Thread(() => foldWithRetry(incB, "race-b"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val h: Thread.UncaughtExceptionHandler = (_, e) => errs.add(e)
+    ta.setUncaughtExceptionHandler(h); tb.setUncaughtExceptionHandler(h)
+    ta.start(); tb.start(); ta.join(300000); tb.join(300000)
+    assert(errs.isEmpty, s"fold thread failed: ${Option(errs.peek()).map(_.toString)}")
+    // serialization law: per shard, the positions HANDED OUT (base +
+    // both increments' own assignments) are exactly 0..n-1 — two
+    // folds reading the same tail would overlap and break density
+    val all = CorpusOps.shardShuffle(base, "doc_id", "text", 8)
+      .select(col("shard"), col("position"))
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("position"))) ++
+      handedOut.get("race-a") ++ handedOut.get("race-b")
+    all.groupBy(_._1).foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).sorted.toSeq
+      assert(ps === (0L until ps.size.toLong),
+        s"shard $shard positions not dense — concurrent folds overlapped: ${ps.take(20)}")
+    }
+    assert(!leaseFile(path).exists())
+  }
+}
