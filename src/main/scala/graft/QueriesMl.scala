@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * (reference: src/models/relevance_infer.py:96-125 — the trained FARM
   * head scoring question×paragraph pairs in chunks).
   *
-  * No DuckDB oracle: the learned coefficients are not expressible as a
-  * static SQL string, so the driver records a rows-only check. To make
-  * that check carry signal, both queries filter to per-gold-class rows
-  * that MEET an accuracy bar — a model that stops learning produces
-  * fewer than 2 rows, so the rows-only check cannot pass vacuously.
+  * The learned coefficients are not expressible as a static SQL
+  * string — but the LAWS the pipeline must satisfy are (r15 verdict
+  * task 4, the `_fast`-row promotion pattern): each trained row emits
+  * a ONE-ROW VERDICT frame whose class populations (n_pos/n_neg — the
+  * gold labels are plain token-containment, SQL-derivable) the DuckDB
+  * oracle recomputes independently, and whose per-class accuracy-bar
+  * bits (pass_pos/pass_neg) the oracle pins to the literal 1 the law
+  * demands. A model that stops learning flips a pass bit to 0 → hash
+  * red; a broken span/score pipeline changes a population → hash red.
   * Numeric parity of the scorer vs `model.transform` is spec-asserted
   * in ScorerPipelineSpec.
   */
@@ -65,11 +69,15 @@ object QueriesMl {
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("n_correct"))
-        // self-validating: only per-class rows with >= 95% accuracy
-        // survive, so the driver's rows check (= 2) fails if the model
-        // stops learning — it cannot pass vacuously
-        .filter(col("n_correct") >= col("n") * lit(0.95))
-        .orderBy("gold")
+        // one-row verdict (oracled since r16): class populations are
+        // SQL-derivable, the >= 95% per-class accuracy law pins to 1
+        .agg(
+          coalesce(sum(when(col("gold") === 1L, col("n"))), lit(0L)).as("n_pos"),
+          coalesce(sum(when(col("gold") === 0L, col("n"))), lit(0L)).as("n_neg"),
+          coalesce(max(when(col("gold") === 1L,
+            (col("n_correct") >= col("n") * lit(0.95)).cast("long"))), lit(0L)).as("pass_pos"),
+          coalesce(max(when(col("gold") === 0L,
+            (col("n_correct") >= col("n") * lit(0.95)).cast("long"))), lit(0L)).as("pass_neg"))
     }),
 
     // M2 with a *trained* span ranker through the QaScorer seam: the
@@ -105,11 +113,18 @@ object QueriesMl {
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("n_correct"))
-        // self-validating (see m1): trained top-1 span accuracy was
-        // 490/500 — a 0.9 per-class bar keeps the check sharp without
-        // flaking on the known ~2% span noise
-        .filter(col("n_correct") >= col("n") * lit(0.9))
-        .orderBy("gold")
+        // one-row verdict (oracled since r16): class populations are
+        // SQL-derivable (every doc yields exactly one rank-1 span),
+        // the >= 0.9 per-class top-1 accuracy law pins to 1 (trained
+        // accuracy measured 490/500 — the 0.9 bar keeps the check
+        // sharp without flaking on the known ~2% span noise)
+        .agg(
+          coalesce(sum(when(col("gold") === 1L, col("n"))), lit(0L)).as("n_pos"),
+          coalesce(sum(when(col("gold") === 0L, col("n"))), lit(0L)).as("n_neg"),
+          coalesce(max(when(col("gold") === 1L,
+            (col("n_correct") >= col("n") * lit(0.9)).cast("long"))), lit(0L)).as("pass_pos"),
+          coalesce(max(when(col("gold") === 0L,
+            (col("n_correct") >= col("n") * lit(0.9)).cast("long"))), lit(0L)).as("pass_neg"))
     }),
 
     // M1 through the PRODUCTION encode contract: a WordPiece vocab
@@ -202,6 +217,28 @@ object QueriesMl {
     })
   )
 
-  /** Not SQL-expressible (trained coefficients) → rows-only check. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Verdict-law oracles for the trained rows (the `_fast` promotion
+    * pattern): class populations recomputed independently from the
+    * gold-label definition (token containment — the same
+    * space-split/empty-drop tokenization every other oracle uses);
+    * the accuracy-bar bits pinned to the literal 1 the law demands.
+    * The ONNX pair stays rows-only (env-impossible — COVERAGE.md) and
+    * the coefficients themselves stay spec-gated (ScorerPipelineSpec).
+    */
+  val oracleSql: Map[String, String] = Map(
+    "m1_relevance_trained" ->
+      """WITH tk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
+        |SELECT
+        |  CAST((SELECT count(*) FROM tk WHERE list_contains(t, 'vector')) AS BIGINT) AS n_pos,
+        |  CAST((SELECT count(*) FROM tk WHERE NOT list_contains(t, 'vector')) AS BIGINT) AS n_neg,
+        |  CAST(1 AS BIGINT) AS pass_pos,
+        |  CAST(1 AS BIGINT) AS pass_neg""".stripMargin,
+    "m2_qa_trained" ->
+      """WITH tk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
+        |SELECT
+        |  CAST((SELECT count(*) FROM tk WHERE list_contains(t, 'vector')) AS BIGINT) AS n_pos,
+        |  CAST((SELECT count(*) FROM tk WHERE NOT list_contains(t, 'vector')) AS BIGINT) AS n_neg,
+        |  CAST(1 AS BIGINT) AS pass_pos,
+        |  CAST(1 AS BIGINT) AS pass_neg""".stripMargin
+  )
 }

@@ -125,11 +125,17 @@ object Dedup {
     // corpus-sized exchange anywhere. The min-fold collapses
     // [[appendToCanonIndex]] ledger rows (one row per hash per
     // append) AFTER the prune, so the fold too is increment-sized.
-    // The hints are SIZE-GATED ([[Hints.broadcastIfSmall]]): for a
-    // daily increment they engage as before; for a month-scale crawl
-    // increment the probe degrades to AQE's runtime choice (shuffle
-    // join) instead of forcing a multi-GB broadcast build that OOMs.
-    def bc(df: DataFrame) = Hints.broadcastIfSmall(df, broadcastMaxBytes)
+    // The hints are SIZE-GATED: for a daily increment they engage as
+    // before; for a month-scale crawl increment the probe degrades to
+    // AQE's runtime choice (shuffle join) instead of forcing a
+    // multi-GB broadcast build that OOMs. The gate is evaluated ONCE,
+    // on the shared increment-derived frame (incWin) — the two later
+    // hinted frames (pruned, win) are key-bounded by incWin's hash
+    // set, so one estimate covers all three and the driver doesn't
+    // re-run Catalyst's optimizer on successively nested plans
+    // (r15 advice).
+    val hintSmall = Hints.isSmall(incWin, broadcastMaxBytes)
+    def bc(df: DataFrame) = if (hintSmall) broadcast(df) else df
     val pruned = spark.read.parquet(s"$path/canon")
       .join(bc(incWin.select(col("h"))), Seq("h"), "left_semi")
       .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
@@ -857,6 +863,15 @@ object Dedup {
     * (pigeonhole recall is exact either way).
     */
   private def simhashBlocked(withSim: DataFrame, maxHamming: Int): DataFrame = {
+    // supported radius envelope (r15 advice): with m capped at 2, a
+    // radius beyond 8 shrinks the combined pair-key below ~12 bits
+    // (maxHamming=15 → C(17,2) tables with ~7-bit keys) and the key
+    // space collapses back toward the hot-bucket problem the pair
+    // tables fixed. Radii that loose need m=3+ (triples of blocks) —
+    // reject loudly until a use case justifies generalizing m upward.
+    require(maxHamming >= 0 && maxHamming <= 8,
+      s"simhash blocking supports maxHamming in [0, 8] (combined key width >= ~12 bits); " +
+        s"got $maxHamming — a looser radius needs m>=3 block-combination tables")
     val m = if (64 / (maxHamming + 1) >= 12) 1 else 2
     val b = maxHamming + m
     val base = 64 / b

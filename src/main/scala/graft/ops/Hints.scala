@@ -32,9 +32,15 @@ object Hints {
     */
   val DefaultBroadcastMaxBytes: Long = 128L << 20
 
+  /** The gate's predicate alone — for call sites that hint SEVERAL
+    * frames all bounded by one shared increment-derived frame: gate
+    * once on the bound, broadcast the rest unconditionally, and skip
+    * re-running the optimizer on each nested plan (r15 advice).
+    */
+  def isSmall(df: DataFrame, maxBytes: Long = DefaultBroadcastMaxBytes): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
+
   def broadcastIfSmall(
-      df: DataFrame, maxBytes: Long = DefaultBroadcastMaxBytes): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= BigInt(maxBytes)) broadcast(df) else df
-  }
+      df: DataFrame, maxBytes: Long = DefaultBroadcastMaxBytes): DataFrame =
+    if (isSmall(df, maxBytes)) broadcast(df) else df
 }

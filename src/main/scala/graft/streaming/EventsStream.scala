@@ -872,7 +872,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-    /** STREAMING ingest-gate capstone: each arriving micro-batch runs
+  /** STREAMING ingest-gate capstone: each arriving micro-batch runs
     * the WHOLE deployed admission chain
     * ([[graft.ops.CorpusOps.ingestGateWithState]]: canon-index probe
     * -> span-index cut -> Gopher gate -> contamination probe ->
@@ -908,7 +908,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-/** STREAMING curriculum fold at ingest: each arriving doc batch
+  /** STREAMING curriculum fold at ingest: each arriving doc batch
     * buckets by the manifest's FROZEN quartile cutpoints and takes
     * its (bucket, shard) positions after the committed tail inside
     * `foreachBatch`, batchId as the increment id
