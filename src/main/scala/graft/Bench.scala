@@ -189,7 +189,12 @@ object Bench {
     "x_ingest_capstone",
     "x_ingest_capstone_inc",
     "s9_stream_ingest",
-    "x_dedup_simhash_fast"
+    "x_dedup_simhash_fast",
+    // round-16: the broadcast-gate FALLBACK shape of the canon-index
+    // probe (cap forced to 0 → AQE's runtime join choice) benched
+    // next to the hinted row, so the degraded month-scale-increment
+    // plan has a measured shape in every artifact
+    "x_dedup_canon_inc_nobc"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
@@ -216,9 +221,25 @@ object Bench {
     * measurement, and a crashed query must NEVER report its
     * time-to-throw (the round-7 bench recorded a crashed stream's
     * 0.489 s as the round's best streaming "improvement").
+    *
+    * Mid-run CANARY PROBES (r15 verdict task 3): the start-of-run
+    * canary brackets only the run's first minutes; three rounds of
+    * sf1 artifacts carried in-run JVM-state victims (r15:
+    * `x_bm25_topk` 7.3×, `s9_stream_sketch` 6.3×) that needed manual
+    * fresh-JVM probes to attribute. A one-shot canary every
+    * [[ProbeEvery]] queries records the host/JVM state ALONGSIDE the
+    * measurements (`canary_probes` in the detail artifact), so a
+    * cross-round reader can see whether a slow stretch coincided
+    * with a loaded host without hand-probing.
     */
-  private def timeAll(spark: SparkSession, names: Seq[String], sfDir: String): Seq[(String, Double)] =
-    names.map { name =>
+  private val ProbeEvery = 25
+
+  private def timeAll(
+      spark: SparkSession, names: Seq[String],
+      sfDir: String): (Seq[(String, Double)], Seq[(Int, Double)]) = {
+    val probes = Seq.newBuilder[(Int, Double)]
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % ProbeEvery == 0) probes += ((i, canary(spark, iters = 1)))
       val fn = SparkEntry.queries(name)
       sessionHygiene(spark)
       val succeeded = (1 to 2).flatMap { _ =>
@@ -229,6 +250,77 @@ object Bench {
       }
       name -> (if (succeeded.isEmpty) -1.0 else succeeded.min)
     }
+    (results, probes.result())
+  }
+
+  /** Prior-round per-query timings (sf-name → query → seconds), from
+    * BENCH_PRIOR.tsv (regenerated each round by
+    * `scripts/refresh_bench_prior.py` from the committed sf1
+    * artifact — the one place the full per-query map survives the
+    * driver's stdout truncation). Missing file → empty map → the
+    * defense quietly disarms (first round, fresh checkout).
+    */
+  private def readPrior(path: String): Map[String, Map[String, Double]] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filterNot(l => l.startsWith("#") || l.isEmpty).flatMap { line =>
+        line.split("\t") match {
+          case Array(sfName, q, s) =>
+            try Some((sfName, q, s.toDouble))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toSeq.groupBy(_._1)
+        .map { case (sfName, rows) => sfName -> rows.map(r => r._2 -> r._3).toMap }
+      finally src.close()
+    }
+  }
+
+  /** One flagged-outlier record: (name, first measurement, fresh
+    * best-of-2 re-measurement, prior-round seconds). The reported
+    * per-query value is min(first, rerun) — the r13-r15 victims'
+    * mechanism (accumulated JVM state inflating one row mid-run) is
+    * thereby detected AND repaired in-artifact instead of needing a
+    * hand-probe addendum in SCALING.md.
+    */
+  private def defend(
+      spark: SparkSession, sfDir: String,
+      first: Seq[(String, Double)], prior: Map[String, Double]):
+      (Seq[(String, Double)], Seq[(String, Double, Double, Double)]) = {
+    // >3× prior AND >1 s absolute: sub-second rows live inside the
+    // measured ±40% noise band and 3× there is jitter, not JVM decay
+    val suspects = first.filter { case (k, v) =>
+      v > 1.0 && prior.get(k).exists(p => p > 0 && v > 3 * p) }
+    if (suspects.isEmpty) (first, Nil)
+    else {
+      System.err.println(s"[bench] ${suspects.size} row(s) >3x prior round — re-measuring fresh: " +
+        suspects.map(_._1).mkString(","))
+      val rerun = timeAll(spark, suspects.map(_._1), sfDir)._1.toMap
+      val flagged = suspects.map { case (k, v) =>
+        (k, v, rerun.getOrElse(k, -1.0), prior(k)) }
+      val repaired = first.map { case (k, v) =>
+        k -> (rerun.get(k) match {
+          case Some(r) if r >= 0 => math.min(v, r)
+          case _ => v
+        })
+      }
+      (repaired, flagged)
+    }
+  }
+
+  private def sfName(sfDir: String): String =
+    sfDir.reverse.takeWhile(_ != '/').reverse
+
+  private def probesJson(probes: Seq[(Int, Double)]): String =
+    probes.map { case (i, s) => f"""{"after":$i,"sec":$s%.3f}""" }
+      .mkString("[", ",", "]")
+
+  private def flaggedJson(flagged: Seq[(String, Double, Double, Double)]): String =
+    flagged.map { case (k, v, r, p) =>
+      f"""{"name":"$k","first":$v%.3f,"rerun":$r%.3f,"prior":$p%.3f}""" }
+      .mkString("[", ",", "]")
 
   /** One scale factor down from the primary dir (sf0.1 → sf0.01 →
     * sf0.001), for the scaling-slope pass.
@@ -295,8 +387,8 @@ object Bench {
       v
     }.getOrElse(0.25)
 
-  private def canary(spark: SparkSession): Double =
-    (1 to 3).map { _ =>
+  private def canary(spark: SparkSession, iters: Int = 3): Double =
+    (1 to iters).map { _ =>
       val t0 = System.nanoTime()
       spark.range(0, 64000000L, 1, 32)
         .selectExpr("sum(id * 2654435761 % 1000003) AS s").collect()
@@ -345,7 +437,17 @@ object Bench {
     val canaryJson =
       f""","canary_sec":$canarySec%.3f,"canary_band_sec":$CanaryBandSec%.1f,"canary_ref_sec":$CanaryRefSec%.3f,"load_contaminated":$contaminated"""
 
-    val results = timeAll(spark, names, sfDir)
+    // prior-round per-query map, keyed by the sf-dir leaf name (sf1
+    // and sf0.1 have separate priors in the same file); missing file
+    // or unknown sf disarms the outlier defense for that pass
+    val priorAll = readPrior(sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+      .orElse(Seq("BENCH_PRIOR.tsv", "/root/repo/BENCH_PRIOR.tsv")
+        .find(p => new java.io.File(p).exists()))
+      .getOrElse("BENCH_PRIOR.tsv"))
+
+    val (firstPass, probes) = timeAll(spark, names, sfDir)
+    val (results, flagged) =
+      defend(spark, sfDir, firstPass, priorAll.getOrElse(sfName(sfDir), Map.empty))
     val errors  = results.collect { case (k, v) if v < 0 => k }
     // n_failed rides NEXT TO the totals so a cross-round reader
     // comparing `value` can't mistake a crashed query's missing time
@@ -382,14 +484,18 @@ object Bench {
       s"(env=${sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "<unset>")})")
     val slopeJson = sf2Resolved match {
       case Some(sf2) =>
-        val small = timeAll(spark, names, sf2)
+        val (small0, probes2) = timeAll(spark, names, sf2)
+        val (small, flagged2) =
+          defend(spark, sf2, small0, priorAll.getOrElse(sfName(sf2), Map.empty))
         val qs2 = small.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
         val byName = small.toMap
         val ratios = results.map { case (k, v) =>
           val r = if (v >= 0 && byName.getOrElse(k, 0.0) > 0) v / byName(k) else -1.0
           "\"" + k + "\":" + f"$r%.2f"
         }.mkString("{", ",", "}")
-        s""","sf2":"$sf2","queries_sf2":$qs2,"scale_ratio":$ratios"""
+        s""","sf2":"$sf2","queries_sf2":$qs2,"scale_ratio":$ratios""" +
+          s""","canary_probes_sf2":${probesJson(probes2)}""" +
+          s""","flagged_outliers_sf2":${flaggedJson(flagged2)}"""
       case None => ""
     }
     // the scaling-slope detail goes to a SIDECAR file, never stdout:
@@ -406,8 +512,12 @@ object Bench {
       .mkString("{", ",", "}")
     val normJson =
       f""","canary_normalized_total":${total * normFactor}%.3f,"relational_normalized_total":${relTotal * normFactor}%.3f,"streaming_normalized_total":${streamTotal * normFactor}%.3f,"queries_normalized":$qsNorm"""
+    // self-defense fields (r15 verdict task 3): mid-run canary probes
+    // + the rows re-measured for being >3× their prior-round figure
+    val defenseJson =
+      s""","canary_probes":${probesJson(probes)},"flagged_outliers":${flaggedJson(flagged)}"""
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$canaryJson$normJson$errJson$slopeJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"queries":$qs,"sf":"$sfDir"$canaryJson$normJson$errJson$defenseJson$slopeJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     System.err.println(s"[bench] scale-slope detail written to $detailPath")
@@ -427,7 +537,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"canary_normalized_total":${total * normFactor}%.3f,"n_queries":${results.size},"queries":$coreQs,"detail":"$detailPath","sf":"$sfDir"$canaryJson$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"canary_normalized_total":${total * normFactor}%.3f,"n_queries":${results.size},"n_flagged":${flagged.size},"queries":$coreQs,"detail":"$detailPath","sf":"$sfDir"$canaryJson$errJson}"""
     )
   }
 }

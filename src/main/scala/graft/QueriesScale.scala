@@ -4029,6 +4029,25 @@ object QueriesScale {
       Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text")
     }),
 
+    // ---- the GATE-FALLBACK shape of the same probe (r15 verdict
+    // task 5): broadcastMaxBytes = 0 disqualifies every forced hint,
+    // so the probe runs the degraded plan a month-scale crawl
+    // increment would get — AQE's runtime choice (shuffle join when
+    // the build side really is big). Output is byte-identical to
+    // x_dedup_canon_inc (BroadcastGateSpec's equality law), SAME
+    // oracle; the row exists so the degraded path has a MEASURED
+    // shape in every bench artifact next to the hinted row, not just
+    // an equality proof at spec scale.
+    "x_dedup_canon_inc_nobc" -> ((s, dir) => {
+      val off = canonOff(s, dir)
+      val p = canonPlant(s, dir, off)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
+      val inc = p.filter(col("doc_id") >= off || pmod(col("doc_id"), lit(9)) === 4)
+      val path = buildOnce("canonindexnobc", dir)(pth =>
+        Dedup.writeCanonIndex(ref, "doc_id", "text", pth))
+      Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text", broadcastMaxBytes = 0L)
+    }),
+
     // ---- and ONLINE: the ingest dedup gate — arriving docs check
     // their canonical content against the persisted index inside
     // foreachBatch. The batch increment operator is the oracle
@@ -6676,6 +6695,9 @@ object QueriesScale {
          |  CAST(count(*) AS BIGINT) AS dup_count
          |FROM c GROUP BY h ORDER BY keep_id""".stripMargin,
     "x_dedup_canon_inc" -> CanonIncOracleSql,
+    // gate-fallback twin: identical semantics, identical oracle — the
+    // plan differs (no forced broadcasts), the rows must not
+    "x_dedup_canon_inc_nobc" -> CanonIncOracleSql,
     "s9_stream_canon" -> CanonIncOracleSql,
     "x_dedup_canon_cdc" -> CanonIncOracleSqlFor(
       s"(doc_id % 3 = 0 AND doc_id < $CanonOffSql) OR (doc_id % 9 = 7 AND doc_id < $CanonOffSql) " +
