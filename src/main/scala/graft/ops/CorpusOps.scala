@@ -474,13 +474,34 @@ object CorpusOps {
       incrementId: String)(body: => T): T = {
     val lease = new org.apache.hadoop.fs.Path(s"$path/_FOLD_LEASE")
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // acquisition must be ATOMIC: Hadoop's LOCAL create(overwrite =
+    // false) is exists-check-then-create — two simultaneous folds can
+    // both pass the check (observed: a two-thread race in the full
+    // suite let both folds through and duplicated positions). Local
+    // paths therefore acquire via File.createNewFile (O_CREAT|O_EXCL,
+    // atomic per POSIX); distributed schemes keep fs.create, which IS
+    // atomic where it matters (HDFS namenode; S3A conditional create).
+    // The holder id lands right after the create — a loser reading in
+    // that microsecond window sees an empty holder, which fails CLOSED
+    // (it only unblocks a fold whose id matches).
+    val isLocal = lease.toUri.getScheme match {
+      case null | "file" => true
+      case _ => false
+    }
     val acquired =
-      try {
-        val out = fs.create(lease, /* overwrite = */ false)
-        try out.write(incrementId.getBytes("UTF-8")) finally out.close()
-        true
-      } catch {
-        case _: java.io.IOException => false // exists (or raced): adjudicate below
+      if (isLocal) {
+        val f = new java.io.File(lease.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        if (!f.createNewFile()) false
+        else { java.nio.file.Files.write(f.toPath, incrementId.getBytes("UTF-8")); true }
+      } else {
+        try {
+          val out = fs.create(lease, /* overwrite = */ false)
+          try out.write(incrementId.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: java.io.IOException => false // exists (or raced): adjudicate below
+        }
       }
     if (!acquired) {
       val holder =

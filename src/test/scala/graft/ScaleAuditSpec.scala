@@ -91,6 +91,49 @@ class ScaleAuditSpec extends SparkSpecBase {
     assert(nDupFp >= 1 && nCut >= carriers - 1)
   }
 
+  test("broadcast-gate fallback: genuinely shuffle-joined probe matches the hinted path, timings measured") {
+    // the nobc bench row (x_dedup_canon_inc_nobc) measures cap=0 under
+    // AQE, which at bench SF still CONVERGES to runtime broadcasts
+    // (that is the graceful-degradation contract). This probe measures
+    // the fully-degraded shape — cap=0 AND autoBroadcastJoinThreshold
+    //=-1, so every probe join is forced to sort-merge, the plan a
+    // month-scale increment whose pruned slice overflows memory gets —
+    // and pins output equality plus the plan shape, with both paths'
+    // timings in the test report (the r15 verdict's "measured shape,
+    // not just an equality proof").
+    import graft.ops.Dedup
+    val ref = docs.filter(pmod(col("id"), lit(3)) === 0)
+      .select(col("id").as("doc_id"), col("text"))
+    val inc = docs.filter(pmod(col("id"), lit(3)) =!= 0)
+      .select(col("id").as("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("bcfall").toString
+    Dedup.writeCanonIndex(ref, "doc_id", "text", path)
+    def timed(body: => Array[org.apache.spark.sql.Row]): (Array[org.apache.spark.sql.Row], Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (hinted, tHint) = timed {
+      Dedup.canonDedupWithIndex(spark, path, inc, "doc_id", "text").collect()
+    }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.canonDedupWithIndex(spark, path, inc, "doc_id", "text",
+        broadcastMaxBytes = 0L)
+      val (degraded, tShuf) = timed(df.collect())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "degraded path still broadcast-joins — the gate fallback is not exercising shuffle joins")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected sort-merge joins in the degraded plan:\n${plan.take(2000)}")
+      assert(degraded.map(_.toSeq).sortBy(_.toString).toSeq
+        === hinted.map(_.toSeq).sortBy(_.toString).toSeq,
+        "degraded shuffle-join probe diverged from the hinted probe")
+      info(f"hinted probe: $tHint%.2f s; fully-degraded (sort-merge) probe: $tShuf%.2f s on ${inc.count()} increment docs")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("bucketCap drops only oversized buckets' candidates") {
     // planted corpus: 25 exact-ish copies land in shared buckets; a
     // cap of 1 kills every multi-member bucket → zero pairs, while the
