@@ -4088,6 +4088,28 @@ object QueriesScale {
       Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text")
     }),
 
+    // ---- ledger COMPACTION (r16): a year of nightly appends folds
+    // back into one bucketed base (file-listing cost rides on every
+    // probe otherwise). min is an idempotent semilattice, so the
+    // compactor appends the fold THEN deletes the old files — every
+    // crash-window state answers probes identically, no generation
+    // pointer. The gate runs build → append → COMPACT → probe and is
+    // gated by the SAME union oracle as the uncompacted cdc row: a
+    // compaction that loses or corrupts a ledger row goes hash-red.
+    "x_dedup_canon_compact" -> ((s, dir) => {
+      val off = canonOff(s, dir)
+      val p = canonPlant(s, dir, off)
+      val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
+      val month = p.filter(pmod(col("doc_id"), lit(9)) === 7 && col("doc_id") < off)
+      val inc = p.filter(col("doc_id") >= off || pmod(col("doc_id"), lit(9)) === 4)
+      val path = buildOnce("canonindexcompact", dir) { pth =>
+        Dedup.writeCanonIndex(ref, "doc_id", "text", pth)
+        Dedup.appendToCanonIndex(month, "doc_id", "text", pth)
+        Dedup.compactCanonIndex(s, pth)
+      }
+      Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text")
+    }),
+
     // ---- WINNOWING (MOSS) fingerprints: guaranteed-coverage local
     // fingerprint selection — any shared k+w−1 token run between two
     // docs shares a selected print, at ~2/(w+1) density. Gram hashes
@@ -6699,6 +6721,10 @@ object QueriesScale {
     // plan differs (no forced broadcasts), the rows must not
     "x_dedup_canon_inc_nobc" -> CanonIncOracleSql,
     "s9_stream_canon" -> CanonIncOracleSql,
+    // compaction preserves probe semantics exactly — same union
+    // oracle as the cdc row it compacts
+    "x_dedup_canon_compact" -> CanonIncOracleSqlFor(
+      s"(doc_id % 3 = 0 AND doc_id < $CanonOffSql) OR (doc_id % 9 = 7 AND doc_id < $CanonOffSql) OR doc_id >= $CanonOffSql OR doc_id % 9 = 4"),
     "x_dedup_canon_cdc" -> CanonIncOracleSqlFor(
       s"(doc_id % 3 = 0 AND doc_id < $CanonOffSql) OR (doc_id % 9 = 7 AND doc_id < $CanonOffSql) " +
         s"OR doc_id >= $CanonOffSql OR doc_id % 9 = 4"),

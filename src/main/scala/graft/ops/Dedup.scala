@@ -109,6 +109,44 @@ object Dedup {
       s"$path/canon", org.apache.spark.sql.SaveMode.Append, Seq(col("h")),
       sizeByStats = true)
 
+  /** COMPACT the canon-index ledger: fold every
+    * [[appendToCanonIndex]] row set back into one bucketed base —
+    * a year of nightly appends otherwise accumulates file sets whose
+    * listing cost rides on EVERY probe. min over a hash's rows is an
+    * idempotent semilattice, which buys a crash-safety shape the BM25
+    * compactor needs a generation pointer for: (1) materialize the
+    * min-fold, (2) APPEND it as a new bucketed file set into the same
+    * directory, (3) delete exactly the files snapshot-listed in step
+    * 0. A crash after (2) leaves duplicate rows — value-equivalent,
+    * min folds them; a crash mid-(3) leaves some old files —
+    * likewise. Every intermediate state answers probes identically,
+    * so no pointer flip and no reader coordination are needed.
+    * Same single-writer contract as the appends (a probe that LISTS
+    * the directory before step 3 and reads after can hit a deleted
+    * file — run compaction in the maintenance window, not next to an
+    * in-flight probe). Returns (filesBefore, filesAfter).
+    */
+  def compactCanonIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/canon")
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    // materialize the fold BEFORE appending into the directory it
+    // reads from (localCheckpoint truncates the lineage, so the write
+    // below cannot re-scan a directory it is mutating)
+    val folded = spark.read.parquet(s"$path/canon")
+      .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
+      .localCheckpoint()
+    // the compacted base IS a base rebuild: full configured fan-out
+    IndexLayout.write(folded, s"$path/canon",
+      org.apache.spark.sql.SaveMode.Append, Seq(col("h")))
+    old.foreach(fs.delete(_, false))
+    val now = fs.listStatus(dir).map(_.getPath)
+      .count(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    (old.length.toLong, now.toLong)
+  }
+
   def canonDedupWithIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       inc: DataFrame, idCol: String, textCol: String,

@@ -664,6 +664,35 @@ class DedupSpec extends SparkSpecBase {
     assert(again === probed, "replayed append must be value-idempotent")
   }
 
+  test("canon compaction: probe identical, files shrink, crash-window duplicates harmless") {
+    import graft.ops.Dedup
+    val docs = spark.range(400L).select(col("id"),
+      concat(lit("doc"), pmod(col("id"), lit(97)), lit(" body "), pmod(col("id"), lit(97))).as("text"))
+    val ref   = docs.filter(col("id") % 3 === 0)
+    val month = docs.filter(col("id") % 3 === 1)
+    val inc   = docs.filter(col("id") % 3 === 2)
+    val path = java.nio.file.Files.createTempDirectory("canon-compact").toString
+    Dedup.writeCanonIndex(ref, "id", "text", path)
+    Dedup.appendToCanonIndex(month, "id", "text", path)
+    Dedup.appendToCanonIndex(month.withColumn("id", col("id") + 1000L), "id", "text", path)
+    def probe() = Dedup.canonDedupWithIndex(spark, path, inc, "id", "text")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = probe()
+    val (nBefore, nAfter) = Dedup.compactCanonIndex(spark, path)
+    assert(nAfter < nBefore,
+      s"compaction must shrink the ledger file set ($nBefore -> $nAfter)")
+    assert(nAfter <= graft.ops.IndexLayout.DefaultBuckets)
+    assert(probe() === before, "compaction changed probe results")
+    // crash window: the fold APPENDED but old files not yet deleted ≙
+    // duplicate min rows in the directory — emulate by re-appending a
+    // slice that is already fully folded in; probes must not move
+    Dedup.appendToCanonIndex(month, "id", "text", path)
+    assert(probe() === before, "duplicate ledger rows must be value-equivalent under min-fold")
+    // and compaction of THAT state is idempotent too
+    Dedup.compactCanonIndex(spark, path)
+    assert(probe() === before)
+  }
+
   test("spanDedup is idempotent: a deduped corpus passes through unchanged") {
     import graft.ops.Dedup
     val docs = Seq(
