@@ -436,91 +436,20 @@ object CorpusOps {
       .partitionBy("inc").parquet(s"$path/parts")
   }
 
-  /** MECHANICAL single-writer guard for assignment folds (r15 verdict,
+  /** Single-writer guard for the assignment folds (r15 verdict,
     * What's wrong #2): [[appendToCurriculum]] / [[appendToShards]]
-    * document "run ONE fold at a time per layout", but a doc-only
-    * invariant corrupts silently — two concurrent DISTINCT folds each
-    * read the same committed tail and emit overlapping
-    * position/shard_offset ranges that no gate catches until a loader
-    * collides. The guard is a lease marker at `$path/_FOLD_LEASE`,
-    * created atomically (`FileSystem.create(overwrite = false)` — an
-    * existence-gated create on HDFS/S3A-with-conditional-write; the
-    * strongest primitive a plain filesystem offers) and holding the
-    * folding incrementId:
-    *
-    *   - lease absent → acquire, run the fold, release.
-    *   - lease held by the SAME incrementId → proceed WITHOUT
-    *     re-acquiring: that is this fold's own crashed attempt (or a
-    *     racing replay of itself), and replay is value-idempotent by
-    *     the fold contract — blocking it would turn every crash into
-    *     a manual recovery. The lease is released on completion.
-    *   - lease held by a DIFFERENT incrementId → throw a named
-    *     CONCURRENT_FOLD error BEFORE reading the tail. The message
-    *     carries the remedy: if the holder crashed, delete the lease
-    *     file (or re-run the holder's own incrementId to completion).
-    *
-    * A fold that THROWS releases the lease it created (nothing was
-    * committed — dynamic partition overwrite publishes at job commit,
-    * so a failed fold leaves no visible partition and a retry of any
-    * increment is safe). A fold whose JVM DIES leaves the lease in
-    * place — fail-closed: distinct folds stay blocked (loudly, with
-    * the remedy in the error) until the crashed increment replays or
-    * an operator clears the marker. That is the correct default for
-    * an offsets-handing-out manifest: availability can be restored in
-    * one file-delete; overlapping committed offsets cannot.
+    * document "run ONE fold at a time per layout" — two concurrent
+    * DISTINCT folds would read the same committed tail and emit
+    * overlapping position/shard_offset ranges that no gate catches
+    * until a loader collides. Shared mechanism (atomic acquisition,
+    * same-id replay pass-through, fail-closed crash semantics):
+    * [[FoldLease]], which also guards the BM25 meta read-modify-write
+    * maintenance ops.
     */
   private def withFoldLease[T](
       spark: org.apache.spark.sql.SparkSession, path: String,
-      incrementId: String)(body: => T): T = {
-    val lease = new org.apache.hadoop.fs.Path(s"$path/_FOLD_LEASE")
-    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // acquisition must be ATOMIC: Hadoop's LOCAL create(overwrite =
-    // false) is exists-check-then-create — two simultaneous folds can
-    // both pass the check (observed: a two-thread race in the full
-    // suite let both folds through and duplicated positions). Local
-    // paths therefore acquire via File.createNewFile (O_CREAT|O_EXCL,
-    // atomic per POSIX); distributed schemes keep fs.create, which IS
-    // atomic where it matters (HDFS namenode; S3A conditional create).
-    // The holder id lands right after the create — a loser reading in
-    // that microsecond window sees an empty holder, which fails CLOSED
-    // (it only unblocks a fold whose id matches).
-    val isLocal = lease.toUri.getScheme match {
-      case null | "file" => true
-      case _ => false
-    }
-    val acquired =
-      if (isLocal) {
-        val f = new java.io.File(lease.toUri.getPath)
-        Option(f.getParentFile).foreach(_.mkdirs())
-        if (!f.createNewFile()) false
-        else { java.nio.file.Files.write(f.toPath, incrementId.getBytes("UTF-8")); true }
-      } else {
-        try {
-          val out = fs.create(lease, /* overwrite = */ false)
-          try out.write(incrementId.getBytes("UTF-8")) finally out.close()
-          true
-        } catch {
-          case _: java.io.IOException => false // exists (or raced): adjudicate below
-        }
-      }
-    if (!acquired) {
-      val holder =
-        try {
-          val in = fs.open(lease)
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          finally in.close()
-        } catch { case _: java.io.IOException => "<unreadable>" }
-      if (holder != incrementId)
-        throw new IllegalStateException(
-          s"CONCURRENT_FOLD: fold inc=$holder holds the single-writer lease at $lease — " +
-            s"two concurrent distinct folds would read the same committed tail and emit " +
-            s"overlapping position/offset ranges. If that fold crashed, replay inc=$holder " +
-            s"to completion or delete the lease file, then retry inc=$incrementId.")
-      // else: our own crashed/racing attempt — replay is idempotent
-    }
-    try { val r = body; fs.delete(lease, false); r }
-    catch { case e: Throwable => fs.delete(lease, false); throw e }
-  }
+      incrementId: String)(body: => T): T =
+    FoldLease.withLease(spark, path, incrementId)(body)
 
   /** Fold an increment into the persisted curriculum layout
     * ([[writeCurriculumManifest]]) in O(increment): bucket by the

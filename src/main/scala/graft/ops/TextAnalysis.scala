@@ -1540,10 +1540,12 @@ object TextAnalysis {
     *     must use a deterministic id per logical increment (crawl
     *     batch id, date) for this to hold.
     *
-    * NOT concurrency-safe: meta is a read-modify-write scalar, so two
-    * simultaneous appends lose one fold — run index maintenance as a
-    * single writer (one job per index path), the normal shape for a
-    * nightly crawl fold. df needs no maintenance at all: probes
+    * Meta is a read-modify-write scalar, so two simultaneous
+    * maintenance ops would lose one fold — single-writer is
+    * MECHANICALLY ENFORCED since r16 ([[FoldLease]]: a concurrent
+    * distinct append/delete/compact fails loudly with CONCURRENT_FOLD;
+    * same-id replay passes through, matching the recovery protocol).
+    * df needs no maintenance at all: probes
     * compute it from matched postings, which automatically include
     * the increment. Each crawl pays O(increment), never O(corpus).
     */
@@ -1551,11 +1553,20 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String, path: String,
       incrementId: String): Unit = {
     val spark = df.sparkSession
-    val meta  = readBm25Meta(spark, path)
     require(incrementId.nonEmpty && incrementId != "base" && !incrementId.startsWith("del:"),
       s"incrementId must be a non-empty id other than the reserved 'base' and not " +
         s"'del:'-prefixed (the delete ledger namespace) — got '$incrementId'")
-    if (meta.applied.contains(incrementId)) return // fully committed earlier — no-op
+    // the single-writer contract is MECHANICALLY ENFORCED since r16
+    // (shared FoldLease): the meta scalar is read-modify-written, so a
+    // concurrent distinct maintenance op would lose one fold silently.
+    // The meta read sits INSIDE the lease — reading it before
+    // acquisition could fold against a snapshot another writer is
+    // mid-commit on. Same-id replay passes through (the documented
+    // recovery protocol).
+    FoldLease.withLease(spark, path, incrementId) {
+    val meta = readBm25Meta(spark, path)
+    if (meta.applied.contains(incrementId)) () // fully committed earlier — no-op
+    else {
     val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t")).persist()
     try {
       bm25PostingsLayout(base, meta.buckets, s"$path/${meta.gen}", incrementId, dynamic = true)
@@ -1584,6 +1595,8 @@ object TextAnalysis {
         .withColumn("gen", lit(meta.gen))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally { base.unpersist(): Unit }
+    }
+    }
   }
 
   /** Probe a [[writeBm25Index]] layout: the query vocabulary's bucket
@@ -1815,10 +1828,14 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String, path: String,
       deleteId: String): Unit = {
     val spark = df.sparkSession
-    val meta  = readBm25Meta(spark, path)
     require(deleteId.nonEmpty, "deleteId must be non-empty")
     val ledgerKey = s"del:$deleteId"
-    if (meta.applied.contains(ledgerKey)) return // fully committed earlier — no-op
+    // single-writer MECHANICALLY ENFORCED (see appendToBm25Index) —
+    // meta read inside the lease, same-id replay passes through
+    FoldLease.withLease(spark, path, ledgerKey) {
+    val meta = readBm25Meta(spark, path)
+    if (meta.applied.contains(ledgerKey)) () // fully committed earlier — no-op
+    else {
     // "already dead" is LEDGER-RANK-AWARE: a doc is dead iff its
     // newest tombstone outranks its newest re-append (revive marker)
     // — so retracting a doc that a later increment re-added DOES
@@ -1866,6 +1883,8 @@ object TextAnalysis {
         .withColumn("gen", lit(meta.gen))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally { victims.unpersist(): Unit }
+    }
+    }
   }
 
   /** Maintenance: fold every `inc=` subtree of a [[writeBm25Index]]
@@ -1901,6 +1920,9 @@ object TextAnalysis {
     */
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    // single-writer MECHANICALLY ENFORCED (see appendToBm25Index);
+    // a replayed compaction re-acquires under the same fixed id
+    FoldLease.withLease(spark, path, "__compact") {
     val meta = readBm25Meta(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1969,6 +1991,7 @@ object TextAnalysis {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/revives"), true)
     (before, dataFiles(s"$path/$next"))
+    }
   }
 
   /** Fold a [[ChangeCapture.snapshotDiff]] change set into a

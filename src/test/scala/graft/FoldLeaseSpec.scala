@@ -92,6 +92,33 @@ class FoldLeaseSpec extends SparkSpecBase {
     assert(!leaseFile(p2).exists(), "failed fold must release the lease it created")
   }
 
+  test("BM25 maintenance: foreign lease blocks append/delete/compact; same-id replay proceeds") {
+    import graft.ops.TextAnalysis
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val inc  = docs.filter(col("doc_id") % 3 === 1).limit(50)
+    val path = java.nio.file.Files.createTempDirectory("bm25lease").toString + "/idx"
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", path)
+    plantLease(path, "crawl-a") // another maintenance job mid-run
+    def blocked(body: => Any): Unit = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("CONCURRENT_FOLD"), s"wrong error: ${e.getMessage}")
+    }
+    blocked(TextAnalysis.appendToBm25Index(inc, "doc_id", "text", path, "crawl-b"))
+    blocked(TextAnalysis.deleteFromBm25Index(inc, "doc_id", "text", path, "retract-1"))
+    blocked(TextAnalysis.compactBm25Index(spark, path))
+    // the blocked ops must not have folded meta: applied ledger empty
+    val metaRow = spark.read.parquet(s"$path/meta").collect()(0)
+    val applied = metaRow.getSeq[String](metaRow.fieldIndex("applied"))
+    assert(applied.isEmpty, s"blocked maintenance still folded meta: $applied")
+    // same-id replay: crawl-a retries through its own stale lease and
+    // releases it; subsequent distinct maintenance is unblocked
+    TextAnalysis.appendToBm25Index(inc, "doc_id", "text", path, "crawl-a")
+    assert(!leaseFile(path).exists(), "completed maintenance must release the lease")
+    TextAnalysis.deleteFromBm25Index(inc.limit(5), "doc_id", "text", path, "retract-1")
+    TextAnalysis.compactBm25Index(spark, path)
+    assert(!leaseFile(path).exists())
+  }
+
   test("law: two concurrent distinct folds serialize — loser retries, final positions stay dense") {
     val base = docs.filter(col("doc_id") % 9 =!= 4)
     val incA = docs.filter(col("doc_id") % 9 === 4).select(col("doc_id"), col("text"))
