@@ -193,8 +193,10 @@ object Bench {
     // round-16: the broadcast-gate FALLBACK shape of the canon-index
     // probe (cap forced to 0 → AQE's runtime join choice) benched
     // next to the hinted row, so the degraded month-scale-increment
-    // plan has a measured shape in every artifact
-    "x_dedup_canon_inc_nobc"
+    // plan has a measured shape in every artifact — and the probe
+    // over a COMPACTED ledger, tracked from birth like every row
+    "x_dedup_canon_inc_nobc",
+    "x_dedup_canon_compact"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
