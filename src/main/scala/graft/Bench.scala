@@ -313,7 +313,7 @@ object Bench {
   }
 
   private def sfName(sfDir: String): String =
-    sfDir.reverse.takeWhile(_ != '/').reverse
+    sfDir.stripSuffix("/").reverse.takeWhile(_ != '/').reverse
 
   private def probesJson(probes: Seq[(Int, Double)]): String =
     probes.map { case (i, s) => f"""{"after":$i,"sec":$s%.3f}""" }

@@ -106,18 +106,25 @@ object QueriesMl {
         lit(Question).as("text"),
         col("text").as("text_b"),
         when(array_contains(toks, "vector"), 1L).otherwise(0L).as("gold"))
-      KpiPost.explodeRanks(KpiPost.scoreQa(pairs, qa, "key"))
+      val top1 = KpiPost.explodeRanks(KpiPost.scoreQa(pairs, qa, "key"))
         .filter(col("rank_num") === 1)
-        .withColumn("pred", when(col("answer").contains("vector"), 1L).otherwise(0L))
+        .select(col("key"), col("answer"))
+      // populations count over ALL docs (left join): a doc the span
+      // generator yields no candidates for (e.g. empty text) would
+      // otherwise VANISH from the Spark side while the oracle counts
+      // it — a latent false hash-red; here it counts as a wrong
+      // prediction instead, which the accuracy bar absorbs or flags
+      pairs.join(top1, Seq("key"), "left")
+        .withColumn("pred",
+          when(coalesce(col("answer"), lit("")).contains("vector"), 1L).otherwise(0L))
         .groupBy("gold")
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("n_correct"))
         // one-row verdict (oracled since r16): class populations are
-        // SQL-derivable (every doc yields exactly one rank-1 span),
-        // the >= 0.9 per-class top-1 accuracy law pins to 1 (trained
-        // accuracy measured 490/500 — the 0.9 bar keeps the check
-        // sharp without flaking on the known ~2% span noise)
+        // SQL-derivable, the >= 0.9 per-class top-1 accuracy law pins
+        // to 1 (trained accuracy measured 490/500 — the 0.9 bar keeps
+        // the check sharp without flaking on the known ~2% span noise)
         .agg(
           coalesce(sum(when(col("gold") === 1L, col("n"))), lit(0L)).as("n_pos"),
           coalesce(sum(when(col("gold") === 0L, col("n"))), lit(0L)).as("n_neg"),

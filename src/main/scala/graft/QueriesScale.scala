@@ -4043,7 +4043,10 @@ object QueriesScale {
       val p = canonPlant(s, dir, off)
       val ref = p.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < off)
       val inc = p.filter(col("doc_id") >= off || pmod(col("doc_id"), lit(9)) === 4)
-      val path = buildOnce("canonindexnobc", dir)(pth =>
+      // SAME buildOnce key as the hinted row: the index is byte-
+      // identical and read-only in both probes, so a separate key
+      // would only double build wall-clock and disk per bench run
+      val path = buildOnce("canonindex", dir)(pth =>
         Dedup.writeCanonIndex(ref, "doc_id", "text", pth))
       Dedup.canonDedupWithIndex(s, path, inc, "doc_id", "text", broadcastMaxBytes = 0L)
     }),

@@ -12,10 +12,15 @@ package graft.ops
   *
   *   - lease absent → acquire, run the body, release.
   *   - lease held by the SAME id → proceed WITHOUT re-acquiring:
-  *     that is this writer's own crashed attempt (or a racing replay
-  *     of itself), and replay is value-idempotent by every guarded
-  *     op's contract — blocking it would turn every crash into a
-  *     manual recovery. The lease is released on completion.
+  *     that is this writer's own crashed attempt, and replay is
+  *     value-idempotent by every guarded op's contract — blocking it
+  *     would turn every crash into a manual recovery. The lease is
+  *     released on completion, but only if it still names this id
+  *     (a late-finishing pass-through must not delete a lease a
+  *     different writer has since acquired). Residual contract: the
+  *     pass-through assumes the prior same-id attempt is DEAD — the
+  *     lease cannot serialize a writer against a live copy of
+  *     itself; the guarded ops' value-idempotence bounds that case.
   *   - lease held by a DIFFERENT id → throw a named CONCURRENT_FOLD
   *     error BEFORE any state is read. The message carries the
   *     remedy: if the holder crashed, replay the holder's own id to
@@ -52,19 +57,29 @@ object FoldLease {
       case null | "file" => true
       case _ => false
     }
+    // a failure writing the holder id AFTER a successful create must
+    // tear the half-made lease down and rethrow — leaving it would
+    // wedge the layout behind an empty-holder lease that blocks every
+    // writer including our own retry, and (Hadoop branch) would be
+    // misdiagnosed as a concurrent fold
+    def writeHolderOrCleanup(write: => Unit): Boolean =
+      try { write; true }
+      catch { case e: Throwable => fs.delete(lease, false); throw e }
     val acquired =
       if (isLocal) {
         val f = new java.io.File(lease.toUri.getPath)
         Option(f.getParentFile).foreach(_.mkdirs())
         if (!f.createNewFile()) false
-        else { java.nio.file.Files.write(f.toPath, holderId.getBytes("UTF-8")); true }
+        else writeHolderOrCleanup(
+          java.nio.file.Files.write(f.toPath, holderId.getBytes("UTF-8")))
       } else {
-        try {
-          val out = fs.create(lease, /* overwrite = */ false)
-          try out.write(holderId.getBytes("UTF-8")) finally out.close()
-          true
-        } catch {
-          case _: java.io.IOException => false // exists (or raced): adjudicate below
+        val created =
+          try Some(fs.create(lease, /* overwrite = */ false))
+          catch { case _: java.io.IOException => None } // exists (or raced): adjudicate below
+        created match {
+          case Some(out) => writeHolderOrCleanup(
+            try out.write(holderId.getBytes("UTF-8")) finally out.close())
+          case None => false
         }
       }
     if (!acquired) {
@@ -80,9 +95,27 @@ object FoldLease {
             s"concurrent distinct maintenance on this layout would corrupt its committed " +
             s"state (overlapping offsets or a lost meta fold). If that writer crashed, " +
             s"replay id=$holder to completion or delete the lease file, then retry id=$holderId.")
-      // else: our own crashed/racing attempt — replay is idempotent
+      // else: our own crashed attempt — replay is idempotent. NOTE
+      // the residual contract: same-id replay is legal only once the
+      // prior attempt is DEAD (the crash-recovery protocol). Two LIVE
+      // same-id attempts are outside the lease's protection — the
+      // guarded folds are value-idempotent so duplicates converge,
+      // but the lease cannot serialize a writer against itself.
     }
-    try { val r = body; fs.delete(lease, false); r }
-    catch { case e: Throwable => fs.delete(lease, false); throw e }
+    // release: only remove the lease if it still names US — a
+    // pass-through replay that finishes AFTER the original attempt
+    // completed (and after a different writer acquired a fresh lease)
+    // must not delete the new holder's lease out from under it
+    def releaseIfOurs(): Unit = {
+      val stillOurs =
+        try {
+          val in = fs.open(lease)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") == holderId
+          finally in.close()
+        } catch { case _: java.io.IOException => false } // already gone
+      if (stillOurs) fs.delete(lease, false)
+    }
+    try { val r = body; releaseIfOurs(); r }
+    catch { case e: Throwable => releaseIfOurs(); throw e }
   }
 }

@@ -538,8 +538,8 @@ class CorpusOpsSpec extends SparkSpecBase {
         catch {
           case e: IllegalStateException if e.getMessage.contains("CONCURRENT_FOLD") =>
             attempts += 1
-            assert(attempts < 60, "lease never freed")
-            Thread.sleep(200)
+            assert(attempts < 240, "lease never freed")
+            Thread.sleep(500)
         }
       }
       0L

@@ -148,8 +148,10 @@ class FoldLeaseSpec extends SparkSpecBase {
         } catch {
           case e: IllegalStateException if e.getMessage.contains("CONCURRENT_FOLD") =>
             attempts += 1
-            assert(attempts < 60, "lease never freed — release path broken")
-            Thread.sleep(200)
+            // generous cap: the winning fold is a full Spark job chain
+            // that can hold the lease well past 12 s on a loaded host
+            assert(attempts < 240, "lease never freed — release path broken")
+            Thread.sleep(500)
         }
       }
     }
