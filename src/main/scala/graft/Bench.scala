@@ -196,7 +196,11 @@ object Bench {
     // plan has a measured shape in every artifact — and the probe
     // over a COMPACTED ledger, tracked from birth like every row
     "x_dedup_canon_inc_nobc",
-    "x_dedup_canon_compact"
+    "x_dedup_canon_compact",
+    // round-16: the SERVING-PATH hybrid fusion — both recall legs
+    // answered from persisted indexes (BM25 postings + IVF cells),
+    // the deployed shape of x_retrieval_fusion
+    "x_retrieval_fusion_index"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed
