@@ -199,8 +199,10 @@ object Bench {
     "x_dedup_canon_compact",
     // round-16: the SERVING-PATH hybrid fusion — both recall legs
     // answered from persisted indexes (BM25 postings + IVF cells),
-    // the deployed shape of x_retrieval_fusion
-    "x_retrieval_fusion_index"
+    // the deployed shape of x_retrieval_fusion — and its streaming
+    // twin (query batches probing both indexes in foreachBatch)
+    "x_retrieval_fusion_index",
+    "s9_stream_fusion"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -985,6 +985,70 @@ object QueriesScale {
     * and its streaming twin: winners over reference ∪ increment,
     * output restricted to increment docs.
     */
+  /** Serving-path fusion oracle: the inline fusion CTEs with the
+    * dense leg swapped to the IVF assignment/probe rule. Shared by
+    * the batch serving-path row and its streaming twin.
+    */
+  private val FusionIndexOracleSql: String =
+        s"""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+         |           FROM documents),
+         |n AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tt FROM d),
+         |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dt GROUP BY 1, 2, 3),
+         |q AS (SELECT * FROM (VALUES (1, 'spark window agg'), (2, 'fast hash join'),
+         |       (3, 'customer query data'), (4, 'stream filter sort big'),
+         |       (5, 'vector nosuchterm merge')) AS v(query_id, qtext)),
+         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         |        unnest(list_filter(string_split(lower(qtext), ' '), x -> x <> '')) AS term FROM q),
+         |hits AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+         |dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+         |sc AS (SELECT qt.query_id, h.doc_id,
+         |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
+         |    CAST((2 * dfq.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
+         |    6) AS DECIMAL(28,6)) AS s
+         | FROM hits h JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN n),
+         |agg AS (SELECT query_id, doc_id, sum(s) AS sdec FROM sc GROUP BY 1, 2),
+         |lexr AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS lex_rank FROM agg),
+         |lexc AS (SELECT query_id, doc_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+         |cemb AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
+         |  SELECT c.neighbor_id, c.cv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY c.neighbor_id
+         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM cemb c CROSS JOIN cent) WHERE rn = 1),
+         |qd AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id BETWEEN 1 AND 5),
+         |probes AS (SELECT query_id, qv, cell_id FROM (
+         |  SELECT qd.query_id, qd.qv, cent.cell_id,
+         |   row_number() OVER (PARTITION BY qd.query_id
+         |    ORDER BY ${cosSql("qd.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+         |  FROM qd CROSS JOIN cent) WHERE rn <= 4),
+         |ds AS (SELECT p.query_id, a.neighbor_id AS doc_id,
+         |  round(${cosSql("a.cv", "p.qv")}, 4) AS cosine
+         | FROM probes p JOIN assigned a USING (cell_id)
+         | WHERE p.query_id <> a.neighbor_id),
+         |dsr AS (SELECT query_id, doc_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS dense_rank FROM ds),
+         |densec AS (SELECT query_id, doc_id, dense_rank FROM dsr WHERE dense_rank <= 20),
+         |f AS (SELECT query_id, doc_id,
+         |  coalesce(l.lex_rank, 0) AS lex_rank, coalesce(dn.dense_rank, 0) AS dense_rank,
+         |  (CASE WHEN l.lex_rank IS NOT NULL THEN 1.0/(60.0 + l.lex_rank) ELSE 0.0 END
+         | + CASE WHEN dn.dense_rank IS NOT NULL THEN 1.0/(60.0 + dn.dense_rank) ELSE 0.0 END) AS rrf
+         | FROM lexc l FULL JOIN densec dn USING (query_id, doc_id)),
+         |ftop AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fuse_rank FROM f)
+         | WHERE fuse_rank <= 10),
+         |cand AS (SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
+         |  ${graft.functions.DetHash.detUnitSql("query_id * 1000000 + doc_id")} AS prob
+         | FROM ftop),
+         |w AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY prob DESC, doc_id) AS rerank FROM cand)
+         |SELECT query_id, rerank, doc_id, lex_rank, dense_rank,
+         |  round(rrf, 6) AS rrf, round(prob, 4) AS ce_prob
+         |FROM w WHERE rerank <= 3 ORDER BY query_id, rerank""".stripMargin
+
   private def CanonIncOracleSqlFor(unionFilter: String): String =
     s"""WITH p AS ($CanonPlantSql),
        |u AS (SELECT doc_id, t FROM p
@@ -3368,32 +3432,11 @@ object QueriesScale {
       val dense = Similarity.cosineTopK(e, e.filter(col("vec_id").between(1, 5)),
           "vec_id", "embedding", k = 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
-      val rrf =
-        when(col("lex_rank").isNotNull, lit(1.0) / (lit(60.0) + col("lex_rank"))).otherwise(lit(0.0)) +
-        when(col("dense_rank").isNotNull, lit(1.0) / (lit(60.0) + col("dense_rank"))).otherwise(lit(0.0))
-      val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-          coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
-          rrf.as("rrf"))
-      val wF = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
-      val top = fused.withColumn("fuse_rank", row_number().over(wF))
-        .filter(col("fuse_rank") <= 10)
-      val pairs = top.join(qs, "query_id")
-        .join(d.select(col("doc_id"), col("text").as("text_b")), "doc_id")
-        .select(col("query_id"), col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"),
-          col("qtext").as("text"), col("text_b"),
-          (col("query_id") * lit(1000000L) + col("doc_id")).as("key"))
-      val scored = graft.ops.Relevance.scoreRelevance(
-        pairs, new graft.scorer.MockRelevanceScorer, "key")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("prob").desc, col("doc_id").asc)
-      scored.withColumn("rerank", row_number().over(w)).filter(col("rerank") <= 3)
-        .select(col("query_id"), col("rerank"), col("doc_id"),
-          col("lex_rank"), col("dense_rank"), round(col("rrf"), 6).as("rrf"),
-          round(col("prob"), 4).as("ce_prob"))
-        .orderBy(col("query_id"), col("rerank"))
+      // shared fusion tail (ops/Retrieval.rrfFuseRerank) — ONE
+      // definition across the inline, serving-path and streaming
+      // surfaces, the ingestTail discipline
+      graft.ops.Retrieval.rrfFuseRerank(lex, dense, qs, "query_id", "qtext",
+        d, "doc_id", "text", new graft.scorer.MockRelevanceScorer)
     }),
 
     // ---- the SERVING-PATH twin of the hybrid fusion (r16): both
@@ -3424,32 +3467,31 @@ object QueriesScale {
       val dense = Similarity.probeIvfIndex(s, ivfPath, e.filter(col("vec_id").between(1, 5)),
           "vec_id", "embedding", k = 20, nProbe = 4)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
-      val rrf =
-        when(col("lex_rank").isNotNull, lit(1.0) / (lit(60.0) + col("lex_rank"))).otherwise(lit(0.0)) +
-        when(col("dense_rank").isNotNull, lit(1.0) / (lit(60.0) + col("dense_rank"))).otherwise(lit(0.0))
-      val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-          coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
-          rrf.as("rrf"))
-      val wF = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
-      val top = fused.withColumn("fuse_rank", row_number().over(wF))
-        .filter(col("fuse_rank") <= 10)
-      val pairs = top.join(qs, "query_id")
-        .join(d.select(col("doc_id"), col("text").as("text_b")), "doc_id")
-        .select(col("query_id"), col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"),
-          col("qtext").as("text"), col("text_b"),
-          (col("query_id") * lit(1000000L) + col("doc_id")).as("key"))
-      val scored = graft.ops.Relevance.scoreRelevance(
-        pairs, new graft.scorer.MockRelevanceScorer, "key")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("prob").desc, col("doc_id").asc)
-      scored.withColumn("rerank", row_number().over(w)).filter(col("rerank") <= 3)
-        .select(col("query_id"), col("rerank"), col("doc_id"),
-          col("lex_rank"), col("dense_rank"), round(col("rrf"), 6).as("rrf"),
-          round(col("prob"), 4).as("ce_prob"))
-        .orderBy(col("query_id"), col("rerank"))
+      graft.ops.Retrieval.rrfFuseRerank(lex, dense, qs, "query_id", "qtext",
+        d, "doc_id", "text", new graft.scorer.MockRelevanceScorer)
+    }),
+
+    // ---- and ONLINE: hybrid-retrieval-at-serve — query batches
+    // stream in, each probes BOTH persisted indexes and runs the
+    // shared fusion tail inside foreachBatch. The serving-path batch
+    // operator is the oracle semantics.
+    "s9_stream_fusion" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val d  = docs(s, dir)
+      val qs = retrievalQueries(s)
+      val e  = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val bmPath = buildOnce("bm25idx", dir)(p =>
+        TextAnalysis.writeBm25Index(d, "doc_id", "text", p))
+      val ivfPath = buildOnce("ivfbase", dir)(p =>
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", p, nCells = 16))
+      val qDir = GraftSession.freshGatePath("fusionqstream", dir)
+      qs.coalesce(1).write.mode("overwrite").parquet(qDir)
+      val outDir = GraftSession.freshGatePath("fusionout", dir)
+      val ckpt   = GraftSession.freshGatePath("fusionckpt", dir)
+      val q = EventsStream.streamFusionProbe(s, bmPath, ivfPath, qDir, qs.schema,
+        e, d, outDir, ckpt)
+      q.awaitTermination()
+      s.read.parquet(outDir).drop("inc").orderBy(col("query_id"), col("rerank"))
     }),
 
     // ---- retrieval EVAL: MRR + recall@10 of the BM25 retriever
@@ -6351,66 +6393,12 @@ object QueriesScale {
     // dense leg swapped from exact cosine to the IVF assignment +
     // nProbe-cell probe rule (same CTE algebra as x_ann_ivf_topk) —
     // the persisted-index probes are deterministic, so the whole
-    // deployed composition replays hash-exact
-    "x_retrieval_fusion_index" ->
-      s"""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-         |           FROM documents),
-         |n AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tt FROM d),
-         |dt AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dt GROUP BY 1, 2, 3),
-         |q AS (SELECT * FROM (VALUES (1, 'spark window agg'), (2, 'fast hash join'),
-         |       (3, 'customer query data'), (4, 'stream filter sort big'),
-         |       (5, 'vector nosuchterm merge')) AS v(query_id, qtext)),
-         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-         |        unnest(list_filter(string_split(lower(qtext), ' '), x -> x <> '')) AS term FROM q),
-         |hits AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
-         |dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
-         |sc AS (SELECT qt.query_id, h.doc_id,
-         |  CAST(round(CAST(22 * (2 * n.n + 2) * h.tf * n.tt AS DOUBLE) /
-         |    CAST((2 * dfq.df + 1) * (10 * h.tf * n.tt + 3 * n.tt + 9 * h.dl * n.n) AS DOUBLE),
-         |    6) AS DECIMAL(28,6)) AS s
-         | FROM hits h JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN n),
-         |agg AS (SELECT query_id, doc_id, sum(s) AS sdec FROM sc GROUP BY 1, 2),
-         |lexr AS (SELECT *, row_number() OVER (
-         |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS lex_rank FROM agg),
-         |lexc AS (SELECT query_id, doc_id, lex_rank FROM lexr WHERE lex_rank <= 20),
-         |cemb AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |cent AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 16),
-         |assigned AS (SELECT neighbor_id, cv, cell_id FROM (
-         |  SELECT c.neighbor_id, c.cv, cent.cell_id,
-         |   row_number() OVER (PARTITION BY c.neighbor_id
-         |    ORDER BY ${cosSql("c.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
-         |  FROM cemb c CROSS JOIN cent) WHERE rn = 1),
-         |qd AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |       WHERE vec_id BETWEEN 1 AND 5),
-         |probes AS (SELECT query_id, qv, cell_id FROM (
-         |  SELECT qd.query_id, qd.qv, cent.cell_id,
-         |   row_number() OVER (PARTITION BY qd.query_id
-         |    ORDER BY ${cosSql("qd.qv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
-         |  FROM qd CROSS JOIN cent) WHERE rn <= 4),
-         |ds AS (SELECT p.query_id, a.neighbor_id AS doc_id,
-         |  round(${cosSql("a.cv", "p.qv")}, 4) AS cosine
-         | FROM probes p JOIN assigned a USING (cell_id)
-         | WHERE p.query_id <> a.neighbor_id),
-         |dsr AS (SELECT query_id, doc_id, row_number() OVER (
-         |  PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS dense_rank FROM ds),
-         |densec AS (SELECT query_id, doc_id, dense_rank FROM dsr WHERE dense_rank <= 20),
-         |f AS (SELECT query_id, doc_id,
-         |  coalesce(l.lex_rank, 0) AS lex_rank, coalesce(dn.dense_rank, 0) AS dense_rank,
-         |  (CASE WHEN l.lex_rank IS NOT NULL THEN 1.0/(60.0 + l.lex_rank) ELSE 0.0 END
-         | + CASE WHEN dn.dense_rank IS NOT NULL THEN 1.0/(60.0 + dn.dense_rank) ELSE 0.0 END) AS rrf
-         | FROM lexc l FULL JOIN densec dn USING (query_id, doc_id)),
-         |ftop AS (SELECT * FROM (SELECT *, row_number() OVER (
-         |  PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fuse_rank FROM f)
-         | WHERE fuse_rank <= 10),
-         |cand AS (SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
-         |  ${graft.functions.DetHash.detUnitSql("query_id * 1000000 + doc_id")} AS prob
-         | FROM ftop),
-         |w AS (SELECT *, row_number() OVER (
-         |  PARTITION BY query_id ORDER BY prob DESC, doc_id) AS rerank FROM cand)
-         |SELECT query_id, rerank, doc_id, lex_rank, dense_rank,
-         |  round(rrf, 6) AS rrf, round(prob, 4) AS ce_prob
-         |FROM w WHERE rerank <= 3 ORDER BY query_id, rerank""".stripMargin,
+    // deployed composition replays hash-exact. The streaming twin
+    // runs the SAME shared tail per micro-batch, so one SQL gates
+    // both (its oracle is registered right below this entry).
+    "x_retrieval_fusion_index" -> FusionIndexOracleSql,
+    // one SQL gates the serving-path row and its streaming twin
+    "s9_stream_fusion" -> FusionIndexOracleSql,
     "x_pii_redact" -> {
       val email = CorpusOps.EmailRe
       val ip    = CorpusOps.IpRe

@@ -251,6 +251,57 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** STREAMING hybrid-fusion retrieval: a QUERY stream probes BOTH
+    * persisted indexes — the BM25 postings index for the lexical
+    * top-20 and the IVF index for the dense top-20 (each arriving
+    * query's embedding looked up from the persisted embedding
+    * snapshot by id — the "query encoder output" at serve time) —
+    * then runs the SHARED fusion tail
+    * ([[graft.ops.Retrieval.rrfFuseRerank]], the same code path as
+    * the batch and serving-path rows) inside `foreachBatch`. The
+    * batch serving-path operator is the oracle semantics; exactly-
+    * once via the `inc=b<batchId>` dynamic-overwrite partition (the
+    * streamBm25Probe pattern).
+    */
+  def streamFusionProbe(
+      spark: SparkSession,
+      bm25Path: String,
+      ivfPath: String,
+      queriesDir: String,
+      schema: StructType,
+      embeddings: DataFrame,
+      docs: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      legK: Int = 20,
+      nProbe: Int = 4
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(queriesDir)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val lex = graft.ops.TextAnalysis
+          .probeBm25Index(spark, bm25Path, batch, "query_id", "qtext", legK)
+          .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+        val qe = embeddings.join(
+          batch.select(col("query_id").cast("long").as("__qid")),
+          col("vec_id") === col("__qid"), "left_semi")
+        val dense = graft.ops.Similarity
+          .probeIvfIndex(spark, ivfPath, qe, "vec_id", "embedding", legK, nProbe)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+        graft.ops.Retrieval.rrfFuseRerank(lex, dense,
+            batch, "query_id", "qtext", docs, "doc_id", "text",
+            new graft.scorer.MockRelevanceScorer)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STREAMING decontamination: arriving documents probe the
     * persisted benchmark shingle set
     * ([[graft.ops.CorpusOps.writeContaminationIndex]]) inside
