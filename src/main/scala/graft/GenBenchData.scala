@@ -34,8 +34,22 @@ import org.apache.spark.sql.functions._
 object GenBenchData {
 
   private val Copies  = 10
-  private val KeyOff  = 10000000L
   private val DayNs   = 86400L * 1000000000L
+
+  /** Per-level upscale parameters. Level "sf1" (default) is the 10×
+    * structured upscale of the driver's sf0.1; level "sf10" re-applies
+    * the same rules to a generated sf1 with every offset/shift a
+    * decade wider, so keys never collide with the inner level's
+    * offsets, per-copy time windows clear the inner level's full span
+    * (events 10·35 d, orders 10·2500 d), and the doc-token suffix
+    * alphabet is disjoint ("y" vs "x") to keep cross-copy jaccard 0.
+    */
+  private final case class Level(
+    keyOff: Long, docOff: Long, eventShiftDays: Long,
+    orderShiftDays: Long, suffix: String, embSeed: Int)
+  private val Levels = Map(
+    "sf1"  -> Level(10000000L, 1000000L, 35L, 2500L, "x", 31),
+    "sf10" -> Level(100000000L, 10000000L, 350L, 25000L, "y", 37))
 
   private def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
@@ -43,6 +57,8 @@ object GenBenchData {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/benchdata/sf1"
+    val lvl = Levels(if (args.length > 2) args(2) else "sf1")
+    val KeyOff = lvl.keyOff
     val spark  = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-gen-sf1")
     def src(name: String) = GraftSession.table(spark, srcDir, name)
     def write(name: String, df: DataFrame): Unit = {
@@ -62,12 +78,12 @@ object GenBenchData {
 
     write("orders", copies(src("orders")) { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff))
-        .withColumn("o_orderdate", shiftDays("o_orderdate", i * 2500L))
+        .withColumn("o_orderdate", shiftDays("o_orderdate", i * lvl.orderShiftDays))
     })
 
     write("lineitem", copies(src("lineitem")) { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff))
-        .withColumn("l_shipdate", shiftDays("l_shipdate", i * 2500L))
+        .withColumn("l_shipdate", shiftDays("l_shipdate", i * lvl.orderShiftDays))
     })
 
     // events.ts is an epoch-nanos long under nanosAsLong.
@@ -78,7 +94,7 @@ object GenBenchData {
     // the streams would run empty.
     val eventsUp = copies(src("events")) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * KeyOff))
-        .withColumn("ts", col("ts") + lit(i * 35L * DayNs))
+        .withColumn("ts", col("ts") + lit(i * lvl.eventShiftDays * DayNs))
     }
     val tmp = s"$outDir/_events_tmp"
     eventsUp.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -96,20 +112,20 @@ object GenBenchData {
     println(s"[gen] events: ${spark.read.parquet(s"$outDir/events.parquet").count()} rows")
 
     write("documents", copies(src("documents")) { (d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+      d.withColumn("doc_id", col("doc_id") + lit(i * lvl.docOff))
         .withColumn("text",
           if (i == 0) col("text")
           else array_join(
             transform(filter(split(col("text"), " "), t => t =!= ""),
-              t => concat(t, lit(s"x$i"))), " "))
+              t => concat(t, lit(s"${lvl.suffix}$i"))), " "))
     })
 
     write("embeddings", copies(src("embeddings")) { (d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      d.withColumn("vec_id", col("vec_id") + lit(i * lvl.docOff))
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else transform(col("embedding"), (x, j) =>
-            (x * (lit(1.0f) + (pmod(lit(i * 31) + j * 7, lit(11)) - lit(5)).cast("float") * lit(0.07f)))
+            (x * (lit(1.0f) + (pmod(lit(i * lvl.embSeed) + j * 7, lit(11)) - lit(5)).cast("float") * lit(0.07f)))
               .cast("float")))
     })
 

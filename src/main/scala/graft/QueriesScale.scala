@@ -1041,7 +1041,7 @@ object QueriesScale {
          |  PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fuse_rank FROM f)
          | WHERE fuse_rank <= 10),
          |cand AS (SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
-         |  ${graft.functions.DetHash.detUnitSql("query_id * 1000000 + doc_id")} AS prob
+         |  ${graft.functions.DetHash.detUnitSql("query_id * 4294967296 + doc_id")} AS prob
          | FROM ftop),
          |w AS (SELECT *, row_number() OVER (
          |  PARTITION BY query_id ORDER BY prob DESC, doc_id) AS rerank FROM cand)
@@ -3401,7 +3401,7 @@ object QueriesScale {
         .join(d.select(col("doc_id"), col("text").as("text_b")), "doc_id")
         .select(col("query_id"), col("rank").as("bm25_rank"), col("doc_id"),
           col("qtext").as("text"), col("text_b"),
-          (col("query_id") * lit(1000000L) + col("doc_id")).as("key"))
+          graft.ops.Retrieval.pairKey(col("query_id"), col("doc_id")).as("key"))
       val scored = graft.ops.Relevance.scoreRelevance(
         pairs, new graft.scorer.MockRelevanceScorer, "key")
       val w = org.apache.spark.sql.expressions.Window
@@ -6308,7 +6308,7 @@ object QueriesScale {
          |FROM w WHERE cum_tokens <= budget
          |ORDER BY source, cum_tokens""".stripMargin,
     // the BM25 recall CTEs at k=20, then the mock cross-encoder
-    // replayed as detUnit(query_id·10⁶ + doc_id) and the rerank window
+    // replayed as detUnit(query_id·2³² + doc_id) and the rerank window
     "x_retrieval_rerank" ->
       s"""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
          |           FROM documents),
@@ -6331,7 +6331,7 @@ object QueriesScale {
          |r AS (SELECT *, row_number() OVER (
          |  PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS bm25_rank FROM agg),
          |cand AS (SELECT query_id, bm25_rank, doc_id,
-         |  ${graft.functions.DetHash.detUnitSql("query_id * 1000000 + doc_id")} AS prob
+         |  ${graft.functions.DetHash.detUnitSql("query_id * 4294967296 + doc_id")} AS prob
          | FROM r WHERE bm25_rank <= 20),
          |w AS (SELECT *, row_number() OVER (
          |  PARTITION BY query_id ORDER BY prob DESC, doc_id) AS rerank FROM cand)
@@ -6382,7 +6382,7 @@ object QueriesScale {
          |  PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fuse_rank FROM f)
          | WHERE fuse_rank <= 10),
          |cand AS (SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
-         |  ${graft.functions.DetHash.detUnitSql("query_id * 1000000 + doc_id")} AS prob
+         |  ${graft.functions.DetHash.detUnitSql("query_id * 4294967296 + doc_id")} AS prob
          | FROM ftop),
          |w AS (SELECT *, row_number() OVER (
          |  PARTITION BY query_id ORDER BY prob DESC, doc_id) AS rerank FROM cand)

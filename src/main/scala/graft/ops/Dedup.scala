@@ -120,11 +120,20 @@ object Dedup {
     * 0. A crash after (2) leaves duplicate rows — value-equivalent,
     * min folds them; a crash mid-(3) leaves some old files —
     * likewise. Every intermediate state answers probes identically,
-    * so no pointer flip and no reader coordination are needed.
-    * Same single-writer contract as the appends (a probe that LISTS
-    * the directory before step 3 and reads after can hit a deleted
-    * file — run compaction in the maintenance window, not next to an
-    * in-flight probe). Returns (filesBefore, filesAfter).
+    * so no pointer flip is needed — and no WRITER coordination
+    * either: even two live concurrent compactions converge (each
+    * folds a superset of the values it deletes, `fs.delete` of an
+    * already-deleted file is a no-op, and the surviving duplicate
+    * fold rows min-collapse on the next read), which is why this op
+    * deliberately takes no [[FoldLease]]. The one residual hazard was
+    * READERS: a probe that listed the directory before step 3 and
+    * read after could hit a deleted part file (the r16 "maintenance
+    * window" caveat). [[canonDedupWithIndex]] closes it by
+    * materializing its index slice under [[retryOnMissingFiles]] — a
+    * mid-compaction listing that loses the race re-lists and re-reads
+    * (any post-append state is value-identical, so the retry answer
+    * equals the uncontended one), pinned by `CanonCompactRaceSpec`.
+    * Returns (filesBefore, filesAfter).
     */
   def compactCanonIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
@@ -145,6 +154,39 @@ object Dedup {
     val now = fs.listStatus(dir).map(_.getPath)
       .count(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     (old.length.toLong, now.toLong)
+  }
+
+  /** Bounded retry for a read whose file listing can lose a race with
+    * [[compactCanonIndex]]'s delete phase: Spark pins the parquet
+    * file list at read-planning time, so a file compaction deletes
+    * mid-scan surfaces as a FileNotFoundException-caused task
+    * failure. Because every canon-index state from append-onward is
+    * value-identical (min semilattice), re-running the WHOLE body —
+    * fresh `spark.read`, fresh listing — returns the uncontended
+    * answer; the retry only needs to outlast the delete phase, which
+    * is file-count-bounded, not data-bounded. Non-FNF failures
+    * propagate immediately.
+    */
+  private[graft] def retryOnMissingFiles[T](attempts: Int)(body: => T): T = {
+    def isMissingFile(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(_.contains("FileNotFoundException"))) return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if left > 1 && isMissingFile(e) =>
+          left -= 1
+          Thread.sleep(200)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def canonDedupWithIndex(
@@ -174,9 +216,18 @@ object Dedup {
     // (r15 advice).
     val hintSmall = Hints.isSmall(incWin, broadcastMaxBytes)
     def bc(df: DataFrame) = if (hintSmall) broadcast(df) else df
-    val pruned = spark.read.parquet(s"$path/canon")
-      .join(bc(incWin.select(col("h"))), Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
+    // the index slice is MATERIALIZED here (increment-sized, so the
+    // localCheckpoint is probe-bounded) under the missing-file retry:
+    // once it lands, the returned frame holds no reference to index
+    // files, so a compaction's delete phase can no longer fail a
+    // probe mid-scan — reader-safety without a generation pointer
+    // (see compactCanonIndex)
+    val pruned = retryOnMissingFiles(4) {
+      spark.read.parquet(s"$path/canon")
+        .join(bc(incWin.select(col("h"))), Seq("h"), "left_semi")
+        .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
+        .localCheckpoint()
+    }
     val win = incWin.join(bc(pruned), Seq("h"), "left")
       .select(col("h"),
         least(col("__iw"), coalesce(col("keep_id"), lit(Long.MaxValue))).as("keep_id"))

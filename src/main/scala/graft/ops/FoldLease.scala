@@ -40,11 +40,20 @@ package graft.ops
   * false) is exists-check-then-create — a two-thread race in the
   * full suite let both folds through and duplicated positions. Local
   * paths therefore acquire via File.createNewFile (O_CREAT|O_EXCL,
-  * atomic per POSIX); distributed schemes keep fs.create, which IS
-  * atomic where it matters (HDFS namenode; S3A conditional create).
-  * The holder id lands right after the create — a loser reading in
-  * that microsecond window sees an empty holder, which fails CLOSED
-  * (it only unblocks a writer whose id matches).
+  * atomic per POSIX); distributed schemes use fs.create, which is
+  * atomic on HDFS (namenode) and on S3A WITH conditional create
+  * (Hadoop 3.4.1+ / If-None-Match) — but on default S3A it is
+  * check-then-act, and the exists failure may only surface at
+  * close(), letting two writers both believe they acquired (r16
+  * advice). Non-local acquisition therefore READS THE LEASE BACK
+  * after the holder id lands: if the marker no longer names this
+  * writer, a racing writer's PUT won and we fail CONCURRENT_FOLD;
+  * if it cannot be read back at all, we fail loudly rather than
+  * proceed unadjudicated. The residual window is close()-to-readback
+  * (microseconds), down from the full create-to-close span. The
+  * holder id lands right after the create — a loser reading in that
+  * microsecond window sees an empty holder, which fails CLOSED (it
+  * only unblocks a writer whose id matches).
   */
 object FoldLease {
 
@@ -77,8 +86,35 @@ object FoldLease {
           try Some(fs.create(lease, /* overwrite = */ false))
           catch { case _: java.io.IOException => None } // exists (or raced): adjudicate below
         created match {
-          case Some(out) => writeHolderOrCleanup(
-            try out.write(holderId.getBytes("UTF-8")) finally out.close())
+          case Some(out) =>
+            writeHolderOrCleanup(
+              try out.write(holderId.getBytes("UTF-8")) finally out.close())
+            // READ-BACK ADJUDICATION (see scaladoc): on object stores
+            // without atomic conditional create, a racing writer's PUT
+            // can land over ours without our create ever failing. The
+            // winner is whoever the marker names NOW. Seeing our own
+            // id does not prove we were first — it proves we were
+            // LAST, which is equally a single winner: the other
+            // writer's read-back sees our id and fails. We do NOT
+            // delete on loss — the marker belongs to the winner.
+            val observed =
+              try {
+                val in = fs.open(lease)
+                try Some(new String(
+                  org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+                finally in.close()
+              } catch { case _: java.io.IOException => None }
+            observed match {
+              case Some(h) if h == holderId => true
+              case Some(h) => throw new IllegalStateException(
+                s"CONCURRENT_FOLD: writer id=$h overwrote the single-writer lease at $lease " +
+                  s"during acquisition (non-atomic create on this filesystem) — that writer " +
+                  s"holds the lease; id=$holderId must not proceed.")
+              case None => throw new IllegalStateException(
+                s"FOLD_LEASE_UNREADABLE: wrote the lease at $lease but could not read it " +
+                  s"back to adjudicate acquisition on a filesystem without atomic create — " +
+                  s"failing closed. Inspect the marker; delete it to restore availability.")
+            }
           case None => false
         }
       }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.scorer.RelevanceScorer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,27 @@ import org.apache.spark.sql.functions._
   * reranker, an equi-join on the fused candidates' ids.
   */
 object Retrieval {
+
+  /** Injective 64-bit (query, doc) pair key for the scorer seam:
+    * doc_id takes the low 32 bits, query_id the next 31 (r16 advice —
+    * the old 10⁶ shift collided, or went negative, once doc_id ≥ 10⁶,
+    * silently breaking the documented hash-exact replay for any
+    * key-dependent scorer at web-scale ids). The domain is ASSERTED
+    * inside the plan: `assert_true` returns NULL on pass, so the
+    * coalesce keeps the key codegen'd while an out-of-range id fails
+    * the job loudly instead of folding two pairs onto one key.
+    */
+  private val KeyShift = 4294967296L // 2^32
+  private[graft] def pairKey(qid: Column, did: Column): Column = {
+    val q = qid.cast("long")
+    val d = did.cast("long")
+    coalesce(
+      assert_true(
+        d >= 0 && d < lit(KeyShift) && q >= 0 && q < lit(2147483648L),
+        lit("pair-key domain: need 0 <= doc_id < 2^32 and 0 <= query_id < 2^31")
+      ).cast("long"),
+      q * lit(KeyShift) + d)
+  }
 
   /** `lex`: (query_id, doc_id, lex_rank); `dense`: (query_id, doc_id,
     * dense_rank); `queries`: (query_id, qtext); `docs`: (idCol,
@@ -52,7 +73,7 @@ object Retrieval {
       .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("text_b")), "doc_id")
       .select(col("query_id"), col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"),
         col("text"), col("text_b"),
-        (col("query_id") * lit(1000000L) + col("doc_id")).as("key"))
+        pairKey(col("query_id"), col("doc_id")).as("key"))
     val scored = Relevance.scoreRelevance(pairs, scorer, "key")
     val w = Window.partitionBy(col("query_id")).orderBy(col("prob").desc, col("doc_id").asc)
     scored.withColumn("rerank", row_number().over(w)).filter(col("rerank") <= outK)

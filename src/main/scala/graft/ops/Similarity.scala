@@ -1266,7 +1266,18 @@ object Similarity {
       version: Long,
       inc: DataFrame, idCol: String, vecCol: String,
       corpus: DataFrame, k: Int, iters: Int,
-      driftThreshold: Double): DataFrame = {
+      driftThreshold: Double): DataFrame =
+    // single-writer MECHANICALLY ENFORCED, keyed on the version (r16
+    // verdict task 5 — the last doc-only single-writer assumption in
+    // a maintenance path): the _COMMITTED drop-rewrite-recreate below
+    // is safe only when nothing else is mutating the version chain.
+    // Same-version crash replay derives the same id and passes
+    // through (the rewrite is deterministic, so the replay is
+    // byte-idempotent); a concurrent retrain of a DIFFERENT version
+    // fails CONCURRENT_FOLD before any marker is touched — which
+    // also serializes the chain, so version b+1 always reads a fully
+    // published ≤ b.
+    graft.ops.FoldLease.withLease(spark, path, s"__retrain:v$version") {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vRe = "v=(\\d+)".r
@@ -1296,9 +1307,10 @@ object Similarity {
       // A same-version replay rewrites a directory whose _COMMITTED
       // marker from the first attempt is still in place — drop the
       // marker FIRST so the "committed ⇒ fully written" invariant
-      // holds even mid-rewrite (the rewrite is byte-identical under
-      // the single-writer deterministic-retrain assumption, but a
-      // concurrent reader must never see committed-but-partial).
+      // holds even mid-rewrite (the rewrite is byte-identical because
+      // the retrain is deterministic and the version-keyed FoldLease
+      // above mechanically excludes any distinct concurrent writer;
+      // a concurrent reader must never see committed-but-partial).
       val marker = new org.apache.hadoop.fs.Path(s"$vPath/_COMMITTED")
       if (fs.exists(marker)) fs.delete(marker, false)
       writeKmeansModel(
@@ -1308,7 +1320,7 @@ object Similarity {
       fs.create(marker, true).close()
     }
     report.withColumn("retrained", lit(if (fired) 1L else 0L))
-  }
+    }
 
   /** Cluster-balanced corpus sampling: cluster ([[kmeansAssign]]
     * chain), then keep at most `cap` members per cluster, chosen by

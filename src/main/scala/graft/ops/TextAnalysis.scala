@@ -1920,9 +1920,26 @@ object TextAnalysis {
     */
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
-    // single-writer MECHANICALLY ENFORCED (see appendToBm25Index);
-    // a replayed compaction re-acquires under the same fixed id
-    FoldLease.withLease(spark, path, "__compact") {
+    // single-writer MECHANICALLY ENFORCED (see appendToBm25Index).
+    // The lease id is KEYED ON THE LIVE GENERATION (r16 advice): a
+    // fixed "__compact" id let two LIVE compactions of different
+    // states pass through each other (each reads its "own" id).
+    // Gen-keying keeps crash replay working — a compaction that died
+    // before the meta flip replays under the same gen, same id — and
+    // makes a compaction racing a DIFFERENT state loudly fail. A
+    // compaction that died AFTER the flip leaves a lease its replay
+    // (now reading the new gen) cannot pass; the named remedy is one
+    // file delete, and it is safe by construction: post-flip work is
+    // only orphan/ledger cleanup that the next compaction's start
+    // sweep redoes statically. Residual (documented in FoldLease):
+    // two live compactions of the SAME gen share an id and pass —
+    // the lease cannot serialize a writer against a live copy of
+    // itself.
+    val leaseGen = readBm25Meta(spark, path).gen
+    FoldLease.withLease(spark, path, s"__compact:$leaseGen") {
+    // meta re-read INSIDE the lease stays authoritative — the
+    // pre-read only derives the id, so even a pre-read made stale by
+    // a just-released compaction still compacts the LIVE generation
     val meta = readBm25Meta(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

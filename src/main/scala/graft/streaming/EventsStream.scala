@@ -261,7 +261,12 @@ object EventsStream {
     * the batch and serving-path rows) inside `foreachBatch`. The
     * batch serving-path operator is the oracle semantics; exactly-
     * once via the `inc=b<batchId>` dynamic-overwrite partition (the
-    * streamBm25Probe pattern).
+    * streamBm25Probe pattern). The reranker comes through the
+    * [[graft.scorer.RelevanceScorer]] seam like the batch tail (r16
+    * advice — a hardcoded mock made every deployment silently rerank
+    * by a key hash); the default stays the deterministic mock so the
+    * gate row and oracle are unchanged, a deployment passes its
+    * cross-encoder.
     */
   def streamFusionProbe(
       spark: SparkSession,
@@ -274,7 +279,8 @@ object EventsStream {
       outDir: String,
       checkpointDir: String,
       legK: Int = 20,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      scorer: graft.scorer.RelevanceScorer = new graft.scorer.MockRelevanceScorer
   ): StreamingQuery =
     spark.readStream.schema(schema).parquet(queriesDir)
       .writeStream
@@ -290,8 +296,7 @@ object EventsStream {
           .probeIvfIndex(spark, ivfPath, qe, "vec_id", "embedding", legK, nProbe)
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
         graft.ops.Retrieval.rrfFuseRerank(lex, dense,
-            batch, "query_id", "qtext", docs, "doc_id", "text",
-            new graft.scorer.MockRelevanceScorer)
+            batch, "query_id", "qtext", docs, "doc_id", "text", scorer)
           .withColumn("inc", lit(s"b$bid"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

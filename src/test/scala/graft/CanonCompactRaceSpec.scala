@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Dedup
+
+import org.apache.spark.sql.functions._
+
+/** Reader-safe canon-index compaction (r16 verdict task 4): the old
+  * contract conceded that a probe listing the directory before
+  * [[Dedup.compactCanonIndex]]'s delete phase and reading after could
+  * hit a dead part file ("run compaction in the maintenance window").
+  * The probe now materializes its index slice under a bounded
+  * missing-file retry, so compaction can run NEXT TO live probes —
+  * every post-append directory state is value-identical (min
+  * semilattice), which is exactly what makes retry-with-fresh-listing
+  * return the uncontended answer.
+  */
+class CanonCompactRaceSpec extends SparkSpecBase {
+
+  private def docs = GraftSession.table(spark, sf, "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("retryOnMissingFiles: FNF-caused failures re-run the body, others propagate") {
+    var n = 0
+    val r = Dedup.retryOnMissingFiles(4) {
+      n += 1
+      if (n < 3) throw new org.apache.spark.SparkException(
+        "task failed", new java.io.FileNotFoundException("part-00000 deleted mid-scan"))
+      "ok"
+    }
+    assert(r === "ok" && n === 3)
+    // message-only FNF (Spark sometimes flattens the cause into text)
+    var m = 0
+    Dedup.retryOnMissingFiles(2) {
+      m += 1
+      if (m < 2) throw new RuntimeException(
+        "java.io.FileNotFoundException: file does not exist — listing raced a delete")
+    }
+    assert(m === 2)
+    // a non-FNF failure must propagate on the first throw
+    var k = 0
+    intercept[IllegalArgumentException] {
+      Dedup.retryOnMissingFiles(4) { k += 1; throw new IllegalArgumentException("real bug") }
+    }
+    assert(k === 1, "non-FNF errors must not be retried")
+    // exhausted attempts propagate the last FNF
+    var j = 0
+    intercept[org.apache.spark.SparkException] {
+      Dedup.retryOnMissingFiles(2) {
+        j += 1
+        throw new org.apache.spark.SparkException(
+          "task failed", new java.io.FileNotFoundException("still missing"))
+      }
+    }
+    assert(j === 2)
+  }
+
+  test("law: probes running concurrently with compactions keep returning the uncontended answer") {
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+    val inc  = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+    val path = java.nio.file.Files.createTempDirectory("canonrace").toString + "/idx"
+    Dedup.writeCanonIndex(base, "doc_id", "text", path)
+    // the churn increment is appended ONCE up front and then
+    // re-appended every cycle: min is idempotent, so the re-appends
+    // change file layout (what compaction folds) but never values —
+    // the probe's expected answer stays constant through every cycle
+    Dedup.appendToCanonIndex(inc.limit(40), "doc_id", "text", path)
+    def probe() = Dedup.canonDedupWithIndex(spark, path, inc, "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    val expected = probe()
+    assert(expected.nonEmpty)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactor = new Thread(() => {
+      try {
+        var cycles = 0
+        while (!stop.get() && cycles < 12) {
+          Dedup.appendToCanonIndex(inc.limit(40), "doc_id", "text", path)
+          Dedup.compactCanonIndex(spark, path)
+          cycles += 1
+        }
+      } catch { case e: Throwable => errs.add(e) } finally stop.set(true)
+    })
+    compactor.start()
+    try {
+      var probes = 0
+      while (!stop.get() && probes < 8) {
+        assert(probe() === expected,
+          s"probe $probes diverged while compaction was running")
+        probes += 1
+      }
+      assert(probes > 0)
+    } finally { stop.set(true); compactor.join(300000) }
+    assert(errs.isEmpty, s"compactor failed: ${Option(errs.peek()).map(_.toString)}")
+    // and the layout actually churned down to the compacted shape
+    val (_, after) = Dedup.compactCanonIndex(spark, path)
+    assert(after > 0)
+  }
+}

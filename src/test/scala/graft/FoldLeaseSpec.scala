@@ -119,6 +119,58 @@ class FoldLeaseSpec extends SparkSpecBase {
     assert(!leaseFile(path).exists())
   }
 
+  test("BM25 compaction lease is generation-keyed: same-gen replay passes, cross-gen is blocked") {
+    import graft.ops.TextAnalysis
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val path = java.nio.file.Files.createTempDirectory("bm25compactlease").toString + "/idx"
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", path)
+    // crashed PRE-flip compaction of the live gen: replay derives the
+    // same gen-keyed id and passes through its own stale lease
+    plantLease(path, "__compact:postings")
+    TextAnalysis.compactBm25Index(spark, path) // flips to postings_g1
+    assert(!leaseFile(path).exists(), "completed compaction must release the lease")
+    // a lease from a compaction of a DIFFERENT generation state (a
+    // post-flip crash, or a live concurrent compaction that just
+    // flipped) must block — the r16 advice hole: a fixed "__compact"
+    // id waved every live compaction through
+    plantLease(path, "__compact:postings")
+    val e = intercept[IllegalStateException](TextAnalysis.compactBm25Index(spark, path))
+    assert(e.getMessage.contains("CONCURRENT_FOLD"), s"wrong error: ${e.getMessage}")
+    // the named remedy (one file delete) restores availability
+    leaseFile(path).delete()
+    TextAnalysis.compactBm25Index(spark, path)
+    assert(!leaseFile(path).exists())
+  }
+
+  test("versioned retrain: foreign-version lease blocks CONCURRENT_FOLD; same-version replay rewrites") {
+    import graft.ops.Similarity
+    val e = GraftSession.table(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("retrainlease").toString + "/model"
+    Similarity.writeKmeansModel(e, "vec_id", "embedding", k = 4, iters = 1, path)
+    val inc = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 2 as float))").as("embedding"))
+    def run(version: Long) = Similarity.retrainWhenDriftedVersioned(
+        spark, path, version, inc, "vec_id", "embedding",
+        corpus = e, k = 4, iters = 1, driftThreshold = 2.0)
+      .orderBy("cluster").collect().map(_.toSeq).toSeq
+    // a DISTINCT retrain (version 7) is mid-run in another writer:
+    // version 8 must fail loudly BEFORE touching any marker — the
+    // r16 verdict's last doc-only single-writer assumption
+    plantLease(path, "__retrain:v7")
+    val ex = intercept[IllegalStateException](run(8L))
+    assert(ex.getMessage.contains("CONCURRENT_FOLD"), s"wrong error: ${ex.getMessage}")
+    assert(!new java.io.File(s"$path/v=8").exists(),
+      "blocked retrain published a version anyway")
+    // v7's "crashed" attempt replays through its own lease, rewrites,
+    // commits, and releases — crash recovery stays one replay away
+    val rep = run(7L)
+    assert(rep.forall(_.last == 1L), "threshold 2 must fire")
+    assert(new java.io.File(s"$path/v=7/_COMMITTED").exists(),
+      "replayed retrain must publish with its commit marker")
+    assert(!leaseFile(path).exists(), "completed retrain must release the lease")
+  }
+
   test("law: two concurrent distinct folds serialize — loser retries, final positions stay dense") {
     val base = docs.filter(col("doc_id") % 9 =!= 4)
     val incA = docs.filter(col("doc_id") % 9 === 4).select(col("doc_id"), col("text"))
