@@ -202,7 +202,12 @@ object Bench {
     // the deployed shape of x_retrieval_fusion — and its streaming
     // twin (query batches probing both indexes in foreachBatch)
     "x_retrieval_fusion_index",
-    "s9_stream_fusion"
+    "s9_stream_fusion",
+    // round-17: the LSH- and sign-plane-index compaction folds
+    // (previously doc-only "low-traffic window" procedures) benched
+    // from birth — probes over appended-then-compacted layouts
+    "x_dedup_inc_compact",
+    "x_dedup_semantic_compact"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

@@ -1390,6 +1390,32 @@ object QueriesScale {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** [[semanticIncOracle]] with the appended crawl (colinear ×3
+    * copies of sources 0-9, +200000) folded into the index side —
+    * the probe-after-compaction ≡ rebuild-on-union law for the
+    * sign-plane index.
+    */
+  private val semanticCompactOracle: String = {
+    val cos = "(list_sum(list_transform(list_zip(a.v, b.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm))"
+    def keyed(src: String) =
+      s"""SELECT id, embedding AS v,
+         |  sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         | FROM $src""".stripMargin
+    s"""WITH base AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * 3 AS REAL))
+       |  FROM embeddings WHERE vec_id < 10),
+       |fresh AS (SELECT vec_id + 100000 AS id, list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id < 20),
+       |ka AS (${keyed("base")}),
+       |kb AS (${keyed("fresh")})
+       |SELECT a.id AS id_a, b.id AS id_b, round($cos, 4) AS cosine
+       |FROM ka a JOIN kb b ON a.bucket = b.bucket
+       |WHERE round($cos, 4) >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The word-carrying BPE merge replay shared by the encode/tokenize
     * oracles: CTE prologue `w` (word counts), `e0` (symbolized), and
     * the unrolled merge steps `q_i`/`c_i`/`e_i` up to `e$n` — each step
@@ -1472,6 +1498,30 @@ object QueriesScale {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- the LSH index probe over an APPENDED-then-COMPACTED
+    // layout: base corpus indexed, a second crawl appended
+    // (`appendToMinhashIndex`), the accumulated file sets folded by
+    // `compactMinhashIndex` (r17 — previously a doc-only "low-traffic
+    // window" procedure), then the fresh increment probes it. The
+    // oracle replays the banded join over base ∪ appended — the
+    // probe-after-compaction ≡ probe-after-append ≡ rebuild law,
+    // pinned hash-exact like x_dedup_canon_compact
+    "x_dedup_inc_compact" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val appended = base.filter(col("id") < 15)
+        .select((col("id") + 20000).as("id"), concat(col("text"), lit(" qq ww")).as("text"))
+      val fresh = base.filter(col("id") < 25)
+        .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
+      val path = buildOnce("lshcidx", dir) { p =>
+        Dedup.writeMinhashIndexMd5(base, "id", "text", p)
+        Dedup.appendToMinhashIndex(appended, "id", "text", p)
+        // tiny target so the gate actually exercises the fold
+        Dedup.compactMinhashIndex(s, p): Unit
+      }
+      Dedup.probeMinhashIndexMd5(s, path, fresh, "id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- the same incremental probe ONLINE: the new-crawl increment
     // arrives as a document STREAM and probes the persistent index
     // per micro-batch (stateless banding + stream-static join) —
@@ -1503,6 +1553,30 @@ object QueriesScale {
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
       val path = buildOnce("spidx", dir)(p => Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", p))
+      Dedup.probeSignPlaneIndex(s, path, fresh, "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- the sign-plane probe over an APPENDED-then-COMPACTED
+    // layout (r17): a second embedding crawl (colinear ×3 copies of
+    // sources 0-9, +200000) appends into the index, the accumulated
+    // file sets fold via compactSignPlaneIndex, then the colinear ×2
+    // increment probes it — appended rows must pair with their fresh
+    // twins exactly as a rebuild would (cosine 1.0), pinned by the
+    // union-replay oracle. The embedding twin of x_dedup_inc_compact.
+    "x_dedup_semantic_compact" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val appended = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(3.0f)).cast("float")).as("embedding"))
+      val fresh = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val path = buildOnce("spcidx", dir) { p =>
+        Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", p)
+        Dedup.appendToSignPlaneIndex(appended, "vec_id", "embedding", p)
+        Dedup.compactSignPlaneIndex(s, p): Unit
+      }
       Dedup.probeSignPlaneIndex(s, path, fresh, "vec_id", "embedding", 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -4507,6 +4581,34 @@ object QueriesScale {
        |WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** [[IncrementalLshSql]] over the base ∪ APPENDED index contents —
+    * the oracle for the appended-then-compacted probe: compaction
+    * must be invisible (probe-after-compaction ≡ rebuild on the
+    * union), so the SQL replays the same banded join with the
+    * appended crawl (+20000, ' qq ww') folded into the index side
+    * and the fresh increment (+10000, ' zz yy') on the probe side.
+    */
+  private val IncCompactLshSql: String =
+    s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+       | UNION ALL SELECT doc_id + 10000, text || ' zz yy' FROM documents WHERE doc_id < 25
+       | UNION ALL SELECT doc_id + 20000, text || ' qq ww' FROM documents WHERE doc_id < 15),
+       |$ShinglesSql,
+       |sig AS (SELECT id, list_transform(range(0, 12),
+       |  k -> list_min(list_transform(shs, s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+       | FROM sh WHERE len(shs) > 0),
+       |banded AS (SELECT id, sig, tb.b AS band,
+       |  array_to_string(list_slice(sig, tb.b * 3 + 1, tb.b * 3 + 3), '|') AS bucket
+       | FROM sig, range(0, 4) tb(b)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       | FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket
+       | WHERE (a.id < 10000 OR a.id >= 20000) AND b.id >= 10000 AND b.id < 20000)
+       |SELECT id_a, id_b,
+       | round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) AS est_jaccard
+       |FROM cand
+       |WHERE round(len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0, 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Ground truth for both agreement queries: ALL pairs with true
     * 3-shingle jaccard ≥ 0.9 — algorithm-independent, so the same SQL
     * oracles both the minhash- and the simhash-blocked flavor. The
@@ -5404,6 +5506,7 @@ object QueriesScale {
     // same batch semantics (stateless banding + stream-static join),
     // so one SQL gates both flavors
     "x_dedup_incremental" -> IncrementalLshSql,
+    "x_dedup_inc_compact" -> IncCompactLshSql,
     "s9_stream_neardup" -> IncrementalLshSql,
     "x_dedup_simhash" ->
       s"""WITH $CorpusSql,
@@ -5454,6 +5557,7 @@ object QueriesScale {
     // base × increment cosine pairs on matching sign buckets — gates
     // BOTH the batch index probe and its streaming twin
     "x_dedup_semantic_inc" -> semanticIncOracle,
+    "x_dedup_semantic_compact" -> semanticCompactOracle,
     "s9_stream_semantic" -> semanticIncOracle,
     // banded probe: base × increment on ANY of the three band buckets
     "x_dedup_semantic_inc_banded" -> {

@@ -134,6 +134,11 @@ object Dedup {
     * (any post-append state is value-identical, so the retry answer
     * equals the uncontended one), pinned by `CanonCompactRaceSpec`.
     * Returns (filesBefore, filesAfter).
+    *
+    * (The probe-side retry refreshes the session's file-status cache
+    * per attempt — mutating files through the raw FileSystem leaves
+    * Spark's shared listing cache stale, and an unrefreshed "retry"
+    * would re-plan the same dead files forever.)
     */
   def compactCanonIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
@@ -167,12 +172,27 @@ object Dedup {
     * is file-count-bounded, not data-bounded. Non-FNF failures
     * propagate immediately.
     */
-  private[graft] def retryOnMissingFiles[T](attempts: Int)(body: => T): T = {
+  private[graft] def retryOnMissingFiles[T](
+      attempts: Int,
+      spark: org.apache.spark.sql.SparkSession = null,
+      refreshPaths: Seq[String] = Nil)(body: => T): T = {
+    // match every surface Spark gives a deleted-under-scan file: the
+    // raw java.io.FileNotFoundException, the flattened message, AND
+    // Spark 4's FAILED_READ_FILE.FILE_NOT_EXIST error class ("File
+    // does not exist. It is possible the underlying files have been
+    // updated.") — the full-suite race run caught the class variant
+    // slipping through an instance-only check. "does not exist" is
+    // deliberately broad; the helper only ever wraps reads whose
+    // missing-file states are value-identical, and non-matching
+    // failures still propagate on first throw.
     def isMissingFile(e: Throwable): Boolean = {
       var c: Throwable = e
       while (c != null) {
+        val m = Option(c.getMessage).getOrElse("")
         if (c.isInstanceOf[java.io.FileNotFoundException] ||
-          Option(c.getMessage).exists(_.contains("FileNotFoundException"))) return true
+          m.contains("FileNotFoundException") ||
+          m.contains("FILE_NOT_EXIST") ||
+          m.contains("does not exist")) return true
         c = if (c.getCause eq c) null else c.getCause
       }
       false
@@ -183,7 +203,22 @@ object Dedup {
       catch {
         case e: Throwable if left > 1 && isMissingFile(e) =>
           left -= 1
+          System.err.println(s"[graft] missing-file retry (${attempts - left}/${attempts - 1}): " +
+            Option(e.getMessage).getOrElse(e.toString).linesIterator.next().take(200))
+          // CRITICAL: a compaction mutates files through the
+          // FileSystem directly, which never invalidates Spark's
+          // shared FileStatusCache — without the refresh, every
+          // "fresh" re-plan reuses the same stale listing and the
+          // retry loops on the same dead file (caught live by the
+          // race specs under full-suite load)
+          refreshPaths.foreach { p =>
+            try spark.catalog.refreshByPath(p)
+            catch { case _: Throwable => () }
+          }
           Thread.sleep(200)
+        case e: Throwable =>
+          System.err.println(s"[graft] retry PROPAGATING (left=$left, missingFile=${isMissingFile(e)}): ${e.getClass.getName}")
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -222,7 +257,7 @@ object Dedup {
     // files, so a compaction's delete phase can no longer fail a
     // probe mid-scan — reader-safety without a generation pointer
     // (see compactCanonIndex)
-    val pruned = retryOnMissingFiles(4) {
+    val pruned = retryOnMissingFiles(4, spark, Seq(s"$path/canon")) {
       spark.read.parquet(s"$path/canon")
         .join(bc(incWin.select(col("h"))), Seq("h"), "left_semi")
         .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
@@ -808,9 +843,9 @@ object Dedup {
     * each crawl pays O(increment), never O(corpus). New files are
     * bucket-sorted internally, so parquet min/max stats keep pruning
     * within every file; COMPACTION is operational hygiene, not
-    * correctness — when a band partition accumulates many small
-    * append files, rewrite that partition (read → sortWithinPartitions
-    * → overwrite) during low-traffic windows (see SCALING.md).
+    * correctness — [[compactMinhashIndex]] folds the accumulated
+    * append files per band partition, safe to run next to live
+    * probes (reader-retry in [[probeMinhashIndexMd5]]).
     *
     * Crash-consistency contract (spec-proven,
     * `IndexMaintenanceSpec`): the index is semantically a SET of
@@ -834,12 +869,49 @@ object Dedup {
     minhashIndexLayout(df, idCol, textCol, path, w, numHashes, bands,
       org.apache.spark.sql.SaveMode.Append)
 
+  /** COMPACT the LSH index's accumulated append files — the
+    * operational-hygiene pass [[appendToMinhashIndex]] defers (a year
+    * of nightly crawls otherwise leaves one small file set per crawl
+    * per band, and the listing cost rides on every probe). This was a
+    * doc-only procedure ("rewrite the partition in a low-traffic
+    * window") until r17; it is now an op with the same guarantees as
+    * [[compactCanonIndex]], for the same algebraic reason: the index
+    * is semantically a SET of (id, sig, band, bucket) rows and the
+    * probe ends in `dropDuplicates`, so every crash/overlap state of
+    * [[Scale.compact]]'s swap is probe-identical — new files rename
+    * in BEFORE originals are deleted, so the window holds transient
+    * DUPLICATES (collapsed by the probe) and never a loss; a crashed
+    * pass leaves originals plus a partial compacted set, both live,
+    * same answers. Concurrent compactions converge the same way, so
+    * no lease. Reclamation is GRACE-DEFERRED
+    * (`Scale.compact(deferDeletes = true)`): a pass deletes only the
+    * files the PREVIOUS pass replaced, so a live probe's pinned
+    * listing survives at least one full inter-compaction interval —
+    * the probe's missing-file retry ([[probeMinhashIndexMd5]])
+    * absorbs the only residue (a probe outliving an entire cycle).
+    * No maintenance window. Per-band `coalesce` file merge, no
+    * shuffle, cost proportional to the fragmented tail only (see
+    * [[Scale.compact]]).
+    */
+  def compactMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Seq[Scale.CompactStats] =
+    Scale.compact(spark, path, targetBytes, deferDeletes = true)
+
   /** Probe the [[writeMinhashIndexMd5]] index with a NEW document
     * increment: new docs band exactly as the index did, candidates
     * come from the (band, bucket) equi-join, and the estimated-Jaccard
     * verify runs on the signatures both sides already carry — the
     * corpus text is never touched again. Returns
     * (id_a = indexed id, id_b = new id, est_jaccard).
+    *
+    * READER-SAFE under [[compactMinhashIndex]]: the pair-bounded
+    * result materializes under [[retryOnMissingFiles]], so a file
+    * listing that loses the race with compaction's delete phase
+    * re-lists and re-reads — and a listing that catches the swap
+    * mid-rename sees transient duplicate rows the terminal
+    * `dropDuplicates` collapses (set semantics; same value either
+    * way). The returned frame holds no reference to index files.
     */
   def probeMinhashIndexMd5(
       spark: org.apache.spark.sql.SparkSession,
@@ -851,15 +923,38 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4,
       threshold: Double = 0.5
+  ): DataFrame =
+    retryOnMissingFiles(4, spark, Seq(path)) {
+      probeMinhashIndexMd5Plan(spark, path, newDocs, idCol, textCol,
+        w, numHashes, bands, threshold).localCheckpoint()
+    }
+
+  /** The probe's LAZY plan — what [[probeMinhashIndexMd5]] builds
+    * fresh (new file listing) and materializes on each retry attempt.
+    * Package-private so plan-shape specs (partition pruning) can
+    * inspect the exact plan the probe executes.
+    */
+  private[graft] def probeMinhashIndexMd5Plan(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5
   ): DataFrame = {
-    val index  = spark.read.parquet(path)
     val probes = bandedSigsMd5(newDocs, idCol, textCol, w, numHashes, bands)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
       (acc, v) => acc + v
     ).cast("double") / lit(numHashes.toDouble)
-    index.as("a")
+    // grace-aware read: manifest-doomed files are excluded up front
+    // (Scale.readLive), so the probe cannot race the next pass's
+    // reclaim — see compactMinhashIndex
+    Scale.readLive(spark, path).as("a")
       .join(probes.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -1365,6 +1460,25 @@ object Dedup {
     signPlaneBandedLayout(df, idCol, vecCol, path, planes, bands,
       org.apache.spark.sql.SaveMode.Append)
 
+  /** COMPACT a sign-plane index's accumulated append files (single or
+    * banded layout — the walk is per partition directory either way).
+    * Identical contract to [[compactMinhashIndex]]: the index is a
+    * SET of keyed vector rows and both probes dedup pairs, so every
+    * state of [[Scale.compact]]'s rename-in-then-delete swap is
+    * probe-identical (transient duplicates collapse, nothing is ever
+    * lost), concurrent compactions converge, and deletes are
+    * GRACE-DEFERRED (`Scale.compact(deferDeletes = true)`): a pass
+    * only reclaims files the PREVIOUS pass replaced, so a live
+    * probe's listing stays readable for a whole inter-compaction
+    * interval, with the probe-side missing-file retry absorbing the
+    * residue — no maintenance window. The `_deletes` tombstone tree
+    * is a SIBLING root and is never touched.
+    */
+  def compactSignPlaneIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Seq[Scale.CompactStats] =
+    Scale.compact(spark, path, targetBytes, deferDeletes = true)
+
   private def signPlaneBandedLayout(
       df: DataFrame, idCol: String, vecCol: String, path: String,
       planes: Int, bands: Int, mode: org.apache.spark.sql.SaveMode): Unit =
@@ -1384,9 +1498,25 @@ object Dedup {
   def probeSignPlaneIndexBanded(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newEmb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 4, bands: Int = 3): DataFrame =
+    if (newEmb.isStreaming)
+      probeSignPlaneIndexBandedPlan(spark, path, newEmb, idCol, vecCol, threshold, planes, bands)
+    else retryOnMissingFiles(4, spark, Seq(path, s"${path}_deletes")) {
+      probeSignPlaneIndexBandedPlan(spark, path, newEmb, idCol, vecCol, threshold, planes, bands)
+        .localCheckpoint()
+    }
+
+  /** The banded probe's LAZY plan — built fresh (new file listing)
+    * per retry attempt by [[probeSignPlaneIndexBanded]];
+    * package-private for plan-shape specs.
+    */
+  private[graft] def probeSignPlaneIndexBandedPlan(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newEmb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       planes: Int = 4, bands: Int = 3): DataFrame = {
     val probes = signPlaneKeyedBanded(newEmb, idCol, vecCol, planes, bands)
-    val indexAll = spark.read.schema(probes.schema).parquet(path)
+    // grace-aware read (Scale.readLive): see probeSignPlaneIndexPlan
+    val indexAll = Scale.readLive(spark, path, Some(probes.schema))
     val cell = col("band") * lit(1 << planes) + col("bucket")
     val index0 =
       if (newEmb.isStreaming) indexAll
@@ -1533,14 +1663,39 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       planes: Int = 4
+  ): DataFrame =
+    // reader-safe: a batch probe whose pinned listing loses the race
+    // with compactSignPlaneIndex's delete phase re-builds the plan
+    // (FRESH file listing) and re-reads — set semantics make every
+    // swap state probe-identical. Streaming probes keep the lazy plan.
+    if (newEmb.isStreaming)
+      probeSignPlaneIndexPlan(spark, path, newEmb, idCol, vecCol, threshold, planes)
+    else retryOnMissingFiles(4, spark, Seq(path, s"${path}_deletes")) {
+      probeSignPlaneIndexPlan(spark, path, newEmb, idCol, vecCol, threshold, planes)
+        .localCheckpoint()
+    }
+
+  /** The probe's LAZY plan — built fresh per retry attempt by
+    * [[probeSignPlaneIndex]]; package-private for plan-shape specs.
+    */
+  private[graft] def probeSignPlaneIndexPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 4
   ): DataFrame = {
     val probes = signPlaneKeyed(newEmb, idCol, vecCol, planes)
     // explicit schema (the probe side is keyed identically, so its
     // schema IS the index schema): an index built from a corpus with
     // no embeddings is an empty partitioned dir, and schema inference
     // would throw where the correct semantics is "no history → no
-    // pairs" — same contract as probeSubstringIndex.
-    val indexAll = spark.read.schema(probes.schema).parquet(path)
+    // pairs" — same contract as probeSubstringIndex. Grace-aware read
+    // (Scale.readLive): manifest-doomed files are excluded up front,
+    // so the probe cannot race compactSignPlaneIndex's reclaim.
+    val indexAll = Scale.readLive(spark, path, Some(probes.schema))
     // static bucket pruning on BATCH probes: each probe vector keys to
     // ONE bucket, so a small increment touches few of the 2^planes
     // partitions — but the DPP route this join relies on falls back to

@@ -180,6 +180,58 @@ object Scale {
   /** One compacted partition directory's before/after accounting. */
   final case class CompactStats(dir: String, filesBefore: Int, filesAfter: Int, bytes: Long)
 
+  /** Read a (possibly Hive-partitioned) parquet layout maintained by
+    * [[compact]]`(deferDeletes = true)`, EXCLUDING the `_GARBAGE`
+    * manifest's doomed files — the reader half of the grace-period
+    * protocol. A manifest entry is a file whose compacted replacement
+    * was fully renamed in BEFORE the manifest landed (write order in
+    * [[compact]]), so excluding it loses nothing; and since the next
+    * pass deletes ONLY manifest-listed files, a reader that excluded
+    * them up front can no longer race the reclaim — the
+    * delete-under-scan window needs the reader to outlive TWO full
+    * compaction passes (list → files become garbage → garbage
+    * reclaimed), which a bounded retry absorbs entirely. Explicit
+    * file list + `basePath` keeps partition-column derivation
+    * identical to a plain directory read. `schema` = None infers;
+    * an empty live set with a schema returns an empty frame (the
+    * "no history → no pairs" contract).
+    */
+  def readLive(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): org.apache.spark.sql.DataFrame = {
+    val raw  = new org.apache.hadoop.fs.Path(path)
+    val fs   = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(raw)
+    val doomed: Set[String] = {
+      val m = new org.apache.hadoop.fs.Path(root, "_GARBAGE")
+      if (!fs.exists(m)) Set.empty
+      else {
+        val in = fs.open(m)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .split("\n").filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+    }
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filter(s => !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (doomed.contains(s.getPath.toString)) Nil
+          else Seq(s.getPath.toString)
+        }
+    val files  = walk(root)
+    val reader = spark.read.option("basePath", path)
+    val withSchema = schema.fold(reader)(reader.schema)
+    if (files.nonEmpty) withSchema.parquet(files: _*)
+    else schema match {
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None => withSchema.parquet(path) // fall through: same error a raw read gives
+    }
+  }
+
   /** Bin-pack a parquet dataset's files toward `targetBytes` per file
     * — the small-files problem is the classic large-pipeline failure
     * mode (a 100 TB warehouse written by thousands of tasks ends up
@@ -214,17 +266,37 @@ object Scale {
     * (a crash can duplicate a partition transiently, never lose it;
     * failed renames roll back to the originals), so run passes in a
     * maintenance window or behind a table-format commit if readers
-    * race writers. Type fidelity: the rewrite round-trips through the
-    * SESSION's parquet mapping — tables read under legacy mappings
-    * (e.g. `nanosAsLong` TIMESTAMP(NANOS) → BIGINT) would be written
-    * back with the mapped type, so compact those from a session
-    * without the mapping.
+    * race writers — OR pass `deferDeletes = true` (below) when row
+    * duplication is value-invisible. Type fidelity: the rewrite
+    * round-trips through the SESSION's parquet mapping — tables read
+    * under legacy mappings (e.g. `nanosAsLong` TIMESTAMP(NANOS) →
+    * BIGINT) would be written back with the mapped type, so compact
+    * those from a session without the mapping.
+    *
+    * ==deferDeletes: RCU-style grace-period reclamation==
+    * With `deferDeletes = true`, originals are NOT deleted in the
+    * swap: their paths land in a `_GARBAGE` manifest at the root, and
+    * the NEXT compaction pass deletes them first. A reader's pinned
+    * file listing therefore stays fully readable for at least one
+    * whole inter-compaction interval — the delete-under-scan window
+    * shrinks from "this pass's swap" to "the reader outlived an
+    * entire compaction cycle", which a bounded retry then absorbs.
+    * The price is transient ROW DUPLICATION during the grace (old +
+    * compacted files coexist), so this mode is ONLY for layouts
+    * where duplicates are value-invisible: set-semantics indexes
+    * whose probes dedup (minhash, sign-plane) and semilattice folds
+    * (min/max). Never use it for additive-count layouts (BM25 uses a
+    * generation pointer instead). Crash windows converge: a crash
+    * before the manifest lands leaves old+new files — duplicates the
+    * next pass re-compacts; a crash between garbage deletion and
+    * manifest removal re-deletes already-gone files (no-op).
     */
   def compact(
       spark: SparkSession,
       path: String,
       targetBytes: Long,
-      parallelism: Int = 8
+      parallelism: Int = 8,
+      deferDeletes: Boolean = false
   ): Seq[CompactStats] = {
     require(targetBytes > 0, "compact needs a positive target file size")
     require(parallelism > 0, "compact needs a positive pool size")
@@ -236,6 +308,20 @@ object Scale {
     def visible(s: org.apache.hadoop.fs.FileStatus): Boolean = {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
+    }
+    // deferred-deletes bookkeeping (see scaladoc): reclaim the
+    // PREVIOUS pass's garbage first — those files have had a full
+    // inter-compaction grace — then collect this pass's originals
+    val garbageManifest = new org.apache.hadoop.fs.Path(root, "_GARBAGE")
+    val newGarbage = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (deferDeletes && fs.exists(garbageManifest)) {
+      val in = fs.open(garbageManifest)
+      val stale =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+        finally in.close()
+      stale.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      fs.delete(garbageManifest, false)
     }
     // every dir with data files is a target — leaves AND mixed dirs
     def targetDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
@@ -270,7 +356,8 @@ object Scale {
           (dest, fs.rename(s.getPath, dest))
         }
         if (renamed.forall(_._2)) {
-          files.foreach(f => fs.delete(f.getPath, false))
+          if (deferDeletes) files.foreach(f => newGarbage.add(f.getPath.toString))
+          else files.foreach(f => fs.delete(f.getPath, false))
           fs.delete(tmp, true)
           Some(CompactStats(dir.toString, files.length, compacted.length, bytes))
         } else {
@@ -289,9 +376,20 @@ object Scale {
     try {
       val done = scala.concurrent.Future.sequence(
         dirs.map(d => scala.concurrent.Future(compactDir(d))))
-      scala.concurrent.Await
+      val stats = scala.concurrent.Await
         .result(done, scala.concurrent.duration.Duration.Inf)
         .flatten
+      // publish this pass's garbage for the NEXT pass to reclaim —
+      // written LAST, so a crash anywhere above leaves the originals
+      // live (duplicates, value-invisible by this mode's contract)
+      if (deferDeletes && !newGarbage.isEmpty) {
+        val out = fs.create(garbageManifest, /* overwrite = */ true)
+        try out.write(
+          scala.jdk.CollectionConverters.IteratorHasAsScala(newGarbage.iterator())
+            .asScala.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      stats
     } finally pool.shutdown()
   }
 

@@ -54,6 +54,123 @@ class CanonCompactRaceSpec extends SparkSpecBase {
     assert(j === 2)
   }
 
+  test("probe result is DETACHED from index files: collect after raw file deletion still answers") {
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id").as("id"), col("text"))
+    val fresh = base.filter(col("id") < 25)
+      .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
+    val path = java.nio.file.Files.createTempDirectory("lshdetach").toString + "/idx"
+    Dedup.writeMinhashIndexMd5(base, "id", "text", path)
+    val probeDf = Dedup.probeMinhashIndexMd5(spark, path, fresh, "id", "text")
+    val before = probeDf.orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty)
+    // nuke every index file — if the returned frame still references
+    // them (the reader-safety contract's load-bearing claim), the
+    // re-collect below throws FILE_NOT_EXIST
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    val after = probeDf.orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    assert(after === before, "probe re-read index files after materialization")
+  }
+
+  test("minhash law: index probes racing append+compact cycles keep the uncontended answer") {
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id").as("id"), col("text"))
+    val appended = base.filter(col("id") < 15)
+      .select((col("id") + 20000).as("id"), concat(col("text"), lit(" qq ww")).as("text"))
+    val fresh = base.filter(col("id") < 25)
+      .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
+    val path = java.nio.file.Files.createTempDirectory("lshrace").toString + "/idx"
+    Dedup.writeMinhashIndexMd5(base, "id", "text", path)
+    // the churn crawl is appended once up front, then re-appended
+    // every cycle: the index is a SET and the probe dropDuplicates,
+    // so re-appends change file layout but never probe values
+    Dedup.appendToMinhashIndex(appended, "id", "text", path)
+    def probe() = Dedup.probeMinhashIndexMd5(spark, path, fresh, "id", "text")
+      .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    val expected = probe()
+    assert(expected.nonEmpty, "planted near-dups must surface")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactor = new Thread(() => {
+      try {
+        var cycles = 0
+        while (!stop.get() && cycles < 10) {
+          Dedup.appendToMinhashIndex(appended, "id", "text", path)
+          Dedup.compactMinhashIndex(spark, path)
+          cycles += 1
+        }
+      } catch { case e: Throwable => errs.add(e) } finally stop.set(true)
+    })
+    compactor.start()
+    try {
+      var probes = 0
+      while (!stop.get() && probes < 6) {
+        assert(probe() === expected, s"probe $probes diverged under live compaction")
+        probes += 1
+      }
+      assert(probes > 0)
+    } finally { stop.set(true); compactor.join(300000) }
+    assert(errs.isEmpty, s"compactor failed: ${Option(errs.peek()).map(_.toString)}")
+    // compaction actually folds the per-crawl file sets — deletes are
+    // GRACE-DEFERRED one pass (a live probe's listing must survive a
+    // full inter-compaction interval), so after two quiescent passes
+    // each band partition is down to its single compacted file and
+    // the probe still matches
+    Dedup.compactMinhashIndex(spark, path)
+    Dedup.compactMinhashIndex(spark, path)
+    val bandDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    bandDirs.foreach { d =>
+      val parts = d.listFiles().count(f => f.getName.endsWith(".parquet"))
+      assert(parts === 1, s"${d.getName} not folded: $parts files")
+    }
+    assert(probe() === expected)
+  }
+
+  test("sign-plane law: probes racing append+compact cycles keep the uncontended answer") {
+    val base = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val appended = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(3.0f)).cast("float")).as("embedding"))
+    val fresh = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("sprace").toString + "/idx"
+    Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
+    Dedup.appendToSignPlaneIndex(appended, "vec_id", "embedding", path)
+    def probe() = Dedup.probeSignPlaneIndex(spark, path, fresh, "vec_id", "embedding", 0.99)
+      .orderBy(col("id_a"), col("id_b")).collect().map(_.toSeq).toSeq
+    val expected = probe()
+    assert(expected.nonEmpty, "colinear pairs must surface")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactor = new Thread(() => {
+      try {
+        var cycles = 0
+        while (!stop.get() && cycles < 10) {
+          Dedup.appendToSignPlaneIndex(appended, "vec_id", "embedding", path)
+          Dedup.compactSignPlaneIndex(spark, path)
+          cycles += 1
+        }
+      } catch { case e: Throwable => errs.add(e) } finally stop.set(true)
+    })
+    compactor.start()
+    try {
+      var probes = 0
+      while (!stop.get() && probes < 6) {
+        assert(probe() === expected, s"probe $probes diverged under live compaction")
+        probes += 1
+      }
+      assert(probes > 0)
+    } finally { stop.set(true); compactor.join(300000) }
+    assert(errs.isEmpty, s"compactor failed: ${Option(errs.peek()).map(_.toString)}")
+  }
+
   test("law: probes running concurrently with compactions keep returning the uncontended answer") {
     val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
     val inc  = docs.filter(pmod(col("doc_id"), lit(7)) === 3)

@@ -135,7 +135,10 @@ class DedupSpec extends SparkSpecBase {
       .select((col("id") + 5000).as("id"), concat(col("text"), lit(" zz")).as("text"))
     val path = java.nio.file.Files.createTempDirectory("lsh-index-spec").toString
     Dedup.writeMinhashIndexMd5(base, "id", "text", path)
-    val probeDf = Dedup.probeMinhashIndexMd5(spark, path, fresh, "id", "text")
+    // the PLAN variant: the public probe materializes exactly this
+    // plan (reader-safe retry), and plan-shape asserts need the lazy
+    // frame — value equality below is unchanged either way
+    val probeDf = Dedup.probeMinhashIndexMd5Plan(spark, path, fresh, "id", "text")
     val probed = probeDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(probeDf.queryExecution.executedPlan.toString.contains("dynamicpruning"),
@@ -233,7 +236,7 @@ class DedupSpec extends SparkSpecBase {
         transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
     val path = java.nio.file.Files.createTempDirectory("sp-index-spec").toString
     Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", path)
-    val probeDf = Dedup.probeSignPlaneIndex(spark, path, fresh, "vec_id", "embedding", 0.99)
+    val probeDf = Dedup.probeSignPlaneIndexPlan(spark, path, fresh, "vec_id", "embedding", 0.99)
     val probed = probeDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // the probe must partition-prune the index by bucket — the
@@ -272,7 +275,7 @@ class DedupSpec extends SparkSpecBase {
     // rebuilt-index probe, i.e. batch banded pairs restricted cross-side
     Dedup.writeSignPlaneIndexBanded(base.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path)
     Dedup.appendToSignPlaneIndexBanded(base.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
-    val probeDf = Dedup.probeSignPlaneIndexBanded(spark, path, fresh, "vec_id", "embedding", 0.99)
+    val probeDf = Dedup.probeSignPlaneIndexBandedPlan(spark, path, fresh, "vec_id", "embedding", 0.99)
     val probed = probeDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // metric-proven cell pruning (populated by the execution above)
     val partitioned = fileScans(probeDf.queryExecution.executedPlan)
