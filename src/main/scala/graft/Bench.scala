@@ -207,7 +207,8 @@ object Bench {
     // (previously doc-only "low-traffic window" procedures) benched
     // from birth — probes over appended-then-compacted layouts
     "x_dedup_inc_compact",
-    "x_dedup_semantic_compact"
+    "x_dedup_semantic_compact",
+    "x_dedup_substring_compact"
   )
 
   /** Session hygiene between measured queries, OUTSIDE the timed

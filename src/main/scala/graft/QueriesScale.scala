@@ -253,6 +253,38 @@ object QueriesScale {
       |          '') AS cleaned
       |FROM f ORDER BY id""".stripMargin
 
+  /** [[substringIncOracle]] with the appended crawl's fingerprints
+    * (the gibberish-tail windows) folded into the index side — the
+    * probe-after-compaction ≡ rebuild-on-union law for the substring
+    * index: the increment's tail is cut too, which can only happen
+    * if the appended rows survive compaction.
+    */
+  private val substringCompactOracle: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      | FROM documents),
+      |ap AS (SELECT list_filter(string_split('qq ww ee rr tt yy uu ii oo pp', ' '), x -> x <> '') AS tk),
+      |bfp AS (SELECT DISTINCT md5(array_to_string(tk[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ')) AS fp
+      | FROM t, unnest(range(0, len(tk) - 7)) AS u(i)
+      | UNION
+      | SELECT DISTINCT md5(array_to_string(tk[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ')) AS fp
+      | FROM ap, unnest(range(0, len(tk) - 7)) AS u(i)),
+      |f0 AS (SELECT doc_id + 30000 AS id,
+      |  array_to_string(tk[1:12], ' ') || ' qq ww ee rr tt yy uu ii oo pp' AS text
+      | FROM t WHERE doc_id < 25),
+      |ft AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM f0),
+      |w AS (SELECT id, CAST(u.i AS INT) AS wpos,
+      |  md5(array_to_string(tk[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ')) AS fp
+      | FROM ft, unnest(range(0, len(tk) - 7)) AS u(i)),
+      |dup AS (SELECT id, wpos FROM w JOIN bfp USING (fp)),
+      |cov AS (SELECT DISTINCT id, CAST(u.p AS INT) AS tpos
+      | FROM dup, unnest(range(wpos, wpos + 8)) AS u(p)),
+      |dl AS (SELECT id, list(tpos ORDER BY tpos) AS dups FROM cov GROUP BY id),
+      |f AS (SELECT ft.id, tk, coalesce(dups, []) AS dups FROM ft LEFT JOIN dl USING (id))
+      |SELECT id, CAST(len(tk) AS INT) AS n_tokens, CAST(len(dups) AS INT) AS n_dup_tokens,
+      | coalesce(array_to_string(list_filter(tk, (x, i) -> NOT list_contains(dups, i - 1)), ' '),
+      |          '') AS cleaned
+      |FROM f ORDER BY id""".stripMargin
+
   /** Shared oracle for all three BM25 retrieval flavors (inline
     * operator, persistent-index probe, streaming probe): the full
     * all-integer Okapi algebra in SQL — the three are output-identical
@@ -2444,6 +2476,27 @@ object QueriesScale {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
       val path = buildOnce("subidx", dir)(p =>
         CorpusOps.writeSubstringIndex(base, "id", "text", p, window = 8))
+      CorpusOps.probeSubstringIndex(s, path, substringIncrement(s, dir), "id", "text", window = 8)
+        .orderBy(col("id"))
+    }),
+
+    // ---- the substring probe over an APPENDED-then-COMPACTED index
+    // (r17): a second crawl whose text IS the increment's gibberish
+    // tail appends its fingerprints, the file sets fold via
+    // compactSubstringIndex, then the standard increment probes it —
+    // the tail windows are now duplicated passages and must be cut
+    // on top of the lifted-prefix cut, which only happens if the
+    // appended rows survived compaction (union-replay oracle).
+    "x_dedup_substring_compact" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      val crawl = docs(s, dir).filter(col("doc_id") < 15)
+        .select((col("doc_id") + 40000).as("id"),
+          lit("qq ww ee rr tt yy uu ii oo pp").as("text"))
+      val path = buildOnce("subcidx", dir) { p =>
+        CorpusOps.writeSubstringIndex(base, "id", "text", p, window = 8)
+        CorpusOps.appendToSubstringIndex(crawl, "id", "text", p, window = 8)
+        CorpusOps.compactSubstringIndex(s, p): Unit
+      }
       CorpusOps.probeSubstringIndex(s, path, substringIncrement(s, dir), "id", "text", window = 8)
         .orderBy(col("id"))
     }),
@@ -5588,6 +5641,7 @@ object QueriesScale {
     // increment windows joined to the base fingerprint set, covered
     // positions cut — gates BOTH the batch probe and its stream twin
     "x_dedup_substring_inc" -> substringIncOracle,
+    "x_dedup_substring_compact" -> substringCompactOracle,
     "s9_stream_substring" -> substringIncOracle,
     // the cosine-pair CTE chained into the recursive closure + keep-one
     "x_dedup_semantic" -> {

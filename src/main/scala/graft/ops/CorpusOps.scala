@@ -1099,8 +1099,8 @@ object CorpusOps {
     * Appends may duplicate a fingerprint already present (the index
     * is semantically a SET and the probe's covered-position collect_set
     * absorbs duplicates — spec-proven probe-after-append ≡ rebuilt);
-    * periodic per-partition distinct-rewrite compaction reclaims the
-    * space.
+    * [[compactSubstringIndex]] reclaims the accumulated append file
+    * sets, safe to run next to live probes.
     *
     * Crash-consistency contract (spec-proven,
     * `IndexMaintenanceSpec`): at-least-once storage, exactly-once
@@ -1117,6 +1117,21 @@ object CorpusOps {
   ): Unit =
     substringIndexLayout(df, idCol, textCol, path, window,
       org.apache.spark.sql.SaveMode.Append)
+
+  /** COMPACT the substring index's accumulated append file sets —
+    * same contract as `Dedup.compactMinhashIndex`: the index is a SET
+    * of (fp, pfx) rows and the probe's covered-position collect_set
+    * absorbs duplicates, so [[graft.ops.Scale.compact]]'s
+    * rename-in-then-grace-defer swap is probe-invisible at every
+    * state; probes read grace-aware (`Scale.readLive`, manifest-
+    * doomed files excluded up front) with a bounded missing-file
+    * retry — no maintenance window. Replaces the former doc-only
+    * "periodic per-partition distinct-rewrite" procedure.
+    */
+  def compactSubstringIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Seq[Scale.CompactStats] =
+    Scale.compact(spark, path, targetBytes, deferDeletes = true)
 
   /** ONE layout pipeline for build AND append (see
     * `Dedup.minhashIndexLayout` — the flavors must not drift).
@@ -1156,21 +1171,29 @@ object CorpusOps {
     val toks = newDocs.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
     val wins = substringWins(toks, idCol, window)
       .withColumn("pfx", substring(col("__fp"), 1, 2))
-    // explicit schema: an index built from a corpus with no
-    // window-sized docs is an EMPTY partitioned dir, and schema
-    // inference would throw where the correct semantics is
-    // "no history → pass the increment through uncut"
-    val index = spark.read
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__fp", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("pfx", org.apache.spark.sql.types.StringType))))
-      .parquet(path)
-    val covered = wins
-      .join(index, Seq("pfx", "__fp"))
-      .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("__tpos"))).as("__dups"))
-    cutCovered(toks, covered, idCol)
+    def plan(): DataFrame = {
+      // explicit schema: an index built from a corpus with no
+      // window-sized docs is an EMPTY partitioned dir, and schema
+      // inference would throw where the correct semantics is
+      // "no history → pass the increment through uncut". Grace-aware
+      // read (Scale.readLive): manifest-doomed files are excluded up
+      // front, so the probe cannot race compactSubstringIndex.
+      val index = Scale.readLive(spark, path,
+        Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__fp", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pfx", org.apache.spark.sql.types.StringType)))))
+      val covered = wins
+        .join(index, Seq("pfx", "__fp"))
+        .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_set(col("__tpos"))).as("__dups"))
+      cutCovered(toks, covered, idCol)
+    }
+    // reader-safe materialization (increment-bounded); streaming
+    // callers go through foreachBatch, so newDocs is always a batch
+    // frame — keep the lazy plan if one ever isn't
+    if (newDocs.isStreaming) plan()
+    else Dedup.retryOnMissingFiles(4, spark, Seq(path))(plan().localCheckpoint())
   }
 
   /** Candidate-volume audit for [[dedupCrossDocSubstring]] — the same

@@ -171,6 +171,49 @@ class CanonCompactRaceSpec extends SparkSpecBase {
     assert(errs.isEmpty, s"compactor failed: ${Option(errs.peek()).map(_.toString)}")
   }
 
+  test("substring law: probes racing append+compact cycles keep the uncontended answer") {
+    import graft.ops.CorpusOps
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id").as("id"), col("text"))
+    val toksOf = filter(split(col("text"), " "), t => t =!= "")
+    val fresh = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 30000).as("id"),
+        concat(array_join(slice(toksOf, 1, 12), " "),
+          lit(" qq ww ee rr tt yy uu ii oo pp")).as("text"))
+    val crawl = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 40000).as("id"),
+        lit("qq ww ee rr tt yy uu ii oo pp").as("text"))
+    val path = java.nio.file.Files.createTempDirectory("subrace").toString + "/idx"
+    CorpusOps.writeSubstringIndex(base, "id", "text", path, window = 8)
+    CorpusOps.appendToSubstringIndex(crawl, "id", "text", path, window = 8)
+    def probe() = CorpusOps.probeSubstringIndex(spark, path, fresh, "id", "text", window = 8)
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    val expected = probe()
+    assert(expected.nonEmpty)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactor = new Thread(() => {
+      try {
+        var cycles = 0
+        while (!stop.get() && cycles < 10) {
+          CorpusOps.appendToSubstringIndex(crawl, "id", "text", path, window = 8)
+          CorpusOps.compactSubstringIndex(spark, path)
+          cycles += 1
+        }
+      } catch { case e: Throwable => errs.add(e) } finally stop.set(true)
+    })
+    compactor.start()
+    try {
+      var probes = 0
+      while (!stop.get() && probes < 6) {
+        assert(probe() === expected, s"probe $probes diverged under live compaction")
+        probes += 1
+      }
+      assert(probes > 0)
+    } finally { stop.set(true); compactor.join(300000) }
+    assert(errs.isEmpty, s"compactor failed: ${Option(errs.peek()).map(_.toString)}")
+  }
+
   test("law: probes running concurrently with compactions keep returning the uncontended answer") {
     val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
     val inc  = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
