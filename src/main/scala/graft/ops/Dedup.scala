@@ -114,26 +114,29 @@ object Dedup {
     * a year of nightly appends otherwise accumulates file sets whose
     * listing cost rides on EVERY probe. min over a hash's rows is an
     * idempotent semilattice, which buys a crash-safety shape the BM25
-    * compactor needs a generation pointer for: (1) materialize the
-    * min-fold, (2) APPEND it as a new bucketed file set into the same
-    * directory, (3) delete exactly the files snapshot-listed in step
-    * 0. A crash after (2) leaves duplicate rows — value-equivalent,
-    * min folds them; a crash mid-(3) leaves some old files —
-    * likewise. Every intermediate state answers probes identically,
-    * so no pointer flip is needed — and no WRITER coordination
-    * either: even two live concurrent compactions converge (each
-    * folds a superset of the values it deletes, `fs.delete` of an
-    * already-deleted file is a no-op, and the surviving duplicate
-    * fold rows min-collapse on the next read), which is why this op
-    * deliberately takes no [[FoldLease]]. The one residual hazard was
-    * READERS: a probe that listed the directory before step 3 and
-    * read after could hit a deleted part file (the r16 "maintenance
-    * window" caveat). [[canonDedupWithIndex]] closes it by
-    * materializing its index slice under [[retryOnMissingFiles]] — a
-    * mid-compaction listing that loses the race re-lists and re-reads
-    * (any post-append state is value-identical, so the retry answer
-    * equals the uncontended one), pinned by `CanonCompactRaceSpec`.
-    * Returns (filesBefore, filesAfter).
+    * compactor needs a generation pointer for: (1) reclaim the
+    * PREVIOUS pass's `_GARBAGE` manifest (grace-deferred deletes —
+    * the same RCU-style protocol as `Scale.compact(deferDeletes =
+    * true)`), (2) materialize the min-fold and APPEND it as a new
+    * bucketed file set into the same directory, (3) record the
+    * folded-over files in the manifest instead of deleting them. A
+    * crash anywhere leaves only live duplicates — value-equivalent,
+    * min folds them; every intermediate state answers probes
+    * identically, so no pointer flip is needed — and no WRITER
+    * coordination either: even two live concurrent compactions
+    * converge (each folds a superset of the values it dooms, deleting
+    * an already-deleted file is a no-op, and surviving duplicate fold
+    * rows min-collapse on the next read), which is why this op
+    * deliberately takes no [[FoldLease]]. READERS are safe by the
+    * grace protocol: [[canonDedupWithIndex]] reads grace-aware
+    * ([[Scale.readLive]] — manifest-doomed files excluded up front,
+    * their fold replacement guaranteed present) and materializes its
+    * increment-sized slice under [[retryOnMissingFiles]], so only a
+    * probe outliving TWO full compaction passes can even see a
+    * reclaim, and the retry absorbs it — pinned by
+    * `CanonCompactRaceSpec` under live append+compact churn. The r16
+    * "maintenance window" caveat is gone. Returns (filesBefore,
+    * liveFilesAfter).
     *
     * (The probe-side retry refreshes the session's file-status cache
     * per attempt — mutating files through the raw FileSystem leaves
@@ -144,8 +147,25 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/canon")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    def parts() = fs.listStatus(dir).map(st => fs.makeQualified(st.getPath))
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+        p.getName.endsWith(".parquet"))
+    // (0) reclaim the PREVIOUS pass's grace-deferred garbage — those
+    // files have had a full inter-compaction grace (same protocol as
+    // Scale.compact(deferDeletes = true); probes exclude them via
+    // Scale.readLive, so only a probe outliving two passes can still
+    // race this delete, and its bounded retry absorbs that)
+    val manifest = new org.apache.hadoop.fs.Path(dir, "_GARBAGE")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val stale =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+        finally in.close()
+      stale.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      fs.delete(manifest, false)
+    }
+    val old = parts()
     // materialize the fold BEFORE appending into the directory it
     // reads from (localCheckpoint truncates the lineage, so the write
     // below cannot re-scan a directory it is mutating)
@@ -155,10 +175,17 @@ object Dedup {
     // the compacted base IS a base rebuild: full configured fan-out
     IndexLayout.write(folded, s"$path/canon",
       org.apache.spark.sql.SaveMode.Append, Seq(col("h")))
-    old.foreach(fs.delete(_, false))
-    val now = fs.listStatus(dir).map(_.getPath)
-      .count(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-    (old.length.toLong, now.toLong)
+    // (grace-defer) doom the folded-over files instead of deleting:
+    // the manifest lands LAST, so any crash above leaves only live
+    // duplicates (min-folds); a concurrent append that raced the
+    // listing is not in `old` and survives untouched
+    if (old.nonEmpty) {
+      val out = fs.create(manifest, /* overwrite = */ true)
+      try out.write(old.map(_.toString).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    val live = parts().length - old.length
+    (old.length.toLong, live.toLong)
   }
 
   /** Bounded retry for a read whose file listing can lose a race with
@@ -258,7 +285,10 @@ object Dedup {
     // probe mid-scan — reader-safety without a generation pointer
     // (see compactCanonIndex)
     val pruned = retryOnMissingFiles(4, spark, Seq(s"$path/canon")) {
-      spark.read.parquet(s"$path/canon")
+      // grace-aware read (Scale.readLive): compaction-doomed ledger
+      // files are excluded up front — their min-fold replacement is
+      // guaranteed present before the manifest lands
+      Scale.readLive(spark, s"$path/canon")
         .join(bc(incWin.select(col("h"))), Seq("h"), "left_semi")
         .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
         .localCheckpoint()

@@ -128,7 +128,10 @@ object EventsStream {
     val src = spark.readStream.schema(schema).parquet(newDocsDir)
     val banded = graft.ops.Dedup.bandedSigsMd5(src, "id", "text",
       w = 3, numHashes = 12, bands = 4)
-    val index = spark.read.parquet(indexPath)
+    // grace-aware static side (Scale.readLive): a compaction running
+    // while the stream is live must not fail a micro-batch on a
+    // reclaimed file — same protocol as the batch probe
+    val index = graft.ops.Scale.readLive(spark, indexPath)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / lit(12.0)
