@@ -1130,8 +1130,9 @@ object CorpusOps {
     */
   def compactSubstringIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Seq[Scale.CompactStats] =
-    Scale.compact(spark, path, targetBytes, deferDeletes = true)
+      targetBytes: Long = 128L << 20,
+      graceMs: Long = Scale.DefaultGraceMs): Seq[Scale.CompactStats] =
+    Scale.compact(spark, path, targetBytes, deferDeletes = true, graceMs = graceMs)
 
   /** ONE layout pipeline for build AND append (see
     * `Dedup.minhashIndexLayout` — the flavors must not drift).

@@ -144,47 +144,55 @@ object Dedup {
     * would re-plan the same dead files forever.)
     */
   def compactCanonIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      graceMs: Long = Scale.DefaultGraceMs): (Long, Long) = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/canon")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parts() = fs.listStatus(dir).map(st => fs.makeQualified(st.getPath))
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
-        p.getName.endsWith(".parquet"))
-    // (0) reclaim the PREVIOUS pass's grace-deferred garbage — those
-    // files have had a full inter-compaction grace (same protocol as
-    // Scale.compact(deferDeletes = true); probes exclude them via
-    // Scale.readLive, so only a probe outliving two passes can still
-    // race this delete, and its bounded retry absorbs that)
+    // (0) age-gated reclaim of grace-deferred garbage — same TIME
+    // grace as Scale.compact(deferDeletes = true): probes exclude
+    // doomed files up front (Scale.readLive), so only a probe whose
+    // listing is OLDER than graceMs can even see this delete, and its
+    // bounded retry absorbs that. A too-young manifest carries
+    // forward (its files stay inert and excluded).
     val manifest = new org.apache.hadoop.fs.Path(dir, "_GARBAGE")
+    var carried: Set[String] = Set.empty
     if (fs.exists(manifest)) {
+      val st = fs.getFileStatus(manifest)
       val in = fs.open(manifest)
-      val stale =
+      val doomed =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
           .split("\n").filter(_.nonEmpty)
         finally in.close()
-      stale.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
-      fs.delete(manifest, false)
+      if (System.currentTimeMillis() - st.getModificationTime >= graceMs) {
+        doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        fs.delete(manifest, false)
+      } else carried = doomed.toSet
     }
-    val old = parts()
-    // materialize the fold BEFORE appending into the directory it
-    // reads from (localCheckpoint truncates the lineage, so the write
-    // below cannot re-scan a directory it is mutating)
-    val folded = spark.read.parquet(s"$path/canon")
+    def liveParts() = fs.listStatus(dir).map(st => fs.makeQualified(st.getPath))
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+        p.getName.endsWith(".parquet") && !carried.contains(p.toString))
+    val old = liveParts()
+    // materialize the LIVE fold (readLive excludes carried doomed
+    // files) BEFORE appending into the directory it reads from
+    // (localCheckpoint truncates the lineage, so the write below
+    // cannot re-scan a directory it is mutating)
+    val folded = Scale.readLive(spark, s"$path/canon")
       .groupBy(col("h")).agg(min(col("keep_id")).as("keep_id"))
       .localCheckpoint()
     // the compacted base IS a base rebuild: full configured fan-out
     IndexLayout.write(folded, s"$path/canon",
       org.apache.spark.sql.SaveMode.Append, Seq(col("h")))
     // (grace-defer) doom the folded-over files instead of deleting:
-    // the manifest lands LAST, so any crash above leaves only live
-    // duplicates (min-folds); a concurrent append that raced the
-    // listing is not in `old` and survives untouched
-    if (old.nonEmpty) {
+    // the manifest (carried ∪ old) lands LAST, so any crash above
+    // leaves only live duplicates (min-folds); a concurrent append
+    // that raced the listing is not in `old` and survives untouched
+    val allGarbage = carried ++ old.map(_.toString)
+    if (allGarbage.nonEmpty) {
       val out = fs.create(manifest, /* overwrite = */ true)
-      try out.write(old.map(_.toString).mkString("\n").getBytes("UTF-8"))
+      try out.write(allGarbage.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    val live = parts().length - old.length
+    val live = liveParts().length - old.length
     (old.length.toLong, live.toLong)
   }
 
@@ -925,8 +933,9 @@ object Dedup {
     */
   def compactMinhashIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Seq[Scale.CompactStats] =
-    Scale.compact(spark, path, targetBytes, deferDeletes = true)
+      targetBytes: Long = 128L << 20,
+      graceMs: Long = Scale.DefaultGraceMs): Seq[Scale.CompactStats] =
+    Scale.compact(spark, path, targetBytes, deferDeletes = true, graceMs = graceMs)
 
   /** Probe the [[writeMinhashIndexMd5]] index with a NEW document
     * increment: new docs band exactly as the index did, candidates
@@ -1506,8 +1515,9 @@ object Dedup {
     */
   def compactSignPlaneIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Seq[Scale.CompactStats] =
-    Scale.compact(spark, path, targetBytes, deferDeletes = true)
+      targetBytes: Long = 128L << 20,
+      graceMs: Long = Scale.DefaultGraceMs): Seq[Scale.CompactStats] =
+    Scale.compact(spark, path, targetBytes, deferDeletes = true, graceMs = graceMs)
 
   private def signPlaneBandedLayout(
       df: DataFrame, idCol: String, vecCol: String, path: String,

@@ -180,6 +180,14 @@ object Scale {
   /** One compacted partition directory's before/after accounting. */
   final case class CompactStats(dir: String, filesBefore: Int, filesAfter: Int, bytes: Long)
 
+  /** Default grace window for deferred-delete reclamation: any reader
+    * whose file listing is younger than this can never hit a
+    * reclaimed file. 15 minutes bounds every probe this engine runs
+    * by orders of magnitude while keeping at most one maintenance
+    * cycle of garbage on disk under a sane (nightly/hourly) cadence.
+    */
+  val DefaultGraceMs: Long = 15L * 60L * 1000L
+
   /** Read a (possibly Hive-partitioned) parquet layout maintained by
     * [[compact]]`(deferDeletes = true)`, EXCLUDING the `_GARBAGE`
     * manifest's doomed files — the reader half of the grace-period
@@ -276,27 +284,37 @@ object Scale {
     * ==deferDeletes: RCU-style grace-period reclamation==
     * With `deferDeletes = true`, originals are NOT deleted in the
     * swap: their paths land in a `_GARBAGE` manifest at the root, and
-    * the NEXT compaction pass deletes them first. A reader's pinned
-    * file listing therefore stays fully readable for at least one
-    * whole inter-compaction interval — the delete-under-scan window
-    * shrinks from "this pass's swap" to "the reader outlived an
-    * entire compaction cycle", which a bounded retry then absorbs.
-    * The price is transient ROW DUPLICATION during the grace (old +
-    * compacted files coexist), so this mode is ONLY for layouts
-    * where duplicates are value-invisible: set-semantics indexes
-    * whose probes dedup (minhash, sign-plane) and semilattice folds
-    * (min/max). Never use it for additive-count layouts (BM25 uses a
-    * generation pointer instead). Crash windows converge: a crash
-    * before the manifest lands leaves old+new files — duplicates the
-    * next pass re-compacts; a crash between garbage deletion and
-    * manifest removal re-deletes already-gone files (no-op).
+    * a later pass deletes them — but only once the manifest is at
+    * least `graceMs` old (TIME-based grace, the round-17 live-fire
+    * lesson: a pass-count grace degenerates to ~one cycle under
+    * back-to-back compactions, and the race specs exhausted the
+    * probe retry). Readers exclude manifest-doomed files up front
+    * ([[readLive]]), so a reader can only hit a reclaimed file if its
+    * own listing is OLDER than the grace window — any probe shorter
+    * than `graceMs` is structurally safe, and the bounded retry
+    * absorbs the pathological rest. A pass that finds the manifest
+    * too young reclaims nothing and CARRIES the entries forward
+    * (merged with its own new garbage; doomed files are excluded
+    * from the pass's reads and counts, so they sit inert until
+    * age-out). `graceMs = 0` reclaims immediately — the
+    * maintenance-window mode. The price is transient ROW DUPLICATION
+    * during the grace (old + compacted files coexist), so this mode
+    * is ONLY for layouts where duplicates are value-invisible:
+    * set-semantics indexes whose probes dedup (minhash, sign-plane,
+    * substring) and semilattice folds (min/max). Never use it for
+    * additive-count layouts (BM25 uses a generation pointer
+    * instead). Crash windows converge: a crash before the manifest
+    * lands leaves old+new files — duplicates a later pass
+    * re-compacts; a crash mid-reclaim re-deletes already-gone files
+    * (no-op).
     */
   def compact(
       spark: SparkSession,
       path: String,
       targetBytes: Long,
       parallelism: Int = 8,
-      deferDeletes: Boolean = false
+      deferDeletes: Boolean = false,
+      graceMs: Long = DefaultGraceMs
   ): Seq[CompactStats] = {
     require(targetBytes > 0, "compact needs a positive target file size")
     require(parallelism > 0, "compact needs a positive pool size")
@@ -310,18 +328,22 @@ object Scale {
       !n.startsWith("_") && !n.startsWith(".")
     }
     // deferred-deletes bookkeeping (see scaladoc): reclaim the
-    // PREVIOUS pass's garbage first — those files have had a full
-    // inter-compaction grace — then collect this pass's originals
+    // manifest's garbage only once it has aged past the grace window;
+    // a too-young manifest carries forward and its files stay inert
     val garbageManifest = new org.apache.hadoop.fs.Path(root, "_GARBAGE")
     val newGarbage = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var carried: Set[String] = Set.empty
     if (deferDeletes && fs.exists(garbageManifest)) {
+      val st = fs.getFileStatus(garbageManifest)
       val in = fs.open(garbageManifest)
-      val stale =
+      val doomed =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
           .split("\n").filter(_.nonEmpty)
         finally in.close()
-      stale.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
-      fs.delete(garbageManifest, false)
+      if (System.currentTimeMillis() - st.getModificationTime >= graceMs) {
+        doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+        fs.delete(garbageManifest, false)
+      } else carried = doomed.toSet
     }
     // every dir with data files is a target — leaves AND mixed dirs
     def targetDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
@@ -331,7 +353,11 @@ object Scale {
         dirs.toSeq.flatMap(d => targetDirs(d.getPath))
     }
     def compactDir(dir: org.apache.hadoop.fs.Path): Option[CompactStats] = {
-      val files = fs.listStatus(dir).filter(s => s.isFile && visible(s))
+      // carried (still-in-grace) garbage is invisible to the pass:
+      // not read, not counted, not re-doomed — it sits inert until a
+      // later pass ages it out
+      val files = fs.listStatus(dir).filter(s => s.isFile && visible(s) &&
+        !carried.contains(fs.makeQualified(s.getPath).toString))
       val bytes = files.map(_.getLen).sum
       val want  = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (files.length <= want) None
@@ -356,7 +382,8 @@ object Scale {
           (dest, fs.rename(s.getPath, dest))
         }
         if (renamed.forall(_._2)) {
-          if (deferDeletes) files.foreach(f => newGarbage.add(f.getPath.toString))
+          if (deferDeletes) files.foreach(f =>
+            newGarbage.add(fs.makeQualified(f.getPath).toString))
           else files.foreach(f => fs.delete(f.getPath, false))
           fs.delete(tmp, true)
           Some(CompactStats(dir.toString, files.length, compacted.length, bytes))
@@ -379,14 +406,17 @@ object Scale {
       val stats = scala.concurrent.Await
         .result(done, scala.concurrent.duration.Duration.Inf)
         .flatten
-      // publish this pass's garbage for the NEXT pass to reclaim —
-      // written LAST, so a crash anywhere above leaves the originals
-      // live (duplicates, value-invisible by this mode's contract)
-      if (deferDeletes && !newGarbage.isEmpty) {
+      // publish this pass's garbage (plus any still-in-grace carried
+      // entries) for a LATER pass to age-reclaim — written LAST, so a
+      // crash anywhere above leaves the originals live (duplicates,
+      // value-invisible by this mode's contract). NOTE the rewrite
+      // resets the manifest's mtime: carried entries get a fresh
+      // grace, which only delays reclamation (never loses a file).
+      val allGarbage = carried ++
+        scala.jdk.CollectionConverters.IteratorHasAsScala(newGarbage.iterator()).asScala
+      if (deferDeletes && allGarbage.nonEmpty) {
         val out = fs.create(garbageManifest, /* overwrite = */ true)
-        try out.write(
-          scala.jdk.CollectionConverters.IteratorHasAsScala(newGarbage.iterator())
-            .asScala.mkString("\n").getBytes("UTF-8"))
+        try out.write(allGarbage.mkString("\n").getBytes("UTF-8"))
         finally out.close()
       }
       stats

@@ -115,19 +115,24 @@ class CanonCompactRaceSpec extends SparkSpecBase {
       assert(probes > 0)
     } finally { stop.set(true); compactor.join(300000) }
     assert(errs.isEmpty, s"compactor failed: ${Option(errs.peek()).map(_.toString)}")
-    // compaction actually folds the per-crawl file sets — deletes are
-    // GRACE-DEFERRED one pass (a live probe's listing must survive a
-    // full inter-compaction interval), so after two quiescent passes
-    // each band partition is down to its single compacted file and
-    // the probe still matches
-    Dedup.compactMinhashIndex(spark, path)
-    Dedup.compactMinhashIndex(spark, path)
+    // grace law: under the default TIME grace, the churn above never
+    // reclaimed — garbage sits inert behind the manifest and probes
+    // never see a delete. Two quiescent passes at graceMs = 0 (the
+    // maintenance-window mode) age everything out: each band
+    // partition folds to its single compacted file, the manifest is
+    // gone, and the probe still matches.
+    assert(new java.io.File(path, "_GARBAGE").exists(),
+      "churn under the default grace must defer, not delete")
+    Dedup.compactMinhashIndex(spark, path, graceMs = 0L)
+    Dedup.compactMinhashIndex(spark, path, graceMs = 0L)
     val bandDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("band="))
     assert(bandDirs.nonEmpty)
     bandDirs.foreach { d =>
       val parts = d.listFiles().count(f => f.getName.endsWith(".parquet"))
       assert(parts === 1, s"${d.getName} not folded: $parts files")
     }
+    assert(!new java.io.File(path, "_GARBAGE").exists(),
+      "aged-out reclaim must clear the manifest")
     assert(probe() === expected)
   }
 
