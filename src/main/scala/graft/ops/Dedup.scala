@@ -148,26 +148,19 @@ object Dedup {
       graceMs: Long = Scale.DefaultGraceMs): (Long, Long) = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/canon")
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // (0) age-gated reclaim of grace-deferred garbage — same TIME
-    // grace as Scale.compact(deferDeletes = true): probes exclude
-    // doomed files up front (Scale.readLive), so only a probe whose
-    // listing is OLDER than graceMs can even see this delete, and its
-    // bounded retry absorbs that. A too-young manifest carries
-    // forward (its files stay inert and excluded).
-    val manifest = new org.apache.hadoop.fs.Path(dir, "_GARBAGE")
-    var carried: Set[String] = Set.empty
-    if (fs.exists(manifest)) {
-      val st = fs.getFileStatus(manifest)
-      val in = fs.open(manifest)
-      val doomed =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          .split("\n").filter(_.nonEmpty)
-        finally in.close()
-      if (System.currentTimeMillis() - st.getModificationTime >= graceMs) {
-        doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
-        fs.delete(manifest, false)
-      } else carried = doomed.toSet
-    }
+    val root = fs.makeQualified(dir)
+    // (0) age-gated reclaim of grace-deferred garbage — the SAME
+    // GraceManifest protocol as Scale.compact(deferDeletes = true)
+    // (one implementation, r17 verdict task 2): probes exclude doomed
+    // files up front (Scale.readLive), so only a probe whose listing
+    // is OLDER than the grace can even see this delete, and its
+    // bounded retry absorbs that. Still-in-grace entries carry
+    // forward with their original per-entry doom stamps (inert,
+    // excluded) and age out individually — churn never starves
+    // reclamation.
+    val carriedEntries =
+      GraceManifest.reclaimExpired(fs, root, GraceManifest.read(fs, root), graceMs)
+    val carried: Set[String] = carriedEntries.keySet
     def liveParts() = fs.listStatus(dir).map(st => fs.makeQualified(st.getPath))
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
         p.getName.endsWith(".parquet") && !carried.contains(p.toString))
@@ -183,15 +176,13 @@ object Dedup {
     IndexLayout.write(folded, s"$path/canon",
       org.apache.spark.sql.SaveMode.Append, Seq(col("h")))
     // (grace-defer) doom the folded-over files instead of deleting:
-    // the manifest (carried ∪ old) lands LAST, so any crash above
-    // leaves only live duplicates (min-folds); a concurrent append
-    // that raced the listing is not in `old` and survives untouched
-    val allGarbage = carried ++ old.map(_.toString)
-    if (allGarbage.nonEmpty) {
-      val out = fs.create(manifest, /* overwrite = */ true)
-      try out.write(allGarbage.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-    }
+    // the manifest (carried ∪ old, fresh entries stamped now) lands
+    // LAST via GraceManifest.publish (temp+rename), so any crash
+    // above leaves only live duplicates (min-folds); a concurrent
+    // append that raced the listing is not in `old` and survives
+    val now = System.currentTimeMillis()
+    GraceManifest.publish(fs, root,
+      carriedEntries ++ old.map(p => p.toString -> now).toMap)
     val live = liveParts().length - old.length
     (old.length.toLong, live.toLong)
   }
@@ -220,17 +211,32 @@ object Dedup {
     // deliberately broad; the helper only ever wraps reads whose
     // missing-file states are value-identical, and non-matching
     // failures still propagate on first throw.
+    //
+    // EXCLUDED from the broad match (r17 advice): a missing index
+    // ROOT — Spark's PATH_NOT_FOUND analysis error ("Path does not
+    // exist"), or a raw Hadoop FNF naming one of the refreshPaths
+    // roots themselves. That is a plain wrong-path user error, not a
+    // compaction race (compaction deletes part files, never the
+    // root), and retrying it 4× with sleeps + catalog refreshes only
+    // delays the real error behind misleading retry noise. Part-file
+    // FNFs name paths UNDER a root, so the root-followed-by-"does
+    // not exist" match can't swallow a real race.
     def isMissingFile(e: Throwable): Boolean = {
       var c: Throwable = e
+      var transient = false
       while (c != null) {
         val m = Option(c.getMessage).getOrElse("")
+        if (m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+          refreshPaths.exists(p => p.nonEmpty &&
+            (m.contains(s"$p does not exist") || m.contains(s"${p.stripSuffix("/")}/ does not exist"))))
+          return false
         if (c.isInstanceOf[java.io.FileNotFoundException] ||
           m.contains("FileNotFoundException") ||
           m.contains("FILE_NOT_EXIST") ||
-          m.contains("does not exist")) return true
+          m.contains("does not exist")) transient = true
         c = if (c.getCause eq c) null else c.getCause
       }
-      false
+      transient
     }
     var left = attempts
     while (true) {

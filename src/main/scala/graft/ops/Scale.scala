@@ -182,9 +182,11 @@ object Scale {
 
   /** Default grace window for deferred-delete reclamation: any reader
     * whose file listing is younger than this can never hit a
-    * reclaimed file. 15 minutes bounds every probe this engine runs
-    * by orders of magnitude while keeping at most one maintenance
-    * cycle of garbage on disk under a sane (nightly/hourly) cadence.
+    * reclaimed file (clock model and cross-writer skew margin:
+    * [[GraceManifest]]). 15 minutes bounds every probe this engine
+    * runs by orders of magnitude, and with per-entry doom stamps each
+    * file's garbage lives exactly one grace window regardless of
+    * compaction cadence.
     */
   val DefaultGraceMs: Long = 15L * 60L * 1000L
 
@@ -202,7 +204,10 @@ object Scale {
     * file list + `basePath` keeps partition-column derivation
     * identical to a plain directory read. `schema` = None infers;
     * an empty live set with a schema returns an empty frame (the
-    * "no history → no pairs" contract).
+    * "no history → no pairs" contract), while an empty live set
+    * UNDER a surviving manifest with no schema to stand on is an
+    * error — falling back to a raw directory read there would
+    * silently re-admit every doomed file (r17 advice).
     */
   def readLive(
       spark: SparkSession,
@@ -211,16 +216,7 @@ object Scale {
     val raw  = new org.apache.hadoop.fs.Path(path)
     val fs   = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(raw)
-    val doomed: Set[String] = {
-      val m = new org.apache.hadoop.fs.Path(root, "_GARBAGE")
-      if (!fs.exists(m)) Set.empty
-      else {
-        val in = fs.open(m)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          .split("\n").filter(_.nonEmpty).toSet
-        finally in.close()
-      }
-    }
+    val doomed = GraceManifest.doomedPaths(fs, root)
     def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
       fs.listStatus(p).toSeq
         .filter(s => !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
@@ -236,7 +232,11 @@ object Scale {
     else schema match {
       case Some(sc) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-      case None => withSchema.parquet(path) // fall through: same error a raw read gives
+      case None if doomed.nonEmpty => throw new IllegalStateException(
+        s"readLive($path): the live file set is empty but a _GARBAGE manifest survives " +
+          s"(${doomed.size} doomed entries) — a raw directory read would resurrect doomed " +
+          s"files. The layout needs repair (re-append or clear the manifest) or a schema.")
+      case None => withSchema.parquet(path) // no manifest: same error a raw read gives
     }
   }
 
@@ -283,30 +283,32 @@ object Scale {
     *
     * ==deferDeletes: RCU-style grace-period reclamation==
     * With `deferDeletes = true`, originals are NOT deleted in the
-    * swap: their paths land in a `_GARBAGE` manifest at the root, and
-    * a later pass deletes them — but only once the manifest is at
-    * least `graceMs` old (TIME-based grace, the round-17 live-fire
-    * lesson: a pass-count grace degenerates to ~one cycle under
-    * back-to-back compactions, and the race specs exhausted the
-    * probe retry). Readers exclude manifest-doomed files up front
-    * ([[readLive]]), so a reader can only hit a reclaimed file if its
-    * own listing is OLDER than the grace window — any probe shorter
-    * than `graceMs` is structurally safe, and the bounded retry
-    * absorbs the pathological rest. A pass that finds the manifest
-    * too young reclaims nothing and CARRIES the entries forward
-    * (merged with its own new garbage; doomed files are excluded
-    * from the pass's reads and counts, so they sit inert until
-    * age-out). `graceMs = 0` reclaims immediately — the
-    * maintenance-window mode. The price is transient ROW DUPLICATION
-    * during the grace (old + compacted files coexist), so this mode
-    * is ONLY for layouts where duplicates are value-invisible:
-    * set-semantics indexes whose probes dedup (minhash, sign-plane,
-    * substring) and semilattice folds (min/max). Never use it for
-    * additive-count layouts (BM25 uses a generation pointer
-    * instead). Crash windows converge: a crash before the manifest
-    * lands leaves old+new files — duplicates a later pass
-    * re-compacts; a crash mid-reclaim re-deletes already-gone files
-    * (no-op).
+    * swap: their paths land in a `_GARBAGE` manifest at the root
+    * with PER-ENTRY doom timestamps, and a later pass deletes each
+    * entry individually once it ages past the grace (TIME-based, the
+    * round-17 live-fire lesson: a pass-count grace degenerates to
+    * ~one cycle under back-to-back compactions; per-ENTRY stamps are
+    * the round-18 follow-up — a whole-manifest mtime grace reset on
+    * every rewrite, so sustained churn starved reclamation forever).
+    * Readers exclude manifest-doomed files up front ([[readLive]]),
+    * so a reader can only hit a reclaimed file if its own listing is
+    * OLDER than the grace window — any probe shorter than `graceMs`
+    * is structurally safe (clock model and skew margin:
+    * [[GraceManifest]]), and the bounded retry absorbs the
+    * pathological rest. Still-in-grace entries CARRY forward with
+    * their original stamps (merged with the pass's new garbage;
+    * doomed files are excluded from the pass's reads and counts, so
+    * they sit inert until age-out). `graceMs = 0` reclaims
+    * immediately — the maintenance-window mode. The price is
+    * transient ROW DUPLICATION during the grace (old + compacted
+    * files coexist), so this mode is ONLY for layouts where
+    * duplicates are value-invisible: set-semantics indexes whose
+    * probes dedup (minhash, sign-plane, substring) and semilattice
+    * folds (min/max). Never use it for additive-count layouts (BM25
+    * uses a generation pointer instead). Crash windows converge: a
+    * crash before the manifest lands leaves old+new files —
+    * duplicates a later pass re-compacts; a crash mid-reclaim
+    * re-deletes already-gone files (no-op).
     */
   def compact(
       spark: SparkSession,
@@ -327,24 +329,14 @@ object Scale {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    // deferred-deletes bookkeeping (see scaladoc): reclaim the
-    // manifest's garbage only once it has aged past the grace window;
-    // a too-young manifest carries forward and its files stay inert
-    val garbageManifest = new org.apache.hadoop.fs.Path(root, "_GARBAGE")
+    // deferred-deletes bookkeeping (see scaladoc + GraceManifest):
+    // age-reclaim each doomed entry individually; still-in-grace
+    // entries carry forward with their stamps and stay inert
     val newGarbage = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    var carried: Set[String] = Set.empty
-    if (deferDeletes && fs.exists(garbageManifest)) {
-      val st = fs.getFileStatus(garbageManifest)
-      val in = fs.open(garbageManifest)
-      val doomed =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          .split("\n").filter(_.nonEmpty)
-        finally in.close()
-      if (System.currentTimeMillis() - st.getModificationTime >= graceMs) {
-        doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
-        fs.delete(garbageManifest, false)
-      } else carried = doomed.toSet
-    }
+    val carriedEntries: Map[String, Long] =
+      if (!deferDeletes) Map.empty
+      else GraceManifest.reclaimExpired(fs, root, GraceManifest.read(fs, root), graceMs)
+    val carried: Set[String] = carriedEntries.keySet
     // every dir with data files is a target — leaves AND mixed dirs
     def targetDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val entries       = fs.listStatus(p).filter(visible)
@@ -406,18 +398,18 @@ object Scale {
       val stats = scala.concurrent.Await
         .result(done, scala.concurrent.duration.Duration.Inf)
         .flatten
-      // publish this pass's garbage (plus any still-in-grace carried
-      // entries) for a LATER pass to age-reclaim — written LAST, so a
-      // crash anywhere above leaves the originals live (duplicates,
-      // value-invisible by this mode's contract). NOTE the rewrite
-      // resets the manifest's mtime: carried entries get a fresh
-      // grace, which only delays reclamation (never loses a file).
-      val allGarbage = carried ++
-        scala.jdk.CollectionConverters.IteratorHasAsScala(newGarbage.iterator()).asScala
-      if (deferDeletes && allGarbage.nonEmpty) {
-        val out = fs.create(garbageManifest, /* overwrite = */ true)
-        try out.write(allGarbage.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
+      // publish this pass's garbage (stamped now) merged with the
+      // still-in-grace carried entries (keeping their ORIGINAL doom
+      // stamps — per-entry age-out is what makes reclamation live
+      // under sustained churn) for a LATER pass to reclaim — written
+      // LAST via temp+rename, so a crash anywhere above leaves the
+      // originals live (duplicates, value-invisible by this mode's
+      // contract) and a concurrent reader never sees a truncated list
+      if (deferDeletes) {
+        val now = System.currentTimeMillis()
+        val fresh = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(newGarbage.iterator()).asScala.map(_ -> now).toMap
+        GraceManifest.publish(fs, root, carriedEntries ++ fresh)
       }
       stats
     } finally pool.shutdown()
