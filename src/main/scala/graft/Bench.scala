@@ -240,20 +240,24 @@ object Bench {
     * canary brackets only the run's first minutes; three rounds of
     * sf1 artifacts carried in-run JVM-state victims (r15:
     * `x_bm25_topk` 7.3×, `s9_stream_sketch` 6.3×) that needed manual
-    * fresh-JVM probes to attribute. A one-shot canary every
-    * [[ProbeEvery]] queries records the host/JVM state ALONGSIDE the
-    * measurements (`canary_probes` in the detail artifact), so a
-    * cross-round reader can see whether a slow stretch coincided
-    * with a loaded host without hand-probing.
+    * fresh-JVM probes to attribute. One-shot canaries on a
+    * FRACTION-OF-ROWS cadence (~5 mid-run probes per pass, r17
+    * verdict task 6: the old fixed every-25 gave short probe runs —
+    * the 11-row sf10 set — ZERO mid-run probes, so their
+    * normalization divisor was a single point sample) record the
+    * host/JVM state ALONGSIDE the measurements (`canary_probes` in
+    * the detail artifact), so a cross-round reader can see whether a
+    * slow stretch coincided with a loaded host without hand-probing.
     */
-  private val ProbeEvery = 25
+  private def probeEvery(n: Int): Int = math.max(2, n / 6)
 
   private def timeAll(
       spark: SparkSession, names: Seq[String],
       sfDir: String): (Seq[(String, Double)], Seq[(Int, Double)]) = {
     val probes = Seq.newBuilder[(Int, Double)]
+    val every  = probeEvery(names.size)
     val results = names.zipWithIndex.map { case (name, i) =>
-      if (i > 0 && i % ProbeEvery == 0) probes += ((i, canary(spark, iters = 1)))
+      if (i > 0 && i % every == 0) probes += ((i, canary(spark, iters = 1)))
       val fn = SparkEntry.queries(name)
       sessionHygiene(spark)
       val succeeded = (1 to 2).flatMap { _ =>
@@ -434,6 +438,26 @@ object Bench {
       v
     }.getOrElse(0.25)
 
+  /** The measured code's identity, stamped into every artifact (r17
+    * verdict task 1: three rounds running, the sf1 artifact was
+    * re-measured at a SHA that later commits outran, and nothing in
+    * the artifact recorded which code it measured — "at HEAD" needed
+    * forensics). `head_sha` + a dirty flag (tracked files modified
+    * vs HEAD; untracked artifacts don't count) make it one grep.
+    * Resolution failures stamp "unknown" rather than abort the bench.
+    */
+  private def gitState(): (String, Boolean) = {
+    def run(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    (run("git", "rev-parse", "HEAD").getOrElse("unknown"),
+      run("git", "status", "--porcelain", "--untracked-files=no")
+        .map(_.nonEmpty).getOrElse(false))
+  }
+
   private def canary(spark: SparkSession, iters: Int = 3): Double =
     (1 to iters).map { _ =>
       val t0 = System.nanoTime()
@@ -479,8 +503,9 @@ object Bench {
     val contaminated = canarySec > CanaryBandSec
     if (contaminated) System.err.println(
       f"[bench] CANARY OVER BAND: $canarySec%.3f s > $CanaryBandSec%.1f s — host is loaded, artifact self-labeled load_contaminated")
+    val (headSha, gitDirty) = gitState()
     val canaryJson =
-      f""","canary_sec":$canarySec%.3f,"canary_band_sec":$CanaryBandSec%.1f,"canary_ref_sec":$CanaryRefSec%.3f,"load_contaminated":$contaminated"""
+      f""","canary_sec":$canarySec%.3f,"canary_band_sec":$CanaryBandSec%.1f,"canary_ref_sec":$CanaryRefSec%.3f,"load_contaminated":$contaminated,"head_sha":"$headSha","git_dirty":$gitDirty"""
 
     // prior-round per-query map, keyed by the sf-dir leaf name (sf1
     // and sf0.1 have separate priors in the same file); missing file
@@ -586,8 +611,17 @@ object Bench {
     val qsNorm = results
       .map { case (k, v) => "\"" + k + "\":" + f"${if (v >= 0) v * normFactor else -1.0}%.3f" }
       .mkString("{", ",", "}")
+    // the normalized block is only meaningful when the divisor is a
+    // real median (start probe + mid-run probes); with no mid-run
+    // probe it is SUPPRESSED rather than emitted from a single point
+    // sample of host state (r17 verdict task 6: the 11-row sf10
+    // artifact's normalized fields were inflated ~2.8× by exactly
+    // that). The fraction-of-rows cadence makes this a ≤2-row edge.
     val normJson =
-      f""","canary_median_sec":$canaryMedian%.3f,"canary_normalized_total":${total * normFactor}%.3f,"relational_normalized_total":${relTotal * normFactor}%.3f,"streaming_normalized_total":${streamTotal * normFactor}%.3f,"queries_normalized":$qsNorm"""
+      if (probes.isEmpty)
+        s""","normalized_suppressed":"no mid-run canary probes (run too short) — raw fields are the evidence""""
+      else
+        f""","canary_median_sec":$canaryMedian%.3f,"canary_normalized_total":${total * normFactor}%.3f,"relational_normalized_total":${relTotal * normFactor}%.3f,"streaming_normalized_total":${streamTotal * normFactor}%.3f,"queries_normalized":$qsNorm"""
     // self-defense fields (r15 verdict task 3): mid-run canary probes
     // + the rows re-measured for being >3× their prior-round figure
     // (or, volatile rows, over their historical ceiling) + the
@@ -614,8 +648,11 @@ object Bench {
     val coreQs = results.filter(r => stdoutCore.contains(r._1))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val stdoutNorm =
+      if (probes.isEmpty) ""
+      else f""","canary_normalized_total":${total * normFactor}%.3f"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f,"canary_normalized_total":${total * normFactor}%.3f,"n_queries":${results.size},"n_flagged":${flagged.size},"queries":$coreQs,"detail":"$detailPath","sf":"$sfDir"$canaryJson$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","relational_total":$relTotal%.3f,"streaming_total":$streamTotal%.3f$stdoutNorm,"n_queries":${results.size},"n_flagged":${flagged.size},"queries":$coreQs,"detail":"$detailPath","sf":"$sfDir"$canaryJson$errJson}"""
     )
   }
 }

@@ -92,6 +92,32 @@ object QueriesScale {
         .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text")))
   }
 
+  /** The O(|planted|) ground truth for the `*_fast` recall law (r17
+    * verdict task 4): each id<25 doc paired with its ' zz yy' twin
+    * from [[plantedDocs]], TRUE w=3 shingle jaccard computed directly
+    * on those pairs — one projection over 25 rows, no candidate
+    * generation — kept at j ≥ 0.9. Returns (id_a, id_b). The
+    * full-corpus law (all true pairs, banding-blocked truth) lives in
+    * the `_agree` gate rows; this restriction is what lets the bench
+    * rows time the production operator instead of the verification
+    * harness.
+    */
+  private def plantedTruePairs(s: SparkSession, dir: String): DataFrame = {
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb"))).cast("double")
+    docs(s, dir).select(col("doc_id").as("id"), col("text"))
+      .filter(col("id") < 25)
+      .select(col("id"), Dedup.tokens(col("text")).as("ta"),
+        Dedup.tokens(concat(col("text"), lit(" zz yy"))).as("tb"))
+      .select(col("id"), Dedup.shinglesOf(col("ta"), 3).as("sa"),
+        Dedup.shinglesOf(col("tb"), 3).as("sb"))
+      .filter(size(col("sa")) > 0 && size(col("sb")) > 0)
+      .select(col("id").as("id_a"), (col("id") + 10000).as("id_b"),
+        round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Embeddings corpus + planted colinear copies (×2 scaling keeps
     * direction, so cosine is exactly 1) for vec_id<20 under id+100000.
     */
@@ -1555,10 +1581,11 @@ object QueriesScale {
     }),
 
     // ---- the same incremental probe ONLINE: the new-crawl increment
-    // arrives as a document STREAM and probes the persistent index
-    // per micro-batch (stateless banding + stream-static join) —
-    // batch x_dedup_incremental is the oracle semantics, so the same
-    // SQL gates both
+    // arrives as a document STREAM and runs the batch index probe per
+    // micro-batch inside foreachBatch (fresh grace-aware listing every
+    // batch — compaction-safe for any stream lifetime) — batch
+    // x_dedup_incremental is the oracle semantics, so the same SQL
+    // gates both
     "s9_stream_neardup" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id").as("id"), col("text"))
       val fresh = base.filter(col("id") < 25)
@@ -1566,11 +1593,12 @@ object QueriesScale {
       val indexPath = buildOnce("lshsidx", dir)(p => Dedup.writeMinhashIndexMd5(base, "id", "text", p))
       val freshDir = GraftSession.freshGatePath("lshstream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
-      val name = s"stream_neardup_${streamN.incrementAndGet()}"
+      val outDir = GraftSession.freshGatePath("lshstreamout", dir)
+      val ckpt   = GraftSession.freshGatePath("lshstreamckpt", dir)
       val q = EventsStream.streamIncrementalDedup(
-        s, indexPath, freshDir, fresh.schema, name)
+        s, indexPath, freshDir, fresh.schema, outDir, ckpt)
       q.awaitTermination()
-      s.table(name).orderBy(col("id_a"), col("id_b"))
+      s.read.parquet(outDir).drop("inc").orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- INCREMENTAL semantic dedup against a persistent SIGN-PLANE
@@ -1648,11 +1676,12 @@ object QueriesScale {
     }),
 
     // ---- the same semantic probe ONLINE: the embedding increment
-    // arrives as a STREAM and probes the persistent sign-plane index
-    // per micro-batch (stateless keying + stream-static join, zero
-    // stream state — one bucket per id means no multi-band pair
-    // dedup). Batch x_dedup_semantic_inc is the oracle semantics, so
-    // the same SQL gates both.
+    // arrives as a STREAM and runs the batch sign-plane probe per
+    // micro-batch inside foreachBatch (fresh grace-aware listing +
+    // the batch probe's bucket-IN-list pruning every batch —
+    // compaction-safe for any stream lifetime). Batch
+    // x_dedup_semantic_inc is the oracle semantics, so the same SQL
+    // gates both.
     "s9_stream_semantic" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id"), col("embedding"))
       val fresh = base.filter(col("vec_id") < 20)
@@ -1661,10 +1690,11 @@ object QueriesScale {
       val indexPath = buildOnce("spsidx", dir)(p => Dedup.writeSignPlaneIndex(base, "vec_id", "embedding", p))
       val freshDir = GraftSession.freshGatePath("spstream", dir)
       fresh.coalesce(1).write.mode("overwrite").parquet(freshDir)
-      val name = s"stream_semantic_${streamN.incrementAndGet()}"
-      val q = EventsStream.streamSemanticDedup(s, indexPath, freshDir, fresh.schema, name)
+      val outDir = GraftSession.freshGatePath("spstreamout", dir)
+      val ckpt   = GraftSession.freshGatePath("spstreamckpt", dir)
+      val q = EventsStream.streamSemanticDedup(s, indexPath, freshDir, fresh.schema, outDir, ckpt)
       q.awaitTermination()
-      s.table(name).orderBy(col("id_a"), col("id_b"))
+      s.read.parquet(outDir).drop("inc").orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- SEMANTIC dedup end to end: the embedding twin of
@@ -2039,16 +2069,23 @@ object QueriesScale {
           k = 8, iters = 1, cap = 5)
         .orderBy(col("vec_id"))),
 
-    // ---- fast (xxhash64) flavors: same plans, scale hash. Promoted
-    // from rows-only to ORACLED in r15 via the AGREE-LAW: the gate
-    // runs the production fast operator in full, then emits ONE row —
-    // n_true (ground-truth j ≥ 0.9 pairs, recomputed all-pairs by the
-    // DuckDB oracle) and n_missed_by_fast (true pairs ABSENT from the
-    // fast operator's output — the recall disagreements, pinned to 0
-    // by the oracle literal). The fast side's est_jaccard/hamming
-    // values themselves are xxhash64-derived and stay un-replicable in
-    // SQL; the law is what's checkable, and it is deterministic (fixed
-    // hash family, fixed testdata).
+    // ---- fast (xxhash64) flavors: same plans, scale hash. ORACLED
+    // via the PLANTED-pair recall law (r17 verdict task 4 narrowed
+    // the law's truth side): the timed row runs the production fast
+    // operator IN FULL over the planted corpus, then checks it
+    // against the O(|planted|) ground truth — each id<25 doc paired
+    // with its ' zz yy' twin, true shingle jaccard computed directly
+    // on those 25 pairs (one projection, no candidate generation) —
+    // emitting n_true and n_missed_by_fast (pinned to 0 by the
+    // oracle literal). The OLD truth side re-ran a banding-blocked
+    // full-corpus exact-jaccard verify inside the same timed row, so
+    // the bench number (10.3 s at sf1) and the 4.45 sf10 slope
+    // measured the verification harness as much as the operator; the
+    // FULL-corpus agree law (all true pairs, all-pairs oracle) still
+    // gates the machinery every round as x_dedup_minhash_agree /
+    // x_dedup_simhash_agree. The fast side's est_jaccard/hamming
+    // values stay un-replicable in SQL; the law is what's checkable,
+    // and it is deterministic (fixed hash family, fixed testdata).
     // Config: 30 hashes / 10 bands (r=3, S-curve midpoint
     // (1/10)^(1/3) ≈ 0.46): banding miss at true j = 0.8 is
     // (1-0.8³)^10 ≈ 8e-4 and the 30-hash estimate puts
@@ -2063,26 +2100,21 @@ object QueriesScale {
       val fast = Dedup.minhashLshPairs(p, "id", "text",
           w = 3, numHashes = 30, bands = 10, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
-      val truth = Dedup.minhashExactPairs(p, "id", "text",
-          w = 3, numHashes = 30, bands = 10, threshold = 0.9)
-        .select(col("id_a"), col("id_b"))
+      val truth = plantedTruePairs(s, dir)
       truth.agg(count(lit(1)).as("n_true")).crossJoin(
         truth.join(fast, Seq("id_a", "id_b"), "left_anti")
           .agg(count(lit(1)).as("n_missed_by_fast")))
     }),
-    // simhash truth side runs on the same BOUNDED slice as
-    // x_dedup_simhash_agree (vacuous at the sf0.01 gate, keeps the
-    // all-pairs ground truth from going quadratic at bench scale);
-    // the fast operator itself runs on the FULL corpus — it is the
-    // production path being benched.
+    // same planted law; the fast operator (simhash banding, full
+    // corpus) is the production path being benched. Planted pairs
+    // have true j ≥ 0.9 → fingerprint cosine ≳ 0.95 → expected
+    // Hamming ≈ 6.5/64, inside the maxHamming = 7 production radius
+    // (the r15-r17 full-law rows pinned exactly these pairs green).
     "x_dedup_simhash_fast" -> ((s, dir) => {
       val p = plantedDocs(s, dir)
       val fast = Dedup.simhashPairs(p, "id", "text", maxHamming = 7)
         .select(col("id_a"), col("id_b"))
-      val truth = Dedup.simhashExactPairs(
-          p.filter(col("id") < 600 || (col("id") >= 10000 && col("id") < 10025)),
-          "id", "text", w = 3, maxHamming = 20, threshold = 0.9)
-        .select(col("id_a"), col("id_b"))
+      val truth = plantedTruePairs(s, dir)
       truth.agg(count(lit(1)).as("n_true")).crossJoin(
         truth.join(fast, Seq("id_a", "id_b"), "left_anti")
           .agg(count(lit(1)).as("n_missed_by_fast")))
@@ -4687,15 +4719,24 @@ object QueriesScale {
     * against the fast operator's output, so any missed pair is a hash
     * mismatch.
     */
-  private def AgreeLawCountSqlFor(sliceFilter: String): String =
-    s"""WITH $CorpusSql,
-       |$ShinglesSql,
-       |nz AS (SELECT id, shs FROM sh WHERE len(shs) > 0$sliceFilter),
+  private def shinglesSqlOf(toks: String): String =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len($toks) - 2, 0) + 1),
+       |  i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
+
+  /** DuckDB twin of [[plantedTruePairs]] + the pinned-zero miss count
+    * — the `*_fast` rows' planted recall-law oracle (r17 task 4).
+    */
+  private val PlantedLawCountSql: String =
+    s"""WITH base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 25),
+       |t AS (SELECT id, ${toksSql("text")} AS ta,
+       |  ${toksSql("text || ' zz yy'")} AS tb FROM base),
+       |sh AS (SELECT id, ${shinglesSqlOf("ta")} AS sa,
+       |  ${shinglesSqlOf("tb")} AS sb FROM t),
        |pairs AS (
-       | SELECT a.id AS id_a, b.id AS id_b,
-       |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
-       |        CAST(len(list_distinct(a.shs || b.shs)) AS DOUBLE), 4) AS jaccard
-       | FROM nz a JOIN nz b ON a.id < b.id)
+       | SELECT id, round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa || sb)) AS DOUBLE), 4) AS jaccard
+       | FROM sh WHERE len(sa) > 0 AND len(sb) > 0)
        |SELECT CAST(count(*) AS BIGINT) AS n_true,
        |  CAST(0 AS BIGINT) AS n_missed_by_fast
        |FROM pairs WHERE jaccard >= 0.9""".stripMargin
@@ -5163,12 +5204,12 @@ object QueriesScale {
          |WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "x_dedup_minhash_agree" -> agreeOracleSql,
-    // agree-LAW oracles for the fast rows: ground-truth pair count
-    // from the same all-pairs CTEs; the disagreement count is pinned
-    // to the literal 0 the law demands (a Spark-side miss = hash red)
-    "x_dedup_minhash_fast" -> AgreeLawCountSqlFor(""),
-    "x_dedup_simhash_fast" -> AgreeLawCountSqlFor(
-      " AND (id < 600 OR (id >= 10000 AND id < 10025))"),
+    // PLANTED-pair recall-law oracles for the fast rows (r17 task 4):
+    // ground truth is the O(|planted|) twin-pair jaccard, not the
+    // all-pairs CTEs; the disagreement count is pinned to the literal
+    // 0 the law demands (a Spark-side miss = hash red)
+    "x_dedup_minhash_fast" -> PlantedLawCountSql,
+    "x_dedup_simhash_fast" -> PlantedLawCountSql,
     // transitive closure over the SAME ground-truth pair set the agree
     // oracle emits; components = min reachable id per member
     "x_dedup_resolve" ->

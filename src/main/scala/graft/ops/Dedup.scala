@@ -1545,6 +1545,9 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newEmb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       planes: Int = 4, bands: Int = 3): DataFrame =
+    // streaming frames pin the index listing at stream definition —
+    // restart within the compaction grace window, or run this batch
+    // probe per micro-batch in foreachBatch (see probeSignPlaneIndex)
     if (newEmb.isStreaming)
       probeSignPlaneIndexBandedPlan(spark, path, newEmb, idCol, vecCol, threshold, planes, bands)
     else retryOnMissingFiles(4, spark, Seq(path, s"${path}_deletes")) {
@@ -1713,7 +1716,13 @@ object Dedup {
     // reader-safe: a batch probe whose pinned listing loses the race
     // with compactSignPlaneIndex's delete phase re-builds the plan
     // (FRESH file listing) and re-reads — set semantics make every
-    // swap state probe-identical. Streaming probes keep the lazy plan.
+    // swap state probe-identical. Streaming frames keep the lazy
+    // plan, which PINS the index listing at stream definition: a
+    // stream-static caller must restart within the compaction grace
+    // window (the engine's own streaming twin instead runs THIS
+    // batch probe per micro-batch inside foreachBatch —
+    // EventsStream.streamSemanticDedup — re-resolving the listing
+    // every batch, the shape to copy for long-lived streams).
     if (newEmb.isStreaming)
       probeSignPlaneIndexPlan(spark, path, newEmb, idCol, vecCol, threshold, planes)
     else retryOnMissingFiles(4, spark, Seq(path, s"${path}_deletes")) {

@@ -42,20 +42,41 @@ package graft.ops
   * paths therefore acquire via File.createNewFile (O_CREAT|O_EXCL,
   * atomic per POSIX); distributed schemes use fs.create, which is
   * atomic on HDFS (namenode) and on S3A WITH conditional create
-  * (Hadoop 3.4.1+ / If-None-Match) — but on default S3A it is
+  * (Hadoop 3.4.1+ / If-None-Match — deployments with it should turn
+  * it on; the create then atomically wins or throws and everything
+  * below is belt-and-braces) — but on default S3A it is
   * check-then-act, and the exists failure may only surface at
   * close(), letting two writers both believe they acquired (r16
   * advice). Non-local acquisition therefore READS THE LEASE BACK
   * after the holder id lands: if the marker no longer names this
   * writer, a racing writer's PUT won and we fail CONCURRENT_FOLD;
   * if it cannot be read back at all, we fail loudly rather than
-  * proceed unadjudicated. The residual window is close()-to-readback
-  * (microseconds), down from the full create-to-close span. The
-  * holder id lands right after the create — a loser reading in that
-  * microsecond window sees an empty holder, which fails CLOSED (it
-  * only unblocks a writer whose id matches).
+  * proceed unadjudicated. A loser reading mid-write sees an empty
+  * holder, which fails CLOSED (it only unblocks a matching id).
+  *
+  * Residual (r17 advice, modeled honestly in
+  * FoldLeaseAdjudicationSpec's late-close test): read-back only
+  * catches a racing PUT that LANDS before this writer's read-back.
+  * Writer A can read back its own id, then writer B — whose stale
+  * exists-check raced before A's PUT — lands its object late and
+  * reads back its own id too: BOTH proceed. The randomized SETTLE
+  * DELAY before read-back shrinks this to a pathological stall:
+  * dual acquisition now needs the loser's create→close span to
+  * exceed the winner's settle delay, and with both writers running
+  * this code that span is microseconds against a ≥25 ms delay —
+  * only a mid-acquisition GC pause / network retry on the loser
+  * re-opens the window. The true fix is the conditional create
+  * above; the guarded folds' value-idempotence bounds the damage of
+  * the stall case (same contract as the live same-id replay).
   */
 object FoldLease {
+
+  /** Settle delay bounds before the non-local read-back: uniform in
+    * [min, min+jitter) — randomized so two synchronized writers don't
+    * read back in lockstep.
+    */
+  private val SettleMinMs    = 25
+  private val SettleJitterMs = 50
 
   def withLease[T](
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -97,6 +118,11 @@ object FoldLease {
             // LAST, which is equally a single winner: the other
             // writer's read-back sees our id and fails. We do NOT
             // delete on loss — the marker belongs to the winner.
+            // Settle first (randomized): a racing PUT that is already
+            // in flight gets time to land, so the read-back below
+            // adjudicates against the settled marker — see the
+            // residual-window analysis in the scaladoc.
+            Thread.sleep(SettleMinMs + scala.util.Random.nextInt(SettleJitterMs))
             val observed =
               try {
                 val in = fs.open(lease)

@@ -106,83 +106,87 @@ object EventsStream {
       .start()
   }
 
-  /** STREAMING incremental dedup: the document stream probes the
-    * persistent MinHash-LSH band index ([[graft.ops.Dedup
-    * .writeMinhashIndexMd5]]) online — signature/banding is stateless
-    * projection on the stream, the index joins stream-static (no
-    * stream state), and the estimated-Jaccard verify runs on stored
-    * signatures, so an arriving crawl increment is deduped against
-    * the full corpus without re-reading it. `dropDuplicates` folds
-    * multi-band hits of the same pair; its state is bounded by the
-    * emitted pair set (at corpus scale, watermark + within-watermark
-    * dedup bounds it by time instead).
+  /** STREAMING incremental dedup: each arriving micro-batch of
+    * documents runs the BATCH index probe
+    * ([[graft.ops.Dedup.probeMinhashIndexMd5]]) inside `foreachBatch`
+    * — signature/banding on the batch, candidates from the (band,
+    * bucket) equi-join, estimated-Jaccard verify on stored
+    * signatures — so a crawl increment dedups against the full
+    * corpus without re-reading it, and the batch operator's oracle
+    * SQL gates the stream surface too (ONE implementation, no
+    * drift). foreachBatch is also what makes the stream
+    * compaction-proof for ANY stream lifetime (r17 advice): the
+    * probe re-resolves its grace-aware file listing
+    * ([[graft.ops.Scale.readLive]]) and materializes under the
+    * missing-file retry PER MICRO-BATCH, where the old stream-static
+    * join pinned one listing at stream definition and a stream
+    * outliving the grace window could hit reclaimed files.
+    * Exactly-once via the `inc=b<batchId>` dynamic-overwrite
+    * partition (the streamBm25Probe pattern).
     */
   def streamIncrementalDedup(
       spark: SparkSession,
       indexPath: String,
       newDocsDir: String,
       schema: StructType,
-      queryName: String,
+      outDir: String,
+      checkpointDir: String,
       threshold: Double = 0.5
-  ): StreamingQuery = {
-    val src = spark.readStream.schema(schema).parquet(newDocsDir)
-    val banded = graft.ops.Dedup.bandedSigsMd5(src, "id", "text",
-      w = 3, numHashes = 12, bands = 4)
-    // grace-aware static side (Scale.readLive): a compaction running
-    // while the stream is live must not fail a micro-batch on a
-    // reclaimed file — same protocol as the batch probe
-    val index = graft.ops.Scale.readLive(spark, indexPath)
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / lit(12.0)
-    banded.as("b")
-      .join(index.as("a"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newDocsDir)
       .writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Dedup
+          .probeMinhashIndexMd5(spark, indexPath, batch, "id", "text",
+            threshold = threshold)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
-  }
 
-  /** STREAMING semantic dedup: the embedding stream probes the
-    * persistent sign-plane index ([[graft.ops.Dedup
-    * .writeSignPlaneIndex]]) online — the (vector, norm, sign-bucket)
-    * keying is stateless projection on the stream, the index joins
-    * stream-static (partition-pruned by bucket), and the cosine
-    * verify runs on stored vectors, so arriving embeddings dedup
-    * against the full corpus without re-reading it. Each id maps to
-    * exactly one bucket, so pairs emit once — NO dedup state at all
-    * (the LSH twin needs dropDuplicates for its multi-band hits).
+  /** STREAMING semantic dedup: each arriving micro-batch of
+    * embeddings runs the BATCH sign-plane probe
+    * ([[graft.ops.Dedup.probeSignPlaneIndex]]) inside `foreachBatch`
+    * — (vector, norm, sign-bucket) keying on the batch, the index
+    * side partition-pruned to the batch's buckets (the batch probe's
+    * collect-isin pruning, which the old stream-static shape could
+    * not use), cosine verify on stored vectors. Per-micro-batch
+    * re-resolution of the grace-aware listing makes compaction safe
+    * for any stream lifetime (r17 advice), and the batch operator's
+    * oracle gates the stream. Exactly-once via the batch-id sink.
     */
   def streamSemanticDedup(
       spark: SparkSession,
       indexPath: String,
       newEmbDir: String,
       schema: StructType,
-      queryName: String,
+      outDir: String,
+      checkpointDir: String,
       threshold: Double = 0.99,
       planes: Int = 4
-  ): StreamingQuery = {
-    val src = spark.readStream.schema(schema).parquet(newEmbDir)
-    // the batch probe accepts the streaming frame unchanged (the
-    // index side joins stream-static) — ONE implementation, so the
-    // streaming twin can never drift from the oracle-gated batch path
-    graft.ops.Dedup.probeSignPlaneIndex(spark, indexPath, src, "vec_id", "embedding",
-        threshold, planes)
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(newEmbDir)
       .writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Dedup
+          .probeSignPlaneIndex(spark, indexPath, batch, "vec_id", "embedding",
+            threshold, planes)
+          .withColumn("inc", lit(s"b$bid"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("inc").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
-  }
 
   /** STREAMING exact-substring dedup-at-ingest: each arriving
     * micro-batch of documents probes the persistent substring index

@@ -32,6 +32,38 @@ class NonAtomicCreateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     else super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
 }
 
+/** Models the LATE-CLOSE interleaving the discard-mock above cannot
+  * (r17 advice): on S3 the object only becomes visible at close(),
+  * LAST writer wins — so a loser whose stale exists-check raced
+  * before the winner's PUT can land its own object AFTER the
+  * winner's read-back. create(overwrite = false) over an existing
+  * marker "succeeds" and the bytes land at close (overwriting),
+  * which is the both-writes-land ordering.
+  */
+class LateCloseFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftlateclose:///")
+  private def landAtClose(f: HPath): FSDataOutputStream = {
+    val target = pathToFile(f)
+    val buf = new java.io.ByteArrayOutputStream()
+    new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
+      override def close(): Unit = {
+        super.close()
+        java.nio.file.Files.write(target.toPath, buf.toByteArray)
+      }
+    }, null)
+  }
+  override def create(
+      f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream =
+    if (!overwrite && exists(f)) landAtClose(f)
+    else super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  override def create(
+      f: HPath, permission: FsPermission, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream =
+    if (!overwrite && exists(f)) landAtClose(f)
+    else super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+}
+
 /** Read-back adjudication on filesystems without atomic conditional
   * create (r16 advice, medium): after the holder id lands, the lease
   * is read back — a writer whose spurious create "succeeded" but
@@ -72,6 +104,44 @@ class FoldLeaseAdjudicationSpec extends SparkSpecBase {
     // the winner's lease must survive the loser's failed acquisition
     assert(new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
       === "writer-winner")
+  }
+
+  test("RESIDUAL, pinned honestly (r17 advice): a pathologically late close dual-acquires") {
+    // The documented hole read-back adjudication + settle delay CANNOT
+    // close: writer B's stale exists-check races before writer A's PUT
+    // (modeled by LateCloseFs letting create succeed over the marker),
+    // but B's close lands only AFTER A's read-back — here forced by
+    // starting B once A is already inside the guarded body. Both
+    // writers then read back their own id and BOTH proceed. This spec
+    // asserts the failure mode EXISTS so the scaladoc's residual claim
+    // stays honest; the remedy it names is conditional create
+    // (If-None-Match), under which B's create would throw instead.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftlateclose.impl", classOf[LateCloseFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("lease-adj-late").toString
+    val path = s"graftlateclose://$dir"
+    val aInBody = new java.util.concurrent.CountDownLatch(1)
+    val bDone   = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aRan = false
+    @volatile var bRan = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val a = new Thread(() => {
+      try FoldLease.withLease(spark, path, "writer-a") {
+        aRan = true
+        aInBody.countDown()
+        // hold the body open across B's entire late acquisition
+        bDone.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      } catch { case e: Throwable => aInBody.countDown(); errs.add(e) }
+    })
+    a.start()
+    assert(aInBody.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    try FoldLease.withLease(spark, path, "writer-b") { bRan = true }
+    catch { case e: Throwable => errs.add(e) } finally bDone.countDown()
+    a.join(60000)
+    assert(errs.isEmpty, s"unexpected failure: ${Option(errs.peek()).map(_.toString)}")
+    assert(aRan && bRan,
+      "late-close dual acquisition no longer reproduces — the residual is closed; " +
+        "update the FoldLease scaladoc and flip this spec to assert CONCURRENT_FOLD")
   }
 
   test("non-local acquire: same-id replay through a crashed lease still passes") {
