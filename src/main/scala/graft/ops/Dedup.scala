@@ -683,36 +683,51 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val base = df
+    // LIGHT banding (r18, the x_dedup_histogram variance attribution's
+    // mechanical fix): the band self-join shuffles only (id, band,
+    // bucket) — the old shape carried each doc's full shingle array
+    // on every one of its `bands` exploded rows, putting bands× the
+    // corpus's array bytes through the exchange (the row's measured
+    // GC-variance driver at bench scale, and exactly the shuffle that
+    // dies first at 100 TB). Candidate pairs dedup BEFORE the verify,
+    // so the jaccard is computed once per pair instead of once per
+    // band collision, and the shingle arrays join back only for the
+    // surviving candidates (two extra tokenize+shingle scans bought
+    // back many times over in shuffle bytes; values are identical —
+    // jaccard is deterministic per pair, dedup-then-verify ≡
+    // verify-then-dedup).
+    def shingled = df
       .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("id"), shingleHashesOf(col("hs"), w).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), minhashSignatureFast(col("sh"), numHashes).as("sig"))
-    val banded = base.select(
-      col("id"),
-      col("sh"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            (b * rows until (b + 1) * rows)
-              .map(j => rotl(element_at(col("sig"), j + 1), (j * 13) % 63 + 1))
-              .reduce((a: Column, c: Column) => a.bitwiseXOR(c)).as("bucket"))
-        }: _*)
-      ).as("bb")
-    ).select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = shingled
+      .select(col("id"), minhashSignatureFast(col("sh"), numHashes).as("sig"))
+      .select(
+        col("id"),
+        explode(
+          array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              (b * rows until (b + 1) * rows)
+                .map(j => rotl(element_at(col("sig"), j + 1), (j * 13) % 63 + 1))
+                .reduce((a: Column, c: Column) => a.bitwiseXOR(c)).as("bucket"))
+          }: _*)
+        ).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .repartition(col("band"), col("bucket"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    banded.as("a")
+    val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    cands
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash-blocked, exact-Jaccard-verified pairs: the 64-bit
@@ -736,35 +751,41 @@ object Dedup {
   ): DataFrame = {
     val bands     = 21
     val bandWidth = 3
-    val base = df
+    // light banding, as in minhashExactPairs: the 21-band explode
+    // carries only (id, sim, band, chunk) — sim is the scalar the
+    // Hamming pre-filter needs; the shingle arrays (the heavy
+    // payload) join back only for the Hamming-surviving, deduped
+    // candidate pairs
+    def shingled = df
       .select(col(idCol).as("id"), transform(tokens(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("id"), simhashOfHashes(col("hs")).as("sim"), shingleHashesOf(col("hs"), w).as("sh"))
       .filter(size(col("sh")) > 0)
-    val banded = base.select(
+    val banded = shingled.select(
       col("id"),
       col("sim"),
-      col("sh"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
           shiftright(col("sim"), b * bandWidth)
             .bitwiseAND(lit((1L << bandWidth) - 1)).as("chunk"))
       }: _*)).as("bb")
-    ).select(col("id"), col("sim"), col("sh"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    ).select(col("id"), col("sim"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
       .repartition(col("band"), col("chunk"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    banded.as("a")
+    val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    cands
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** MinHash signature, md5 flavor: the per-seed min is the
