@@ -1377,7 +1377,12 @@ object CorpusOps {
       incrementId: String,
       contamMinShared: Int = 8,
       minTokens: Int = 20, maxTokens: Int = 80, minStopwordHits: Int = 1): DataFrame = {
-    val d0 = inc.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // width guard at the CHAIN entry (see Scale.ensureWidth): every
+    // stage below is CPU-bound text work over the increment, and a
+    // few-fat-file-splits increment (stream micro-batch) would run
+    // the whole admission chain at file parallelism
+    val d0 = Scale.ensureWidth(
+      inc.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
     val s1 = d0.join(
       Dedup.canonDedupWithIndex(spark, s"$path/canonix", d0, "doc_id", "text")
         .filter(col("is_kept") === 1L).select(col("doc_id")),

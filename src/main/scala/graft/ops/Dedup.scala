@@ -269,8 +269,19 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       inc: DataFrame, idCol: String, textCol: String,
       broadcastMaxBytes: Long = Hints.DefaultBroadcastMaxBytes): DataFrame = {
-    val ih = inc.select(col(idCol).cast("long").as("doc_id"),
-      md5(canonText(col(textCol))).as("h"))
+    // width guard (r18, found by the sf10 stream probe): the probe's
+    // real cost is the NFC-canonicalize + md5 over the increment, and
+    // an increment arriving as a few fat file splits caps that CPU
+    // work at the file parallelism — see [[Scale.ensureWidth]]
+    val incWide = Scale.ensureWidth(inc)
+    // the hashed increment is materialized ONCE (localCheckpoint —
+    // increment-sized (doc_id, h) pairs, same budget as the pruned
+    // slice below): ih feeds BOTH the winner fold and the final
+    // lookup join, and leaving it lazy re-runs the whole
+    // canonicalize+md5 scan — the probe's dominant CPU — once per
+    // subtree (measured 2× on the sf10 stream probe)
+    val ih = incWide.select(col(idCol).cast("long").as("doc_id"),
+      md5(canonText(col(textCol))).as("h")).localCheckpoint()
     val incWin = ih.groupBy(col("h")).agg(min(col("doc_id")).as("__iw"))
     // a plain left-outer against the index cannot broadcast its small
     // (increment) side — Spark would shuffle the ENTIRE index per

@@ -177,6 +177,21 @@ object Scale {
     wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** Round-robin-widen an under-partitioned frame to session
+    * parallelism (r18, found by the sf10 stream probe): an increment
+    * arriving as a few fat file splits — a staged crawl file, a
+    * stream micro-batch — caps every downstream CPU-bound projection
+    * (NFC canonicalization, hashing, tokenization) at the file
+    * parallelism; measured 25 s vs 3 s for the identical canon probe
+    * at 4-split vs session width. The exchange is sized by the frame
+    * it widens (callers apply it to increment-sized inputs only);
+    * already-wide frames pass through untouched.
+    */
+  def ensureWidth(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+
   /** One compacted partition directory's before/after accounting. */
   final case class CompactStats(dir: String, filesBefore: Int, filesAfter: Int, bytes: Long)
 
