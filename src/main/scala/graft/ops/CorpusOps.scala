@@ -319,7 +319,9 @@ object CorpusOps {
     val w = spark.read.parquet(s"$path/meta")
       .select(col("w")).limit(1).collect()(0).getInt(0)
     val benchSh = broadcast(spark.read.parquet(s"$path/sh"))
-    corpus.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__ts"))
+    // width guard: per-doc shingling is the probe's CPU (Scale.ensureWidth)
+    Scale.ensureWidth(corpus)
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__ts"))
       .select(col("id"), explode(Dedup.shinglesOf(col("__ts"), w)).as("sh"))
       .join(benchSh, Seq("sh"))
       .groupBy(col("id"), col("bench_id"))
@@ -1169,7 +1171,11 @@ object CorpusOps {
       textCol: String,
       window: Int
   ): DataFrame = {
-    val toks = newDocs.select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
+    // width guard (Scale.ensureWidth): the rolling-hash windows are
+    // the probe's CPU; a fat-split increment must not run them at
+    // file parallelism (streaming frames pass through)
+    val toks = Scale.ensureWidth(newDocs)
+      .select(col(idCol), filter(split(col(textCol), " "), x => x =!= "").as("__toks"))
     val wins = substringWins(toks, idCol, window)
       .withColumn("pfx", substring(col("__fp"), 1, 2))
     def plan(): DataFrame = {

@@ -1022,7 +1022,9 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5
   ): DataFrame = {
-    val probes = bandedSigsMd5(newDocs, idCol, textCol, w, numHashes, bands)
+    // width guard: the md5 minhash signatures are the probe's CPU
+    // (Scale.ensureWidth; streaming frames pass through)
+    val probes = bandedSigsMd5(Scale.ensureWidth(newDocs), idCol, textCol, w, numHashes, bands)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -1595,7 +1597,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newEmb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       planes: Int = 4, bands: Int = 3): DataFrame = {
-    val probes = signPlaneKeyedBanded(newEmb, idCol, vecCol, planes, bands)
+    // width guard: plane dots + norms per vector (Scale.ensureWidth)
+    val probes = signPlaneKeyedBanded(Scale.ensureWidth(newEmb), idCol, vecCol, planes, bands)
     // grace-aware read (Scale.readLive): see probeSignPlaneIndexPlan
     val indexAll = Scale.readLive(spark, path, Some(probes.schema))
     val cell = col("band") * lit(1 << planes) + col("bucket")
@@ -1774,7 +1777,8 @@ object Dedup {
       threshold: Double,
       planes: Int = 4
   ): DataFrame = {
-    val probes = signPlaneKeyed(newEmb, idCol, vecCol, planes)
+    // width guard: plane dots + norms per vector (Scale.ensureWidth)
+    val probes = signPlaneKeyed(Scale.ensureWidth(newEmb), idCol, vecCol, planes)
     // explicit schema (the probe side is keyed identically, so its
     // schema IS the index schema): an index built from a corpus with
     // no embeddings is an empty partitioned dir, and schema inference
@@ -2062,7 +2066,9 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       inc: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 3): DataFrame = {
-    val (sents, spans) = spanParts(inc, idCol, textCol, spanLen)
+    // width guard: sentence split + span hashing is the probe's CPU
+    // (Scale.ensureWidth); the id projection below stays on the raw inc
+    val (sents, spans) = spanParts(Scale.ensureWidth(inc), idCol, textCol, spanLen)
     val incWin = spans.groupBy(col("h")).agg(min(col("okey")).as("__ik"))
     val winners = incWin
       .join(spark.read.parquet(s"$path/spans"), Seq("h"), "full_outer")

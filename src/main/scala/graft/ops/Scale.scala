@@ -185,12 +185,18 @@ object Scale {
     * parallelism; measured 25 s vs 3 s for the identical canon probe
     * at 4-split vs session width. The exchange is sized by the frame
     * it widens (callers apply it to increment-sized inputs only);
-    * already-wide frames pass through untouched.
+    * already-wide frames pass through untouched, and STREAMING
+    * frames pass through unchanged (their width is the micro-batch
+    * planner's concern; partition introspection is a batch-only
+    * operation) — so every index probe's entry can call this
+    * unconditionally.
     */
-  def ensureWidth(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
-  }
+  def ensureWidth(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val want = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+    }
 
   /** One compacted partition directory's before/after accounting. */
   final case class CompactStats(dir: String, filesBefore: Int, filesAfter: Int, bytes: Long)
