@@ -319,9 +319,10 @@ object CorpusOps {
     val w = spark.read.parquet(s"$path/meta")
       .select(col("w")).limit(1).collect()(0).getInt(0)
     val benchSh = broadcast(spark.read.parquet(s"$path/sh"))
-    // width guard: per-doc shingling is the probe's CPU (Scale.ensureWidth)
-    Scale.ensureWidth(corpus)
-      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__ts"))
+    // no inner width guard (see spanDedupWithIndex): the ingest chain
+    // widens at its entry; an ensureWidth on a derived mid-chain
+    // frame costs a full extra planning pass per call
+    corpus.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("__ts"))
       .select(col("id"), explode(Dedup.shinglesOf(col("__ts"), w)).as("sh"))
       .join(benchSh, Seq("sh"))
       .groupBy(col("id"), col("bench_id"))

@@ -2066,9 +2066,12 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       inc: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 3): DataFrame = {
-    // width guard: sentence split + span hashing is the probe's CPU
-    // (Scale.ensureWidth); the id projection below stays on the raw inc
-    val (sents, spans) = spanParts(Scale.ensureWidth(inc), idCol, textCol, spanLen)
+    // NO width guard here (r18, measured): this op runs inside the
+    // ingest chain on frames the chain entry already widened, and an
+    // inner ensureWidth forces an extra physical planning of the
+    // whole upstream subtree per call (+~2 s on the capstone rows at
+    // sf1). Standalone callers own their increment's width.
+    val (sents, spans) = spanParts(inc, idCol, textCol, spanLen)
     val incWin = spans.groupBy(col("h")).agg(min(col("okey")).as("__ik"))
     val winners = incWin
       .join(spark.read.parquet(s"$path/spans"), Seq("h"), "full_outer")
