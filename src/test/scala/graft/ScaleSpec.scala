@@ -247,4 +247,25 @@ class ScaleSpec extends SparkSpecBase {
     val b = salted.select("l_orderkey", "l_linenumber", "s_name").collect().map(_.toString).sorted
     assert(a === b)
   }
+
+  test("ensureWidth: widens fat-split frames, passes wide and streaming frames through") {
+    import org.apache.spark.sql.functions._
+    val want = spark.sparkContext.defaultParallelism
+    // a narrow frame (1 partition) widens to session parallelism,
+    // values untouched
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    val widened = Scale.ensureWidth(narrow)
+    assert(widened.rdd.getNumPartitions === want)
+    assert(widened.agg(sum(col("id"))).head.getLong(0) === 499500L)
+    // an already-wide frame passes through with its plan unchanged
+    val wide = spark.range(0, 1000, 1, want).toDF("id")
+    assert(Scale.ensureWidth(wide) eq wide)
+    // a STREAMING frame passes through unchanged (partition
+    // introspection would throw on it) — the probes' stream-static
+    // branches call ensureWidth unconditionally
+    val dir = java.nio.file.Files.createTempDirectory("widthstream").toString
+    narrow.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(narrow.schema).parquet(dir)
+    assert(Scale.ensureWidth(stream) eq stream)
+  }
 }
