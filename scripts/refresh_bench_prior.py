@@ -89,6 +89,26 @@ def official_core():
 
 core01 = official_core()
 
+
+# sf10 priors (r18 verdict task 1): the decade-up probe artifacts
+# (BENCH_r{N}_sf10.json, primary pass = benchdata/sf10) carry full
+# per-query maps too — two rounds of them arm the SAME flag-and-rerun
+# machinery on the sf10 leg, so in-run JVM-state outliers there
+# (x_dedup_substring_compact read 7.71 s vs 3.53 s isolated in r18)
+# are auto-re-measured instead of needing hand-run isolated probes.
+def sf10_artifacts():
+    def r10(p):
+        m = re.search(r"BENCH_r(\d+)_sf10", p)
+        return int(m.group(1)) if m else -1
+    arts = sorted(
+        (c for c in glob.glob(os.path.join(root, "BENCH_r*_sf10.json")) if r10(c) >= 0),
+        key=r10,
+    )
+    return [load(a) for a in arts[-2:]], [os.path.basename(a) for a in arts[-2:]]
+
+
+sf10_loaded, sf10_names = sf10_artifacts()
+
 rows = []
 for sf, key in (("sf1", "queries"), ("sf0.1", "queries_sf2")):
     qs = d.get(key, {})
@@ -100,12 +120,31 @@ for sf, key in (("sf1", "queries"), ("sf0.1", "queries_sf2")):
         vals = [s] + ([pv] if isinstance(pv, (int, float)) and pv >= 0 else [])
         if sf == "sf0.1":
             vals += core01.get(q, [])
+        if sf == "sf1":
+            # the sf10 artifacts' paired same-JVM sf1 slope passes are
+            # same-scale observations — fold them into the sf1 spread
+            for a in sf10_loaded:
+                v2 = a.get("queries_sf2", {}).get(q)
+                if isinstance(v2, (int, float)) and v2 >= 0:
+                    vals.append(v2)
         rows.append(f"{sf}\t{q}\t{s}\t{min(vals)}\t{max(vals)}")
+
+if sf10_loaded:
+    latest10 = sf10_loaded[-1].get("queries", {})
+    older10 = sf10_loaded[0].get("queries", {}) if len(sf10_loaded) > 1 else {}
+    for q, s in sorted(latest10.items()):
+        if not (isinstance(s, (int, float)) and s >= 0):
+            continue
+        pv = older10.get(q)
+        vals = [s] + ([pv] if isinstance(pv, (int, float)) and pv >= 0 else [])
+        rows.append(f"sf10\t{q}\t{s}\t{min(vals)}\t{max(vals)}")
 
 out = os.path.join(root, "BENCH_PRIOR.tsv")
 src_names = os.path.basename(src) + (
     f" + {os.path.basename(older[-1])} (spread)" if older else ""
-) + ("; official sf0.1 core folded into spread" if core01 else "")
+) + ("; official sf0.1 core folded into spread" if core01 else "") + (
+    f"; sf10 rows from {' + '.join(sf10_names)}" if sf10_loaded else ""
+)
 hdr = (
     "# Prior-round per-query bench timings\n"
     "# (sf-name <TAB> query <TAB> latest-sec <TAB> lo-sec <TAB> hi-sec).\n"

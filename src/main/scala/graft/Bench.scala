@@ -446,14 +446,40 @@ object Bench {
     * vs HEAD; untracked artifacts don't count) make it one grep.
     * Resolution failures stamp "unknown" rather than abort the bench.
     */
+  // The git calls are ANCHORED to the repo that owns the measured
+  // classes (r18 advice): a bench launched from outside the repo
+  // root would otherwise stamp the launch cwd's repo — or "unknown"
+  // — into the artifact whose whole purpose is answering "which
+  // code was measured". Anchor resolution: `-Dgraft.repo.root` if
+  // set, else walk up from this class's code source (the compiled
+  // classes/jar live under the repo) to the nearest `.git`. No
+  // anchor → "unknown", never a silent wrong-repo stamp.
+  private[graft] def repoRoot(): Option[java.io.File] = {
+    val prop = sys.props.get("graft.repo.root")
+      .map(new java.io.File(_)).filter(_.isDirectory)
+    if (prop.isDefined) prop
+    else {
+      var d: java.io.File =
+        try Option(getClass.getProtectionDomain.getCodeSource)
+          .map(cs => new java.io.File(cs.getLocation.toURI)).orNull
+        catch { case _: Throwable => null }
+      while (d != null && !new java.io.File(d, ".git").exists()) d = d.getParentFile
+      Option(d)
+    }
+  }
+
   private def gitState(): (String, Boolean) = {
+    val root = repoRoot()
     def run(cmd: String*): Option[String] =
       try {
-        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+        root.foreach(pb.directory)
+        val p = pb.start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         if (p.waitFor() == 0) Some(out) else None
       } catch { case _: Throwable => None }
-    (run("git", "rev-parse", "HEAD").getOrElse("unknown"),
+    if (root.isEmpty) ("unknown", false)
+    else (run("git", "rev-parse", "HEAD").getOrElse("unknown"),
       run("git", "status", "--porcelain", "--untracked-files=no")
         .map(_.nonEmpty).getOrElse(false))
   }

@@ -1598,7 +1598,17 @@ object QueriesScale {
       val q = EventsStream.streamIncrementalDedup(
         s, indexPath, freshDir, fresh.schema, outDir, ckpt)
       q.awaitTermination()
-      s.read.parquet(outDir).drop("inc").orderBy(col("id_a"), col("id_b"))
+      // explicit read-back schema (r18 advice): a recall regression
+      // that emits ZERO pairs in every micro-batch leaves the
+      // partitioned sink with no parquet files, and a schema-less
+      // read would die on inference instead of handing the oracle an
+      // empty frame to fail cleanly on
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", fresh.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("id_b", fresh.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("est_jaccard", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("inc", org.apache.spark.sql.types.StringType)))
+      s.read.schema(pairSchema).parquet(outDir).drop("inc").orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- INCREMENTAL semantic dedup against a persistent SIGN-PLANE
@@ -1694,7 +1704,13 @@ object QueriesScale {
       val ckpt   = GraftSession.freshGatePath("spstreamckpt", dir)
       val q = EventsStream.streamSemanticDedup(s, indexPath, freshDir, fresh.schema, outDir, ckpt)
       q.awaitTermination()
-      s.read.parquet(outDir).drop("inc").orderBy(col("id_a"), col("id_b"))
+      // explicit read-back schema — same rationale as s9_stream_neardup
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", fresh.schema("vec_id").dataType),
+        org.apache.spark.sql.types.StructField("id_b", fresh.schema("vec_id").dataType),
+        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("inc", org.apache.spark.sql.types.StringType)))
+      s.read.schema(pairSchema).parquet(outDir).drop("inc").orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- SEMANTIC dedup end to end: the embedding twin of

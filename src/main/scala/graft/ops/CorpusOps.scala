@@ -1186,10 +1186,16 @@ object CorpusOps {
       // "no history → pass the increment through uncut". Grace-aware
       // read (Scale.readLive): manifest-doomed files are excluded up
       // front, so the probe cannot race compactSubstringIndex.
-      val index = Scale.readLive(spark, path,
+      val index0 = Scale.readLive(spark, path,
         Some(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("__fp", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("pfx", org.apache.spark.sql.types.StringType)))))
+      // stream-static: the pinned listing gets the runtime staleness
+      // guard (r18 verdict task 5); batch callers re-list per retry
+      val index =
+        if (newDocs.isStreaming)
+          Scale.guardPinnedListing(index0, s"substring index at $path")
+        else index0
       val covered = wins
         .join(index, Seq("pfx", "__fp"))
         .select(col(idCol), explode(sequence(col("__wpos"), col("__wpos") + lit(window - 1))).as("__tpos"))

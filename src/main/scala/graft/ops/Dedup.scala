@@ -212,23 +212,55 @@ object Dedup {
     // missing-file states are value-identical, and non-matching
     // failures still propagate on first throw.
     //
-    // EXCLUDED from the broad match (r17 advice): a missing index
-    // ROOT — Spark's PATH_NOT_FOUND analysis error ("Path does not
-    // exist"), or a raw Hadoop FNF naming one of the refreshPaths
-    // roots themselves. That is a plain wrong-path user error, not a
-    // compaction race (compaction deletes part files, never the
-    // root), and retrying it 4× with sleeps + catalog refreshes only
-    // delays the real error behind misleading retry noise. Part-file
-    // FNFs name paths UNDER a root, so the root-followed-by-"does
-    // not exist" match can't swallow a real race.
+    // EXCLUDED from the broad match (r17 advice, SCOPED in r19): a
+    // missing index ROOT — Spark's PATH_NOT_FOUND analysis error
+    // ("Path does not exist") naming the root itself, or a raw
+    // Hadoop FNF naming one of the refreshPaths roots. That is a
+    // plain wrong-path user error, not a compaction race (compaction
+    // deletes part files, never the root), and retrying it 4× with
+    // sleeps + catalog refreshes only delays the real error behind
+    // misleading retry noise. The scoping matters (r18 advice):
+    // [[Scale.readLive]] hands spark.read.parquet an EXPLICIT
+    // part-file list, so a part file reclaimed between the listing
+    // and plan resolution (grace=0 maintenance, skew past
+    // SkewMarginMs, a probe stalled past the grace — exactly the
+    // "pathological rest" this retry is documented to absorb)
+    // surfaces as PATH_NOT_FOUND naming a path UNDER the root. A
+    // blanket PATH_NOT_FOUND exclusion would propagate that race on
+    // the first throw, so the exclusion fires only when the path the
+    // message names IS a refreshPaths root (or can't be placed under
+    // any root — e.g. no roots were passed); a named path strictly
+    // under a root stays transient, same as the raw-Hadoop branch.
     def isMissingFile(e: Throwable): Boolean = {
+      // scheme-insensitive compare: "file:/tmp/x", "file:///tmp/x",
+      // "/tmp/x" all normalize to "/tmp/x"
+      def deScheme(s: String): String =
+        s.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/{0,2}", "/")
+          .replaceAll("/{2,}", "/").stripSuffix("/")
+      val roots = refreshPaths.filter(_.nonEmpty).map(deScheme)
+      def rootScoped(named: String): Option[Boolean] = { // Some(transient)
+        val n = deScheme(named.stripSuffix("."))
+        if (n.isEmpty) None
+        else if (roots.exists(r => n.startsWith(r + "/"))) Some(true)
+        else if (roots.contains(n)) Some(false)
+        else None
+      }
       var c: Throwable = e
       var transient = false
       while (c != null) {
         val m = Option(c.getMessage).getOrElse("")
-        if (m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
-          refreshPaths.exists(p => p.nonEmpty &&
-            (m.contains(s"$p does not exist") || m.contains(s"${p.stripSuffix("/")}/ does not exist"))))
+        if (m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")) {
+          val marker = "Path does not exist: "
+          val named = m.indexOf(marker) match {
+            case -1 => ""
+            case i  => m.substring(i + marker.length).takeWhile(ch => !ch.isWhitespace)
+          }
+          rootScoped(named) match {
+            case Some(true)  => transient = true // part file under a root: race
+            case _           => return false     // the root itself, or unplaceable
+          }
+        } else if (refreshPaths.exists(p => p.nonEmpty &&
+          (m.contains(s"$p does not exist") || m.contains(s"${p.stripSuffix("/")}/ does not exist"))))
           return false
         if (c.isInstanceOf[java.io.FileNotFoundException] ||
           m.contains("FileNotFoundException") ||
@@ -640,6 +672,38 @@ object Dedup {
         count(lit(1)).as("n_buckets"),
         sum(col("bsz") * (col("bsz") - 1) / 2).cast("long").as("candidate_pairs"),
         max(col("bsz")).as("max_bucket"))
+  }
+
+  /** Candidate-volume audit for a PERSISTENT minhash-index PROBE —
+    * the incremental-path counterpart of [[lshCandidateStats]]
+    * (r18 verdict task 3: price the bucket density driving
+    * x_dedup_inc_compact's decade-up slope with a measurement, not
+    * prose). The probe's pre-verify join output is exactly
+    * Σ over touched (band, bucket) cells of |index cell| × |probe
+    * cell| — this runs the same md5 signature+banding stage the real
+    * probe runs, aggregates BOTH sides to per-cell counts (two skinny
+    * shuffles, no candidate materialization), and reports that sum
+    * plus the skew ceiling. One row: (n_index_rows, n_probe_rows,
+    * cells_touched, candidate_pairs, max_cell_pairs, max_index_cell).
+    */
+  def probeCandidateStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val probeCells = bandedSigsMd5(Scale.ensureWidth(newDocs), idCol, textCol, w, numHashes, bands)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("psz"))
+    val indexCells = Scale.readLive(spark, path)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("isz"))
+    indexCells.join(probeCells, Seq("band", "bucket"))
+      .agg(
+        sum(col("isz") * col("psz")).cast("long").as("candidate_pairs"),
+        count(lit(1)).as("cells_touched"),
+        max(col("isz") * col("psz")).cast("long").as("max_cell_pairs"),
+        max(col("isz")).as("max_index_cell"))
+      .crossJoin(indexCells.agg((sum(col("isz")) / lit(bands)).cast("long").as("n_index_rows")))
+      .crossJoin(probeCells.agg((sum(col("psz")) / lit(bands)).cast("long").as("n_probe_rows")))
+      .select(col("n_index_rows"), col("n_probe_rows"), col("cells_touched"),
+        col("candidate_pairs"), col("max_cell_pairs"), col("max_index_cell"))
   }
 
   /** The loud half of [[minhashLshPairs]]'s engaged `bucketCap`: the
@@ -1603,7 +1667,10 @@ object Dedup {
     val indexAll = Scale.readLive(spark, path, Some(probes.schema))
     val cell = col("band") * lit(1 << planes) + col("bucket")
     val index0 =
-      if (newEmb.isStreaming) indexAll
+      // stream-static: no collect-pruning possible, and the pinned
+      // listing gets the runtime staleness guard (r18 verdict task 5)
+      if (newEmb.isStreaming)
+        Scale.guardPinnedListing(indexAll, s"banded sign-plane index at $path")
       else indexAll.filter(cell.isin(
         probes.select(cell.as("c")).distinct().collect().map(_.get(0)).toSeq: _*))
     val index = signPlaneTombstones(spark, path) match {
@@ -1796,7 +1863,11 @@ object Dedup {
     // instead; STREAMING probes can't collect and keep the join-side
     // pruning as best-effort — spec'd in OpsSpec (metric) either way.
     val index0 =
-      if (newEmb.isStreaming) indexAll
+      // stream-static: the pinned listing gets the runtime staleness
+      // guard (r18 verdict task 5) — a stream outliving the grace now
+      // fails with the named error + remedy instead of a task FNF
+      if (newEmb.isStreaming)
+        Scale.guardPinnedListing(indexAll, s"sign-plane index at $path")
       else indexAll.filter(col("bucket").isin(
         probes.select(col("bucket")).distinct().collect().map(_.get(0)).toSeq: _*))
     // takedown mask: retired ids must stop matching new content

@@ -66,8 +66,12 @@ package graft.ops
   * this code that span is microseconds against a ≥25 ms delay —
   * only a mid-acquisition GC pause / network retry on the loser
   * re-opens the window. The true fix is the conditional create
-  * above; the guarded folds' value-idempotence bounds the damage of
-  * the stall case (same contract as the live same-id replay).
+  * above — now a pluggable seam ([[FoldLease.ConditionalCreate]],
+  * r18 verdict task 2): register one per scheme and acquisition is
+  * win-or-lose AT THE STORE, the settle+read-back fallback (and its
+  * late-close residual) never runs. The guarded folds'
+  * value-idempotence bounds the damage of the stall case on
+  * fallback-mode stores (same contract as the live same-id replay).
   */
 object FoldLease {
 
@@ -78,15 +82,57 @@ object FoldLease {
   private val SettleMinMs    = 25
   private val SettleJitterMs = 50
 
+  /** Pluggable ATOMIC-create seam (r18 verdict task 2): stores with a
+    * true conditional create — S3 `If-None-Match: *` (Hadoop 3.4.1+
+    * exposes it; `fs.s3a.create.conditional.enabled`), GCS
+    * `ifGenerationMatch=0` preconditions, HDFS (whose namenode create
+    * is already atomic, though HDFS needs no registration: plain
+    * `fs.create(overwrite = false)` throws on exists) — register one
+    * per URI scheme and acquisition becomes win-or-lose AT THE STORE:
+    * the settle-delay + read-back adjudication (and its pathological
+    * late-close residual, pinned in FoldLeaseAdjudicationSpec) never
+    * runs, so dual acquisition is impossible by construction.
+    *
+    * Contract: land `content` at `lease` iff nothing exists there,
+    * as ONE atomic store operation; return true iff THIS call's
+    * object landed, false iff the path already existed (someone
+    * else's object is the marker). Throw on anything else — a
+    * `true` from this seam is trusted WITHOUT adjudication, so an
+    * implementation that cannot guarantee create-or-fail atomicity
+    * must not register (the fallback adjudication is the honest mode
+    * for such stores).
+    */
+  trait ConditionalCreate {
+    def createExclusive(
+        fs: org.apache.hadoop.fs.FileSystem,
+        lease: org.apache.hadoop.fs.Path,
+        content: Array[Byte]): Boolean
+  }
+
+  private val conditionalByScheme =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalCreate]()
+
+  /** Register a [[ConditionalCreate]] for a URI scheme (e.g. "s3a").
+    * Subsequent [[withLease]] acquisitions against that scheme use it
+    * instead of the settle+read-back fallback.
+    */
+  def registerConditionalCreate(scheme: String, cc: ConditionalCreate): Unit = {
+    conditionalByScheme.put(scheme.toLowerCase(java.util.Locale.ROOT), cc); ()
+  }
+
+  def unregisterConditionalCreate(scheme: String): Unit = {
+    conditionalByScheme.remove(scheme.toLowerCase(java.util.Locale.ROOT)); ()
+  }
+
   def withLease[T](
       spark: org.apache.spark.sql.SparkSession, path: String,
       holderId: String)(body: => T): T = {
     val lease = new org.apache.hadoop.fs.Path(s"$path/_FOLD_LEASE")
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val isLocal = lease.toUri.getScheme match {
-      case null | "file" => true
-      case _ => false
-    }
+    val scheme = Option(lease.toUri.getScheme).getOrElse("file")
+      .toLowerCase(java.util.Locale.ROOT)
+    val isLocal = scheme == "file"
+    val conditional = Option(conditionalByScheme.get(scheme))
     // a failure writing the holder id AFTER a successful create must
     // tear the half-made lease down and rethrow — leaving it would
     // wedge the layout behind an empty-holder lease that blocks every
@@ -102,6 +148,14 @@ object FoldLease {
         if (!f.createNewFile()) false
         else writeHolderOrCleanup(
           java.nio.file.Files.write(f.toPath, holderId.getBytes("UTF-8")))
+      } else if (conditional.isDefined) {
+        // CONDITIONAL-CREATE mode (the scaladoc's "true fix", built):
+        // the store either lands OUR object or reports exists — a
+        // single atomic operation, so a `true` needs no settle delay
+        // and no read-back; a `false` falls through to the shared
+        // existing-holder adjudication below (same-id crash replay
+        // included). Dual acquisition is impossible by construction.
+        conditional.get.createExclusive(fs, lease, holderId.getBytes("UTF-8"))
       } else {
         val created =
           try Some(fs.create(lease, /* overwrite = */ false))

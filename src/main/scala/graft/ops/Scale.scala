@@ -190,6 +190,27 @@ object Scale {
     * planner's concern; partition introspection is a batch-only
     * operation) — so every index probe's entry can call this
     * unconditionally.
+    *
+    * BOUNDARY (pinned intentionally, r18 verdict): a frame at
+    * EXACTLY half the session parallelism (`partitions * 2 == want`)
+    * passes through. The guard exists for the pathological
+    * few-fat-splits shape (4 splits on 32 cores = 8× CPU starvation);
+    * at half width the starvation ceiling is a bounded 2×, and a
+    * round-robin exchange of the whole increment routinely costs
+    * more than it buys back there — so the widen fires only when the
+    * deficit is STRICTLY worse than 2× (`partitions * 2 < want`,
+    * which for odd `want` widens at exactly-half-rounded-down, e.g.
+    * 16 splits on 33 cores). ScaleSpec pins both sides of the edge.
+    *
+    * COST NOTE (the c1419f4 mid-chain lesson): `df.rdd` here forces
+    * physical planning of `df`'s current plan to read its partition
+    * count — acceptable at ENTRY points, where df is a freshly-read
+    * increment whose plan is a bare scan (planning is O(ms) and the
+    * plan would be compiled anyway), but NOT mid-chain, where it
+    * splits a query into two separately-planned halves, discards
+    * whole-stage fusion across the seam, and re-plans work AQE would
+    * have re-planned better. Callers: apply at probe/ingest entry,
+    * never between operators.
     */
   def ensureWidth(df: DataFrame): DataFrame =
     if (df.isStreaming) df
@@ -210,6 +231,56 @@ object Scale {
     * compaction cadence.
     */
   val DefaultGraceMs: Long = 15L * 60L * 1000L
+
+  /** Grace budget the stream-static listing guard enforces
+    * ([[guardPinnedListing]]) — overridable for tests and for
+    * deployments whose compactors run a non-default grace.
+    */
+  def pinnedListingGraceMs: Long =
+    sys.props.get("graft.pinned.listing.grace.ms").map(_.toLong)
+      .getOrElse(DefaultGraceMs)
+
+  /** RUNTIME guard for the stream-static probe shape (r18 verdict
+    * task 5): a streaming frame joined against a [[readLive]] index
+    * keeps the LAZY plan, which pins the index file listing at
+    * stream definition — a stream outliving the compaction grace
+    * window would then read reclaimed files and die on an opaque
+    * FileNotFoundException deep in a task. This wraps the static
+    * side with a per-micro-batch age check: once the pinned
+    * listing's age exceeds `graceMs`, the stream fails LOUDLY with a
+    * named STALE_PINNED_LISTING error carrying the remedy (restart
+    * the stream, or move to the foreachBatch shape that re-resolves
+    * the listing per micro-batch — EventsStream.streamSemanticDedup
+    * is the template). The check is a no-arg nondeterministic UDF
+    * (nondeterminism is what stops Catalyst constant-folding it away
+    * at plan time): one clock read + compare per index row, paid
+    * only on the explicitly-discouraged stream-static branch — the
+    * engine's own gate rows all use foreachBatch and never hit it.
+    * Clock model: `listedAtMs` and the check both read the DRIVER's
+    * clock in local mode; on a cluster the check runs on executors,
+    * whose skew is bounded by the same NTP envelope GraceManifest's
+    * SkewMarginMs margins — the guard fires at `graceMs` exactly,
+    * which is `SkewMarginMs` EARLIER than the first possible reclaim
+    * (doom happens at or after the listing; reclaim at doom + grace
+    * + margin), so a false pass needs skew beyond the margin, the
+    * same budget the reclaimer itself assumes.
+    */
+  def guardPinnedListing(
+      static: DataFrame, what: String,
+      graceMs: Long = pinnedListingGraceMs): DataFrame = {
+    val listedAtMs = System.currentTimeMillis()
+    val check = udf { () =>
+      val age = System.currentTimeMillis() - listedAtMs
+      if (age > graceMs) throw new IllegalStateException(
+        s"STALE_PINNED_LISTING: this stream-static plan pinned its file listing of $what " +
+          s"${age} ms ago, past the ${graceMs} ms compaction grace — a compaction pass may " +
+          s"have reclaimed listed files. Restart the stream (re-resolving the listing), or " +
+          s"run the batch probe per micro-batch inside foreachBatch " +
+          s"(EventsStream.streamSemanticDedup is the template) for unbounded stream lifetimes.")
+      true
+    }.asNondeterministic()
+    static.filter(check())
+  }
 
   /** Read a (possibly Hive-partitioned) parquet layout maintained by
     * [[compact]]`(deferDeletes = true)`, EXCLUDING the `_GARBAGE`

@@ -64,6 +64,34 @@ class LateCloseFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     else super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
 }
 
+/** The LateCloseFs store behavior under a scheme with a REGISTERED
+  * conditional create — the pair that proves the seam: the underlying
+  * fs still has the late-close hole, but acquisition never goes
+  * through it.
+  */
+class LateCloseCondFs extends LateCloseFs {
+  override def getUri: java.net.URI = java.net.URI.create("graftcond:///")
+}
+
+/** Mock conditional store: models S3 If-None-Match / GCS
+  * ifGenerationMatch=0 — ONE atomic create-or-fail operation
+  * (File.createNewFile is O_CREAT|O_EXCL per POSIX, the same
+  * atomicity class). Counts calls so specs can assert the seam was
+  * actually the acquisition path.
+  */
+object MockConditionalStore extends FoldLease.ConditionalCreate {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def createExclusive(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lease: HPath, content: Array[Byte]): Boolean = {
+    calls.incrementAndGet()
+    val f = new java.io.File(lease.toUri.getPath)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    if (!f.createNewFile()) false
+    else { java.nio.file.Files.write(f.toPath, content); true }
+  }
+}
+
 /** Read-back adjudication on filesystems without atomic conditional
   * create (r16 advice, medium): after the holder id lands, the lease
   * is read back — a writer whose spurious create "succeeded" but
@@ -142,6 +170,73 @@ class FoldLeaseAdjudicationSpec extends SparkSpecBase {
     assert(aRan && bRan,
       "late-close dual acquisition no longer reproduces — the residual is closed; " +
         "update the FoldLease scaladoc and flip this spec to assert CONCURRENT_FOLD")
+  }
+
+  test("CONDITIONAL mode (r18 verdict task 2): the late-close interleaving cannot dual-acquire") {
+    // The exact interleaving the residual test above PROVES dual-
+    // acquires in fallback mode — rerun over the same late-close
+    // store behavior, but with a conditional create registered for
+    // the scheme: writer B's acquisition now loses AT THE STORE and
+    // fails CONCURRENT_FOLD while A is still inside the body.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcond.impl", classOf[LateCloseCondFs].getName)
+    FoldLease.registerConditionalCreate("graftcond", MockConditionalStore)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("lease-adj-cond").toString
+      val path = s"graftcond://$dir"
+      val callsBefore = MockConditionalStore.calls.get()
+      val aInBody = new java.util.concurrent.CountDownLatch(1)
+      val bDone   = new java.util.concurrent.CountDownLatch(1)
+      @volatile var aRan = false
+      @volatile var bRan = false
+      val aErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val a = new Thread(() => {
+        try FoldLease.withLease(spark, path, "writer-a") {
+          aRan = true
+          aInBody.countDown()
+          bDone.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+        } catch { case e: Throwable => aInBody.countDown(); aErrs.add(e) }
+      })
+      a.start()
+      assert(aInBody.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      val e = intercept[IllegalStateException] {
+        try FoldLease.withLease(spark, path, "writer-b") { bRan = true }
+        finally bDone.countDown()
+      }
+      a.join(60000)
+      assert(aErrs.isEmpty, s"winner must complete cleanly: ${Option(aErrs.peek()).map(_.toString)}")
+      assert(e.getMessage.contains("CONCURRENT_FOLD"), s"wrong error: ${e.getMessage}")
+      assert(e.getMessage.contains("writer-a"), "error must name the live holder")
+      assert(aRan && !bRan,
+        "conditional create must make dual acquisition impossible by construction")
+      assert(MockConditionalStore.calls.get() > callsBefore,
+        "acquisition must have gone through the registered seam, not the fallback")
+      // the winner released on completion; a fresh writer acquires
+      var cRan = false
+      FoldLease.withLease(spark, path, "writer-c") { cRan = true }
+      assert(cRan)
+    } finally FoldLease.unregisterConditionalCreate("graftcond")
+  }
+
+  test("CONDITIONAL mode: same-id crash replay still passes through its own lease") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcond.impl", classOf[LateCloseCondFs].getName)
+    FoldLease.registerConditionalCreate("graftcond", MockConditionalStore)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("lease-adj-cond-replay").toString
+      val lease = new java.io.File(dir, "_FOLD_LEASE")
+      java.nio.file.Files.write(lease.toPath, "writer-a".getBytes("UTF-8"))
+      var ran = false
+      FoldLease.withLease(spark, s"graftcond://$dir", "writer-a") { ran = true }
+      assert(ran, "a lost conditional create with a matching holder is the crash-replay path")
+      assert(!lease.exists(), "replay must release its own lease on completion")
+      // ...and a DISTINCT id against that crashed lease fails loudly
+      java.nio.file.Files.write(lease.toPath, "writer-a".getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] {
+        FoldLease.withLease(spark, s"graftcond://$dir", "writer-b") { () }
+      }
+      assert(e.getMessage.contains("CONCURRENT_FOLD"))
+    } finally FoldLease.unregisterConditionalCreate("graftcond")
   }
 
   test("non-local acquire: same-id replay through a crashed lease still passes") {

@@ -204,4 +204,48 @@ class GraceManifestSpec extends SparkSpecBase {
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 30.0, f"missing-root probe should fail fast, took $sec%.1f s")
   }
+
+  test("retryOnMissingFiles: PATH_NOT_FOUND naming a part file UNDER a root is a race, not a user error") {
+    // readLive hands spark.read.parquet an explicit part-file list, so
+    // a file reclaimed between listing and plan resolution surfaces as
+    // AnalysisException PATH_NOT_FOUND naming the PART FILE — the r18
+    // advice: that must stay retryable; only the ROOT shape is a
+    // wrong-path user error
+    var n = 0
+    Dedup.retryOnMissingFiles(3, spark, Seq("/tmp/race-idx")) {
+      n += 1
+      if (n < 2) throw new RuntimeException(
+        "[PATH_NOT_FOUND] Path does not exist: " +
+          "file:/tmp/race-idx/part-00007-abc.snappy.parquet. SQLSTATE: 42K03")
+    }
+    assert(n === 2, "PATH_NOT_FOUND under a refresh root must retry with a fresh listing")
+    // scheme variants normalize: file:///tmp/... is the same path
+    var m = 0
+    Dedup.retryOnMissingFiles(3, spark, Seq("/tmp/race-idx/")) {
+      m += 1
+      if (m < 2) throw new RuntimeException(
+        "[PATH_NOT_FOUND] Path does not exist: file:///tmp/race-idx/part-0.parquet.")
+    }
+    assert(m === 2, "trailing-slash root + file:// scheme must still scope as under-root")
+    // the ROOT itself via PATH_NOT_FOUND stays a first-throw propagate
+    var k = 0
+    intercept[RuntimeException] {
+      Dedup.retryOnMissingFiles(4, spark, Seq("/tmp/race-idx")) {
+        k += 1
+        throw new RuntimeException(
+          "[PATH_NOT_FOUND] Path does not exist: file:/tmp/race-idx.")
+      }
+    }
+    assert(k === 1, "PATH_NOT_FOUND naming the root itself is a user error — no retries")
+    // a path unrelated to every root is unplaceable → user error
+    var j = 0
+    intercept[RuntimeException] {
+      Dedup.retryOnMissingFiles(4, spark, Seq("/tmp/race-idx")) {
+        j += 1
+        throw new RuntimeException(
+          "[PATH_NOT_FOUND] Path does not exist: file:/somewhere/else/part-0.parquet.")
+      }
+    }
+    assert(j === 1, "a missing path outside every refresh root is not a compaction race")
+  }
 }

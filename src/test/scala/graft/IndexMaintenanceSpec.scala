@@ -613,4 +613,66 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     CorpusOps.appendToSubstringIndex(inc.filter(col("id") < 0), "id", "text", path, window = 8)
     assert(probe() === once, "empty append changed probe results")
   }
+
+  test("stream-static probe outliving the grace fails STALE_PINNED_LISTING, not an FNF (r18 task 5)") {
+    import graft.ops.Scale
+    // deterministic unit-ish embeddings: 8 dims from the id
+    val emb = spark.range(0, 64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), i -> CAST(pmod(vec_id * 7 + i * 3, 13) - 6 AS FLOAT)) AS embedding")
+    val idx = tmp("stale-guard-idx")
+    Dedup.writeSignPlaneIndex(emb, "vec_id", "embedding", idx)
+    val incDir = tmp("stale-guard-inc")
+    emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(incDir)
+    val incSchema = spark.read.parquet(incDir).schema
+    // grace window tiny so the test ages past it in ms, not minutes;
+    // set BEFORE the probe is built — the guard captures the budget
+    // at plan construction, alongside the pinned listing
+    System.setProperty("graft.pinned.listing.grace.ms", "200")
+    try {
+      val stream = spark.readStream.schema(incSchema).parquet(incDir)
+      val probe = Dedup.probeSignPlaneIndex(spark, idx, stream, "vec_id", "embedding", 0.99)
+      // a compaction pass runs while the stream-static plan holds its
+      // pinned listing, and the listing ages past the grace
+      Dedup.compactSignPlaneIndex(spark, idx, graceMs = 200)
+      Thread.sleep(500)
+      val q = probe.writeStream.format("memory").queryName("staleguard")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val e = intercept[Throwable] { q.awaitTermination() }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("STALE_PINNED_LISTING"),
+        s"expected the named guard, got: $msgs")
+      assert(!msgs.contains("FileNotFoundException"),
+        "the guard must fire BEFORE any reclaimed-file read")
+    } finally { System.clearProperty("graft.pinned.listing.grace.ms"); () }
+  }
+
+  test("stream-static probe WITHIN the grace still answers (guard passes through)") {
+    import graft.ops.Scale
+    val emb = spark.range(0, 64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), i -> CAST(pmod(vec_id * 7 + i * 3, 13) - 6 AS FLOAT)) AS embedding")
+    val idx = tmp("fresh-guard-idx")
+    Dedup.writeSignPlaneIndex(emb, "vec_id", "embedding", idx)
+    val incDir = tmp("fresh-guard-inc")
+    emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(incDir)
+    val incSchema = spark.read.parquet(incDir).schema
+    val stream = spark.readStream.schema(incSchema).parquet(incDir)
+    val probe = Dedup.probeSignPlaneIndex(spark, idx, stream, "vec_id", "embedding", 0.99)
+    val q = probe.writeStream.format("memory").queryName("freshguard")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the embedding pattern pmod(vec_id*7 + 3i, 13) repeats every 13
+    // ids, so each of the 8 increment vectors is colinear with 5 base
+    // vectors (k, k+13, k+26, k+39, k+52 < 64): 8 × 5 = 40 pairs
+    val got = spark.sql("SELECT * FROM freshguard").count()
+    assert(got === 40L, s"colinear increment must pair with its 40 base twins, got $got")
+  }
 }

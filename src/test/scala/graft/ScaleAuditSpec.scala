@@ -134,6 +134,35 @@ class ScaleAuditSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("probeCandidateStats prices the persistent-index probe's exact pre-verify join volume") {
+    // r18 verdict task 3's instrument: the audit's candidate_pairs
+    // must equal the row count the probe's (band, bucket) equi-join
+    // ACTUALLY emits before the est-jaccard verify — measured here by
+    // running that join raw against the same index files
+    val base = docs
+    val appended = base.filter(col("id") < 15)
+      .select((col("id") + 20000).as("id"), concat(col("text"), lit(" qq ww")).as("text"))
+    val fresh = base.filter(col("id") < 25)
+      .select((col("id") + 10000).as("id"), concat(col("text"), lit(" zz yy")).as("text"))
+    val path = java.nio.file.Files.createTempDirectory("probe-audit").toString + "/idx"
+    Dedup.writeMinhashIndexMd5(base, "id", "text", path)
+    Dedup.appendToMinhashIndex(appended, "id", "text", path)
+    Dedup.compactMinhashIndex(spark, path): Unit
+    val r = Dedup.probeCandidateStats(spark, path, fresh, "id", "text").collect()(0)
+    // truth reads the LIVE file set, as the probe does — a raw
+    // directory read would resurrect the compaction-doomed duplicates
+    // the _GARBAGE manifest excludes (measured: exactly 2x here)
+    val truth = graft.ops.Scale.readLive(spark, path).as("a")
+      .join(Dedup.bandedSigsMd5(fresh, "id", "text", 3, 12, 4).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .count()
+    assert(r.getAs[Long]("candidate_pairs") === truth,
+      s"audit says ${r.getAs[Long]("candidate_pairs")} pre-verify candidates; the raw join emits $truth")
+    assert(r.getAs[Long]("n_probe_rows") === fresh.count())
+    assert(r.getAs[Long]("cells_touched") > 0 &&
+      r.getAs[Long]("max_cell_pairs") <= r.getAs[Long]("candidate_pairs"))
+  }
+
   test("bucketCap drops only oversized buckets' candidates") {
     // planted corpus: 25 exact-ish copies land in shared buckets; a
     // cap of 1 kills every multi-member bucket → zero pairs, while the

@@ -260,6 +260,19 @@ class ScaleSpec extends SparkSpecBase {
     // an already-wide frame passes through with its plan unchanged
     val wide = spark.range(0, 1000, 1, want).toDF("id")
     assert(Scale.ensureWidth(wide) eq wide)
+    // the boundary, pinned INTENTIONALLY (r18 verdict): exactly half
+    // the session parallelism passes through — the guard fires only
+    // when the CPU-starvation ceiling is strictly worse than 2×
+    if (want % 2 == 0 && want >= 2) {
+      val half = spark.range(0, 1000, 1, want / 2).toDF("id")
+      assert(Scale.ensureWidth(half) eq half,
+        "exactly-half width is a bounded 2x ceiling: pass through, don't exchange")
+    }
+    // one below half (for even want) widens
+    if (want % 2 == 0 && want >= 4) {
+      val below = spark.range(0, 1000, 1, want / 2 - 1).toDF("id")
+      assert(Scale.ensureWidth(below).rdd.getNumPartitions === want)
+    }
     // a STREAMING frame passes through unchanged (partition
     // introspection would throw on it) — the probes' stream-static
     // branches call ensureWidth unconditionally
