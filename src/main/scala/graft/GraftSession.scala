@@ -28,6 +28,15 @@ object GraftSession {
       // long (full precision for ordering; convert explicitly where a
       // timestamp is needed — see GraftSession.nanosToTs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the persistent-index probes pin envelope-sized IN-lists on
+      // sorted index columns (Dedup.probeMinhashIndexMd5Plan,
+      // probeSignPlaneIndexPlan); above the default threshold of 10
+      // Spark collapses the parquet In predicate to a [min,max] range,
+      // which is vacuous for hash-valued cells — keep the point
+      // checks so row-group stats on bucket-sorted files actually
+      // skip (a per-row-group stat evaluation of ≤1k literals is
+      // noise next to reading the group)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

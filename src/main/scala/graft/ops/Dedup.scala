@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Envelope cap for the collect-isin index pruning in
+    * [[probeMinhashIndexMd5Plan]]: a daily crawl increment carries
+    * ≤ this many banded rows (bands × docs) and pins its bucket cells
+    * as a driver-side IN-list, turning the index-side scan O(touched
+    * cells); a month-scale backfill past the cap degrades to the
+    * unpruned scan (AQE's join choice) instead of a multi-MB
+    * expression tree on the driver. 64k rows ≈ 16k docs at bands=4 —
+    * far above any per-batch increment the engine benches, far below
+    * driver-memory trouble.
+    */
+  private[graft] val MaxProbePruneCells: Long = 64 * 1024L
+
   /** P4: exact dedup on a key subset, keep-first by explicit order.
     * `dropDuplicates` keeps an *arbitrary* row, which is
     * nondeterministic under retries/partition layout — at scale that
@@ -1087,8 +1099,13 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     // width guard: the md5 minhash signatures are the probe's CPU
-    // (Scale.ensureWidth; streaming frames pass through)
+    // (Scale.ensureWidth; streaming frames pass through). The banded
+    // signatures feed BOTH the bucket-cell collect below and the
+    // candidate join, so they are materialized ONCE (localCheckpoint,
+    // increment-sized — the canonDedupWithIndex lesson: left lazy,
+    // the whole signature scan re-runs per consumer).
     val probes = bandedSigsMd5(Scale.ensureWidth(newDocs), idCol, textCol, w, numHashes, bands)
+      .localCheckpoint()
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -1097,7 +1114,30 @@ object Dedup {
     // grace-aware read: manifest-doomed files are excluded up front
     // (Scale.readLive), so the probe cannot race the next pass's
     // reclaim — see compactMinhashIndex
-    Scale.readLive(spark, path).as("a")
+    val indexAll = Scale.readLive(spark, path)
+    // ENVELOPE-SIZED bucket pruning (r19, motivated by measurement):
+    // ScaleAudit at benchdata sf1 vs sf10 showed the probe's
+    // pre-verify candidate volume is FLAT a decade up (148 pairs, 90
+    // cells, max cell 3 at both scales) while the index itself grew
+    // 10× — so the probe's decade-up cost was the unpruned index
+    // scan feeding the join, O(index) where everything else is
+    // O(increment). Pin the increment's distinct bucket strings as an
+    // IN-list on the index side (≤ bands × |increment| values; a
+    // correctness-preserving superset since the join still enforces
+    // band+bucket): with the index files bucket-sorted inside each
+    // band partition (minhashIndexLayout) and the parquet In-pushdown
+    // threshold raised (GraftSession), row groups outside the touched
+    // cells never leave disk. The same collect-isin pattern — and the
+    // same AQE-DPP-fallback rationale — as probeSignPlaneIndexPlan.
+    // Size-gated: past the envelope cap the probe degrades to the
+    // unpruned scan instead of building a driver-sized IN-list.
+    val index =
+      if (probes.count() <= MaxProbePruneCells) {
+        val cells = probes.select(col("bucket")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        indexAll.filter(col("bucket").isin(cells: _*))
+      } else indexAll
+    index.as("a")
       .join(probes.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
