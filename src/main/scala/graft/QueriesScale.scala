@@ -1852,18 +1852,19 @@ object QueriesScale {
     // to nProbe cells via a bounded per-row fold (no cells×rows
     // explode), candidates from a co-partitioned cell equi-join.
     // The cross-crawl alignment / near-dup mining shape.
-    // AUTO cells (targetCell=64): at the sf0.01 gate the base side is
-    // 429 vectors → cellsFor floors to 16, the literal the oracle's
-    // LIMIT 16 replays; the sf1 bench pass gets ~268 cells and a
-    // constant cell population instead of the fixed-16 quadratic
-    // (slope 9.9 → ~linear). Same loud-mismatch contract as the
-    // banded gate above if the driver resizes sf0.01.
+    // AUTO cells (√-policy, r19): at the sf0.01 gate the base side is
+    // 429 vectors → cellsForSqrt floors to 16, the literal the
+    // oracle's LIMIT 16 replays; the sf1 bench pass gets 66 cells and
+    // the sf10 pass 208 — n^1.5 total work where the old
+    // population-targeting policy's n²/64 assignment ran slope 48.8
+    // a decade up. Same loud-mismatch contract as the banded gate
+    // above if the driver resizes sf0.01.
     "x_ann_join" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.annJoinAuto(
           e.filter(pmod(col("vec_id"), lit(7)) === 3),
           e.filter(pmod(col("vec_id"), lit(7)) =!= 3),
-          "vec_id", "embedding", k = 2, nProbe = 2, targetCell = 64)
+          "vec_id", "embedding", k = 2, nProbe = 2)
         .orderBy(col("left_id"), col("rank"))
     }),
 
@@ -1894,7 +1895,7 @@ object QueriesScale {
       val outDir = GraftSession.freshGatePath("annjout", dir)
       val ckpt   = GraftSession.freshGatePath("annjckpt", dir)
       val q = EventsStream.streamAnnJoin(s, base, incDir, inc.schema, outDir, ckpt,
-        k = 2, nProbe = 2, targetCell = 64)
+        k = 2, nProbe = 2)
       q.awaitTermination()
       s.read.parquet(outDir).drop("inc")
         .select(col("left_id"), col("rank"), col("right_id"), col("cosine"))
@@ -1910,7 +1911,7 @@ object QueriesScale {
       val l = e.filter(pmod(col("vec_id"), lit(7)) === 3)
       val r = e.filter(pmod(col("vec_id"), lit(7)) =!= 3)
       val pruned = Similarity.annJoinAuto(l, r, "vec_id", "embedding",
-          k = 2, nProbe = 2, targetCell = 64)
+          k = 2, nProbe = 2)
         .select(col("left_id"), col("right_id"))
       val exact = Similarity.cosineTopK(r, l, "vec_id", "embedding", k = 2)
         .select(col("query_id").as("left_id"), col("neighbor_id").as("right_id"))

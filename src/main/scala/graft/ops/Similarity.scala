@@ -892,15 +892,18 @@ object Similarity {
     * nCells with [[graft.ops.Dedup.planesFor]]-style population
     * targeting; AQE skew-join split covers the residual.
     */
-  /** The cells-scaling policy — [[graft.ops.Dedup.planesFor]]'s IVF
-    * twin: fixed nCells puts n/cells vectors in a cell, so the
-    * [[annJoin]] candidate volume grows ~n²·nProbe/cells. Holding the
-    * cell POPULATION at `targetCell` (nCells ≈ n/targetCell) makes
-    * per-left-row candidate work ≈ nProbe·targetCell — constant — and
-    * total work linear in the corpus. Floor 16 (tiny corpora still
-    * prune), ceiling 65536 (the centroid broadcast and the per-row
-    * assignment fold are nCells-sized — past ~64k cells move to a
-    * coarser two-level quantizer).
+  /** Population-targeting cells policy — [[graft.ops.Dedup.planesFor]]'s
+    * IVF twin: nCells ≈ n/targetCell holds the cell POPULATION at
+    * `targetCell`, so per-left-row CANDIDATE work is a constant
+    * nProbe·targetCell. What it does NOT bound — the r19 sf10 probe's
+    * lesson — is the nCells-sized work per row on BOTH sides: the
+    * centroid argmin assignment costs n·nCells = n²/targetCell and so
+    * does the left side's best-nProbe fold, which made `x_ann_join`
+    * run slope 48.8 for 10× data (1.5 s → 73 s; the n² signature).
+    * [[annJoinAuto]] therefore scales by [[cellsForSqrt]] instead;
+    * this policy remains for callers that pin population deliberately
+    * (a persisted-index layout whose probe side is tiny and whose
+    * assignment is paid once at build).
     */
   def cellsFor(n: Long, targetCell: Long = 64L,
       minCells: Int = 16, maxCells: Int = 65536): Int = {
@@ -910,23 +913,44 @@ object Similarity {
     math.min(maxCells, math.max(minCells, needed))
   }
 
-  /** [[annJoin]] with nCells chosen by [[cellsFor]] from the base
+  /** √-scaling cells policy for the SYMMETRIC join shape, where the
+    * same corpus pays assignment AND candidate scoring per call:
+    * total work ≈ n·c (assignment + probe fold) + |L|·nProbe·(n/c)
+    * (candidates), minimized at c = √(|L|·nProbe/n)·√n — for the
+    * engine's alignment shape (|L| ≈ n/7, nProbe 2) that is ≈ √n/1.9,
+    * pinned here as ceil(√n/2). Both terms then grow as n^1.5 instead
+    * of the population-targeting policy's n² assignment, and the
+    * candidate budget per left row grows as √n (recall degrades
+    * SLOWER with corpus growth than the constant-population policy,
+    * not faster). Same floor/ceiling as [[cellsFor]]: the 16-cell
+    * floor keeps every sf0.01 oracle gate at its pinned literal, the
+    * 65536 ceiling bounds the centroid broadcast.
+    */
+  def cellsForSqrt(n: Long,
+      minCells: Int = 16, maxCells: Int = 65536): Int = {
+    require(minCells >= 1 && maxCells >= minCells,
+      s"bad cells policy bounds: min=$minCells max=$maxCells")
+    val needed = math.ceil(math.sqrt(math.max(n, 1L).toDouble) / 2.0).toInt
+    math.min(maxCells, math.max(minCells, needed))
+  }
+
+  /** [[annJoin]] with nCells chosen by [[cellsForSqrt]] from the base
     * side's size — the auto-scaling entry point; the fixed-cells
     * overload stays for oracle-pinned gates. `baseSize` lets a
     * caller that already knows |right| (a persisted index meta, a
     * stream folding many batches against ONE static base) skip the
     * `right.count()` pass — without it every call pays an extra
     * corpus scan just to pick nCells (the round-10 verdict's task 5;
-    * an approximate size is fine, cellsFor only needs the order of
+    * an approximate size is fine, the policy only needs the order of
     * magnitude).
     */
   def annJoinAuto(
       left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 2, targetCell: Long = 64L,
+      k: Int, nProbe: Int = 2,
       baseSize: Option[Long] = None,
       excludeSameId: Boolean = false): DataFrame =
     annJoin(left, right, idCol, vecCol, k,
-      nCells = cellsFor(baseSize.getOrElse(right.count()), targetCell),
+      nCells = cellsForSqrt(baseSize.getOrElse(right.count())),
       nProbe = nProbe, excludeSameId = excludeSameId)
 
   /** `excludeSameId` (round-10 advice): the join serves BOTH

@@ -364,8 +364,7 @@ object EventsStream {
       outDir: String,
       checkpointDir: String,
       k: Int,
-      nProbe: Int = 2,
-      targetCell: Long = 64L
+      nProbe: Int = 2
   ): StreamingQuery = {
     // the base side is STATIC across every micro-batch: size it once
     // at stream setup and hand annJoinAuto the hint — without this
@@ -378,7 +377,7 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         graft.ops.Similarity
           .annJoinAuto(batch, base, "vec_id", "embedding", k,
-            nProbe = nProbe, targetCell = targetCell, baseSize = Some(baseSize))
+            nProbe = nProbe, baseSize = Some(baseSize))
           .withColumn("inc", lit(s"b$bid"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

@@ -1061,8 +1061,16 @@ class DedupSpec extends SparkSpecBase {
     // base 429 → 16 cells) — if these move, the gates' oracles need
     // the same move
     assert(Dedup.planesFor(520, targetBucket = 64) === 4)
+    assert(graft.ops.Similarity.cellsForSqrt(429) === 16)
+    // cellsForSqrt (the annJoinAuto policy, r19): √n/2 above the
+    // floor, clamped at both ends; the bench scales get 66 / 208
+    assert(graft.ops.Similarity.cellsForSqrt(17143) === 66)
+    assert(graft.ops.Similarity.cellsForSqrt(171429) === 208)
+    assert(graft.ops.Similarity.cellsForSqrt(1) === 16)
+    assert(graft.ops.Similarity.cellsForSqrt(100000000000L) === 65536)
+    // the population-targeting policy stays pinned for its remaining
+    // deliberate-population callers
     assert(graft.ops.Similarity.cellsFor(429, targetCell = 64) === 16)
-    // cellsFor: linear-in-n above the floor, clamped at both ends
     assert(graft.ops.Similarity.cellsFor(17143, 64) === 268)
     assert(graft.ops.Similarity.cellsFor(1, 64) === 16)
     assert(graft.ops.Similarity.cellsFor(100000000000L, 64) === 65536)
