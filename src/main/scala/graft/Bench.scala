@@ -112,6 +112,10 @@ object Bench {
     "x_retrieval_prf",
     "x_retrieval_prf_index",
     "x_ann_join",
+    // round-19: the persisted-layout flavor of the large-to-large
+    // join (assignment pre-paid at build) — the recurring-alignment
+    // serving shape, tracked next to its inline twin
+    "x_ann_join_index",
     "x_quality_zipf",
     // round-11: the media + contamination families enter the headline
     // (round-10 verdict task 6 — they were oracled but unbenched, so

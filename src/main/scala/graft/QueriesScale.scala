@@ -1868,6 +1868,29 @@ object QueriesScale {
         .orderBy(col("left_id"), col("rank"))
     }),
 
+    // ---- the SAME join against a PERSISTED IVF layout (r19): the
+    // base corpus pays centroid sampling + assignment ONCE at build
+    // (writeIvfIndex, nCells=16 = the oracle literal), every crawl
+    // joins against the stored assignment — the recurring-alignment
+    // serving shape probeIvfIndex (which broadcasts its query batch)
+    // cannot run at corpus-scale left. probe-from-index ≡ inline-join
+    // law: the x_ann_join oracle gates this row VERBATIM.
+    "x_ann_join_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = buildOnce("ivfjbase", dir) { p =>
+        // √-policy cells at BUILD time (the join pays cell population
+        // per left row): floors to 16 at the sf0.01 gate — the oracle
+        // literal — and scales the bench passes (66 / 208)
+        val base = e.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+        Similarity.writeIvfIndex(base, "vec_id", "embedding", p,
+          nCells = Similarity.cellsForSqrt(base.count()))
+      }
+      Similarity.annJoinWithIndex(s, path,
+          e.filter(pmod(col("vec_id"), lit(7)) === 3),
+          "vec_id", "embedding", k = 2, nProbe = 2)
+        .orderBy(col("left_id"), col("rank"))
+    }),
+
     // ---- the join's TUNING CURVE in one pass: top-2 per left row at
     // every probe cutoff (1, 2, 4) sharing one assignment + one
     // scoring join — the recall-vs-nProbe dial a deployment sweeps,
@@ -6042,6 +6065,15 @@ object QueriesScale {
     // (rn<=2 — the fold's negated-score sort ≡ cos DESC, cell ASC),
     // candidates from the cell equi-join, top-2 per left row
     "x_ann_join" ->
+      (AnnJoinRankedCtes +
+        """
+          |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2
+          |ORDER BY left_id, rank""".stripMargin),
+    // probe-from-index ≡ inline-join law: writeIvfIndex(nCells=16,
+    // refineIters=0) stores exactly the sampled centroids + best-cell
+    // assignment the inline join computes, so the SAME replay gates
+    // the persisted-layout surface
+    "x_ann_join_index" ->
       (AnnJoinRankedCtes +
         """
           |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2

@@ -969,6 +969,45 @@ object Similarity {
     val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lv"))
     val centroids = sampleCentroids(r, nCells)
     val rAssigned = ivfAssign(r, centroids).withColumnRenamed("neighbor_id", "right_id")
+    annJoinFrom(l, centroids, rAssigned, k, nProbe, excludeSameId)
+  }
+
+  /** The [[annJoin]] shape against a PERSISTED IVF layout
+    * ([[writeIvfIndex]] / [[appendToIvfIndex]]) — the recurring
+    * 100 TB alignment shape: the base corpus pays centroid sampling
+    * and assignment ONCE at build, and every subsequent crawl joins
+    * against the stored `(right_id, cv, cell_id)` assignment at
+    * O(|left|·(nCells fold + nProbe·cell population)) with zero
+    * base-side recompute. This is what [[probeIvfIndex]] cannot do —
+    * that probe BROADCASTS its query batch (envelope-sized by the
+    * family's contract), where here the left side is corpus-scale
+    * and flows through the co-partitioned cell equi-join unbroadcast.
+    * Takedown tombstones mask exactly as in the small-batch probes.
+    * Same nCells + same left ⇒ result ≡ [[annJoin]] against the
+    * indexed corpus (spec-pinned law; the x_ann_join oracle gates
+    * both surfaces verbatim).
+    */
+  def annJoinWithIndex(
+      spark: SparkSession, path: String, left: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+      excludeSameId: Boolean = false): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"annJoinWithIndex needs nProbe/k >= 1, got $nProbe/$k")
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val rAssigned = maskDeleted(spark, path, spark.read.parquet(s"$path/assigned"))
+      .select(col("neighbor_id").as("right_id"), col("cv"), col("cell_id"))
+    val l = left.select(col(idCol).as("left_id"), col(vecCol).as("lv"))
+    annJoinFrom(l, centroids, rAssigned, k, nProbe, excludeSameId)
+  }
+
+  /** ONE pruned-join core behind [[annJoin]] (assignment computed
+    * inline) and [[annJoinWithIndex]] (assignment read from the
+    * persisted layout) — the probe-from-index ≡ inline-join law
+    * depends on the two surfaces staying byte-identical, so they
+    * cannot be two copies.
+    */
+  private def annJoinFrom(
+      l: DataFrame, centroids: DataFrame, rAssigned: DataFrame,
+      k: Int, nProbe: Int, excludeSameId: Boolean): DataFrame = {
     val centArr = broadcast(
       centroids.withColumn("cnorm", norm(col("centroid")))
         .agg(array_sort(collect_list(struct(
@@ -986,7 +1025,10 @@ object Similarity {
         acc => transform(acc, x => x.getField("cell"))))
       .select(col("left_id"), col("lv"), explode(col("cells")).as("cell_id"))
     // right vectors live in exactly ONE cell and a left row probes
-    // DISTINCT cells, so no pair can appear twice — no dedup stage
+    // DISTINCT cells, so no pair can appear twice — no dedup stage.
+    // (Index layouts: a REPLAYED append overwrites its own inc=
+    // partition — the writeAssigned idempotency unit — so the stored
+    // assignment is duplicate-free by construction too.)
     val cand = lcells.join(rAssigned, Seq("cell_id"))
     val pairs = (if (excludeSameId) cand.filter(col("left_id") =!= col("right_id")) else cand)
       .select(col("left_id"), col("right_id"),

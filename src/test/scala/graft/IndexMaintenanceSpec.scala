@@ -614,6 +614,44 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     assert(probe() === once, "empty append changed probe results")
   }
 
+  test("annJoinWithIndex law: probe-from-index ≡ inline join; appends and takedowns flow through (r19)") {
+    val emb = GraftSession.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val left = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+    val base = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+    val path = tmp("annj-idx")
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", path, nCells = 16)
+    def idxJoin() = rows(Similarity.annJoinWithIndex(
+      spark, path, left, "vec_id", "embedding", k = 2, nProbe = 2)
+      .orderBy(col("left_id"), col("rank")))
+    val inline = rows(Similarity.annJoin(left, base, "vec_id", "embedding",
+      k = 2, nCells = 16, nProbe = 2).orderBy(col("left_id"), col("rank")))
+    assert(inline.nonEmpty, "vacuous law — the inline join found nothing")
+    assert(idxJoin() === inline,
+      "the persisted-assignment join must equal the inline join on the same corpus")
+    // an APPENDED crawl is visible to the join without base recompute:
+    // colinear twins of base vectors land in their sources' cells and
+    // take the rank-1 slot for their left twins (cosine 1.0)
+    val appended = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+    Similarity.appendToIvfIndex(spark, appended, "vec_id", "embedding", path, "crawl2")
+    val afterAppend = idxJoin()
+    assert(afterAppend !== inline, "appended vectors must be join candidates")
+    val appendedIds = appended.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(afterAppend.exists(r => appendedIds.contains(r(2).asInstanceOf[Long])),
+      "an appended colinear twin must surface among the top-k")
+    // a REPLAYED append converges (inc-partition idempotency): no
+    // duplicate candidate may burn a second top-k slot
+    Similarity.appendToIvfIndex(spark, appended, "vec_id", "embedding", path, "crawl2")
+    assert(idxJoin() === afterAppend, "replayed append changed the join result")
+    // a TAKEDOWN masks the retired vectors from the join
+    Similarity.deleteFromIvfIndex(spark,
+      appended.select(col("vec_id")), "vec_id", path, deleteId = "takedown1")
+    assert(idxJoin() === inline,
+      "retiring the appended crawl must restore the pre-append join exactly")
+  }
+
   test("stream-static probe outliving the grace fails STALE_PINNED_LISTING, not an FNF (r18 task 5)") {
     import graft.ops.Scale
     // deterministic unit-ish embeddings: 8 dims from the id
