@@ -2303,8 +2303,11 @@ object QueriesScale {
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))).otherwise(lit("")))
         .as("text"))
-      val redacted = CorpusOps.redactPii(withPii, "text")
-        .select(col("doc_id"), col("n_merged"), col("redacted"))
+      // redacted feeds both the chunker and the n_merged join-back
+      // (r19): materialize so the dedup-survivor + redact chain above
+      // runs once
+      val redacted = graft.ops.Scale.shared(CorpusOps.redactPii(withPii, "text")
+        .select(col("doc_id"), col("n_merged"), col("redacted")))
       CorpusOps.chunkDocuments(redacted, "doc_id", "redacted", chunkSize = 40, overlap = 10)
         .join(redacted.select(col("doc_id"), col("n_merged")), Seq("doc_id"))
         .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
@@ -2350,7 +2353,14 @@ object QueriesScale {
       val planted = d.select(col("doc_id"),
         when(pmod(col("doc_id"), lit(5)) === 0,
           concat(lit(banner + " "), col("text"))).otherwise(col("text")).as("text"))
-      val kept = Dedup.spanDedup(planted, "doc_id", "text")
+      // materialize the two chain stages consumed by multiple
+      // downstream subtrees (r19, guide §3.3/§5): `kept` feeds the NB
+      // reference slice, the NB scoring input, the survivor join and
+      // the final accounting; `surv` feeds the KN reference, the KN
+      // scoring input and the final join. Before this the one plan
+      // carried 138 copies of the docs scan (296 Exchanges) — the
+      // span-dedup and NB chains re-executed per reference.
+      val kept = graft.ops.Scale.shared(Dedup.spanDedup(planted, "doc_id", "text"))
       val keptDocs = kept.filter(col("n_kept") >= 1)
         .select(col("doc_id"), col("kept_text").as("text"))
       val refLab = keptDocs
@@ -2362,9 +2372,9 @@ object QueriesScale {
       // keep threshold >= 0 (not > 0): the synthetic corpus shares
       // one vocabulary across langs, so NB scores top out at 0 — the
       // non-negative gate keeps both branches live under the oracle
-      val surv = keptDocs.join(
+      val surv = graft.ops.Scale.shared(keptDocs.join(
         scored.filter(col("score_bits") >= 0).select(col("doc_id"), col("score_bits")),
-        Seq("doc_id"))
+        Seq("doc_id")))
       val kn = TextAnalysis.knSurprisal(surv, "doc_id", "text",
         surv.filter(pmod(col("doc_id"), lit(3)) === 0), "text",
         oovBits = 16, minCount = 2L)

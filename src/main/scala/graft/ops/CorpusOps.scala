@@ -361,7 +361,12 @@ object CorpusOps {
   def curriculumShards(
       df: DataFrame, idCol: String, textCol: String,
       shards: Int, sketchK: Int = 64): DataFrame = {
-    val d = curriculumTokens(df, idCol, textCol)
+    // materialize the (doc_id, n_tokens) scoring pass ONCE (r19):
+    // the KMV cutpoint aggregate and the bucket/shard assignment both
+    // consume `d`, and `df` is often the tail of a long admission
+    // chain — two narrow longs per doc is the cheapest possible
+    // checkpoint for cutting that tree in half
+    val d = Scale.shared(curriculumTokens(df, idCol, textCol))
     curriculumAssign(d, curriculumCuts(d, sketchK), shards)
   }
 
@@ -426,7 +431,8 @@ object CorpusOps {
   def writeCurriculumManifest(
       df: DataFrame, idCol: String, textCol: String,
       shards: Int, path: String, sketchK: Int = 64): Unit = {
-    val d = curriculumTokens(df, idCol, textCol)
+    // same two-consumer shape as curriculumShards (r19): cuts + assign
+    val d = Scale.shared(curriculumTokens(df, idCol, textCol))
     val cuts = curriculumCuts(d, sketchK)
     cuts.select(col("__c25"), col("__c50"), col("__c75"), lit(shards).as("shards"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
@@ -1338,10 +1344,17 @@ object CorpusOps {
   private def ingestQualityContam(
       s2: DataFrame, contamFlagged: DataFrame => DataFrame,
       minTokens: Int, maxTokens: Int, minStopwordHits: Int): DataFrame = {
-    val s3 = gopherFilter(s2, "text", minTokens = minTokens, maxTokens = maxTokens,
+    // materialize the quality survivors ONCE (r19, guide §3.3/§5):
+    // `s3` is both the anti-join probe side and the contamination
+    // check's input — without this the whole admission chain above
+    // (canon dedup → span cut → Gopher gate) executed twice, and the
+    // curriculum tail above doubled it again (the one-shot capstone
+    // plan carried 196 copies of the corpus scan)
+    val s3 = Scale.shared(
+      gopherFilter(s2, "text", minTokens = minTokens, maxTokens = maxTokens,
         minStopwordHits = minStopwordHits)
       .filter(col("keep"))
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")))
     s3.join(contamFlagged(s3), Seq("doc_id"), "left_anti")
   }
 

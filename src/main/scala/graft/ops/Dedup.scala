@@ -2069,8 +2069,14 @@ object Dedup {
   def spanDedup(
       df: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 3): DataFrame = {
-    val (sents, spans) = spanParts(df, idCol, textCol, spanLen)
-    spanAssemble(df.select(col(idCol).cast("long").as("doc_id")),
+    // materialize=true (r19, guide §3.3/§5): the sentence-split base
+    // feeds sents, spans, the winner aggregate AND the doc universe —
+    // four upstream re-executions per output before this (and the
+    // regexp sentence split is the chain's CPU-heavy stage). The doc
+    // universe now derives from the same materialized base instead of
+    // a fifth reference to `df`.
+    val (base, sents, spans) = spanParts(df, idCol, textCol, spanLen, materialize = true)
+    spanAssemble(base.select(col("doc_id")),
       sents, spans,
       spans.groupBy(col("h")).agg(min(col("okey")).as("first_key")), spanLen)
   }
@@ -2082,11 +2088,16 @@ object Dedup {
     */
   private def spanParts(
       df: DataFrame, idCol: String, textCol: String,
-      spanLen: Int): (DataFrame, DataFrame) = {
+      spanLen: Int, materialize: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val sentArr = expr(
       s"""filter(transform(regexp_extract_all($textCol, '[^.!?]+[.!?]?', 0),
          | s -> trim(s)), s -> s != '')""".stripMargin)
-    val base = df.select(col(idCol).cast("long").as("doc_id"), sentArr.as("__sents"))
+    // materialize=true for multi-consumer callers (spanDedup and the
+    // index probe assemble sents+spans+winners+universe from the same
+    // base); false for single-pass callers (writeSpanIndex derives
+    // only `spans`, where a checkpoint would be a pure write cost
+    val base0 = df.select(col(idCol).cast("long").as("doc_id"), sentArr.as("__sents"))
+    val base = if (materialize) Scale.shared(base0) else base0
     val sents = base
       .select(col("doc_id"), posexplode(col("__sents")).as(Seq("idx", "sent")))
       .select(col("doc_id"), col("idx").cast("long").as("idx"), col("sent"))
@@ -2110,7 +2121,7 @@ object Dedup {
               "SPAN_DOC_ID_RANGE: okey = doc_id*2^20 + start needs 0 <= doc_id < 2^43; remap ids")))
           .otherwise(col("doc_id") * lit(1048576L) + col("__sp.start"))
           .as("okey"))
-    (sents, spans)
+    (base, sents, spans)
   }
 
   /** The removal + reassembly tail of [[spanDedup]], shared by the
@@ -2158,7 +2169,7 @@ object Dedup {
   def writeSpanIndex(
       ref: DataFrame, idCol: String, textCol: String, path: String,
       spanLen: Int = 3): Unit = {
-    val (_, spans) = spanParts(ref, idCol, textCol, spanLen)
+    val (_, _, spans) = spanParts(ref, idCol, textCol, spanLen)
     IndexLayout.write(
       spans.groupBy(col("h")).agg(min(col("okey")).as("first_key")),
       s"$path/spans", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("h")))
@@ -2182,14 +2193,17 @@ object Dedup {
     // inner ensureWidth forces an extra physical planning of the
     // whole upstream subtree per call (+~2 s on the capstone rows at
     // sf1). Standalone callers own their increment's width.
-    val (sents, spans) = spanParts(inc, idCol, textCol, spanLen)
+    // materialize=true (r19): same four-consumer shape as spanDedup —
+    // sents, spans, the increment-winner aggregate and the doc
+    // universe all read the one materialized sentence split
+    val (base, sents, spans) = spanParts(inc, idCol, textCol, spanLen, materialize = true)
     val incWin = spans.groupBy(col("h")).agg(min(col("okey")).as("__ik"))
     val winners = incWin
       .join(spark.read.parquet(s"$path/spans"), Seq("h"), "full_outer")
       .select(col("h"),
         least(coalesce(col("__ik"), lit(Long.MaxValue)),
           coalesce(col("first_key"), lit(Long.MaxValue))).as("first_key"))
-    spanAssemble(inc.select(col(idCol).cast("long").as("doc_id")),
+    spanAssemble(base.select(col("doc_id")),
       sents, spans, winners, spanLen)
   }
 }

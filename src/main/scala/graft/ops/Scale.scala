@@ -10,6 +10,28 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Materialize an intermediate that several downstream subtrees
+    * consume (r19, optimization guide §3.3/§5): Catalyst duplicates
+    * the whole upstream tree per DataFrame reference, and exchange
+    * reuse cannot rescue copies that diverge below the reference
+    * point (each consumer pushes a different semi-join/filter into
+    * its copy) or that sit in separate driver actions (a `collect`
+    * scalar job cannot share shuffle output with the main query).
+    * Multi-consumer chains were measured carrying 46-196 copies of
+    * the same parquet scan in one plan before this. `localCheckpoint`
+    * runs the subtree once; every consumer reads the materialized
+    * partitions. On a cluster, localCheckpoint trades fault-tolerance
+    * of that intermediate for speed (executor loss forces a full
+    * query retry) — the right trade for these deterministic,
+    * re-runnable curation chains; swap for `persist(DISK_ONLY)` +
+    * reliable checkpoint where retry cost dominates. Streaming frames
+    * pass through untouched: a micro-batch source cannot be
+    * checkpointed mid-plan, and the foreachBatch twins hand the ops
+    * batch frames anyway.
+    */
+  def shared(df: DataFrame): DataFrame =
+    if (df.isStreaming) df else df.localCheckpoint()
+
   /** Write `df` as a bucketed, sorted table: co-locates rows by join
     * key so later equi-joins/aggregations on `keys` need NO shuffle
     * (SortMergeJoin reads both sides pre-partitioned). This is the

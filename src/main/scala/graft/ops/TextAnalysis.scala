@@ -24,6 +24,9 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = filter(split(lower(c), " "), t => t =!= "")
 
+  /** See [[Scale.shared]] — the multi-consumer materialization seam. */
+  private def shared(df: DataFrame): DataFrame = Scale.shared(df)
+
   /** Stopword hits for one language over a materialized token array. */
   def stopwordHitsOf(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isInCollection(words)))
@@ -206,7 +209,12 @@ object TextAnalysis {
       qtextCol: String,
       k: Int
   ): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    // tokenize ONCE (r19, §2.3/§5): the n/t scalar job and the scoring
+    // job each re-ran the corpus split before this — `shared` holds the
+    // token arrays so both passes read the one materialization. The
+    // query-vocabulary semi-join still prunes ABOVE it, so the pruned
+    // shuffle shape is unchanged.
+    val base = shared(df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t")))
     // two driver scalars (same class as tfidf's N): corpus doc and
     // token counts, one aggregate job (sum over zero rows is NULL —
     // coalesce so an empty corpus scores empty instead of throwing)
@@ -219,7 +227,7 @@ object TextAnalysis {
     val qTerms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(toks(col(qtextCol)))).as("term"))
-    bm25Score(postings, qTerms, n, t, k)
+    bm25Score(postings, qTerms, n, t, k, materializeHits = true)
   }
 
   /** Zipf-surprisal quality score — an LM-free perplexity proxy that
@@ -374,7 +382,9 @@ object TextAnalysis {
     */
   def bigramCounts(
       ref: DataFrame, refTextCol: String, minCount: Long = 1L): DataFrame = {
-    val bg = bigramsOf(ref.select(toks(col(refTextCol)).as("__t")))
+    // one reference pass (r19): the transition counts and the context
+    // totals both consume the bigram explode
+    val bg = shared(bigramsOf(ref.select(toks(col(refTextCol)).as("__t"))))
     val bc = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c"))
     val cc = bg.groupBy(col("prev")).agg(count(lit(1)).as("ctx"))
     bc.filter(col("c") >= minCount).join(cc, Seq("prev"))
@@ -494,7 +504,9 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       oovBits: Int = 16, minCount: Long = 2L, backoffBits: Int = 2): DataFrame = {
-    val refToks = ref.select(explode(toks(col(refTextCol))).as("w"))
+    // one reference-tokenize for the unigram rung (r19): the total-T
+    // scalar job and the unigram table both consume `refToks`
+    val refToks = shared(ref.select(explode(toks(col(refTextCol))).as("w")))
     val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
     val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .filter(col("cu") >= minCount)
@@ -544,7 +556,8 @@ object TextAnalysis {
       ref: DataFrame, refTextCol: String, path: String,
       oovBits: Int = 16, minCount: Long = 2L, backoffBits: Int = 2): Unit = {
     val spark = ref.sparkSession
-    val refToks = ref.select(explode(toks(col(refTextCol))).as("w"))
+    // same two-consumer shape as backoffSurprisal (r19)
+    val refToks = shared(ref.select(explode(toks(col(refTextCol))).as("w")))
     val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
     IndexLayout.write(
       refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
@@ -611,8 +624,12 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, refPosCol: String,
       oovBits: Int = 16, minCount: Long = 2L): DataFrame = {
-    val rt = ref.select(explode(toks(col(refTextCol))).as("w"),
-      col(refPosCol).cast("boolean").as("__pos"))
+    // one reference-tokenize (r19): the class-total scalar job and the
+    // vocabulary broadcast both consume `rt` — without materialization
+    // each re-ran the whole upstream chain (in x_quality_pipeline that
+    // chain is the full span-dedup).
+    val rt = shared(ref.select(explode(toks(col(refTextCol))).as("w"),
+      col(refPosCol).cast("boolean").as("__pos")))
     val tot = rt.agg(
       sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))),
       sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L)))).collect()(0)
@@ -660,8 +677,9 @@ object TextAnalysis {
       ref: DataFrame, refTextCol: String, refPosCol: String, path: String,
       oovBits: Int = 16, minCount: Long = 2L): Unit = {
     val spark = ref.sparkSession
-    val rt = ref.select(explode(toks(col(refTextCol))).as("w"),
-      col(refPosCol).cast("boolean").as("__pos"))
+    // same two-consumer shape as nbQualityScore: tokenize once (r19)
+    val rt = shared(ref.select(explode(toks(col(refTextCol))).as("w"),
+      col(refPosCol).cast("boolean").as("__pos")))
     val tot = rt.agg(
       sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))),
       sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L)))).collect()(0)
@@ -765,7 +783,10 @@ object TextAnalysis {
   private def knTables(
       ref: DataFrame, refTextCol: String,
       minCount: Long): (DataFrame, DataFrame, DataFrame, Long) = {
-    val bg = bigramsOf(ref.select(toks(col(refTextCol)).as("__t")))
+    // one reference pass (r19): `bg` feeds two driver actions (bTypes
+    // count, maxCtx guard) plus the three broadcast count tables —
+    // five executions of the upstream chain before materialization.
+    val bg = shared(bigramsOf(ref.select(toks(col(refTextCol)).as("__t"))))
     val bTypes = bg.select(col("prev"), col("w")).distinct().count()
     val bc = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
@@ -973,8 +994,12 @@ object TextAnalysis {
   def winnowOverlap(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
+    // print ONCE (r19): both self-join sides previously re-ran the
+    // full fingerprint chain (regex split + per-window md5 grams —
+    // the family's CPU-heavy stage) — the before-plan carried the
+    // subtree twice with no reuse
+    val fps = Scale.shared(winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct())
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1002,13 +1027,18 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       spanIndexPath: String, nbPath: String, knPath: String,
       inc: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val kept = Dedup.spanDedupWithIndex(spark, spanIndexPath, inc, idCol, textCol)
+    // the two chain stages below are each consumed by 2-3 downstream
+    // subtrees (NB input + survivor join + final accounting; KN input
+    // + final join) — materialize each ONCE (r19, §3.3/§5) so the
+    // span probe and the NB scorer run a single time per increment
+    val kept = shared(
+      Dedup.spanDedupWithIndex(spark, spanIndexPath, inc, idCol, textCol))
     val keptDocs = kept.filter(col("n_kept") >= 1)
       .select(col("doc_id"), col("kept_text").as("text"))
     val scored = scoreWithNbModel(spark, nbPath, keptDocs, "doc_id", "text")
-    val surv = keptDocs.join(
+    val surv = shared(keptDocs.join(
       scored.filter(col("score_bits") >= 0).select(col("doc_id"), col("score_bits")),
-      Seq("doc_id"))
+      Seq("doc_id")))
     val kn = scoreWithKnModel(spark, knPath, surv, "doc_id", "text")
     kept.select(col("doc_id"), col("n_sents"), col("n_kept"))
       .join(surv.select(col("doc_id"), col("score_bits")), Seq("doc_id"))
@@ -1092,9 +1122,12 @@ object TextAnalysis {
       refCounts: DataFrame, inc: DataFrame)(incTextCol: String): DataFrame = {
     val ic = inc.select(explode(toks(col(incTextCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("ci"))
-    val j = refCounts.join(ic, Seq("w"), "full_outer")
+    // count ONCE (r19): the totals scalar job and the final TV
+    // aggregate both consume the joined vocabulary — without this
+    // both side explodes and the full-outer join ran twice
+    val j = Scale.shared(refCounts.join(ic, Seq("w"), "full_outer")
       .select(coalesce(col("cr"), lit(0L)).as("cr"),
-        coalesce(col("ci"), lit(0L)).as("ci"))
+        coalesce(col("ci"), lit(0L)).as("ci")))
     val tot = j.agg(sum(col("cr")), sum(col("ci"))).collect()(0)
     val (tr, ti) = (tot.getLong(0), tot.getLong(1))
     j.agg(
@@ -1264,7 +1297,14 @@ object TextAnalysis {
       fbDocs: Int = 5,
       fbTerms: Int = 3
   ): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+    // tokenize ONCE (r19): four consumers reference `postings` across
+    // two jobs (n/t scalars, pass-1 score, candidate mining, expansion
+    // df, pass-2 rescore) and each pushes a DIFFERENT semi-join below
+    // the postings aggregate, so no two copies were reusable — the
+    // before-plan carried 46 scans of the corpus. One materialized
+    // token table serves all of them; every per-consumer prune still
+    // applies above it.
+    val base = shared(df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t")))
     val row = base.agg(count(lit(1)), coalesce(sum(size(col("__t"))), lit(0L))).collect()(0)
     val n   = row.getLong(0)
     val t   = row.getLong(1)
@@ -1275,20 +1315,27 @@ object TextAnalysis {
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(toks(col(qtextCol)))).as("term"))
     // pass 1: plain BM25, keep the feedback set (queries×fbDocs rows)
-    val fb = bm25Score(postings, qTerms, n, t, fbDocs)
+    val fb = bm25Score(postings, qTerms, n, t, fbDocs, materializeHits = true)
       .select(col("query_id"), col("doc_id"))
     // candidate terms: the feedback docs' postings, minus the
     // original query terms of that query
-    val cand = postings.join(broadcast(fb), Seq("doc_id"))
+    // candidate set and expanded vocabulary are TINY (queries ×
+    // feedback terms) but each is consumed twice — materialize them
+    // (r19) so the expansion chain (postings → candidates → df →
+    // selection window) runs once instead of fanning out under every
+    // pass-2 reference (the before-plan carried 45 copies of the
+    // token-table subtree)
+    val cand = Scale.shared(postings.join(broadcast(fb), Seq("doc_id"))
       .join(qTerms.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left")
       .filter(col("__orig").isNull)
-      .groupBy(col("query_id"), col("term")).agg(sum(col("tf")).as("w"))
+      .groupBy(col("query_id"), col("term")).agg(sum(col("tf")).as("w")))
     val dfe = postings
       .join(broadcast(cand.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     // pass 2: the identical scoring core over the expanded vocabulary
-    val qTerms2 = qTerms.union(prfExpansion(cand, dfe, n, fbTerms)).distinct()
-    bm25Score(postings, qTerms2, n, t, k)
+    val qTerms2 = Scale.shared(
+      qTerms.union(prfExpansion(cand, dfe, n, fbTerms)).distinct())
+    bm25Score(postings, qTerms2, n, t, k, materializeHits = true)
   }
 
   /** The expansion-term selection shared by the inline and the
@@ -1328,10 +1375,13 @@ object TextAnalysis {
     val qTerms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(toks(col(qtextCol)))).as("term"))
-    val fb = bm25Score(
+    // feedback set is queries×fbDocs rows consumed twice (candidate
+    // re-tokenize semi + candidate weights join) — materialize (r19)
+    // so the pass-1 probe+score chain runs once
+    val fb = Scale.shared(bm25Score(
       liveIndexPostings(spark, path, meta, qTerms.select(col("term"))),
       qTerms, meta.n, meta.t, fbDocs)
-      .select(col("query_id"), col("doc_id"))
+      .select(col("query_id"), col("doc_id")))
     val fbTf = corpus
       .select(col(docIdCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
       .join(broadcast(fb.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
@@ -1357,7 +1407,9 @@ object TextAnalysis {
     val dfe = posts2
       .join(broadcast(cand.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qTerms2 = qTerms.union(prfExpansion(cand, dfe, meta.n, fbTerms)).distinct()
+    // same two-consumer shape as the inline flavor (r19)
+    val qTerms2 = Scale.shared(
+      qTerms.union(prfExpansion(cand, dfe, meta.n, fbTerms)).distinct())
     bm25Score(posts2, qTerms2, meta.n, meta.t, k)
   }
 
@@ -1369,9 +1421,20 @@ object TextAnalysis {
     * probe, so the batch query stays the oracle for both.
     */
   private def bm25Score(
-      postings: DataFrame, qTerms: DataFrame, n: Long, t: Long, k: Int): DataFrame = {
-    val hits  = postings.join(broadcast(qTerms.select(col("term")).distinct()),
+      postings: DataFrame, qTerms: DataFrame, n: Long, t: Long, k: Int,
+      materializeHits: Boolean = false): DataFrame = {
+    // materializeHits=true for the INLINE flavors (r19): `hits` is
+    // query-vocabulary-sized (the semi-join pushes below the postings
+    // aggregate) and both the df count and the scoring join consume
+    // it — each consumer re-ran the corpus explode + prune above it.
+    // The index probes keep it lazy: their postings are either
+    // already materialized (PRF) or a bucket-pruned scan whose
+    // partition filter must stay visible in the executed plan (the
+    // OpsSpec plan assert — and the pruned re-read is bounded by
+    // construction).
+    val hits0 = postings.join(broadcast(qTerms.select(col("term")).distinct()),
       Seq("term"), "left_semi")
+    val hits  = if (materializeHits) Scale.shared(hits0) else hits0
     val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val num = (lit(22L * (2L * n + 2L)) * col("tf") * lit(t)).cast("double")
     val den = ((lit(2L) * col("df") + lit(1L)) *
@@ -2384,7 +2447,9 @@ object TextAnalysis {
       merges: Seq[(String, String)]
   ): DataFrame = {
     val sep   = "\u001f"
-    val words = df.select(col(idCol), explode(toks(col(textCol))).as("word"))
+    // one corpus explode (r19): the distinct-word vocabulary and the
+    // final count join both consume `words`
+    val words = shared(df.select(col(idCol), explode(toks(col(textCol))).as("word")))
     val vocab = words.select(col("word")).distinct()
     var repr: Column = regexp_replace(col("word"), "(.)", "$1" + sep)
     merges.foreach { case (l, r) =>
@@ -2447,8 +2512,14 @@ object TextAnalysis {
     * at production vocab sizes, never corpus-scale.
     */
   def bpeTokenVocab(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
-    wordSymbols(df.select(explode(toks(col(textCol))).as("word")), merges)
-      .select(explode(col("syms")).as("sym")).distinct()
+    vocabFromSymbols(wordSymbols(df.select(explode(toks(col(textCol))).as("word")), merges))
+
+  /** Id table from an already-folded (word, syms) frame — the seam
+    * that lets [[bpeTokenize]] derive vocab ids and word encodings
+    * from ONE corpus explode instead of two.
+    */
+  private def vocabFromSymbols(wsyms: DataFrame): DataFrame =
+    wsyms.select(explode(col("syms")).as("sym")).distinct()
       .withColumn("tid", row_number().over(Window.orderBy(col("sym"))).cast("int"))
 
   /** BPE tokenization to TOKEN IDS — what a training pipeline hands to
@@ -2468,9 +2539,14 @@ object TextAnalysis {
       textCol: String,
       merges: Seq[(String, String)]
   ): DataFrame = {
-    val words = df.select(col(idCol), posexplode(toks(col(textCol))).as(Seq("wpos", "word")))
-    val wsyms = wordSymbols(words, merges)
-    val symIds = bpeTokenVocab(df, textCol, merges)
+    // one corpus explode (r19): `words` previously re-derived for the
+    // distinct-word fold, the vocab-id table AND the final join —
+    // three tokenize passes; the id table now derives from the same
+    // shared word frame (identical symbols, so identical ids)
+    val words = shared(
+      df.select(col(idCol), posexplode(toks(col(textCol))).as(Seq("wpos", "word"))))
+    val wsyms = shared(wordSymbols(words, merges))
+    val symIds = vocabFromSymbols(wsyms)
     val wordIds = wsyms
       .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
       .join(broadcast(symIds), Seq("sym"))
