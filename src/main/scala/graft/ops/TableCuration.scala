@@ -127,8 +127,10 @@ object TableCuration {
     val meta = tableMeta(tables)
     // one materialized stage for the fuzzy-scored positives: the final
     // positive rows AND negExamples' first-positive lookup both consume
-    // them — without the shared stage the scoring join runs twice
-    val pos = posExamples(ann, meta, score).repartition(col("row_key"))
+    // them. r19: the repartition alone never materialized — each
+    // consumer still re-ran the token_set_ratio scoring join under its
+    // own copy of the exchange; Scale.shared makes the comment true.
+    val pos = Scale.shared(posExamples(ann, meta, score).repartition(col("row_key")))
     val annDim = ann.select(col("row_key").as("ann_key"), col("source_file"))
     val neg = negExamples(
       pos.join(annDim, pos("row_key") === annDim("ann_key")).drop("ann_key"),

@@ -382,12 +382,16 @@ object TextAnalysis {
     */
   def bigramCounts(
       ref: DataFrame, refTextCol: String, minCount: Long = 1L): DataFrame = {
-    // one reference pass (r19): the transition counts and the context
-    // totals both consume the bigram explode
-    val bg = shared(bigramsOf(ref.select(toks(col(refTextCol)).as("__t"))))
-    val bc = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c"))
-    val cc = bg.groupBy(col("prev")).agg(count(lit(1)).as("ctx"))
-    bc.filter(col("c") >= minCount).join(cc, Seq("prev"))
+    // one reference pass (r19): aggregate to the VOCAB-sized
+    // (prev, w, c) table once, then derive the context totals from it
+    // — ctx(prev) = Σ_w c(prev, w) by definition, so the second
+    // corpus-scale aggregation (and the bigram re-explode it carried)
+    // collapses to a vocabulary-sized fold over the materialized
+    // counts
+    val bcAll = shared(bigramsOf(ref.select(toks(col(refTextCol)).as("__t")))
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c")))
+    val cc = bcAll.groupBy(col("prev")).agg(sum(col("c")).as("ctx"))
+    bcAll.filter(col("c") >= minCount).join(cc, Seq("prev"))
   }
 
   /** The (prev, w) transition explode shared by training and scoring:
@@ -504,12 +508,15 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       oovBits: Int = 16, minCount: Long = 2L, backoffBits: Int = 2): DataFrame = {
-    // one reference-tokenize for the unigram rung (r19): the total-T
-    // scalar job and the unigram table both consume `refToks`
-    val refToks = shared(ref.select(explode(toks(col(refTextCol))).as("w")))
-    val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
-    val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      .filter(col("cu") >= minCount)
+    // one reference pass for the unigram rung (r19): aggregate to the
+    // VOCAB-sized (w, cu) table once — total T = Σ cu by definition,
+    // so the scalar job folds over the materialized counts instead of
+    // re-tokenizing the reference
+    val uniAll = shared(ref.select(explode(toks(col(refTextCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val totalT =
+      uniAll.agg(coalesce(sum(col("cu")), lit(0L))).collect()(0).getLong(0)
+    val uni = uniAll.filter(col("cu") >= minCount)
     backoffScore(df, idCol, textCol,
       bigramCounts(ref, refTextCol, minCount), uni, totalT, oovBits, backoffBits)
   }
@@ -556,12 +563,13 @@ object TextAnalysis {
       ref: DataFrame, refTextCol: String, path: String,
       oovBits: Int = 16, minCount: Long = 2L, backoffBits: Int = 2): Unit = {
     val spark = ref.sparkSession
-    // same two-consumer shape as backoffSurprisal (r19)
-    val refToks = shared(ref.select(explode(toks(col(refTextCol))).as("w")))
-    val totalT = refToks.agg(count(lit(1))).collect()(0).getLong(0)
+    // same one-aggregation shape as backoffSurprisal (r19)
+    val uniAll = shared(ref.select(explode(toks(col(refTextCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val totalT =
+      uniAll.agg(coalesce(sum(col("cu")), lit(0L))).collect()(0).getLong(0)
     IndexLayout.write(
-      refToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-        .filter(col("cu") >= minCount),
+      uniAll.filter(col("cu") >= minCount),
       s"$path/uni", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("w")))
     IndexLayout.write(bigramCounts(ref, refTextCol, minCount),
       s"$path/bigram", org.apache.spark.sql.SaveMode.Overwrite,
@@ -624,16 +632,20 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, refPosCol: String,
       oovBits: Int = 16, minCount: Long = 2L): DataFrame = {
-    // one reference-tokenize (r19): the class-total scalar job and the
-    // vocabulary broadcast both consume `rt` — without materialization
-    // each re-ran the whole upstream chain (in x_quality_pipeline that
-    // chain is the full span-dedup).
-    val rt = shared(ref.select(explode(toks(col(refTextCol))).as("w"),
-      col(refPosCol).cast("boolean").as("__pos")))
-    val tot = rt.agg(
-      sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))),
-      sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L)))).collect()(0)
-    nbScore(df, idCol, textCol, nbVocab(rt, minCount),
+    // one reference pass (r19): aggregate to the VOCAB-sized per-word
+    // class counts once; the class totals are Σ cpos / Σ cneg over the
+    // unpruned vocabulary by definition, so the total scalar job and
+    // the vocabulary broadcast share one materialization instead of
+    // each re-running the whole upstream chain (in x_quality_pipeline
+    // that chain is the full span-dedup).
+    val vocabAll = shared(nbVocabAll(
+      ref.select(explode(toks(col(refTextCol))).as("w"),
+        col(refPosCol).cast("boolean").as("__pos"))))
+    val tot = vocabAll.agg(
+      coalesce(sum(col("cpos")), lit(0L)),
+      coalesce(sum(col("cneg")), lit(0L))).collect()(0)
+    nbScore(df, idCol, textCol,
+      vocabAll.filter(col("cpos") + col("cneg") >= minCount),
       tot.getLong(0), tot.getLong(1), oovBits)
   }
 
@@ -641,10 +653,16 @@ object TextAnalysis {
     * pruned on total class count for broadcast boundedness.
     */
   private def nbVocab(rt: DataFrame, minCount: Long): DataFrame =
+    nbVocabAll(rt).filter(col("cpos") + col("cneg") >= minCount)
+
+  /** The UNPRUNED per-word class counts — the one corpus-scale
+    * aggregation of the NB family; totals and the pruned vocabulary
+    * both derive from it (r19).
+    */
+  private def nbVocabAll(rt: DataFrame): DataFrame =
     rt.groupBy(col("w")).agg(
-        sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("cpos"),
-        sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L))).as("cneg"))
-      .filter(col("cpos") + col("cneg") >= minCount)
+      sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("cpos"),
+      sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L))).as("cneg"))
 
   /** The scoring tail of [[nbQualityScore]], shared by the one-shot
     * operator and the persisted-model increment scorers (batch +
@@ -677,13 +695,14 @@ object TextAnalysis {
       ref: DataFrame, refTextCol: String, refPosCol: String, path: String,
       oovBits: Int = 16, minCount: Long = 2L): Unit = {
     val spark = ref.sparkSession
-    // same two-consumer shape as nbQualityScore: tokenize once (r19)
-    val rt = shared(ref.select(explode(toks(col(refTextCol))).as("w"),
-      col(refPosCol).cast("boolean").as("__pos")))
-    val tot = rt.agg(
-      sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))),
-      sum(when(!col("__pos"), lit(1L)).otherwise(lit(0L)))).collect()(0)
-    IndexLayout.write(nbVocab(rt, minCount),
+    // same one-aggregation shape as nbQualityScore (r19)
+    val vocabAll = shared(nbVocabAll(
+      ref.select(explode(toks(col(refTextCol))).as("w"),
+        col(refPosCol).cast("boolean").as("__pos"))))
+    val tot = vocabAll.agg(
+      coalesce(sum(col("cpos")), lit(0L)),
+      coalesce(sum(col("cneg")), lit(0L))).collect()(0)
+    IndexLayout.write(vocabAll.filter(col("cpos") + col("cneg") >= minCount),
       s"$path/vocab", org.apache.spark.sql.SaveMode.Overwrite, Seq(col("w")))
     spark.range(1).select(lit(tot.getLong(0)).as("t_pos"),
         lit(tot.getLong(1)).as("t_neg"), lit(oovBits).as("oov_bits"))
@@ -783,22 +802,27 @@ object TextAnalysis {
   private def knTables(
       ref: DataFrame, refTextCol: String,
       minCount: Long): (DataFrame, DataFrame, DataFrame, Long) = {
-    // one reference pass (r19): `bg` feeds two driver actions (bTypes
-    // count, maxCtx guard) plus the three broadcast count tables —
-    // five executions of the upstream chain before materialization.
-    val bg = shared(bigramsOf(ref.select(toks(col(refTextCol)).as("__t"))))
-    val bTypes = bg.select(col("prev"), col("w")).distinct().count()
-    val bc = bg.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-    val ccAll = bg.groupBy(col("prev")).agg(
-      count(lit(1)).as("ctx"), countDistinct(col("w")).as("n1p"))
-    val maxCtx = ccAll.agg(max(col("ctx"))).collect()(0).getLong(0)
+    // one reference pass (r19): aggregate to the VOCAB-sized
+    // (prev, w, c) table once and derive EVERYTHING from it — the two
+    // driver actions (bTypes, maxCtx) and the three count tables each
+    // re-ran the whole upstream chain before this. The derivations
+    // are definitional: bTypes = |bcAll| (one row per distinct
+    // bigram), ctx(prev) = Σ_w c, n1p(prev) = #rows with that prev,
+    // a(w) = #distinct prev = #rows with that w.
+    val bcAll = shared(bigramsOf(ref.select(toks(col(refTextCol)).as("__t")))
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c")))
+    val bTypes = bcAll.count()
+    val bc = bcAll.filter(col("c") >= minCount)
+    val ccAll = bcAll.groupBy(col("prev")).agg(
+      sum(col("c")).as("ctx"), count(lit(1)).as("n1p"))
+    val maxCtx =
+      ccAll.agg(coalesce(max(col("ctx")), lit(0L))).collect()(0).getLong(0)
     require(bTypes == 0L || maxCtx <= Long.MaxValue / (4L * bTypes),
       s"KN fit overflows BIGINT: max context count $maxCtx x 4 x $bTypes bigram " +
         "types exceeds 2^63 - fit the reference LM on a (sampled) trusted corpus, " +
         "not the raw crawl")
     val cc = ccAll.filter(col("ctx") >= minCount)
-    val co = bg.groupBy(col("w")).agg(countDistinct(col("prev")).as("a"))
+    val co = bcAll.groupBy(col("w")).agg(count(lit(1)).as("a"))
       .filter(col("a") >= minCount)
     (bc, cc, co, bTypes)
   }
