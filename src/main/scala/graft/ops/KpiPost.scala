@@ -112,11 +112,16 @@ object KpiPost {
   ): DataFrame = {
     // materialize ONE scored stage on the group keys: the span branch
     // and the no-answer aggregation both consume `melted`, and without
-    // the shuffle stage each would re-run the scorer over every
-    // partition — 2× model inference, the dominant cost with a real
-    // model. noAnswerRows' groupBy then needs no further exchange.
-    val melted = explodeRanks(scoreQa(relevant, scorer, keyCol))
-      .repartition(col("pdf_name"), col("text"))
+    // materialization each re-runs the scorer over every partition —
+    // 2× model inference, the dominant cost with a real model.
+    // r19: the repartition alone never materialized (and the scorer's
+    // mapPartitions closure canonicalizes per-instance, so exchange
+    // reuse cannot dedup the two copies either) — Scale.shared makes
+    // the comment true. noAnswerRows' groupBy still needs no further
+    // exchange: the checkpoint preserves the group-key partitioning.
+    val melted = graft.ops.Scale.shared(
+      explodeRanks(scoreQa(relevant, scorer, keyCol))
+        .repartition(col("pdf_name"), col("text")))
     val spans  = melted.filter(col("answer") =!= "no_answer")
     val unioned = spans.unionByName(noAnswerRows(melted), allowMissingColumns = true)
     val top = topKPerGroup(unioned, topK, Seq("rank_num", keyCol)).drop("rank", "rank_num")
