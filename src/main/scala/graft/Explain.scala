@@ -27,6 +27,11 @@ object Explain {
         (n, (System.nanoTime() - t0) / 1e9)
       }
       val n = times.head._1
+      // run-to-run row-count drift is exactly the nondeterminism this
+      // tool exists to surface (r19 ADVICE) — print it loudly instead
+      // of silently reporting run 1's count
+      if (times.map(_._1).distinct.size != 1)
+        println(s"==== $name: ROW-COUNT DRIFT across runs: ${times.map(_._1).mkString(", ")}")
       println(f"==== $name: $n rows in ${times.map(_._2).min}%.2f s " +
         f"(runs: ${times.map(t => f"${t._2}%.2f").mkString(", ")})")
     }

@@ -287,12 +287,14 @@ object QueriesExt {
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(tmp.toString)
         // filtering on _corrupt_record next to data columns needs a
-        // materialized frame (Spark disallows the lazy mix).
-        // localCheckpoint, not cache: the returned frame is consumed
-        // lazily by the caller, so a cache() here could never be
-        // unpersisted and would leak a cached plan into the shared
-        // session; checkpoint blocks are GC-reclaimed instead.
-        .localCheckpoint()
+        // checkpoint-cut plan (Spark disallows the lazy mix over the
+        // raw scan; the LogicalRDD cut satisfies it — analysis never
+        // sees the csv scan). Scale.shared, not cache: the returned
+        // frame is consumed lazily by the caller, so a cache() here
+        // could never be unpersisted and would leak a cached plan
+        // into the shared session; checkpoint blocks are
+        // GC-reclaimed instead.
+        .transform(graft.ops.Scale.shared)
       val clean = read.filter(col("_corrupt_record").isNull)
         .groupBy(col("regionkey"))
         .agg(count(lit(1)).as("n_ok"), min(col("name")).as("first_name"))

@@ -2298,7 +2298,7 @@ object QueriesScale {
       val kept = CorpusOps.gopherFilter(docs(s, dir), "text",
           minTokens = 20, maxTokens = 80, minStopwordHits = 1)
         .filter(col("keep")).select(col("doc_id"), col("text"))
-        .localCheckpoint()
+        .transform(graft.ops.Scale.shared)
       val pairs = Dedup.minhashExactPairs(kept, "doc_id", "text",
         w = 3, numHashes = 30, bands = 10, threshold = 0.9)
       val survivors = Dedup.applyDedup(kept, "doc_id", pairs)
@@ -4183,8 +4183,7 @@ object QueriesScale {
         CorpusOps.writeShardManifest(base, "doc_id", "text", shards = 8, p))
       CorpusOps.appendToShards(s, path, inc, "doc_id", "text", incrementId = "gate")
         .count(): Unit
-      val metaBuild = s.read.parquet(s"$path/meta")
-        .limit(1).collect()(0).getAs[String]("build_id")
+      val metaBuild = graft.ops.TinyParquet.row(s, s"$path/meta").getString("build_id")
       def expected(df: org.apache.spark.sql.DataFrame, incName: String) =
         CorpusOps.shardShuffle(df, "doc_id", "text", shards = 8)
           .groupBy(col("shard"))

@@ -316,8 +316,9 @@ object CorpusOps {
       spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame, idCol: String, textCol: String,
       minShared: Int = 8): DataFrame = {
-    val w = spark.read.parquet(s"$path/meta")
-      .select(col("w")).limit(1).collect()(0).getInt(0)
+    // driver-side meta read (r20, TinyParquet): the 1-row shingle
+    // width cost a ~110 ms spark.read+collect action per probe
+    val w = TinyParquet.row(spark, s"$path/meta").getInt("w")
     val benchSh = broadcast(spark.read.parquet(s"$path/sh"))
     // no inner width guard (see spanDedupWithIndex): the ingest chain
     // widens at its entry; an ensureWidth on a derived mid-chain
@@ -483,7 +484,10 @@ object CorpusOps {
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
     withFoldLease(spark, path, incrementId) {
     val cuts = spark.read.parquet(s"$path/cuts")
-    val shards = cuts.limit(1).collect()(0).getAs[Int]("shards")
+    // driver-side meta read (r20, TinyParquet) — the cuts FRAME above
+    // stays a lazy plan-side read (no action); only the scalar needed
+    // on the driver skips the ~110 ms collect job
+    val shards = TinyParquet.row(spark, s"$path/cuts").getInt("shards")
     val tail = broadcast(spark.read.parquet(s"$path/parts")
       .filter(col("inc") =!= incrementId)
       .groupBy(col("bucket"), col("shard"))
@@ -650,11 +654,11 @@ object CorpusOps {
       throw new IllegalStateException(
         s"SHARD_MANIFEST_CORRUPT: atomic publish rename failed for $path")
     val published =
-      try spark.read.parquet(s"$path/meta").collect()
+      try TinyParquet.rows(spark, s"$path/meta")
       catch { case e: Exception => throw new IllegalStateException(
         s"SHARD_MANIFEST_CORRUPT: published manifest at $path has no readable meta " +
           s"(${e.getMessage}) — filesystem rename did not land the expected layout") }
-    if (published.length != 1 || published(0).getAs[String]("build_id") != buildId)
+    if (published.length != 1 || published(0).getString("build_id") != buildId)
       throw new IllegalStateException(
         s"SHARD_MANIFEST_CORRUPT: published meta at $path does not carry this build's " +
           s"build_id=$buildId — a concurrent writer or misbehaving rename intervened")
@@ -732,21 +736,22 @@ object CorpusOps {
     require(incrementId.nonEmpty && incrementId != "base",
       s"incrementId must be non-empty and not 'base', got '$incrementId'")
     withFoldLease(spark, path, incrementId) {
-    val metaDf = spark.read.parquet(s"$path/meta")
-    // pre-build_id (round-9) manifests lack the audit column: name the
-    // failure instead of leaking an unresolved-column error — the
-    // contract is "rebuild with writeShardManifest", same as any other
-    // SHARD_MANIFEST_CORRUPT answer
-    if (!metaDf.columns.contains("build_id"))
-      throw new IllegalStateException(
-        s"SHARD_MANIFEST_CORRUPT: legacy manifest at $path (no build_id audit column) — " +
-          "rebuild with writeShardManifest")
-    val meta = metaDf.limit(2).collect()
+    // driver-side meta read (r20, TinyParquet — the ~110 ms 1-row
+    // collect action). TinyRow.has doubles as the legacy-column
+    // check: pre-build_id (round-9) manifests lack the audit column —
+    // name the failure instead of leaking an unresolved-column error;
+    // the contract is "rebuild with writeShardManifest", same as any
+    // other SHARD_MANIFEST_CORRUPT answer
+    val meta = TinyParquet.rows(spark, s"$path/meta")
     if (meta.length != 1)
       throw new IllegalStateException(
         s"SHARD_MANIFEST_CORRUPT: expected exactly one meta row at $path/meta, found ${meta.length}")
-    val shards = meta(0).getAs[Int]("shards")
-    val buildId = meta(0).getAs[String]("build_id")
+    if (!meta(0).has("build_id"))
+      throw new IllegalStateException(
+        s"SHARD_MANIFEST_CORRUPT: legacy manifest at $path (no build_id audit column) — " +
+          "rebuild with writeShardManifest")
+    val shards = meta(0).getInt("shards")
+    val buildId = meta(0).getString("build_id")
     // bounded driver materialization: one row per increment partition
     // (manifest envelope ≈10³-10⁴ increments), never corpus-sized
     val audit = spark.read.parquet(s"$path/parts")
@@ -1406,9 +1411,12 @@ object CorpusOps {
     // width guard at the CHAIN entry (see Scale.ensureWidth): every
     // stage below is CPU-bound text work over the increment, and a
     // few-fat-file-splits increment (stream micro-batch) would run
-    // the whole admission chain at file parallelism
-    val d0 = Scale.ensureWidth(
-      inc.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
+    // the whole admission chain at file parallelism.
+    // Scale.shared (r20): d0 feeds the canon probe AND the
+    // keep-survivor semi-join — without the seam the increment scan +
+    // plant filters re-run per consumer
+    val d0 = Scale.shared(Scale.ensureWidth(
+      inc.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))))
     val s1 = d0.join(
       Dedup.canonDedupWithIndex(spark, s"$path/canonix", d0, "doc_id", "text")
         .filter(col("is_kept") === 1L).select(col("doc_id")),

@@ -324,8 +324,8 @@ object Dedup {
     // lookup join, and leaving it lazy re-runs the whole
     // canonicalize+md5 scan — the probe's dominant CPU — once per
     // subtree (measured 2× on the sf10 stream probe)
-    val ih = incWide.select(col(idCol).cast("long").as("doc_id"),
-      md5(canonText(col(textCol))).as("h")).localCheckpoint()
+    val ih = Scale.shared(incWide.select(col(idCol).cast("long").as("doc_id"),
+      md5(canonText(col(textCol))).as("h")))
     val incWin = ih.groupBy(col("h")).agg(min(col("doc_id")).as("__iw"))
     // a plain left-outer against the index cannot broadcast its small
     // (increment) side — Spark would shuffle the ENTIRE index per
@@ -1104,8 +1104,8 @@ object Dedup {
     // candidate join, so they are materialized ONCE (localCheckpoint,
     // increment-sized — the canonDedupWithIndex lesson: left lazy,
     // the whole signature scan re-runs per consumer).
-    val probes = bandedSigsMd5(Scale.ensureWidth(newDocs), idCol, textCol, w, numHashes, bands)
-      .localCheckpoint()
+    val probes = Scale.shared(
+      bandedSigsMd5(Scale.ensureWidth(newDocs), idCol, textCol, w, numHashes, bands))
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
@@ -1355,30 +1355,29 @@ object Dedup {
     * checkpointing).
     *
     * ONE action per round: the eager checkpoint's materialization job
-    * doubles as the convergence probe — a changed-label accumulator
-    * increments inside the projection while that job runs, so there is
-    * no separate count action re-scanning the frame (the round-4
-    * verdict's follow-up; previously 2 actions + 4 shuffles per round,
-    * now 1 action + 2). Task retries can only overcount the
-    * accumulator, which at worst runs one extra no-op round —
-    * convergence stays correct because labels only ever decrease and
-    * the self-loop carries each node's previous label into the round's
-    * aggregate as the comparison baseline.
+    * doubles as the convergence probe — an `observe()` metric (a
+    * codegen'd `sum(when(nxt =!= prev, 1))` aggregate, r20: replaces
+    * the former per-row Scala UDF, the last interpreted expression in
+    * this hot path — guide item 4) fills while that job runs, so
+    * there is no separate count action re-scanning the frame (the
+    * round-4 verdict's follow-up; previously 2 actions + 4 shuffles
+    * per round, now 1 action + 2). Retried tasks can at worst
+    * overcount the observed metric (a failed attempt's updates are
+    * dropped; only successful tasks report), which at worst runs one
+    * extra no-op round — convergence stays correct because labels
+    * only ever decrease and the self-loop carries each node's
+    * previous label into the round's aggregate as the comparison
+    * baseline (spec-pinned: DedupResolveSpec's chain/convergence
+    * tests gate the iteration count and the fixpoint).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
-    val acc = spark.sparkContext.longAccumulator("cc-changed")
-    val markChanged = udf { (cluster: Long, prev: Long) =>
-      if (cluster != prev) acc.add(1L)
-      cluster
-    }
     val e0 = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src"), col("dst"), lit(false).as("self"))
-      .localCheckpoint()
+      .transform(Scale.shared) // lazy (r20): round 1's job materializes
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
+      .transform(Scale.shared)
     var changed = 1L
     var it      = 0
     while (changed > 0 && it < maxIters) {
@@ -1387,15 +1386,33 @@ object Dedup {
         .unionByName(lblE.select(col("id").as("src"), col("cluster").as("dst"), lit(false).as("self")))
         .unionByName(lblE.select(col("cluster").as("src"), col("id").as("dst"), lit(false).as("self")))
         .unionByName(labels.select(col("id").as("src"), col("id").as("dst"), lit(true).as("self")))
-      acc.reset()
-      val next = msgs.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+      // the STRING observe variant, NOT an Observation handle: in
+      // Spark 4.1 `Observation.register` forces the session's lazy
+      // `observationManager` field, and a SparkSession whose manager
+      // is initialized no longer Java-serializes — which breaks any
+      // LATER closure in the same session that captures a
+      // summary-carrying MLlib model (found live: CrossValidator in
+      // MlPipelinesSpec failed suite-wide after one CC run). The
+      // string variant only plants the CollectMetrics plan node; the
+      // metric is read from the pre-checkpoint queryExecution after
+      // the eager materialization ran it.
+      val obsName = s"cc-changed-$it"
+      val obsDf = msgs.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("cluster")).as("nxt"),
           // exactly one self row per src: its cluster is the previous label
           max(when(col("self"), col("cluster"))).as("prev"))
-        .select(col("src").as("id"), markChanged(col("nxt"), col("prev")).as("cluster"))
-        .localCheckpoint() // eager: the round's ONE job, filling acc
-      changed = acc.value
+        .observe(obsName,
+          coalesce(sum(when(col("nxt") =!= col("prev"), 1L).otherwise(0L)), lit(0L))
+            .as("n_changed"))
+        .select(col("src").as("id"), col("nxt").as("cluster"))
+      val next = obsDf.localCheckpoint() // eager: the round's ONE job, filling the metric
+      changed = obsDf.queryExecution.observedMetrics.get(obsName) match {
+        case Some(row) => row.getLong(0)
+        case None => throw new IllegalStateException(
+          s"connectedComponents: observed metric $obsName missing after the round's " +
+            "materialization — the convergence probe did not run")
+      }
       labels = next
       it += 1
     }

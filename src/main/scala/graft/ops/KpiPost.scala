@@ -116,12 +116,26 @@ object KpiPost {
     // 2× model inference, the dominant cost with a real model.
     // r19: the repartition alone never materialized (and the scorer's
     // mapPartitions closure canonicalizes per-instance, so exchange
-    // reuse cannot dedup the two copies either) — Scale.shared makes
-    // the comment true. noAnswerRows' groupBy still needs no further
-    // exchange: the checkpoint preserves the group-key partitioning.
-    val melted = graft.ops.Scale.shared(
+    // reuse cannot dedup the two copies either). r20 (verdict task
+    // 3): the eager localCheckpoint paid a dedicated materialization
+    // job that the bench's mock scorer turned into a measured net
+    // LOSS (m2 0.853 → 0.941 s) — a lazy persist gives the same
+    // single-inference guarantee (both consumers resolve to ONE
+    // InMemoryRelation; per-partition block locks mean one compute,
+    // every other reader waits then reads the cached block —
+    // spec-pinned by the counting scorer in OpsSpec) with zero extra
+    // action: the scorer runs inside the first consuming job.
+    // noAnswerRows' groupBy still needs no further exchange: the
+    // InMemoryRelation preserves the repartition's group-key
+    // partitioning. Not unpersisted here by design — the caller
+    // consumes the result lazily (an unpersist in a finally would
+    // empty the cache before it ever filled); the frame is
+    // |relevant|·nBest rows, and session hygiene / unpersist at the
+    // caller reclaims it.
+    val melted =
       explodeRanks(scoreQa(relevant, scorer, keyCol))
-        .repartition(col("pdf_name"), col("text")))
+        .repartition(col("pdf_name"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans  = melted.filter(col("answer") =!= "no_answer")
     val unioned = spans.unionByName(noAnswerRows(melted), allowMissingColumns = true)
     val top = topKPerGroup(unioned, topK, Seq("rank_num", keyCol)).drop("rank", "rank_num")

@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   * the node-sized rank frame on `src` (ranks broadcast when small,
   * shuffle-on-src otherwise) and one map-side-combinable sum by
   * `dst`. The rank frame is NODE-sized, never corpus-sized; lineage
-  * is truncated per round with localCheckpoint (the CC / Lloyd
-  * pattern). The only driver materialization is the node COUNT — one
+  * is truncated per round with Scale.shared (the CC / Lloyd
+  * pattern; lazy since r20 — rounds chain into the final action). The only driver materialization is the node COUNT — one
   * scalar.
   */
 object LinkGraph {
@@ -51,12 +51,12 @@ object LinkGraph {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(Scale.shared) // lazy (r20): the node-count action materializes
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct()
-      .localCheckpoint()
+      .transform(Scale.shared)
     val n = nodes.count() // node count only — a bounded driver scalar
     require(n > 0, "pageRank needs a non-empty edge list")
     val base = (15L * scale) / (100L * n)
@@ -84,7 +84,7 @@ object LinkGraph {
            updated.crossJoin(dang)
              .select(col("host"),
                (col("rank") + expr(s"(85 * dmass) div (100 * ${n}L)")).as("rank"))
-         }).localCheckpoint()
+         }).transform(Scale.shared) // lazy: K rounds chain into the final action
     }
     val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
     ranks
@@ -114,7 +114,8 @@ object LinkGraph {
     * node set is dim-sized, shuffle-on-src otherwise), one map-side-
     * combinable (host, label) count, one node-partitioned window for
     * the argmax — never anything corpus-sized; lineage truncated per
-    * round with localCheckpoint (the CC / Lloyd / pageRank pattern).
+    * round with Scale.shared (the CC / Lloyd / pageRank pattern;
+    * lazy since r20).
     * Synchronous LPA on a symmetric graph can 2-cycle on bipartite
     * islands instead of converging — callers pick `iters` as a fixed
     * budget (the curation signal needs stable coarse communities, not
@@ -127,10 +128,10 @@ object LinkGraph {
     val dir = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
     val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Scale.shared) // lazy (r20)
     var labels = e.select(col("src").as("host")).distinct()
       .withColumn("label", col("host"))
-      .localCheckpoint()
+      .transform(Scale.shared)
     for (_ <- 1 to iters) {
       val freq = e.join(labels, e("src") === labels("host"))
         .groupBy(e("dst").as("node"), col("label"))
@@ -140,7 +141,7 @@ object LinkGraph {
       labels = freq.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("node").as("host"), col("label"))
-        .localCheckpoint()
+        .transform(Scale.shared)
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "label")

@@ -20,17 +20,73 @@ object Scale {
     * Multi-consumer chains were measured carrying 46-196 copies of
     * the same parquet scan in one plan before this. `localCheckpoint`
     * runs the subtree once; every consumer reads the materialized
-    * partitions. On a cluster, localCheckpoint trades fault-tolerance
-    * of that intermediate for speed (executor loss forces a full
-    * query retry) — the right trade for these deterministic,
-    * re-runnable curation chains; swap for `persist(DISK_ONLY)` +
-    * reliable checkpoint where retry cost dominates. Streaming frames
-    * pass through untouched: a micro-batch source cannot be
-    * checkpointed mid-plan, and the foreachBatch twins hand the ops
-    * batch frames anyway.
+    * partitions.
+    *
+    * LAZY since r20 (measured: every EAGER seam paid one extra Spark
+    * action of pure fixed overhead — ~70-110 ms each on a warm
+    * local[32] session, ×~30 seams across the heavy chains): the
+    * plan is still cut at construction (LogicalRDD replaces the
+    * subtree — identical downstream plan shape to the eager form)
+    * but the partitions materialize inside the FIRST consumer's
+    * action instead of a dedicated job. Single-compute stays
+    * guaranteed at the block layer: localCheckpoint persists the RDD
+    * (per-partition BlockManager locks — concurrent consumers
+    * serialize on compute, then read the cached block), and Spark's
+    * LocalRDDCheckpointData backfills any partition the first action
+    * did not touch before truncating lineage. Seams whose
+    * materialization must complete INSIDE a protocol scope (a
+    * missing-file retry window, a FoldLease) keep their own explicit
+    * EAGER `localCheckpoint()` — this helper is for pure plan-dedup
+    * seams only.
+    *
+    * STORAGE POLICY (r20, r19-verdict task 4): frames whose Catalyst
+    * optimized-plan size estimate exceeds
+    * `spark.graft.shared.diskOnlyBytes` (default 8 GiB) checkpoint
+    * DISK_ONLY instead of MEMORY_AND_DISK — at 100 TB a corpus-scale
+    * shared intermediate must not compete with execution memory on
+    * the block managers (guide §5: caching competes with execution
+    * memory). The threshold errs high because Catalyst overestimates
+    * post-aggregation frames (the [[Hints]] lesson); bench-scale
+    * frames stay memory-first, cluster-scale corpora spill by
+    * policy, and deployments tune the byte knob, not the code. On a
+    * cluster, localCheckpoint still trades fault-tolerance of the
+    * intermediate for speed (executor loss fails the query — blocks
+    * are not recomputable past the lineage cut; retry re-runs the
+    * query). That stays the right trade for these deterministic,
+    * re-runnable curation chains; swap for reliable checkpoint where
+    * retry cost dominates. Streaming frames pass through untouched:
+    * a micro-batch source cannot be checkpointed mid-plan, and the
+    * foreachBatch twins hand the ops batch frames anyway.
     */
   def shared(df: DataFrame): DataFrame =
-    if (df.isStreaming) df else df.localCheckpoint()
+    if (df.isStreaming) df
+    else df.localCheckpoint(
+      // -Dgraft.shared.eager=1: measurement escape hatch for A/B'ing
+      // the lazy default against the r19 eager shape in one JVM
+      eager = sys.props.get("graft.shared.eager").contains("1"),
+      storageLevel = sharedLevel(df))
+
+  /** Default byte threshold above which [[shared]] checkpoints
+    * DISK_ONLY. Overridden per session by
+    * `spark.graft.shared.diskOnlyBytes`.
+    */
+  val DefaultSharedDiskOnlyBytes: Long = 8L << 30
+
+  private def sharedLevel(df: DataFrame): org.apache.spark.storage.StorageLevel = {
+    val s = df.sparkSession.conf
+      .get("spark.graft.shared.diskOnlyBytes", DefaultSharedDiskOnlyBytes.toString)
+    val cap =
+      try s.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.shared.diskOnlyBytes must be a positive byte count, got '$s'") }
+    require(cap > 0,
+      s"spark.graft.shared.diskOnlyBytes must be a positive byte count, got '$s'")
+    // plan-stats estimate only — costs no Spark job (the optimized
+    // plan is computed here at the latest; toRdd needs it anyway)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(cap))
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  }
 
   /** Write `df` as a bucketed, sorted table: co-locates rows by join
     * key so later equi-joins/aggregations on `keys` need NO shuffle

@@ -825,8 +825,10 @@ object Similarity {
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("qqb"), col("cell_id"))
       // same one-materialization contract as probeIvfIndex (the
-      // quantize_i8b per query would otherwise run in both jobs)
-      .localCheckpoint()
+      // quantize_i8b per query would otherwise run in both jobs);
+      // LAZY (r20): the cell collect right below is the first action
+      // and materializes it — an eager job here was pure overhead
+      .transform(Scale.shared)
     val cells = probedCellList(probes)
     val assigned = maskDeleted(spark,
       path, spark.read.parquet(s"$path/assigned").filter(col("cell_id").isin(cells: _*)))
@@ -854,10 +856,11 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    // materialized ONCE (eager, queries×nProbe rows): the selection
-    // feeds the IN-list collect AND the scoring join — without the
-    // pin the whole query-to-cell join would execute twice per probe
-    val probes = probeSelection(queries, centroids, idCol, vecCol, nProbe).localCheckpoint()
+    // materialized ONCE (queries×nProbe rows): the selection feeds
+    // the IN-list collect AND the scoring join — without the pin the
+    // whole query-to-cell join would execute twice per probe. LAZY
+    // (r20): the cell collect below is the first action
+    val probes = Scale.shared(probeSelection(queries, centroids, idCol, vecCol, nProbe))
     val cells = probedCellList(probes)
     val assigned = maskDeleted(spark,
       path, spark.read.parquet(s"$path/assigned").filter(col("cell_id").isin(cells: _*)))
@@ -1013,16 +1016,23 @@ object Similarity {
         .agg(array_sort(collect_list(struct(
           col("cell_id").cast("long").as("cell_id"),
           col("centroid"), col("cnorm")))).as("cents")))
+    // top-nProbe cells = one score transform + ONE bounded sort per
+    // row (r20, guide item 4): the former running-best fold paid an
+    // array alloc + an (nProbe+1)-element sort PER CENTROID STEP —
+    // O(c) allocations per row against this shape's single c-element
+    // array and single sort. Result identical by construction: the
+    // fold kept the nProbe smallest (ns, cell) structs of a total
+    // order (negated score; NaN sorts largest under Spark's double
+    // order on both shapes), which IS slice(array_sort(all), 1,
+    // nProbe) — the oracle gates it row-for-row.
     val lcells = l.crossJoin(centArr)
       .withColumn("vn", norm(col("lv")))
-      .withColumn("cells", aggregate(
-        col("cents"),
-        array().cast("array<struct<ns:double,cell:bigint>>"),
-        (acc, ct) => slice(array_sort(concat(acc, array(struct(
+      .withColumn("cells", transform(
+        slice(array_sort(transform(col("cents"), ct => struct(
           (lit(0.0) - dot(col("lv"), ct.getField("centroid")) /
             (col("vn") * ct.getField("cnorm"))).as("ns"),
-          ct.getField("cell_id").as("cell"))))), 1, nProbe),
-        acc => transform(acc, x => x.getField("cell"))))
+          ct.getField("cell_id").as("cell")))), 1, nProbe),
+        x => x.getField("cell")))
       .select(col("left_id"), col("lv"), explode(col("cells")).as("cell_id"))
     // right vectors live in exactly ONE cell and a left row probes
     // DISTINCT cells, so no pair can appear twice — no dedup stage.
@@ -1066,16 +1076,16 @@ object Similarity {
           col("cell_id").cast("long").as("cell_id"),
           col("centroid"), col("cnorm")))).as("cents")))
     val maxProbe = probes.max
+    // same transform-then-one-sort shape as annJoinFrom (r20) — the
+    // per-step fold sort was O(c) allocations per row
     val lcells = l.crossJoin(centArr)
       .withColumn("vn", norm(col("lv")))
-      .withColumn("cells", aggregate(
-        col("cents"),
-        array().cast("array<struct<ns:double,cell:bigint>>"),
-        (acc, ct) => slice(array_sort(concat(acc, array(struct(
+      .withColumn("cells", transform(
+        slice(array_sort(transform(col("cents"), ct => struct(
           (lit(0.0) - dot(col("lv"), ct.getField("centroid")) /
             (col("vn") * ct.getField("cnorm"))).as("ns"),
-          ct.getField("cell_id").as("cell"))))), 1, maxProbe),
-        acc => transform(acc, x => x.getField("cell"))))
+          ct.getField("cell_id").as("cell")))), 1, maxProbe),
+        x => x.getField("cell")))
       .select(col("left_id"), col("lv"),
         posexplode(col("cells")).as(Seq("__p", "cell_id")))
       .withColumn("cell_rn", col("__p") + 1).drop("__p")
@@ -1129,7 +1139,9 @@ object Similarity {
     val c = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     var cent = sampleCentroids(c, k)
     for (_ <- 1 to iters)
-      cent = broadcast(refineCentroids(ivfAssign(c, cent)).localCheckpoint())
+      // lazy shared (r20): no per-iteration action remains — all
+      // K refinements chain into the final consumer's job as stages
+      cent = broadcast(Scale.shared(refineCentroids(ivfAssign(c, cent))))
     (ivfAssign(c, cent), cent)
   }
 
@@ -1207,7 +1219,7 @@ object Similarity {
     var cent = sampleCentroids(c, k)
     var sums: DataFrame = null
     for (_ <- 1 to iters) {
-      sums = refineSums(ivfAssign(c, cent)).localCheckpoint()
+      sums = Scale.shared(refineSums(ivfAssign(c, cent))) // lazy (r20): the sums write is the action
       cent = broadcast(centroidsFromSums(sums))
     }
     sums.coalesce(1).write.mode("overwrite").parquet(s"$path/sums"): Unit
@@ -1288,8 +1300,8 @@ object Similarity {
       inc: DataFrame, idCol: String, vecCol: String,
       corpus: DataFrame, k: Int, iters: Int,
       driftThreshold: Double): DataFrame = {
-    val report = recenterWithIncrement(spark, path, inc, idCol, vecCol)
-      .localCheckpoint()
+    val report = Scale.shared( // lazy (r20): the drift collect below materializes it
+      recenterWithIncrement(spark, path, inc, idCol, vecCol))
     val minDrift = report.agg(min(col("drift"))).collect()(0) match {
       case r if r.isNullAt(0) => 1.0 // empty increment: nothing drifted
       case r                  => r.getDouble(0)
@@ -1361,8 +1373,8 @@ object Similarity {
     }
     val readPath =
       if (committedBelow.isEmpty) path else s"$path/v=${committedBelow.max}"
-    val report = recenterWithIncrement(spark, readPath, inc, idCol, vecCol)
-      .localCheckpoint()
+    val report = Scale.shared( // lazy (r20): the drift collect below materializes it
+      recenterWithIncrement(spark, readPath, inc, idCol, vecCol))
     val minDrift = report.agg(min(col("drift"))).collect()(0) match {
       case r if r.isNullAt(0) => 1.0
       case r                  => r.getDouble(0)
@@ -1815,9 +1827,12 @@ object Similarity {
   def projectWithPcaModel(
       spark: SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val dir = spark.read.parquet(s"$path/direction")
-      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Long]("v")).toSeq
-    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
-    pcaApply(df, idCol, vecCol, dir, meta.getAs[Long]("scale"))
+    // driver-side reads (r20, TinyParquet): direction is dims-sized
+    // and meta one row — each spark.read+collect cost ~110 ms of
+    // fixed overhead per probe
+    val dir = TinyParquet.rows(spark, s"$path/direction")
+      .map(r => r.getInt("i") -> r.getLong("v"))
+    val meta = TinyParquet.row(spark, s"$path/meta")
+    pcaApply(df, idCol, vecCol, dir, meta.getLong("scale"))
   }
 }

@@ -53,8 +53,8 @@ object StatsTable {
     // both sides feed TWO plan branches (scalars + entries); checkpoint
     // the group-sized frames so neither the increment aggregation nor
     // the stored scan runs twice
-    val stored = spark.read.parquet(path).localCheckpoint()
-    val inc    = summarize(increment, keyCol, valCol, k).localCheckpoint()
+    val stored = Scale.shared(spark.read.parquet(path))
+    val inc    = Scale.shared(summarize(increment, keyCol, valCol, k))
     // per (key, row-group) scalar stats are constant on entry rows;
     // reduce each side to one scalar row per key + its entry rows
     def scalars(t: DataFrame) = t.groupBy(col("key"))

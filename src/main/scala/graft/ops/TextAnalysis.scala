@@ -320,8 +320,9 @@ object TextAnalysis {
   def scoreWithZipfRanks(
       spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val topV = spark.read.parquet(s"$path/meta")
-      .select(col("top_v")).limit(1).collect()(0).getInt(0)
+    // meta scalars read DRIVER-SIDE (r20, TinyParquet): a 1-row
+    // spark.read+collect costs ~110 ms of fixed overhead per probe
+    val topV = TinyParquet.row(spark, s"$path/meta").getInt("top_v")
     zipfScore(df, idCol, textCol, spark.read.parquet(s"$path/ranks"), topV)
   }
 
@@ -462,8 +463,8 @@ object TextAnalysis {
   def scoreWithBigramCounts(
       spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val oovBits = spark.read.parquet(s"$path/meta")
-      .select(col("oov_bits")).limit(1).collect()(0).getInt(0)
+    // driver-side meta read (see scoreWithZipfRanks)
+    val oovBits = TinyParquet.row(spark, s"$path/meta").getInt("oov_bits")
     bigramScore(df, idCol, textCol, spark.read.parquet(s"$path/counts"), oovBits)
   }
 
@@ -587,11 +588,12 @@ object TextAnalysis {
   def scoreWithBackoffModel(
       spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
+    // driver-side meta read (see scoreWithZipfRanks)
+    val meta = TinyParquet.row(spark, s"$path/meta")
     backoffScore(df, idCol, textCol,
       spark.read.parquet(s"$path/bigram"), spark.read.parquet(s"$path/uni"),
-      meta.getAs[Long]("total_t"), meta.getAs[Int]("oov_bits"),
-      meta.getAs[Int]("backoff_bits"))
+      meta.getLong("total_t"), meta.getInt("oov_bits"),
+      meta.getInt("backoff_bits"))
   }
 
   /** SUPERVISED quality scoring — the Naive-Bayes log-odds classifier
@@ -717,10 +719,11 @@ object TextAnalysis {
   def scoreWithNbModel(
       spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
+    // driver-side meta read (see scoreWithZipfRanks)
+    val meta = TinyParquet.row(spark, s"$path/meta")
     nbScore(df, idCol, textCol, spark.read.parquet(s"$path/vocab"),
-      meta.getAs[Long]("t_pos"), meta.getAs[Long]("t_neg"),
-      meta.getAs[Int]("oov_bits"))
+      meta.getLong("t_pos"), meta.getLong("t_neg"),
+      meta.getInt("oov_bits"))
   }
 
   /** KNESER-NEY smoothed bigram surprisal (Kneser & Ney 1995; Chen &
@@ -895,12 +898,13 @@ object TextAnalysis {
   def scoreWithKnModel(
       spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").limit(1).collect()(0)
+    // driver-side meta read (see scoreWithZipfRanks)
+    val meta = TinyParquet.row(spark, s"$path/meta")
     knScore(df, idCol, textCol,
       spark.read.parquet(s"$path/bigram"),
       spark.read.parquet(s"$path/ctx"),
       spark.read.parquet(s"$path/cont"),
-      meta.getAs[Long]("b_types"), meta.getAs[Int]("oov_bits"))
+      meta.getLong("b_types"), meta.getInt("oov_bits"))
   }
 
   /** EVALUATE a binary classifier's integer scores against boolean
@@ -1414,7 +1418,7 @@ object TextAnalysis {
       .join(qTerms.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left")
       .filter(col("__orig").isNull)
       .groupBy(col("query_id"), col("term")).agg(sum(col("tf")).as("w"))
-      .localCheckpoint()
+      .transform(Scale.shared) // lazy (r20): first consumer materializes
     // TWO index probes total (round-10 verdict task 4; was three):
     // after candidate mining, ONE probe widened to qTerms ∪ candidate
     // vocab serves BOTH the expansion-df count and the pass-2 rescore
@@ -1427,7 +1431,7 @@ object TextAnalysis {
     // reconcile (the fixed per-probe overhead that made the old
     // three-probe chain overhead-dominated at bench scale).
     val wideVocab = qTerms.select(col("term")).union(cand.select(col("term")))
-    val posts2 = liveIndexPostings(spark, path, meta, wideVocab).localCheckpoint()
+    val posts2 = Scale.shared(liveIndexPostings(spark, path, meta, wideVocab))
     val dfe = posts2
       .join(broadcast(cand.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1550,14 +1554,15 @@ object TextAnalysis {
 
   private def readBm25Meta(
       spark: org.apache.spark.sql.SparkSession, path: String): Bm25Meta = {
-    val m = spark.read.parquet(s"$path/meta").collect()(0)
-    def has(f: String) = m.schema.fieldNames.contains(f)
+    // driver-side meta read (r20, TinyParquet): every probe paid a
+    // ~110 ms spark.read+collect action for this one row
+    val m = TinyParquet.row(spark, s"$path/meta")
     Bm25Meta(
-      n = m.getLong(m.fieldIndex("n")),
-      t = m.getLong(m.fieldIndex("t")),
-      buckets = m.getInt(m.fieldIndex("buckets")),
-      applied = if (has("applied")) m.getSeq[String](m.fieldIndex("applied")) else Seq.empty,
-      gen = if (has("gen")) m.getString(m.fieldIndex("gen")) else "postings")
+      n = m.getLong("n"),
+      t = m.getLong("t"),
+      buckets = m.getInt("buckets"),
+      applied = if (m.has("applied")) m.getStringSeq("applied") else Seq.empty,
+      gen = if (m.has("gen")) m.getString("gen") else "postings")
   }
 
   def writeBm25Index(
@@ -2178,15 +2183,15 @@ object TextAnalysis {
       corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 4096, scale: Long = 1000000L): DataFrame = {
-    // localCheckpoint (eager), NOT persist-try-unpersist: the result
-    // is returned LAZY, so an unpersist in a finally block would drop
+    // Scale.shared, NOT persist-try-unpersist: the result is
+    // returned LAZY, so an unpersist in a finally block would drop
     // the cache entry before the caller's first action ever populated
     // it — the corpus feature pass would silently run twice (once for
-    // the raw distribution, once for scoring). The eager checkpoint
-    // materializes the (doc, bucket, c) stage exactly once and both
-    // consumers read the pinned blocks.
-    val docB = affinityBucketCounts(corpus, col(idCol), col(textCol), buckets)
-      .localCheckpoint()
+    // the raw distribution, once for scoring). The checkpoint's
+    // block-level caching runs the (doc, bucket, c) stage exactly
+    // once and both consumers read the pinned blocks.
+    val docB = Scale.shared(
+      affinityBucketCounts(corpus, col(idCol), col(textCol), buckets))
     val wgt = affinityWeights(docB, target, targetTextCol, buckets, scale)
     scoreBuckets(docB, wgt)
   }
@@ -2427,7 +2432,7 @@ object TextAnalysis {
       .select(explode(toks(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(regexp_replace(col("word"), "(.)", "$1" + sep).as("repr"), col("wc"))
-      .localCheckpoint()
+      .transform(Scale.shared) // lazy (r20): each step's limit(1) collect materializes
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to nMerges) {
       val syms = filter(split(col("repr"), sep), s => s =!= "")
@@ -2447,7 +2452,7 @@ object TextAnalysis {
         vocab = vocab
           .withColumn("repr",
             call_function("replace", col("repr"), lit(l + sep + r + sep), lit(l + r + sep)))
-          .localCheckpoint()
+          .transform(Scale.shared)
       }
     }
     import spark.implicits._

@@ -1376,6 +1376,11 @@ object EventsStream {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // EAGER checkpoint, deliberately (r20 lazy sweep skipped
+        // this one): the fold below OVERWRITES snapshotPath — base's
+        // blocks must be fully materialized BEFORE the write deletes
+        // the files they came from, or the job would scan a directory
+        // it is truncating
         val base = spark.read.parquet(snapshotPath).localCheckpoint()
         graft.ops.ChangeCapture.applyChanges(base, batch, keys, compare)
           .write.mode("overwrite").parquet(snapshotPath)

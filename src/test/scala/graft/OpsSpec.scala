@@ -1634,6 +1634,43 @@ class ScorerPipelineSpec extends SparkSpecBase {
     // kpi_id reverse map applied
     assert(out.filter(col("kpi") === "q one" && col("kpi_id") =!= 1.0).count() === 0)
   }
+
+  test("kpi chain: the scorer runs ONCE per input row despite two melted consumers") {
+    // r20 (verdict task 3): kpiChain materializes the scored stage
+    // with a lazy persist — the span branch AND the no-answer
+    // aggregation both consume it, and without the single
+    // InMemoryRelation each would re-run inference over every
+    // partition (2× model cost with a real model). The counting
+    // scorer proves the protection holds: one full action over the
+    // chain scores each relevant row exactly once.
+    KpiChainCountingScorer.calls.set(0L)
+    val rel = Relevance.relevantPairs(pairs, new MockRelevanceScorer, "key", 0.7)
+    val nRel = rel.count()
+    KpiChainCountingScorer.calls.set(0L) // relevantPairs' count is not the chain
+    val out = KpiPost.kpiChain(rel, new KpiChainCountingScorer(nBest = 2),
+      spark.createDataFrame(Seq(("q one", 1.0), ("q two", 2.1))).toDF("question", "kpi_id"),
+      "key", topK = 4)
+    out.collect() // ONE action over the whole chain
+    assert(KpiChainCountingScorer.calls.get() === nRel,
+      s"scorer ran ${KpiChainCountingScorer.calls.get()} row-scores for $nRel relevant rows — " +
+        "the single-inference materialization seam regressed")
+  }
+}
+
+/** Mock QA scorer that counts every row it scores (local-mode static
+  * — the spec runs single-JVM). Output matches MockQaScorer so the
+  * chain's algebra is unchanged.
+  */
+class KpiChainCountingScorer(nBest: Int)
+    extends graft.scorer.QaScorer {
+  private val inner = new MockQaScorer(nBest = nBest)
+  def scoreBatch(batch: Iterator[(Long, String, String)]):
+      Iterator[(Long, Seq[graft.scorer.QaCandidate])] =
+    inner.scoreBatch(batch.map { r => KpiChainCountingScorer.calls.incrementAndGet(); r })
+}
+
+object KpiChainCountingScorer {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 class TextAnalysisSpec extends SparkSpecBase {
