@@ -376,6 +376,33 @@ object QueriesScale {
        |rk AS (SELECT *, row_number() OVER (PARTITION BY left_id
        |   ORDER BY cosine DESC, right_id ASC) AS rank FROM pairs)""".stripMargin
 
+  /** [[AnnJoinRankedCtes]] with the INDEX-join cells policy (r20):
+    * the centroid CTE takes GREATEST(16, LEAST(65536,
+    * ceil(sqrt(2·count(r))))) smallest-id right vectors — the exact
+    * [[graft.ops.Similarity.cellsForIndexJoin]] clamp, computed from
+    * the data so the gate holds at every scale factor.
+    */
+  private lazy val AnnJoinIndexRankedCtes: String =
+    s"""WITH r AS (SELECT vec_id AS right_id, embedding AS cv FROM embeddings WHERE vec_id % 7 <> 3),
+       |l AS (SELECT vec_id AS left_id, embedding AS lv FROM embeddings WHERE vec_id % 7 = 3),
+       |cent AS (SELECT right_id AS cell_id, cv AS centroid FROM r ORDER BY right_id
+       |  LIMIT (SELECT GREATEST(16, LEAST(65536, CAST(ceil(sqrt(2 * count(*))) AS BIGINT))) FROM r)),
+       |ra AS (SELECT right_id, cv, cell_id FROM (
+       |  SELECT r.right_id, r.cv, cent.cell_id,
+       |   row_number() OVER (PARTITION BY r.right_id
+       |    ORDER BY ${cosSql("r.cv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+       |  FROM r CROSS JOIN cent) WHERE rn = 1),
+       |lc AS (SELECT left_id, lv, cell_id FROM (
+       |  SELECT l.left_id, l.lv, cent.cell_id,
+       |   row_number() OVER (PARTITION BY l.left_id
+       |    ORDER BY ${cosSql("l.lv", "cent.centroid")} DESC, cent.cell_id ASC) AS rn
+       |  FROM l CROSS JOIN cent) WHERE rn <= 2),
+       |pairs AS (SELECT lc.left_id, ra.right_id,
+       |  round(${cosSql("lc.lv", "ra.cv")}, 4) AS cosine
+       | FROM lc JOIN ra USING (cell_id) WHERE lc.left_id <> ra.right_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY left_id
+       |   ORDER BY cosine DESC, right_id ASC) AS rank FROM pairs)""".stripMargin
+
   /** PRF oracle: the ranked CTE prefix IS pass 1; feedback docs cut
     * at 5, candidate terms = feedback postings minus the query's own
     * terms, expansion weight = round(w·(2N+2)/(2df+1), 6) in DECIMAL
@@ -1878,12 +1905,18 @@ object QueriesScale {
     "x_ann_join_index" -> ((s, dir) => {
       val e = emb(s, dir)
       val path = buildOnce("ivfjbase", dir) { p =>
-        // √-policy cells at BUILD time (the join pays cell population
-        // per left row): floors to 16 at the sf0.01 gate — the oracle
-        // literal — and scales the bench passes (66 / 208)
+        // INDEX-join cells policy at BUILD time (r20): this surface
+        // pays no per-call assignment, so its optimum is √(2n) —
+        // 2.8× the inline policy's √n/2, cutting the dominant
+        // candidate term 2.8× (see Similarity.cellsForIndexJoin).
+        // The oracle's centroid CTE computes the SAME formula from
+        // count(r), so the row stays hash-gated at every sf.
         val base = e.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+        // scanLayout: the join reads EVERY cell per call — few
+        // range-sorted files instead of one directory per cell
         Similarity.writeIvfIndex(base, "vec_id", "embedding", p,
-          nCells = Similarity.cellsForSqrt(base.count()))
+          nCells = Similarity.cellsForIndexJoin(base.count()),
+          scanLayout = true)
       }
       Similarity.annJoinWithIndex(s, path,
           e.filter(pmod(col("vec_id"), lit(7)) === 3),
@@ -6091,12 +6124,15 @@ object QueriesScale {
         """
           |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2
           |ORDER BY left_id, rank""".stripMargin),
-    // probe-from-index ≡ inline-join law: writeIvfIndex(nCells=16,
-    // refineIters=0) stores exactly the sampled centroids + best-cell
-    // assignment the inline join computes, so the SAME replay gates
-    // the persisted-layout surface
+    // probe-from-index ≡ inline-join law still holds at equal nCells
+    // (spec-pinned); the DECLARED index row builds with the
+    // index-join policy ceil(√(2n)) (r20 — see cellsForIndexJoin),
+    // so its replay computes the same cell count from count(r) via a
+    // scalar-subquery LIMIT instead of the inline row's 16-floor
+    // literal. Same algebra otherwise, clamped exactly like the
+    // Scala policy (GREATEST 16, LEAST 65536).
     "x_ann_join_index" ->
-      (AnnJoinRankedCtes +
+      (AnnJoinIndexRankedCtes +
         """
           |SELECT left_id, rank, right_id, cosine FROM rk WHERE rank <= 2
           |ORDER BY left_id, rank""".stripMargin),

@@ -516,7 +516,8 @@ object Similarity {
       vecCol: String,
       path: String,
       nCells: Int = 16,
-      refineIters: Int = 0
+      refineIters: Int = 0,
+      scanLayout: Boolean = false
   ): Unit = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     var centroids = sampleCentroids(c, nCells)
@@ -527,8 +528,36 @@ object Similarity {
         java.util.Arrays.asList(refined.collect(): _*), refined.schema))
     }
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    writeAssigned(ivfAssign(c, centroids), path, inc = "base", dynamic = false)
+    if (scanLayout)
+      writeAssignedScan(ivfAssign(c, centroids), path)
+    else
+      writeAssigned(ivfAssign(c, centroids), path, inc = "base", dynamic = false)
     clearIvfTombstones(corpus.sparkSession, path) // rebuild = fresh index
+  }
+
+  /** FULL-SCAN-serving assigned layout (r20, §6): the large-to-large
+    * join ([[annJoinWithIndex]]) reads EVERY cell per call, so the
+    * probe layout's one-directory-per-cell shape buys it nothing and
+    * charges it per-cell listing + per-file open overhead on every
+    * call — measured at the √(2n)-cells policy: ~0.5 s of pure file
+    * overhead at sf0.1 (93 dirs of ~45 rows each). This layout lands
+    * the same rows as stats-sized, cell-id-RANGE-sorted files under
+    * `inc=base` (cell_id a data column; min/max row-group stats stay
+    * selective on it), so a full scan reads few well-sized files.
+    * Maintenance contract: a scan-layout index is REBUILD-only —
+    * [[appendToIvfIndex]]'s dynamic `cell_id=` partition overwrite
+    * cannot compose with it (mixed partition/data column) and the
+    * read below fails loudly on the schema clash rather than
+    * miscounting.
+    */
+  private def writeAssignedScan(assigned: DataFrame, path: String): Unit = {
+    val withInc = assigned.withColumn("inc", lit("base"))
+    val files = IndexLayout.appendBuckets(withInc, IndexLayout.configuredBuckets(withInc))
+    withInc
+      .repartitionByRange(files, col("cell_id"))
+      .sortWithinPartitions(col("cell_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("inc").parquet(s"$path/assigned")
   }
 
   /** ONE assigned-layout writer for build AND append — the
@@ -550,7 +579,16 @@ object Similarity {
       inc: String,
       dynamic: Boolean
   ): Unit =
+    // repartition on the partition column BEFORE partitionBy (r20,
+    // §6 — the bm25PostingsLayout discipline): without it every write
+    // task emits one file per distinct cell it holds — tasks × cells
+    // files; measured ~10⁴ small files on the sf10 √-cells layout,
+    // whose listing + per-file open cost dominated annJoinWithIndex's
+    // full-layout scan (the index flavor read SLOWER than the inline
+    // recompute). One exchange at build time, cells-many files out;
+    // identical rows, so every probe's result is unchanged.
     assigned.withColumn("inc", lit(inc))
+      .repartition(col("cell_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy("inc", "cell_id").parquet(s"$path/assigned")
@@ -566,6 +604,7 @@ object Similarity {
       .select(col("neighbor_id"), call_function("quantize_i8b", col("cv")).as("__qz"), col("cell_id"))
       .select(col("neighbor_id"), col("__qz.qb").as("qb"), col("__qz.scale").as("scale"), col("cell_id"))
       .withColumn("inc", lit(inc))
+      .repartition(col("cell_id")) // see writeAssigned (r20, §6)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy("inc", "cell_id").parquet(s"$path/assigned")
@@ -934,6 +973,28 @@ object Similarity {
     require(minCells >= 1 && maxCells >= minCells,
       s"bad cells policy bounds: min=$minCells max=$maxCells")
     val needed = math.ceil(math.sqrt(math.max(n, 1L).toDouble) / 2.0).toInt
+    math.min(maxCells, math.max(minCells, needed))
+  }
+
+  /** Cells policy for the PERSISTED-layout join shape
+    * ([[annJoinWithIndex]]), r20: that surface pays NO per-call
+    * assignment (the build amortizes it), so its per-call total is
+    * fold |L|·c + candidates |L|·nProbe·(n/c), minimized at
+    * c = √(nProbe·n) — pinned at the family's nProbe = 2 as
+    * ceil(√(2n)), ~2.8× [[cellsForSqrt]]'s inline optimum (which must
+    * also pay the n·c assignment and lands at √n/2). Measured sf10:
+    * the candidate term dominated the index flavor at the inline
+    * policy (cell population 2√n × nProbe per left row); this cuts it
+    * 2.8×. Same floor/ceiling discipline as the other policies; the
+    * x_ann_join_index oracle computes the SAME formula from the base
+    * count (a DuckDB scalar-subquery LIMIT), so the surface stays
+    * hash-gated at every scale factor.
+    */
+  def cellsForIndexJoin(n: Long,
+      minCells: Int = 16, maxCells: Int = 65536): Int = {
+    require(minCells >= 1 && maxCells >= minCells,
+      s"bad cells policy bounds: min=$minCells max=$maxCells")
+    val needed = math.ceil(math.sqrt(2.0 * math.max(n, 1L).toDouble)).toInt
     math.min(maxCells, math.max(minCells, needed))
   }
 
